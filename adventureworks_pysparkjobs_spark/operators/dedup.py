@@ -1,0 +1,249 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2.10).
+
+Four families, each with a different scale/recall trade-off:
+
+- exact:        hash-groupBy on a content digest — one shuffle on the
+                digest, no O(n^2) anywhere; the 100 TB default.
+- n-gram Jaccard: shingle inverted-index self-join — exact near-dup
+                similarity, cost bounded by shared-shingle pair count
+                (rare-shingle blocking keeps the candidate set sparse).
+- MinHash LSH:  banded signature bucketing — candidate pairs only where a
+                band collides; verification computes true Jaccard on the
+                candidates. Tunable (num_hashes, bands) recall/cost knob.
+- SimHash:      sign-of-sum random-projection sketch per document; near-dups
+                are pairs within a Hamming radius, blocked on signature
+                bands so the join never goes quadratic.
+
+All hashes derive from MD5 (a public, engine-independent primitive) so
+results are bit-stable across runs, partitionings AND across engines —
+which is what lets every one of these carry a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on a content digest: keep the minimum id per digest,
+    report the group size. One shuffle on the 256-bit digest — uniform keys,
+    no skew, scales linearly."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Exploded distinct (id, shingle) inverted index."""
+    return (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
+
+    ``max_shingle_df`` drops shingles occurring in more than that many
+    documents before pairing (a stop-shingle filter): at 100 TB a single
+    ubiquitous shingle would otherwise create a quadratic candidate set.
+    Pairs whose overlap is only stop-shingles are (acceptably) missed —
+    the filter is part of the declared semantics, mirrored in the oracle.
+    """
+    idx = _shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        idx.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") <= max_shingle_df)
+        .select("shingle")
+    )
+    pruned = idx.join(rare, "shingle")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_inter")
+    )
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: sig[j] = min over shingles of md5(j || shingle).
+
+    MD5 hex strings of equal length compare lexicographically exactly as
+    their numeric value, so ``min(string)`` IS the minhash — no
+    hex->int conversion needed, and the construction is reproducible in any
+    engine with an md5() function.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(j) for j in range(num_hashes)])
+    ).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .groupBy("id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with true Jaccard.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of r = num_hashes /
+    bands rows; a pair is a candidate iff some band's signature slice
+    matches exactly (probability 1-(1-s^r)^b for Jaccard s). Candidates are
+    then verified against the exact shingle-set Jaccard, so the output has
+    no false positives — only (tunably rare) false negatives vs the brute
+    force. The bucket join is on (band, band_signature): cost is the sum of
+    squared bucket sizes, never all-pairs.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    banded = sig.withColumn("band", (F.col("seed") / r).cast("int"))
+    band_key = banded.groupBy("id", "band").agg(
+        F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_sig")
+    )
+    a = band_key.alias("a")
+    b = band_key.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard over the shingle index.
+    idx = _shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    ai = idx.select(F.col("id").alias("id1"), F.col("shingle"))
+    bi = idx.select(F.col("id").alias("id2"), F.col("shingle"))
+    inter = (
+        cand.join(ai, "id1")
+        .join(bi, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_inter")
+    )
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash sketch: bit j is the sign of the sum over distinct tokens of
+    (+1 / -1) from the j-th nibble's top bit of the token's MD5.
+
+    Returned as a '0'/'1' bitstring column ``simhash`` (engine-portable
+    representation — no 64-bit integer bit ops required).
+    """
+    assert 1 <= bits <= 32
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    j = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j")
+    # top bit of hex nibble j: digit in [89abcdef] => +1 else -1
+    contrib = F.when(
+        F.substring(F.col("h"), F.col("j"), 1).isin(*list("89abcdef")), 1
+    ).otherwise(-1)
+    per_bit = (
+        tok.select("id", "h", j)
+        .withColumn("c", contrib)
+        .groupBy("id", "j")
+        .agg(F.sum("c").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return per_bit.groupBy("id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("bit")))
+                ),
+                lambda st: st.getField("bit"),
+            ),
+        ).alias("simhash")
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """Generic keep-first dedup: first row per key group under a total
+    order (window row_number formulation of dropDuplicates with
+    deterministic survivor choice)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,95 @@
+"""Core relational operator helpers.
+
+Thin, deliberately-declarative helpers over the DataFrame API. Everything
+here stays inside Catalyst/whole-stage-codegen: no UDFs, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
+    """Pin a (usually double) column to an exact decimal BEFORE arithmetic.
+
+    Decimal addition is exact and associative, which makes aggregate results
+    independent of partitioning/visit order — a requirement for
+    deterministic cross-engine results and for stable results across
+    cluster sizes (local[32] today, 1000 executors at 100 TB).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(T.DecimalType(precision, scale))
+
+
+def enforce_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Select + cast + nullability-check a frame against a declared schema.
+
+    Strict upgrade of the reference's pre-sink projection, which only
+    reorders columns (reference: code_base/transform_to_bq.py:86) and treats
+    declared types/nullability as documentation. Here the cast is real and
+    non-nullable fields get a runtime guard that poisons the row with a
+    raised error at execution time rather than silently writing nulls.
+    """
+    cols = []
+    for f_ in schema.fields:
+        c = F.col(f_.name).cast(f_.dataType)
+        if not f_.nullable:
+            c = F.when(
+                c.isNull(),
+                F.raise_error(F.lit(f"null in non-nullable column {f_.name}")),
+            ).otherwise(c)
+        cols.append(c.alias(f_.name))
+    return df.select(*cols)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group via row_number over a window.
+
+    ``order_by`` must be a unique total order within each partition
+    (append the PK as the last key) or results are nondeterministic.
+    Scale note: this shuffles once on ``partition_by`` and sorts within
+    partitions — no global sort, no driver involvement; skewed groups are
+    handled by AQE.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Assign batch session ids: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum-of-boundaries formulation — two window
+    functions over the same (user, ts) window, one shuffle total.
+    ``id_col`` (a PK) is appended to the ordering for a unique total order.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_s = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    is_new = F.when(
+        prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("_is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("_is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_is_new")

@@ -1,0 +1,237 @@
+"""Embedding similarity-search operators (north-star extension,
+SURVEY.md §2.10): brute-force cosine top-k as the exact baseline, a
+bucketed random-projection LSH as the approximate scale path, and a
+vectorized Pandas-UDF scorer for throughput.
+
+Scale design: similarity search is never all-pairs. The query set is small
+relative to the corpus (broadcast it); the corpus side streams. Brute force
+is O(|Q| x N) with a broadcast join — linear in the corpus, embarrassingly
+parallel. The LSH variant first buckets both sides by sign-random-projection
+so each corpus row only scores against queries sharing a bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float> columns in double
+    precision. The fold visits indexes in order, making the result
+    bit-deterministic regardless of partitioning (and reproducible in any
+    engine that folds lists sequentially)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_fold(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (norm_fold(a) * norm_fold(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set against the
+    corpus, score every (query, corpus) pair, keep k per query via a
+    row_number window with a unique (score desc, id) tie-break.
+
+    Shuffle profile: zero shuffles for scoring (broadcast nested loop),
+    one shuffle on query_id for the top-k window — the window input is
+    already reduced to |Q| x N rows of (id, id, score).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold.
+
+    ``block_col`` restricts comparisons to rows sharing a blocking key
+    (e.g. a cluster/label id, an LSH bucket): the join is equi on the block
+    key, so cost is the sum of squared block sizes — the declared semantic
+    is "near-dups within a block", which is how 100 TB dedup actually runs.
+    ``block_col=None`` is the exact-but-quadratic variant for small inputs.
+    """
+    a = df.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        *([F.col(block_col).alias("bk1")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        *([F.col(block_col).alias("bk2")] if block_col else []),
+    )
+    cond = F.col("id1") < F.col("id2")
+    if block_col:
+        joined = a.join(b, (F.col("bk1") == F.col("bk2")) & cond)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    return joined.select(
+        "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection LSH bucket id: one bit per hyperplane —
+    bit_i = [dot(vec, plane_i) >= 0] — packed into an int. Deterministic
+    given fixed planes (callers pass seeded-pseudorandom planes)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def make_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Seeded pseudorandom hyperplanes (numpy RNG on the driver; the planes
+    are tiny constants baked into the plan, not data)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only (query, corpus) pairs in the same
+    sign-random-projection bucket. With p planes, expected candidate count
+    is N / 2^p per query times the angular-collision factor — the knob that
+    turns O(|Q| x N) into O(|Q| x N / 2^p) at some recall cost."""
+    planes = make_planes(num_planes, dim, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput variant of cosine_topk: numpy blocked matrix multiply via
+    mapInPandas. The (small) query matrix is captured in the closure and
+    shipped once per task; each Arrow batch of corpus vectors is scored as
+    one dense matmul — the hot path never leaves vectorized numpy.
+
+    Not oracle-comparable bit-for-bit with the fold variant (numpy uses
+    pairwise summation), hence registered rows-only in the catalog.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()  # |Q| is small by contract
+    q_ids = np.array([r[id_col] for r in qrows])
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ q_mat.T  # (batch, |Q|)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, len(ids)),
+                    "neighbor_id": np.tile(ids, len(q_ids)),
+                    "cosine_sim": sims.T.ravel(),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for the documents table (north-star extension,
+SURVEY.md §2.10: language-ID, quality scoring, token counting, document
+fingerprinting).
+
+Everything is built from Catalyst higher-order array functions + hash
+functions — JVM-side, whole-stage-codegen'd, no Python UDFs — so the same
+code runs unchanged over 100 TB of documents: per-row work only, no
+shuffles except where an operator aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker tokens per language for the heuristic language-ID scorer. A real
+# deployment would broadcast a large lexicon table; the mechanism (token
+# overlap scoring + deterministic argmax) is the operator under test.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "y", "los", "de"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "on"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization with empty-token filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings (empty array if the
+    document has fewer than n tokens)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    return F.when(
+        F.size(t) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: char/token counts, mean token length,
+    punctuation & digit density, stopword ratio, distinct-token ratio.
+
+    All ratios are integer-count / integer-count double divisions —
+    deterministic and engine-independent.
+    """
+    t = tokens(text_col)
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = F.size(t)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(t))
+    return df.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        (
+            (n_chars - F.length(F.regexp_replace(c, r"\s", ""))).cast("int")
+        ).alias("n_whitespace"),
+        (F.length(F.regexp_replace(c, r"\s", "")).cast("double") / n_tokens).alias(
+            "mean_token_len"
+        ),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_digit.cast("double") / n_chars).alias("digit_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+    )
+
+
+def language_scores(text_col: str | Column) -> list[Column]:
+    """One score column per candidate language: count of *distinct* marker
+    tokens present in the document."""
+    t = tokens(text_col)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(
+            F.array_intersect(
+                F.array_distinct(t), F.array(*[F.lit(m) for m in markers])
+            )
+        )
+        out.append(hits.cast("int").alias(f"score_{lang}"))
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: marker-token overlap scoring, argmax with a
+    deterministic alphabetical tie-break, 'und' (undetermined) when no
+    marker hits at all."""
+    scored = df.select("doc_id", F.col(text_col), *language_scores(text_col))
+    langs = sorted(LANG_MARKERS)  # alphabetical tie-break order
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lg}") == best), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", *[f"score_{lg}" for lg in langs], pred.alias("predicted_lang")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``content_sha256``: hash of punctuation/case/whitespace-normalized
+      text (robust exact-dup key);
+    - ``min_shingle_hash``: minimum MD5 over 3-gram shingles — a 1-hash
+      MinHash, the winnowing-style compact sketch (equal across docs with
+      high shingle overlap with probability ~ their Jaccard similarity).
+    """
+    c = F.col(text_col)
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+    )
+    return df.select(
+        "doc_id",
+        F.sha2(F.trim(normalized), 256).alias("content_sha256"),
+        F.array_min(
+            F.transform(shingles(c, 3), lambda s: F.md5(s))
+        ).alias("min_shingle_hash"),
+    )

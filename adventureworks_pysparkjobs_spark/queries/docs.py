@@ -1,0 +1,261 @@
+"""Document queries: text analysis + deduplication (SURVEY.md §2.10).
+
+The DuckDB oracles mirror the operator definitions exactly — same
+tokenization, same shingling, same MD5-based hash constructions — so even
+the MinHash-LSH and SimHash sketches are cross-engine verifiable (the
+hashes are engine-independent primitives, not Spark-private seeds).
+
+Shared SQL fragments:
+- tokens:    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')
+- shingles:  3-token windows joined with ' ', distinct per doc
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as TX
+from ..sources.corpus import load_table
+from .catalog import query
+
+# DuckDB SQL fragments mirroring operators/text.py exactly.
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 3
+    )
+"""
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    tags=("dedup", "exact", "hash"),
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: survivor id + copy count per digest."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_quality_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             LENGTH(text) AS n_chars,
+             LENGTH(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(n_chars - n_nonspace AS INTEGER) AS n_whitespace,
+           CAST(n_nonspace AS DOUBLE) / len(toks) AS mean_token_len,
+           CAST(n_chars - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / n_chars AS punct_ratio,
+           CAST(n_chars - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / n_chars AS digit_ratio,
+           CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','on'], x))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (token/char/punct/stopword/distinct)."""
+    return TX.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(dt, x -> list_contains(['der','die','und','das','ein'], x))) AS INTEGER) AS score_de,
+             CAST(len(list_filter(dt, x -> list_contains(['the','a','and','of','to'], x))) AS INTEGER) AS score_en,
+             CAST(len(list_filter(dt, x -> list_contains(['el','la','y','los','de'], x))) AS INTEGER) AS score_es,
+             CAST(len(list_filter(dt, x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS score_fr
+      FROM t
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+    tags=("text", "langid"),
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID via marker-token overlap scoring."""
+    return TX.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT d.doc_id,
+           sha256(trim(regexp_replace(regexp_replace(lower(d.text),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_sha256,
+           m.min_h AS min_shingle_hash
+    FROM documents d
+    LEFT JOIN (SELECT id, MIN(md5(shingle)) AS min_h FROM sh GROUP BY id) m
+      ON d.doc_id = m.id
+    """,
+    tags=("text", "fingerprint", "hash"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content SHA-256 + 1-hash MinHash shingle fingerprint."""
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id1, id2,
+           CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON inter.id1 = s1.id
+    JOIN sizes s2 ON inter.id2 = s2.id
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    """,
+    tags=("dedup", "neardup", "jaccard"),
+    bench=True,
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join with
+    stop-shingle pruning)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_shingle_df=1000
+    )
+
+
+@query(
+    "doc_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, unnest([0,1,2,3,4,5,6,7]) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    band_key AS (
+      SELECT id, CAST(seed // 2 AS INTEGER) AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM band_key a JOIN band_key b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.id = c.id1
+      JOIN sh b ON b.id = c.id2 AND b.shingle = a.shingle
+      GROUP BY c.id1, c.id2
+    )
+    SELECT id1, id2,
+           CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON inter.id1 = s1.id
+    JOIN sizes s2 ON inter.id2 = s2.id
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    """,
+    tags=("dedup", "neardup", "minhash", "lsh"),
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + 4-band LSH candidate generation, exact-Jaccard verify.
+
+    The md5-string minhash construction makes the LSH fully deterministic
+    and engine-portable, so this *approximate* algorithm still has an exact
+    oracle: DuckDB runs the identical sketch."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+@query(
+    "doc_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, t.tok, md5(t.tok) AS h
+      FROM (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
+           unnest(dt) AS t(tok)
+    ),
+    per_bit AS (
+      SELECT id, u.j,
+             SUM(CASE WHEN substr(h, u.j, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok, unnest(range(1, 17)) AS u(j)
+      GROUP BY id, u.j
+    )
+    SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+               AS simhash
+    FROM per_bit GROUP BY id
+    """,
+    tags=("dedup", "simhash", "sketch"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash sketch per document (sign-of-sum of per-token
+    MD5-nibble projections), as an engine-portable bitstring."""
+    return D.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+@query(
+    "doc_binary_payload",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           sha256(text) AS payload_sha256,
+           lang AS meta_lang,
+           source AS meta_source
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def doc_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing on a real fixture: treat the document
+    body as an opaque binary payload (utf-8 encoded) + typed metadata —
+    the schema shape used for image/audio blobs (operators/multimodal.py),
+    exercised here over data both engines can hash."""
+    doc = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return doc.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("payload_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.col("lang").alias("meta_lang"),
+        F.col("source").alias("meta_source"),
+    )

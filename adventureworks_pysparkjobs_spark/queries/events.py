@@ -1,0 +1,184 @@
+"""Event-stream queries in batch form (SURVEY.md §2.8/§2.10): JSON props
+extraction, time bucketing, sessionization, as-of attribution, keyed dedup.
+
+Timestamp arithmetic rule: Spark ``CAST(timestamp AS BIGINT)`` floors to
+seconds; DuckDB ``epoch()`` returns fractional seconds — the oracles use
+``CAST(FLOOR(epoch(ts)) AS BIGINT)`` to match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_keep_first
+from ..operators.relational import dec, sessionize
+from ..sources.corpus import load_table
+from .catalog import query
+
+D = "DECIMAL(12,2)"
+_FLOOR_S = "CAST(FLOOR(epoch({c})) AS BIGINT)"
+
+
+@query(
+    "events_json_props",
+    oracle=f"""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+           SUM(CAST(value AS {D})) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("json", "semistructured", "agg"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + cast + aggregate
+    (get_json_object stays JVM-side; no Python in the loop)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.sum(dec("value", 12, 2)).alias("total_value"),
+    )
+
+
+@query(
+    "events_tumbling_5min",
+    oracle=f"""
+    SELECT CAST({_FLOOR_S.format(c='ts')} // 300 * 300 AS BIGINT) AS bucket_s,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS {D})) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "timebucket", "agg"),
+)
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling 5-minute buckets (epoch-aligned, the same bucketing
+    Structured Streaming's window() uses — see queries/stream.py for the
+    streaming twin of this query)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("ts").cast("bigint") - (F.col("ts").cast("bigint") % 300)).alias(
+        "bucket_s"
+    )
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value", 12, 2)).alias("total_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR {_FLOOR_S.format(c='ts')} - {_FLOOR_S.format(c='prev_ts')} > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST({_FLOOR_S.format(c='MAX(ts)')} - {_FLOOR_S.format(c='MIN(ts)')}
+                AS BIGINT) AS duration_s
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    tags=("sessionize", "window", "agg"),
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag + cumulative
+    boundary sum (operators/relational.py:sessionize), then session-level
+    rollup. One shuffle on user_id serves both windows and the final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, id_col="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("ts").cast("bigint") - F.min("ts").cast("bigint")).alias(
+            "duration_s"
+        ),
+    )
+
+
+@query(
+    "events_asof_attribution",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts, last_click_ts,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(last_click_ts)) AS BIGINT) AS click_to_buy_s
+    FROM w WHERE event_type = 'purchase'
+    """,
+    tags=("asof", "window", "attribution"),
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a window: for every purchase, the most
+    recent strictly-prior click by the same user (last-touch attribution).
+    Single shuffle on user_id; no range join blow-up."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "last_click_ts",
+            (
+                F.col("ts").cast("bigint") - F.col("last_click_ts").cast("bigint")
+            ).alias("click_to_buy_s"),
+        )
+    )
+
+
+@query(
+    "events_dedup_first_per_key",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "keyed", "window"),
+)
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the deterministic first row per (user, type) —
+    dropDuplicates with a pinned survivor instead of an arbitrary one."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_keep_first(
+        ev, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select("event_id", "user_id", "event_type", "ts")

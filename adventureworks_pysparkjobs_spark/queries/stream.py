@@ -1,0 +1,79 @@
+"""Structured Streaming catalog entries (SURVEY.md §2.8).
+
+Each builder runs a real streaming query (readStream → watermark →
+stateful op → memory sink, availableNow trigger) to completion and returns
+the materialized result, so the driver's oracle harness can compare a
+*streaming* computation against batch SQL. The oracles are exact twins:
+on a bounded input, complete-mode windowed aggregation ≡ batch GROUP BY,
+and streaming keyed dedup's key set ≡ SELECT DISTINCT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.events import dedup_keys, session_windows, tumbling_counts
+from .catalog import query
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 300 * 300 AS bucket_s,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked tumbling-window aggregate (5-minute windows),
+    driven to completion on the bounded fixture."""
+    return tumbling_counts(spark, sf_dir, window="5 minutes")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed dedup (dropDuplicates under a watermark); the
+    deterministic contract is the distinct key set."""
+    return dedup_keys(spark, sf_dir)
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "session_window", "watermark"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-minute gap). Oracle: batch
+    gap-sessionization in exact microsecond arithmetic — a session_window
+    merges events whose gap is strictly less than the 30-minute gap."""
+    return session_windows(spark, sf_dir, gap="30 minutes")

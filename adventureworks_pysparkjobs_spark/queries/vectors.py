@@ -1,0 +1,140 @@
+"""Embedding similarity-search queries (SURVEY.md §2.10).
+
+The DuckDB oracles reproduce the *same arithmetic* as the Spark operators:
+a sequential left-fold dot product in double precision
+(Spark ``F.aggregate`` starting at 0.0 ≡ DuckDB ``list_reduce`` — IEEE
+addition of identical operands in identical order is bit-identical), so
+cosine scores match exactly, not approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources.corpus import load_table
+from .catalog import query
+
+# DuckDB fragments mirroring operators/similarity.py dot_fold / norm_fold.
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos('q.qv', 'c.embedding')} AS cosine_sim
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "topk", "embedding"),
+    bench=True,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a sampled query set
+    (every 50th vector) against the full corpus — broadcast nested loop,
+    linear in corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@query(
+    "emb_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {_cos('a.embedding', 'b.embedding')} AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding', 'b.embedding')} >= 0.2
+    """,
+    tags=("similarity", "neardup", "embedding"),
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding near-dup pairs: compare only within a label block
+    (the production shape — block key = cluster/LSH bucket), cosine >= 0.2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=0.2, block_col="label")
+
+
+@query(
+    "emb_norms_by_label",
+    oracle=f"""
+    WITH n AS (SELECT label, {_NORM.format(a='embedding')} AS nrm
+               FROM embeddings)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM n GROUP BY label
+    """,
+    tags=("embedding", "agg"),
+)
+def emb_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label: array fold + min/max aggregate
+    (min/max of identical doubles are order-insensitive)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "label", S.norm_fold(F.col("embedding")).alias("nrm")
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+@query(
+    "emb_ann_lsh_topk",
+    oracle=None,  # approximate by construction; driver records rows-only
+    tags=("similarity", "ann", "lsh"),
+)
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via sign-random-projection LSH bucketing
+    (4 planes → ~16x candidate reduction). Approximate vs the brute-force
+    baseline, hence rows-only; recall is asserted against emb_cosine_topk
+    in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ann_topk_lsh(emb, queries, k=5, num_planes=4, dim=64, seed=42)
+
+
+@query(
+    "emb_cosine_topk_vectorized",
+    oracle=None,  # numpy pairwise summation ≠ sequential fold bit-for-bit
+    tags=("similarity", "topk", "pandas_udf"),
+)
+def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of emb_cosine_topk: Arrow-batched numpy matmul
+    via mapInPandas. Same top-k semantics; registered rows-only because
+    numpy's pairwise summation differs from the fold in the last ulp.
+    Equivalence to the exact variant is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk_pandas(emb, queries, k=5)

@@ -1,0 +1,62 @@
+"""Readers for the synthetic test corpus (TESTDATA.md).
+
+Mirrors the reference's lake-read seam ``read_source_tables``
+(reference: code_base/transform_to_bq.py:77-83) — a dict of lazily-scanned
+DataFrames keyed by table name — generalized to any directory of
+``{table}.parquet`` files and with per-table normalization hooks.
+
+The only normalization today is the events table: its ``ts`` column is
+Parquet TIMESTAMP(NANOS), which Spark reads as int64 nanos (via
+``spark.sql.legacy.parquet.nanosAsLong``); we convert to a microsecond
+TimestampType column so that downstream window/watermark logic sees a real
+timestamp. Truncation ns->us matches what DuckDB does when reading the same
+file, which keeps the correctness oracle aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    # ts arrives as int64 nanoseconds (nanosAsLong); truncate to micros.
+    if dict(df.dtypes).get("ts") == "bigint":
+        # Integer division: ts is ~1.7e18 ns, beyond double's 2^53 exact
+        # range, so a float divide would round the microsecond digit.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or CORPUS_TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register each corpus table as a temp view for the SQL entry point."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

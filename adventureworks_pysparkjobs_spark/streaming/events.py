@@ -1,0 +1,118 @@
+"""Structured Streaming pipelines over the events table (SURVEY.md §2.8).
+
+The reference has no streaming; this is the north-star extension surface:
+file-source readStream → watermark → windowed/stateful transformation →
+sink. Tests and the oracle harness drive these with a bounded file source
+and ``processAllAvailable`` (the documented deterministic pattern for
+exercising a streaming query on a finite fixture); the same pipeline code
+runs unbounded on a kafka/files source in production.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical schema of events.parquet as Spark reads it with
+# spark.sql.legacy.parquet.nanosAsLong=true (ts: int64 nanoseconds).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture with ns→µs timestamp repair —
+    the streaming twin of sources/corpus.py:load_table('events')."""
+    # Glob form: the file stream source needs a directory basePath.
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_FILE_SCHEMA)
+        .load(f"{sf_dir}/events*.parquet")
+    )
+    # integer division — see sources/corpus.py:_normalize_events
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    streaming_df: DataFrame, output_mode: str, spark: SparkSession
+) -> DataFrame:
+    """Run a bounded streaming frame to completion into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(
+    spark: SparkSession, sf_dir: str, window: str = "5 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts, run to completion.
+
+    Complete output mode → every window is emitted after the bounded run,
+    which is what makes the batch-SQL oracle (queries/events.py
+    events_tumbling_5min) an exact twin. The watermark bounds state size in
+    the unbounded deployment; on a bounded fixture it drops nothing.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, "complete", spark)
+    return out.select(
+        F.col("window.start").cast("bigint").alias("bucket_s"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed dedup: dropDuplicates on (user_id, event_type) with
+    a watermark bounding the dedup state. Output = the distinct key set
+    (the kept-row identity is arrival-order-dependent in a streaming
+    setting, so only the key set is the deterministic contract)."""
+    ev = read_events_stream(spark, sf_dir)
+    dd = ev.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = run_to_memory(dd, "append", spark)
+    return out.select("user_id", "event_type")
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming session windows (session_window + watermark):
+    per-user sessions closed after ``gap`` of inactivity."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, "complete", spark)
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("bigint").alias("session_start_s"),
+        "n_events",
+    )

@@ -44,12 +44,33 @@ def exact_dedup(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a document frame to full parallelism before per-row
+    heavy work (shingling/hashing). Document tables are small *files* but
+    large *computations*: without this, a single parquet split means one
+    task does all the exploding."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Exploded distinct (id, shingle) inverted index."""
-    return (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
-        .distinct()
+    """Exploded distinct (id, shingle) inverted index.
+
+    Dedup happens per-document inside the array (array_distinct) BEFORE
+    exploding, so the output is already unique without a global
+    .distinct() — that saves an entire shuffle of the exploded index.
+    """
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+
+
+def _shingle_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct-shingle count per document, computed per-row from the
+    array (no explode, no shuffle)."""
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles(text_col, n))).cast("long").alias("n_sh"),
     )
 
 
@@ -68,25 +89,32 @@ def ngram_jaccard_pairs(
     ubiquitous shingle would otherwise create a quadratic candidate set.
     Pairs whose overlap is only stop-shingles are (acceptably) missed —
     the filter is part of the declared semantics, mirrored in the oracle.
+
+    Pair generation is posting-list expansion (groupBy shingle →
+    sorted id list → in-array i<j pairs), not a self-join: the shingle
+    index is scanned once instead of twice, and the expansion happens
+    inside one codegen stage. Cost remains Σ df(shingle)^2, bounded by
+    ``max_shingle_df``.
     """
     idx = _shingle_index(df, id_col, text_col, n)
-    sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
-    rare = (
+    sizes = _shingle_counts(df, id_col, text_col, n)
+    postings = (
         idx.groupBy("shingle")
-        .agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") <= max_shingle_df)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
     )
-    pruned = idx.join(rare, "shingle")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count("*").alias("n_inter"))
     )
     s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
@@ -116,7 +144,7 @@ def minhash_signatures(
     hex->int conversion needed, and the construction is reproducible in any
     engine with an md5() function.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
@@ -174,7 +202,7 @@ def minhash_lsh_pairs(
     )
     # Verify candidates with exact Jaccard over the shingle index.
     idx = _shingle_index(df, id_col, text_col, n)
-    sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sizes = _shingle_counts(df, id_col, text_col, n)
     ai = idx.select(F.col("id").alias("id1"), F.col("shingle"))
     bi = idx.select(F.col("id").alias("id2"), F.col("shingle"))
     inter = (
@@ -206,7 +234,7 @@ def simhash(
     representation — no 64-bit integer bit ops required).
     """
     assert 1 <= bits <= 32
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", F.md5("tok"))

@@ -16,6 +16,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition an embedding frame to full parallelism before per-row
+    fold-heavy scoring (embedding tables are few parquet splits but large
+    per-row compute)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dot_fold(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<float> columns in double
     precision. The fold visits indexes in order, making the result
@@ -57,11 +64,19 @@ def cosine_topk(
     one shuffle on query_id for the top-k window — the window input is
     already reduced to |Q| x N rows of (id, id, score).
     """
+    # Norms are computed once per vector on each side (not per pair):
+    # the pair loop then runs a single fold (the dot product) instead of
+    # three — same arithmetic, same result, 3x less higher-order-function
+    # evaluation.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_fold(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_fold(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -69,7 +84,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                dot_fold(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -96,14 +114,16 @@ def cosine_near_dup_pairs(
     is "near-dups within a block", which is how 100 TB dedup actually runs.
     ``block_col=None`` is the exact-but-quadratic variant for small inputs.
     """
-    a = df.select(
+    a = _spread(df).select(
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
+        norm_fold(F.col(vec_col)).alias("n1"),
         *([F.col(block_col).alias("bk1")] if block_col else []),
     )
     b = df.select(
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),
+        norm_fold(F.col(vec_col)).alias("n2"),
         *([F.col(block_col).alias("bk2")] if block_col else []),
     )
     cond = F.col("id1") < F.col("id2")
@@ -111,9 +131,10 @@ def cosine_near_dup_pairs(
         joined = a.join(b, (F.col("bk1") == F.col("bk2")) & cond)
     else:
         joined = a.crossJoin(b).filter(cond)
-    return joined.select(
-        "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine_sim")
-    ).filter(F.col("cosine_sim") >= threshold)
+    sim = dot_fold(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    return joined.select("id1", "id2", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )
 
 
 def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
@@ -162,11 +183,13 @@ def ann_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_fold(F.col(vec_col)).alias("q_norm"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_fold(F.col(vec_col)).alias("c_norm"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -175,7 +198,10 @@ def ann_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                dot_fold(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -22,15 +22,20 @@ from .catalog import query
 
 # DuckDB SQL fragments mirroring operators/text.py exactly.
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
-_SHINGLES_CTE = f"""
+def _shingles_cte(n: int) -> str:
+    return f"""
     toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
     sh AS (
       SELECT DISTINCT doc_id AS id,
-             list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
-      FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
-      WHERE len(w) >= 3
+             list_aggregate(w[i:i+{n - 1}], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(w) - {n - 2})) AS u(i)
+      WHERE len(w) >= {n}
     )
 """
+
+
+_SHINGLES_CTE = _shingles_cte(3)
+_SHINGLES_CTE5 = _shingles_cte(5)
 
 
 @query(
@@ -128,7 +133,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
+    WITH {_SHINGLES_CTE5},
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
     rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
     pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
@@ -148,17 +153,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join with
-    stop-shingle pruning)."""
+    """Exact 5-gram Jaccard near-dup pairs (posting-list expansion with
+    stop-shingle pruning). 5-word shingles are the scale choice: longer
+    shingles collide across unrelated documents far less often, so the
+    Σ df(shingle)^2 pair-expansion cost stays near-linear."""
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_shingle_df=1000
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold=0.5,
+        max_shingle_df=1000,
     )
 
 
 @query(
     "doc_minhash_lsh_pairs",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
+    WITH {_SHINGLES_CTE5},
     sig AS (
       SELECT id, u.seed,
              MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS minhash
@@ -202,6 +212,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         num_hashes=8,
         bands=4,
+        n=5,
         threshold=0.5,
     )
 

@@ -1,0 +1,68 @@
+"""Benchmark runner: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is timed end-to-end: plan construction + execution to a count
+of fully-materialized rows (foreach-noop action so results are produced,
+not just counted from statistics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from adventureworks_pysparkjobs_spark.queries import CATALOG  # noqa: E402
+from adventureworks_pysparkjobs_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: q for n, q in CATALOG.items() if q.bench}
+
+    # Warm-up: run every bench query once at the smallest SF so timings
+    # measure the operator, not JVM classloading/JIT of its first use.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name, q in sorted(bench_queries.items()):
+            try:
+                q.builder(spark, warm_dir).count()
+            except Exception as e:  # warm-up must never fail the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(bench_queries.items()):
+        t0 = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_headline_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Ingestion job: OLTP database -> Parquet lake.
+
+Portable re-build of the reference ingest (code_base/db_to_parquet.py:169-202)
+with its GCP couplings behind seams and its scale bottleneck fixed:
+
+- credentials come from a caller-supplied resolver (env vars by default)
+  instead of hard-wired Secret Manager calls (db_to_parquet.py:147-152,
+  175-181) — the same three secrets (user, password, dbname), any backend;
+- each table reads range-partitioned on its integer PK instead of over a
+  single JDBC connection (SURVEY.md §4.3);
+- the big sales tables land date-partitioned in the lake so the transform
+  job's scans can prune partitions; small dimension tables stay flat.
+
+The per-table loop shape (schema lookup -> read -> overwrite parquet)
+mirrors db_to_parquet.py:194-199.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas.adventureworks import TABLE_SCHEMAS, TABLES_TO_INGEST
+from ..sources.jdbc import JdbcConfig, read_jdbc_table
+from ..sinks.parquet import write_lake_table
+
+# PK per table = first schema column (every AdventureWorks table here has
+# an integer PK first; db_to_parquet.py TABLE_SCHEMAS leads with it).
+PARTITION_KEYS: dict[str, str] = {
+    f"{s}.{t}": TABLE_SCHEMAS[f"{s}.{t}"].fields[0].name
+    for s, t in TABLES_TO_INGEST
+}
+
+# Facts get a derived date partition column for lake-side pruning.
+DATE_PARTITIONED: dict[str, str] = {
+    "sales.salesorderheader": "orderdate",
+}
+
+
+def env_secrets(prefix: str = "ADVENTUREWORKS") -> dict[str, str]:
+    """Default secret resolver: environment variables."""
+    return {
+        "user": os.environ.get(f"{prefix}_DB_USER", ""),
+        "password": os.environ.get(f"{prefix}_DB_PASSWORD", ""),
+        "dbname": os.environ.get(f"{prefix}_DB_NAME", ""),
+    }
+
+
+def jdbc_config_from_secrets(
+    resolver: Callable[[], dict[str, str]] = env_secrets,
+    host: str = "127.0.0.1",
+    port: int = 5432,
+    sslmode: str = "disable",
+) -> JdbcConfig:
+    """Build the JDBC config the way the reference does (proxy-sidecar URL
+    shape, db_to_parquet.py:183-188), with pluggable secret resolution."""
+    s = resolver()
+    return JdbcConfig(
+        url=f"jdbc:postgresql://{host}:{port}/{s['dbname']}?sslmode={sslmode}",
+        user=s["user"],
+        password=s["password"],
+    )
+
+
+def ingest_all(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    lake_base: str,
+    num_partitions: int = 16,
+) -> dict[str, str]:
+    """Ingest every registered table into the lake. One Spark job per
+    table (as in the reference driver loop), but each job's scan is
+    parallel across PK stripes."""
+    out: dict[str, str] = {}
+    for schema_name, table_name in TABLES_TO_INGEST:
+        full = f"{schema_name}.{table_name}"
+        df = read_jdbc_table(
+            spark,
+            cfg,
+            dbtable=full,
+            schema=TABLE_SCHEMAS[full],
+            pk_col=PARTITION_KEYS[full],
+            num_partitions=num_partitions,
+        )
+        partition_by = None
+        if full in DATE_PARTITIONED:
+            src = DATE_PARTITIONED[full]
+            df = df.withColumn("ingest_date", F.to_date(F.col(src)))
+            partition_by = "ingest_date"
+        out[full] = write_lake_table(
+            df, lake_base, schema_name, table_name, partition_by=partition_by
+        )
+    return out

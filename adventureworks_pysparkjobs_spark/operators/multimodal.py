@@ -1,0 +1,123 @@
+"""Multimodal column operators (north-star extension, SURVEY.md §2.10).
+
+Design: media are opaque ``binary`` payload columns + a typed metadata
+struct, the schema shape that scales to 100 TB of images/audio/video on a
+parquet lake — payload bytes stay columnar-compressed and are only
+materialized inside Arrow batches in the worker Python processes.
+
+The Spark-side plumbing here (binaryFile source, schema, mapInPandas batch
+shape, partitioning) is real and tested. The codec step itself (JPEG
+decode, audio resample, video frame-sample) needs media libraries that are
+not in this container, so the codec is injected: ``decode_batch`` takes a
+``codec`` callable; the default codec raises NotImplementedError and tests
+inject a deterministic fake. Swapping in Pillow/librosa/pyav in production
+changes one argument, not the dataflow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modification_time", T.TimestampType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "path string, payload_bytes bigint, payload_sha256 string, "
+    "width int, height int, n_channels int, feature array<float>"
+)
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile source: one row per file with path/mtime/length/content.
+    Spark parallelizes over files; pathGlobFilter prunes listing-side."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def default_codec(payload: bytes) -> dict:
+    """Placeholder codec — media libraries are not available in this
+    environment. Production injects a real decoder with the same contract:
+    bytes -> {'width', 'height', 'n_channels', 'feature': list[float]}."""
+    raise NotImplementedError(
+        "no media codec available in this environment; inject one"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = default_codec,
+    content_col: str = "content",
+    path_col: str = "path",
+    batch_limit_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Decode + feature-extract media payloads via mapInPandas.
+
+    Arrow streams batches of (path, content) into worker Python; each
+    batch is decoded row-by-row through ``codec`` (the codec is the
+    CPU-bound part — numpy/PIL internally vectorize per item). Output is
+    a flat typed frame. ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    and ``batch_limit_bytes`` bound worker memory: at 100 TB the unit of
+    parallelism is the file/row-group, never the dataset.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "n_channels": meta.get("n_channels"),
+                        "feature": meta.get("feature"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def payload_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Pure-JVM payload statistics (no Python, no decode): size + digest
+    per payload — the cheap pre-pass that dedups/filters media *before*
+    any expensive decode runs."""
+    c = F.col(content_col)
+    return df.select(
+        "*",
+        F.octet_length(c).cast("bigint").alias("payload_bytes"),
+        F.sha2(c, 256).alias("payload_sha256"),
+    ).drop(content_col)
+
+
+def attach_metadata(
+    media: DataFrame,
+    metadata: DataFrame,
+    on: str = "path",
+) -> DataFrame:
+    """Join media payloads to a (small, broadcast) metadata table — the
+    canonical multimodal layout: payload table + typed sidecar."""
+    return media.join(F.broadcast(metadata), on, "left")

@@ -1,0 +1,104 @@
+"""Partitioned JDBC source.
+
+The reference reads each OLTP table over a single JDBC connection into one
+partition (reference: code_base/db_to_parquet.py:156-165 — no
+partitionColumn/numPartitions), which serializes the entire ingest
+(SURVEY.md §4.3). Here reads are range-partitioned on the table's integer
+PK: the executor fleet opens ``num_partitions`` connections, each scanning
+a PK stripe. Bounds come from a cheap MIN/MAX pushdown query.
+
+No live database exists in the test environment, so ``read_jdbc_table``
+is exercised by unit tests at the option-construction seam
+(``partition_options``) and by construction against Spark's documented
+JDBC API; ingest jobs run it unchanged in a real deployment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+@dataclass(frozen=True)
+class JdbcConfig:
+    url: str  # e.g. jdbc:postgresql://host:5432/db
+    user: str
+    password: str
+    driver: str = "org.postgresql.Driver"
+
+    def properties(self) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "user": self.user,
+            "password": self.password,
+            "driver": self.driver,
+        }
+
+
+def partition_options(
+    pk_col: str, lower: int, upper: int, num_partitions: int
+) -> dict[str, str]:
+    """Range-partitioning options for a JDBC scan.
+
+    Spark generates ``num_partitions`` WHERE clauses striping
+    [lower, upper]; rows outside the bounds still land in the first/last
+    stripe (bounds clip nothing — Spark's documented semantics), so a
+    slightly stale MIN/MAX is safe.
+    """
+    if upper < lower:
+        raise ValueError(f"upper bound {upper} < lower bound {lower}")
+    num_partitions = max(1, min(num_partitions, max(1, upper - lower + 1)))
+    return {
+        "partitionColumn": pk_col,
+        "lowerBound": str(lower),
+        "upperBound": str(upper),
+        "numPartitions": str(num_partitions),
+    }
+
+
+def pk_bounds(
+    spark: SparkSession, cfg: JdbcConfig, dbtable: str, pk_col: str
+) -> tuple[int, int]:
+    """MIN/MAX of the partition column, computed database-side via a
+    pushdown subquery (one row over the wire)."""
+    bounds = (
+        spark.read.format("jdbc")
+        .options(**cfg.properties())
+        .option(
+            "dbtable",
+            f"(SELECT MIN({pk_col}) AS lo, MAX({pk_col}) AS hi FROM {dbtable}) b",
+        )
+        .load()
+        .collect()[0]
+    )
+    return int(bounds["lo"]), int(bounds["hi"])
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    dbtable: str,
+    schema: StructType,
+    pk_col: str | None = None,
+    num_partitions: int = 16,
+) -> DataFrame:
+    """Schema-pinned, optionally range-partitioned JDBC table scan.
+
+    Schema is pinned exactly as the reference does (.schema before .load,
+    db_to_parquet.py:163) to avoid JDBC type-inference drift; on top of
+    that, ``pk_col`` turns the single-connection scan into a parallel one.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .options(**cfg.properties())
+        .option("dbtable", dbtable)
+        .schema(schema)
+    )
+    if pk_col is not None:
+        lo, hi = pk_bounds(spark, cfg, dbtable, pk_col)
+        reader = reader.options(
+            **partition_options(pk_col, lo, hi, num_partitions)
+        )
+    return reader.load()

@@ -1,0 +1,202 @@
+"""Unit tests for the operator library (SURVEY.md §5.4: one test per
+inventory row granularity, on a local SparkSession)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adventureworks_pysparkjobs_spark.operators.dedup import dedup_keep_first
+from adventureworks_pysparkjobs_spark.operators.multimodal import (
+    attach_metadata,
+    extract_features,
+    payload_stats,
+)
+from adventureworks_pysparkjobs_spark.operators.relational import (
+    enforce_schema,
+    sessionize,
+    topk_per_group,
+)
+from adventureworks_pysparkjobs_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    cosine_topk_pandas,
+)
+from adventureworks_pysparkjobs_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+)
+from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+from adventureworks_pysparkjobs_spark.sources.jdbc import partition_options
+
+from .conftest import SF_SMOKE
+
+
+class TestEnforceSchema:
+    def test_casts_and_orders(self, spark):
+        df = spark.createDataFrame([Row(b="1.5", a=1)])
+        schema = T.StructType(
+            [
+                T.StructField("a", T.LongType(), False),
+                T.StructField("b", T.DecimalType(10, 2), True),
+            ]
+        )
+        out = enforce_schema(df, schema)
+        assert out.columns == ["a", "b"]
+        assert out.schema == schema or [f.dataType for f in out.schema.fields] == [
+            T.LongType(),
+            T.DecimalType(10, 2),
+        ]
+
+    def test_null_in_non_nullable_raises(self, spark):
+        df = spark.createDataFrame(
+            [Row(a=1), Row(a=None)], schema="a int"
+        )
+        schema = T.StructType([T.StructField("a", T.IntegerType(), False)])
+        with pytest.raises(Exception, match="non-nullable|USER_RAISED"):
+            enforce_schema(df, schema).collect()
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, i, float(i % 3)) for g in ("a", "b") for i in range(5)],
+        "g string, id int, v double",
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
+    rows = {(r["g"], r["rnk"]): r["id"] for r in out.collect()}
+    # v: ids 2,0,1,3,4 -> values 2.0,0,1,0,1 ... top by (v desc, id): id2 (2.0), id1 (1.0)
+    assert rows[("a", 1)] == 2 and rows[("a", 2)] == 1
+    assert len(rows) == 4
+
+
+def test_sessionize_gap(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(minutes=10)),
+        (1, 3, t0 + dt.timedelta(minutes=50)),  # 40min gap -> new session
+        (2, 4, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    out = sessionize(df, "user_id", "ts", gap_minutes=30, id_col="event_id")
+    seq = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert seq == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "b"), ("k", 1, "a"), ("j", 9, "z")],
+        "key string, ord int, val string",
+    )
+    out = dedup_keep_first(df, ["key"], ["ord"])
+    got = {r["key"]: r["val"] for r in out.collect()}
+    assert got == {"k": "a", "j": "z"}
+
+
+class TestJdbcOptions:
+    def test_stripes(self):
+        o = partition_options("id", 1, 1000, 8)
+        assert o == {
+            "partitionColumn": "id",
+            "lowerBound": "1",
+            "upperBound": "1000",
+            "numPartitions": "8",
+        }
+
+    def test_clamps_to_range(self):
+        assert partition_options("id", 5, 6, 64)["numPartitions"] == "2"
+
+    def test_rejects_inverted_bounds(self):
+        with pytest.raises(ValueError):
+            partition_options("id", 10, 1, 4)
+
+
+class TestMultimodal:
+    def _media(self, spark):
+        return spark.createDataFrame(
+            [("f1.bin", bytearray(b"hello")), ("f2.bin", bytearray(b"worlds!"))],
+            "path string, content binary",
+        )
+
+    def test_payload_stats(self, spark):
+        out = payload_stats(self._media(spark)).collect()
+        got = {r["path"]: (r["payload_bytes"], r["payload_sha256"][:8]) for r in out}
+        import hashlib
+
+        assert got["f1.bin"] == (5, hashlib.sha256(b"hello").hexdigest()[:8])
+
+    def test_extract_features_with_injected_codec(self, spark):
+        def fake_codec(payload: bytes) -> dict:
+            return {
+                "width": len(payload),
+                "height": 2,
+                "n_channels": 3,
+                "feature": [float(b) for b in payload[:4]],
+            }
+
+        out = extract_features(self._media(spark), codec=fake_codec).collect()
+        row = {r["path"]: r for r in out}["f1.bin"]
+        assert row["payload_bytes"] == 5
+        assert row["width"] == 5 and row["n_channels"] == 3
+        assert row["feature"] == [104.0, 101.0, 108.0, 108.0]
+
+    def test_default_codec_is_stubbed(self, spark):
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            extract_features(self._media(spark)).collect()
+
+    def test_attach_metadata(self, spark):
+        meta = spark.createDataFrame(
+            [("f1.bin", "image/png")], "path string, mime string"
+        )
+        out = attach_metadata(self._media(spark), meta).collect()
+        got = {r["path"]: r["mime"] for r in out}
+        assert got == {"f1.bin": "image/png", "f2.bin": None}
+
+
+class TestPlanShape:
+    """The 100 TB constraints as assertions (SURVEY.md §4.5)."""
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        li = load_table(spark, SF_SMOKE, "lineitem").filter(
+            F.col("l_quantity") < 5
+        ).select("l_orderkey")
+        assert_pushed_filters(li, "LessThan(l_quantity")
+
+    def test_dim_join_broadcasts(self, spark):
+        cu = load_table(spark, SF_SMOKE, "customer")
+        na = load_table(spark, SF_SMOKE, "nation")
+        j = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        assert_broadcast_join(j)
+        assert_no_cartesian(j)
+
+
+class TestSimilarity:
+    def test_vectorized_matches_fold_topk(self, spark):
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        a = cosine_topk(emb, q, k=5)
+        b = cosine_topk_pandas(emb, q, k=5)
+        ka = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in a.collect()}
+        kb = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in b.collect()}
+        assert ka == kb
+
+    def test_ann_recall_floor(self, spark):
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        q = emb.filter(F.col("vec_id") % 25 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_topk_lsh(emb, q, k=5, num_planes=4, dim=64).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # 4 planes on 64-dim random data: each true neighbor collides with
+        # its query with p >= 1 - 4*theta/pi; assert a conservative floor.
+        assert recall >= 0.15, f"ANN recall {recall:.2f} below floor"

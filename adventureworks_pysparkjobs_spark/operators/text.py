@@ -36,6 +36,18 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so it runs identically
+# under Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(col: str | Column) -> Column:
+    """BPE-ish pre-tokenization (the unit LLM token budgets count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings (empty array if the
     document has fewer than n tokens)."""

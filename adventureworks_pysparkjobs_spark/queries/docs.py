@@ -270,3 +270,29 @@ def doc_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("meta_lang"),
         F.col("source").alias("meta_source"),
     )
+
+
+@query(
+    "doc_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               $$'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$))
+               AS INTEGER) AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for LLM budget accounting: GPT-2-style BPE
+    pre-tokenizer regex (lookahead-free, engine-portable) alongside
+    whitespace tokens and raw chars."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.size(TX.bpe_tokens("text")).cast("int").alias("n_bpe_tokens"),
+        TX.token_count("text").cast("int").alias("n_ws_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )

@@ -894,3 +894,65 @@ def in_filter_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "median_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_quantity, 0.99) AS p99_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def median_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark percentile() and
+    DuckDB quantile_cont agree bit-for-bit on these inputs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_quantity", 0.99).alias("p99_qty"),
+    )
+
+
+@query(
+    "approx_distinct_parts",
+    oracle=None,  # HLL++ sketch is engine-specific; rows-only check
+    tags=("agg", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory distinct
+    count for 100 TB cardinality estimation. Engine-specific sketch, so no
+    SQL oracle; accuracy vs exact is asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, val
+    FROM (
+      UNPIVOT (SELECT o_orderkey,
+                      CAST(o_totalprice AS DOUBLE) AS total_price,
+                      CAST(o_custkey AS DOUBLE) AS cust_key
+               FROM orders)
+      ON total_price, cust_key INTO NAME measure VALUE val
+    )
+    """,
+    tags=("unpivot", "reshape"),
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) of two measure columns."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    ).unpivot("o_orderkey", ["total_price", "cust_key"], "measure", "val")

@@ -93,3 +93,31 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("_is_new")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (big, skewed) left side with a random
+    bucket and replicate the right side across all buckets, so one hot key
+    spreads over ``salt_buckets`` tasks instead of one straggler.
+
+    AQE's skew-join splitting handles most cases at runtime; explicit
+    salting remains the tool when a single key dominates so heavily that
+    even split partitions straggle, or when AQE is unavailable (streaming
+    state, non-shuffle joins). The salt is rand()-based on the probe side
+    only — join results are exact regardless of salt values.
+    """
+    s_left = left.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    s_right = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    out = s_left.join(s_right, [key, "_salt"], how)
+    return out.drop("_salt")

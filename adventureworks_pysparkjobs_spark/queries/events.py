@@ -182,3 +182,45 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_first(
         ev, ["user_id", "event_type"], ["ts", "event_id"]
     ).select("event_id", "user_id", "event_type", "ts")
+
+
+@query(
+    "events_asof_generic",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+    clicks AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           MAX(c.ts) AS ts_asof,
+           arg_max(c.event_id, c.ts) AS event_id_asof
+    FROM purchases p
+    LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    tags=("asof", "join"),
+)
+def events_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic two-table as-of join operator (operators/asof.py:
+    union-tag + window, one linear shuffle): purchases ⋈asof clicks,
+    strictly before. Same semantics as the single-table window
+    formulation (events_asof_attribution), but as a reusable operator
+    over any (left, right, key, ts) pair."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        strict=True,
+    )

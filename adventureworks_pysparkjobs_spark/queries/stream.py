@@ -77,3 +77,19 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-sessionization in exact microsecond arithmetic — a session_window
     merges events whose gap is strictly less than the 30-minute gap."""
     return session_windows(spark, sf_dir, gap="30 minutes")
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle=None,  # float accumulation order in pandas sum() is batch-internal;
+    # the exact-count contract is asserted in tests/test_sql_entry.py
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals held in explicit GroupState. Rows-only in the oracle harness
+    (pandas' pairwise float summation differs from SQL sum in the last
+    ulp); count parity with batch is tested separately."""
+    from ..streaming.events import running_user_totals
+
+    return running_user_totals(spark, sf_dir)

@@ -116,3 +116,39 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -
         F.col("session_window.start").cast("bigint").alias("session_start_s"),
         "n_events",
     )
+
+
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event counter + value accumulator kept in explicit
+    GroupState across micro-batches, emitting the updated totals each
+    batch. The state is two scalars per user — bounded regardless of
+    stream length (the hand-rolled counterpart of a windowed aggregate,
+    for logic window()/agg() can't express).
+
+    On the bounded fixture (one availableNow batch) the emitted totals
+    equal the batch per-user aggregate, which is the oracle contract.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    out = ev.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "append", spark)

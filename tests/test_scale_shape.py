@@ -1,0 +1,76 @@
+"""Plan-shape guarantees across the whole catalog + scale idioms
+(bucketed co-located joins, salted skew joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.operators.relational import salted_join
+from adventureworks_pysparkjobs_spark.plans.inspect import physical_plan
+from adventureworks_pysparkjobs_spark.queries import CATALOG
+from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+from .conftest import SF_SMOKE
+
+# Queries allowed to contain a broadcast nested-loop/cartesian by design
+# (deliberate small-side cross joins).
+CROSS_OK = {
+    "cross_join_segment_region",
+    "scalar_subquery_above_avg",
+    "emb_cosine_topk",
+    "emb_cosine_topk_vectorized",
+}
+
+BATCH_QUERIES = sorted(
+    n for n, q in CATALOG.items() if not n.startswith("stream_")
+)
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_unintended_cartesian(spark, name):
+    df = CATALOG[name].builder(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in CROSS_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unintended nested-loop join"
+        )
+
+
+def test_salted_join_matches_plain(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF_SMOKE, "orders").select("l_orderkey", "o_totalprice") \
+        if False else load_table(spark, SF_SMOKE, "orders") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(od, "l_orderkey").count()
+    salted = salted_join(li, od, "l_orderkey", salt_buckets=4).count()
+    assert plain == salted
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join between two tables bucketed on the key
+    plans no Exchange on either side."""
+    # spark.sql.warehouse.dir is static; the default ./spark-warehouse is
+    # fine for a managed-table roundtrip — tables are dropped in finally.
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    bl = spark.table("b_lineitem")
+    bo = spark.table("b_orders")
+    # Disable broadcast so the join would need a shuffle if not co-located.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        j.count()
+        plan = physical_plan(j)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1500]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -46,3 +46,23 @@ def test_streaming_results_match_batch(spark):
         for r in batch.collect()
     }
     assert s == b
+
+
+def test_stateful_streaming_counts_match_batch(spark):
+    """applyInPandasWithState running totals: event counts per user equal
+    the batch groupBy on the bounded fixture."""
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        running_user_totals,
+    )
+
+    out = running_user_totals(spark, SF_SMOKE)
+    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    want = {r["user_id"]: r["count"] for r in batch}
+    assert got == want

@@ -40,7 +40,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_with_k"),
-        F.sum(dec("value", 12, 2)).alias("total_value"),
+        F.sum(dec("value", 12, 2)).cast("decimal(38,2)").alias("total_value"),
     )
 
 
@@ -66,7 +66,7 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy(bucket, "event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(dec("value", 12, 2)).alias("total_value"),
+        F.sum(dec("value", 12, 2)).cast("decimal(38,2)").alias("total_value"),
     )
 
 

@@ -132,7 +132,8 @@ def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l.l_quantity AS {D}) AS quantity,
            CAST(l.l_extendedprice AS {D}) AS extended_price,
            CAST(l.l_discount AS {D}) AS discount,
-           CAST(l.l_quantity AS {D}) * CAST(l.l_extendedprice AS {D}) AS line_total
+           CAST(CAST(l.l_quantity AS {D}) * CAST(l.l_extendedprice AS {D})
+                AS DECIMAL(38,4)) AS line_total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
     tags=("star", "fact", "join", "arith"),
@@ -159,9 +160,9 @@ def fact_order_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec("l.l_quantity", 12, 2).alias("quantity"),
             dec("l.l_extendedprice", 12, 2).alias("extended_price"),
             dec("l.l_discount", 12, 2).alias("discount"),
-            (dec("l.l_quantity", 12, 2) * dec("l.l_extendedprice", 12, 2)).alias(
-                "line_total"
-            ),
+            (dec("l.l_quantity", 12, 2) * dec("l.l_extendedprice", 12, 2))
+            .cast("decimal(38,4)")
+            .alias("line_total"),
         )
     )
 
@@ -188,6 +189,6 @@ def fact_daily_part_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; standalone, this is a single join + partial/final hash agg."""
     fact = fact_order_line(spark, sf_dir)
     return fact.groupBy("date_key", "part_key").agg(
-        F.sum("quantity").alias("total_quantity_sold"),
-        F.sum("line_total").alias("total_revenue"),
+        F.sum("quantity").cast("decimal(38,2)").alias("total_quantity_sold"),
+        F.sum("line_total").cast("decimal(38,4)").alias("total_revenue"),
     )

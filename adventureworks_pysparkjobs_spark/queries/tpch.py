@@ -61,9 +61,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc1 = (F.lit(1) - F.col("l_discount")).cast(D)
     tax1 = (F.lit(1) + F.col("l_tax")).cast(D)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity", 12, 2)).alias("sum_qty"),
-        F.sum(price).alias("sum_base_price"),
-        F.sum(price * disc1).alias("sum_disc_price"),
+        F.sum(dec("l_quantity", 12, 2)).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(price * disc1).cast("decimal(38,4)").alias("sum_disc_price"),
         F.sum(price * disc1 * tax1).alias("sum_charge"),
         (F.sum(dec("l_quantity", 12, 2)).cast("double") / F.count("*")).alias("avg_qty"),
         (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
@@ -99,9 +99,9 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 12, 2)).alias(
-                "revenue"
-            ),
+            F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 12, 2))
+            .cast("decimal(38,4)")
+            .alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -168,7 +168,11 @@ def having_big_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_partkey")
-        .agg(F.sum(dec("l_quantity", 12, 2)).alias("total_qty"))
+        .agg(
+            F.sum(dec("l_quantity", 12, 2))
+            .cast("decimal(38,2)")
+            .alias("total_qty")
+        )
         .filter(F.col("total_qty") > 300)
     )
 
@@ -193,7 +197,7 @@ def rollup_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count("*").alias("n_orders"),
-        F.sum(dec("o_totalprice", 12, 2)).alias("total_price"),
+        F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("total_price"),
     )
 
 
@@ -215,7 +219,7 @@ def cube_lineitem_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.sum(dec("l_quantity", 12, 2)).alias("sum_qty"),
+        F.sum(dec("l_quantity", 12, 2)).cast("decimal(38,2)").alias("sum_qty"),
     )
 
 
@@ -268,7 +272,7 @@ def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return od.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n_orders"),
-        F.sum(dec("o_totalprice", 12, 2)).alias("total_price"),
+        F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("total_price"),
     )
 
 
@@ -317,7 +321,9 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 dec("l_extendedprice", 12, 2)
                 * (F.lit(1) - F.col("l_discount")).cast(D)
-            ).alias("revenue")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
@@ -367,7 +373,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 dec("l_extendedprice", 12, 2)
                 * (F.lit(1) - F.col("l_discount")).cast(D)
-            ).alias("revenue")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
         )
     )
 
@@ -401,7 +409,9 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 dec("l_extendedprice", 12, 2)
                 * (F.lit(1) - F.col("l_discount")).cast(D)
-            ).alias("revenue")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
         )
     )
 
@@ -669,7 +679,9 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 dec("l_extendedprice", 12, 2)
                 * (F.lit(1) - F.col("l_discount")).cast(D)
-            ).alias("revenue")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
         )
     )
     return topk_per_group(
@@ -703,7 +715,7 @@ def window_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame
     return od.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(price).over(wf).alias("running_spend"),
+        F.sum(price).over(wf).cast("decimal(38,2)").alias("running_spend"),
         F.row_number().over(w).cast("int").alias("order_seq"),
         (price - F.lag(price, 1).over(w)).alias("delta_vs_prev"),
     )

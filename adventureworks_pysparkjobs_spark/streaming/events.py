@@ -76,7 +76,9 @@ def tumbling_counts(
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
         )
     )
     out = run_to_memory(agg, "complete", spark)

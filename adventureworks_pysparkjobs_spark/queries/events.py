@@ -224,3 +224,35 @@ def events_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["event_id"],
         strict=True,
     )
+
+
+@query(
+    "events_map_props_explode",
+    oracle="""
+    SELECT k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS BIGINT) AS sum_v,
+           CAST(MIN(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS INTEGER) AS min_v,
+           CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS INTEGER) AS max_v
+    FROM events, unnest(json_keys(props)) AS t(k)
+    GROUP BY k
+    """,
+    tags=("json", "map", "explode", "semistructured"),
+)
+def events_map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props as a MAP column: from_json -> MapType ->
+    explode to (key, value) rows -> aggregate per key. The schema-on-read
+    path for property bags whose key set isn't fixed."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -138,3 +138,48 @@ def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk_pandas(emb, queries, k=5)
+
+
+@query(
+    "emb_array_ops",
+    oracle="""
+    SELECT vec_id,
+           list_max(embedding) AS vec_max,
+           list_min(embedding) AS vec_min,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val,
+           embedding[-1] AS last_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+    tags=("array", "scalar"),
+)
+def emb_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over array<float>: max/min/size/element_at
+    (1-based and negative indexes) and a lambda filter count — all
+    Catalyst higher-order functions, no UDFs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.array_max(e).alias("vec_max"),
+        F.array_min(e).alias("vec_min"),
+        F.size(e).alias("dim"),
+        F.element_at(e, 1).alias("first_val"),
+        F.element_at(e, -1).alias("last_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "emb_ann_ivf_topk",
+    oracle=None,  # approximate by construction; driver records rows-only
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF index (seeded k-means coarse
+    quantizer, 8 cells, 2 probes). Rows-only; recall vs the brute-force
+    baseline is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2, seed=42)

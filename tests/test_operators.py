@@ -200,3 +200,25 @@ class TestSimilarity:
         # 4 planes on 64-dim random data: each true neighbor collides with
         # its query with p >= 1 - 4*theta/pi; assert a conservative floor.
         assert recall >= 0.15, f"ANN recall {recall:.2f} below floor"
+
+
+def test_ivf_recall_floor(spark):
+    from adventureworks_pysparkjobs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"IVF recall {recall:.2f} below floor"

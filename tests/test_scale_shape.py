@@ -74,3 +74,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_lake_write_prunes(spark, tmp_path):
+    """Facts written with partitionBy get partition pruning on read:
+    the reference's flat lake (SURVEY §4.1 'partition pruning: n/a')
+    cannot do this — our sink can."""
+    from adventureworks_pysparkjobs_spark.sinks.parquet import write_lake_table
+    from adventureworks_pysparkjobs_spark.plans.inspect import physical_plan
+
+    od = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_lake_table(od, str(tmp_path), "sales", "orders", partition_by="order_year")
+    back = spark.read.parquet(f"{tmp_path}/parquet/sales/orders").filter(
+        F.col("order_year") == 1997
+    )
+    n = back.count()
+    assert n == od.filter(F.year("o_orderdate") == 1997).count() and n > 0
+    plan = physical_plan(back)
+    assert "PartitionFilters: [" in plan and "order_year" in plan.split(
+        "PartitionFilters"
+    )[1][:120], "partition filter did not reach the scan"

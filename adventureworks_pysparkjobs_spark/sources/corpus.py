@@ -42,6 +42,12 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The caller's session may not have been built by session.get_spark
+        # (e.g. the external driver harness): the nanos conf is
+        # runtime-settable, so pin it here — without it the read throws
+        # PARQUET_TYPE_ILLEGAL on the TIMESTAMP(NANOS) column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events(df)

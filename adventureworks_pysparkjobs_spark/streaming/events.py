@@ -33,6 +33,8 @@ EVENTS_FILE_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture with ns→µs timestamp repair —
     the streaming twin of sources/corpus.py:load_table('events')."""
+    # Defensive conf pin — see sources/corpus.py:load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Glob form: the file stream source needs a directory basePath.
     raw = (
         spark.readStream.format("parquet")

@@ -296,3 +296,103 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").cast("int").alias("n_ws_tokens"),
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+@query(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, {_TOKS} AS toks, LENGTH(text) AS n_chars,
+             LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nonpunct
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(len(toks) AS INTEGER) AS n_tokens
+    FROM t
+    WHERE len(toks) BETWEEN 20 AND 1000
+      AND CAST(n_chars - n_nonpunct AS DOUBLE) / n_chars < 0.2
+      AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+    """,
+    tags=("text", "quality", "filter"),
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus quality filter: keep documents inside a token-count
+    band, below a punctuation-density ceiling, above a distinct-token
+    floor. The thresholds compose from quality_stats columns; everything
+    is a pushdown-able row predicate — no shuffle at all."""
+    doc = load_table(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    n_tokens = F.size(t)
+    n_chars = F.length("text")
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    ).cast("double") / n_chars
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    return (
+        doc.filter(
+            n_tokens.between(20, 1000)
+            & (punct_ratio < 0.2)
+            & (distinct_ratio > 0.05)
+        )
+        .select("doc_id", "lang", "source", n_tokens.cast("int").alias("n_tokens"))
+    )
+
+
+@query(
+    "doc_deterministic_split",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS INTEGER) % 65536 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < CAST(0.1 * 65536 AS INTEGER)
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM t GROUP BY 1
+    """,
+    tags=("sampling", "split", "hash"),
+)
+def doc_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/test split from a content-key hash
+    (operators/sampling.py) — membership is a pure function of doc_id, so
+    the split survives re-runs, repartitioning and engine changes; the
+    oracle recomputes the identical assignment in SQL."""
+    from ..operators.sampling import train_test_split_col
+
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        train_test_split_col("doc_id", test_fraction=0.1).alias("split"),
+        "source",
+    ).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "doc_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    tags=("sampling", "cap", "window"),
+)
+def doc_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-corpus cap: at most 10 documents per source, selected in
+    deterministic hash order (not ingestion order, which is partition-
+    layout-dependent)."""
+    from ..operators.sampling import cap_per_group
+
+    doc = load_table(spark, sf_dir, "documents")
+    return cap_per_group(doc, "source", "doc_id", k=10).select(
+        "doc_id", "source"
+    )

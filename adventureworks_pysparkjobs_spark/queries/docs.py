@@ -396,3 +396,84 @@ def doc_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(doc, "source", "doc_id", k=10).select(
         "doc_id", "source"
     )
+
+
+@query(
+    "corpus_token_freq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) AS t(tk)
+    )
+    SELECT tk AS token,
+           CAST(COUNT(*) AS BIGINT) AS total_count,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY tk
+    ORDER BY total_count DESC, token
+    LIMIT 50
+    """,
+    tags=("text", "vocab", "tf"),
+)
+def corpus_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by total count with
+    document frequency — the building block of vocab/IDF tables. Explode
+    + two-level aggregate; partial aggregation keeps the shuffle at
+    O(vocab x partitions)."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("total_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("total_count").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "doc_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) AS t(tk)
+    ),
+    tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY doc_id, tk),
+    df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tk)
+    SELECT doc_id, tk AS token,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT tf.doc_id, tf.tk, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tk)
+                 AS rnk
+      FROM tf JOIN df ON tf.tk = df.tk
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document, scored tf/df (the IDF
+    ordering without ln() — a single double division of identical integer
+    operands is bit-deterministic cross-engine, where ln is not).
+    Term-frequency join + per-doc top-k window."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    joined = tf.join(F.broadcast(df_), "token")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("token")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "rnk")
+    )

@@ -77,6 +77,11 @@ def extract_features(
 
     import pandas as pd
 
+    out_cols = [
+        "path", "payload_bytes", "payload_sha256",
+        "width", "height", "n_channels", "feature",
+    ]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -94,7 +99,8 @@ def extract_features(
                         "feature": meta.get("feature"),
                     }
                 )
-            yield pd.DataFrame(rows)
+            # columns pinned so an empty Arrow batch still matches the schema
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return df.select(path_col, content_col).mapInPandas(
         run, schema=FEATURE_SCHEMA

@@ -7,7 +7,8 @@ hashes are engine-independent primitives, not Spark-private seeds).
 
 Shared SQL fragments:
 - tokens:    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')
-- shingles:  3-token windows joined with ' ', distinct per doc
+- shingles:  n-token windows joined with ' ', distinct per doc (n=3 for
+  fingerprints, n=5 for jaccard/minhash near-dup — the scale choice)
 """
 
 from __future__ import annotations

@@ -25,7 +25,10 @@ from adventureworks_pysparkjobs_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # non-standard dir name; still bench it
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,7 +60,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

@@ -968,3 +968,66 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("total_price"),
         F.col("o_custkey").cast("double").alias("cust_key"),
     ).unpivot("o_orderkey", ["total_price", "cust_key"], "measure", "val")
+
+
+@query(
+    "grouping_sets_geography",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+           CAST(GROUPING(c.c_mktsegment) AS INTEGER) AS g_segment,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+    tags=("agg", "grouping_sets", "sql"),
+)
+def grouping_sets_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube), expressed through
+    the engine's SQL entry point (sql.py) — Catalyst plans SQL text and
+    DataFrame calls identically, so the catalog can mix both surfaces."""
+    from ..sql import sql
+
+    return sql(
+        spark,
+        """
+        SELECT n.n_name, c.c_mktsegment,
+               CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+               CAST(GROUPING(c.c_mktsegment) AS INT) AS g_segment,
+               COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+        """,
+        sf_dir=sf_dir,
+    )
+
+
+@query(
+    "window_lead_first_orders",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                CAST(LEAD(o_orderdate) OVER w AS DATE)) AS INTEGER)
+               AS days_to_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "lead", "first_value"),
+)
+def window_lead_first_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value window functions: each order's successor and
+    the customer's first order, plus inter-order gap days."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    next_date = F.lead("o_orderdate").over(w)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.datediff(next_date.cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_next"
+        ),
+    )

@@ -202,6 +202,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
     """,
     tags=("dedup", "neardup", "minhash", "lsh"),
+    bench=True,
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + 4-band LSH candidate generation, exact-Jaccard verify.

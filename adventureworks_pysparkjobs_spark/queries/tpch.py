@@ -393,6 +393,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_custkey, c.c_name, n.n_name
     """,
     tags=("join", "agg"),
+    bench=True,
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, per customer."""

@@ -129,6 +129,7 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_cosine_topk_vectorized",
     oracle=None,  # numpy pairwise summation ≠ sequential fold bit-for-bit
     tags=("similarity", "topk", "pandas_udf"),
+    bench=True,
 )
 def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput variant of emb_cosine_topk: Arrow-batched numpy matmul

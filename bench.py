@@ -46,10 +46,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
-        t0 = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: single-JVM local timings are noisy (GC, page cache,
+        # sibling processes); the minimum is the steady-state estimate.
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.builder(spark, sf_dir)
+            n = df.count()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

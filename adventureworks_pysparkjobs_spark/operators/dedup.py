@@ -144,21 +144,31 @@ def minhash_signatures(
     hex->int conversion needed, and the construction is reproducible in any
     engine with an md5() function.
     """
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    # Computed per-row with array_min over the shingle array — zero
+    # shuffles for signature construction (the explode+groupBy
+    # formulation shuffles |docs| x |shingles| x num_hashes rows; this
+    # shuffles nothing). Same min over the same md5 set.
+    arr = F.array_distinct(shingles(text_col, n))
+
+    def _sig(j: int):
+        # Single-argument lambda on purpose: a 2-arg transform lambda is
+        # interpreted by Spark as (element, index) and would shadow j.
+        return F.array_min(
+            F.transform(arr, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"_mh{j}")
+
+    sig_cols = [_sig(j) for j in range(num_hashes)]
+    wide = _spread(df).select(F.col(id_col).alias("id"), *sig_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("seed"), F.col(f"_mh{j}").alias("minhash")
+            )
+            for j in range(num_hashes)
+        ]
     )
-    seeds = F.explode(
-        F.array(*[F.lit(j) for j in range(num_hashes)])
-    ).alias("seed")
-    return (
-        sh.select("id", "shingle", seeds)
-        .groupBy("id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    return wide.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.seed").alias("seed"), F.col("p.minhash").alias("minhash")
     )
 
 

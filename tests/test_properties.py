@@ -121,3 +121,18 @@ def test_lsh_pairs_subset_of_exact(spark):
     # recall floor at jaccard>=0.5 with 4 bands of r=2: p >= 1-(1-0.25)^4 ≈ 0.68
     if exact:
         assert len(lsh) / len(exact) >= 0.5
+
+
+def test_minhash_deterministic_across_runs(spark):
+    """Regression: salts must be plan-independent literals — a 2-arg
+    transform lambda once leaked a Column expression id into the salt,
+    making signatures differ between executions of the same query."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, minhash_signatures(docs, n=5).collect()))
+    b = sorted(map(tuple, minhash_signatures(docs, n=5).collect()))
+    assert a == b

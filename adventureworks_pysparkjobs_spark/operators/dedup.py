@@ -285,3 +285,64 @@ def dedup_keep_first(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dedup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
+    """Duplicate clusters from a near-dup pair list: connected components
+    by iterative min-label propagation (the dedup endgame — groups of
+    mutually-near documents collapse to one cluster id = the minimum
+    member id).
+
+    Each iteration is one join + one aggregate (label <- min over self and
+    neighbors); iterations needed = graph diameter, which for near-dup
+    clusters is tiny. The loop is driver-side control flow only — data
+    never leaves the cluster, and each pass is a bulk shuffle, so the
+    pattern scales like any iterative Spark algorithm (label propagation /
+    PageRank shape). Deterministic: min() is order-free.
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .cache()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+    edges.unpersist()
+    return out

@@ -479,3 +479,49 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "rnk")
     )
+
+
+@query(
+    "doc_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE5},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON inter.id1 = s1.id
+      JOIN sizes s2 ON inter.id2 = s2.id
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    ),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM e
+      UNION
+      SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.node = e.src
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+    tags=("dedup", "clusters", "graph"),
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the 5-gram Jaccard
+    near-dup pairs (iterative min-label propagation,
+    operators/dedup.py:dedup_clusters). Oracle: recursive-CTE reachability
+    closure computing the same min labels."""
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold=0.5,
+        max_shingle_df=1000,
+    )
+    return D.dedup_clusters(pairs)

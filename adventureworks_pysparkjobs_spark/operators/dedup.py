@@ -346,3 +346,65 @@ def dedup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> Data
     )
     edges.unpersist()
     return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: documents whose sketches differ in at most
+    ``max_hamming`` bits, found by banded blocking — two sketches within
+    Hamming radius r < bands must agree exactly on at least one band
+    (pigeonhole), so candidates come from equi-joins on (band, band_bits),
+    never from all-pairs. Candidates are then scored with the exact
+    Hamming distance."""
+    assert bits % bands == 0
+    width = bits // bands
+    sk = simhash(df, id_col, text_col, bits)
+    banded = sk.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", 1 + b * width, width).alias(
+                            "band_bits"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_bits").alias("band_bits"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}), "
+        "i -> substring(sh1, i, 1) != substring(sh2, i, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

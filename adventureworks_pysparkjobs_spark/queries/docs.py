@@ -525,3 +525,56 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=1000,
     )
     return D.dedup_clusters(pairs)
+
+
+@query(
+    "doc_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, t.tok, md5(t.tok) AS h
+      FROM (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
+           unnest(dt) AS t(tok)
+    ),
+    per_bit AS (
+      SELECT id, u.j,
+             SUM(CASE WHEN substr(h, u.j, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok, unnest(range(1, 17)) AS u(j)
+      GROUP BY id, u.j
+    ),
+    sk AS (
+      SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                 AS simhash
+      FROM per_bit GROUP BY id
+    ),
+    banded AS (
+      SELECT id, simhash, b.band, substr(simhash, 1 + b.band * 4, 4) AS band_bits
+      FROM sk, unnest([0, 1, 2, 3]) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2,
+             a.simhash AS sh1, b.simhash AS sh2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
+    )
+    SELECT id1, id2,
+           CAST(len(list_filter(range(1, 17),
+                i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) AS INTEGER)
+               AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 17),
+          i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) <= 3
+    """,
+    tags=("dedup", "simhash", "hamming", "lsh"),
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3, blocked on
+    4-bit sketch bands (pigeonhole: <=3 differing bits over 4 bands
+    guarantees one exact-match band — zero false negatives at this
+    radius, no all-pairs comparison)."""
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bits=16,
+        bands=4,
+        max_hamming=3,
+    )

@@ -210,27 +210,37 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard over the shingle index.
-    idx = _shingle_index(df, id_col, text_col, n)
-    sizes = _shingle_counts(df, id_col, text_col, n)
-    ai = idx.select(F.col("id").alias("id1"), F.col("shingle"))
-    bi = idx.select(F.col("id").alias("id2"), F.col("shingle"))
-    inter = (
-        cand.join(ai, "id1")
-        .join(bi, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_inter"))
+    # Verify candidates with exact Jaccard — the candidate set is tiny
+    # (that's the point of LSH), so broadcast it against the per-doc
+    # shingle ARRAYS and intersect per row instead of re-exploding the
+    # whole inverted index twice: two broadcast joins, zero extra
+    # shuffles, one array_intersect per surviving pair.
+    arrs = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("arr"),
     )
-    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    verified = (
+        arrs.join(
+            F.broadcast(cand), arrs.id == cand.id1
+        )
+        .select("id1", "id2", F.col("arr").alias("arr1"))
+        .join(
+            arrs.select(F.col("id").alias("id2b"), F.col("arr").alias("arr2")),
+            F.col("id2") == F.col("id2b"),
+        )
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("arr1", "arr2")).alias("n_inter"),
+            F.size("arr1").alias("n1"),
+            F.size("arr2").alias("n2"),
+        )
+    )
     jac = F.col("n_inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("n_inter")
     )
-    return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return verified.select("id1", "id2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -52,26 +52,41 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Exploded distinct (id, shingle) inverted index.
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One cached ``(id, arr)`` frame of distinct shingle arrays per doc.
+
+    Shingling is the single most expensive per-row transform in the dedup
+    family; every consumer (inverted index, size counts, minhash
+    signatures, Jaccard verification) derives from THIS frame so the text
+    is tokenized and shingled exactly once per pipeline, not once per
+    consumer. Cached MEMORY_AND_DISK: at 100 TB the reuse saves 2-3 full
+    corpus re-reads + re-shingles; Spark evicts blocks under pressure and
+    recomputes, so the cache is an optimization, never a correctness or
+    memory liability.
+    """
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("arr"),
+    ).cache()
+
+
+def _shingle_index(arrs: DataFrame) -> DataFrame:
+    """Exploded distinct (id, shingle) inverted index from a
+    ``shingle_arrays`` frame.
 
     Dedup happens per-document inside the array (array_distinct) BEFORE
     exploding, so the output is already unique without a global
     .distinct() — that saves an entire shuffle of the exploded index.
     """
-    return _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
-    )
+    return arrs.select("id", F.explode("arr").alias("shingle"))
 
 
-def _shingle_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingle_counts(arrs: DataFrame) -> DataFrame:
     """Distinct-shingle count per document, computed per-row from the
     array (no explode, no shuffle)."""
-    return _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.size(F.array_distinct(shingles(text_col, n))).cast("long").alias("n_sh"),
-    )
+    return arrs.select("id", F.size("arr").cast("long").alias("n_sh"))
 
 
 def ngram_jaccard_pairs(
@@ -94,10 +109,12 @@ def ngram_jaccard_pairs(
     sorted id list → in-array i<j pairs), not a self-join: the shingle
     index is scanned once instead of twice, and the expansion happens
     inside one codegen stage. Cost remains Σ df(shingle)^2, bounded by
-    ``max_shingle_df``.
+    ``max_shingle_df``. Index and sizes both derive from one cached
+    shingle-array frame — the corpus is read and shingled exactly once.
     """
-    idx = _shingle_index(df, id_col, text_col, n)
-    sizes = _shingle_counts(df, id_col, text_col, n)
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    idx = _shingle_index(arrs)
+    sizes = _shingle_counts(arrs)
     postings = (
         idx.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -144,21 +161,29 @@ def minhash_signatures(
     hex->int conversion needed, and the construction is reproducible in any
     engine with an md5() function.
     """
-    # Computed per-row with array_min over the shingle array — zero
-    # shuffles for signature construction (the explode+groupBy
-    # formulation shuffles |docs| x |shingles| x num_hashes rows; this
-    # shuffles nothing). Same min over the same md5 set.
-    arr = F.array_distinct(shingles(text_col, n))
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    return _signatures_from_arrays(arrs, num_hashes)
+
+
+def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
+    """Long-form (id, seed, minhash) signatures from a ``shingle_arrays``
+    frame.
+
+    Computed per-row with array_min over the shingle array — zero
+    shuffles for signature construction (the explode+groupBy
+    formulation shuffles |docs| x |shingles| x num_hashes rows; this
+    shuffles nothing). Same min over the same md5 set.
+    """
 
     def _sig(j: int):
         # Single-argument lambda on purpose: a 2-arg transform lambda is
         # interpreted by Spark as (element, index) and would shadow j.
         return F.array_min(
-            F.transform(arr, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+            F.transform(F.col("arr"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
         ).alias(f"_mh{j}")
 
     sig_cols = [_sig(j) for j in range(num_hashes)]
-    wide = _spread(df).select(F.col(id_col).alias("id"), *sig_cols)
+    wide = arrs.select("id", *sig_cols)
     pairs = F.array(
         *[
             F.struct(
@@ -193,7 +218,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    # One cached shingle-array frame feeds BOTH signature construction and
+    # Jaccard verification — the document table is read/shingled once.
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    sig = _signatures_from_arrays(arrs, num_hashes)
     banded = sig.withColumn("band", (F.col("seed") / r).cast("int"))
     band_key = banded.groupBy("id", "band").agg(
         F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_sig")
@@ -210,19 +238,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard — the candidate set is tiny
-    # (that's the point of LSH), so broadcast it against the per-doc
-    # shingle ARRAYS and intersect per row instead of re-exploding the
-    # whole inverted index twice: two broadcast joins, zero extra
-    # shuffles, one array_intersect per surviving pair.
-    arrs = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, n)).alias("arr"),
-    )
+    # Verify candidates with exact Jaccard against the per-doc shingle
+    # ARRAYS (one array_intersect per candidate pair) instead of
+    # re-exploding the whole inverted index twice. No forced broadcast:
+    # on a duplicate-heavy corpus — the 100 TB dedup case — the candidate
+    # set is NOT small, and a pinned broadcast would OOM; AQE picks
+    # broadcast at runtime when the measured size allows it.
     verified = (
-        arrs.join(
-            F.broadcast(cand), arrs.id == cand.id1
-        )
+        arrs.join(cand, arrs.id == cand.id1)
         .select("id1", "id2", F.col("arr").alias("arr1"))
         .join(
             arrs.select(F.col("id").alias("id2b"), F.col("arr").alias("arr2")),
@@ -252,34 +275,31 @@ def simhash(
 
     Returned as a '0'/'1' bitstring column ``simhash`` (engine-portable
     representation — no 64-bit integer bit ops required).
+
+    Computed entirely per-row: the token array is hashed once
+    (transform → md5 array), then each of the ``bits`` per-bit sums is a
+    sequential integer fold over that array. Zero shuffles and no
+    tokens×bits row amplification — the explode(tokens)×explode(bits) →
+    groupBy formulation shuffles 16× the token count through two
+    exchanges; this shuffles nothing (integer sums are order-free, so the
+    result is identical).
     """
     assert 1 <= bits <= 32
-    tok = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).withColumn("h", F.md5("tok"))
-    j = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j")
-    # top bit of hex nibble j: digit in [89abcdef] => +1 else -1
-    contrib = F.when(
-        F.substring(F.col("h"), F.col("j"), 1).isin(*list("89abcdef")), 1
-    ).otherwise(-1)
-    per_bit = (
-        tok.select("id", "h", j)
-        .withColumn("c", contrib)
-        .groupBy("id", "j")
-        .agg(F.sum("c").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return per_bit.groupBy("id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("j"), F.col("bit")))
-                ),
-                lambda st: st.getField("bit"),
-            ),
-        ).alias("simhash")
+    harr = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.md5(t))
+    hashed = _spread(df).select(F.col(id_col).alias("id"), harr.alias("_h"))
+
+    def bit(j: int):
+        # top bit of hex nibble j: digit in [89abcdef] => +1 else -1
+        s = F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, j, 1).isin(*list("89abcdef")), 1).otherwise(-1),
+        )
+        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return hashed.select(
+        "id", F.concat(*[bit(j) for j in range(1, bits + 1)]).alias("simhash")
     )
 
 
@@ -373,6 +393,12 @@ def simhash_pairs(
     never from all-pairs. Candidates are then scored with the exact
     Hamming distance."""
     assert bits % bands == 0
+    # Pigeonhole completeness: with max_hamming >= bands a pair can differ
+    # in every band and never collide — silent recall loss, so refuse.
+    assert max_hamming < bands, (
+        f"banded blocking is only complete for max_hamming < bands "
+        f"(got max_hamming={max_hamming}, bands={bands})"
+    )
     width = bits // bands
     sk = simhash(df, id_col, text_col, bits)
     banded = sk.select(

@@ -272,21 +272,31 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float = 0.5,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into ``n_cells`` cells; each query scores only
     the ``n_probe`` cells whose centroids are nearest to it.
 
-    The centroids are fit once (pyspark.ml KMeans, seeded) — at 100 TB the
-    fit runs on a sample and the assignment pass is a linear scan; query
-    cost drops from O(N) to O(N * n_probe / n_cells) per query at recall
-    governed by n_probe. Complements the SRP-LSH variant: IVF adapts to
-    the data distribution, LSH is data-independent.
+    The centroids are fit once (pyspark.ml KMeans, seeded) on a
+    deterministic hash-keyed sample of ``fit_fraction`` of the corpus
+    (operators/sampling.py — reproducible across runs, partitionings and
+    engines, unlike ``df.sample``). At 100 TB the multi-pass k-means fit
+    must never scan the full corpus; a few-percent sample pins centroids
+    just as well, and the assignment pass stays a single linear scan.
+    Query cost drops from O(N) to O(N * n_probe / n_cells) per query at
+    recall governed by n_probe. Complements the SRP-LSH variant: IVF
+    adapts to the data distribution, LSH is data-independent.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    fitdf = _spread(corpus).select(
+    from .sampling import deterministic_sample
+
+    fit_src = _spread(corpus)
+    if fit_fraction < 1.0:
+        fit_src = deterministic_sample(fit_src, id_col, fit_fraction, salt="ivf")
+    fitdf = fit_src.select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="features")

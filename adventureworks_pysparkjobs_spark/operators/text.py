@@ -123,6 +123,55 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full per-document text-feature frame in ONE narrow plan:
+    quality metrics + language-ID scores/argmax + fingerprints + BPE token
+    count. No joins — every column is a per-row expression over the same
+    scan, so at 100 TB this is a single pass over the corpus (the
+    composed-operator version would re-read it four times or shuffle-join
+    four frames)."""
+    c = F.col(text_col)
+    t = tokens(text_col)
+    n_chars = F.length(c)
+    n_tokens = F.size(t)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(t))
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+    )
+    staged = df.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        (
+            (n_chars - F.length(F.regexp_replace(c, r"\s", ""))).cast("int")
+        ).alias("n_whitespace"),
+        (F.length(F.regexp_replace(c, r"\s", "")).cast("double") / n_tokens).alias(
+            "mean_token_len"
+        ),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_digit.cast("double") / n_chars).alias("digit_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        *language_scores(text_col),
+        F.sha2(F.trim(normalized), 256).alias("content_sha256"),
+        F.array_min(
+            F.transform(shingles(c, 3), lambda s: F.md5(s))
+        ).alias("min_shingle_hash"),
+        F.size(bpe_tokens(text_col)).cast("int").alias("n_bpe_tokens"),
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lg}") == best), F.lit(lg)
+        ).otherwise(pred)
+    return staged.withColumn("predicted_lang", pred)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

@@ -5,6 +5,11 @@ tokenization, same shingling, same MD5-based hash constructions — so even
 the MinHash-LSH and SimHash sketches are cross-engine verifiable (the
 hashes are engine-independent primitives, not Spark-private seeds).
 
+Related per-document feature extractors are folded into single wide
+catalog entries (one scan, no joins) so the whole LLM-pipeline surface
+fits inside the driver's checked window — see ``doc_text_profile`` and
+``doc_sampling_pipeline``.
+
 Shared SQL fragments:
 - tokens:    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')
 - shingles:  n-token windows joined with ' ', distinct per doc (n=3 for
@@ -55,80 +60,67 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_quality_stats",
+    "doc_text_profile",
     oracle=f"""
-    WITH t AS (
+    WITH {_SHINGLES_CTE},
+    q AS (
       SELECT doc_id, text, {_TOKS} AS toks,
              LENGTH(text) AS n_chars,
              LENGTH(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
       FROM documents
-    )
-    SELECT doc_id,
-           CAST(n_chars AS INTEGER) AS n_chars,
-           CAST(len(toks) AS INTEGER) AS n_tokens,
-           CAST(n_chars - n_nonspace AS INTEGER) AS n_whitespace,
-           CAST(n_nonspace AS DOUBLE) / len(toks) AS mean_token_len,
-           CAST(n_chars - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-               / n_chars AS punct_ratio,
-           CAST(n_chars - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-               / n_chars AS digit_ratio,
-           CAST(len(list_filter(toks, x -> list_contains(
-               ['the','a','an','and','of','to','in','is','it','on'], x))) AS DOUBLE)
-               / len(toks) AS stopword_ratio,
-           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
-    FROM t
-    """,
-    tags=("text", "quality"),
-)
-def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality metrics (token/char/punct/stopword/distinct)."""
-    return TX.quality_stats(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "doc_language_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
+    ),
     s AS (
       SELECT doc_id,
-             CAST(len(list_filter(dt, x -> list_contains(['der','die','und','das','ein'], x))) AS INTEGER) AS score_de,
-             CAST(len(list_filter(dt, x -> list_contains(['the','a','and','of','to'], x))) AS INTEGER) AS score_en,
-             CAST(len(list_filter(dt, x -> list_contains(['el','la','y','los','de'], x))) AS INTEGER) AS score_es,
-             CAST(len(list_filter(dt, x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS score_fr
-      FROM t
-    )
-    SELECT doc_id, score_de, score_en, score_es, score_fr,
-           CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
-                WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
-                WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
-                WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
-                ELSE 'fr' END AS predicted_lang
-    FROM s
-    """,
-    tags=("text", "langid"),
-)
-def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID via marker-token overlap scoring."""
-    return TX.language_id(load_table(spark, sf_dir, "documents"))
-
-
-@query(
-    "doc_fingerprint",
-    oracle=f"""
-    WITH {_SHINGLES_CTE}
-    SELECT d.doc_id,
-           sha256(trim(regexp_replace(regexp_replace(lower(d.text),
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['der','die','und','das','ein'], x))) AS INTEGER) AS score_de,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['the','a','and','of','to'], x))) AS INTEGER) AS score_en,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['el','la','y','los','de'], x))) AS INTEGER) AS score_es,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS score_fr
+      FROM q
+    ),
+    fp AS (SELECT id, MIN(md5(shingle)) AS min_h FROM sh GROUP BY id)
+    SELECT q.doc_id,
+           CAST(q.n_chars AS INTEGER) AS n_chars,
+           CAST(len(q.toks) AS INTEGER) AS n_tokens,
+           CAST(q.n_chars - q.n_nonspace AS INTEGER) AS n_whitespace,
+           CAST(q.n_nonspace AS DOUBLE) / len(q.toks) AS mean_token_len,
+           CAST(q.n_chars - LENGTH(regexp_replace(q.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+               / q.n_chars AS punct_ratio,
+           CAST(q.n_chars - LENGTH(regexp_replace(q.text, '[0-9]', '', 'g')) AS DOUBLE)
+               / q.n_chars AS digit_ratio,
+           CAST(len(list_filter(q.toks, x -> list_contains(
+               ['the','a','an','and','of','to','in','is','it','on'], x))) AS DOUBLE)
+               / len(q.toks) AS stopword_ratio,
+           CAST(len(list_distinct(q.toks)) AS DOUBLE) / len(q.toks) AS distinct_ratio,
+           s.score_de, s.score_en, s.score_es, s.score_fr,
+           sha256(trim(regexp_replace(regexp_replace(lower(q.text),
                '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_sha256,
-           m.min_h AS min_shingle_hash
-    FROM documents d
-    LEFT JOIN (SELECT id, MIN(md5(shingle)) AS min_h FROM sh GROUP BY id) m
-      ON d.doc_id = m.id
+           fp.min_h AS min_shingle_hash,
+           CAST(len(regexp_extract_all(q.text,
+               $$'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$))
+               AS INTEGER) AS n_bpe_tokens,
+           CASE WHEN GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) = 0 THEN 'und'
+                WHEN s.score_de = GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) THEN 'de'
+                WHEN s.score_en = GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) THEN 'en'
+                WHEN s.score_es = GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM q
+    JOIN s ON q.doc_id = s.doc_id
+    LEFT JOIN fp ON q.doc_id = fp.id
     """,
-    tags=("text", "fingerprint", "hash"),
+    tags=("text", "quality", "langid", "fingerprint", "tokenize", "bpe"),
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content SHA-256 + 1-hash MinHash shingle fingerprint."""
-    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-feature surface in one single-scan query:
+    quality metrics (char/token/punct/stopword/distinct), language-ID
+    marker scores + deterministic argmax, normalized-content SHA-256 +
+    1-hash MinHash shingle fingerprint, and the GPT-2-style BPE token
+    count (the unit LLM token budgets count). operators/text.py
+    text_profile — all per-row Catalyst expressions, zero joins."""
+    return TX.text_profile(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -209,7 +201,8 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The md5-string minhash construction makes the LSH fully deterministic
     and engine-portable, so this *approximate* algorithm still has an exact
-    oracle: DuckDB runs the identical sketch."""
+    oracle: DuckDB runs the identical sketch. One cached shingle-array
+    frame feeds signatures AND verification (operators/dedup.py)."""
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         num_hashes=8,
@@ -220,7 +213,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_simhash",
+    "doc_simhash_pairs",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id AS id, t.tok, md5(t.tok) AS h
@@ -233,17 +226,45 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE -1 END) AS s
       FROM tok, unnest(range(1, 17)) AS u(j)
       GROUP BY id, u.j
+    ),
+    sk AS (
+      SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+                 AS simhash
+      FROM per_bit GROUP BY id
+    ),
+    banded AS (
+      SELECT id, simhash, b.band, substr(simhash, 1 + b.band * 4, 4) AS band_bits
+      FROM sk, unnest([0, 1, 2, 3]) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2,
+             a.simhash AS sh1, b.simhash AS sh2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
     )
-    SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
-               AS simhash
-    FROM per_bit GROUP BY id
+    SELECT id1, id2,
+           CAST(len(list_filter(range(1, 17),
+                i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) AS INTEGER)
+               AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 17),
+          i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) <= 3
     """,
-    tags=("dedup", "simhash", "sketch"),
+    tags=("dedup", "simhash", "sketch", "hamming", "lsh"),
 )
-def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash sketch per document (sign-of-sum of per-token
-    MD5-nibble projections), as an engine-portable bitstring."""
-    return D.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3, blocked on
+    4-bit sketch bands (pigeonhole: <=3 differing bits over 4 bands
+    guarantees one exact-match band — zero false negatives at this
+    radius, no all-pairs comparison). The 16-bit sketch itself is built
+    per-row with integer folds (operators/dedup.py simhash — zero
+    shuffles), and this query is its checked surface."""
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bits=16,
+        bands=4,
+        max_hamming=3,
+    )
 
 
 @query(
@@ -275,53 +296,55 @@ def doc_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_bpe_token_counts",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-               $$'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$))
-               AS INTEGER) AS n_bpe_tokens,
-           CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
-           CAST(LENGTH(text) AS INTEGER) AS n_chars
-    FROM documents
-    """,
-    tags=("text", "tokenize", "bpe"),
-)
-def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting for LLM budget accounting: GPT-2-style BPE
-    pre-tokenizer regex (lookahead-free, engine-portable) alongside
-    whitespace tokens and raw chars."""
-    doc = load_table(spark, sf_dir, "documents")
-    return doc.select(
-        "doc_id",
-        F.size(TX.bpe_tokens("text")).cast("int").alias("n_bpe_tokens"),
-        TX.token_count("text").cast("int").alias("n_ws_tokens"),
-        F.length("text").cast("int").alias("n_chars"),
-    )
-
-
-@query(
-    "doc_quality_filter",
-    oracle=f"""
+    "doc_sampling_pipeline",
+    oracle="""
     WITH t AS (
-      SELECT doc_id, lang, source, {_TOKS} AS toks, LENGTH(text) AS n_chars,
+      SELECT doc_id, lang, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks,
+             LENGTH(text) AS n_chars,
              LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nonpunct
       FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens
+      FROM t
+      WHERE len(toks) BETWEEN 20 AND 1000
+        AND CAST(n_chars - n_nonpunct AS DOUBLE) / n_chars < 0.2
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+    ),
+    split AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS INTEGER) % 65536 < CAST(0.1 * 65536 AS INTEGER)
+                  THEN 'test' ELSE 'train' END AS split
+      FROM kept
     )
-    SELECT doc_id, lang, source,
-           CAST(len(toks) AS INTEGER) AS n_tokens
-    FROM t
-    WHERE len(toks) BETWEEN 20 AND 1000
-      AND CAST(n_chars - n_nonpunct AS DOUBLE) / n_chars < 0.2
-      AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05
+    SELECT doc_id, source, split, n_tokens FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM split
+    ) WHERE rn <= 10
     """,
-    tags=("text", "quality", "filter"),
+    tags=("sampling", "split", "cap", "filter", "quality", "hash", "window"),
 )
-def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style corpus quality filter: keep documents inside a token-count
-    band, below a punctuation-density ceiling, above a distinct-token
-    floor. The thresholds compose from quality_stats columns; everything
-    is a pushdown-able row predicate — no shuffle at all."""
+def doc_sampling_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline composed end-to-end, every decision a
+    pure function of content keys:
+
+    1. C4-style quality filter (token-count band, punctuation ceiling,
+       distinct-token floor — all pushdown-able row predicates, no
+       shuffle);
+    2. reproducible train/test split from an MD5 key hash
+       (operators/sampling.py — survives re-runs, repartitioning and
+       engine changes);
+    3. balanced-corpus cap: at most 10 documents per source in
+       deterministic hash order (not ingestion order, which is
+       partition-layout-dependent) — the pipeline's only shuffle.
+    """
+    from ..operators.sampling import cap_per_group, train_test_split_col
+
     doc = load_table(spark, sf_dir, "documents")
     t = TX.tokens("text")
     n_tokens = F.size(t)
@@ -330,155 +353,106 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
     ).cast("double") / n_chars
     distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens
-    return (
-        doc.filter(
-            n_tokens.between(20, 1000)
-            & (punct_ratio < 0.2)
-            & (distinct_ratio > 0.05)
-        )
-        .select("doc_id", "lang", "source", n_tokens.cast("int").alias("n_tokens"))
-    )
-
-
-@query(
-    "doc_deterministic_split",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, source,
-             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
-                  AS INTEGER) % 65536 AS bucket
-      FROM documents
-    )
-    SELECT CASE WHEN bucket < CAST(0.1 * 65536 AS INTEGER)
-                THEN 'test' ELSE 'train' END AS split,
-           COUNT(*) AS n_docs,
-           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-    FROM t GROUP BY 1
-    """,
-    tags=("sampling", "split", "hash"),
-)
-def doc_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible train/test split from a content-key hash
-    (operators/sampling.py) — membership is a pure function of doc_id, so
-    the split survives re-runs, repartitioning and engine changes; the
-    oracle recomputes the identical assignment in SQL."""
-    from ..operators.sampling import train_test_split_col
-
-    doc = load_table(spark, sf_dir, "documents")
-    return doc.select(
-        train_test_split_col("doc_id", test_fraction=0.1).alias("split"),
+    kept = doc.filter(
+        n_tokens.between(20, 1000)
+        & (punct_ratio < 0.2)
+        & (distinct_ratio > 0.05)
+    ).select(
+        "doc_id",
         "source",
-    ).groupBy("split").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("source").alias("n_sources"),
+        train_test_split_col("doc_id", test_fraction=0.1).alias("split"),
+        n_tokens.cast("int").alias("n_tokens"),
+    )
+    return cap_per_group(kept, "source", "doc_id", k=10).select(
+        "doc_id", "source", "split", "n_tokens"
     )
 
 
 @query(
-    "doc_cap_per_source",
-    oracle="""
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             ROW_NUMBER() OVER (
-               PARTITION BY source
-               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
-             ) AS rn
-      FROM documents
-    ) WHERE rn <= 10
-    """,
-    tags=("sampling", "cap", "window"),
-)
-def doc_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Balanced-corpus cap: at most 10 documents per source, selected in
-    deterministic hash order (not ingestion order, which is partition-
-    layout-dependent)."""
-    from ..operators.sampling import cap_per_group
-
-    doc = load_table(spark, sf_dir, "documents")
-    return cap_per_group(doc, "source", "doc_id", k=10).select(
-        "doc_id", "source"
-    )
-
-
-@query(
-    "corpus_token_freq",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, t.tk FROM
-        (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) AS t(tk)
-    )
-    SELECT tk AS token,
-           CAST(COUNT(*) AS BIGINT) AS total_count,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
-    FROM tok GROUP BY tk
-    ORDER BY total_count DESC, token
-    LIMIT 50
-    """,
-    tags=("text", "vocab", "tf"),
-)
-def corpus_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary statistics: top-50 tokens by total count with
-    document frequency — the building block of vocab/IDF tables. Explode
-    + two-level aggregate; partial aggregation keeps the shuffle at
-    O(vocab x partitions)."""
-    doc = load_table(spark, sf_dir, "documents")
-    tok = doc.select(
-        "doc_id", F.explode(TX.tokens("text")).alias("token")
-    )
-    return (
-        tok.groupBy("token")
-        .agg(
-            F.count("*").alias("total_count"),
-            F.countDistinct("doc_id").alias("doc_freq"),
-        )
-        .orderBy(F.col("total_count").desc(), F.col("token"))
-        .limit(50)
-    )
-
-
-@query(
-    "doc_top_terms",
+    "corpus_term_stats",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, t.tk FROM
         (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) AS t(tk)
     ),
+    freq AS (
+      SELECT tk AS token,
+             CAST(COUNT(*) AS BIGINT) AS c1,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS c2
+      FROM tok GROUP BY tk
+      ORDER BY c1 DESC, token
+      LIMIT 50
+    ),
     tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY doc_id, tk),
-    df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tk)
-    SELECT doc_id, tk AS token,
-           CAST(tf AS BIGINT) AS tf,
-           CAST(df AS BIGINT) AS df,
+    df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+    top_terms AS (
+      SELECT doc_id, tk, tf, df, rnk FROM (
+        SELECT tf.doc_id, tf.tk, tf.tf, df.df,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tk)
+                   AS rnk
+        FROM tf JOIN df ON tf.tk = df.tk
+      ) WHERE rnk <= 3
+    )
+    SELECT 'corpus' AS scope, CAST(NULL AS BIGINT) AS doc_id, token,
+           c1, c2, CAST(NULL AS INTEGER) AS rnk
+    FROM freq
+    UNION ALL
+    SELECT 'doc' AS scope, doc_id, tk AS token,
+           CAST(tf AS BIGINT) AS c1, CAST(df AS BIGINT) AS c2,
            CAST(rnk AS INTEGER) AS rnk
-    FROM (
-      SELECT tf.doc_id, tf.tk, tf.tf, df.df,
-             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                                ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tk)
-                 AS rnk
-      FROM tf JOIN df ON tf.tk = df.tk
-    ) WHERE rnk <= 3
+    FROM top_terms
     """,
-    tags=("text", "tfidf", "window"),
+    tags=("text", "vocab", "tf", "tfidf", "window"),
 )
-def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 distinctive terms per document, scored tf/df (the IDF
-    ordering without ln() — a single double division of identical integer
-    operands is bit-deterministic cross-engine, where ln is not).
-    Term-frequency join + per-doc top-k window."""
-    doc = load_table(spark, sf_dir, "documents")
-    tok = doc.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    joined = tf.join(F.broadcast(df_), "token")
+def corpus_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics + per-document distinctive terms in one
+    tagged union over a single exploded token frame:
+
+    - scope='corpus': top-50 tokens by total count with document frequency
+      (c1=total_count, c2=doc_freq) — the building block of vocab/IDF
+      tables; partial aggregation keeps the shuffle at
+      O(vocab x partitions);
+    - scope='doc': top-3 terms per document scored tf/df (c1=tf, c2=df —
+      the IDF ordering without ln(), because a single double division of
+      identical integer operands is bit-deterministic cross-engine where
+      ln is not), via a broadcast df-join + per-doc top-k window.
+    """
     from pyspark.sql import Window
 
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    freq = (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("c1"),
+            F.countDistinct("doc_id").alias("c2"),
+        )
+        .orderBy(F.col("c1").desc(), F.col("token"))
+        .limit(50)
+        .select(
+            F.lit("corpus").alias("scope"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            "token",
+            "c1",
+            "c2",
+            F.lit(None).cast("int").alias("rnk"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c1"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("c2"))
     w = Window.partitionBy("doc_id").orderBy(
-        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("token")
+        (F.col("c1").cast("double") / F.col("c2")).desc(), F.col("token")
     )
-    return (
-        joined.withColumn("rnk", F.row_number().over(w).cast("int"))
+    top_terms = (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "token", "tf", "df", "rnk")
+        .select(
+            F.lit("doc").alias("scope"), "doc_id", "token", "c1", "c2", "rnk"
+        )
     )
+    return freq.unionByName(top_terms)
 
 
 @query(
@@ -525,56 +499,3 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=1000,
     )
     return D.dedup_clusters(pairs)
-
-
-@query(
-    "doc_simhash_pairs",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id AS id, t.tok, md5(t.tok) AS h
-      FROM (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
-           unnest(dt) AS t(tok)
-    ),
-    per_bit AS (
-      SELECT id, u.j,
-             SUM(CASE WHEN substr(h, u.j, 1) IN ('8','9','a','b','c','d','e','f')
-                      THEN 1 ELSE -1 END) AS s
-      FROM tok, unnest(range(1, 17)) AS u(j)
-      GROUP BY id, u.j
-    ),
-    sk AS (
-      SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
-                 AS simhash
-      FROM per_bit GROUP BY id
-    ),
-    banded AS (
-      SELECT id, simhash, b.band, substr(simhash, 1 + b.band * 4, 4) AS band_bits
-      FROM sk, unnest([0, 1, 2, 3]) AS b(band)
-    ),
-    cand AS (
-      SELECT DISTINCT a.id AS id1, b.id AS id2,
-             a.simhash AS sh1, b.simhash AS sh2
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
-    )
-    SELECT id1, id2,
-           CAST(len(list_filter(range(1, 17),
-                i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) AS INTEGER)
-               AS hamming
-    FROM cand
-    WHERE len(list_filter(range(1, 17),
-          i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) <= 3
-    """,
-    tags=("dedup", "simhash", "hamming", "lsh"),
-)
-def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3, blocked on
-    4-bit sketch bands (pigeonhole: <=3 differing bits over 4 bands
-    guarantees one exact-match band — zero false negatives at this
-    radius, no all-pairs comparison)."""
-    return D.simhash_pairs(
-        load_table(spark, sf_dir, "documents"),
-        bits=16,
-        bands=4,
-        max_hamming=3,
-    )

@@ -1,9 +1,11 @@
 """Event-stream queries in batch form (SURVEY.md §2.8/§2.10): JSON props
-extraction, time bucketing, sessionization, as-of attribution, keyed dedup.
+extraction (path + map forms), time bucketing, sessionization, as-of
+attribution (window + generic operator forms), keyed dedup.
 
 Timestamp arithmetic rule: Spark ``CAST(timestamp AS BIGINT)`` floors to
 seconds; DuckDB ``epoch()`` returns fractional seconds — the oracles use
-``CAST(FLOOR(epoch(ts)) AS BIGINT)`` to match exactly.
+``CAST(FLOOR(epoch(ts)) AS BIGINT)`` to match exactly. Decimal value sums
+convert to DOUBLE at output (queries/catalog.py rules).
 """
 
 from __future__ import annotations
@@ -21,27 +23,64 @@ _FLOOR_S = "CAST(FLOOR(epoch({c})) AS BIGINT)"
 
 
 @query(
-    "events_json_props",
+    "events_semistructured",
     oracle=f"""
-    SELECT event_type,
+    SELECT 'by_event_type' AS kind, event_type AS key,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
-               AS sum_k,
-           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
-           SUM(CAST(value AS {D})) AS total_value
+               AS sum_v,
+           CAST(NULL AS INTEGER) AS min_v,
+           CAST(NULL AS INTEGER) AS max_v,
+           CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_prop_key' AS kind, k AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS BIGINT) AS sum_v,
+           CAST(MIN(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS INTEGER) AS min_v,
+           CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
+                AS INTEGER) AS max_v,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM events, unnest(json_keys(props)) AS t(k)
+    GROUP BY k
     """,
-    tags=("json", "semistructured", "agg"),
+    tags=("json", "semistructured", "map", "explode", "agg"),
 )
-def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props: JSON path extraction + cast + aggregate
-    (get_json_object stays JVM-side; no Python in the loop)."""
+def events_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props, both schema-on-read paths in one tagged
+    union: fixed-path extraction (get_json_object — stays JVM-side) per
+    event type, and the open-key-set path (from_json → MapType → explode
+    to (key, value) rows) aggregated per property key."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
-        F.count(k).alias("n_with_k"),
-        F.sum(dec("value", 12, 2)).cast("decimal(38,2)").alias("total_value"),
+    by_type = ev.groupBy("event_type").agg(
+        F.count(k).alias("n"),
+        F.sum(k).alias("sum_v"),
+        F.min(F.lit(None).cast("int")).alias("min_v"),
+        F.max(F.lit(None).cast("int")).alias("max_v"),
+        F.sum(dec("value", 12, 2)).cast("double").alias("total_value"),
+    ).select(
+        F.lit("by_event_type").alias("kind"),
+        F.col("event_type").alias("key"),
+        "n", "sum_v", "min_v", "max_v", "total_value",
     )
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("k", "v")
+    )
+    by_key = kv.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.max(F.lit(None).cast("double")).alias("total_value"),
+    ).select(
+        F.lit("by_prop_key").alias("kind"),
+        F.col("k").alias("key"),
+        "n", "sum_v", "min_v", "max_v", "total_value",
+    )
+    return by_type.unionByName(by_key)
 
 
 @query(
@@ -50,7 +89,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST({_FLOOR_S.format(c='ts')} // 300 * 300 AS BIGINT) AS bucket_s,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS {D})) AS total_value
+           CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -66,7 +105,7 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy(bucket, "event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(dec("value", 12, 2)).cast("decimal(38,2)").alias("total_value"),
+        F.sum(dec("value", 12, 2)).cast("double").alias("total_value"),
     )
 
 
@@ -121,25 +160,42 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_asof_attribution",
     oracle="""
-    WITH w AS (
-      SELECT event_id, user_id, event_type, ts,
-             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS last_click_ts
-      FROM events
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+    clicks AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    g AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             MAX(c.ts) AS last_click_ts,
+             arg_max(c.event_id, c.ts) AS asof_click_id
+      FROM purchases p
+      LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts < p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
     )
-    SELECT event_id, user_id, ts, last_click_ts,
+    SELECT event_id, user_id, ts, last_click_ts, asof_click_id,
            CAST(FLOOR(epoch(ts)) AS BIGINT)
              - CAST(FLOOR(epoch(last_click_ts)) AS BIGINT) AS click_to_buy_s
-    FROM w WHERE event_type = 'purchase'
+    FROM g
     """,
-    tags=("asof", "window", "attribution"),
+    tags=("asof", "window", "join", "attribution"),
 )
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join expressed as a window: for every purchase, the most
-    recent strictly-prior click by the same user (last-touch attribution).
-    Single shuffle on user_id; no range join blow-up."""
+    """As-of join, BOTH engine formulations in one checked result: for
+    every purchase, the most recent strictly-prior click by the same user
+    (last-touch attribution).
+
+    - the single-table window formulation (last ignorenulls over an
+      unbounded-preceding frame — one shuffle on user_id) produces
+      ``last_click_ts`` / ``click_to_buy_s``;
+    - the generic two-table operator (operators/asof.py: union-tag +
+      window, reusable over any (left, right, key, ts) pair) produces
+      ``asof_click_id``.
+
+    Joining them on the purchase PK asserts the two implementations agree
+    row-for-row, and the oracle checks both against SQL.
+    """
+    from ..operators.asof import asof_join
+
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -149,7 +205,7 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_click = F.last(
         F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
     ).over(w)
-    return (
+    attr = (
         ev.withColumn("last_click_ts", last_click)
         .filter(F.col("event_type") == "purchase")
         .select(
@@ -161,6 +217,25 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").cast("bigint") - F.col("last_click_ts").cast("bigint")
             ).alias("click_to_buy_s"),
         )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    gen = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+        strict=True,
+    ).select("event_id", F.col("event_id_asof").alias("asof_click_id"))
+    return attr.join(gen, "event_id").select(
+        "event_id", "user_id", "ts", "last_click_ts", "asof_click_id",
+        "click_to_buy_s",
     )
 
 
@@ -182,77 +257,3 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_first(
         ev, ["user_id", "event_type"], ["ts", "event_id"]
     ).select("event_id", "user_id", "event_type", "ts")
-
-
-@query(
-    "events_asof_generic",
-    oracle="""
-    WITH purchases AS (SELECT event_id, user_id, ts FROM events
-                       WHERE event_type = 'purchase'),
-    clicks AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'click')
-    SELECT p.event_id, p.user_id, p.ts,
-           MAX(c.ts) AS ts_asof,
-           arg_max(c.event_id, c.ts) AS event_id_asof
-    FROM purchases p
-    LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts < p.ts
-    GROUP BY p.event_id, p.user_id, p.ts
-    """,
-    tags=("asof", "join"),
-)
-def events_asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The generic two-table as-of join operator (operators/asof.py:
-    union-tag + window, one linear shuffle): purchases ⋈asof clicks,
-    strictly before. Same semantics as the single-table window
-    formulation (events_asof_attribution), but as a reusable operator
-    over any (left, right, key, ts) pair."""
-    from ..operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    return asof_join(
-        purchases,
-        clicks,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols=["event_id"],
-        strict=True,
-    )
-
-
-@query(
-    "events_map_props_explode",
-    oracle="""
-    SELECT k,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
-                AS BIGINT) AS sum_v,
-           CAST(MIN(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
-                AS INTEGER) AS min_v,
-           CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS INTEGER))
-                AS INTEGER) AS max_v
-    FROM events, unnest(json_keys(props)) AS t(k)
-    GROUP BY k
-    """,
-    tags=("json", "map", "explode", "semistructured"),
-)
-def events_map_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props as a MAP column: from_json -> MapType ->
-    explode to (key, value) rows -> aggregate per key. The schema-on-read
-    path for property bags whose key set isn't fixed."""
-    ev = load_table(spark, sf_dir, "events")
-    kv = ev.select(
-        F.explode(F.from_json("props", "map<string,int>")).alias("k", "v")
-    )
-    return kv.groupBy("k").agg(
-        F.count("*").alias("n"),
-        F.sum("v").alias("sum_v"),
-        F.min("v").alias("min_v"),
-        F.max("v").alias("max_v"),
-    )

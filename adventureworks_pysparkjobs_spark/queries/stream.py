@@ -22,7 +22,7 @@ from .catalog import query
     SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 300 * 300 AS bucket_s,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "window", "watermark"),

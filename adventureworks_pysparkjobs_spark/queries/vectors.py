@@ -84,45 +84,68 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "emb_norms_by_label",
+    "emb_vector_stats",
     oracle=f"""
-    WITH n AS (SELECT label, {_NORM.format(a='embedding')} AS nrm
-               FROM embeddings)
-    SELECT label,
-           COUNT(*) AS n_vecs,
-           MIN(nrm) AS min_norm,
-           MAX(nrm) AS max_norm
-    FROM n GROUP BY label
+    SELECT vec_id,
+           list_max(embedding) AS vec_max,
+           list_min(embedding) AS vec_min,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val,
+           embedding[-1] AS last_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           {_NORM.format(a='embedding')} AS l2_norm,
+           label
+    FROM embeddings
     """,
-    tags=("embedding", "agg"),
+    tags=("array", "scalar", "embedding", "agg"),
 )
-def emb_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-norm distribution per label: array fold + min/max aggregate
-    (min/max of identical doubles are order-insensitive)."""
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over array<float> (max/min/size/element_at
+    with 1-based and negative indexes, a lambda filter count) plus the
+    sequential-fold L2 norm — all Catalyst higher-order functions, no
+    UDFs, one per-row pass."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select(
-        "label", S.norm_fold(F.col("embedding")).alias("nrm")
-    )
-    return n.groupBy("label").agg(
-        F.count("*").alias("n_vecs"),
-        F.min("nrm").alias("min_norm"),
-        F.max("nrm").alias("max_norm"),
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.array_max(e).alias("vec_max"),
+        F.array_min(e).alias("vec_min"),
+        F.size(e).alias("dim"),
+        F.element_at(e, 1).alias("first_val"),
+        F.element_at(e, -1).alias("last_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        S.norm_fold(e).alias("l2_norm"),
+        "label",
     )
 
 
 @query(
-    "emb_ann_lsh_topk",
+    "emb_ann_topk",
     oracle=None,  # approximate by construction; driver records rows-only
-    tags=("similarity", "ann", "lsh"),
+    tags=("similarity", "ann", "lsh", "ivf", "kmeans"),
 )
-def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-random-projection LSH bucketing
-    (4 planes → ~16x candidate reduction). Approximate vs the brute-force
-    baseline, hence rows-only; recall is asserted against emb_cosine_topk
-    in tests/test_similarity.py."""
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate-nearest-neighbor scale paths in one tagged union:
+
+    - method='srp_lsh': sign-random-projection bucketing (4 planes →
+      ~16x candidate reduction), data-independent;
+    - method='ivf': inverted-file index (seeded k-means coarse quantizer
+      fit on a deterministic sample, 8 cells, 2 probes), data-adaptive.
+
+    Approximate vs the brute-force baseline, hence rows-only; recall for
+    each method is asserted against emb_cosine_topk in tests.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ann_topk_lsh(emb, queries, k=5, num_planes=4, dim=64, seed=42)
+    lsh = S.ann_topk_lsh(emb, queries, k=5, num_planes=4, dim=64, seed=42).select(
+        F.lit("srp_lsh").alias("method"),
+        "query_id", "neighbor_id", "cosine_sim", "rnk",
+    )
+    ivf = S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2, seed=42).select(
+        F.lit("ivf").alias("method"),
+        "query_id", "neighbor_id", "cosine_sim", "rnk",
+    )
+    return lsh.unionByName(ivf)
 
 
 @query(
@@ -139,48 +162,3 @@ def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk_pandas(emb, queries, k=5)
-
-
-@query(
-    "emb_array_ops",
-    oracle="""
-    SELECT vec_id,
-           list_max(embedding) AS vec_max,
-           list_min(embedding) AS vec_min,
-           CAST(len(embedding) AS INTEGER) AS dim,
-           embedding[1] AS first_val,
-           embedding[-1] AS last_val,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
-    FROM embeddings
-    """,
-    tags=("array", "scalar"),
-)
-def emb_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function family over array<float>: max/min/size/element_at
-    (1-based and negative indexes) and a lambda filter count — all
-    Catalyst higher-order functions, no UDFs."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding")
-    return emb.select(
-        "vec_id",
-        F.array_max(e).alias("vec_max"),
-        F.array_min(e).alias("vec_min"),
-        F.size(e).alias("dim"),
-        F.element_at(e, 1).alias("first_val"),
-        F.element_at(e, -1).alias("last_val"),
-        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
-    )
-
-
-@query(
-    "emb_ann_ivf_topk",
-    oracle=None,  # approximate by construction; driver records rows-only
-    tags=("similarity", "ann", "ivf", "kmeans"),
-)
-def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via an IVF index (seeded k-means coarse
-    quantizer, 8 cells, 2 probes). Rows-only; recall vs the brute-force
-    baseline is asserted in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2, seed=42)

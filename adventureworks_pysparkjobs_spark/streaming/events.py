@@ -78,8 +78,10 @@ def tumbling_counts(
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count("*").alias("n_events"),
+            # exact decimal accumulation (order-independent), DOUBLE output
+            # (queries/catalog.py determinism rules)
             F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_value"),
         )
     )

@@ -17,7 +17,7 @@ from .conftest import SF_SMOKE
 # (deliberate small-side cross joins).
 CROSS_OK = {
     "cross_join_segment_region",
-    "scalar_subquery_above_avg",
+    "top_orders_above_avg",
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",
 }

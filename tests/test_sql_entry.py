@@ -14,7 +14,7 @@ def test_sql_matches_dataframe_builder(spark):
         spark,
         """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= DATE '2001-09-02'

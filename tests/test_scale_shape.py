@@ -38,6 +38,48 @@ def test_no_unintended_cartesian(spark, name):
         )
 
 
+def test_minhash_reuses_cached_shingles(spark):
+    """minhash_lsh_pairs derives signatures AND verification from one
+    cached shingle-array frame: the plan must read the cache (multiple
+    InMemoryTableScans), not re-shingle the corpus per consumer."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        load_table(spark, SF_SMOKE, "documents"),
+        num_hashes=8, bands=4, n=5, threshold=0.5,
+    )
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, (
+        "shingle arrays not reused via cache:\n" + plan[:1200]
+    )
+
+
+def test_simhash_sketch_is_shuffle_free(spark):
+    """The per-row simhash build must plan NO aggregation exchange and no
+    groupBy — the only allowed Exchange is the explicit parallelism
+    repartition (_spread)."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import simhash
+
+    plan = physical_plan(simhash(load_table(spark, SF_SMOKE, "documents")))
+    assert plan.count("Exchange") <= 1, plan[:1200]
+    assert "HashAggregate" not in plan, (
+        "simhash regressed to explode+groupBy:\n" + plan[:1200]
+    )
+
+
+def test_ann_lsh_is_bucket_equijoin(spark):
+    """ann_topk_lsh must join corpus and queries with a hash join on the
+    SRP bucket — never a nested loop over all pairs."""
+    from adventureworks_pysparkjobs_spark.operators.similarity import ann_topk_lsh
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = physical_plan(ann_topk_lsh(emb, q, k=5, num_planes=4, dim=64))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:1200]
+
+
 def test_salted_join_matches_plain(spark):
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     od = load_table(spark, SF_SMOKE, "orders").select("l_orderkey", "o_totalprice") \

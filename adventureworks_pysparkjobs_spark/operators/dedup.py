@@ -221,10 +221,38 @@ def minhash_lsh_pairs(
     # One cached shingle-array frame feeds BOTH signature construction and
     # Jaccard verification — the document table is read/shingled once.
     arrs = shingle_arrays(df, id_col, text_col, n)
-    sig = _signatures_from_arrays(arrs, num_hashes)
-    banded = sig.withColumn("band", (F.col("seed") / r).cast("int"))
-    band_key = banded.groupBy("id", "band").agg(
-        F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_sig")
+
+    # Band signatures are computed PER-ROW from the wide signature columns
+    # (sort r minhashes inside the row, join with '|'), then exploded to
+    # (id, band, band_sig). The long-form groupBy(id, band) +
+    # collect_list formulation shuffles num_hashes rows per document just
+    # to reassemble what the row already had — this shuffles nothing.
+    def _sig(j: int):
+        # Single-argument lambda on purpose: a 2-arg transform lambda is
+        # interpreted by Spark as (element, index) and would shadow j.
+        return F.array_min(
+            F.transform(F.col("arr"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"_mh{j}")
+
+    wide = arrs.select("id", *[_sig(j) for j in range(num_hashes)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.array(
+                            *[F.col(f"_mh{b * r + i}") for i in range(r)]
+                        )
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_key = wide.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.band_sig").alias("band_sig")
     )
     a = band_key.alias("a")
     b = band_key.alias("b")

@@ -94,6 +94,66 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts (window length > slide → each
+    event lands in window/slide overlapping buckets), run to completion.
+
+    The batch twin of a sliding window is the event exploded into its
+    covering buckets then grouped — asserted in tests. State per key is
+    bounded by the watermark exactly as for tumbling windows; the only
+    cost delta at 100 TB is the window/slide duplication factor in the
+    aggregation input, which Spark generates without materializing
+    duplicate input rows.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, "complete", spark)
+    return out.select(
+        F.col("window.start").cast("bigint").alias("bucket_s"),
+        "event_type",
+        "n_events",
+    )
+
+
+def stream_to_parquet(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+) -> None:
+    """Run a bounded streaming frame to completion into a parquet lake
+    directory via foreachBatch — the production sink pattern when the
+    target needs overwrite/merge semantics or a non-streaming writer
+    (JDBC, warehouse connectors).
+
+    foreachBatch hands each micro-batch to ordinary batch-writer code, so
+    the same ``sinks/parquet.py`` seams work unchanged under streaming;
+    exactly-once comes from the checkpointed batch id + idempotent
+    overwrite-by-batch layout at real scale (append here — the bounded
+    fixture runs one availableNow batch).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(path)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming keyed dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) — unlike plain dropDuplicates, the dedup state

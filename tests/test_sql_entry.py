@@ -48,6 +48,60 @@ def test_streaming_results_match_batch(spark):
     assert s == b
 
 
+def test_sliding_window_matches_batch_expansion(spark):
+    """Streaming sliding windows (10 min window, 5 min slide) equal the
+    batch formulation where each event is exploded into its two covering
+    buckets."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import sliding_counts
+
+    out = sliding_counts(spark, SF_SMOKE, window="10 minutes", slide="5 minutes")
+    got = {
+        (r["bucket_s"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    s = F.col("ts").cast("bigint")
+    aligned = s - (s % 300)
+    batch = (
+        ev.select(
+            F.explode(F.array(aligned - 300, aligned)).alias("bucket_s"),
+            "event_type",
+        )
+        .groupBy("bucket_s", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    want = {
+        (r["bucket_s"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch streaming sink: the landed parquet equals the batch
+    read of the same source."""
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        read_events_stream,
+        stream_to_parquet,
+    )
+
+    out_dir = str(tmp_path / "landed")
+    stream_to_parquet(
+        read_events_stream(spark, SF_SMOKE),
+        out_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    landed = spark.read.parquet(out_dir)
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert landed.count() == batch.count()
+    assert sorted(landed.columns) == sorted(batch.columns)
+    got = {r["event_id"] for r in landed.select("event_id").collect()}
+    want = {r["event_id"] for r in batch.select("event_id").collect()}
+    assert got == want
+
+
 def test_stateful_streaming_counts_match_batch(spark):
     """applyInPandasWithState running totals: event counts per user equal
     the batch groupBy on the bounded fixture."""

@@ -107,6 +107,119 @@ def extract_features(
     )
 
 
+RESIZE_SCHEMA = "path string, content binary, width int, height int"
+
+FRAME_SCHEMA = (
+    "path string, frame_idx int, frame_ts_ms bigint, frame binary, "
+    "feature array<float>"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    codec: Callable[[bytes, int, int], dict] = None,
+    target_width: int = 224,
+    target_height: int = 224,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Resize image payloads to a target size via mapInPandas — the
+    normalize-before-training step. 1 row in → 1 row out; the resized
+    bytes replace the payload, so downstream stages see the same
+    (path, content) shape and compose freely with extract_features.
+
+    ``codec(payload, w, h) -> {'content': bytes, 'width', 'height'}`` is
+    injected (Pillow in production; deterministic fake in tests — no
+    media libraries in this container, same seam as default_codec).
+    """
+    import pandas as pd
+
+    if codec is None:
+        def codec(payload: bytes, w: int, h: int) -> dict:  # pragma: no cover
+            raise NotImplementedError(
+                "no image codec available in this environment; inject one"
+            )
+
+    out_cols = ["path", "content", "width", "height"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out = codec(payload, target_width, target_height)
+                rows.append(
+                    {
+                        "path": path,
+                        "content": out["content"],
+                        "width": out.get("width", target_width),
+                        "height": out.get("height", target_height),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    codec: Callable[[bytes], list] = None,
+    every_n: int = 1,
+    max_frames: int | None = None,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Sample frames from video payloads via mapInPandas — the 1-to-MANY
+    batch shape (one video row yields a row per kept frame), which is why
+    this is mapInPandas and not a scalar pandas_udf (those must be 1:1).
+
+    ``codec(payload) -> [{'frame_idx', 'frame_ts_ms', 'frame': bytes,
+    'feature': list[float]}, ...]`` yields decoded frames in order;
+    ``every_n`` keeps every n-th frame and ``max_frames`` caps the output
+    per video — both applied AFTER the codec's iterator so a real pyav
+    codec can stop decoding early. Injected seam as everywhere in this
+    module (no media libs in this container).
+    """
+    import pandas as pd
+
+    if codec is None:
+        def codec(payload: bytes) -> list:  # pragma: no cover
+            raise NotImplementedError(
+                "no video codec available in this environment; inject one"
+            )
+
+    out_cols = ["path", "frame_idx", "frame_ts_ms", "frame", "feature"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                kept = 0
+                for i, fr in enumerate(codec(payload)):
+                    if i % every_n != 0:
+                        continue
+                    if max_frames is not None and kept >= max_frames:
+                        break
+                    kept += 1
+                    rows.append(
+                        {
+                            "path": path,
+                            "frame_idx": fr.get("frame_idx", i),
+                            "frame_ts_ms": fr.get("frame_ts_ms"),
+                            "frame": fr.get("frame"),
+                            "feature": fr.get("feature"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def payload_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Pure-JVM payload statistics (no Python, no decode): size + digest
     per payload — the cheap pre-pass that dedups/filters media *before*

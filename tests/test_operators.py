@@ -149,6 +149,57 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             extract_features(self._media(spark)).collect()
 
+    def test_resize_images_with_injected_codec(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        def fake_resize(payload: bytes, w: int, h: int) -> dict:
+            # deterministic fake: truncate/pad payload to w bytes
+            return {
+                "content": payload[:w].ljust(w, b"\0"),
+                "width": w,
+                "height": h,
+            }
+
+        out = resize_images(
+            self._media(spark), codec=fake_resize, target_width=4, target_height=2
+        ).collect()
+        got = {r["path"]: r for r in out}
+        assert got["f1.bin"]["width"] == 4 and got["f1.bin"]["height"] == 2
+        assert bytes(got["f1.bin"]["content"]) == b"hell"
+        assert bytes(got["f2.bin"]["content"]) == b"worl"
+
+    def test_sample_frames_one_to_many(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        def fake_video(payload: bytes) -> list:
+            # one "frame" per byte, ts = 40ms apart
+            return [
+                {
+                    "frame_idx": i,
+                    "frame_ts_ms": i * 40,
+                    "frame": bytes([b]),
+                    "feature": [float(b)],
+                }
+                for i, b in enumerate(payload)
+            ]
+
+        out = sample_frames(
+            self._media(spark), codec=fake_video, every_n=2, max_frames=2
+        ).collect()
+        by_path = {}
+        for r in out:
+            by_path.setdefault(r["path"], []).append(r)
+        # f1 'hello' (5 frames) -> every 2nd = idx 0,2,4 -> capped at 2
+        f1 = sorted(by_path["f1.bin"], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in f1] == [0, 2]
+        assert [r["frame_ts_ms"] for r in f1] == [0, 80]
+        assert bytes(f1[1]["frame"]) == b"l"
+        assert f1[1]["feature"] == [float(b"l"[0])]
+
     def test_attach_metadata(self, spark):
         meta = spark.createDataFrame(
             [("f1.bin", "image/png")], "path string, mime string"

@@ -123,6 +123,53 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    every character ``k``-gram, then keep the minimum hash of each sliding
+    ``window`` of consecutive k-gram hashes. The selected set is the
+    document's fingerprint — two documents sharing any sufficiently long
+    run of text are guaranteed to share a selected hash, which is what
+    plagiarism/near-dup detectors index.
+
+    The k-gram hashes use md5 (engine-portable; hex strings of equal
+    length order like their numeric value), and the winnow min is an
+    order-free array reduction — everything is a per-row Catalyst
+    expression: zero shuffles until the caller aggregates/joins the
+    fingerprint sets. Output: (doc_id, fingerprints array<string>,
+    n_fingerprints) with fingerprints sorted + deduped.
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    # hashes[i] = md5(substr(text, i, k)), for i in 1 .. len-k+1
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.substr(c, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    df2 = df.select("doc_id", grams.alias("_g"))
+    # windows of `window` consecutive hashes -> min each -> distinct, sorted
+    mins = F.when(
+        F.size(F.col("_g")) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_g")) - (window - 1)),
+            lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
+        ),
+    ).otherwise(F.col("_g"))
+    fp = F.array_sort(F.array_distinct(mins))
+    return df2.select(
+        "doc_id",
+        fp.alias("fingerprints"),
+        F.size(fp).cast("int").alias("n_fingerprints"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The full per-document text-feature frame in ONE narrow plan:
     quality metrics + language-ID scores/argmax + fingerprints + BPE token

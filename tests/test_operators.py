@@ -275,6 +275,52 @@ def test_ivf_recall_floor(spark):
     assert recall >= 0.15, f"IVF recall {recall:.2f} below floor"
 
 
+def test_winnow_fingerprints_match_reference(spark):
+    """Spark winnowing == a direct Python reference implementation, and
+    documents sharing a long substring share at least one fingerprint
+    (the winnowing guarantee)."""
+    import hashlib
+
+    from adventureworks_pysparkjobs_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (1, f"AAA {shared} BBB"),
+        (2, f"xyz {shared} qqq"),
+        (3, "completely unrelated content here with no overlap at all"),
+        (4, "tiny"),  # shorter than k -> empty fingerprint set
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["fingerprints"]), r["n_fingerprints"])
+        for r in winnow_fingerprints(df, k=k, window=w).collect()
+    }
+
+    def ref(text: str) -> list[str]:
+        grams = [
+            hashlib.md5(text[i : i + k].encode()).hexdigest()
+            for i in range(len(text) - k + 1)
+        ]
+        if not grams:
+            return []
+        if len(grams) < w:
+            mins = grams
+        else:
+            mins = [min(grams[i : i + w]) for i in range(len(grams) - w + 1)]
+        return sorted(set(mins))
+
+    for doc_id, text in docs:
+        assert got[doc_id][0] == ref(text), f"doc {doc_id}"
+        assert got[doc_id][1] == len(ref(text))
+    # winnowing guarantee: docs 1 and 2 share the 44-char run -> overlap
+    assert set(got[1][0]) & set(got[2][0])
+    assert not set(got[1][0]) & set(got[3][0])
+    assert got[4][0] == []
+
+
 def test_upsert_snapshot(spark):
     from adventureworks_pysparkjobs_spark.operators.relational import (
         upsert_snapshot,

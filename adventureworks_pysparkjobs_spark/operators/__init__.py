@@ -1,3 +1,101 @@
-from .relational import dec, enforce_schema, sessionize, topk_per_group
+"""Operator library: the engine's DataFrame -> DataFrame surface.
 
-__all__ = ["dec", "enforce_schema", "sessionize", "topk_per_group"]
+Flat re-exports so callers can write
+``from adventureworks_pysparkjobs_spark.operators import minhash_lsh_pairs``
+without memorizing the module layout. Each name is implemented (and
+documented, with scale notes) in its home module.
+"""
+
+from .asof import asof_join
+from .dedup import (
+    dedup_clusters,
+    dedup_keep_first,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_arrays,
+    simhash,
+    simhash_pairs,
+)
+from .multimodal import (
+    attach_metadata,
+    extract_features,
+    payload_stats,
+    read_binary_dir,
+    resize_images,
+    sample_frames,
+)
+from .relational import (
+    dec,
+    enforce_schema,
+    salted_join,
+    sessionize,
+    topk_per_group,
+    upsert_snapshot,
+)
+from .sampling import (
+    cap_per_group,
+    deterministic_sample,
+    hash_bucket,
+    train_test_split_col,
+)
+from .similarity import (
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    cosine_topk_pandas,
+    ivf_topk,
+)
+from .text import (
+    bpe_tokens,
+    fingerprint,
+    language_id,
+    quality_stats,
+    text_profile,
+    token_count,
+    tokens,
+    winnow_fingerprints,
+)
+
+__all__ = [
+    "asof_join",
+    "dedup_clusters",
+    "dedup_keep_first",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "shingle_arrays",
+    "simhash",
+    "simhash_pairs",
+    "attach_metadata",
+    "extract_features",
+    "payload_stats",
+    "read_binary_dir",
+    "resize_images",
+    "sample_frames",
+    "dec",
+    "enforce_schema",
+    "salted_join",
+    "sessionize",
+    "topk_per_group",
+    "upsert_snapshot",
+    "cap_per_group",
+    "deterministic_sample",
+    "hash_bucket",
+    "train_test_split_col",
+    "ann_topk_lsh",
+    "cosine_near_dup_pairs",
+    "cosine_topk",
+    "cosine_topk_pandas",
+    "ivf_topk",
+    "bpe_tokens",
+    "fingerprint",
+    "language_id",
+    "quality_stats",
+    "text_profile",
+    "token_count",
+    "tokens",
+    "winnow_fingerprints",
+]

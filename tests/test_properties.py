@@ -136,3 +136,82 @@ def test_minhash_deterministic_across_runs(spark):
     a = sorted(map(tuple, minhash_signatures(docs, n=5).collect()))
     b = sorted(map(tuple, minhash_signatures(docs, n=5).collect()))
     assert a == b
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab c.xyz",  # small alphabet -> frequent k-gram repeats
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnow_fingerprints_property(spark, texts):
+    """Winnowing on random strings equals the direct Python reference
+    (including the short-document edge cases len<k and n_grams<window)."""
+    import hashlib
+
+    from adventureworks_pysparkjobs_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["fingerprints"])
+        for r in winnow_fingerprints(df, k=k, window=w).collect()
+    }
+
+    for i, t in enumerate(texts):
+        grams = [
+            hashlib.md5(t[j : j + k].encode()).hexdigest()
+            for j in range(len(t) - k + 1)
+        ]
+        if not grams:
+            want = []
+        elif len(grams) < w:
+            want = sorted(set(grams))
+        else:
+            want = sorted(
+                {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+            )
+        assert got[i] == want, f"text {t!r}"
+
+
+def test_text_profile_equals_composed_operators(spark):
+    """The merged single-scan text_profile must agree column-for-column
+    with the four standalone operators it fuses (quality_stats,
+    language_id, fingerprint, bpe token count) on the real fixture."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators import text as TX
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+    doc = load_table(spark, SF_SMOKE, "documents")
+    prof = {r["doc_id"]: r.asDict() for r in TX.text_profile(doc).collect()}
+
+    for r in TX.quality_stats(doc).collect():
+        p = prof[r["doc_id"]]
+        for c in (
+            "n_chars", "n_tokens", "n_whitespace", "mean_token_len",
+            "punct_ratio", "digit_ratio", "stopword_ratio", "distinct_ratio",
+        ):
+            assert p[c] == r[c], (r["doc_id"], c)
+    for r in TX.language_id(doc).collect():
+        p = prof[r["doc_id"]]
+        for c in ("score_de", "score_en", "score_es", "score_fr", "predicted_lang"):
+            assert p[c] == r[c], (r["doc_id"], c)
+    for r in TX.fingerprint(doc).collect():
+        p = prof[r["doc_id"]]
+        assert p["content_sha256"] == r["content_sha256"]
+        assert p["min_shingle_hash"] == r["min_shingle_hash"]
+    for r in doc.select(
+        "doc_id", F.size(TX.bpe_tokens("text")).cast("int").alias("n_bpe")
+    ).collect():
+        assert prof[r["doc_id"]]["n_bpe_tokens"] == r["n_bpe"]

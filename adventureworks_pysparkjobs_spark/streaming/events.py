@@ -189,6 +189,94 @@ def session_windows(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -
     )
 
 
+def enriched_counts(
+    spark: SparkSession, sf_dir: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (broadcast — the static side is planned per micro-batch, so a small
+    dim becomes a broadcast hash join with NO stream-side shuffle), then
+    a watermarked count per enrichment key.
+
+    The production shape for attaching user/session/catalog attributes to
+    an event stream; at 100 TB/day the static side is refreshed by
+    re-planning, not by restarting the stream.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(dim), "user_id", "left")
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_memory(agg, "complete", spark)
+
+
+def stateful_sessionize(
+    spark: SparkSession, sf_dir: str, gap_s: int = 1800
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState: the
+    hand-rolled counterpart of session_window for session logic the
+    built-in can't express (e.g. per-session derived features at close).
+
+    State per user = (current session start epoch-s, last event epoch-s,
+    event count) — O(1) regardless of stream length. A new event either
+    extends the open session (gap < gap_s) or closes it (emitting the
+    finished session) and opens a new one. On the bounded fixture the
+    final batch also flushes the open session, so the emitted set equals
+    batch gap-sessionization — the test oracle.
+
+    Events inside one micro-batch are sorted by (ts, event_id) before the
+    fold; across micro-batches Spark guarantees per-key grouping, and the
+    availableNow bounded run delivers a deterministic batch sequence.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        start, last, count = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[["ts", "event_id"]])
+        if rows:
+            batch = pd.concat(rows).sort_values(["ts", "event_id"])
+            for ts in batch["ts"]:
+                s = int(ts.timestamp())
+                if start is None:
+                    start, last, count = s, s, 1
+                elif s - last > gap_s:
+                    closed.append((start, last, count))
+                    start, last, count = s, s, 1
+                else:
+                    last, count = s, count + 1
+        # bounded fixture: flush the open session at end of the batch
+        if start is not None:
+            closed.append((start, last, count))
+            state.update((start, last, count))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start_s": [c[0] for c in closed],
+                "session_end_s": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    out = ev.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_start_s long, session_end_s long, "
+            "n_events long"
+        ),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "append", spark)
+
+
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running event counter + value accumulator kept in explicit

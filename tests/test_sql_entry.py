@@ -102,6 +102,67 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert got == want
 
 
+def test_stream_static_join_enriched_counts(spark):
+    """Stream-static broadcast join: cohort counts equal the batch
+    left-join + groupBy on the bounded fixture."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        enriched_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 5).cast("string"))
+    )
+    out = enriched_counts(spark, SF_SMOKE, dim)
+    got = {r["cohort"]: r["n_events"] for r in out.collect()}
+    batch = (
+        ev.join(dim, "user_id", "left")
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_events"))
+    )
+    want = {r["cohort"]: r["n_events"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_sessionize_matches_batch_gap_sessions(spark):
+    """applyInPandasWithState sessionization equals the batch lag +
+    cumulative-boundary-sum formulation (operators/relational.py) on the
+    bounded fixture: same (user, start, end, count) session set."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.relational import sessionize
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stateful_sessionize,
+    )
+
+    out = stateful_sessionize(spark, SF_SMOKE, gap_s=1800)
+    got = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in out.collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        sessionize(ev, "user_id", "ts", gap_minutes=30, id_col="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.col("ts").cast("bigint")).alias("session_start_s"),
+            F.max(F.col("ts").cast("bigint")).alias("session_end_s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_stateful_streaming_counts_match_batch(spark):
     """applyInPandasWithState running totals: event counts per user equal
     the batch groupBy on the bounded fixture."""

@@ -49,6 +49,7 @@ from .similarity import (
 )
 from .text import (
     bpe_tokens,
+    chunk_documents,
     fingerprint,
     language_id,
     quality_stats,
@@ -97,5 +98,6 @@ __all__ = [
     "text_profile",
     "token_count",
     "tokens",
+    "chunk_documents",
     "winnow_fingerprints",
 ]

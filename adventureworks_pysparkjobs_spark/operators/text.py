@@ -170,6 +170,57 @@ def winnow_fingerprints(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the unit of
+    work for embedding/training pipelines (context-window packing).
+
+    Chunk ``i`` starts at token ``1 + i*(chunk_tokens - overlap)``; every
+    chunk is full-length except possibly the last, and a chunk is emitted
+    only if it extends past the previous one, so each token appears in at
+    least one chunk and the token stream is reconstructible by dropping
+    the first ``overlap`` tokens of every chunk after the first.
+
+    Scale shape: chunk boundaries, ids, and texts are built per-row inside
+    one Catalyst projection (sequence → transform → slice/array_join), and
+    only then exploded — each output row carries just its own chunk text,
+    so memory per input row stays O(doc length), not O(chunks × doc
+    length). Zero shuffles, zero Python.
+
+    Output: (id_col, chunk_id, start_token, chunk_text, n_chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    last_start = F.when(n > chunk_tokens, n - chunk_tokens + stride).otherwise(
+        F.lit(1)
+    )
+    starts = F.when(
+        n > 0, F.sequence(F.lit(1), last_start, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - F.lit(1)) / F.lit(stride)).cast("int").alias("chunk_id"),
+            s.cast("int").alias("start_token"),
+            F.array_join(F.slice(t, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s + 1)
+            .cast("int")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        id_col, "_c.*"
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The full per-document text-feature frame in ONE narrow plan:
     quality metrics + language-ID scores/argmax + fingerprints + BPE token

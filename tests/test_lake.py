@@ -1,0 +1,126 @@
+"""Lake maintenance operators: compaction, clustered writes, incremental
+partition refresh (sinks/maintenance.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.sinks.maintenance import (
+    clustered_write,
+    compact_lake_table,
+    directory_bytes,
+    refresh_partitions,
+)
+from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _content_hash(df):
+    """Order-insensitive content digest: sum of per-row xxhash64 over all
+    columns (cast to string for type stability)."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    return df.agg(
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
+    ).collect()[0][0]
+
+
+def _data_files(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    path = str(tmp_path / "li")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.repartition(16).write.parquet(path)
+    assert len(_data_files(path)) == 16
+    before = _content_hash(spark.read.parquet(path))
+    total = directory_bytes(path)
+    assert total > 0
+
+    n = compact_lake_table(spark, path, target_file_bytes=total * 2)
+    assert n == 1
+    assert len(_data_files(path)) == 1
+    assert _content_hash(spark.read.parquet(path)) == before
+
+
+def test_clustered_write_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "docs")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    clustered_write(docs, path, cluster_by=["doc_id"], n_files=4)
+    files = _data_files(path)
+    assert len(files) == 4
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("doc_id")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2, f"file key ranges overlap: {ranges}"
+
+    # every row still present
+    assert (
+        _content_hash(spark.read.parquet(path))
+        == _content_hash(docs)
+    )
+
+
+def test_refresh_partitions_touches_only_changed(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    refresh_partitions(ev, path, partition_by="event_type")
+
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    changed, kept = types[0], types[1]
+    untouched_before = {
+        f: os.stat(f).st_mtime_ns
+        for f in _data_files(path)
+        if f"event_type={changed}" not in f
+    }
+
+    delta = ev.filter(F.col("event_type") == changed).withColumn(
+        "value", F.col("value") * 2
+    )
+    refresh_partitions(delta, path, partition_by="event_type")
+
+    untouched_after = {
+        f: os.stat(f).st_mtime_ns
+        for f in _data_files(path)
+        if f"event_type={changed}" not in f
+    }
+    assert untouched_after == untouched_before
+
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    want_changed = _content_hash(
+        delta.select("event_id", "user_id", "value")
+    )
+    got_changed = _content_hash(
+        got.filter(F.col("event_type") == changed).select(
+            "event_id", "user_id", "value"
+        )
+    )
+    assert got_changed == want_changed
+    want_kept = _content_hash(
+        ev.filter(F.col("event_type") == kept).select("event_id", "value")
+    )
+    got_kept = _content_hash(
+        got.filter(F.col("event_type") == kept).select("event_id", "value")
+    )
+    assert got_kept == want_kept

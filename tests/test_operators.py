@@ -321,6 +321,75 @@ def test_winnow_fingerprints_match_reference(spark):
     assert got[4][0] == []
 
 
+def test_chunk_documents_matches_duckdb(spark, duck):
+    """Token-window chunking equals a generate_series formulation in
+    DuckDB: same chunk ids, boundaries, and reassembled chunk texts."""
+    from adventureworks_pysparkjobs_spark.operators.text import chunk_documents
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import compare_frames
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    c, stride = 16, 12
+    oracle = duck.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), sized AS (
+          SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        )
+        , starts AS (
+          SELECT doc_id, t, n,
+                 unnest(generate_series(
+                   1,
+                   CASE WHEN n > {c} THEN n - {c} + {stride} ELSE 1 END,
+                   {stride})) AS s
+          FROM sized
+        )
+        SELECT doc_id,
+               CAST((s - 1) // {stride} AS INT) AS chunk_id,
+               CAST(s AS INT) AS start_token,
+               array_to_string(t[s:s+{c}-1], ' ') AS chunk_text,
+               CAST(LEAST({c}, n - s + 1) AS INT) AS n_chunk_tokens
+        FROM starts
+        """
+    )
+    assert compare_frames(out, oracle) == []
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Every tokenized doc is exactly reassembled by concatenating its
+    chunks minus the overlap prefix; chunk ids are dense from 0."""
+    from collections import defaultdict
+
+    from adventureworks_pysparkjobs_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    overlap = 4
+    rows = chunk_documents(docs, chunk_tokens=16, overlap=overlap).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    want = {
+        r["doc_id"]: r["text"].split()
+        for r in docs.select("doc_id", "text").collect()
+        if r["text"] and r["text"].split()
+    }
+    assert set(by_doc) == set(want)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in chunks] == list(range(len(chunks)))
+        rec = chunks[0]["chunk_text"].split()
+        for r in chunks[1:]:
+            rec += r["chunk_text"].split()[overlap:]
+        assert rec == want[d]
+        assert all(r["n_chunk_tokens"] == len(r["chunk_text"].split()) for r in chunks)
+
+
 def test_upsert_snapshot(spark):
     from adventureworks_pysparkjobs_spark.operators.relational import (
         upsert_snapshot,

@@ -138,3 +138,38 @@ def test_partitioned_lake_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "order_year" in plan.split(
         "PartitionFilters"
     )[1][:120], "partition filter did not reach the scan"
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """A selective filter on the dim side of a shuffle join injects a
+    runtime bloom filter (might_contain over the join key) into the fact
+    side's scan stage, pruning fact rows BEFORE the shuffle. At real
+    scale this fires out of the box (application-side threshold 10 GB);
+    the toy fact is below it, so the thresholds are lowered here only to
+    assert the mechanism is available and planned."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    od = load_table(spark, SF_SMOKE, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = li.join(
+            od.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == od.o_orderkey,
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan, f"no runtime bloom filter:\n{plan[:1500]}"
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )

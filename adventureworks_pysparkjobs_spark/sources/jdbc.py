@@ -76,6 +76,20 @@ def pk_bounds(
     return int(bounds["lo"]), int(bounds["hi"])
 
 
+def incremental_subquery(
+    dbtable: str, watermark_col: str, last_seen: str | int
+) -> str:
+    """Pushdown subquery reading only rows whose ingest watermark moved
+    past the last completed run — the incremental alternative to the
+    reference's full-table re-read per run (db_to_parquet.py:156-165).
+    Every AdventureWorks table carries a ``modifieddate`` watermark column
+    (reference schemas, db_to_parquet.py:29-144), which is the intended
+    ``watermark_col``; the returned string drops into Spark's ``dbtable``
+    option so the filter runs database-side."""
+    lit = f"'{last_seen}'" if isinstance(last_seen, str) else str(last_seen)
+    return f"(SELECT * FROM {dbtable} WHERE {watermark_col} > {lit}) inc"
+
+
 def read_jdbc_table(
     spark: SparkSession,
     cfg: JdbcConfig,
@@ -102,3 +116,28 @@ def read_jdbc_table(
             **partition_options(pk_col, lo, hi, num_partitions)
         )
     return reader.load()
+
+
+def read_jdbc_increment(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    dbtable: str,
+    schema: StructType,
+    watermark_col: str,
+    last_seen: str | int,
+    pk_col: str | None = None,
+    num_partitions: int = 16,
+) -> DataFrame:
+    """Incremental JDBC ingest: read only rows with
+    ``watermark_col > last_seen`` (filtered database-side via a pushdown
+    subquery), still schema-pinned and optionally range-partitioned. The
+    caller lands the increment with ``sinks.maintenance.refresh_partitions``
+    to replace only touched partitions."""
+    return read_jdbc_table(
+        spark,
+        cfg,
+        incremental_subquery(dbtable, watermark_col, last_seen),
+        schema,
+        pk_col=pk_col,
+        num_partitions=num_partitions,
+    )

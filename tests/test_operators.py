@@ -115,6 +115,23 @@ class TestJdbcOptions:
         with pytest.raises(ValueError):
             partition_options("id", 10, 1, 4)
 
+    def test_incremental_subquery(self):
+        from adventureworks_pysparkjobs_spark.sources.jdbc import (
+            incremental_subquery,
+        )
+
+        q = incremental_subquery(
+            "sales.salesorderheader", "modifieddate", "2014-01-01 00:00:00"
+        )
+        assert q == (
+            "(SELECT * FROM sales.salesorderheader"
+            " WHERE modifieddate > '2014-01-01 00:00:00') inc"
+        )
+        assert (
+            incremental_subquery("t", "version_id", 42)
+            == "(SELECT * FROM t WHERE version_id > 42) inc"
+        )
+
 
 class TestMultimodal:
     def _media(self, spark):

@@ -102,6 +102,47 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     assert got == want
 
 
+def test_checkpoint_resume_processes_new_files_exactly_once(spark, tmp_path):
+    """Exactly-once incremental processing: after a first bounded run,
+    adding a new source file and re-running with the SAME checkpoint
+    lands only the new rows — nothing reprocessed, nothing missed."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        EVENTS_FILE_SCHEMA,
+        read_events_stream,
+        stream_to_parquet,
+    )
+
+    # Build an arrival-simulating source dir from the raw fixture (pinned
+    # long-nanos schema, so the stream reader's contract is unchanged).
+    raw = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(
+        f"{SF_SMOKE}/events.parquet"
+    )
+    half1 = raw.filter(F.col("event_id") % 2 == 0)
+    half2 = raw.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    out_dir = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(str(tmp_path / "h1"))
+    half2.coalesce(1).write.parquet(str(tmp_path / "h2"))
+    src.mkdir()
+    for f in (tmp_path / "h1").glob("part-*.parquet"):
+        f.rename(src / "events-000.parquet")
+    stream_to_parquet(read_events_stream(spark, str(src)), out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == half1.count()
+
+    for f in (tmp_path / "h2").glob("part-*.parquet"):
+        f.rename(src / "events-001.parquet")
+    stream_to_parquet(read_events_stream(spark, str(src)), out_dir, ckpt)
+
+    landed = spark.read.parquet(out_dir)
+    assert landed.count() == raw.count()  # nothing duplicated or dropped
+    got = sorted(r["event_id"] for r in landed.select("event_id").collect())
+    want = sorted(r["event_id"] for r in raw.select("event_id").collect())
+    assert got == want
+
+
 def test_stream_static_join_enriched_counts(spark):
     """Stream-static broadcast join: cohort counts equal the batch
     left-join + groupBy on the bounded fixture."""

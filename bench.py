@@ -64,10 +64,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
-        # best-of-2: single-JVM local timings are noisy (GC, page cache,
+        # best-of-3: single-JVM local timings are noisy (GC, page cache,
         # sibling processes); the minimum is the steady-state estimate.
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.builder(spark, sf_dir)
             n = materialize(df)

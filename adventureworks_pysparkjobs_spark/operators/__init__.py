@@ -40,6 +40,8 @@ from .sampling import (
     hash_bucket,
     train_test_split_col,
 )
+from .packing import pack_sequences
+from .profile import profile_table
 from .similarity import (
     ann_topk_lsh,
     cosine_near_dup_pairs,
@@ -99,5 +101,7 @@ __all__ = [
     "token_count",
     "tokens",
     "chunk_documents",
+    "pack_sequences",
+    "profile_table",
     "winnow_fingerprints",
 ]

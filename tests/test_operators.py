@@ -407,6 +407,82 @@ def test_chunk_documents_reconstruction(spark):
         assert all(r["n_chunk_tokens"] == len(r["chunk_text"].split()) for r in chunks)
 
 
+def test_profile_table_matches_duckdb(spark, duck):
+    """One-pass per-column profile (exact-distinct mode) equals the
+    hand-written DuckDB column aggregates."""
+    from adventureworks_pysparkjobs_spark.operators.profile import profile_table
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import compare_frames
+
+    cols = ["o_orderkey", "o_orderpriority", "o_orderdate"]
+    out = profile_table(
+        load_table(spark, SF_ORACLE, "orders"), columns=cols, exact_distinct=True
+    )
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*)
+                 AS null_fraction,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in cols
+    )
+    assert compare_frames(out, duck.sql(per_col)) == []
+
+
+def test_profile_table_skips_minmax_on_complex_types(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import profile_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    prof = {r["column"]: r for r in profile_table(emb).collect()}
+    vec_col = next(
+        f.name for f in emb.schema.fields
+        if isinstance(f.dataType, T.ArrayType)
+    )
+    assert prof[vec_col]["min_value"] is None
+    assert prof[vec_col]["n_distinct"] > 0
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy sequence packing: every chunk assigned exactly once, no
+    sequence exceeds the budget (unless a single oversized chunk), dense
+    positions, and assignments independent of input partitioning."""
+    from collections import defaultdict
+
+    from adventureworks_pysparkjobs_spark.operators.packing import pack_sequences
+    from adventureworks_pysparkjobs_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    budget = 64
+    rows = pack_sequences(chunks, max_tokens=budget, n_buckets=8).collect()
+    base = chunks.collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"])  # noqa: E731
+    assert len(rows) == len(base)
+    assert {key(r) for r in rows} == {key(r) for r in base}
+
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r["seq_id"]].append(r)
+    for rs in seqs.values():
+        rs.sort(key=lambda r: r["seq_pos"])
+        assert [r["seq_pos"] for r in rs] == list(range(len(rs)))
+        total = sum(r["n_chunk_tokens"] for r in rs)
+        assert total <= budget or len(rs) == 1
+
+    again = pack_sequences(
+        chunks.repartition(7), max_tokens=budget, n_buckets=8
+    ).collect()
+    assert {key(r): (r["seq_id"], r["seq_pos"]) for r in rows} == {
+        key(r): (r["seq_id"], r["seq_pos"]) for r in again
+    }
+
+
 def test_upsert_snapshot(spark):
     from adventureworks_pysparkjobs_spark.operators.relational import (
         upsert_snapshot,

@@ -215,3 +215,53 @@ def test_text_profile_equals_composed_operators(spark):
         "doc_id", F.size(TX.bpe_tokens("text")).cast("int").alias("n_bpe")
     ).collect():
         assert prof[r["doc_id"]]["n_bpe_tokens"] == r["n_bpe"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c\t.x", min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk_tokens=st.integers(min_value=2, max_value=10),
+    overlap_seed=st.integers(min_value=0, max_value=1_000),
+)
+def test_chunk_documents_property(spark, texts, chunk_tokens, overlap_seed):
+    """Chunking on random whitespace-y strings equals the direct Python
+    reference for arbitrary (chunk_tokens, overlap) incl. edge cases:
+    empty docs, doc shorter than one chunk, stride-1 maximal overlap."""
+    from adventureworks_pysparkjobs_spark.operators.text import chunk_documents
+
+    overlap = overlap_seed % chunk_tokens  # any 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            df, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    )
+
+    want = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        starts = [1]
+        while starts[-1] + chunk_tokens - 1 < n:
+            starts.append(starts[-1] + stride)
+        for cid, s in enumerate(starts):
+            want.append(
+                (
+                    i,
+                    cid,
+                    s,
+                    " ".join(toks[s - 1 : s - 1 + chunk_tokens]),
+                    min(chunk_tokens, n - s + 1),
+                )
+            )
+    assert got == sorted(want)

@@ -123,6 +123,50 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_profile(load_table(spark, sf_dir, "documents"))
 
 
+_CHUNK, _CHUNK_OVERLAP = 32, 8
+_STRIDE = _CHUNK - _CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), starts AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(
+               1,
+               CASE WHEN n > {_CHUNK} THEN n - {_CHUNK} + {_STRIDE} ELSE 1 END,
+               {_STRIDE})) AS s
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_id,
+           CAST(s AS INT) AS start_token,
+           array_to_string(t[s:s+{_CHUNK}-1], ' ') AS chunk_text,
+           CAST(LEAST({_CHUNK}, n - s + 1) AS INT) AS n_chunk_tokens
+    FROM starts
+    """,
+    tags=("text", "chunking", "explode", "llm"),
+    bench=True,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the unit of work for embedding/training
+    pipelines: overlapping 32-token windows with stride 24, every token in
+    at least one chunk, stream reconstructible by dropping each chunk's
+    overlap prefix. operators/text.py chunk_documents builds boundaries,
+    ids and chunk texts per-row inside one Catalyst projection BEFORE the
+    explode (memory stays O(doc), not O(chunks x doc)); zero shuffles,
+    zero Python."""
+    return TX.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
 @query(
     "doc_ngram_jaccard_pairs",
     oracle=f"""

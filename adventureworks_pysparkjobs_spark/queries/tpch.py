@@ -566,25 +566,6 @@ def outer_join_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cross_join_segment_region",
-    oracle="""
-    SELECT r.r_name, s.seg FROM region r
-    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
-    """,
-    tags=("join", "cross"),
-)
-def cross_join_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-dimensional cross join (the only safe kind at scale)."""
-    rg = load_table(spark, sf_dir, "region").select("r_name")
-    seg = (
-        load_table(spark, sf_dir, "customer")
-        .select(F.col("c_mktsegment").alias("seg"))
-        .distinct()
-    )
-    return rg.crossJoin(F.broadcast(seg))
-
-
-@query(
     "range_join_late_ship",
     oracle="""
     SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_late_lines
@@ -656,7 +637,8 @@ def top_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "setops_nations",
     oracle="""
-    SELECT 'union' AS op, nationkey FROM (
+    SELECT 'union' AS op, CAST(nationkey AS VARCHAR) AS lhs,
+           CAST(NULL AS VARCHAR) AS rhs FROM (
       SELECT n_nationkey AS nationkey FROM nation n
       WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
       UNION
@@ -664,24 +646,34 @@ def top_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
     )
     UNION ALL
-    SELECT 'except' AS op, nationkey FROM (
+    SELECT 'except' AS op, CAST(nationkey AS VARCHAR) AS lhs,
+           CAST(NULL AS VARCHAR) AS rhs FROM (
       SELECT DISTINCT c_nationkey AS nationkey FROM customer
       EXCEPT
       SELECT DISTINCT s_nationkey AS nationkey FROM supplier
     )
     UNION ALL
-    SELECT 'intersect' AS op, nationkey FROM (
+    SELECT 'intersect' AS op, CAST(nationkey AS VARCHAR) AS lhs,
+           CAST(NULL AS VARCHAR) AS rhs FROM (
       SELECT DISTINCT c_nationkey AS nationkey FROM customer
       INTERSECT
       SELECT DISTINCT s_nationkey AS nationkey FROM supplier
     )
+    UNION ALL
+    SELECT 'cross' AS op, r.r_name AS lhs, s.seg AS rhs
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
     """,
-    tags=("setop", "union", "except", "intersect", "in"),
+    tags=("setop", "union", "except", "intersect", "in", "join", "cross"),
 )
 def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The set-operation family in one tagged union: UNION (distinct) of
+    """The set-operation family in one tagged union — UNION (distinct) of
     two IN-subquery-filtered sides, EXCEPT (nations with customers but no
-    suppliers), INTERSECT (nations on both market sides)."""
+    suppliers), INTERSECT (nations on both market sides) — plus the
+    small-dimensional cross join (the only safe kind at scale) as a
+    'cross'-tagged rider: region × distinct market segments, broadcast so
+    the plan is a BroadcastNestedLoopJoin of two tiny sides, never a
+    shuffled CartesianProduct."""
     na = load_table(spark, sf_dir, "nation")
     cu = load_table(spark, sf_dir, "customer")
     su = load_table(spark, sf_dir, "supplier")
@@ -699,10 +691,34 @@ def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exc = cu_nk.subtract(su_nk)  # EXCEPT (distinct) semantics, not EXCEPT ALL
     its = cu_nk.intersect(su_nk)
+    none_s = F.lit(None).cast("string")
+
+    def side(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("nationkey").cast("string").alias("lhs"),
+            none_s.alias("rhs"),
+        )
+
+    cross = (
+        load_table(spark, sf_dir, "region")
+        .select("r_name")
+        .crossJoin(
+            F.broadcast(
+                cu.select(F.col("c_mktsegment").alias("seg")).distinct()
+            )
+        )
+        .select(
+            F.lit("cross").alias("op"),
+            F.col("r_name").alias("lhs"),
+            F.col("seg").alias("rhs"),
+        )
+    )
     return (
-        trading.select(F.lit("union").alias("op"), "nationkey")
-        .unionByName(exc.select(F.lit("except").alias("op"), "nationkey"))
-        .unionByName(its.select(F.lit("intersect").alias("op"), "nationkey"))
+        side(trading, "union")
+        .unionByName(side(exc, "except"))
+        .unionByName(side(its, "intersect"))
+        .unionByName(cross)
     )
 
 
@@ -770,22 +786,31 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
            CAST(date_diff('day', CAST(o_orderdate AS DATE),
                 CAST(LEAD(o_orderdate) OVER w AS DATE)) AS INTEGER)
-               AS days_to_next
+               AS days_to_next,
+           CAST(RANK() OVER wd AS INTEGER) AS rnk_day,
+           CAST(DENSE_RANK() OVER wd AS INTEGER) AS drnk_day,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
            wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wd AS (PARTITION BY o_custkey ORDER BY o_orderdate)
     """,
-    tags=("window", "running", "lag", "lead", "first_value"),
+    tags=("window", "running", "lag", "lead", "first_value", "rank", "ntile"),
 )
 def window_order_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-key sequence window family on one shuffle + one sort:
+    """The per-key window-function family on one shuffle + one sort:
     running total, row_number, lag delta, lead successor, first_value,
-    inter-order gap days. (lag/lead share the unframed spec w; the running
-    sum uses the framed twin wf — Spark rejects lag over a framed spec.)"""
+    inter-order gap days, rank/dense_rank (over date only, so same-day
+    orders produce real ties — rank != row_number is actually exercised)
+    and ntile quartiles. lag/lead share the unframed spec w; the running
+    sum uses the framed twin wf (Spark rejects lag over a framed spec);
+    wd's date-only sort is a prefix of w's, so no extra sort is planned —
+    all three specs share one partition-key exchange."""
     od = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     price = dec("o_totalprice", 12, 2)
     next_date = F.lead("o_orderdate").over(w)
     return od.select(
@@ -799,32 +824,8 @@ def window_order_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(next_date.cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_next"
         ),
-    )
-
-
-@query(
-    "window_rank_nation_acctbal",
-    oracle=f"""
-    SELECT c_nationkey, c_custkey,
-           CAST(RANK() OVER w AS INTEGER) AS rnk,
-           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
-           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS {D}) DESC, c_custkey)
-    """,
-    tags=("window", "rank", "ntile"),
-)
-def window_rank_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile over per-nation account balances."""
-    cu = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        dec("c_acctbal", 12, 2).desc(), F.col("c_custkey")
-    )
-    return cu.select(
-        "c_nationkey",
-        "c_custkey",
-        F.rank().over(w).cast("int").alias("rnk"),
-        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.rank().over(wd).cast("int").alias("rnk_day"),
+        F.dense_rank().over(wd).cast("int").alias("drnk_day"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
 
@@ -955,4 +956,47 @@ def grouping_sets_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
         """,
         sf_dir=sf_dir,
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality profiling
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "orders_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*)
+                 AS null_fraction,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+    tags=("profile", "agg", "distinct", "minmax"),
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table — per-column row/null
+    counts, null fraction, exact distinct cardinality and min/max — in ONE
+    aggregation pass over the scan (operators/profile.py builds a single
+    agg of 4x4 measures, then explodes a struct array into the long
+    run-over-run diffable layout). Exact distinct here because the driver
+    oracle demands determinism; the scale default (exact_distinct=False)
+    swaps in one-pass HLL++ sketches, accuracy unit-tested separately.
+    min/max are cast to VARCHAR only on engine-stable renderings
+    (ints, strings, dates) — never doubles."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"),
+        columns=list(_PROFILE_COLS),
+        exact_distinct=True,
     )

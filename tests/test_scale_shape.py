@@ -16,7 +16,7 @@ from .conftest import SF_SMOKE
 # Queries allowed to contain a broadcast nested-loop/cartesian by design
 # (deliberate small-side cross joins).
 CROSS_OK = {
-    "cross_join_segment_region",
+    "setops_nations",  # deliberate broadcast cross rider (region x segments)
     "top_orders_above_avg",
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",

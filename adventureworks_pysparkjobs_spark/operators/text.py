@@ -143,31 +143,38 @@ def winnow_fingerprints(
     fingerprint sets. Output: (doc_id, fingerprints array<string>,
     n_fingerprints) with fingerprints sorted + deduped.
     """
-    c = F.col(text_col)
+    df2 = df.select("doc_id", _winnow_grams(F.col(text_col), k).alias("_g"))
+    fp = _winnow_fp(F.col("_g"), window)
+    return df2.select(
+        "doc_id",
+        fp.alias("fingerprints"),
+        F.size(fp).cast("int").alias("n_fingerprints"),
+    )
+
+
+def _winnow_grams(c, k: int):
+    """hashes[i] = md5(substr(text, i, k)), for i in 1 .. len-k+1."""
     n = F.length(c)
-    # hashes[i] = md5(substr(text, i, k)), for i in 1 .. len-k+1
-    grams = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.md5(F.substr(c, i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    df2 = df.select("doc_id", grams.alias("_g"))
-    # windows of `window` consecutive hashes -> min each -> distinct, sorted
+
+
+def _winnow_fp(g, window: int):
+    """Windows of `window` consecutive k-gram hashes -> min each ->
+    distinct, sorted: the winnowing fingerprint set."""
     mins = F.when(
-        F.size(F.col("_g")) >= window,
+        F.size(g) >= window,
         F.transform(
-            F.sequence(F.lit(1), F.size(F.col("_g")) - (window - 1)),
-            lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
+            F.sequence(F.lit(1), F.size(g) - (window - 1)),
+            lambda i: F.array_min(F.slice(g, i, window)),
         ),
-    ).otherwise(F.col("_g"))
-    fp = F.array_sort(F.array_distinct(mins))
-    return df2.select(
-        "doc_id",
-        fp.alias("fingerprints"),
-        F.size(fp).cast("int").alias("n_fingerprints"),
-    )
+    ).otherwise(g)
+    return F.array_sort(F.array_distinct(mins))
 
 
 def chunk_documents(
@@ -223,11 +230,13 @@ def chunk_documents(
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The full per-document text-feature frame in ONE narrow plan:
-    quality metrics + language-ID scores/argmax + fingerprints + BPE token
-    count. No joins — every column is a per-row expression over the same
-    scan, so at 100 TB this is a single pass over the corpus (the
-    composed-operator version would re-read it four times or shuffle-join
-    four frames)."""
+    quality metrics + language-ID scores/argmax + fingerprints (content
+    hash, 1-hash MinHash, winnowing summary) + BPE token count. No joins —
+    every column is a per-row expression over the same scan, so at 100 TB
+    this is a single pass over the corpus (the composed-operator version
+    would re-read it five times or shuffle-join five frames). The winnow
+    gram/fingerprint arrays are bound as named intermediates so codegen
+    computes each once per row, then projects them away."""
     c = F.col(text_col)
     t = tokens(text_col)
     n_chars = F.length(c)
@@ -239,7 +248,9 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     normalized = F.regexp_replace(
         F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
     )
-    staged = df.select(
+    staged = df.withColumn("_wg", _winnow_grams(c, 8)).withColumn(
+        "_wfp", _winnow_fp(F.col("_wg"), 4)
+    ).select(
         "doc_id",
         n_chars.cast("int").alias("n_chars"),
         n_tokens.cast("int").alias("n_tokens"),
@@ -258,6 +269,8 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_min(
             F.transform(shingles(c, 3), lambda s: F.md5(s))
         ).alias("min_shingle_hash"),
+        F.array_min(F.col("_wfp")).alias("min_winnow_fp"),
+        F.size(F.col("_wfp")).cast("int").alias("n_winnow_fp"),
         F.size(bpe_tokens(text_col)).cast("int").alias("n_bpe_tokens"),
     )
     langs = sorted(LANG_MARKERS)

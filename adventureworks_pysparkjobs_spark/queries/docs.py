@@ -81,7 +81,24 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS score_fr
       FROM q
     ),
-    fp AS (SELECT id, MIN(md5(shingle)) AS min_h FROM sh GROUP BY id)
+    fp AS (SELECT id, MIN(md5(shingle)) AS min_h FROM sh GROUP BY id),
+    wg AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) >= 8
+                  THEN list_transform(range(1, LENGTH(text) - 6),
+                                      i -> md5(text[i:i+7]))
+                  ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM documents
+    ),
+    wfp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               CASE WHEN len(g) >= 4
+                    THEN list_transform(range(1, len(g) - 2),
+                                        i -> list_min(g[i:i+3]))
+                    ELSE g END)) AS fp
+      FROM wg
+    )
     SELECT q.doc_id,
            CAST(q.n_chars AS INTEGER) AS n_chars,
            CAST(len(q.toks) AS INTEGER) AS n_tokens,
@@ -99,6 +116,8 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(trim(regexp_replace(regexp_replace(lower(q.text),
                '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_sha256,
            fp.min_h AS min_shingle_hash,
+           list_min(wfp.fp) AS min_winnow_fp,
+           CAST(len(wfp.fp) AS INTEGER) AS n_winnow_fp,
            CAST(len(regexp_extract_all(q.text,
                $$'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$))
                AS INTEGER) AS n_bpe_tokens,
@@ -110,16 +129,20 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM q
     JOIN s ON q.doc_id = s.doc_id
     LEFT JOIN fp ON q.doc_id = fp.id
+    JOIN wfp ON q.doc_id = wfp.doc_id
     """,
-    tags=("text", "quality", "langid", "fingerprint", "tokenize", "bpe"),
+    tags=("text", "quality", "langid", "fingerprint", "winnow",
+          "tokenize", "bpe"),
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-feature surface in one single-scan query:
     quality metrics (char/token/punct/stopword/distinct), language-ID
     marker scores + deterministic argmax, normalized-content SHA-256 +
-    1-hash MinHash shingle fingerprint, and the GPT-2-style BPE token
-    count (the unit LLM token budgets count). operators/text.py
-    text_profile — all per-row Catalyst expressions, zero joins."""
+    1-hash MinHash shingle fingerprint + winnowing fingerprint summary
+    (Schleimer et al. SIGMOD'03 — count and min of the winnow-selected
+    k-gram hash set), and the GPT-2-style BPE token count (the unit LLM
+    token budgets count). operators/text.py text_profile — all per-row
+    Catalyst expressions, zero joins."""
     return TX.text_profile(load_table(spark, sf_dir, "documents"))
 
 

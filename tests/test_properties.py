@@ -215,6 +215,12 @@ def test_text_profile_equals_composed_operators(spark):
         "doc_id", F.size(TX.bpe_tokens("text")).cast("int").alias("n_bpe")
     ).collect():
         assert prof[r["doc_id"]]["n_bpe_tokens"] == r["n_bpe"]
+    for r in TX.winnow_fingerprints(doc).collect():
+        p = prof[r["doc_id"]]
+        assert p["n_winnow_fp"] == r["n_fingerprints"]
+        assert p["min_winnow_fp"] == (
+            min(r["fingerprints"]) if r["fingerprints"] else None
+        )
 
 
 @settings(max_examples=6, deadline=None)

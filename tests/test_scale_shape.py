@@ -173,3 +173,31 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_doc_chunks_is_shuffle_free_single_scan(spark):
+    """Context-window chunking must be one scan + project + explode:
+    no Exchange, no aggregation — chunk texts are built per-row BEFORE
+    the explode, so nothing ever shuffles."""
+    plan = physical_plan(CATALOG["doc_chunks"].builder(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan[:1200]
+    assert plan.count("Scan parquet") == 1, plan[:1200]
+    assert "HashAggregate" not in plan, plan[:1200]
+
+
+def test_window_family_shares_one_exchange(spark):
+    """All three window specs of window_order_sequences (unframed, framed,
+    date-only) partition on o_custkey; the date-only sort is a prefix of
+    the full sort, so the whole family must plan exactly ONE Exchange."""
+    plan = physical_plan(
+        CATALOG["window_order_sequences"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_orders_profile_single_scan(spark):
+    """profile_table computes every per-column measure in one aggregation
+    pass: exactly one scan of the input, no joins."""
+    plan = physical_plan(CATALOG["orders_profile"].builder(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]

@@ -211,6 +211,55 @@ def enriched_counts(
     return run_to_memory(agg, "complete", spark)
 
 
+def stream_stream_attribution(
+    spark: SparkSession, sf_dir: str, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user within the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds click_ts to
+    a closed interval ending at purchase_ts — exactly what Structured
+    Streaming needs to size its join state: a click can be dropped from
+    state once the purchase-side watermark passes click_ts + horizon, so
+    state is O(events within the horizon), not O(stream history). The
+    join itself is a key-partitioned (user_id) symmetric hash join —
+    at scale each micro-batch shuffles only its new events.
+
+    Output: (purchase_id, user_id, purchase_ts, click_id, click_ts).
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    return run_to_memory(joined, "append", spark)
+
+
 def stateful_sessionize(
     spark: SparkSession, sf_dir: str, gap_s: int = 1800
 ) -> DataFrame:

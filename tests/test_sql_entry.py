@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from adventureworks_pysparkjobs_spark.queries import CATALOG
 from adventureworks_pysparkjobs_spark.sql import sql
 
@@ -222,3 +224,35 @@ def test_stateful_streaming_counts_match_batch(spark):
     )
     want = {r["user_id"]: r["count"] for r in batch}
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """The stream-stream clicks↔purchases interval join equals the same
+    interval join run in batch over the bounded fixture."""
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stream_stream_attribution,
+    )
+
+    out = stream_stream_attribution(spark, SF_SMOKE, horizon="30 minutes")
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(map(tuple, want.collect()))
+    assert len(exp) > 0
+    assert got == exp

@@ -10,7 +10,9 @@ from .asof import asof_join
 from .dedup import (
     dedup_clusters,
     dedup_keep_first,
+    dedup_spans,
     exact_dedup,
+    flag_contamination,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -65,7 +67,9 @@ __all__ = [
     "asof_join",
     "dedup_clusters",
     "dedup_keep_first",
+    "dedup_spans",
     "exact_dedup",
+    "flag_contamination",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",

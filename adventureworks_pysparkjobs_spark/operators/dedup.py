@@ -331,6 +331,114 @@ def simhash(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document span deduplication: slice every
+    document into non-overlapping ``span_tokens``-token spans, keep only
+    each span text's FIRST occurrence corpus-wide (first = smallest
+    (doc_id, span_no)), and reassemble each document from its surviving
+    spans. Removes boilerplate and copied passages that whole-document
+    dedup can't see.
+
+    Scale shape: spans are built per-row before the explode (O(doc)
+    memory, like chunk_documents). The keep-first winner per span text is
+    ``min(struct(doc_id, span_no))`` — an ordinary partial-aggregable
+    aggregate, so a boilerplate span occurring 10^9 times corpus-wide is
+    combined map-side instead of materializing one giant window partition
+    (the row_number formulation hot-spots exactly on the spans dedup is
+    FOR). The winner set then equi-joins back on span text; both sides
+    hash-partition on the same key, so AQE reuses the exchange.
+
+    Output: (id_col, text_dedup, n_spans_kept, n_spans_dropped); docs
+    with zero tokens are absent, docs whose every span was dropped come
+    back with text_dedup = ''.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    spans = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(span_tokens)),
+            lambda i: F.struct(
+                ((i - 1) / span_tokens).cast("int").alias("span_no"),
+                F.array_join(F.slice(t, i, span_tokens), " ").alias(
+                    "span_text"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<span_no:int,span_text:string>>"))
+    ex = df.select(id_col, F.explode(spans).alias("_s")).select(
+        id_col, "_s.*"
+    )
+    winners = ex.groupBy("span_text").agg(
+        F.min(F.struct(F.col(id_col).alias("id"), F.col("span_no"))).alias(
+            "_w"
+        )
+    )
+    flagged = ex.join(winners, "span_text").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_w.id"))
+        & (F.col("span_no") == F.col("_w.span_no")),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("span_no", "span_text", "_keep"))
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(ordered, lambda s: s["_keep"]),
+            lambda s: s["span_text"],
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        kept_text.alias("text_dedup"),
+        F.sum(F.col("_keep").cast("int")).cast("bigint").alias("n_spans_kept"),
+        (F.count("*") - F.sum(F.col("_keep").cast("int")))
+        .cast("bigint")
+        .alias("n_spans_dropped"),
+    )
+
+
+def flag_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing word
+    ``n``-grams with a benchmark/eval set (the standard guard against
+    training on test data).
+
+    The benchmark's distinct n-grams are broadcast (an eval suite is
+    tiny next to a 100 TB corpus — that asymmetry is the contract), so
+    the corpus side never shuffles: explode its distinct per-doc n-grams,
+    broadcast-hash-join, count hits per doc. Docs with no hit are kept
+    with n_contaminated = 0 via a left join from the corpus spine.
+
+    Output: (id_col, n_contaminated, contaminated) — one row per corpus
+    doc; ``contaminated`` = n_contaminated >= min_hits.
+    """
+    grams = F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+    bench_grams = benchmark.select(grams.alias("gram")).distinct()
+    doc_grams = corpus.select(F.col(id_col), grams.alias("gram"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_contaminated"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+
+
 def dedup_keep_first(
     df: DataFrame, keys: list[str], order_by: list[str]
 ) -> DataFrame:

@@ -532,3 +532,109 @@ class TestFileSources:
 
         with pytest.raises((NotImplementedError, Exception)):
             read_table(spark, str(tmp_path), fmt="delta")
+
+
+def test_dedup_spans_matches_duckdb(spark, duck):
+    """Cross-document span dedup (keep first occurrence corpus-wide,
+    reassemble) equals the row_number window formulation in DuckDB."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import dedup_spans
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import compare_frames
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = dedup_spans(docs, span_tokens=8)
+    oracle = duck.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), sized AS (
+          SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        ), spans AS (
+          SELECT doc_id, CAST((s - 1) // 8 AS INT) AS span_no,
+                 array_to_string(t[s:s+7], ' ') AS span_text
+          FROM (SELECT doc_id, t, n,
+                       unnest(generate_series(1, n, 8)) AS s
+                FROM sized)
+        ), win AS (
+          SELECT doc_id, span_no, span_text,
+                 ROW_NUMBER() OVER (PARTITION BY span_text
+                                    ORDER BY doc_id, span_no) AS rn
+          FROM spans
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                                   ' ' ORDER BY span_no), '') AS text_dedup,
+               COUNT(*) FILTER (WHERE rn = 1) AS n_spans_kept,
+               COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS n_spans_dropped
+        FROM win GROUP BY doc_id
+        """
+    )
+    assert compare_frames(out, oracle) == []
+
+
+def test_dedup_spans_removes_cross_doc_copy(spark):
+    """A span copied into a later document survives only in the first;
+    unique spans are untouched and order is preserved."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import dedup_spans
+
+    boiler = "a b c d"  # span_tokens=4 -> exactly one span
+    rows = [
+        (1, f"{boiler} u1 u2 u3 u4"),
+        (2, f"v1 v2 v3 v4 {boiler}"),
+        (3, "w1 w2 w3 w4"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_spans(df, span_tokens=4).collect()}
+    assert set(got) == {1, 2, 3}  # empty doc absent
+    assert got[1]["text_dedup"] == f"{boiler} u1 u2 u3 u4"
+    assert got[1]["n_spans_kept"] == 2 and got[1]["n_spans_dropped"] == 0
+    assert got[2]["text_dedup"] == "v1 v2 v3 v4"  # copied span dropped
+    assert got[2]["n_spans_kept"] == 1 and got[2]["n_spans_dropped"] == 1
+    assert got[3]["text_dedup"] == "w1 w2 w3 w4"
+
+
+def test_flag_contamination_matches_duckdb(spark, duck):
+    """Benchmark n-gram decontamination equals the DuckDB join
+    formulation: per-doc distinct contaminated 8-gram counts + flag."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        flag_contamination,
+    )
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import compare_frames
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    out = flag_contamination(docs, bench, n=8)
+    oracle = duck.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 list_aggregate(t[i:i+7], 'string_agg', ' ') AS gram
+          FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+          WHERE len(t) >= 8
+        ), bench AS (
+          SELECT DISTINCT gram FROM sh WHERE doc_id % 100 = 0
+        ), hits AS (
+          SELECT s.doc_id, COUNT(DISTINCT s.gram) AS n
+          FROM sh s JOIN bench b USING (gram) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n, 0) AS n_contaminated,
+               COALESCE(h.n, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        """
+    )
+    assert compare_frames(out, oracle) == []
+    flagged = {r["doc_id"] for r in out.filter("contaminated").collect()}
+    assert {0, 100, 200, 300, 400} <= flagged  # benchmark docs self-flag

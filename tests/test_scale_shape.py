@@ -201,3 +201,27 @@ def test_orders_profile_single_scan(spark):
     plan = physical_plan(CATALOG["orders_profile"].builder(spark, SF_SMOKE))
     assert plan.count("Scan parquet") == 1, plan[:1500]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_dedup_spans_avoids_window_hotspot(spark):
+    """Span keep-first must be the partial-aggregable min(struct) form,
+    not a row_number window over span_text (a boilerplate span would
+    materialize one giant window partition)."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import dedup_spans
+
+    plan = physical_plan(dedup_spans(load_table(spark, SF_SMOKE, "documents")))
+    assert "Window" not in plan, plan[:1200]
+
+
+def test_flag_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus side joins
+    without a shuffle (the whole point at 100 TB vs a tiny eval suite)."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        flag_contamination,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = physical_plan(
+        flag_contamination(docs, docs.filter(F.col("doc_id") % 100 == 0))
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1200]

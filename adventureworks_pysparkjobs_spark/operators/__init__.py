@@ -39,7 +39,9 @@ from .relational import (
 from .sampling import (
     cap_per_group,
     deterministic_sample,
+    deterministic_shuffle,
     hash_bucket,
+    mixture,
     train_test_split_col,
 )
 from .packing import pack_sequences
@@ -90,7 +92,9 @@ __all__ = [
     "upsert_snapshot",
     "cap_per_group",
     "deterministic_sample",
+    "deterministic_shuffle",
     "hash_bucket",
+    "mixture",
     "train_test_split_col",
     "ann_topk_lsh",
     "cosine_near_dup_pairs",

@@ -57,3 +57,49 @@ def cap_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "shuffle"
+) -> DataFrame:
+    """Reproducible global pseudo-random ordering — the pre-training
+    export shuffle: order the corpus by ``md5(salt || key)`` (tie-broken
+    on the key) so every run, engine, and input partitioning emits the
+    IDENTICAL order, yet the order is hash-random with respect to any
+    source/time locality in the data.
+
+    Catalyst plans this as a range-partitioned sort (sample the hash
+    distribution, range-shuffle, sort within partitions) — the scalable
+    global sort: no single reducer, and output files are contiguous hash
+    ranges that concatenate to the full order. Changing ``salt`` yields
+    an independent epoch permutation.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.orderBy(h, F.col(key_col))
+
+
+def mixture(
+    sources: dict[str, DataFrame],
+    rates: dict[str, float],
+    key_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted corpus mixture: deterministically subsample each named
+    source at its rate (``rates[name]`` is an absolute keep-fraction, not
+    a relative proportion), tag rows with the source name, and union.
+
+    Membership is auditable per row (hash of the key, salted by the
+    source name so the same document kept in one source is an independent
+    draw in another), stable across runs and partitionings — the property
+    corpus-mixture reproducibility actually requires. Sampling filters
+    push to each source's scan; the union is plan-level (no shuffle).
+    """
+    parts = [
+        deterministic_sample(df, key_col, rates[name], salt=f"mix:{name}")
+        .withColumn(source_col, F.lit(name))
+        for name, df in sorted(sources.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -638,3 +638,69 @@ def test_flag_contamination_matches_duckdb(spark, duck):
     assert compare_frames(out, oracle) == []
     flagged = {r["doc_id"] for r in out.filter("contaminated").collect()}
     assert {0, 100, 200, 300, 400} <= flagged  # benchmark docs self-flag
+
+
+def test_deterministic_shuffle_stable_and_partition_independent(spark):
+    """The export shuffle's global order equals the Python md5 reference
+    order, survives any input partitioning, and changes with the salt."""
+    import hashlib
+
+    from adventureworks_pysparkjobs_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    want = sorted(
+        (r["doc_id"] for r in docs.collect()),
+        key=lambda i: (
+            hashlib.md5(f"shuffle{i}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    got = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").collect()]
+    assert got == want
+    got7 = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs.repartition(7), "doc_id").collect()
+    ]
+    assert got7 == want
+    other = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs, "doc_id", salt="epoch2").collect()
+    ]
+    assert other != want and sorted(other) == sorted(want)
+
+
+def test_mixture_matches_duckdb(spark, duck):
+    """Weighted two-source mixture equals the DuckDB hash-bucket
+    formulation row-for-row (membership is engine-portable)."""
+    from adventureworks_pysparkjobs_spark.operators.sampling import mixture
+
+    from .conftest import SF_ORACLE
+    from .oracle_utils import compare_frames
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = mixture(
+        {
+            "even": docs.filter(F.col("doc_id") % 2 == 0),
+            "odd": docs.filter(F.col("doc_id") % 2 == 1),
+        },
+        {"even": 0.5, "odd": 0.25},
+        key_col="doc_id",
+    ).select("doc_id", "source")
+    oracle = duck.sql(
+        """
+        SELECT doc_id, 'even' AS source FROM documents
+        WHERE doc_id % 2 = 0
+          AND CAST('0x' || substring(md5('mix:even' || CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 65536 < CAST(0.5 * 65536 AS INTEGER)
+        UNION ALL
+        SELECT doc_id, 'odd' AS source FROM documents
+        WHERE doc_id % 2 = 1
+          AND CAST('0x' || substring(md5('mix:odd' || CAST(doc_id AS VARCHAR)), 1, 4)
+              AS INTEGER) % 65536 < CAST(0.25 * 65536 AS INTEGER)
+        """
+    )
+    assert compare_frames(out, oracle) == []
+    n = out.count()
+    assert 0 < n < docs.count()

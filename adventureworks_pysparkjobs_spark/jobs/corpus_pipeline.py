@@ -1,0 +1,147 @@
+"""End-to-end training-corpus pipeline: the LLM-data surface composed
+into one job, raw documents -> packed training sequences.
+
+This is the "a user could switch" demonstration for the extension
+operators (COVERAGE.md §2.10): every stage is one of the tested library
+operators, chained the way a 100 TB curation run would chain them, with
+every decision a pure function of content keys (reproducible across
+runs, partitionings and engines):
+
+1. C4-style quality filter        — pushdown row predicates, no shuffle
+2. exact dedup                    — one shuffle on the content digest
+3. cross-document span dedup      — partial-aggregable keep-first
+4. MinHash-LSH near-dup removal   — banded candidates, cluster rep = min id
+5. test-set decontamination       — benchmark n-grams broadcast (optional)
+6. weighted source mixture        — per-source salted hash sampling (optional)
+7. deterministic export shuffle   — range-partitioned sort on salted md5
+8. context-window chunking        — per-row build, then explode
+9. greedy sequence packing        — hash-bucketed first-fit, applyInPandas
+
+Shuffle budget of the whole pipeline: digest-groupBy (2), span agg+join
+(3-4), LSH bands (5), final sort (7), packing bucket exchange (9) — each
+keyed on content hashes (uniform, skew-free by construction). Stages 1,
+5, 6, 8 add none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..operators.dedup import (
+    dedup_clusters,
+    dedup_spans,
+    exact_dedup,
+    flag_contamination,
+    minhash_lsh_pairs,
+)
+from ..operators.packing import pack_sequences
+from ..operators.sampling import deterministic_shuffle, mixture
+from ..sources.corpus import load_table
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    max_punct_ratio: float = 0.2,
+    min_distinct_ratio: float = 0.05,
+) -> DataFrame:
+    """C4-style quality gate: token-count band, punctuation ceiling,
+    distinct-token floor. Pure row predicates — no shuffle, and the
+    token-count band prunes before any downstream work."""
+    t = TX.tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(text_col)
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ).cast("double") / n_chars
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    return df.filter(
+        n_tokens.between(min_tokens, max_tokens)
+        & (punct_ratio < max_punct_ratio)
+        & (distinct_ratio > min_distinct_ratio)
+    )
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: DataFrame | None = None,
+    rates: dict[str, float] | None = None,
+    span_tokens: int = 16,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    max_seq_tokens: int = 64,
+    shuffle_salt: str = "epoch0",
+) -> DataFrame:
+    """Run the full curation pipeline over ``{sf_dir}/documents.parquet``
+    and return packed training sequences: one row per chunk with
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens, source, seq_id,
+    seq_pos).
+
+    ``benchmark`` (optional) drops documents sharing 8-grams with an
+    eval set; ``rates`` (optional) subsamples per source before chunking
+    (keys = distinct values of the documents' ``source`` column).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = c4_quality_filter(docs)
+
+    # 2. exact dedup: survivor id per content digest, semi-join back.
+    survivors = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    kept = kept.join(survivors, "doc_id", "left_semi")
+
+    # 3. span dedup rewrites text to the surviving spans only. Documents
+    # reduced to nothing (pure boilerplate) fall out via the token floor.
+    # localCheckpoint truncates the lineage here: the deduped frame feeds
+    # FOUR consumers (LSH, anti-join, decontamination, chunking), which
+    # would otherwise each replay stages 1-3 (on a cluster this is the
+    # point to checkpoint to durable storage between pipeline phases).
+    spans = dedup_spans(kept, span_tokens=span_tokens)
+    kept = (
+        kept.drop("text")
+        .join(spans.select("doc_id", F.col("text_dedup").alias("text")), "doc_id")
+        .filter(F.size(TX.tokens("text")) >= 1)
+        .localCheckpoint()
+    )
+
+    # 4. near-dup removal: cluster representatives (min doc_id) survive.
+    pairs = minhash_lsh_pairs(kept)
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    kept = kept.join(losers, "doc_id", "left_anti")
+
+    # 5. decontamination against the eval set (broadcast probe join).
+    if benchmark is not None:
+        clean = flag_contamination(kept, benchmark, n=8).filter(
+            ~F.col("contaminated")
+        )
+        kept = kept.join(clean.select("doc_id"), "doc_id", "left_semi")
+
+    # 6. weighted source mixture (absolute keep-rates per source).
+    if rates is not None:
+        kept = mixture(
+            {
+                name: kept.filter(F.col("source") == name)
+                for name in sorted(rates)
+            },
+            rates,
+            key_col="doc_id",
+            source_col="mix_source",
+        ).drop("mix_source")
+
+    # 7-9. shuffle -> chunk -> pack. The shuffle orders documents; chunk
+    # explosion preserves per-document order; packing buckets by doc so
+    # a document's chunks land in the same/adjacent sequences. Second
+    # lineage cut: the survivor set is final here.
+    shuffled = deterministic_shuffle(
+        kept.localCheckpoint(), "doc_id", salt=shuffle_salt
+    )
+    chunks = TX.chunk_documents(
+        shuffled, chunk_tokens=chunk_tokens, overlap=overlap
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return pack_sequences(chunks, max_tokens=max_seq_tokens)

@@ -1,0 +1,68 @@
+"""End-to-end training-corpus pipeline: composition invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.jobs.corpus_pipeline import (
+    build_training_corpus,
+    c4_quality_filter,
+)
+from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_build_training_corpus_invariants(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = build_training_corpus(spark, SF_SMOKE, benchmark=bench).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    cols = set(out.columns)
+    assert {
+        "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens",
+        "source", "seq_id", "seq_pos",
+    } <= cols
+
+    # chunk/pack budgets hold
+    assert all(r["n_chunk_tokens"] <= 32 for r in rows)
+    seq_tot = (
+        out.groupBy("seq_id").agg(F.sum("n_chunk_tokens").alias("t")).collect()
+    )
+    assert all(r["t"] <= 64 for r in seq_tot)
+
+    # benchmark docs were decontaminated away (they self-match on 8-grams)
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    assert bench_ids.isdisjoint({r["doc_id"] for r in rows})
+
+    # every surviving doc passed the quality gate
+    quality_ids = {
+        r["doc_id"] for r in c4_quality_filter(docs).select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in rows} <= quality_ids
+    out.unpersist()
+
+
+def test_build_training_corpus_deterministic_and_mixable(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    rates = {s: 0.5 for s in srcs}
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                build_training_corpus(spark, SF_SMOKE, rates=rates)
+                .select("doc_id", "chunk_id", "chunk_text", "seq_id", "seq_pos")
+                .collect(),
+            )
+        )
+
+    a, b = run(), run()
+    assert a == b and len(a) > 0
+
+    # mixture at 0.5 keeps a strict subset of the quality-gated docs
+    n_docs_out = len({t[0] for t in a})
+    n_quality = c4_quality_filter(docs).count()
+    assert 0 < n_docs_out < n_quality

@@ -225,3 +225,45 @@ def test_flag_contamination_broadcasts_benchmark(spark):
         flag_contamination(docs, docs.filter(F.col("doc_id") % 100 == 0))
     )
     assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: a hot join key (1/3 of all rows) makes AQE
+    re-plan the sort-merge join with the skewed partition split into
+    subpartitions (skew=true in the final adaptive plan) — the engine's
+    answer to skewed 100 TB joins, complementing the explicit
+    salted_join. Thresholds are lowered to make toy data look skewed;
+    results must be identical either way."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())  # collect() finalizes THIS frame's adaptive plan
+        assert n == 300000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

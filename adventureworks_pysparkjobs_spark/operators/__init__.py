@@ -52,6 +52,8 @@ from .similarity import (
     cosine_topk,
     cosine_topk_pandas,
     ivf_topk,
+    quantize_int8,
+    topk_int8,
 )
 from .text import (
     bpe_tokens,
@@ -101,6 +103,8 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_pandas",
     "ivf_topk",
+    "quantize_int8",
+    "topk_int8",
     "bpe_tokens",
     "fingerprint",
     "language_id",

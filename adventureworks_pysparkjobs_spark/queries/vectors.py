@@ -86,6 +86,23 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_vector_stats",
     oracle=f"""
+    WITH s AS (
+      SELECT *,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q8_scale
+      FROM embeddings
+    ), qz AS (
+      SELECT *,
+             CASE WHEN q8_scale = 0 THEN
+               list_transform(embedding, x -> CAST(0 AS DOUBLE))
+             ELSE
+               list_transform(embedding, x -> GREATEST(-127.0, LEAST(127.0,
+                 FLOOR(CAST(x AS DOUBLE) / q8_scale + 0.5))))
+             END AS q8
+      FROM s
+    ), dq AS (
+      SELECT *, list_transform(q8, y -> y * q8_scale) AS dqv FROM qz
+    )
     SELECT vec_id,
            list_max(embedding) AS vec_max,
            list_min(embedding) AS vec_min,
@@ -94,18 +111,29 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding[-1] AS last_val,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
            {_NORM.format(a='embedding')} AS l2_norm,
+           q8_scale,
+           list_max(list_transform(range(1, len(embedding) + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE) - dqv[i]))) AS q8_max_abs_err,
+           CASE WHEN q8_scale = 0 THEN NULL
+                ELSE {_cos('embedding', 'dqv')} END AS q8_cos_self,
            label
-    FROM embeddings
+    FROM dq
     """,
-    tags=("array", "scalar", "embedding", "agg"),
+    tags=("array", "scalar", "embedding", "agg", "quantization"),
 )
 def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function family over array<float> (max/min/size/element_at
-    with 1-based and negative indexes, a lambda filter count) plus the
-    sequential-fold L2 norm — all Catalyst higher-order functions, no
-    UDFs, one per-row pass."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    with 1-based and negative indexes, a lambda filter count), the
+    sequential-fold L2 norm, and the int8 quantization round trip
+    (operators/similarity.py quantize_int8): per-vector scale, max
+    reconstruction error (<= scale/2 by construction), and the
+    original-vs-dequantized self-cosine — all Catalyst higher-order
+    functions, no UDFs, one per-row pass, every value bit-matched by
+    the DuckDB oracle (quantization is deterministic expression
+    arithmetic, not a lossy black box)."""
+    emb = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
     e = F.col("embedding")
+    dqv = S.dequant(F.col("q8"), F.col("q8_scale"))
     return emb.select(
         "vec_id",
         F.array_max(e).alias("vec_max"),
@@ -115,6 +143,15 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(e, -1).alias("last_val"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
         S.norm_fold(e).alias("l2_norm"),
+        "q8_scale",
+        F.array_max(
+            F.zip_with(e, dqv, lambda x, y: F.abs(x.cast("double") - y))
+        ).alias("q8_max_abs_err"),
+        F.when(F.col("q8_scale") == 0.0, F.lit(None).cast("double"))
+        .otherwise(
+            S.dot_fold(e, dqv) / (S.norm_fold(e) * S.norm_fold(dqv))
+        )
+        .alias("q8_cos_self"),
         "label",
     )
 
@@ -130,7 +167,10 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - method='srp_lsh': sign-random-projection bucketing (4 planes →
       ~16x candidate reduction), data-independent;
     - method='ivf': inverted-file index (seeded k-means coarse quantizer
-      fit on a deterministic sample, 8 cells, 2 probes), data-adaptive.
+      fit on a deterministic sample, 8 cells, 2 probes), data-adaptive;
+    - method='int8': brute force over the int8-quantized corpus
+      (asymmetric distance — 4x less corpus scan I/O, near-exact
+      ranking).
 
     Approximate vs the brute-force baseline, hence rows-only; recall for
     each method is asserted against emb_cosine_topk in tests.
@@ -145,7 +185,11 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"),
         "query_id", "neighbor_id", "cosine_sim", "rnk",
     )
-    return lsh.unionByName(ivf)
+    i8 = S.topk_int8(S.quantize_int8(emb), queries, k=5).select(
+        F.lit("int8").alias("method"),
+        "query_id", "neighbor_id", "cosine_sim", "rnk",
+    )
+    return lsh.unionByName(ivf).unionByName(i8)
 
 
 @query(

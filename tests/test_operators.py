@@ -25,6 +25,8 @@ from adventureworks_pysparkjobs_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
     cosine_topk_pandas,
+    quantize_int8,
+    topk_int8,
 )
 from adventureworks_pysparkjobs_spark.plans.inspect import (
     assert_broadcast_join,
@@ -268,6 +270,55 @@ class TestSimilarity:
         # 4 planes on 64-dim random data: each true neighbor collides with
         # its query with p >= 1 - 4*theta/pi; assert a conservative floor.
         assert recall >= 0.15, f"ANN recall {recall:.2f} below floor"
+
+    def test_quantize_int8_roundtrip_bound(self, spark):
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        qz = quantize_int8(emb)
+        assert qz.schema["q8"].dataType == T.ArrayType(T.ByteType(), False)
+        assert isinstance(qz.schema["q8_scale"].dataType, T.DoubleType)
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            dequant,
+        )
+        err = qz.select(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"),
+                    dequant(F.col("q8"), F.col("q8_scale")),
+                    lambda x, y: F.abs(x.cast("double") - y),
+                )
+            ).alias("err"),
+            "q8_scale",
+        )
+        bad = err.filter(
+            F.col("err") > F.col("q8_scale") * 0.5 * (1 + 1e-9)
+        ).count()
+        assert bad == 0
+
+    def test_quantize_zero_vector(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 4.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        assert rows[1]["q8_scale"] == 0.0 and rows[1]["q8"] == [0, 0, 0, 0]
+        # max |x| maps to exactly +/-127; signs preserved.
+        assert rows[2]["q8"][3] == 127 and rows[2]["q8"][1] < 0
+
+    def test_int8_topk_near_exact(self, spark):
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        q = emb.filter(F.col("vec_id") % 25 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in topk_int8(quantize_int8(emb), q, k=5).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # ~0.4% per-component error barely perturbs the ranking: int8
+        # brute force is near-exact, unlike the bucketed ANN variants.
+        assert recall >= 0.8, f"int8 recall {recall:.2f} below floor"
 
 
 def test_ivf_recall_floor(spark):

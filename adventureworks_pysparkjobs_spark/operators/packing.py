@@ -14,7 +14,7 @@ assignment (xxhash64), independent of input partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -25,6 +25,7 @@ def pack_sequences(
     doc_col: str = "doc_id",
     order_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
     n_buckets: int = 64,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Assign every chunk row to a training sequence of at most
     ``max_tokens`` total tokens (greedy first-fit in ``order_cols``
@@ -35,14 +36,19 @@ def pack_sequences(
     inside the sequence). All chunks of one document share a bucket, so
     consecutive chunks of a document pack into the same or adjacent
     sequences.
+
+    ``bucket_expr`` overrides the default ``xxhash64(doc) % n_buckets``
+    bucket assignment (any deterministic per-document int in
+    ``[0, 2^31)`` — e.g. a plain ``doc_id % n`` when the packing must be
+    reproducible outside Spark, as in the engine-portable oracle).
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
-    bucketed = df.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_buckets))
-    )
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_buckets))
+    bucketed = df.withColumn("_bucket", bucket_expr)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in bucketed.schema.fields
     ) + ", seq_id long, seq_pos int"

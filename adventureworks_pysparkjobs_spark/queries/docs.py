@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import packing as PK
 from ..operators import text as TX
 from ..sources.corpus import load_table
 from .catalog import query
@@ -150,10 +151,13 @@ _CHUNK, _CHUNK_OVERLAP = 32, 8
 _STRIDE = _CHUNK - _CHUNK_OVERLAP
 
 
+_PACK_MAX, _PACK_BUCKETS = 64, 64
+
+
 @query(
     "doc_chunks",
     oracle=f"""
-    WITH toks AS (
+    WITH RECURSIVE toks AS (
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), sized AS (
       SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
@@ -164,29 +168,69 @@ _STRIDE = _CHUNK - _CHUNK_OVERLAP
                CASE WHEN n > {_CHUNK} THEN n - {_CHUNK} + {_STRIDE} ELSE 1 END,
                {_STRIDE})) AS s
       FROM sized
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) // {_STRIDE} AS INT) AS chunk_id,
+             CAST(s AS INT) AS start_token,
+             array_to_string(t[s:s+{_CHUNK}-1], ' ') AS chunk_text,
+             CAST(LEAST({_CHUNK}, n - s + 1) AS INT) AS n_chunk_tokens,
+             doc_id % {_PACK_BUCKETS} AS bucket
+      FROM starts
+    ), ordered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                   ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    ), walk(bucket, rn, seq, pos, run_after) AS (
+      -- greedy first-fit replay: all buckets advance one chunk per
+      -- recursion step (state = assigned seq/pos + tokens accumulated)
+      SELECT bucket, rn, 0, 0, n_chunk_tokens FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn,
+             CASE WHEN w.run_after + o.n_chunk_tokens > {_PACK_MAX}
+                  THEN w.seq + 1 ELSE w.seq END,
+             CASE WHEN w.run_after + o.n_chunk_tokens > {_PACK_MAX}
+                  THEN 0 ELSE w.pos + 1 END,
+             CASE WHEN w.run_after + o.n_chunk_tokens > {_PACK_MAX}
+                  THEN o.n_chunk_tokens
+                  ELSE w.run_after + o.n_chunk_tokens END
+      FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
     )
-    SELECT doc_id,
-           CAST((s - 1) // {_STRIDE} AS INT) AS chunk_id,
-           CAST(s AS INT) AS start_token,
-           array_to_string(t[s:s+{_CHUNK}-1], ' ') AS chunk_text,
-           CAST(LEAST({_CHUNK}, n - s + 1) AS INT) AS n_chunk_tokens
-    FROM starts
+    SELECT c.doc_id, c.chunk_id, c.start_token, c.chunk_text,
+           c.n_chunk_tokens,
+           CAST(c.bucket * 4294967296 + w.seq AS BIGINT) AS seq_id,
+           CAST(w.pos AS INT) AS seq_pos
+    FROM ordered c JOIN walk w ON c.bucket = w.bucket AND c.rn = w.rn
     """,
-    tags=("text", "chunking", "explode", "llm"),
+    tags=("text", "chunking", "explode", "packing", "llm"),
     bench=True,
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking — the unit of work for embedding/training
-    pipelines: overlapping 32-token windows with stride 24, every token in
-    at least one chunk, stream reconstructible by dropping each chunk's
-    overlap prefix. operators/text.py chunk_documents builds boundaries,
-    ids and chunk texts per-row inside one Catalyst projection BEFORE the
-    explode (memory stays O(doc), not O(chunks x doc)); zero shuffles,
-    zero Python."""
-    return TX.chunk_documents(
+    """Context-window chunking + sequence packing — the two steps between
+    raw text and training batches. Chunking (operators/text.py
+    chunk_documents): overlapping 32-token windows with stride 24, every
+    token in at least one chunk, boundaries/ids/texts built per-row in one
+    Catalyst projection BEFORE the explode (memory stays O(doc), not
+    O(chunks x doc)); zero shuffles, zero Python. Packing
+    (operators/packing.py pack_sequences): greedy first-fit of chunks into
+    64-token sequences inside doc-pinned buckets — one shuffle on the
+    bucket key, Arrow-batched applyInPandas. The bucket here is
+    ``doc_id % 64`` (not the default xxhash64) so the DuckDB oracle can
+    replay the exact greedy state machine with a recursive CTE — packing
+    is deterministic sequential state, verified row-for-row, not a
+    Spark-private layout."""
+    chunks = TX.chunk_documents(
         load_table(spark, sf_dir, "documents"),
         chunk_tokens=_CHUNK,
         overlap=_CHUNK_OVERLAP,
+    )
+    return PK.pack_sequences(
+        chunks,
+        max_tokens=_PACK_MAX,
+        size_col="n_chunk_tokens",
+        doc_col="doc_id",
+        order_cols=("doc_id", "chunk_id"),
+        n_buckets=_PACK_BUCKETS,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(_PACK_BUCKETS)),
     )
 
 

@@ -175,13 +175,17 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         )
 
 
-def test_doc_chunks_is_shuffle_free_single_scan(spark):
-    """Context-window chunking must be one scan + project + explode:
-    no Exchange, no aggregation — chunk texts are built per-row BEFORE
-    the explode, so nothing ever shuffles."""
+def test_doc_chunks_one_scan_one_pack_exchange(spark):
+    """Chunk + pack must be one scan, one shuffle. Chunking is scan +
+    project + explode with chunk texts built per-row BEFORE the explode
+    (no aggregation, no exchange of its own); the only Exchange in the
+    plan is the pack_sequences hashpartitioning on the bucket key
+    feeding FlatMapGroupsInPandas."""
     plan = physical_plan(CATALOG["doc_chunks"].builder(spark, SF_SMOKE))
-    assert "Exchange" not in plan, plan[:1200]
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "_bucket" in plan[plan.index("Exchange"):][:200], plan[:1500]
     assert plan.count("Scan parquet") == 1, plan[:1200]
+    assert "FlatMapGroupsInPandas" in plan, plan[:1200]
     assert "HashAggregate" not in plan, plan[:1200]
 
 

@@ -91,6 +91,41 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_cols(text_col: str | Column) -> list[Column]:
+    """Gopher/MassiveText-style within-document repetition signals —
+    the filters that catch boilerplate and degenerate generations:
+
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram slots (Gopher rejects > 0.18);
+    - ``dup_trigram_frac``: fraction of trigram slots occupied by a
+      trigram that already occurred (Gopher's duplicate-n-gram family).
+
+    Both are per-row Catalyst array expressions (counts of exact string
+    matches — no floats until the final division), NULL when the
+    document is too short to have any n-gram of that order.
+    """
+    bg = shingles(text_col, 2)
+    tg = shingles(text_col, 3)
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda d: F.size(F.filter(bg, lambda x: x == d)),
+        )
+    )
+    return [
+        F.when(F.size(bg) > 0, top_bg.cast("double") / F.size(bg))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("top_bigram_frac"),
+        F.when(
+            F.size(tg) > 0,
+            (F.size(tg) - F.size(F.array_distinct(tg))).cast("double")
+            / F.size(tg),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("dup_trigram_frac"),
+    ]
+
+
 def language_scores(text_col: str | Column) -> list[Column]:
     """One score column per candidate language: count of *distinct* marker
     tokens present in the document."""
@@ -264,6 +299,7 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         (n_digit.cast("double") / n_chars).alias("digit_ratio"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
         (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        *repetition_cols(text_col),
         *language_scores(text_col),
         F.sha2(F.trim(normalized), 256).alias("content_sha256"),
         F.array_min(

@@ -82,6 +82,18 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS score_fr
       FROM q
     ),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                       i -> list_aggregate(toks[i:i+1], 'string_agg', ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS bg,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS tg
+      FROM q
+    ),
     fp AS (SELECT id, MIN(md5(shingle)) AS min_h FROM sh GROUP BY id),
     wg AS (
       SELECT doc_id,
@@ -113,6 +125,15 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                ['the','a','an','and','of','to','in','is','it','on'], x))) AS DOUBLE)
                / len(q.toks) AS stopword_ratio,
            CAST(len(list_distinct(q.toks)) AS DOUBLE) / len(q.toks) AS distinct_ratio,
+           CASE WHEN len(rep.bg) > 0 THEN
+             CAST(list_max(list_transform(list_distinct(rep.bg),
+                  d -> len(list_filter(rep.bg, x -> x = d)))) AS DOUBLE)
+               / len(rep.bg)
+           ELSE NULL END AS top_bigram_frac,
+           CASE WHEN len(rep.tg) > 0 THEN
+             CAST(len(rep.tg) - len(list_distinct(rep.tg)) AS DOUBLE)
+               / len(rep.tg)
+           ELSE NULL END AS dup_trigram_frac,
            s.score_de, s.score_en, s.score_es, s.score_fr,
            sha256(trim(regexp_replace(regexp_replace(lower(q.text),
                '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_sha256,
@@ -129,21 +150,24 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'fr' END AS predicted_lang
     FROM q
     JOIN s ON q.doc_id = s.doc_id
+    JOIN rep ON q.doc_id = rep.doc_id
     LEFT JOIN fp ON q.doc_id = fp.id
     JOIN wfp ON q.doc_id = wfp.doc_id
     """,
     tags=("text", "quality", "langid", "fingerprint", "winnow",
-          "tokenize", "bpe"),
+          "tokenize", "bpe", "repetition"),
 )
 def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-feature surface in one single-scan query:
-    quality metrics (char/token/punct/stopword/distinct), language-ID
-    marker scores + deterministic argmax, normalized-content SHA-256 +
-    1-hash MinHash shingle fingerprint + winnowing fingerprint summary
-    (Schleimer et al. SIGMOD'03 — count and min of the winnow-selected
-    k-gram hash set), and the GPT-2-style BPE token count (the unit LLM
-    token budgets count). operators/text.py text_profile — all per-row
-    Catalyst expressions, zero joins."""
+    quality metrics (char/token/punct/stopword/distinct), Gopher-style
+    repetition filters (top-bigram occupancy, duplicate-trigram
+    fraction), language-ID marker scores + deterministic argmax,
+    normalized-content SHA-256 + 1-hash MinHash shingle fingerprint +
+    winnowing fingerprint summary (Schleimer et al. SIGMOD'03 — count
+    and min of the winnow-selected k-gram hash set), and the GPT-2-style
+    BPE token count (the unit LLM token budgets count).
+    operators/text.py text_profile — all per-row Catalyst expressions,
+    zero joins."""
     return TX.text_profile(load_table(spark, sf_dir, "documents"))
 
 

@@ -343,6 +343,31 @@ def test_ivf_recall_floor(spark):
     assert recall >= 0.15, f"IVF recall {recall:.2f} below floor"
 
 
+def test_repetition_cols_known_values(spark):
+    """Gopher repetition metrics on hand-computable docs: 'a b a b' has
+    bigrams [a b, b a, a b] -> top_bigram_frac 2/3, trigrams
+    [a b a, b a b] all unique -> dup 0; 'x x x x' duplicates everything;
+    a 1-token doc has no n-grams -> NULLs."""
+    from adventureworks_pysparkjobs_spark.operators.text import (
+        repetition_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x x x x"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *repetition_cols("text")).collect()
+    }
+    assert abs(rows[1]["top_bigram_frac"] - 2 / 3) < 1e-12
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 1.0
+    assert rows[2]["dup_trigram_frac"] == 0.5
+    assert rows[3]["top_bigram_frac"] is None
+    assert rows[3]["dup_trigram_frac"] is None
+
+
 def test_winnow_fingerprints_match_reference(spark):
     """Spark winnowing == a direct Python reference implementation, and
     documents sharing a long substring share at least one fingerprint

@@ -131,9 +131,15 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, no UDFs, one per-row pass, every value bit-matched by
     the DuckDB oracle (quantization is deterministic expression
     arithmetic, not a lossy black box)."""
-    emb = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    # _dqv is bound as a named intermediate so the dequantized array is
+    # materialized once per row, not re-expanded by each consumer
+    # (error, dot, norm) — the same staging trick as text_profile's
+    # winnow grams.
+    emb = S.quantize_int8(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "_dqv", S.dequant(F.col("q8"), F.col("q8_scale"))
+    )
     e = F.col("embedding")
-    dqv = S.dequant(F.col("q8"), F.col("q8_scale"))
+    dqv = F.col("_dqv")
     return emb.select(
         "vec_id",
         F.array_max(e).alias("vec_max"),

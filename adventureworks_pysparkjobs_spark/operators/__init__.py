@@ -45,13 +45,16 @@ from .sampling import (
     train_test_split_col,
 )
 from .packing import pack_sequences
-from .profile import profile_table
+from .profile import key_skew_profile, profile_table
 from .similarity import (
     ann_topk_lsh,
     cosine_near_dup_pairs,
     cosine_topk,
     cosine_topk_pandas,
     ivf_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
     quantize_int8,
     topk_int8,
 )
@@ -103,6 +106,9 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_pandas",
     "ivf_topk",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
     "quantize_int8",
     "topk_int8",
     "bpe_tokens",
@@ -114,6 +120,7 @@ __all__ = [
     "tokens",
     "chunk_documents",
     "pack_sequences",
+    "key_skew_profile",
     "profile_table",
     "winnow_fingerprints",
 ]

@@ -263,6 +263,167 @@ def cosine_topk_pandas(
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.5,
+    max_fit_rows: int = 100_000,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into ``m``
+    subvectors of ``dim//m`` dims and fit ``k`` centroids per subspace
+    (seeded Lloyd's iterations over a deterministic hash sample pulled to
+    the driver — PQ training is a tiny-sample, tiny-model fit by design,
+    exactly FAISS's contract; the driver pull is bounded by
+    ``max_fit_rows``). Returns ``codebooks[j][c] = centroid`` as plain
+    floats, small enough (m*k*dim/m = k*dim values) to bake into plans
+    as literals.
+    """
+    import numpy as np
+
+    from .sampling import deterministic_sample
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    src = corpus.select(vec_col)
+    if fit_fraction < 1.0:
+        src = deterministic_sample(corpus, id_col, fit_fraction, salt="pq").select(
+            vec_col
+        )
+    rows = src.limit(max_fit_rows).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    codebooks = []
+    for j in range(m):
+        sub = x[:, j * d : (j + 1) * d]
+        cent = sub[rng.choice(len(sub), size=k, replace=len(sub) < k)]
+        for _ in range(iters):
+            # Lloyd's: assign to nearest centroid, recompute means.
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        codebooks.append([[float(v) for v in c] for c in cent])
+    return codebooks
+
+
+def _pq_codebook_lit(codebooks: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the nearest
+    centroid — ``array<tinyint>`` of length m, a 32x reduction over
+    float32 at k<=256. Pure per-row Catalyst folds (squared-L2 to each
+    centroid, argmin via array_sort of (dist, idx) structs), zero
+    shuffles, deterministic given the codebooks."""
+    m, d = len(codebooks), len(codebooks[0][0])
+
+    def sub(vec: Column, j: int) -> Column:
+        return F.slice(vec, j * d + 1, d)
+
+    def code_for(vec: Column, j: int) -> Column:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub(vec, j),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in codebooks[j]
+            ]
+        )
+        best = F.array_sort(
+            F.transform(
+                dists, lambda x, i: F.struct(x.alias("d"), i.alias("c"))
+            )
+        )
+        return F.element_at(best, 1).getField("c").cast("tinyint")
+
+    codes = F.array(*[code_for(F.col(vec_col), j) for j in range(m)])
+    return df.withColumn(code_col, codes)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-encoded corpus: each corpus
+    row is reconstructed from its codes (per-subspace centroid lookup —
+    the codebooks are plan literals) and scored against full-precision
+    queries by cosine. The corpus side reads m bytes per vector instead
+    of 4*dim; same broadcast-nested-loop + one-window shuffle profile as
+    the exact variant. Coarser than int8 (32x vs 4x compression), so
+    callers wanting exact ranking re-rank a PQ shortlist with the
+    original vectors."""
+    cb = _pq_codebook_lit(codebooks)
+    recon = F.flatten(
+        F.transform(
+            F.col(code_col),
+            lambda c, j: F.element_at(
+                F.element_at(cb, (j + F.lit(1)).cast("int")),
+                c.cast("int") + F.lit(1),
+            ),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_fold(F.col(vec_col)).alias("q_norm"),
+    )
+    c = _spread(encoded).withColumn("_recon", recon).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_recon").alias("c_vec"),
+        norm_fold(F.col("_recon")).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_fold(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -176,7 +176,10 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       fit on a deterministic sample, 8 cells, 2 probes), data-adaptive;
     - method='int8': brute force over the int8-quantized corpus
       (asymmetric distance — 4x less corpus scan I/O, near-exact
-      ranking).
+      ranking);
+    - method='pq': product quantization (8 subspaces x 16 centroids,
+      codebooks trained on a deterministic sample, 32x compression) with
+      asymmetric-distance scoring against the reconstructed corpus.
 
     Approximate vs the brute-force baseline, hence rows-only; recall for
     each method is asserted against emb_cosine_topk in tests.
@@ -195,7 +198,12 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("int8").alias("method"),
         "query_id", "neighbor_id", "cosine_sim", "rnk",
     )
-    return lsh.unionByName(ivf).unionByName(i8)
+    cb = S.pq_train(emb, m=8, k=16, dim=64, seed=42)
+    pq = S.pq_topk(S.pq_encode(emb, cb), queries, cb, k=5).select(
+        F.lit("pq").alias("method"),
+        "query_id", "neighbor_id", "cosine_sim", "rnk",
+    )
+    return lsh.unionByName(ivf).unionByName(i8).unionByName(pq)
 
 
 @query(

@@ -304,6 +304,39 @@ class TestSimilarity:
         # max |x| maps to exactly +/-127; signs preserved.
         assert rows[2]["q8"][3] == 127 and rows[2]["q8"][1] < 0
 
+    def test_pq_encode_and_recall(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        cb = pq_train(emb, m=8, k=16, dim=64, seed=42)
+        assert len(cb) == 8 and all(len(s) == 16 for s in cb)
+        assert all(len(c) == 8 for s in cb for c in s)
+        enc = pq_encode(emb, cb)
+        dt = enc.schema["pq_codes"].dataType
+        assert isinstance(dt, T.ArrayType) and dt.elementType == T.ByteType()
+        codes = enc.select("pq_codes").limit(50).collect()
+        assert all(0 <= c <= 15 for r in codes for c in r["pq_codes"])
+        # determinism: same seed -> same codebooks -> same codes
+        assert cb == pq_train(emb, m=8, k=16, dim=64, seed=42)
+
+        q = emb.filter(F.col("vec_id") % 25 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(enc, q, cb, k=5).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        # 32x compression on random 64-dim data is a coarse sketch;
+        # assert the same conservative floor as the bucketed ANN paths.
+        assert recall >= 0.15, f"PQ recall {recall:.2f} below floor"
+
     def test_int8_topk_near_exact(self, spark):
         emb = load_table(spark, SF_SMOKE, "embeddings")
         q = emb.filter(F.col("vec_id") % 25 == 0)
@@ -509,6 +542,31 @@ def test_profile_table_matches_duckdb(spark, duck):
         for c in cols
     )
     assert compare_frames(out, duck.sql(per_col)) == []
+
+
+def test_key_skew_profile(spark):
+    """Heavy-hitter key diagnostic: the hot key leads with the right
+    share/cum_share, and the top-n is a distributed
+    TakeOrderedAndProject, not a global window over all keys."""
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 500, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k")
+    )
+    prof = key_skew_profile(df, ["k"], top_n=3)
+    rows = prof.collect()
+    assert [r["rnk"] for r in rows] == [1, 2, 3]
+    hot = rows[0]
+    # key 7 holds the 500 skewed rows plus its share of the modulo tail.
+    assert hot["k"] == 7 and hot["key_count"] == 510
+    assert abs(hot["share"] - 0.51) < 1e-12
+    assert abs(rows[-1]["cum_share"] - sum(r["share"] for r in rows)) < 1e-12
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
 
 
 def test_profile_table_skips_minmax_on_complex_types(spark):

@@ -17,7 +17,7 @@ in a lake table and diff across runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -86,3 +86,51 @@ def profile_table(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key — the diagnostic
+    run before choosing broadcast vs salted vs plain shuffle for a
+    100 TB join. Returns the ``top_n`` hottest key values with
+    (key_count, total_rows, share, cum_share, rnk), heaviest first.
+
+    Shape: one partial+final agg on the key (the same shuffle the join
+    itself would do, but carrying counts), a TakeOrderedAndProject
+    top-n over the counts (per-partition partial top-k + merge — NOT a
+    global window over all distinct keys, which would single-reduce a
+    billion-key frame), then rank/share/cum_share windows over the
+    already-tiny top_n rows plus one broadcast cross join of the 1-row
+    total.
+    """
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("key_count")
+    )
+    total = counts.agg(
+        F.sum("key_count").cast("bigint").alias("total_rows")
+    )
+    order = [F.col("key_count").desc(), *[F.col(k) for k in keys]]
+    w = Window.orderBy(*order)
+    top = (
+        counts.orderBy(*order)
+        .limit(top_n)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share", F.col("key_count").cast("double") / F.col("total_rows")
+        )
+        .withColumn(
+            "cum_share",
+            F.sum(F.col("key_count").cast("double") / F.col("total_rows")).over(
+                Window.orderBy("rnk").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select(*keys, "key_count", "total_rows", "share", "cum_share", "rnk")
+    )

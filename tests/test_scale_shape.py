@@ -20,6 +20,10 @@ CROSS_OK = {
     "top_orders_above_avg",
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",
+    # int8/pq methods score broadcast queries against the compressed
+    # corpus by design (brute force with 4x/32x less scan width); the
+    # LSH/IVF methods in the same union stay bucketed equi-joins.
+    "emb_ann_topk",
 }
 
 BATCH_QUERIES = sorted(

@@ -25,7 +25,7 @@ keyed on content hashes (uniform, skew-free by construction). Stages 1,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
@@ -76,6 +76,7 @@ def build_training_corpus(
     overlap: int = 8,
     max_seq_tokens: int = 64,
     shuffle_salt: str = "epoch0",
+    metrics: dict[str, Observation] | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline over ``{sf_dir}/documents.parquet``
     and return packed training sequences: one row per chunk with
@@ -85,13 +86,28 @@ def build_training_corpus(
     ``benchmark`` (optional) drops documents sharing 8-grams with an
     eval set; ``rates`` (optional) subsamples per source before chunking
     (keys = distinct values of the documents' ``source`` column).
+
+    ``metrics`` (optional) is filled with per-phase ``Observation``
+    counters (``{phase: Observation}``; read ``obs.get["rows"]`` after
+    materializing the result). Observations are computed INSIDE the same
+    actions that run the pipeline — at 100 TB the per-phase row counts a
+    curation dashboard needs cost zero extra scans, unlike a count()
+    per phase which would replay the whole lineage each time.
     """
+
+    def observe(df: DataFrame, phase: str) -> DataFrame:
+        if metrics is None:
+            return df
+        obs = Observation(phase)
+        metrics[phase] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
     docs = load_table(spark, sf_dir, "documents")
-    kept = c4_quality_filter(docs)
+    kept = observe(c4_quality_filter(docs), "quality")
 
     # 2. exact dedup: survivor id per content digest, semi-join back.
     survivors = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    kept = kept.join(survivors, "doc_id", "left_semi")
+    kept = observe(kept.join(survivors, "doc_id", "left_semi"), "exact_dedup")
 
     # 3. span dedup rewrites text to the surviving spans only. Documents
     # reduced to nothing (pure boilerplate) fall out via the token floor.
@@ -100,12 +116,12 @@ def build_training_corpus(
     # would otherwise each replay stages 1-3 (on a cluster this is the
     # point to checkpoint to durable storage between pipeline phases).
     spans = dedup_spans(kept, span_tokens=span_tokens)
-    kept = (
+    kept = observe(
         kept.drop("text")
         .join(spans.select("doc_id", F.col("text_dedup").alias("text")), "doc_id")
-        .filter(F.size(TX.tokens("text")) >= 1)
-        .localCheckpoint()
-    )
+        .filter(F.size(TX.tokens("text")) >= 1),
+        "span_dedup",
+    ).localCheckpoint()
 
     # 4. near-dup removal: cluster representatives (min doc_id) survive.
     pairs = minhash_lsh_pairs(kept)
@@ -113,7 +129,7 @@ def build_training_corpus(
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    kept = kept.join(losers, "doc_id", "left_anti")
+    kept = observe(kept.join(losers, "doc_id", "left_anti"), "near_dup")
 
     # 5. decontamination against the eval set (broadcast probe join).
     if benchmark is not None:
@@ -144,4 +160,4 @@ def build_training_corpus(
     chunks = TX.chunk_documents(
         shuffled, chunk_tokens=chunk_tokens, overlap=overlap
     ).join(docs.select("doc_id", "source"), "doc_id")
-    return pack_sequences(chunks, max_tokens=max_seq_tokens)
+    return observe(pack_sequences(chunks, max_tokens=max_seq_tokens), "packed")

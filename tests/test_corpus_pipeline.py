@@ -16,9 +16,26 @@ from .conftest import SF_SMOKE
 def test_build_training_corpus_invariants(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    out = build_training_corpus(spark, SF_SMOKE, benchmark=bench).cache()
+    metrics = {}
+    out = build_training_corpus(
+        spark, SF_SMOKE, benchmark=bench, metrics=metrics
+    ).cache()
     rows = out.collect()
     assert len(rows) > 0
+
+    # Observation counters were computed inside the pipeline's own
+    # actions (no extra scans): phases only ever drop documents, and the
+    # observed endpoints must equal the materialized truth.
+    got = {k: metrics[k].get["rows"] for k in metrics}
+    assert set(got) == {
+        "quality", "exact_dedup", "span_dedup", "near_dup", "packed"
+    }
+    assert (
+        got["quality"] >= got["exact_dedup"] >= got["span_dedup"]
+        >= got["near_dup"] > 0
+    )
+    assert got["packed"] == len(rows)
+    assert got["near_dup"] >= len({r["doc_id"] for r in rows})
     cols = set(out.columns)
     assert {
         "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens",

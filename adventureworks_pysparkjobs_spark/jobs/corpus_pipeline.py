@@ -70,6 +70,7 @@ def build_training_corpus(
     spark: SparkSession,
     sf_dir: str,
     benchmark: DataFrame | None = None,
+    seen: DataFrame | None = None,
     rates: dict[str, float] | None = None,
     span_tokens: int = 16,
     chunk_tokens: int = 32,
@@ -84,8 +85,12 @@ def build_training_corpus(
     seq_pos).
 
     ``benchmark`` (optional) drops documents sharing 8-grams with an
-    eval set; ``rates`` (optional) subsamples per source before chunking
-    (keys = distinct values of the documents' ``source`` column).
+    eval set; ``seen`` (optional) is a prior snapshot's digest frame
+    (``content_hash`` column, the ``exact_dedup`` output shape) — rows
+    whose content was already ingested are dropped before in-batch
+    dedup, making the whole pipeline INCREMENTAL across crawl batches;
+    ``rates`` (optional) subsamples per source before chunking (keys =
+    distinct values of the documents' ``source`` column).
 
     ``metrics`` (optional) is filled with per-phase ``Observation``
     counters (``{phase: Observation}``; read ``obs.get["rows"]`` after
@@ -104,6 +109,18 @@ def build_training_corpus(
 
     docs = load_table(spark, sf_dir, "documents")
     kept = observe(c4_quality_filter(docs), "quality")
+
+    # 1b. cross-snapshot dedup: content already in a prior ingest never
+    # re-enters. Digest anti-join on the uniform hash — the seen side is
+    # a 32-byte-per-doc projection, so at 100 TB this stays a cheap
+    # (often broadcast) join, not a re-dedup of history.
+    if seen is not None:
+        kept = observe(
+            kept.withColumn("content_hash", F.sha2(F.col("text"), 256))
+            .join(seen.select("content_hash"), "content_hash", "left_anti")
+            .drop("content_hash"),
+            "seen_dedup",
+        )
 
     # 2. exact dedup: survivor id per content digest, semi-join back.
     survivors = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))

@@ -44,6 +44,41 @@ def exact_dedup(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental exact dedup for snapshot ingest: drop rows of ``df``
+    whose content digest already exists in a prior corpus snapshot, then
+    keep the min-id survivor per digest within the new batch.
+
+    ``seen`` needs one ``digest_col`` column — exactly the shape
+    ``exact_dedup`` emits — so successive ingests chain: today's
+    survivors' digests become part of tomorrow's ``seen``. This is what
+    makes exact dedup INCREMENTAL at 100 TB: each new crawl batch joins
+    against a digest-only projection of the historical corpus (32 bytes
+    per historical doc, not the corpus itself), instead of re-running
+    dedup over everything ever ingested. The anti-join shuffles on the
+    uniform digest (or broadcasts when the snapshot side is small — AQE
+    decides, no forced hint), and the within-batch keep-first is the
+    same single digest shuffle as ``exact_dedup``. No distinct pass is
+    wasted on ``seen``: anti-join semantics ignore right-side
+    multiplicity.
+
+    Returns the globally-novel rows of ``df`` with original columns, one
+    survivor per digest.
+    """
+    batch = df.withColumn(digest_col, F.sha2(F.col(text_col), 256))
+    novel = batch.join(seen.select(digest_col), digest_col, "left_anti")
+    keep = novel.groupBy(digest_col).agg(F.min(id_col).alias(id_col))
+    return novel.join(keep.select(id_col), id_col, "left_semi").drop(
+        digest_col
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a document frame to full parallelism before per-row
     heavy work (shingling/hashing). Document tables are small *files* but

@@ -339,3 +339,135 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.transform(shingles(c, 3), lambda s: F.md5(s))
         ).alias("min_shingle_hash"),
     )
+
+
+# --- Line-level cleaning + PII redaction (C4 / RefinedWeb style) -------
+#
+# The C4 pipeline (Raffel et al., JMLR'20 §2.2) filters at LINE
+# granularity before any document-level dedup: keep only lines that look
+# like prose (enough words, terminal punctuation), drop boilerplate
+# markers and code-ish lines. RefinedWeb/CCNet add PII scrubbing of the
+# survivors. Everything here is per-row Catalyst expressions — split,
+# higher-order filter, regexp_replace — so the cleaner runs inside
+# whole-stage codegen with zero shuffles and composes with the rest of
+# the curation pipeline (dedup_spans handles the cross-document half of
+# C4's rules).
+
+# Redaction order matters: URLs first, so an email-shaped userinfo inside
+# a URL disappears with the URL instead of leaving a half-redacted tail.
+# Patterns are lookahead-free and POSIX-class based so Java regex (Spark)
+# and RE2 (DuckDB) agree byte-for-byte.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+# Substring markers whose presence disqualifies a line (C4 §2.2 list,
+# lowercased containment).
+BOILERPLATE_MARKERS: tuple[str, ...] = (
+    "lorem ipsum",
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+)
+
+TERMINAL_PUNCT = r'[.!?"]$'
+
+
+def redact_pii(
+    col: str | Column, kinds: tuple[str, ...] = ("url", "email", "ipv4")
+) -> Column:
+    """Replace each PII occurrence with its typed placeholder token.
+
+    One chained regexp_replace per kind — per-row, JVM-side; at 100 TB
+    this adds no shuffle and no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(
+    col: str | Column, kinds: tuple[str, ...] = ("url", "email", "ipv4")
+) -> list[Column]:
+    """Audit columns: how many occurrences of each PII kind the ORIGINAL
+    text contains (counted before redaction, one ``n_<kind>`` per kind)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(PII_PATTERNS[k][0])).cast("int").alias(f"n_{k}")
+        for k in kinds
+    ]
+
+
+def clean_lines(
+    col: str | Column,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    markers: tuple[str, ...] = BOILERPLATE_MARKERS,
+    drop_curly: bool = True,
+) -> Column:
+    """Array of the lines of ``col`` that pass the C4 prose filters:
+
+    - at least ``min_words`` whitespace-separated words;
+    - (optional) trimmed line ends in terminal punctuation ``. ! ? "``;
+    - contains none of the lowercased ``markers`` substrings;
+    - (optional) contains no ``{`` — C4's cheap code/JS detector.
+
+    Kept lines preserve document order and their original (untrimmed)
+    text; reassembly is lossless for the survivors.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
+        cond = n_words >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & t.rlike(TERMINAL_PUNCT)
+        low = F.lower(line)
+        for m in markers:
+            cond = cond & ~low.contains(m)
+        if drop_curly:
+            cond = cond & ~line.contains("{")
+        return cond
+
+    return F.filter(F.split(c, "\n"), keep)
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    markers: tuple[str, ...] = BOILERPLATE_MARKERS,
+    drop_curly: bool = True,
+    pii_kinds: tuple[str, ...] = ("url", "email", "ipv4"),
+) -> DataFrame:
+    """C4-style line cleaning + PII redaction in one per-row pass.
+
+    Output per document: ``n_lines`` / ``n_kept_lines`` (the filter's
+    audit trail), ``clean_text`` (surviving lines re-joined with
+    ``\\n``, PII redacted), and one ``n_<kind>`` count per PII kind
+    measured on the ORIGINAL text (so redaction stats survive the
+    redaction itself). The kept-lines array is bound once via withColumn
+    staging — CollapseProject would otherwise inline and re-evaluate the
+    higher-order filter for each consumer."""
+    c = F.col(text_col)
+    kept = clean_lines(
+        c,
+        min_words=min_words,
+        require_terminal_punct=require_terminal_punct,
+        markers=markers,
+        drop_curly=drop_curly,
+    )
+    return df.withColumn("_kept", kept).select(
+        id_col,
+        F.size(F.split(c, "\n")).cast("int").alias("n_lines"),
+        F.size("_kept").cast("int").alias("n_kept_lines"),
+        redact_pii(F.array_join("_kept", "\n"), pii_kinds).alias("clean_text"),
+        *pii_counts(c, pii_kinds),
+    )

@@ -1,0 +1,172 @@
+"""Bonus catalog entries BEYOND the driver's 50-query checked window.
+
+The first 50 registered queries (tpch -> star -> events -> docs ->
+vectors -> stream) are the driver's full correctness window and are kept
+exactly stable; this module is imported LAST in ``queries/__init__`` so
+its entries append after the window without evicting anything. They get
+the identical t2-replica treatment locally (tests/test_oracle.py
+parametrizes over the whole CATALOG), just not a driver row.
+
+Fixture note: ``documents.text`` is single-line word salad with no
+PII-shaped substrings, so ``doc_line_clean`` first synthesizes a
+deterministic multi-line document (newlines, an email, a URL, an IPv4,
+boilerplate markers) from each row — identically in both engines — to
+give the line filters and redaction regexes real work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as TX
+from ..sources.corpus import load_table
+from .catalog import query
+
+# The synthesized lines, in order, and what each exercises:
+#  1. kept + email/URL redacted  4. dropped (lorem ipsum marker)
+#  2. kept + IPv4 redacted       5. dropped (< 3 words)
+#  3. dropped (marker x2)        6. dropped (no terminal punct)
+#                                7. dropped (curly brace)
+#                                8. kept, doc-dependent content
+_URL_PAT, _EMAIL_PAT, _IP_PAT = (
+    TX.PII_PATTERNS["url"][0],
+    TX.PII_PATTERNS["email"][0],
+    TX.PII_PATTERNS["ipv4"][0],
+)
+
+
+@query(
+    "doc_line_clean",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+        'Contact me at user' || CAST(doc_id AS VARCHAR)
+          || '@example.com or https://example.com/d/'
+          || CAST(doc_id AS VARCHAR) || ' today.'
+        || chr(10) || 'Served from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          || '.7 cluster.'
+        || chr(10) || 'We require javascript and accept the cookie policy.'
+        || chr(10) || 'lorem ipsum dolor sit amet.'
+        || chr(10) || 'too short.'
+        || chr(10) || 'this line has no terminal punctuation'
+        || chr(10) || 'config {{"mode": "full"}} per line.'
+        || chr(10) || substr(text, 1, 40) || ' tail.' AS t
+      FROM documents
+    ),
+    lines AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM synth),
+    kept AS (
+      SELECT doc_id, t, ls,
+        list_filter(ls, l ->
+          len(list_filter(string_split_regex(trim(l), '\\s+'),
+                          w -> w <> '')) >= 3
+          AND regexp_matches(trim(l), '[.!?"]$')
+          AND NOT contains(lower(l), 'lorem ipsum')
+          AND NOT contains(lower(l), 'javascript')
+          AND NOT contains(lower(l), 'cookie policy')
+          AND NOT contains(lower(l), 'privacy policy')
+          AND NOT contains(lower(l), 'terms of use')
+          AND NOT contains(l, '{{')
+        ) AS ks
+      FROM lines
+    )
+    SELECT doc_id,
+      CAST(len(ls) AS INTEGER) AS n_lines,
+      CAST(len(ks) AS INTEGER) AS n_kept_lines,
+      COALESCE(regexp_replace(regexp_replace(regexp_replace(
+         array_to_string(ks, chr(10)),
+         'https?://[^\\s]+', '<URL>', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+        '') AS clean_text,
+      CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS INTEGER)
+        AS n_url,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER)
+        AS n_email,
+      CAST(len(regexp_extract_all(t,
+        '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS INTEGER) AS n_ipv4
+    FROM kept
+    """,
+    tags=("text", "clean", "pii", "redact", "c4"),
+)
+def doc_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-quality filtering + PII redaction
+    (operators/text.py clean_text): keep prose-shaped lines (word floor,
+    terminal punctuation, no boilerplate markers, no curly braces), then
+    redact URLs/emails/IPv4s in the survivors, with per-kind audit
+    counts on the original text. All per-row Catalyst expressions —
+    single scan, zero shuffles, codegen'd end-to-end."""
+    sid = F.col("doc_id").cast("string")
+    synth = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Contact me at user"),
+            sid,
+            F.lit("@example.com or https://example.com/d/"),
+            sid,
+            F.lit(" today."),
+        ),
+        F.concat(
+            F.lit("Served from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 cluster."),
+        ),
+        F.lit("We require javascript and accept the cookie policy."),
+        F.lit("lorem ipsum dolor sit amet."),
+        F.lit("too short."),
+        F.lit("this line has no terminal punctuation"),
+        F.lit('config {"mode": "full"} per line.'),
+        F.concat(F.substring(F.col("text"), 1, 40), F.lit(" tail.")),
+    )
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", synth.alias("text")
+    )
+    return TX.clean_text(doc)
+
+
+@query(
+    "doc_incremental_dedup",
+    oracle="""
+    WITH seen AS (
+      SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    base AS (
+      SELECT doc_id, source, n_chars, sha256(text) AS h
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT doc_id + 100000, source, n_chars, h FROM base
+    ),
+    novel AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = b.h)
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS doc_id FROM novel GROUP BY h)
+    SELECT n.doc_id, n.source, n.n_chars
+    FROM novel n JOIN keep k ON n.doc_id = k.doc_id
+    """,
+    tags=("dedup", "incremental", "anti-join", "snapshot"),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py dedup_against): a new
+    crawl batch (non-mult-of-3 docs, unioned with an id-shifted copy of
+    itself so within-batch duplicates exist) is deduped against the
+    digest snapshot of a prior ingest (even docs, the exact_dedup output
+    shape). Drops already-seen content via digest anti-join, keeps the
+    min-id survivor per novel digest — the chainable snapshot-ingest
+    pattern that makes exact dedup incremental at 100 TB."""
+    doc = load_table(spark, sf_dir, "documents")
+    seen = D.exact_dedup(doc.filter(F.col("doc_id") % 2 == 0)).select(
+        "content_hash"
+    )
+    base = doc.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    batch = base.unionAll(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    return D.dedup_against(batch, seen).select("doc_id", "source", "n_chars")

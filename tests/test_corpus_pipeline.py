@@ -83,3 +83,32 @@ def test_build_training_corpus_deterministic_and_mixable(spark):
     n_docs_out = len({t[0] for t in a})
     n_quality = c4_quality_filter(docs).count()
     assert 0 < n_docs_out < n_quality
+
+
+def test_build_training_corpus_incremental_seen(spark):
+    """A prior snapshot's digest frame makes the pipeline incremental:
+    already-ingested content never re-enters, and a full snapshot drains
+    the run to empty (every phase tolerates an empty frame)."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    # half snapshot: no surviving chunk comes from a seen document
+    half = exact_dedup(docs.filter(F.col("doc_id") % 2 == 0)).select(
+        "content_hash"
+    )
+    metrics = {}
+    out = build_training_corpus(
+        spark, SF_SMOKE, seen=half, metrics=metrics
+    ).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    assert "seen_dedup" in metrics
+    got = {k: metrics[k].get["rows"] for k in metrics}
+    assert got["quality"] >= got["seen_dedup"] >= got["exact_dedup"]
+    out.unpersist()
+
+    # full snapshot: nothing is novel, the pipeline returns empty
+    full = exact_dedup(docs).select("content_hash")
+    assert build_training_corpus(spark, SF_SMOKE, seen=full).count() == 0

@@ -838,3 +838,104 @@ def test_mixture_matches_duckdb(spark, duck):
     assert compare_frames(out, oracle) == []
     n = out.count()
     assert 0 < n < docs.count()
+
+
+class TestCleanText:
+    """C4-style line cleaning + PII redaction (operators/text.py
+    clean_text; cross-engine parity is pinned by the doc_line_clean
+    catalog oracle — these are the semantic edge cases)."""
+
+    def _run(self, spark, rows):
+        from adventureworks_pysparkjobs_spark.operators.text import clean_text
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in clean_text(df).collect()}
+
+    def test_line_filters(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, 'Good prose line stays put.\nShe said "stop".\n'
+                    "ends with bang now!\nis this kept too?"),
+                (2, "too short.\nno terminal punctuation here\n"
+                    'config {"mode": "full"} is code.\n'
+                    "Lorem Ipsum dolor sit amet.\n"
+                    "Enable JAVASCRIPT to continue please."),
+                (3, ""),
+            ],
+        )
+        # quote/bang/question terminators all count; word floor is 3
+        assert got[1]["n_lines"] == 4 and got[1]["n_kept_lines"] == 4
+        assert got[1]["clean_text"].count("\n") == 3
+        # every line of doc 2 trips a different filter (markers are
+        # case-insensitive, curly brace kills code lines)
+        assert got[2]["n_lines"] == 5 and got[2]["n_kept_lines"] == 0
+        assert got[2]["clean_text"] == ""
+        # empty document: split yields one empty line, nothing kept
+        assert got[3]["n_lines"] == 1 and got[3]["n_kept_lines"] == 0
+
+    def test_redaction_and_counts(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "Mail a.b+c@x.co.uk and d@e.io about it.\n"
+                    "See https://ex.com/p?q=1#f and http://plain.org soon.\n"
+                    "Hosts 10.0.0.1 and 192.168.255.7 respond."),
+                (2, "Not emails: foo@bar and @handle stay put.\n"
+                    "Version 1.2.3 is not an IP address."),
+            ],
+        )
+        c1 = got[1]["clean_text"]
+        assert c1.splitlines() == [
+            "Mail <EMAIL> and <EMAIL> about it.",
+            "See <URL> and <URL> soon.",
+            "Hosts <IP> and <IP> respond.",
+        ]
+        assert (got[1]["n_email"], got[1]["n_url"], got[1]["n_ipv4"]) == (2, 2, 2)
+        # no TLD / bare handle / 3-part version: not PII, left intact
+        c2 = got[2]["clean_text"]
+        assert "foo@bar" in c2 and "@handle" in c2 and "1.2.3" in c2
+        assert (got[2]["n_email"], got[2]["n_url"], got[2]["n_ipv4"]) == (0, 0, 0)
+
+    def test_url_swallows_its_email_shaped_userinfo(self, spark):
+        # redaction order: the URL goes first, so credentials-in-URL
+        # don't leave a half-redacted tail
+        got = self._run(spark, [(1, "Fetch https://user@host.com/path today ok.")])
+        assert got[1]["clean_text"] == "Fetch <URL> today ok."
+        # ...but the audit count still sees the email-shaped substring
+        assert got[1]["n_url"] == 1 and got[1]["n_email"] == 1
+
+
+def test_dedup_against_incremental(spark):
+    """Snapshot anti-join + within-batch keep-first; chains on the
+    exact_dedup digest shape (cross-engine parity is pinned by the
+    doc_incremental_dedup catalog oracle)."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        dedup_against,
+        exact_dedup,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "old news"), (2, "evergreen")], "doc_id long, text string"
+    )
+    seen = exact_dedup(prior).select("content_hash")
+    batch = spark.createDataFrame(
+        [
+            (10, "old news"),      # already ingested -> dropped
+            (11, "fresh take"),    # novel
+            (12, "fresh take"),    # in-batch dup -> loses to 11
+            (13, "evergreen"),     # already ingested -> dropped
+            (14, "another one"),   # novel
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against(batch, seen)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 14]
+    assert out.columns == ["doc_id", "text"]  # digest column projected away
+
+    # chaining: survivors' digests extend the snapshot; re-ingesting the
+    # same batch against the extended snapshot yields nothing new
+    seen2 = seen.unionAll(
+        exact_dedup(out).select("content_hash")
+    )
+    assert dedup_against(batch, seen2).count() == 0

@@ -275,3 +275,24 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_doc_line_clean_single_scan_no_shuffle(spark):
+    """Line cleaning + PII redaction is pure per-row expression work:
+    one scan of documents, no Exchange, no Python (codegen'd regex/HOF
+    only)."""
+    plan = physical_plan(CATALOG["doc_line_clean"].builder(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan[:1200]
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Python" not in plan, plan[:1200]
+
+
+def test_doc_incremental_dedup_key_joins_only(spark):
+    """Incremental dedup is anti + semi equi-joins on uniform digest/id
+    keys — never a cartesian/nested-loop plan, and the snapshot side
+    carries only the digest column into the anti-join."""
+    plan = physical_plan(
+        CATALOG["doc_incremental_dedup"].builder(spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan, plan[:1200]
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:1500]

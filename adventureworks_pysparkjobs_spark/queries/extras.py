@@ -24,17 +24,15 @@ from ..operators import text as TX
 from ..sources.corpus import load_table
 from .catalog import query
 
-# The synthesized lines, in order, and what each exercises:
+# The synthesized lines of doc_line_clean, in order, and what each
+# exercises:
 #  1. kept + email/URL redacted  4. dropped (lorem ipsum marker)
 #  2. kept + IPv4 redacted       5. dropped (< 3 words)
 #  3. dropped (marker x2)        6. dropped (no terminal punct)
 #                                7. dropped (curly brace)
 #                                8. kept, doc-dependent content
-_URL_PAT, _EMAIL_PAT, _IP_PAT = (
-    TX.PII_PATTERNS["url"][0],
-    TX.PII_PATTERNS["email"][0],
-    TX.PII_PATTERNS["ipv4"][0],
-)
+# (The oracle SQL inlines the same regexes as operators/text.py
+# PII_PATTERNS, with {{ }} doubled for the f-string.)
 
 
 @query(
@@ -170,3 +168,29 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
     )
     return D.dedup_against(batch, seen).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "corpus_bpe_merges",
+    oracle=None,  # inherently iterative (each merge depends on the
+    # corpus state after all previous merges) — the declared non-SQL-
+    # expressible case; pinned instead to a pure-Python reference
+    # implementation in tests/test_bpe.py, including on random corpora.
+    tags=("bpe", "tokenizer", "iterative", "train"),
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py train_bpe_merges): the
+    rank-ordered merge-rule artifact learned from the documents corpus.
+    One corpus-sized shuffle pre-aggregates to a word-frequency table;
+    every iteration after that costs O(vocabulary), not O(corpus) —
+    weighted pair counts (explode + groupBy on the small vocab frame),
+    deterministic argmax (count desc, lexicographic tie-break; a 1-row
+    collect per rule), per-row fold to apply the merge, localCheckpoint
+    to keep the plan O(1) per iteration. Deterministic across runs,
+    partitionings and engines: exact integer counts, total-ordered
+    tie-break."""
+    from ..operators.bpe import merges_df, train_bpe_merges
+
+    doc = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe_merges(doc, n_merges=12, min_count=2)
+    return merges_df(spark, merges)

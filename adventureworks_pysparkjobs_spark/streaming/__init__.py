@@ -1,3 +1,13 @@
-from .events import read_events_stream, run_to_memory
+from .events import (
+    read_events_stream,
+    run_to_memory,
+    stream_to_parquet,
+    stream_upsert_to_lake,
+)
 
-__all__ = ["read_events_stream", "run_to_memory"]
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "stream_to_parquet",
+    "stream_upsert_to_lake",
+]

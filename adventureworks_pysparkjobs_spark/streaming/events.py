@@ -154,6 +154,65 @@ def stream_to_parquet(
     q.awaitTermination()
 
 
+def stream_upsert_to_lake(
+    streaming_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint: str,
+) -> None:
+    """Keyed MERGE sink: each micro-batch upserts into a lake table by
+    primary key (operators/relational.py upsert_snapshot — latest
+    ``order_by`` wins), via foreachBatch.
+
+    This is the exactly-once landing pattern for sinks WITHOUT a
+    transactional table format: the checkpointed source offsets make
+    each input row enter some batch exactly once, and the keyed merge
+    makes a REPLAYED batch (failure between merge and checkpoint commit)
+    idempotent — re-merging rows that already won changes nothing. The
+    same pattern also turns a CDC/update stream into a continuously
+    maintained snapshot (late duplicates lose on ``order_by``).
+
+    The first batch bootstraps the table; later batches merge against
+    the current snapshot, localCheckpoint (the merged frame reads the
+    files the write replaces), then overwrite. At scale, partition the
+    table and merge only touched partitions — jobs/ingest.py
+    ingest_increment shows that exact date-partitioned variant; this
+    sink keeps the flat-dimension shape.
+    """
+    from ..operators.relational import upsert_snapshot
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:  # first batch: nothing to merge against yet
+            existing = None
+        if existing is None:
+            # in-batch dedup still applies: latest per key wins
+            merged = upsert_snapshot(
+                batch_df.limit(0), batch_df, keys=keys, order_by=order_by
+            )
+        else:
+            merged = upsert_snapshot(
+                existing,
+                batch_df.select(existing.columns),
+                keys=keys,
+                order_by=order_by,
+            ).localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming keyed dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) — unlike plain dropDuplicates, the dedup state

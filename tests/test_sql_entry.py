@@ -145,6 +145,87 @@ def test_checkpoint_resume_processes_new_files_exactly_once(spark, tmp_path):
     assert got == want
 
 
+def test_stream_upsert_sink_merges_updates_and_replays_idempotently(
+    spark, tmp_path
+):
+    """foreachBatch keyed MERGE sink: a later file UPDATES rows already
+    landed (latest ts wins), and a full replay with a fresh checkpoint
+    leaves the table unchanged — the idempotence that makes the pattern
+    exactly-once without a transactional table format."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        EVENTS_FILE_SCHEMA,
+        read_events_stream,
+        stream_upsert_to_lake,
+    )
+
+    raw = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(
+        f"{SF_SMOKE}/events.parquet"
+    )
+    half1 = raw.filter(F.col("event_id") % 2 == 0)
+    updates = (
+        half1.filter(F.col("event_id") % 4 == 0)
+        .withColumn("ts", F.col("ts") + F.lit(10**12))
+        .withColumn("value", F.lit(-1.0))
+    )
+    half2 = raw.filter(F.col("event_id") % 2 == 1).unionByName(updates)
+    src = tmp_path / "src"
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def land(name: str, df) -> None:
+        stage = tmp_path / f"stage-{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(src / name)
+
+    land("events-000.parquet", half1)
+    stream_upsert_to_lake(
+        read_events_stream(spark, str(src)), out,
+        keys=["event_id"], order_by=["ts"], checkpoint=ckpt,
+    )
+    assert spark.read.parquet(out).count() == half1.count()
+
+    land("events-001.parquet", half2)
+    stream_upsert_to_lake(
+        read_events_stream(spark, str(src)), out,
+        keys=["event_id"], order_by=["ts"], checkpoint=ckpt,
+    )
+
+    def snapshot():
+        landed = spark.read.parquet(out)
+        assert landed.count() == raw.count()  # one row per key
+        return {
+            r["event_id"]: (r["ts"], r["value"])
+            for r in landed.collect()
+        }
+
+    got = snapshot()
+
+    # the stream reader repairs ts long-ns -> timestamp(µs); apply the
+    # same repair to the batch frames the expectation is built from
+    def tsfix(df):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    base = {r["event_id"]: (r["ts"], r["value"]) for r in tsfix(raw).collect()}
+    upd = {
+        r["event_id"]: (r["ts"], r["value"])
+        for r in tsfix(updates).collect()
+    }
+    assert got == {**base, **upd}  # updated keys carry the new ts/value
+
+    # full replay, fresh checkpoint, same table: merge is idempotent
+    stream_upsert_to_lake(
+        read_events_stream(spark, str(src)), out,
+        keys=["event_id"], order_by=["ts"],
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    assert snapshot() == got
+
+
 def test_stream_static_join_enriched_counts(spark):
     """Stream-static broadcast join: cohort counts equal the batch
     left-join + groupBy on the bounded fixture."""

@@ -22,6 +22,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
 )
+from .lm import lm_score, train_bigram_lm
 from .multimodal import (
     attach_metadata,
     extract_features,
@@ -94,6 +95,8 @@ __all__ = [
     "shingle_arrays",
     "simhash",
     "simhash_pairs",
+    "lm_score",
+    "train_bigram_lm",
     "attach_metadata",
     "extract_features",
     "payload_stats",

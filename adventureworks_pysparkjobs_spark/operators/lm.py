@@ -1,0 +1,136 @@
+"""N-gram language-model quality scoring (the CCNet-style filter: score
+documents against a reference-corpus LM, drop the ones the model finds
+surprising — boilerplate, gibberish, wrong-language text).
+
+The production version of this idea trains a 5-gram KenLM on a trusted
+corpus and filters by perplexity; this operator is the distributed
+primitive underneath: a bigram model with add-k smoothing, trained and
+applied entirely as DataFrame ops.
+
+Scale shape:
+
+- training = two aggregations over one tokenized scan of the reference
+  corpus (unigram + bigram counts, both map-side partially aggregated on
+  uniform token keys);
+- scoring = explode each document's bigrams once, ONE join against the
+  bigram table and ONE against the unigram table (both plain equi-joins
+  on the token keys — AQE broadcasts when the LM is small, shuffles when
+  it isn't; no forced hints), then a per-document re-aggregation. Cost
+  is O(corpus tokens + LM size), no quadratic term anywhere.
+
+Determinism: counts and hit/OOV ratios are exact integer arithmetic and
+one IEEE division — bit-stable across engines (they carry the catalog
+oracle). The smoothed ``avg_logprob`` uses ``ln``, which is NOT
+correctly-rounded and may differ in the last ulp between libm
+implementations — it is pinned to a Python reference with a tolerance in
+tests instead of a bit-exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+
+def _toks(text_col: str, lowercase: bool):
+    t = tokens(text_col)
+    return F.transform(t, lambda x: F.lower(x)) if lowercase else t
+
+
+def _bigram_array(toks):
+    """Space-joined bigram array; empty (not a descending-sequence
+    artifact) for documents with fewer than two tokens."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(unigrams, bigrams) count frames from a reference corpus:
+    ``(w, n_w)`` and ``(bg, n_bg)`` with ``bg`` the space-joined bigram
+    (tokens are whitespace-split, so the join key is unambiguous)."""
+    toks = _toks(text_col, lowercase)
+    base = df.select(toks.alias("t"))
+    unigrams = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    bigrams = (
+        base.select(F.explode(_bigram_array(F.col("t"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    return unigrams, bigrams
+
+
+def lm_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document LM features: ``n_bigrams``, ``n_hit`` (bigrams the
+    model has seen), ``oov_bigram_rate`` and add-k-smoothed
+    ``avg_logprob`` (mean ln P(w2|w1), P = (n_bg + k) / (n_w1 + k·V)).
+
+    Documents with fewer than two tokens stay in the output with
+    ``n_bigrams = 0`` and NULL rate/logprob (nothing to score — the
+    caller's length filter owns them). ``V`` (vocabulary size) is one
+    bounded driver-side aggregate over the unigram frame.
+    """
+    vocab_size = unigrams.count()
+    toks = _toks(text_col, lowercase)
+    ex = docs.select(
+        F.col(id_col), F.explode(_bigram_array(toks)).alias("bg")
+    ).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
+    joined = (
+        ex.join(bigrams, "bg", "left")
+        .join(unigrams.withColumnRenamed("w", "w1"), "w1", "left")
+        .select(
+            id_col,
+            F.col("n_bg").isNotNull().cast("int").alias("hit"),
+            F.log(
+                (F.coalesce(F.col("n_bg"), F.lit(0)) + F.lit(k))
+                / (
+                    F.coalesce(F.col("n_w"), F.lit(0))
+                    + F.lit(k) * F.lit(float(vocab_size))
+                )
+            ).alias("lp"),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum("hit").cast("int").alias("n_hit"),
+        F.avg("lp").alias("avg_logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                (F.col("n_bigrams") - F.col("n_hit")).cast("double")
+                / F.col("n_bigrams"),
+            ).alias("oov_bigram_rate"),
+            "avg_logprob",
+        )
+    )

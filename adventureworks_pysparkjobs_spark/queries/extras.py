@@ -194,3 +194,54 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     merges, _ = train_bpe_merges(doc, n_merges=12, min_count=2)
     return merges_df(spark, merges)
+
+
+@query(
+    "doc_lm_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(text),
+                 '\\s+'), x -> x <> ''), x -> lower(x)) AS t
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bgl
+      FROM toks
+    ),
+    bi AS (
+      SELECT b.g AS bg, count(*) AS n_bg
+      FROM bgs, unnest(bgl) AS b(g) WHERE doc_id % 2 = 0 GROUP BY b.g
+    ),
+    ex AS (SELECT doc_id, b.g AS bg FROM bgs, unnest(bgl) AS b(g)),
+    hits AS (
+      SELECT ex.doc_id, count(*) AS n_bigrams, count(bi.n_bg) AS n_hit
+      FROM ex LEFT JOIN bi USING (bg) GROUP BY ex.doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(h.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+      CAST(COALESCE(h.n_hit, 0) AS INTEGER) AS n_hit,
+      CASE WHEN COALESCE(h.n_bigrams, 0) > 0
+           THEN CAST(h.n_bigrams - h.n_hit AS DOUBLE) / h.n_bigrams
+           END AS oov_bigram_rate
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("lm", "quality", "ngram", "score", "join"),
+)
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): a bigram model
+    trained on the even-doc_id half of the corpus scores every document
+    by bigram hit count and OOV rate — two aggregations to train, one
+    explode + two equi-joins + one re-aggregation to score (AQE picks
+    broadcast vs shuffle for the LM side). The smoothed avg_logprob
+    column is excluded here (ln is not correctly-rounded across libms —
+    see operators/lm.py) and pinned by tests/test_lm.py instead."""
+    from ..operators.lm import lm_score, train_bigram_lm
+
+    doc = load_table(spark, sf_dir, "documents")
+    uni, bi = train_bigram_lm(doc.filter(F.col("doc_id") % 2 == 0))
+    return lm_score(doc, uni, bi).drop("avg_logprob")

@@ -1,0 +1,113 @@
+"""Bigram-LM quality scoring vs a pure-Python reference (exact counts,
+tolerance-pinned smoothed log-probability)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.operators.lm import (
+    lm_score,
+    train_bigram_lm,
+)
+from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _toks(t: str) -> list[str]:
+    return [w.lower() for w in t.split()]
+
+
+def ref_score(train_texts, texts, k=1.0):
+    uni: Counter = Counter(w for t in train_texts for w in _toks(t))
+    bi: Counter = Counter(
+        (ws[i], ws[i + 1])
+        for t in train_texts
+        for ws in [_toks(t)]
+        for i in range(len(ws) - 1)
+    )
+    vocab = len(uni)
+    out = {}
+    for did, t in texts.items():
+        ws = _toks(t)
+        pairs = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        if not pairs:
+            out[did] = (0, 0, None, None)
+            continue
+        n_hit = sum(1 for p in pairs if p in bi)
+        lps = [
+            math.log((bi.get(p, 0) + k) / (uni.get(p[0], 0) + k * vocab))
+            for p in pairs
+        ]
+        out[did] = (
+            len(pairs),
+            n_hit,
+            (len(pairs) - n_hit) / len(pairs),
+            sum(lps) / len(lps),
+        )
+    return out
+
+
+def test_lm_score_matches_reference(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    uni, bi = train_bigram_lm(train)
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["n_hit"], r["oov_bigram_rate"], r["avg_logprob"]
+        )
+        for r in lm_score(docs, uni, bi).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = ref_score(
+        [texts[d] for d in texts if d % 2 == 0], texts
+    )
+    assert set(got) == set(want)
+    for did in want:
+        gn, gh, gr, gl = got[did]
+        wn, wh, wr, wl = want[did]
+        assert (gn, gh) == (wn, wh), did
+        if wr is None:
+            assert gr is None and gl is None
+        else:
+            assert gr == wr, did  # exact int ratio, one IEEE division
+            # ln is last-ulp libm-dependent; Spark sums in any order
+            assert math.isclose(gl, wl, rel_tol=1e-9), did
+    # the held-out half must actually contain unseen bigrams somewhere
+    assert any(r[2] and r[2] > 0 for r in got.values())
+    # training docs score their own bigrams as seen
+    assert all(
+        got[d][1] == got[d][0] for d in got if d % 2 == 0
+    )
+
+
+def test_lm_score_short_and_oov_docs(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train)
+    score = spark.createDataFrame(
+        [
+            (10, "the cat sat"),   # all bigrams known
+            (11, "purple cat sat"),  # first bigram OOV
+            (12, "one"),          # too short: nothing to score
+            (13, ""),             # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in lm_score(score, uni, bi).collect()
+    }
+    assert got[10]["n_bigrams"] == 2 and got[10]["n_hit"] == 2
+    assert got[10]["oov_bigram_rate"] == 0.0
+    assert got[11]["n_bigrams"] == 2 and got[11]["n_hit"] == 1
+    assert got[11]["oov_bigram_rate"] == 0.5
+    # known text scores strictly better than the OOV one
+    assert got[10]["avg_logprob"] > got[11]["avg_logprob"]
+    for short in (12, 13):
+        assert got[short]["n_bigrams"] == 0 and got[short]["n_hit"] == 0
+        assert got[short]["oov_bigram_rate"] is None
+        assert got[short]["avg_logprob"] is None

@@ -330,6 +330,122 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_snapshot(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The persistable near-dup STATE of a corpus snapshot: one row per
+    (id, band) carrying the band signature (the LSH bucket key) and the
+    full seed-ordered minhash signature array (what estimated-Jaccard
+    verification of future batches needs).
+
+    This is what makes near-dup dedup incremental at 100 TB: history is
+    kept as ``num_hashes`` md5 strings per document — a few hundred
+    bytes, not the shingle sets and not the text — and each new crawl
+    batch joins against it. Persist this frame (partitioned by band) and
+    union each batch's snapshot into it after ingest.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    arrs = shingle_arrays(df, id_col, text_col, n)
+
+    def _sig(j: int):
+        # single-arg lambda on purpose (2-arg transform = (elem, index))
+        return F.array_min(
+            F.transform(F.col("arr"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"_mh{j}")
+
+    wide = arrs.select("id", *[_sig(j) for j in range(num_hashes)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.array(*[F.col(f"_mh{b * r + i}") for i in range(r)])
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    sig_array = F.array(*[F.col(f"_mh{j}") for j in range(num_hashes)])
+    return wide.select(
+        "id", sig_array.alias("sig"), F.explode(band_structs).alias("bk")
+    ).select(
+        "id",
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_sig").alias("band_sig"),
+    )
+
+
+def minhash_lsh_pairs_against(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Incremental near-dup: LSH candidates of a new batch AGAINST a
+    prior snapshot's band state (``minhash_band_snapshot`` output), then
+    signature-estimated Jaccard verification.
+
+    Unlike ``minhash_lsh_pairs`` (exact verify over shingle arrays),
+    verification here is the fraction of equal minhash positions — an
+    unbiased estimator of the true Jaccard whose only input is the
+    signatures both sides already carry, so the historical TEXT is never
+    re-read. That trade (estimate vs exact, resolution 1/num_hashes) is
+    what keeps per-batch cost O(batch + collisions) instead of
+    O(history). The bucket join is a plain equi-join on
+    (band, band_sig); AQE picks its strategy — no forced broadcast of
+    the unbounded history side.
+
+    Returns ``(batch_id, snapshot_id, est_jaccard)`` with
+    ``est_jaccard >= threshold`` (threshold granularity 1/num_hashes;
+    same-id pairs excluded — a re-crawled unchanged document is exact
+    dedup's job, see ``dedup_against``).
+    """
+    bstate = minhash_band_snapshot(
+        batch, id_col, text_col, num_hashes=num_hashes, bands=bands, n=n
+    )
+    a = bstate.alias("a")
+    s = snapshot.alias("s")
+    cand = (
+        a.join(
+            s,
+            (F.col("a.band") == F.col("s.band"))
+            & (F.col("a.band_sig") == F.col("s.band_sig"))
+            & (F.col("a.id") != F.col("s.id")),
+        )
+        .select(
+            F.col("a.id").alias("batch_id"),
+            F.col("s.id").alias("snapshot_id"),
+            F.col("a.sig").alias("sig_b"),
+            F.col("s.sig").alias("sig_s"),
+        )
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_b"), F.col("sig_s"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return cand.select(
+        "batch_id", "snapshot_id", est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

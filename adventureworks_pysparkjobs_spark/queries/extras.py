@@ -245,3 +245,70 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     uni, bi = train_bigram_lm(doc.filter(F.col("doc_id") % 2 == 0))
     return lm_score(doc, uni, bi).drop("avg_logprob")
+
+
+@query(
+    "doc_incremental_near_dup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             list_aggregate(w[i:i+4], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(w) - 3)) AS u(i)
+      WHERE len(w) >= 5
+    ),
+    sig AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, unnest([0,1,2,3,4,5,6,7]) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    band_key AS (
+      SELECT id, CAST(seed // 2 AS INTEGER) AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT b.id AS batch_id, s.id AS snapshot_id
+      FROM band_key b JOIN band_key s
+        ON b.band = s.band AND b.band_sig = s.band_sig AND b.id <> s.id
+      WHERE b.id % 2 = 1 AND s.id % 2 = 0
+    ),
+    est AS (
+      SELECT c.batch_id, c.snapshot_id,
+             SUM(CASE WHEN sb.minhash = ss.minhash THEN 1 ELSE 0 END) AS m
+      FROM cand c
+      JOIN sig sb ON sb.id = c.batch_id
+      JOIN sig ss ON ss.id = c.snapshot_id AND ss.seed = sb.seed
+      GROUP BY c.batch_id, c.snapshot_id
+    )
+    SELECT batch_id, snapshot_id, CAST(m AS DOUBLE) / 8 AS est_jaccard
+    FROM est WHERE CAST(m AS DOUBLE) / 8 >= 0.25
+    """,
+    tags=("dedup", "neardup", "minhash", "lsh", "incremental", "snapshot"),
+)
+def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/dedup.py minhash_band_snapshot +
+    minhash_lsh_pairs_against): the odd-doc_id half is a new crawl batch
+    LSH-joined against the even half's persisted band state, verified by
+    signature-estimated Jaccard — history is touched only as num_hashes
+    md5 strings per document, never as text. The md5-minhash
+    construction is engine-portable, so even this approximate
+    incremental path carries a full DuckDB oracle."""
+    doc = load_table(spark, sf_dir, "documents")
+    snap = D.minhash_band_snapshot(
+        doc.filter(F.col("doc_id") % 2 == 0), num_hashes=8, bands=4, n=5
+    )
+    return D.minhash_lsh_pairs_against(
+        doc.filter(F.col("doc_id") % 2 == 1),
+        snap,
+        num_hashes=8,
+        bands=4,
+        n=5,
+        threshold=0.25,
+    )

@@ -939,3 +939,47 @@ def test_dedup_against_incremental(spark):
         exact_dedup(out).select("content_hash")
     )
     assert dedup_against(batch, seen2).count() == 0
+
+
+def test_incremental_near_dup_recall_vs_exact(spark):
+    """Batch-vs-snapshot LSH with signature-estimated verification finds
+    every cross-parity pair the full exact run confirms at Jaccard>=0.5
+    (same bands -> identical candidate generation; the estimator only
+    replaces the verify step), and reports pairs in the right
+    direction (batch=odd, snapshot=even)."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        minhash_band_snapshot,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_against,
+    )
+
+    from .conftest import SF_ORACLE
+
+    doc = load_table(spark, SF_ORACLE, "documents")
+    snap = minhash_band_snapshot(
+        doc.filter(F.col("doc_id") % 2 == 0), num_hashes=8, bands=4, n=5
+    )
+    inc = minhash_lsh_pairs_against(
+        doc.filter(F.col("doc_id") % 2 == 1), snap,
+        num_hashes=8, bands=4, n=5, threshold=0.25,
+    ).collect()
+    assert all(
+        r["batch_id"] % 2 == 1 and r["snapshot_id"] % 2 == 0 for r in inc
+    )
+    assert all(0.25 <= r["est_jaccard"] <= 1.0 for r in inc)
+
+    exact = minhash_lsh_pairs(
+        doc, num_hashes=8, bands=4, n=5, threshold=0.5
+    ).collect()
+    cross = {
+        frozenset((r["id1"], r["id2"]))
+        for r in exact
+        if r["id1"] % 2 != r["id2"] % 2
+    }
+    got = {frozenset((r["batch_id"], r["snapshot_id"])) for r in inc}
+    assert cross <= got  # estimator never loses a confirmed pair here
+
+    # the snapshot state is a few strings per doc — exactly the schema a
+    # 100 TB deployment persists and unions batch-over-batch
+    assert set(snap.columns) == {"id", "sig", "band", "band_sig"}
+    assert snap.filter(F.size("sig") != 8).count() == 0

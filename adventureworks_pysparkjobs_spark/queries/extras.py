@@ -312,3 +312,45 @@ def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         threshold=0.25,
     )
+
+
+@query(
+    "events_rolling_features",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS INTEGER) AS n_events_30m,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+               AS total_value_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "rolling", "timeseries", "features"),
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling features (the ML-feature window shape the
+    row-framed family can't express): per user, count and decimal-exact
+    value sum over the PRECEDING 30 MINUTES of event time — a RANGE
+    frame over epoch microseconds, so same-timestamp ties contribute
+    set-wise identically in any engine and any partitioning (a ROWS
+    frame would be tie-order-dependent). One shuffle on user_id, frame
+    evaluation is streaming within each sorted partition."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_events_30m"),
+        F.sum(dec("value", 12, 2))
+        .over(w)
+        .cast("double")
+        .alias("total_value_30m"),
+    )

@@ -296,3 +296,13 @@ def test_doc_incremental_dedup_key_joins_only(spark):
     )
     assert "CartesianProduct" not in plan, plan[:1200]
     assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:1500]
+
+
+def test_events_rolling_features_one_exchange(spark):
+    """The RANGE-framed rolling window is one shuffle on user_id and one
+    sort; both feature columns share the same window spec."""
+    plan = physical_plan(
+        CATALOG["events_rolling_features"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Window" in plan, plan[:1200]

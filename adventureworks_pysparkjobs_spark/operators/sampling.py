@@ -78,6 +78,57 @@ def deterministic_shuffle(
     return df.orderBy(h, F.col(key_col))
 
 
+def assign_row_ids(
+    df: DataFrame, order_by: list[str], id_name: str = "row_id"
+) -> DataFrame:
+    """Contiguous 0-based global row ids in the total order given by
+    ``order_by`` (which must be a unique total order — include the PK),
+    WITHOUT the classic bottleneck: a global
+    ``row_number() OVER (ORDER BY ...)`` plans a single-partition window
+    that funnels 100 TB through one task.
+
+    Scalable shape instead:
+
+    1. global sort = range partition + sort-within (what Catalyst
+       already does for ``orderBy``) — no single reducer;
+    2. per-partition ``row_number`` windows keyed on the physical
+       partition id — every partition numbers itself independently;
+    3. partition row-counts (one tiny bounded collect: #partitions
+       rows) become cumulative offsets, joined back on the partition id
+       (a broadcast of a #partitions-row table).
+
+    The ids depend only on the total order, NOT on where Spark draws
+    the range boundaries — offsets absorb partition sizes — so the
+    output is deterministic across runs, cluster sizes, and engines
+    (oracle: ``ROW_NUMBER() OVER (ORDER BY ...) - 1``). The sorted
+    frame is localCheckpoint'ed so the count pass and the numbering
+    pass see the identical partitioning (and the sort runs once).
+    """
+    cols = [F.col(c) for c in order_by]
+    sorted_df = df.orderBy(*cols).localCheckpoint()
+    pid = F.spark_partition_id().alias("_pid")
+    withpid = sorted_df.select("*", pid)
+    sizes = sorted(
+        (r["_pid"], r["cnt"])
+        for r in withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for p, cnt in sizes:
+        offsets.append((p, acc))
+        acc += cnt
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        withpid.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            id_name, F.col("_offset") + F.row_number().over(w) - F.lit(1)
+        )
+        .drop("_pid", "_offset")
+    )
+
+
 def mixture(
     sources: dict[str, DataFrame],
     rates: dict[str, float],

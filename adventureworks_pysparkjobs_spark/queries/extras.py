@@ -354,3 +354,30 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value_30m"),
     )
+
+
+@query(
+    "doc_global_ids",
+    oracle="""
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('ids:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS row_id
+    FROM documents
+    """,
+    tags=("ids", "row-number", "sort", "export"),
+)
+def doc_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global training-example ids in deterministic-shuffle
+    order (operators/sampling.py assign_row_ids): range-partitioned
+    sort + per-partition windows + broadcast cumulative offsets — NOT
+    the single-partition global row_number window that bottlenecks at
+    scale. The ids depend only on the total order, so the one-window
+    SQL oracle agrees exactly."""
+    from ..operators.sampling import assign_row_ids
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.md5(F.concat(F.lit("ids:"), F.col("doc_id").cast("string")))
+    return assign_row_ids(doc.withColumn("_h", h), ["_h", "doc_id"]).select(
+        "doc_id", "source", "row_id"
+    )

@@ -983,3 +983,34 @@ def test_incremental_near_dup_recall_vs_exact(spark):
     # 100 TB deployment persists and unions batch-over-batch
     assert set(snap.columns) == {"id", "sig", "band", "band_sig"}
     assert snap.filter(F.size("sig") != 8).count() == 0
+
+
+def test_assign_row_ids_contiguous_and_partition_independent(spark):
+    """Global ids are 0..n-1 in the requested total order, equal to the
+    naive single-window formulation, and independent of the input's
+    partition layout (offsets absorb wherever Spark draws the range
+    boundaries)."""
+    from adventureworks_pysparkjobs_spark.operators.sampling import (
+        assign_row_ids,
+    )
+
+    from .conftest import SF_ORACLE
+
+    doc = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    out = assign_row_ids(doc, ["n_chars", "doc_id"]).collect()
+    n = len(out)
+    assert sorted(r["row_id"] for r in out) == list(range(n))
+    want_order = [
+        d for _, d in sorted((r["n_chars"], r["doc_id"]) for r in out)
+    ]
+    got_order = [
+        r["doc_id"] for r in sorted(out, key=lambda r: r["row_id"])
+    ]
+    assert got_order == want_order
+
+    again = assign_row_ids(
+        doc.repartition(7, "doc_id"), ["n_chars", "doc_id"]
+    ).collect()
+    assert {r["doc_id"]: r["row_id"] for r in again} == {
+        r["doc_id"]: r["row_id"] for r in out
+    }

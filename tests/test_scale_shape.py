@@ -306,3 +306,12 @@ def test_events_rolling_features_one_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan[:1500]
     assert "Window" in plan, plan[:1200]
+
+
+def test_doc_global_ids_no_single_partition_window(spark):
+    """Global row numbering must never plan the naive global window —
+    no Exchange SinglePartition anywhere; numbering windows are keyed on
+    the physical partition id and offsets arrive by broadcast."""
+    plan = physical_plan(CATALOG["doc_global_ids"].builder(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]

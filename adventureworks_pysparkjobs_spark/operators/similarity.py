@@ -12,6 +12,8 @@ so each corpus row only scores against queries sharing a bucket.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -615,4 +617,66 @@ def ivf_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def default_text_encoder(texts: list) -> object:
+    """Injection seam for a real sentence-embedding model (the container
+    has no model runtime). Tests and callers inject an
+    ``encoder(list[str]) -> np.ndarray[n, dim] (float32)``."""
+    raise NotImplementedError(
+        "no embedding model runtime in this environment — inject an "
+        "encoder(texts) -> float32 ndarray [len(texts), dim]"
+    )
+
+
+def embed_texts(
+    df: DataFrame,
+    encoder: Callable[[list], object] = default_text_encoder,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Embedding generation: the pipeline step that PRODUCES the
+    ``(id, vec array<float>)`` frames the similarity stack consumes
+    (cosine_topk / ann / quantization / near-dup all take this shape).
+
+    Output is ``(id_col, embedding array<float>)`` — the embeddings
+    table shape every downstream operator defaults to.
+
+    mapInPandas streams Arrow batches of documents into worker Python
+    and hands each batch's texts to ``encoder`` in one call — model
+    inference wants large batches, and the Arrow batch (bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) is exactly that
+    unit. No shuffle: embedding is per-row work, parallelism is the
+    input partitioning. With ``normalize`` the vectors are L2-unit so
+    downstream cosine reduces to a dot product.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            if texts:
+                vecs = np.asarray(encoder(texts), dtype=np.float32)
+                if vecs.ndim != 2 or vecs.shape[0] != len(texts):
+                    raise ValueError(
+                        f"encoder returned shape {vecs.shape} for "
+                        f"{len(texts)} texts"
+                    )
+                if normalize:
+                    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                    norms[norms == 0.0] = 1.0
+                    vecs = vecs / norms
+                out_vecs = [v for v in vecs]
+            else:
+                out_vecs = []
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "embedding": out_vecs},
+                columns=[id_col, "embedding"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, embedding array<float>"
     )

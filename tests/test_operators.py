@@ -1014,3 +1014,93 @@ def test_assign_row_ids_contiguous_and_partition_independent(spark):
     assert {r["doc_id"]: r["row_id"] for r in again} == {
         r["doc_id"]: r["row_id"] for r in out
     }
+
+
+class TestEmbedTexts:
+    """Embedding-generation seam (injected encoder over mapInPandas) —
+    produces the (id, vec) shape the whole similarity stack consumes."""
+
+    @staticmethod
+    def _fake_encoder(texts):
+        import numpy as np
+
+        # deterministic, content-dependent, batch-size-agnostic
+        out = np.zeros((len(texts), 8), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for j, ch in enumerate(t.encode()[:64]):
+                out[i, j % 8] += float(ch)
+        out += 1.0  # never the zero vector
+        return out
+
+    def test_shape_alignment_and_determinism(self, spark):
+        import math
+
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            embed_texts,
+        )
+
+        from .conftest import SF_ORACLE
+
+        docs = load_table(spark, SF_ORACLE, "documents").limit(100)
+        out = embed_texts(docs, encoder=self._fake_encoder)
+        rows = {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
+        assert set(rows) == {
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        }
+        assert all(len(v) == 8 for v in rows.values())
+        # normalized: unit L2 (float32 tolerance)
+        for v in rows.values():
+            assert math.isclose(
+                sum(x * x for x in v), 1.0, rel_tol=1e-5
+            )
+        # partitioning (hence Arrow batch boundaries) must not matter
+        again = {
+            r["doc_id"]: list(r["embedding"])
+            for r in embed_texts(
+                docs.repartition(7), encoder=self._fake_encoder
+            ).collect()
+        }
+        assert again == rows
+
+    def test_composes_with_similarity_stack(self, spark):
+        import math
+
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            cosine_topk,
+            embed_texts,
+        )
+
+        # docs 1/2 and 3/4 are textual twins; their embeddings must be
+        # each other's nearest neighbour at cosine ~1 (self excluded)
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha beta gamma"),
+                (3, "delta epsilon"),
+                (4, "delta epsilon"),
+                (5, "something else entirely here"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = embed_texts(docs, encoder=self._fake_encoder).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        top = cosine_topk(emb, emb, k=1)
+        got = {
+            r["query_id"]: (r["neighbor_id"], r["cosine_sim"])
+            for r in top.collect()
+        }
+        for a, b in [(1, 2), (2, 1), (3, 4), (4, 3)]:
+            nid, sim = got[a]
+            assert nid == b and math.isclose(sim, 1.0, rel_tol=1e-6)
+
+    def test_default_encoder_raises(self, spark):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            embed_texts,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(Exception, match="inject an"):
+            embed_texts(df).collect()

@@ -315,3 +315,18 @@ def test_doc_global_ids_no_single_partition_window(spark):
     plan = physical_plan(CATALOG["doc_global_ids"].builder(spark, SF_SMOKE))
     assert "SinglePartition" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_exact_dedup_partial_aggregates_hot_digests(spark):
+    """A viral document duplicated millions of times is ONE digest key;
+    exact_dedup must partially aggregate (map-side combine) before the
+    digest exchange so the hot key arrives as one row per upstream
+    partition, not as every copy."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import exact_dedup
+
+    plan = physical_plan(exact_dedup(load_table(spark, SF_SMOKE, "documents")))
+    assert "partial_min" in plan and "partial_count" in plan, plan[:1500]
+    # the partial aggregate must sit below the exchange (map side)
+    assert plan.index("partial_min") > plan.index("Exchange hashpartitioning"), (
+        "partial agg not upstream of the shuffle:\n" + plan[:1500]
+    )

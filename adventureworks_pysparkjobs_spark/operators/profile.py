@@ -88,6 +88,67 @@ def profile_table(
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """Run-over-run drift report from two ``profile_table`` outputs: one
+    row per column naming what changed between snapshots — the check a
+    scheduled ingest runs before publishing (a null-fraction jump or a
+    vanished column is a broken upstream, caught before it poisons
+    downstream consumers).
+
+    Output per column: presence (``added``/``removed``/``common``), old
+    and new row/null/distinct numbers, the null-fraction delta, and
+    ``min_max_changed``. Both inputs are tiny (one row per column), so
+    this is a broadcast full-outer join — cost lives in producing the
+    profiles, which is one aggregation pass each.
+    """
+    o = old.select(
+        "column",
+        F.col("n_rows").alias("old_n_rows"),
+        F.col("n_nulls").alias("old_n_nulls"),
+        F.col("null_fraction").alias("old_null_fraction"),
+        F.col("n_distinct").alias("old_n_distinct"),
+        F.col("min_value").alias("old_min"),
+        F.col("max_value").alias("old_max"),
+    )
+    n = new.select(
+        "column",
+        F.col("n_rows").alias("new_n_rows"),
+        F.col("n_nulls").alias("new_n_nulls"),
+        F.col("null_fraction").alias("new_null_fraction"),
+        F.col("n_distinct").alias("new_n_distinct"),
+        F.col("min_value").alias("new_min"),
+        F.col("max_value").alias("new_max"),
+    )
+    j = o.join(n, "column", "full_outer")
+    presence = (
+        F.when(F.col("old_n_rows").isNull(), F.lit("added"))
+        .when(F.col("new_n_rows").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return j.select(
+        "column",
+        presence.alias("presence"),
+        "old_n_rows",
+        "new_n_rows",
+        "old_n_nulls",
+        "new_n_nulls",
+        (F.col("new_null_fraction") - F.col("old_null_fraction")).alias(
+            "null_fraction_delta"
+        ),
+        "old_n_distinct",
+        "new_n_distinct",
+        (
+            ~(
+                F.col("old_min").eqNullSafe(F.col("new_min"))
+                & F.col("old_max").eqNullSafe(F.col("new_max"))
+            )
+        ).alias("min_max_changed"),
+    )
+
+
 def key_skew_profile(
     df: DataFrame,
     keys: list[str],

@@ -1104,3 +1104,45 @@ class TestEmbedTexts:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(Exception, match="inject an"):
             embed_texts(df).collect()
+
+
+def test_profile_diff_flags_drift(spark):
+    """Drift report between two snapshot profiles: added/removed
+    columns, null-fraction jumps, range changes — the pre-publish gate
+    of a scheduled ingest."""
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        profile_diff,
+        profile_table,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    # next snapshot: `name` dropped, `flag` added, score grows nulls
+    # and a larger max, one extra row
+    new = spark.createDataFrame(
+        [(1, 99.0, True), (2, None, False), (3, None, True), (4, 20.0, True)],
+        "id long, score double, flag boolean",
+    )
+    diff = {
+        r["column"]: r
+        for r in profile_diff(
+            profile_table(old, exact_distinct=True),
+            profile_table(new, exact_distinct=True),
+        ).collect()
+    }
+    assert set(diff) == {"id", "name", "score", "flag"}
+    assert diff["name"]["presence"] == "removed"
+    assert diff["flag"]["presence"] == "added"
+    assert diff["id"]["presence"] == "common"
+
+    s = diff["score"]
+    assert s["old_n_nulls"] == 0 and s["new_n_nulls"] == 2
+    assert abs(s["null_fraction_delta"] - 0.5) < 1e-12
+    assert s["min_max_changed"]  # max 30.0 -> 99.0
+    assert s["old_n_distinct"] == 3 and s["new_n_distinct"] == 2
+
+    i = diff["id"]
+    assert i["old_n_rows"] == 3 and i["new_n_rows"] == 4
+    assert i["min_max_changed"]  # max id 3 -> 4

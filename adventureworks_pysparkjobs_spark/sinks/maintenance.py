@@ -27,6 +27,7 @@ import math
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs(path: str):
@@ -62,6 +63,70 @@ def clustered_write(
     entirely. One range-exchange shuffle; the sort is per-partition."""
     out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
         *cluster_by
+    )
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def zorder_value(
+    quantized: list, bits: int = 16
+):
+    """Interleave the bits of per-column quantized ranks into one
+    Z-order (Morton) key — pure integer expressions, no UDF."""
+    n = len(quantized)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            z = z + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+            ).cast("long")
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> str:
+    """Multi-column clustered write: sort by a Z-order (Morton) curve
+    over the ``zorder_by`` columns so parquet footer min/max stats prune
+    files for predicates on ANY of the columns — the multi-dimensional
+    generalization of ``clustered_write`` (whose single-key sort leaves
+    every other column spread across all files, pruning nothing).
+
+    Each column is range-quantized to ``bits`` bits using its global
+    min/max (ONE bounded agg collect — 2 numbers per column), the
+    quantized ranks are bit-interleaved into the Morton key, and the
+    write is a range-partitioned sort on that key: neighbouring files
+    own compact hyper-rectangles of the value space. Columns must be
+    numeric (cast dates/timestamps to their epoch upstream); NULLs sort
+    to cell 0.
+
+    This is the table-format-free version of the lakehouse Z-ORDER
+    maintenance command: the same layout trick, done with a plain sort.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"{c}__lo") for c in zorder_by],
+        *[F.max(F.col(c).cast("double")).alias(f"{c}__hi") for c in zorder_by],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    quantized = []
+    for c in zorder_by:
+        lo, hi = stats[f"{c}__lo"], stats[f"{c}__hi"]
+        span = (hi - lo) if (hi is not None and hi > lo) else 1.0
+        q = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(top))
+        ).cast("long")
+        quantized.append(
+            F.coalesce(F.greatest(F.least(q, F.lit(top)), F.lit(0)), F.lit(0))
+        )
+    out = (
+        df.withColumn("_z", zorder_value(quantized, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
     )
     out.write.mode("overwrite").parquet(path)
     return path

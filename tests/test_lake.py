@@ -210,3 +210,57 @@ def test_ingest_increment_merges_and_touches_only_changed(spark, tmp_path):
         r["fid"]: r["amt"]
         for r in spark.read.parquet(f"{tmp_path}/parquet/s/fact").collect()
     } == {10: 5.0, 11: 7.0, 12: 8.0}
+
+
+def test_zorder_write_prunes_on_every_dimension(spark, tmp_path):
+    """Morton-curve clustering: footer min/max stats prune files for
+    predicates on EITHER z-ordered column — single-key clustering leaves
+    the second column spread across every file (no pruning at all)."""
+    import pyarrow.parquet as pq
+
+    from adventureworks_pysparkjobs_spark.sinks.maintenance import (
+        zorder_write,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "lin")
+    zorder_write(docs, zpath, ["doc_id", "n_chars"], n_files=8)
+    clustered_write(docs, lpath, cluster_by=["doc_id"], n_files=8)
+
+    def ranges(path, col):
+        out = []
+        for f in _data_files(path):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return out
+
+    def touched(path, col, lo, hi):
+        return sum(1 for a, b in ranges(path, col) if not (b < lo or a >= hi))
+
+    n_docs = docs.count()
+    lo_c, hi_c = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+    mid, quarter = lo_c + (hi_c - lo_c) // 2, (hi_c - lo_c) // 4
+
+    # a box on the SECOND dimension: z-order prunes, linear cannot
+    z_touch = touched(zpath, "n_chars", mid, mid + quarter)
+    l_touch = touched(lpath, "n_chars", mid, mid + quarter)
+    assert l_touch == 8  # n_chars is spread across every doc_id file
+    assert z_touch < l_touch
+
+    # the first dimension still prunes under z-order too
+    assert touched(zpath, "doc_id", 0, n_docs // 4) < 8
+
+    # layout change only: every row survives byte-identically
+    assert _content_hash(spark.read.parquet(zpath)) == _content_hash(docs)

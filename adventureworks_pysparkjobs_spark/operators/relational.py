@@ -149,3 +149,40 @@ def upsert_snapshot(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def union_evolved(frames: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas have DRIFTED (multi-source corpora,
+    snapshot series across schema changes): the union's schema is the
+    ordered union of all input columns (first-seen order), and each
+    frame contributes NULL for columns it predates.
+
+    Plain ``unionByName(allowMissingColumns=True)`` pairwise-folds to
+    the same rows; building the target column set once keeps the plan a
+    flat n-way Union of aligned projections instead of a nested ladder.
+    Columns that exist in several frames must agree in type (Spark's
+    union type coercion rules apply) — this helper aligns PRESENCE, not
+    types; pair it with ``enforce_schema`` at the publish boundary.
+    """
+    if not frames:
+        raise ValueError("union_evolved needs at least one frame")
+    all_cols: list[str] = []
+    for df in frames:
+        for c in df.columns:
+            if c not in all_cols:
+                all_cols.append(c)
+    aligned = []
+    for df in frames:
+        have = set(df.columns)
+        aligned.append(
+            df.select(
+                *[
+                    F.col(c) if c in have else F.lit(None).alias(c)
+                    for c in all_cols
+                ]
+            )
+        )
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1146,3 +1146,35 @@ def test_profile_diff_flags_drift(spark):
     i = diff["id"]
     assert i["old_n_rows"] == 3 and i["new_n_rows"] == 4
     assert i["min_max_changed"]  # max id 3 -> 4
+
+
+def test_union_evolved_aligns_drifted_schemas(spark):
+    """Snapshot series across schema changes: first-seen column order,
+    NULL backfill for columns a frame predates, all rows kept."""
+    from adventureworks_pysparkjobs_spark.operators.relational import (
+        union_evolved,
+    )
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    )
+    v3 = spark.createDataFrame(  # column dropped + new column
+        [(3, True, 0.9)], "id long, flag boolean, score double"
+    )
+    out = union_evolved([v1, v2, v3])
+    assert out.columns == ["id", "name", "score", "flag"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1]["score"] is None and rows[1]["flag"] is None
+    assert rows[2]["score"] == 0.5 and rows[2]["flag"] is None
+    assert rows[3]["name"] is None and rows[3]["flag"] is True
+
+    # a flat n-way union, not a nested ladder of projections
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") == 1, plan[:800]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        union_evolved([])

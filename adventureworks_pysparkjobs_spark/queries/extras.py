@@ -381,3 +381,31 @@ def doc_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_row_ids(doc.withColumn("_h", h), ["_h", "doc_id"]).select(
         "doc_id", "source", "row_id"
     )
+
+
+@query(
+    "doc_schema_evolution_union",
+    oracle="""
+    SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT doc_id, source, lang, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    tags=("union", "schema-evolution", "null-backfill"),
+)
+def doc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (operators/relational.py union_evolved):
+    an old-schema snapshot (doc_id, source) and a new-schema snapshot
+    (+ lang, n_chars) union into the ordered column superset with NULL
+    backfill — the multi-source/snapshot-series ingestion shape. DuckDB
+    replays it with UNION ALL BY NAME."""
+    from ..operators.relational import union_evolved
+
+    doc = load_table(spark, sf_dir, "documents")
+    old = doc.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    new = doc.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return union_evolved([old, new])

@@ -11,10 +11,11 @@ configs that matter at scale and that make local tests deterministic:
   coalescing makes the initial number mostly a ceiling).
 - UTC session timezone (oracle comparisons and cross-engine parity).
 - Arrow enabled for any pandas interchange (vectorized UDF path).
-- ``spark.sql.legacy.parquet.nanosAsLong`` — the events fixture stores
-  TIMESTAMP(NANOS) which vanilla Spark 4 refuses to read; we read nanos as
-  int64 and convert to microsecond timestamps in the source layer
-  (sources/corpus.py).
+- ``spark.sql.legacy.parquet.nanosAsLong`` — some fixture vintages store
+  events.ts as TIMESTAMP(NANOS), which vanilla Spark 4 refuses to read;
+  with the conf the nanos case reads as int64 and the source layer
+  normalizes every observed encoding (nanos-as-long / MICROS-NTZ /
+  MICROS-UTC) to TimestampType (sources/corpus.py:_normalize_events).
 """
 
 from __future__ import annotations

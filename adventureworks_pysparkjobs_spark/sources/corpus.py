@@ -5,12 +5,16 @@ Mirrors the reference's lake-read seam ``read_source_tables``
 DataFrames keyed by table name — generalized to any directory of
 ``{table}.parquet`` files and with per-table normalization hooks.
 
-The only normalization today is the events table: its ``ts`` column is
-Parquet TIMESTAMP(NANOS), which Spark reads as int64 nanos (via
-``spark.sql.legacy.parquet.nanosAsLong``); we convert to a microsecond
-TimestampType column so that downstream window/watermark logic sees a real
-timestamp. Truncation ns->us matches what DuckDB does when reading the same
-file, which keeps the correctness oracle aligned.
+The only normalization today is the events table: the fixture's ``ts``
+physical encoding has drifted across generator versions — TIMESTAMP(NANOS)
+(Spark reads int64 nanos via ``spark.sql.legacy.parquet.nanosAsLong``),
+TIMESTAMP(MICROS) not-adjusted-to-UTC (Spark reads TIMESTAMP_NTZ), and
+TIMESTAMP(MICROS) adjusted-to-UTC (Spark reads TIMESTAMP). We branch on the
+OBSERVED dtype and normalize every case to a session-local TimestampType
+column, so downstream second/micro arithmetic, window() and watermark logic
+see one type regardless of which fixture vintage is on disk. The session
+timezone is pinned UTC (session.py), so NTZ->TIMESTAMP reinterpretation
+preserves the instant, matching what DuckDB computes on the same file.
 """
 
 from __future__ import annotations
@@ -33,11 +37,24 @@ CORPUS_TABLES = [
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    # ts arrives as int64 nanoseconds (nanosAsLong); truncate to micros.
-    if dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: ts is ~1.7e18 ns, beyond double's 2^53 exact
-        # range, so a float divide would round the microsecond digit.
+    """Normalize ``ts`` to TimestampType whatever the on-disk encoding.
+
+    Works on batch and streaming frames alike (streaming/events.py routes
+    through here) — all three branches are pure column expressions.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # TIMESTAMP(NANOS) read as int64 via nanosAsLong. Integer
+        # division: ts is ~1.7e18 ns, beyond double's 2^53 exact range,
+        # so a float divide would round the microsecond digit.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # TIMESTAMP(MICROS) isAdjustedToUTC=false. Session tz is pinned
+        # UTC, so reinterpreting wall-clock NTZ as an instant is exact;
+        # TIMESTAMP_NTZ itself rejects cast-to-bigint in Spark 4, which
+        # is why it cannot flow through untouched.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # "timestamp" (MICROS adjusted-to-UTC): already the target type.
     return df
 
 

@@ -14,35 +14,31 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# Physical schema of events.parquet as Spark reads it with
-# spark.sql.legacy.parquet.nanosAsLong=true (ts: int64 nanoseconds).
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.corpus import _normalize_events
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture with ns→µs timestamp repair —
-    the streaming twin of sources/corpus.py:load_table('events')."""
+    """readStream over the events fixture with the same dtype-branched
+    timestamp repair as the batch path — the streaming twin of
+    sources/corpus.py:load_table('events').
+
+    The file stream source requires an explicit schema; we take it from a
+    batch scan of the same file (footer-only, no data read) instead of
+    pinning one, so whichever ``ts`` physical encoding the fixture carries
+    (int64 nanos / MICROS-NTZ / MICROS-UTC) streams through the identical
+    ``_normalize_events`` branch as batch. A hard-pinned LongType schema
+    here once silently reinterpreted a µs fixture as ns and compressed
+    every timestamp 1000× — deriving the schema from the observed file
+    makes that drift impossible.
+    """
     # Defensive conf pin — see sources/corpus.py:load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    glob = f"{sf_dir}/events*.parquet"
+    observed = spark.read.parquet(glob).schema
     # Glob form: the file stream source needs a directory basePath.
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(EVENTS_FILE_SCHEMA)
-        .load(f"{sf_dir}/events*.parquet")
-    )
-    # integer division — see sources/corpus.py:_normalize_events
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.format("parquet").schema(observed).load(glob)
+    return _normalize_events(raw)
 
 
 def run_to_memory(

@@ -63,31 +63,39 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(bench_queries.items()):
         # best-of-3: single-JVM local timings are noisy (GC, page cache,
         # sibling processes); the minimum is the steady-state estimate.
+        # Per-query fault isolation: one broken query must not cost the
+        # round its bench artifact — record the error, keep timing the
+        # rest, and always emit the JSON line.
         best, n = None, 0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = q.builder(spark, sf_dir)
-            n = materialize(df)
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = q.builder(spark, sf_dir)
+                n = materialize(df)
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_headline_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_headline_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

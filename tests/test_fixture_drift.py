@@ -1,0 +1,94 @@
+"""Fixture-drift canary: the events timestamp layer must survive every
+physical encoding the fixture generator has shipped.
+
+The ``ts`` column of events.parquet has drifted across driver versions:
+TIMESTAMP(NANOS) (round 1), TIMESTAMP(MICROS) not-adjusted-to-UTC
+(round 2 — broke every time-arithmetic query), and plausibly
+TIMESTAMP(MICROS) adjusted-to-UTC next. These tests synthesize a tiny
+parquet file of each encoding and assert that BOTH the batch source
+(sources/corpus.py load_table) and the streaming source
+(streaming/events.py read_events_stream) normalize them to the same
+TimestampType instants — so the next drift fails here, in seconds, not
+in the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+from adventureworks_pysparkjobs_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+)
+
+# 2024-03-01T00:00:00Z and one hour later, as epoch microseconds.
+EPOCH_US = [1_709_251_200_000_000, 1_709_254_800_000_000]
+
+ENCODINGS = {
+    "nanos_as_long": pa.timestamp("ns"),
+    "micros_ntz": pa.timestamp("us"),
+    "micros_utc": pa.timestamp("us", tz="UTC"),
+}
+
+
+def _write_events(path: str, ts_type: pa.DataType) -> None:
+    if ts_type.unit == "ns":
+        ts = pa.array([us * 1000 for us in EPOCH_US], type=ts_type)
+    else:
+        ts = pa.array(EPOCH_US, type=ts_type)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([10, 10], type=pa.int64()),
+            "event_type": pa.array(["click", "purchase"]),
+            "value": pa.array([1.5, 2.5], type=pa.float64()),
+            "props": pa.array(['{"k": 1}', '{"k": 2}']),
+        }
+    )
+    pq.write_table(table, path)
+
+
+@pytest.mark.parametrize("enc", sorted(ENCODINGS))
+def test_batch_load_normalizes_every_ts_encoding(spark, tmp_path, enc):
+    d = tmp_path / enc
+    d.mkdir()
+    _write_events(str(d / "events.parquet"), ENCODINGS[enc])
+    df = load_table(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # The instant survives: epoch seconds and the downstream bigint cast
+    # (the exact expression the time-bucket queries use) both work.
+    rows = df.selectExpr("event_id", "CAST(ts AS BIGINT) AS s").collect()
+    got = {r["event_id"]: r["s"] for r in rows}
+    assert got == {1: EPOCH_US[0] // 1_000_000, 2: EPOCH_US[1] // 1_000_000}
+
+
+@pytest.mark.parametrize("enc", sorted(ENCODINGS))
+def test_stream_read_normalizes_every_ts_encoding(spark, tmp_path, enc):
+    d = tmp_path / enc
+    d.mkdir()
+    _write_events(str(d / "events.parquet"), ENCODINGS[enc])
+    ev = read_events_stream(spark, str(d))
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    out = run_to_memory(
+        ev.selectExpr("event_id", "CAST(ts AS BIGINT) AS s"), "append", spark
+    )
+    got = {r["event_id"]: r["s"] for r in out.collect()}
+    assert got == {1: EPOCH_US[0] // 1_000_000, 2: EPOCH_US[1] // 1_000_000}
+
+
+def test_batch_and_stream_agree_on_the_real_fixture(spark):
+    """Whatever encoding /root/testdata currently ships, batch and stream
+    read the same instants."""
+    from .conftest import SF_SMOKE
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_memory(stream.select("event_id", "ts"), "append", spark)
+    b = {r["event_id"]: r["ts"] for r in batch.select("event_id", "ts").collect()}
+    s = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert b == s

@@ -110,17 +110,16 @@ def test_checkpoint_resume_processes_new_files_exactly_once(spark, tmp_path):
     lands only the new rows — nothing reprocessed, nothing missed."""
     from pyspark.sql import functions as F
 
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
     from adventureworks_pysparkjobs_spark.streaming.events import (
-        EVENTS_FILE_SCHEMA,
         read_events_stream,
         stream_to_parquet,
     )
 
-    # Build an arrival-simulating source dir from the raw fixture (pinned
-    # long-nanos schema, so the stream reader's contract is unchanged).
-    raw = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(
-        f"{SF_SMOKE}/events.parquet"
-    )
+    # Build an arrival-simulating source dir from the normalized fixture
+    # (stream reader derives its schema from the files it finds, so any
+    # ts encoding round-trips).
+    raw = load_table(spark, SF_SMOKE, "events")
     half1 = raw.filter(F.col("event_id") % 2 == 0)
     half2 = raw.filter(F.col("event_id") % 2 == 1)
     src = tmp_path / "src"
@@ -154,19 +153,17 @@ def test_stream_upsert_sink_merges_updates_and_replays_idempotently(
     exactly-once without a transactional table format."""
     from pyspark.sql import functions as F
 
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
     from adventureworks_pysparkjobs_spark.streaming.events import (
-        EVENTS_FILE_SCHEMA,
         read_events_stream,
         stream_upsert_to_lake,
     )
 
-    raw = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(
-        f"{SF_SMOKE}/events.parquet"
-    )
+    raw = load_table(spark, SF_SMOKE, "events")
     half1 = raw.filter(F.col("event_id") % 2 == 0)
     updates = (
         half1.filter(F.col("event_id") % 4 == 0)
-        .withColumn("ts", F.col("ts") + F.lit(10**12))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 20 MINUTES"))
         .withColumn("value", F.lit(-1.0))
     )
     half2 = raw.filter(F.col("event_id") % 2 == 1).unionByName(updates)
@@ -203,17 +200,11 @@ def test_stream_upsert_sink_merges_updates_and_replays_idempotently(
 
     got = snapshot()
 
-    # the stream reader repairs ts long-ns -> timestamp(µs); apply the
-    # same repair to the batch frames the expectation is built from
-    def tsfix(df):
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-
-    base = {r["event_id"]: (r["ts"], r["value"]) for r in tsfix(raw).collect()}
+    # raw/updates come through load_table, so their ts is already the
+    # normalized TimestampType the stream reader lands
+    base = {r["event_id"]: (r["ts"], r["value"]) for r in raw.collect()}
     upd = {
-        r["event_id"]: (r["ts"], r["value"])
-        for r in tsfix(updates).collect()
+        r["event_id"]: (r["ts"], r["value"]) for r in updates.collect()
     }
     assert got == {**base, **upd}  # updated keys carry the new ts/value
 

@@ -384,6 +384,203 @@ def doc_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), spans AS (
+      SELECT doc_id, CAST((s - 1) // 16 AS INT) AS span_no,
+             array_to_string(t[s:s+15], ' ') AS span_text
+      FROM (SELECT doc_id, t, n,
+                   unnest(generate_series(1, n, 16)) AS s
+            FROM sized)
+    ), win AS (
+      SELECT doc_id, span_no, span_text,
+             ROW_NUMBER() OVER (PARTITION BY span_text
+                                ORDER BY doc_id, span_no) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                               ' ' ORDER BY span_no), '') AS text_dedup,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_spans_kept,
+           COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS n_spans_dropped
+    FROM win GROUP BY doc_id
+    """,
+    tags=("dedup", "span", "cross-doc", "c4"),
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup (operators/dedup.py dedup_spans): slice
+    every document into non-overlapping 16-token spans, keep each span
+    text's first corpus-wide occurrence (min (doc_id, span_no) — a
+    partial-aggregable min(struct), NOT a global window over span text),
+    reassemble surviving spans per document. The boilerplate-removal
+    pass whole-document dedup can't do."""
+    doc = load_table(spark, sf_dir, "documents")
+    return D.dedup_spans(doc, span_tokens=16)
+
+
+@query(
+    "doc_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(t[i:i+7], 'string_agg', ' ') AS gram
+      FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ), bench AS (
+      SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0
+    ), hits AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.gram) AS n
+      FROM sh s JOIN bench b USING (gram) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.n, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("decontamination", "ngram", "benchmark", "broadcast"),
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/dedup.py flag_contamination):
+    flag corpus docs sharing word 8-grams with a benchmark set (here the
+    doc_id%10==0 slice standing in for an eval suite). The benchmark
+    grams broadcast — the corpus side never shuffles."""
+    doc = load_table(spark, sf_dir, "documents")
+    bench = doc.filter(F.col("doc_id") % 10 == 0)
+    return D.flag_contamination(doc, bench, n=8, min_hits=1)
+
+
+@query(
+    "orders_profile_drift",
+    oracle="""
+    WITH old_t AS (SELECT * FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+    new_t AS (SELECT * FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+    old_p AS (
+      SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS DOUBLE) / COUNT(*)
+               AS null_fraction,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+      FROM old_t
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+             CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) / COUNT(*),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM old_t
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+             CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) / COUNT(*),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR),
+             CAST(MAX(o_custkey) AS VARCHAR)
+      FROM old_t
+    ),
+    new_p AS (
+      SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS DOUBLE) / COUNT(*)
+               AS null_fraction,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+      FROM new_t
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+             CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) / COUNT(*),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM new_t
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+             CAST(COUNT(*) - COUNT(o_orderpriority) AS DOUBLE) / COUNT(*),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM new_t
+    )
+    SELECT COALESCE(o."column", n."column") AS "column",
+           CASE WHEN o."column" IS NULL THEN 'added'
+                WHEN n."column" IS NULL THEN 'removed'
+                ELSE 'common' END AS presence,
+           o.n_rows AS old_n_rows, n.n_rows AS new_n_rows,
+           o.n_nulls AS old_n_nulls, n.n_nulls AS new_n_nulls,
+           n.null_fraction - o.null_fraction AS null_fraction_delta,
+           o.n_distinct AS old_n_distinct, n.n_distinct AS new_n_distinct,
+           NOT (o.min_value IS NOT DISTINCT FROM n.min_value
+                AND o.max_value IS NOT DISTINCT FROM n.max_value)
+             AS min_max_changed
+    FROM old_p o FULL OUTER JOIN new_p n ON o."column" = n."column"
+    """,
+    tags=("profile", "drift", "data-quality", "contract"),
+)
+def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run profile drift (operators/profile.py profile_table +
+    profile_diff): profile pre-1996 and 1996+ order snapshots over
+    overlapping-but-different column sets (o_custkey dropped,
+    o_orderpriority added — the upstream-schema-change shape) and diff
+    them. Each profile is ONE aggregation pass; the diff is a broadcast
+    full-outer join of two column-count-sized frames. Exact distinct
+    counts here for oracle parity; at 100 TB the operator's HLL++ mode
+    is the default."""
+    from ..operators.profile import profile_diff, profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    new = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    po = profile_table(
+        old, ["o_orderkey", "o_orderstatus", "o_custkey"], exact_distinct=True
+    )
+    pn = profile_table(
+        new,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
+    )
+    return profile_diff(po, pn)
+
+
+@query(
+    "stream_click_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p
+    JOIN events c ON c.user_id = p.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "stream-stream", "interval-join", "watermark"),
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/events.py
+    stream_stream_attribution): every (purchase, click) pair by the same
+    user within the preceding 30 minutes, both sides watermarked so join
+    state stays O(horizon). On the bounded fixture the append-mode run
+    equals the batch interval join — the SQL oracle."""
+    from ..streaming.events import stream_stream_attribution
+
+    return stream_stream_attribution(spark, sf_dir, horizon="30 minutes")
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

@@ -25,7 +25,7 @@ keyed on content hashes (uniform, skew-free by construction). Stages 1,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
@@ -78,6 +78,8 @@ def build_training_corpus(
     max_seq_tokens: int = 64,
     shuffle_salt: str = "epoch0",
     metrics: dict[str, Observation] | None = None,
+    pack_buckets: int = 64,
+    pack_bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline over ``{sf_dir}/documents.parquet``
     and return packed training sequences: one row per chunk with
@@ -177,4 +179,15 @@ def build_training_corpus(
     chunks = TX.chunk_documents(
         shuffled, chunk_tokens=chunk_tokens, overlap=overlap
     ).join(docs.select("doc_id", "source"), "doc_id")
-    return observe(pack_sequences(chunks, max_tokens=max_seq_tokens), "packed")
+    # pack_bucket_expr: default None -> xxhash64 doc buckets; pass a plain
+    # modulus (as the catalog's oracle-backed entry does) when the packing
+    # must be replayable outside Spark.
+    return observe(
+        pack_sequences(
+            chunks,
+            max_tokens=max_seq_tokens,
+            n_buckets=pack_buckets,
+            bucket_expr=pack_bucket_expr,
+        ),
+        "packed",
+    )

@@ -581,6 +581,241 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 300 * 300 AS aligned,
+             event_type
+      FROM events
+    ),
+    x AS (
+      SELECT aligned - 300 AS bucket_s, event_type FROM e
+      UNION ALL
+      SELECT aligned, event_type FROM e
+    )
+    SELECT bucket_s, event_type, COUNT(*) AS n_events
+    FROM x GROUP BY bucket_s, event_type
+    """,
+    tags=("streaming", "sliding-window", "watermark"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window counts (10-minute windows every 5
+    minutes — each event lands in two overlapping buckets), run to
+    completion under a watermark. Oracle: the event exploded into its
+    two covering bucket starts, then grouped."""
+    from ..streaming.events import sliding_counts
+
+    return sliding_counts(spark, sf_dir, window="10 minutes", slide="5 minutes")
+
+
+@query(
+    "stream_stateful_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS seq
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS session_end_s,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, seq
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState", "sessionize"),
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming sessionization (streaming/events.py
+    stateful_sessionize — applyInPandasWithState, O(1) state per user)
+    WITH a full SQL oracle: on the bounded fixture the emitted session
+    set equals batch gap-sessionization in floored-epoch-second
+    arithmetic. The oracle-checkable face of the custom-stateful family
+    (its running-totals sibling stays rows-only: float accumulation
+    order)."""
+    from ..streaming.events import stateful_sessionize
+
+    return stateful_sessionize(spark, sf_dir, gap_s=1800)
+
+
+@query(
+    "corpus_training_pipeline",
+    oracle="""
+    WITH RECURSIVE toks0 AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, source, text, t FROM toks0
+      WHERE len(t) BETWEEN 20 AND 1000
+        AND (CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / len(text)) < 0.2
+        AND (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) > 0.05
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)
+    ),
+    exact_kept AS (
+      SELECT q.* FROM quality q JOIN survivors s USING (doc_id)
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM exact_kept WHERE len(t) > 0),
+    spans AS (
+      SELECT doc_id, CAST((s - 1) // 16 AS INT) AS span_no,
+             array_to_string(t[s:s+15], ' ') AS span_text
+      FROM (SELECT doc_id, t, n, unnest(generate_series(1, n, 16)) AS s
+            FROM sized)
+    ),
+    win AS (
+      SELECT doc_id, span_no, span_text,
+             ROW_NUMBER() OVER (PARTITION BY span_text
+                                ORDER BY doc_id, span_no) AS rn
+      FROM spans
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                                 ' ' ORDER BY span_no), '') AS text
+      FROM win GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT r.doc_id, e.source,
+             list_filter(string_split_regex(trim(r.text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM rebuilt r JOIN exact_kept e USING (doc_id)
+      WHERE len(list_filter(string_split_regex(trim(r.text), '\\s+'),
+                            x -> x <> '')) >= 1
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             list_aggregate(t[i:i+2], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sig AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, unnest([0,1,2,3,4,5,6,7]) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    band_key AS (
+      SELECT id, CAST(seed // 2 AS INTEGER) AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+      FROM sig GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM band_key a JOIN band_key b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.id = c.id1
+      JOIN sh b ON b.id = c.id2 AND b.shingle = a.shingle
+      GROUP BY c.id1, c.id2
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON inter.id1 = s1.id
+      JOIN sizes s2 ON inter.id2 = s2.id
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    ),
+    edg AS (SELECT id1 AS src, id2 AS dst FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM edg
+      UNION
+      SELECT edg.dst, cc.lbl FROM cc JOIN edg ON cc.node = edg.src
+    ),
+    losers AS (
+      SELECT node AS doc_id FROM (SELECT node, MIN(lbl) AS cluster_id
+                                  FROM cc GROUP BY node)
+      WHERE node <> cluster_id
+    ),
+    near_kept AS (
+      SELECT k.doc_id, k.source, k.t, len(k.t) AS n
+      FROM toks k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    starts AS (
+      SELECT doc_id, source, t, n,
+             unnest(generate_series(
+               1, CASE WHEN n > 32 THEN n - 32 + 24 ELSE 1 END, 24)) AS s
+      FROM near_kept
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             CAST((s - 1) // 24 AS INT) AS chunk_id,
+             CAST(s AS INT) AS start_token,
+             array_to_string(t[s:s+31], ' ') AS chunk_text,
+             CAST(LEAST(32, n - s + 1) AS INT) AS n_chunk_tokens,
+             doc_id % 64 AS bucket
+      FROM starts
+    ),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                   ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    ),
+    walk(bucket, rn, seq, pos, run_after) AS (
+      SELECT bucket, rn, 0, 0, n_chunk_tokens FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn,
+             CASE WHEN w.run_after + o.n_chunk_tokens > 64
+                  THEN w.seq + 1 ELSE w.seq END,
+             CASE WHEN w.run_after + o.n_chunk_tokens > 64
+                  THEN 0 ELSE w.pos + 1 END,
+             CASE WHEN w.run_after + o.n_chunk_tokens > 64
+                  THEN o.n_chunk_tokens
+                  ELSE w.run_after + o.n_chunk_tokens END
+      FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+    )
+    SELECT c.doc_id, c.chunk_id, c.start_token, c.chunk_text,
+           c.n_chunk_tokens, c.source,
+           CAST(c.bucket * 4294967296 + w.seq AS BIGINT) AS seq_id,
+           CAST(w.pos AS INT) AS seq_pos
+    FROM ordered c JOIN walk w ON c.bucket = w.bucket AND c.rn = w.rn
+    """,
+    tags=("pipeline", "dedup", "quality", "chunking", "packing", "llm",
+          "end-to-end"),
+)
+def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation job (jobs/corpus_pipeline.py
+    build_training_corpus) under one oracle: C4 quality gate → exact
+    dedup → cross-doc span dedup → MinHash-LSH near-dup removal (cluster
+    rep = min id) → deterministic shuffle → 32/8 chunking → 64-token
+    greedy packing. Every stage decision is a pure function of content
+    keys, so DuckDB replays the whole chain — including the recursive-CTE
+    connected components and the packing state machine — row-for-row.
+    Packing buckets by doc_id % 64 here (vs the default xxhash64) for
+    engine portability, same as ``doc_chunks``."""
+    from ..jobs.corpus_pipeline import build_training_corpus
+
+    return build_training_corpus(
+        spark,
+        sf_dir,
+        pack_bucket_expr=F.pmod(F.col("doc_id"), F.lit(64)),
+    )
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

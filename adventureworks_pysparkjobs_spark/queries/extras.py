@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as TX
+from ..operators.relational import dec
 from ..sources.corpus import load_table
 from .catalog import query
 
@@ -812,6 +813,180 @@ def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         pack_bucket_expr=F.pmod(F.col("doc_id"), F.lit(64)),
+    )
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "exists", "correlated-subquery", "semi-join"),
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi conjunct —
+    orders in a quarter having at least one line shipped more than 30
+    days after the order date, counted per priority. Spark plans the
+    EXISTS as a left-semi join on the order key (the equi part carries
+    the shuffle; the date comparison rides along as a join residual), so
+    no row is ever duplicated pre-aggregation."""
+    from ..sources.corpus import load_tables
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].alias("o")
+    li = t["lineitem"].alias("l")
+    sem = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).join(
+        li,
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate")
+           > F.col("o.o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "q12_priority_case_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("tpch", "case", "conditional-agg", "join"),
+)
+def q12_priority_case_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — lines shipped in 1996
+    split into high/low-priority counts per return flag via CASE inside
+    SUM (one join, one agg; the filter pushes to the lineitem scan)."""
+    from ..sources.corpus import load_tables
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT s_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 2, 3, 4, 5)
+      AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("tpch", "not-in", "count-distinct", "anti-join"),
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) with
+    a NOT IN exclusion subquery (suppliers in the red). The NOT IN is a
+    left-anti join on the supplier key (safe here: keys are non-null by
+    construction); the distinct count shuffles once on the group keys."""
+    from ..sources.corpus import load_tables
+
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    good = t["supplier"].join(bad, "s_suppkey", "left_anti")
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].filter(
+                (F.col("p_brand") != "Brand#45")
+                & F.col("p_size").isin(1, 2, 3, 4, 5)
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(good, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("s_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_acctbal > pos.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-07-01')
+    GROUP BY c_mktsegment
+    """,
+    tags=("tpch", "scalar-subquery", "not-exists", "anti-join"),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the positive-balance
+    average (scalar subquery — a 1-row broadcast cross join) with no
+    order since mid-2000 (NOT EXISTS — left-anti join on the filtered
+    order set), rolled up per market segment. Decimal-pinned sums per
+    the catalog determinism rules, so the threshold and totals are
+    bit-identical across engines."""
+    from ..sources.corpus import load_tables
+
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    cust = t["customer"]
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal", 12, 2)).cast("double") / F.count("*")
+        ).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= "2000-07-01")
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("totacctbal"),
+        )
     )
 
 

@@ -18,6 +18,8 @@ from .conftest import SF_SMOKE
 CROSS_OK = {
     "setops_nations",  # deliberate broadcast cross rider (region x segments)
     "top_orders_above_avg",
+    "q22_dormant_rich_customers",  # 1-row scalar-subquery broadcast cross
+
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",
     # int8/pq methods score broadcast queries against the compressed

@@ -991,6 +991,118 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_media_decode_features",
+    oracle="""
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS path,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           sha256(text) AS payload_sha256,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+           3 AS n_channels,
+           CAST(octet_length(encode(text)) % 251
+                + octet_length(encode(text)) % 17 AS DOUBLE) AS feature_sum
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "mapInPandas", "binary", "udf"),
+)
+def doc_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal DECODE path (operators/multimodal.py
+    extract_features) driven end-to-end through its real mapInPandas
+    Arrow plumbing — payload batching, per-row codec call, typed flat
+    output — with a DETERMINISTIC FAKE codec (pure function of payload
+    length; no media libraries exist in this container, production
+    injects Pillow/librosa with the same contract). Because the fake is
+    content-deterministic, even the Python-side decode carries a full
+    SQL oracle; the sha256/byte-count columns additionally pin that the
+    exact payload bytes crossed the Arrow boundary intact."""
+    from ..operators.multimodal import extract_features
+
+    doc = load_table(spark, sf_dir, "documents")
+    media = doc.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+    def fake_codec(payload: bytes) -> dict:
+        # Deterministic stand-in for an image decoder: pure function of
+        # the payload, engine-reproducible (see module docstring).
+        n = len(payload)
+        return {
+            "width": n % 640 + 1,
+            "height": n % 480 + 1,
+            "n_channels": 3,
+            "feature": [float(n % 251), float(n % 17)],
+        }
+
+    feats = extract_features(media, codec=fake_codec)
+    return feats.select(
+        "path",
+        "payload_bytes",
+        "payload_sha256",
+        "width",
+        "height",
+        "n_channels",
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)
+        .cast("double")
+        .alias("feature_sum"),
+    )
+
+
+@query(
+    "doc_media_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS path,
+             octet_length(encode(text)) // 500 + 1 AS total,
+             unnest(range(0, octet_length(encode(text)) // 500 + 1)) AS i
+      FROM documents
+    ),
+    kept AS (
+      SELECT path, CAST(i AS INT) AS frame_idx,
+             CAST(i * 40 AS BIGINT) AS frame_ts_ms,
+             ROW_NUMBER() OVER (PARTITION BY path ORDER BY i) AS rn
+      FROM f WHERE i % 2 = 0
+    )
+    SELECT path, frame_idx, frame_ts_ms FROM kept WHERE rn <= 3
+    """,
+    tags=("multimodal", "video", "frame-sample", "mapInPandas", "udf"),
+)
+def doc_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-to-MANY multimodal shape (operators/multimodal.py
+    sample_frames): one payload row yields a row per kept frame through
+    the real mapInPandas iterator — keep every 2nd frame, cap at 3 per
+    video — with a DETERMINISTIC FAKE frame codec (one synthetic frame
+    per 500 payload bytes at 25 fps; no video libraries in this
+    container, production injects pyav through the same seam). The
+    every_n/max_frames sampling logic is the code under test and is
+    replayed exactly by the SQL oracle."""
+    from ..operators.multimodal import sample_frames
+
+    doc = load_table(spark, sf_dir, "documents")
+    media = doc.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+    def fake_codec(payload: bytes) -> list:
+        # Deterministic stand-in for a video frame decoder: one frame
+        # per 500 bytes, 40 ms apart (25 fps), no pixel data.
+        n_frames = len(payload) // 500 + 1
+        return [
+            {"frame_idx": i, "frame_ts_ms": i * 40, "frame": None,
+             "feature": None}
+            for i in range(n_frames)
+        ]
+
+    frames = sample_frames(media, codec=fake_codec, every_n=2, max_frames=3)
+    return frames.select("path", "frame_idx", "frame_ts_ms")
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

@@ -80,6 +80,68 @@ def test_stream_read_normalizes_every_ts_encoding(spark, tmp_path, enc):
     assert got == {1: EPOCH_US[0] // 1_000_000, 2: EPOCH_US[1] // 1_000_000}
 
 
+DATE_ENCODINGS = {
+    "date32": pa.date32(),
+    "ts_micros_ntz": pa.timestamp("us"),
+    "ts_micros_utc": pa.timestamp("us", tz="UTC"),
+}
+
+
+@pytest.mark.parametrize("enc", sorted(DATE_ENCODINGS))
+def test_date_predicates_survive_orders_encoding_drift(spark, tmp_path, enc):
+    """The generator may ship o_orderdate/l_shipdate as DATE or either
+    TIMESTAMP flavor. String-literal comparisons, interval arithmetic and
+    calendar functions — the shapes every TPC-H query uses — must work on
+    all three. (The events `ts` drift of r2 is this same failure class.)"""
+    import datetime
+
+    ty = DATE_ENCODINGS[enc]
+    if ty == pa.date32():
+        dates = pa.array(
+            [datetime.date(1996, 1, 15), datetime.date(1997, 6, 1)], type=ty
+        )
+        ships = pa.array(
+            [datetime.date(1996, 3, 15), datetime.date(1997, 6, 10)], type=ty
+        )
+    else:
+        us = [820_108_800_000_000, 865_123_200_000_000]  # 1996-01-28, 1997-06-01
+        dates = pa.array(us, type=ty)
+        ships = pa.array([u + 86_400_000_000 * 30 for u in us], type=ty)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], type=pa.int64()),
+            "o_custkey": pa.array([10, 11], type=pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"]),
+            "o_totalprice": pa.array([100.0, 200.0], type=pa.float64()),
+            "o_orderdate": dates,
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+        }
+    )
+    lineitem_cols = {
+        "l_orderkey": pa.array([1, 2], type=pa.int64()),
+        "l_partkey": pa.array([1, 2], type=pa.int64()),
+        "l_suppkey": pa.array([1, 2], type=pa.int64()),
+        "l_linenumber": pa.array([1, 1], type=pa.int64()),
+        "l_quantity": pa.array([5.0, 7.0], type=pa.float64()),
+        "l_extendedprice": pa.array([50.0, 70.0], type=pa.float64()),
+        "l_discount": pa.array([0.05, 0.02], type=pa.float64()),
+        "l_tax": pa.array([0.02, 0.03], type=pa.float64()),
+        "l_returnflag": pa.array(["N", "R"]),
+        "l_linestatus": pa.array(["O", "F"]),
+        "l_shipdate": ships,
+    }
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table(lineitem_cols), str(tmp_path / "lineitem.parquet"))
+
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    # Date-arithmetic-heavy shapes: filter + interval residual semi join,
+    # calendar functions, range band join.
+    for name in ("q4_priority_exists", "date_functions_orders"):
+        df = CATALOG[name].builder(spark, str(tmp_path))
+        assert df.count() >= 0  # analysis + execution must not throw
+
+
 def test_batch_and_stream_agree_on_the_real_fixture(spark):
     """Whatever encoding /root/testdata currently ships, batch and stream
     read the same instants."""

@@ -269,7 +269,15 @@ def minhash_lsh_pairs(
             F.transform(F.col("arr"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
         ).alias(f"_mh{j}")
 
-    wide = arrs.select("id", *[_sig(j) for j in range(num_hashes)])
+    # Documents with fewer than n tokens have an EMPTY shingle set: every
+    # minhash is null and every band signature collapses to '' — at scale
+    # that is one giant '' bucket (an O(k^2) candidate clique of documents
+    # that cannot be shingle-near-dups by definition) and a 0/0 in the
+    # Jaccard verify. Exclude them before banding, matching the SQL-oracle
+    # construction (its shingle CTE never emits sub-n-token docs).
+    wide = arrs.filter(F.size("arr") > 0).select(
+        "id", *[_sig(j) for j in range(num_hashes)]
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -359,7 +367,12 @@ def minhash_band_snapshot(
             F.transform(F.col("arr"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
         ).alias(f"_mh{j}")
 
-    wide = arrs.select("id", *[_sig(j) for j in range(num_hashes)])
+    # Sub-n-token docs (empty shingle set) are excluded before banding —
+    # same reasoning as minhash_lsh_pairs: their '' band signature is a
+    # skew bucket of definitionally-non-near-dup documents.
+    wide = arrs.filter(F.size("arr") > 0).select(
+        "id", *[_sig(j) for j in range(num_hashes)]
+    )
     band_structs = F.array(
         *[
             F.struct(

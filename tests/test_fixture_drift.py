@@ -154,3 +154,38 @@ def test_batch_and_stream_agree_on_the_real_fixture(spark):
     b = {r["event_id"]: r["ts"] for r in batch.select("event_id", "ts").collect()}
     s = {r["event_id"]: r["ts"] for r in out.collect()}
     assert b == s
+
+
+def test_minhash_short_docs_never_collide_or_divide_by_zero(spark):
+    """Documents with fewer than n tokens have empty shingle sets; they
+    must be excluded from LSH banding (their '' band signature would
+    otherwise form a giant skew bucket and a 0/0 Jaccard under ANSI mode
+    — hit for real at sf0.1 inside the corpus pipeline). Real dups still
+    pair; short docs never do."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_against,
+        minhash_band_snapshot,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    rows = [
+        (1, text),
+        (2, text + "iota"),
+        (3, "tiny"),          # < 3 tokens -> empty shingle set
+        (4, "also tiny"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, n=3, threshold=0.5).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert (1, 2) in got
+    assert all({p[0], p[1]} <= {1, 2} for p in got), got
+
+    snap = minhash_band_snapshot(df.filter(F.col("doc_id") % 2 == 0), n=3)
+    inc = minhash_lsh_pairs_against(
+        df.filter(F.col("doc_id") % 2 == 1), snap, n=3, threshold=0.25
+    ).collect()
+    assert {(r["batch_id"], r["snapshot_id"]) for r in inc} == {(1, 2)}

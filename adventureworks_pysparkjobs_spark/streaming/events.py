@@ -282,9 +282,13 @@ def stream_stream_attribution(
 
     Output: (purchase_id, user_id, purchase_ts, click_id, click_ts).
     """
+    # Self-join from ONE stream source: both sides derive from the same
+    # readStream, so the file source is scanned once per micro-batch, not
+    # twice (at 100 TB/day the second scan is the difference between one
+    # and two passes over the day's landing zone).
+    ev = read_events_stream(spark, sf_dir)
     clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
@@ -293,8 +297,7 @@ def stream_stream_attribution(
         .withWatermark("click_ts", horizon)
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id"),
             F.col("event_id").alias("purchase_id"),

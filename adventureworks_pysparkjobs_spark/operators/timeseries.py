@@ -1,0 +1,74 @@
+"""Time-series resampling operators (north-star extension, SURVEY.md
+§2.10): regularize an irregular event stream onto a fixed time grid —
+the feature-engineering shape between raw events and model-ready
+per-entity time series (downsample, gap-fill, forward fill).
+
+Scale design: the grid is generated PER KEY from that key's own
+[min, max] bucket span (``sequence`` + ``explode`` — rows bounded by
+span/bucket_s per key, never a global calendar cross join), the bucket
+aggregation is one partial+final hash agg, and the forward fill is a
+single window over the already-gridded frame — two shuffles total on
+the key, both skew-bounded by real per-entity activity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import dec
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Resample events onto a fixed ``bucket_s``-second grid per ``key``
+    and forward-fill across empty buckets.
+
+    Output, one row per (key, grid bucket) covering each key's observed
+    [first, last] activity span:
+
+    - ``n_events``  — events in the bucket (0 on gaps),
+    - ``total_value`` — decimal-exact bucket sum as DOUBLE (NULL on
+      gaps — the honest raw aggregate),
+    - ``total_value_ff`` — the last non-null bucket sum at or before
+      this bucket (forward fill / last-observation-carried-forward).
+
+    Deterministic across engines: epoch-floored bucketing, decimal
+    accumulation, and a window whose ORDER BY (the grid bucket) is
+    unique per key.
+    """
+    s = F.col(ts_col).cast("bigint")
+    bucket = (s - (s % bucket_s)).alias("bucket_s")
+    agg = df.groupBy(F.col(key), bucket).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec(value_col, 12, 2)).cast("double").alias("total_value"),
+    )
+    bounds = agg.groupBy(key).agg(
+        F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_s))
+        ).alias("bucket_s"),
+    )
+    j = grid.join(agg, [key, "bucket_s"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        key,
+        "bucket_s",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "total_value",
+        F.last("total_value", ignorenulls=True).over(w).alias(
+            "total_value_ff"
+        ),
+    )

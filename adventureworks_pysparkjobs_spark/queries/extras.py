@@ -1103,6 +1103,54 @@ def doc_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_resample_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - (CAST(FLOOR(epoch(ts)) AS BIGINT) % 3600) AS bucket_s,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi
+      FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_s
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket_s,
+             COALESCE(b.n_events, 0) AS n_events,
+             b.total_value
+      FROM grid g LEFT JOIN b USING (user_id, bucket_s)
+    )
+    SELECT user_id, bucket_s, n_events, total_value,
+           last_value(total_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS total_value_ff
+    FROM j
+    """,
+    tags=("timeseries", "resample", "gapfill", "forward-fill", "window"),
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py
+    resample_gapfill): hourly per-user buckets over each user's activity
+    span, empty buckets emitted with n_events=0 and the last observed
+    bucket total forward-filled — the downsample/LOCF shape between raw
+    events and per-entity model features. Per-key grid generation (no
+    global calendar cross join), two keyed shuffles total."""
+    from ..operators.timeseries import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_gapfill(ev, key="user_id", ts_col="ts",
+                            value_col="value", bucket_s=3600)
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

@@ -151,6 +151,47 @@ def upsert_snapshot(
     )
 
 
+def scd2_from_changes(
+    changes: DataFrame,
+    key: str,
+    order_by: list[str],
+    attrs: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change/event
+    stream: per ``key``, compress consecutive rows with identical
+    ``attrs`` (only real transitions survive), then emit one validity
+    interval per surviving version — ``valid_from`` (the change's
+    ``order_by[0]`` value), ``valid_to`` (the NEXT change's, NULL while
+    current) and ``is_current``.
+
+    The type-2 companion of ``upsert_snapshot`` (type-1 latest-wins):
+    where type-1 overwrites, type-2 appends history, which is what
+    point-in-time joins and training-data snapshots need. One shuffle on
+    the key serves both windows (change compression and interval
+    construction); ``order_by`` must be a total order within the key
+    (append the PK). Deterministic: transitions and intervals are pure
+    functions of the ordered change sequence.
+    """
+    w = Window.partitionBy(key).orderBy(*order_by)
+    cur = F.struct(*[F.col(a).alias(a) for a in attrs])
+    # lag the struct itself: the first row's previous is a NULL struct
+    # (a struct OF lagged fields would be non-null with null fields and
+    # break the is-first test).
+    chg = (
+        changes.withColumn("_prev", F.lag(cur).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != cur))
+        .drop("_prev")
+    )
+    nxt = F.lead(order_by[0]).over(w)
+    return chg.select(
+        key,
+        *attrs,
+        F.col(order_by[0]).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def union_evolved(frames: list[DataFrame]) -> DataFrame:
     """Union frames whose schemas have DRIFTED (multi-source corpora,
     snapshot series across schema changes): the union's schema is the

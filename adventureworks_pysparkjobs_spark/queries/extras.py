@@ -1151,6 +1151,50 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_scd2_status_history",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+               AS prev
+      FROM orders
+    ),
+    chg AS (
+      SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+             AS valid_to,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL
+             AS is_current
+    FROM chg
+    """,
+    tags=("scd2", "history", "dimension", "window", "warehouse"),
+)
+def orders_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/relational.py scd2_from_changes):
+    per-customer order-status timeline — consecutive identical statuses
+    compressed, each surviving version carrying
+    [valid_from, valid_to) + is_current. The append-history companion of
+    the type-1 upsert_snapshot; what point-in-time joins and
+    training-data snapshots consume. One shuffle on the key serves both
+    windows."""
+    from ..operators.relational import scd2_from_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_from_changes(
+        orders,
+        key="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        attrs=["o_orderstatus"],
+    )
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

@@ -1178,3 +1178,39 @@ def test_union_evolved_aligns_drifted_schemas(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         union_evolved([])
+
+
+def test_scd2_from_changes_compresses_and_builds_intervals(spark):
+    """Type-2 SCD: consecutive identical attribute versions compress to
+    one interval; each transition closes the previous interval; the last
+    version per key is current (multi-attr: ANY attr change opens a new
+    version)."""
+    from adventureworks_pysparkjobs_spark.operators.relational import (
+        scd2_from_changes,
+    )
+
+    rows = [
+        # key, seq, status, tier
+        (1, 1, "O", "gold"),
+        (1, 2, "O", "gold"),     # no change -> compressed away
+        (1, 3, "F", "gold"),     # status change
+        (1, 4, "F", "silver"),   # tier change (second attr)
+        (2, 1, "O", "gold"),     # single-version key
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, seq long, status string, tier string"
+    )
+    out = {
+        (r["k"], r["valid_from"]): (
+            r["status"], r["tier"], r["valid_to"], r["is_current"]
+        )
+        for r in scd2_from_changes(
+            df, key="k", order_by=["seq"], attrs=["status", "tier"]
+        ).collect()
+    }
+    assert out == {
+        (1, 1): ("O", "gold", 3, False),
+        (1, 3): ("F", "gold", 4, False),
+        (1, 4): ("F", "silver", None, True),
+        (2, 1): ("O", "gold", None, True),
+    }

@@ -72,3 +72,59 @@ def resample_gapfill(
             "total_value_ff"
         ),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Like :func:`resample_gapfill` but gaps are LINEARLY interpolated
+    between the surrounding observed buckets instead of carried forward
+    — the other standard regularization for continuous-valued series.
+
+    ``total_value_li`` on a gap at bucket b with previous observation
+    (pb, pv) and next observation (nb, nv) is
+    ``pv + (nv - pv) * (b - pb) / (nb - pb)``; observed buckets keep
+    their exact value; a leading/trailing gap cannot occur (the grid
+    spans [first, last] observation). Same two keyed shuffles as the
+    LOCF variant — the backward- and forward-looking anchor windows
+    share one sort. Deterministic: one IEEE expression over identical
+    operands in any engine.
+    """
+    s = F.col(ts_col).cast("bigint")
+    bucket = (s - (s % bucket_s)).alias("bucket_s")
+    agg = df.groupBy(F.col(key), bucket).agg(
+        F.sum(dec(value_col, 12, 2)).cast("double").alias("total_value"),
+    )
+    bounds = agg.groupBy(key).agg(
+        F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_s))
+        ).alias("bucket_s"),
+    )
+    j = grid.join(agg, [key, "bucket_s"], "left")
+    v = F.col("total_value")
+    b = F.col("bucket_s")
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pb = F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wb)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nb = F.first(F.when(v.isNotNull(), b), ignorenulls=True).over(wf)
+    frac = (b - pb).cast("double") / (nb - pb).cast("double")
+    li = F.when(v.isNotNull(), v).otherwise(pv + (nv - pv) * frac)
+    return j.select(key, "bucket_s", "total_value", li.alias("total_value_li"))

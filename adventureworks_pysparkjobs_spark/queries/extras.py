@@ -1195,6 +1195,65 @@ def orders_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_resample_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - (CAST(FLOOR(epoch(ts)) AS BIGINT) % 3600) AS bucket_s,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi
+      FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_s
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket_s, b.total_value
+      FROM grid g LEFT JOIN b USING (user_id, bucket_s)
+    ),
+    anch AS (
+      SELECT user_id, bucket_s, total_value,
+             last_value(total_value IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN total_value IS NOT NULL THEN bucket_s END
+                        IGNORE NULLS) OVER wb AS pb,
+             first_value(total_value IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN total_value IS NOT NULL THEN bucket_s END
+                         IGNORE NULLS) OVER wf AS nb
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket_s
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_s, total_value,
+           CASE WHEN total_value IS NOT NULL THEN total_value
+                ELSE pv + (nv - pv)
+                     * (CAST(bucket_s - pb AS DOUBLE)
+                        / CAST(nb - pb AS DOUBLE)) END AS total_value_li
+    FROM anch
+    """,
+    tags=("timeseries", "resample", "interpolate", "window"),
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across resample gaps
+    (operators/timeseries.py resample_interpolate): gap buckets get
+    pv + (nv - pv) * (b - pb) / (nb - pb) from the surrounding observed
+    buckets — the continuous-series twin of the LOCF entry. One IEEE
+    expression over identical operands in both engines, so even the
+    interpolated doubles hash-match."""
+    from ..operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_interpolate(ev, key="user_id", ts_col="ts",
+                                value_col="value", bucket_s=3600)
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

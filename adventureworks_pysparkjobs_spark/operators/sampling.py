@@ -42,6 +42,44 @@ def train_test_split_col(
     ).otherwise("train")
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/test split: the unit of assignment is the
+    near-dup CLUSTER, not the document, so near-duplicates can never
+    straddle the split (the standard leakage guard — a test document's
+    paraphrase in train silently inflates eval scores).
+
+    ``pairs`` is any near-dup pair frame (``ngram_jaccard_pairs``,
+    ``minhash_lsh_pairs``, ...); clusters come from connected components
+    (min-label propagation), singletons fall back to their own id, and
+    the split is the same auditable MD5 bucket as
+    ``train_test_split_col`` — hashed on the GROUP id. Adds
+    ``split_group`` and ``split`` columns. Cost beyond the pair
+    computation: the label-propagation joins (pair-frame-sized, tiny
+    next to the corpus) + one broadcast-or-shuffle join back.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    j = df.join(clusters, id_col, "left")
+    group = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        j.withColumn("split_group", group)
+        .withColumn(
+            "split",
+            train_test_split_col("split_group", test_fraction, salt),
+        )
+        .drop("cluster_id")
+    )
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, key_col: str, k: int, salt: str = "cap"
 ) -> DataFrame:

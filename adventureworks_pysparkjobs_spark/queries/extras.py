@@ -1254,6 +1254,77 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             list_aggregate(w[i:i+4], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(w) - 3)) AS u(i)
+      WHERE len(w) >= 5
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON inter.id1 = s1.id
+      JOIN sizes s2 ON inter.id2 = s2.id
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    ),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM e
+      UNION
+      SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.node = e.src
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node),
+    grouped AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.cluster_id, d.doc_id) AS split_group
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, source, split_group,
+           CASE WHEN CAST('0x' || substr(md5('split'
+                  || CAST(split_group AS VARCHAR)), 1, 4) AS INTEGER)
+                  % 65536 < 6553
+                THEN 'test' ELSE 'train' END AS split
+    FROM grouped
+    """,
+    tags=("sampling", "split", "leakage", "clusters", "dedup"),
+)
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (operators/sampling.py
+    leakage_safe_split): near-dup clusters (5-gram Jaccard pairs →
+    connected components) are the unit of split assignment, so a test
+    document's near-duplicate can never land in train. Split membership
+    is the auditable MD5 bucket of the GROUP id — reproducible from any
+    engine, as the oracle (which replays clustering AND the hash split)
+    proves."""
+    from ..operators.sampling import leakage_safe_split
+
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        doc, n=5, threshold=0.5, max_shingle_df=1000
+    )
+    return leakage_safe_split(
+        doc.select("doc_id", "source"), pairs, test_fraction=0.1
+    )
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

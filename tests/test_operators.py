@@ -1214,3 +1214,31 @@ def test_scd2_from_changes_compresses_and_builds_intervals(spark):
         (1, 4): ("F", "silver", None, True),
         (2, 1): ("O", "gold", None, True),
     }
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Every near-dup pair lands in the SAME split (the leakage guard),
+    and the split fraction is hash-driven, not order-driven."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from adventureworks_pysparkjobs_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_shingle_df=1000)
+    out = leakage_safe_split(
+        docs.select("doc_id", "source"), pairs, test_fraction=0.1
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == docs.count()
+    crossing = [
+        (r["id1"], r["id2"])
+        for r in pairs.collect()
+        if split_of[r["id1"]] != split_of[r["id2"]]
+    ]
+    assert crossing == []  # no near-dup pair straddles the split
+    assert {"train", "test"} >= set(split_of.values())

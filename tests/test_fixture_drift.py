@@ -189,3 +189,50 @@ def test_minhash_short_docs_never_collide_or_divide_by_zero(spark):
         df.filter(F.col("doc_id") % 2 == 1), snap, n=3, threshold=0.25
     ).collect()
     assert {(r["batch_id"], r["snapshot_id"]) for r in inc} == {(1, 2)}
+
+
+@pytest.mark.parametrize("elem", ["float32", "float64"])
+def test_embedding_element_type_drift(spark, tmp_path, elem):
+    """The embeddings fixture ships list<float> today; if the generator
+    flips to list<double>, the similarity stack (double-precision folds)
+    and its oracles must agree unchanged. Runs the exact-cosine catalog
+    query against its DuckDB oracle on a synthesized fixture of each
+    element type."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype(elem)
+    ty = pa.float32() if elem == "float32" else pa.float64()
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], type=pa.list_(ty)
+            ),
+            "label": pa.array([i % 4 for i in range(40)], type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    q = CATALOG["emb_cosine_topk"]
+    sdf = q.builder(spark, str(tmp_path))
+    srows = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rnk"])
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    ocols = [d[0] for d in con.execute(q.oracle).description]
+    raw = con.execute(q.oracle).fetchall()
+    idx = [ocols.index(c) for c in ("query_id", "neighbor_id", "cosine_sim", "rnk")]
+    orows = sorted(tuple(r[i] for i in idx) for r in raw)
+    assert len(srows) == len(orows) > 0
+    for (sq, sv, ss, sr), (oq, ov, os, orr) in zip(srows, orows):
+        assert (sq, sv, sr) == (oq, ov, orr)
+        assert ss == os or abs(ss - os) < 1e-12

@@ -6,9 +6,10 @@ per-entity time series (downsample, gap-fill, forward fill).
 Scale design: the grid is generated PER KEY from that key's own
 [min, max] bucket span (``sequence`` + ``explode`` — rows bounded by
 span/bucket_s per key, never a global calendar cross join), the bucket
-aggregation is one partial+final hash agg, and the forward fill is a
-single window over the already-gridded frame — two shuffles total on
-the key, both skew-bounded by real per-entity activity.
+aggregation is one partial+final hash agg, and the fill is window work
+over the already-gridded frame. Three keyed shuffles total — bucket
+agg, per-key bounds, grid join + fill windows (which share ONE sort;
+plan-guarded) — all skew-bounded by real per-entity activity.
 """
 
 from __future__ import annotations
@@ -89,7 +90,7 @@ def resample_interpolate(
     (pb, pv) and next observation (nb, nv) is
     ``pv + (nv - pv) * (b - pb) / (nb - pb)``; observed buckets keep
     their exact value; a leading/trailing gap cannot occur (the grid
-    spans [first, last] observation). Same two keyed shuffles as the
+    spans [first, last] observation). Same three keyed shuffles as the
     LOCF variant — the backward- and forward-looking anchor windows
     share one sort. Deterministic: one IEEE expression over identical
     operands in any engine.

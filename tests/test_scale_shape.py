@@ -332,3 +332,22 @@ def test_exact_dedup_partial_aggregates_hot_digests(spark):
     assert plan.index("partial_min") > plan.index("Exchange hashpartitioning"), (
         "partial agg not upstream of the shuffle:\n" + plan[:1500]
     )
+
+
+def test_scd2_single_shuffle(spark):
+    """SCD2 history: change compression (lag) and interval construction
+    (lead) share ONE shuffle on the key — never two window exchanges."""
+    plan = physical_plan(
+        CATALOG["orders_scd2_status_history"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_resample_windows_share_one_sort(spark):
+    """Resample operators: per-key grid (sequence+explode, no calendar
+    cross join) costs three keyed exchanges, and the interpolation's
+    backward+forward anchor windows share a single sort."""
+    for name in ("events_resample_gapfill", "events_resample_interpolate"):
+        plan = physical_plan(CATALOG[name].builder(spark, SF_SMOKE))
+        assert plan.count("Exchange") <= 3, (name, plan[:1500])
+        assert plan.count("Sort") == 1, (name, plan[:1500])

@@ -169,25 +169,34 @@ def build_training_corpus(
             source_col="mix_source",
         ).drop("mix_source")
 
-    # 7-9. shuffle -> chunk -> pack. The shuffle orders documents; chunk
-    # explosion preserves per-document order; packing buckets by doc so
-    # a document's chunks land in the same/adjacent sequences. Second
-    # lineage cut: the survivor set is final here.
+    # 7-9. shuffle -> chunk -> pack. The shuffle's md5 order key governs
+    # BOTH the export file order (the physical orderBy) and the packing
+    # order inside each bucket — documents pack in shuffled order, so
+    # training sequences mix sources/time instead of following ingestion
+    # locality. (Packing re-sorts its bucket by order_cols; without
+    # passing the shuffle key there, the global sort would be inert for
+    # the packed output.) Second lineage cut: the survivor set is final.
     shuffled = deterministic_shuffle(
         kept.localCheckpoint(), "doc_id", salt=shuffle_salt
     )
-    chunks = TX.chunk_documents(
-        shuffled, chunk_tokens=chunk_tokens, overlap=overlap
-    ).join(docs.select("doc_id", "source"), "doc_id")
+    shuffle_ord = F.md5(
+        F.concat(F.lit(shuffle_salt), F.col("doc_id").cast("string"))
+    )
+    chunks = (
+        TX.chunk_documents(
+            shuffled, chunk_tokens=chunk_tokens, overlap=overlap
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("_shuffle_ord", shuffle_ord)
+    )
     # pack_bucket_expr: default None -> xxhash64 doc buckets; pass a plain
     # modulus (as the catalog's oracle-backed entry does) when the packing
     # must be replayable outside Spark.
-    return observe(
-        pack_sequences(
-            chunks,
-            max_tokens=max_seq_tokens,
-            n_buckets=pack_buckets,
-            bucket_expr=pack_bucket_expr,
-        ),
-        "packed",
+    packed = pack_sequences(
+        chunks,
+        max_tokens=max_seq_tokens,
+        order_cols=("_shuffle_ord", "doc_id", "chunk_id"),
+        n_buckets=pack_buckets,
+        bucket_expr=pack_bucket_expr,
     )
+    return observe(packed.drop("_shuffle_ord"), "packed")

@@ -20,6 +20,37 @@ from pyspark.sql import functions as F
 from .relational import dec
 
 
+def _bucket_grid(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket_s: int,
+    with_count: bool,
+) -> DataFrame:
+    """Shared core of the resample family: epoch-floored bucket
+    aggregation, per-key [min, max] bounds, grid generation
+    (sequence + explode) and the left join of observations onto the
+    grid. One construction serves both fill strategies so a bucketing
+    fix can never apply to one resampler and not the other."""
+    s = F.col(ts_col).cast("bigint")
+    bucket = (s - (s % bucket_s)).alias("bucket_s")
+    aggs = [F.sum(dec(value_col, 12, 2)).cast("double").alias("total_value")]
+    if with_count:
+        aggs.insert(0, F.count("*").alias("n_events"))
+    agg = df.groupBy(F.col(key), bucket).agg(*aggs)
+    bounds = agg.groupBy(key).agg(
+        F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_s))
+        ).alias("bucket_s"),
+    )
+    return grid.join(agg, [key, "bucket_s"], "left")
+
+
 def resample_gapfill(
     df: DataFrame,
     key: str = "user_id",
@@ -43,22 +74,7 @@ def resample_gapfill(
     accumulation, and a window whose ORDER BY (the grid bucket) is
     unique per key.
     """
-    s = F.col(ts_col).cast("bigint")
-    bucket = (s - (s % bucket_s)).alias("bucket_s")
-    agg = df.groupBy(F.col(key), bucket).agg(
-        F.count("*").alias("n_events"),
-        F.sum(dec(value_col, 12, 2)).cast("double").alias("total_value"),
-    )
-    bounds = agg.groupBy(key).agg(
-        F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
-    )
-    grid = bounds.select(
-        key,
-        F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_s))
-        ).alias("bucket_s"),
-    )
-    j = grid.join(agg, [key, "bucket_s"], "left")
+    j = _bucket_grid(df, key, ts_col, value_col, bucket_s, with_count=True)
     w = (
         Window.partitionBy(key)
         .orderBy("bucket_s")
@@ -95,21 +111,7 @@ def resample_interpolate(
     share one sort. Deterministic: one IEEE expression over identical
     operands in any engine.
     """
-    s = F.col(ts_col).cast("bigint")
-    bucket = (s - (s % bucket_s)).alias("bucket_s")
-    agg = df.groupBy(F.col(key), bucket).agg(
-        F.sum(dec(value_col, 12, 2)).cast("double").alias("total_value"),
-    )
-    bounds = agg.groupBy(key).agg(
-        F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
-    )
-    grid = bounds.select(
-        key,
-        F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(bucket_s))
-        ).alias("bucket_s"),
-    )
-    j = grid.join(agg, [key, "bucket_s"], "left")
+    j = _bucket_grid(df, key, ts_col, value_col, bucket_s, with_count=False)
     v = F.col("total_value")
     b = F.col("bucket_s")
     wb = (

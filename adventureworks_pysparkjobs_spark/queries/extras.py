@@ -771,8 +771,10 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM starts
     ),
     ordered AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
-                                   ORDER BY doc_id, chunk_id) AS rn
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)),
+                        doc_id, chunk_id) AS rn
       FROM chunks
     ),
     walk(bucket, rn, seq, pos, run_after) AS (
@@ -990,6 +992,20 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media frame shared by the multimodal entries: the
+    document body as an opaque binary payload addressed by a doc:// path
+    (one contract, one place — both decode entries and their oracles
+    depend on it)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
 @query(
     "doc_media_decode_features",
     oracle="""
@@ -1017,13 +1033,7 @@ def doc_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact payload bytes crossed the Arrow boundary intact."""
     from ..operators.multimodal import extract_features
 
-    doc = load_table(spark, sf_dir, "documents")
-    media = doc.select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
-            "path"
-        ),
-        F.encode("text", "UTF-8").alias("content"),
-    )
+    media = _doc_media_frame(spark, sf_dir)
 
     def fake_codec(payload: bytes) -> dict:
         # Deterministic stand-in for an image decoder: pure function of
@@ -1080,13 +1090,7 @@ def doc_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed exactly by the SQL oracle."""
     from ..operators.multimodal import sample_frames
 
-    doc = load_table(spark, sf_dir, "documents")
-    media = doc.select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
-            "path"
-        ),
-        F.encode("text", "UTF-8").alias("content"),
-    )
+    media = _doc_media_frame(spark, sf_dir)
 
     def fake_codec(payload: bytes) -> list:
         # Deterministic stand-in for a video frame decoder: one frame

@@ -44,10 +44,24 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     """
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
-        # TIMESTAMP(NANOS) read as int64 via nanosAsLong. Integer
-        # division: ts is ~1.7e18 ns, beyond double's 2^53 exact range,
-        # so a float divide would round the microsecond digit.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # int64 epochs: TIMESTAMP(NANOS) via nanosAsLong today, but a
+        # future fixture could ship PLAIN int64 micros/millis/seconds
+        # with no parquet logical type — same dtype, 1000x-off instants
+        # if blindly divided (the r2 failure class). Branch on magnitude
+        # PER ROW (pure expression, no data-inspection action): epochs
+        # between 1973 and ~2500 occupy disjoint bands per unit —
+        # seconds ~1e8..2e10, millis ~1e11..2e13, micros ~1e14..2e16,
+        # nanos ~1e17..2e19. Integer arithmetic throughout: ns values
+        # (~1.7e18) exceed double's 2^53 exact range, so a float divide
+        # would round the microsecond digit.
+        ts = F.col("ts")
+        micros = (
+            F.when(ts >= F.lit(10**17), F.expr("ts div 1000"))  # nanos
+            .when(ts >= F.lit(10**14), ts)                      # micros
+            .when(ts >= F.lit(10**11), ts * F.lit(1000))        # millis
+            .otherwise(ts * F.lit(1_000_000))                   # seconds
+        )
+        df = df.withColumn("ts", F.timestamp_micros(micros))
     elif dtype == "timestamp_ntz":
         # TIMESTAMP(MICROS) isAdjustedToUTC=false. Session tz is pinned
         # UTC, so reinterpreting wall-clock NTZ as an instant is exact;

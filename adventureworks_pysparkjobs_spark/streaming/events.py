@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from ..sources.corpus import _normalize_events
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events fixture with the same dtype-branched
     timestamp repair as the batch path — the streaming twin of
     sources/corpus.py:load_table('events').
@@ -37,7 +41,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = f"{sf_dir}/events*.parquet"
     observed = spark.read.parquet(glob).schema
     # Glob form: the file stream source needs a directory basePath.
-    raw = spark.readStream.format("parquet").schema(observed).load(glob)
+    reader = spark.readStream.format("parquet").schema(observed)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (tests use this to force multi-batch
+        # runs; production uses it for ingest pacing)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(glob)
     return _normalize_events(raw)
 
 
@@ -319,7 +328,10 @@ def stream_stream_attribution(
 
 
 def stateful_sessionize(
-    spark: SparkSession, sf_dir: str, gap_s: int = 1800
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState: the
     hand-rolled counterpart of session_window for session logic the
@@ -328,18 +340,28 @@ def stateful_sessionize(
     State per user = (current session start epoch-s, last event epoch-s,
     event count) — O(1) regardless of stream length. A new event either
     extends the open session (gap < gap_s) or closes it (emitting the
-    finished session) and opens a new one. On the bounded fixture the
-    final batch also flushes the open session, so the emitted set equals
-    batch gap-sessionization — the test oracle.
+    finished session) and opens a new one. Every batch also flushes the
+    still-open session (a streaming sink can't know which batch is last),
+    so a session straddling batch boundaries is emitted once per batch at
+    its then-current extent; the post-sink keep-max aggregation per
+    (user, session_start) collapses those progressive emissions to the
+    final extent — making the result equal batch gap-sessionization on
+    ANY batch split of the input, not just a single-batch run (the
+    session start is a stable key: re-opening after a gap starts a new,
+    later session).
 
     Events inside one micro-batch are sorted by (ts, event_id) before the
     fold; across micro-batches Spark guarantees per-key grouping, and the
     availableNow bounded run delivers a deterministic batch sequence.
+    Arrival contract: batches must be time-ordered per key (a landing
+    zone receiving files in time order) — gap-fold state cannot rewind
+    for an event older than what it has already folded, the same
+    assumption every LOCF-style stateful operator makes.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
 
     def update(key, pdfs, state: GroupState):
         start, last, count = state.get if state.exists else (None, None, 0)
@@ -381,7 +403,13 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(out, "append", spark)
+    emitted = run_to_memory(out, "append", spark)
+    # Collapse progressive emissions of a batch-straddling session to its
+    # final extent (see docstring) — a no-op on a single-batch run.
+    return emitted.groupBy("user_id", "session_start_s").agg(
+        F.max("session_end_s").alias("session_end_s"),
+        F.max("n_events").alias("n_events"),
+    ).select("user_id", "session_start_s", "session_end_s", "n_events")
 
 
 def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,10 @@ def main() -> None:
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            # keep a successful earlier repetition's timing: a transient
+            # failure on rep 2/3 shouldn't discard a real measurement
+            if best is not None:
+                timings[name] = round(best, 3)
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)

@@ -31,11 +31,20 @@ ENCODINGS = {
     "nanos_as_long": pa.timestamp("ns"),
     "micros_ntz": pa.timestamp("us"),
     "micros_utc": pa.timestamp("us", tz="UTC"),
+    # PLAIN int64 epochs with no parquet timestamp logical type — the
+    # magnitude-branched repair must classify each unit correctly.
+    "int64_nanos": ("int64", 1_000),
+    "int64_micros": ("int64", 1),
+    "int64_millis": ("int64", 1 / 1_000),
+    "int64_seconds": ("int64", 1 / 1_000_000),
 }
 
 
-def _write_events(path: str, ts_type: pa.DataType) -> None:
-    if ts_type.unit == "ns":
+def _write_events(path: str, ts_type) -> None:
+    if isinstance(ts_type, tuple):
+        _, mult = ts_type
+        ts = pa.array([int(us * mult) for us in EPOCH_US], type=pa.int64())
+    elif ts_type.unit == "ns":
         ts = pa.array([us * 1000 for us in EPOCH_US], type=ts_type)
     else:
         ts = pa.array(EPOCH_US, type=ts_type)
@@ -104,9 +113,10 @@ def test_date_predicates_survive_orders_encoding_drift(spark, tmp_path, enc):
             [datetime.date(1996, 3, 15), datetime.date(1997, 6, 10)], type=ty
         )
     else:
-        us = [820_108_800_000_000, 865_123_200_000_000]  # 1996-01-28, 1997-06-01
+        us = [822_787_200_000_000, 865_123_200_000_000]  # 1996-01-28, 1997-06-01
         dates = pa.array(us, type=ty)
-        ships = pa.array([u + 86_400_000_000 * 30 for u in us], type=ty)
+        # strictly more than 30 days late (q4's residual is a strict >)
+        ships = pa.array([u + 86_400_000_000 * 35 for u in us], type=ty)
     orders = pa.table(
         {
             "o_orderkey": pa.array([1, 2], type=pa.int64()),
@@ -136,10 +146,14 @@ def test_date_predicates_survive_orders_encoding_drift(spark, tmp_path, enc):
     from adventureworks_pysparkjobs_spark.queries import CATALOG
 
     # Date-arithmetic-heavy shapes: filter + interval residual semi join,
-    # calendar functions, range band join.
-    for name in ("q4_priority_exists", "date_functions_orders"):
-        df = CATALOG[name].builder(spark, str(tmp_path))
-        assert df.count() >= 0  # analysis + execution must not throw
+    # calendar functions. q4's quarter filter + 30-day interval must
+    # actually MATCH the first synthesized order (orderdate in Q1-1996,
+    # shipped 30+ days later), so the interval comparison executes with
+    # data on every encoding — a zero-row pass would only analysis-check.
+    q4 = CATALOG["q4_priority_exists"].builder(spark, str(tmp_path))
+    assert [r["o_orderpriority"] for r in q4.collect()] == ["1-URGENT"]
+    df = CATALOG["date_functions_orders"].builder(spark, str(tmp_path))
+    assert df.count() == 2
 
 
 def test_batch_and_stream_agree_on_the_real_fixture(spark):

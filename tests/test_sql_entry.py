@@ -328,3 +328,57 @@ def test_stream_stream_interval_join_matches_batch(spark):
     exp = sorted(map(tuple, want.collect()))
     assert len(exp) > 0
     assert got == exp
+
+
+def test_stateful_sessionize_multi_batch_no_duplicate_sessions(spark, tmp_path):
+    """A session straddling micro-batch boundaries is emitted
+    progressively (once per batch flush) but the operator's keep-max
+    collapse returns each session exactly once with its final extent —
+    equal to batch gap-sessionization regardless of the batch split."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.relational import sessionize
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stateful_sessionize,
+    )
+
+    # Two source files split at the median TIMESTAMP (files land in time
+    # order, as a real landing zone does) -> maxFilesPerTrigger=1 forces
+    # two micro-batches, with any session straddling the cut emitted
+    # progressively across both.
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS BIGINT), 0.5) AS c"
+    ).collect()[0]["c"]
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (
+        ev.filter(F.col("ts").cast("bigint") <= cut),
+        ev.filter(F.col("ts").cast("bigint") > cut),
+    )
+    for i, half in enumerate(halves):
+        stage = tmp_path / f"h{i}"
+        half.coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(src / f"events-{i:03d}.parquet")
+
+    out = stateful_sessionize(spark, str(src), gap_s=1800, max_files_per_trigger=1)
+    got = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in out.collect()
+    }
+    assert len(got) == out.count()  # one row per session, no duplicates
+    batch = (
+        sessionize(ev, "user_id", "ts", gap_minutes=30, id_col="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.col("ts").cast("bigint")).alias("session_start_s"),
+            F.max(F.col("ts").cast("bigint")).alias("session_end_s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start_s"], r["session_end_s"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want

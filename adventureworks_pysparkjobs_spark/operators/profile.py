@@ -180,18 +180,22 @@ def key_skew_profile(
         .limit(top_n)
         .withColumn("rnk", F.row_number().over(w).cast("int"))
     )
+    # cum_share = (exact integer cumulative count) / total: one division
+    # per row over identical operands in any engine — a windowed sum of
+    # per-row double shares would depend on the engine's accumulation
+    # order in the last ulp.
+    cum_count = F.sum("key_count").over(
+        Window.orderBy("rnk").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn(
             "share", F.col("key_count").cast("double") / F.col("total_rows")
         )
         .withColumn(
-            "cum_share",
-            F.sum(F.col("key_count").cast("double") / F.col("total_rows")).over(
-                Window.orderBy("rnk").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            ),
+            "cum_share", cum_count.cast("double") / F.col("total_rows")
         )
         .select(*keys, "key_count", "total_rows", "share", "cum_share", "rnk")
     )

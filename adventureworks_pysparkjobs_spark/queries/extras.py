@@ -1329,6 +1329,44 @@ def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS key_count FROM events GROUP BY user_id
+    ),
+    total AS (SELECT CAST(SUM(key_count) AS BIGINT) AS total_rows
+              FROM counts),
+    top AS (
+      SELECT user_id, key_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY key_count DESC, user_id)
+                  AS INTEGER) AS rnk
+      FROM counts ORDER BY key_count DESC, user_id LIMIT 20
+    )
+    SELECT user_id, key_count, total_rows,
+           CAST(key_count AS DOUBLE) / total_rows AS share,
+           CAST(SUM(key_count) OVER (ORDER BY rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / total_rows AS cum_share,
+           rnk
+    FROM top, total
+    """,
+    tags=("profile", "skew", "heavy-hitters", "diagnostics"),
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg key-skew diagnostics (operators/profile.py
+    key_skew_profile): the 20 hottest user_id values with count, share
+    and cumulative share — the pre-join check that decides broadcast vs
+    salted vs plain shuffle at 100 TB. Top-n via distributed
+    TakeOrderedAndProject (never a global window over all keys);
+    cum_share divides an exact integer cumulative count, so the doubles
+    are engine-identical."""
+    from ..operators.profile import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id"], top_n=20)
+
+
+@query(
     "doc_schema_evolution_union",
     oracle="""
     SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang,

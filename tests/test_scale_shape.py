@@ -19,6 +19,7 @@ CROSS_OK = {
     "setops_nations",  # deliberate broadcast cross rider (region x segments)
     "top_orders_above_avg",
     "q22_dormant_rich_customers",  # 1-row scalar-subquery broadcast cross
+    "events_key_skew",  # 1-row total-count broadcast cross
 
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",

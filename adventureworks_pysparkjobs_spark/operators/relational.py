@@ -192,6 +192,48 @@ def scd2_from_changes(
     )
 
 
+def scd2_merge(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    order_by: list[str],
+    attrs: list[str],
+) -> DataFrame:
+    """Incrementally apply a new change batch to an existing type-2
+    history (``scd2_from_changes`` output shape) — touching ONLY the
+    keys present in the batch.
+
+    A key's compressed history rows ARE a change stream (one row per
+    version at its ``valid_from``), so the merge re-derives just the
+    affected keys: their history rows + the batch's new changes feed
+    ``scd2_from_changes`` again, while every untouched key's history
+    passes through by anti-join, unread beyond the key column. Per-batch
+    cost is O(batch keys' history + batch), not O(all history) — the
+    same incremental contract as ``dedup_against`` /
+    ``minhash_lsh_pairs_against``. Chainable: output shape = input
+    shape, so tomorrow's batch merges into today's result. Equals a
+    full rebuild from the concatenated change stream whenever batches
+    arrive in ``order_by`` order per key (the same time-ordered arrival
+    contract as streaming sessionization).
+    """
+    batch_keys = changes.select(key).distinct()
+    untouched = history.join(batch_keys, key, "left_anti")
+    replay = history.join(batch_keys, key, "left_semi").select(
+        key, *attrs, F.col("valid_from").alias(order_by[0])
+    )
+    merged_stream = replay.unionByName(
+        changes.select(key, *attrs, order_by[0])
+    )
+    # Replayed history rows carry only valid_from, so the merge order is
+    # order_by[0] alone — it must totally order each key's versions
+    # (valid_from is strictly increasing in compressed history; batch
+    # change timestamps must be unique per key).
+    rebuilt = scd2_from_changes(
+        merged_stream, key=key, order_by=[order_by[0]], attrs=attrs
+    )
+    return untouched.unionByName(rebuilt)
+
+
 def union_evolved(frames: list[DataFrame]) -> DataFrame:
     """Union frames whose schemas have DRIFTED (multi-source corpora,
     snapshot series across schema changes): the union's schema is the

@@ -1242,3 +1242,54 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     ]
     assert crossing == []  # no near-dup pair straddles the split
     assert {"train", "test"} >= set(split_of.values())
+
+
+def test_scd2_merge_incremental_equals_full_rebuild(spark):
+    """Applying the order-status change stream in two time-split batches
+    via scd2_merge equals one scd2_from_changes over the full stream —
+    including keys untouched by the second batch (anti-join passthrough),
+    keys extended by it, and keys first seen in it."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.relational import (
+        scd2_from_changes,
+        scd2_merge,
+    )
+
+    from .conftest import SF_ORACLE
+
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        dedup_keep_first,
+    )
+
+    # honor the merge contract: one change per (key, timestamp) — keep
+    # the deterministic first order where a customer ordered twice a day
+    orders = dedup_keep_first(
+        load_table(spark, SF_ORACLE, "orders"),
+        ["o_custkey", "o_orderdate"],
+        ["o_orderkey"],
+    )
+    cut = "1998-01-01"
+    early = orders.filter(F.col("o_orderdate") < cut)
+    late = orders.filter(F.col("o_orderdate") >= cut)
+    hist1 = scd2_from_changes(
+        early, key="o_custkey", order_by=["o_orderdate"],
+        attrs=["o_orderstatus"],
+    )
+    merged = scd2_merge(
+        hist1, late, key="o_custkey", order_by=["o_orderdate"],
+        attrs=["o_orderstatus"],
+    )
+    full = scd2_from_changes(
+        orders, key="o_custkey", order_by=["o_orderdate"],
+        attrs=["o_orderstatus"],
+    )
+
+    def rows(df):
+        return {
+            (r["o_custkey"], r["o_orderstatus"], r["valid_from"],
+             r["valid_to"], r["is_current"])
+            for r in df.collect()
+        }
+
+    assert rows(merged) == rows(full)

@@ -13,14 +13,17 @@ runs, partitionings and engines):
 4. MinHash-LSH near-dup removal   — banded candidates, cluster rep = min id
 5. test-set decontamination       — benchmark n-grams broadcast (optional)
 6. weighted source mixture        — per-source salted hash sampling (optional)
-7. deterministic export shuffle   — range-partitioned sort on salted md5
+7. deterministic shuffle order    — salted-md5 permutation key, realized
+                                    as the packing order (zero shuffles:
+                                    a physical global sort here would be
+                                    discarded by the packing exchange)
 8. context-window chunking        — per-row build, then explode
 9. greedy sequence packing        — hash-bucketed first-fit, applyInPandas
 
 Shuffle budget of the whole pipeline: digest-groupBy (2), span agg+join
-(3-4), LSH bands (5), final sort (7), packing bucket exchange (9) — each
-keyed on content hashes (uniform, skew-free by construction). Stages 1,
-5, 6, 8 add none.
+(3-4), LSH bands (5), packing bucket exchange (9) — each keyed on
+content hashes (uniform, skew-free by construction). Stages 1, 5, 6, 7,
+8 add none.
 """
 
 from __future__ import annotations
@@ -37,7 +40,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
 )
 from ..operators.packing import pack_sequences
-from ..operators.sampling import deterministic_shuffle, mixture
+from ..operators.sampling import mixture, shuffle_key
 from ..sources.corpus import load_table
 
 
@@ -169,25 +172,23 @@ def build_training_corpus(
             source_col="mix_source",
         ).drop("mix_source")
 
-    # 7-9. shuffle -> chunk -> pack. The shuffle's md5 order key governs
-    # BOTH the export file order (the physical orderBy) and the packing
-    # order inside each bucket — documents pack in shuffled order, so
-    # training sequences mix sources/time instead of following ingestion
-    # locality. (Packing re-sorts its bucket by order_cols; without
-    # passing the shuffle key there, the global sort would be inert for
-    # the packed output.) Second lineage cut: the survivor set is final.
-    shuffled = deterministic_shuffle(
-        kept.localCheckpoint(), "doc_id", salt=shuffle_salt
-    )
-    shuffle_ord = F.md5(
-        F.concat(F.lit(shuffle_salt), F.col("doc_id").cast("string"))
-    )
+    # 7-9. shuffle -> chunk -> pack. The shuffle is realized as the
+    # PACKING ORDER, not a physical sort: packing's bucket exchange
+    # would destroy any upstream global orderBy anyway (a full-corpus
+    # range-sort whose order the next shuffle discards is pure waste at
+    # 100 TB), so the md5 permutation key — sampling.py:shuffle_key,
+    # the same formula deterministic_shuffle sorts by — orders chunks
+    # inside each pack bucket instead. Training sequences thus mix
+    # sources/time instead of following ingestion locality, at the cost
+    # of zero extra shuffles. Second lineage cut: the survivor set is
+    # final here.
     chunks = (
         TX.chunk_documents(
-            shuffled, chunk_tokens=chunk_tokens, overlap=overlap
+            kept.localCheckpoint(), chunk_tokens=chunk_tokens,
+            overlap=overlap,
         )
         .join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("_shuffle_ord", shuffle_ord)
+        .withColumn("_shuffle_ord", shuffle_key("doc_id", shuffle_salt))
     )
     # pack_bucket_expr: default None -> xxhash64 doc buckets; pass a plain
     # modulus (as the catalog's oracle-backed entry does) when the packing

@@ -196,7 +196,7 @@ def scd2_merge(
     history: DataFrame,
     changes: DataFrame,
     key: str,
-    order_by: list[str],
+    order_col: str,
     attrs: list[str],
 ) -> DataFrame:
     """Incrementally apply a new change batch to an existing type-2
@@ -213,23 +213,27 @@ def scd2_merge(
     ``minhash_lsh_pairs_against``. Chainable: output shape = input
     shape, so tomorrow's batch merges into today's result. Equals a
     full rebuild from the concatenated change stream whenever batches
-    arrive in ``order_by`` order per key (the same time-ordered arrival
+    arrive in ``order_col`` order per key (the same time-ordered arrival
     contract as streaming sessionization).
+
+    ``order_col`` is deliberately a SINGLE column, unlike
+    ``scd2_from_changes``'s ``order_by`` list: replayed history rows
+    carry only ``valid_from``, so no PK tie-break can survive a merge —
+    the version timestamp itself must totally order each key's changes
+    (dedupe same-instant changes upstream, e.g. ``dedup_keep_first``).
+    A list parameter here would silently drop its tail; the narrower
+    signature makes the contract structural.
     """
     batch_keys = changes.select(key).distinct()
     untouched = history.join(batch_keys, key, "left_anti")
     replay = history.join(batch_keys, key, "left_semi").select(
-        key, *attrs, F.col("valid_from").alias(order_by[0])
+        key, *attrs, F.col("valid_from").alias(order_col)
     )
     merged_stream = replay.unionByName(
-        changes.select(key, *attrs, order_by[0])
+        changes.select(key, *attrs, order_col)
     )
-    # Replayed history rows carry only valid_from, so the merge order is
-    # order_by[0] alone — it must totally order each key's versions
-    # (valid_from is strictly increasing in compressed history; batch
-    # change timestamps must be unique per key).
     rebuilt = scd2_from_changes(
-        merged_stream, key=key, order_by=[order_by[0]], attrs=attrs
+        merged_stream, key=key, order_by=[order_col], attrs=attrs
     )
     return untouched.unionByName(rebuilt)
 

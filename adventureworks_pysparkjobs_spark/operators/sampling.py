@@ -97,11 +97,21 @@ def cap_per_group(
     )
 
 
+def shuffle_key(col: str | Column, salt: str = "shuffle") -> Column:
+    """The export-shuffle order key: ``md5(salt || key)``. ONE definition
+    shared by ``deterministic_shuffle`` and any consumer that needs to
+    order by the same permutation without re-sorting (e.g. the corpus
+    pipeline packs chunks in this order) — and the formula an
+    engine-portable oracle inlines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(salt), c.cast("string")))
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, salt: str = "shuffle"
 ) -> DataFrame:
     """Reproducible global pseudo-random ordering — the pre-training
-    export shuffle: order the corpus by ``md5(salt || key)`` (tie-broken
+    export shuffle: order the corpus by ``shuffle_key`` (tie-broken
     on the key) so every run, engine, and input partitioning emits the
     IDENTICAL order, yet the order is hash-random with respect to any
     source/time locality in the data.
@@ -112,8 +122,7 @@ def deterministic_shuffle(
     ranges that concatenate to the full order. Changing ``salt`` yields
     an independent epoch permutation.
     """
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    return df.orderBy(h, F.col(key_col))
+    return df.orderBy(shuffle_key(key_col, salt), F.col(key_col))
 
 
 def assign_row_ids(

@@ -51,7 +51,11 @@ def _normalize_events(df: DataFrame) -> DataFrame:
         # PER ROW (pure expression, no data-inspection action): epochs
         # between 1973 and ~2500 occupy disjoint bands per unit —
         # seconds ~1e8..2e10, millis ~1e11..2e13, micros ~1e14..2e16,
-        # nanos ~1e17..2e19. Integer arithmetic throughout: ns values
+        # nanos ~1e17..2e19. A garbage value falling BETWEEN bands
+        # (no legit epoch in any unit) classifies as the next-smaller
+        # unit — unit-sniffing is inherently ambiguous there, and a
+        # whole-column unit vote would cost a full column scan at load.
+        # Integer arithmetic throughout: ns values
         # (~1.7e18) exceed double's 2^53 exact range, so a float divide
         # would round the microsecond digit.
         ts = F.col("ts")

@@ -33,17 +33,21 @@ ENCODINGS = {
     "micros_utc": pa.timestamp("us", tz="UTC"),
     # PLAIN int64 epochs with no parquet timestamp logical type — the
     # magnitude-branched repair must classify each unit correctly.
-    "int64_nanos": ("int64", 1_000),
-    "int64_micros": ("int64", 1),
-    "int64_millis": ("int64", 1 / 1_000),
-    "int64_seconds": ("int64", 1 / 1_000_000),
+    # (value = µs * numerator // denominator, integer arithmetic — a
+    # float multiply could truncate off-by-one for some µs values)
+    "int64_nanos": ("int64", 1_000, 1),
+    "int64_micros": ("int64", 1, 1),
+    "int64_millis": ("int64", 1, 1_000),
+    "int64_seconds": ("int64", 1, 1_000_000),
 }
 
 
 def _write_events(path: str, ts_type) -> None:
     if isinstance(ts_type, tuple):
-        _, mult = ts_type
-        ts = pa.array([int(us * mult) for us in EPOCH_US], type=pa.int64())
+        _, num, den = ts_type
+        ts = pa.array(
+            [us * num // den for us in EPOCH_US], type=pa.int64()
+        )
     elif ts_type.unit == "ns":
         ts = pa.array([us * 1000 for us in EPOCH_US], type=ts_type)
     else:

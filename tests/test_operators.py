@@ -1277,7 +1277,7 @@ def test_scd2_merge_incremental_equals_full_rebuild(spark):
         attrs=["o_orderstatus"],
     )
     merged = scd2_merge(
-        hist1, late, key="o_custkey", order_by=["o_orderdate"],
+        hist1, late, key="o_custkey", order_col="o_orderdate",
         attrs=["o_orderstatus"],
     )
     full = scd2_from_changes(

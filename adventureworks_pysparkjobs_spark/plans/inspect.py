@@ -19,6 +19,13 @@ def optimized_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    """Analyzed logical plan — where join-strategy HINTS still appear as
+    ResolvedHint nodes (the optimizer folds them into the join later), so
+    tests can assert a join is NOT forced to a strategy."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
     """Assert each fragment appears in a PushedFilters list of the plan's
     scans (predicate reached the data source)."""

@@ -6,15 +6,79 @@ from .catalog import CATALOG, CatalogQuery, query
 # all the same — tests/test_oracle.py parametrizes the whole CATALOG).
 from . import tpch, star, events, docs, vectors, stream, extras  # noqa: E402,F401
 
-# Window packing: keep oracle-backed queries inside the driver's 50-row
-# window. The two approximate embedding queries are rows-only by declared
-# necessity (no SQL oracle can replay ANN recall / a mapInPandas scorer
-# bit-for-bit), so move them past the window — their slots go to the
-# first two fully-oracle-backed extras (doc_line_clean,
-# doc_incremental_dedup).
-# stream_stateful_user_totals stays in-window as the driver-visible
-# custom-stateful-streaming row (rows-only, by design).
-for _name in ("emb_ann_topk", "emb_cosine_topk_vectorized"):
-    CATALOG[_name] = CATALOG.pop(_name)
+# Window packing: the driver correctness-checks exactly the first 50
+# CATALOG entries, so the window is pinned EXPLICITLY here rather than
+# left as an emergent property of module import order. Every name in
+# DRIVER_WINDOW carries a full DuckDB oracle (hash-checkable); rows-only
+# entries (ANN recall, mapInPandas scorer, BPE merges, the stateful
+# user-totals twin) live beyond the window with their own property /
+# equality tests. tests/test_catalog_window.py is the canary: it pins
+# this exact list, order-sensitive, and asserts oracle coverage.
+DRIVER_WINDOW: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "lineitem_flag_stats",
+    "having_big_parts",
+    "rollup_cube_order_stats",
+    "pivot_unpivot_roundtrip",
+    "case_in_order_buckets",
+    "q3_unshipped_revenue",
+    "q5_nation_revenue",
+    "q10_returned_revenue",
+    "semi_anti_customers",
+    "outer_join_profiles",
+    "range_join_late_ship",
+    "top_orders_above_avg",
+    "setops_nations",
+    "top3_parts_per_brand",
+    "window_order_sequences",
+    "string_math_functions_customer",
+    "date_functions_orders",
+    "grouping_sets_geography",
+    "orders_profile",
+    "dim_customer_geo",
+    "dim_part",
+    "dim_date",
+    "fact_order_line",
+    "fact_daily_part_agg",
+    "events_semistructured",
+    "events_tumbling_5min",
+    "events_sessionize",
+    "events_asof_attribution",
+    "events_dedup_first_per_key",
+    "doc_exact_dedup",
+    "doc_text_profile",
+    "doc_chunks",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash_pairs",
+    "doc_binary_payload",
+    "doc_sampling_pipeline",
+    "corpus_term_stats",
+    "doc_dup_clusters",
+    "emb_cosine_topk",
+    "emb_near_dup_pairs",
+    "emb_vector_stats",
+    "stream_tumbling_counts",
+    "stream_dedup_keys",
+    "stream_session_windows",
+    "stream_stateful_sessions",
+    "doc_line_clean",
+    "doc_incremental_dedup",
+)
 
-__all__ = ["CATALOG", "CatalogQuery", "query"]
+_missing = [n for n in DRIVER_WINDOW if n not in CATALOG]
+if _missing:  # fail at import with a clear message, not a KeyError mid-pop
+    raise RuntimeError(
+        f"DRIVER_WINDOW names missing from CATALOG: {_missing}; "
+        "update queries/__init__.py when renaming catalog entries"
+    )
+
+# Rebuild CATALOG in window-first order; beyond-window entries keep their
+# existing relative (registration) order.
+_packed = {n: CATALOG[n] for n in DRIVER_WINDOW}
+_packed.update((n, q) for n, q in CATALOG.items() if n not in _packed)
+CATALOG.clear()
+CATALOG.update(_packed)
+
+__all__ = ["CATALOG", "CatalogQuery", "DRIVER_WINDOW", "query"]

@@ -551,7 +551,11 @@ def corpus_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - scope='doc': top-3 terms per document scored tf/df (c1=tf, c2=df —
       the IDF ordering without ln(), because a single double division of
       identical integer operands is bit-deterministic cross-engine where
-      ln is not), via a broadcast df-join + per-doc top-k window.
+      ln is not), via a df-join + per-doc top-k window. The tf->df join
+      is deliberately NOT a forced broadcast: df_ is vocabulary-sized
+      (one row per distinct token — 1e8..1e9 rows on 100 TB of web
+      text), so AQE picks the strategy (broadcast at small scale, SMJ
+      at corpus scale) instead of a hint pinning an OOM.
     """
     from pyspark.sql import Window
 
@@ -580,7 +584,7 @@ def corpus_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c1").cast("double") / F.col("c2")).desc(), F.col("token")
     )
     top_terms = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
         .select(

@@ -1,0 +1,98 @@
+"""Driver-window canary.
+
+The driver correctness-checks exactly the first 50 CATALOG entries
+(registration order). The window is pinned explicitly in
+queries/__init__.py:DRIVER_WINDOW; this suite is the canary that an
+innocent module reorder / rename / new registration cannot silently
+evict an oracle-backed row from the checked window.
+"""
+
+from __future__ import annotations
+
+from adventureworks_pysparkjobs_spark.queries import CATALOG, DRIVER_WINDOW
+
+# The intended window, duplicated VERBATIM from queries/__init__.py on
+# purpose: a drive-by edit to DRIVER_WINDOW must also consciously touch
+# this test, or the canary fires.
+EXPECTED_WINDOW = (
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "lineitem_flag_stats",
+    "having_big_parts",
+    "rollup_cube_order_stats",
+    "pivot_unpivot_roundtrip",
+    "case_in_order_buckets",
+    "q3_unshipped_revenue",
+    "q5_nation_revenue",
+    "q10_returned_revenue",
+    "semi_anti_customers",
+    "outer_join_profiles",
+    "range_join_late_ship",
+    "top_orders_above_avg",
+    "setops_nations",
+    "top3_parts_per_brand",
+    "window_order_sequences",
+    "string_math_functions_customer",
+    "date_functions_orders",
+    "grouping_sets_geography",
+    "orders_profile",
+    "dim_customer_geo",
+    "dim_part",
+    "dim_date",
+    "fact_order_line",
+    "fact_daily_part_agg",
+    "events_semistructured",
+    "events_tumbling_5min",
+    "events_sessionize",
+    "events_asof_attribution",
+    "events_dedup_first_per_key",
+    "doc_exact_dedup",
+    "doc_text_profile",
+    "doc_chunks",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash_pairs",
+    "doc_binary_payload",
+    "doc_sampling_pipeline",
+    "corpus_term_stats",
+    "doc_dup_clusters",
+    "emb_cosine_topk",
+    "emb_near_dup_pairs",
+    "emb_vector_stats",
+    "stream_tumbling_counts",
+    "stream_dedup_keys",
+    "stream_session_windows",
+    "stream_stateful_sessions",
+    "doc_line_clean",
+    "doc_incremental_dedup",
+)
+
+
+def test_window_is_exactly_the_intended_50():
+    assert list(CATALOG)[:50] == list(EXPECTED_WINDOW)
+
+
+def test_driver_window_constant_matches():
+    assert tuple(DRIVER_WINDOW) == EXPECTED_WINDOW
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+
+
+def test_every_window_row_is_oracle_backed():
+    """The whole point of the packing: zero rows-only entries inside the
+    driver's checked window."""
+    missing = [n for n in list(CATALOG)[:50] if CATALOG[n].oracle is None]
+    assert missing == [], f"rows-only entries inside the window: {missing}"
+
+
+def test_beyond_window_entries_still_registered():
+    """Demoted rows-only entries must stay in the catalog (they keep
+    their local tests and driver rows-only checks beyond the window)."""
+    beyond = set(list(CATALOG)[50:])
+    for name in (
+        "emb_ann_topk",
+        "emb_cosine_topk_vectorized",
+        "stream_stateful_user_totals",
+        "corpus_bpe_merges",
+    ):
+        assert name in beyond, f"{name} fell out of the catalog"

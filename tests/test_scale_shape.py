@@ -335,6 +335,21 @@ def test_exact_dedup_partial_aggregates_hot_digests(spark):
     )
 
 
+def test_term_stats_df_join_not_forced_broadcast(spark):
+    """corpus_term_stats' tf->df join: df_ is vocabulary-sized (one row
+    per distinct token — unbounded at corpus scale), so the join must
+    NOT carry a broadcast hint; AQE picks the strategy at runtime. A
+    forced F.broadcast() here pins a driver/executor OOM at 100 TB."""
+    from adventureworks_pysparkjobs_spark.plans.inspect import analyzed_plan
+
+    df = CATALOG["corpus_term_stats"].builder(spark, SF_SMOKE)
+    logical = analyzed_plan(df)
+    assert "ResolvedHint" not in logical and "broadcast" not in logical, (
+        "vocabulary-sized df side is hint-forced to broadcast:\n"
+        + logical[:1500]
+    )
+
+
 def test_scd2_single_shuffle(spark):
     """SCD2 history: change compression (lag) and interval construction
     (lead) share ONE shuffle on the key — never two window exchanges."""

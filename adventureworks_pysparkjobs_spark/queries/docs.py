@@ -625,6 +625,7 @@ def corpus_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp
     """,
     tags=("dedup", "clusters", "graph"),
+    bench=True,
 )
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the 5-gram Jaccard

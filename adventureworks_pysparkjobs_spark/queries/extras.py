@@ -414,6 +414,7 @@ def doc_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM win GROUP BY doc_id
     """,
     tags=("dedup", "span", "cross-doc", "c4"),
+    bench=True,
 )
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document span dedup (operators/dedup.py dedup_spans): slice
@@ -798,6 +799,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("pipeline", "dedup", "quality", "chunking", "packing", "llm",
           "end-to-end"),
+    bench=True,
 )
 def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation job (jobs/corpus_pipeline.py
@@ -1139,6 +1141,7 @@ def doc_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j
     """,
     tags=("timeseries", "resample", "gapfill", "forward-fill", "window"),
+    bench=True,
 )
 def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization (operators/timeseries.py

@@ -3,7 +3,15 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {name: sec, ...}, "status": {name: "ok"|"partial"|"failed"},
+   "core13_sec": <r3-comparable subtotal>, "sf": <scale factor>}
+
+The headline "value" sums fully-healthy ("ok") queries only; a query
+whose repetition 2/3 failed after a good rep 1 keeps its timing in
+"queries" but is marked "partial" and excluded from totals, so a
+partially-failed measurement is never mistaken for a healthy one.
+"core13_sec" re-reports the round-3 13-query headline subtotal so BENCH
+artifacts stay comparable across rounds as the bench set grows.
 
 Each query is timed end-to-end: plan construction + a full
 materialization action. Plain count() would let Catalyst prune computed
@@ -41,6 +49,16 @@ def materialize(df: DataFrame) -> int:
     return agg.collect()[0]["n"]
 
 
+# The round-3 headline set, frozen for cross-round comparability.
+R3_CORE_13 = frozenset({
+    "q1_pricing_summary", "q3_unshipped_revenue", "q5_nation_revenue",
+    "q10_returned_revenue", "top3_parts_per_brand", "fact_order_line",
+    "fact_daily_part_agg", "events_sessionize", "doc_chunks",
+    "doc_ngram_jaccard_pairs", "doc_minhash_lsh_pairs", "emb_cosine_topk",
+    "emb_cosine_topk_vectorized",
+})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -63,6 +81,7 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    status: dict[str, str] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(bench_queries.items()):
         # best-of-3: single-JVM local timings are noisy (GC, page cache,
@@ -81,20 +100,32 @@ def main() -> None:
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-            # keep a successful earlier repetition's timing: a transient
-            # failure on rep 2/3 shouldn't discard a real measurement
+            # keep a successful earlier repetition's timing (marked
+            # "partial", excluded from totals): a transient failure on
+            # rep 2/3 shouldn't discard a real measurement, but it must
+            # not masquerade as a healthy query either
             if best is not None:
                 timings[name] = round(best, 3)
+                status[name] = "partial"
+            else:
+                status[name] = "failed"
             continue
         timings[name] = round(best, 3)
+        status[name] = "ok"
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    ok = {n for n, s in status.items() if s == "ok"}
+    total = round(sum(t for n, t in timings.items() if n in ok), 3)
+    core13 = round(
+        sum(t for n, t in timings.items() if n in ok & R3_CORE_13), 3
+    )
     payload = {
         "metric": "catalog_headline_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "status": status,
+        "core13_sec": core13,
         "sf": sf,
     }
     if errors:

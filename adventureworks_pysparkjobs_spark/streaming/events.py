@@ -28,7 +28,7 @@ def read_events_stream(
     sources/corpus.py:load_table('events').
 
     The file stream source requires an explicit schema; we take it from a
-    batch scan of the same file (footer-only, no data read) instead of
+    batch scan of the same file instead of
     pinning one, so whichever ``ts`` physical encoding the fixture carries
     (int64 nanos / MICROS-NTZ / MICROS-UTC) streams through the identical
     ``_normalize_events`` branch as batch. A hard-pinned LongType schema
@@ -39,7 +39,8 @@ def read_events_stream(
     # Defensive conf pin — see sources/corpus.py:load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     glob = f"{sf_dir}/events*.parquet"
-    observed = spark.read.parquet(glob).schema
+    batch_peek = spark.read.parquet(glob)
+    observed = batch_peek.schema
     # Glob form: the file stream source needs a directory basePath.
     reader = spark.readStream.format("parquet").schema(observed)
     if max_files_per_trigger is not None:
@@ -47,7 +48,11 @@ def read_events_stream(
         # runs; production uses it for ingest pacing)
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(glob)
-    return _normalize_events(raw)
+    # The batch peek doubles as the epoch-unit classification probe: a
+    # streaming frame cannot be aggregated pre-sink, so the int64-ts
+    # unit check (min/max band classification, loud failure on
+    # mixed/out-of-band) runs against the same files batch-side.
+    return _normalize_events(raw, probe=batch_peek)
 
 
 def run_to_memory(

@@ -143,7 +143,11 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(q.text,
                $$'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$))
                AS INTEGER) AS n_bpe_tokens,
-           CASE WHEN GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) = 0 THEN 'und'
+           -- NULL text => NULL scores: every comparison below is NULL,
+           -- which without this guard falls through to ELSE 'fr'; Spark
+           -- (and any sane reading) says undetermined.
+           CASE WHEN q.text IS NULL THEN 'und'
+                WHEN GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) = 0 THEN 'und'
                 WHEN s.score_de = GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) THEN 'de'
                 WHEN s.score_en = GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) THEN 'en'
                 WHEN s.score_es = GREATEST(s.score_de, s.score_en, s.score_es, s.score_fr) THEN 'es'

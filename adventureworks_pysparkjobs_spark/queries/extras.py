@@ -51,7 +51,9 @@ from .catalog import query
         || chr(10) || 'too short.'
         || chr(10) || 'this line has no terminal punctuation'
         || chr(10) || 'config {{"mode": "full"}} per line.'
-        || chr(10) || substr(text, 1, 40) || ' tail.' AS t
+        -- COALESCE: a NULL text must not null the whole synthesized doc
+        -- (DuckDB || propagates NULL where Spark's concat_ws skips it)
+        || chr(10) || substr(COALESCE(text, ''), 1, 40) || ' tail.' AS t
       FROM documents
     ),
     lines AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM synth),
@@ -117,7 +119,13 @@ def doc_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("too short."),
         F.lit("this line has no terminal punctuation"),
         F.lit('config {"mode": "full"} per line.'),
-        F.concat(F.substring(F.col("text"), 1, 40), F.lit(" tail.")),
+        F.concat(
+            # coalesce mirrors the oracle: NULL text => empty stub line,
+            # not a NULL element (concat_ws would silently drop it and
+            # desync the line count from the oracle's)
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+            F.lit(" tail."),
+        ),
     )
     doc = load_table(spark, sf_dir, "documents").select(
         "doc_id", synth.alias("text")

@@ -93,6 +93,108 @@ def test_stream_read_normalizes_every_ts_encoding(spark, tmp_path, enc):
     assert got == {1: EPOCH_US[0] // 1_000_000, 2: EPOCH_US[1] // 1_000_000}
 
 
+@pytest.mark.parametrize(
+    "values, kind",
+    [
+        ([10**9, 2 * 10**18], "mixed"),  # seconds-band min, nanos-band max
+        ([5 * 10**10, 6 * 10**10], "out-of-band"),  # between s and ms bands
+        ([-5, 10**9], "out-of-band"),  # negative epoch
+    ],
+)
+def test_int64_ts_mixed_or_out_of_band_fails_loudly(
+    spark, tmp_path, values, kind
+):
+    """A plain-int64 ts column whose min/max straddle epoch-unit bands
+    (or fall outside every band) is a generator bug: the loader must
+    refuse with a clear error, not silently pick a unit and produce
+    instants 1000x off (ADVICE r3). Both the batch and streaming readers
+    share the classification, so both must raise."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array(range(1, len(values) + 1), type=pa.int64()),
+            "ts": pa.array(values, type=pa.int64()),
+            "user_id": pa.array([10] * len(values), type=pa.int64()),
+            "event_type": pa.array(["click"] * len(values)),
+            "value": pa.array([1.5] * len(values), type=pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(values)),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    with pytest.raises(ValueError, match="epoch"):
+        load_table(spark, str(d), "events")
+    with pytest.raises(ValueError, match="epoch"):
+        read_events_stream(spark, str(d))
+
+
+DOC_TEXT_TYPES = {
+    "string": pa.string(),
+    # Arrow large_string maps to the same Spark/DuckDB string type but a
+    # different parquet physical layout — the generator could flip to it
+    # for >2 GiB row groups at larger SFs.
+    "large_string": pa.large_string(),
+}
+
+
+@pytest.mark.parametrize("ty", sorted(DOC_TEXT_TYPES))
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_documents_text_encoding_and_nullability_drift(
+    spark, tmp_path, ty, with_nulls
+):
+    """The documents fixture ships non-null string text today; if the
+    generator flips to large_string or starts emitting NULL text rows,
+    the text stack and its DuckDB oracles must agree unchanged. Runs the
+    exact-dedup and text-profile catalog queries against their own
+    oracles on a synthesized fixture of each shape."""
+    import duckdb
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",  # exact duplicate
+        "the quick brown fox jumps over the lazy dog",
+        "short one",
+    ]
+    if with_nulls:
+        texts = texts + [None, None]
+    n = len(texts)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+            "text": pa.array(texts, type=DOC_TEXT_TYPES[ty]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["web"] * n),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for qname in ("doc_exact_dedup", "doc_text_profile", "doc_line_clean"):
+        q = CATALOG[qname]
+        sdf = q.builder(spark, str(tmp_path))
+        scols = sorted(sdf.columns)
+        srows = sorted(
+            tuple(repr(r[c]) for c in scols) for r in sdf.collect()
+        )
+        cur = con.execute(q.oracle)
+        ocols = [d[0] for d in cur.description]
+        idx = [ocols.index(c) for c in scols]
+        orows = sorted(
+            tuple(repr(r[i]) for i in idx) for r in cur.fetchall()
+        )
+        assert len(srows) > 0, f"{qname}: empty result"
+        assert srows == orows, f"{qname}: spark/oracle mismatch on {ty} nulls={with_nulls}"
+
+
 DATE_ENCODINGS = {
     "date32": pa.date32(),
     "ts_micros_ntz": pa.timestamp("us"),

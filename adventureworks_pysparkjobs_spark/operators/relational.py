@@ -198,6 +198,7 @@ def scd2_merge(
     key: str,
     order_col: str,
     attrs: list[str],
+    validate: bool = False,
 ) -> DataFrame:
     """Incrementally apply a new change batch to an existing type-2
     history (``scd2_from_changes`` output shape) — touching ONLY the
@@ -223,8 +224,44 @@ def scd2_merge(
     (dedupe same-instant changes upstream, e.g. ``dedup_keep_first``).
     A list parameter here would silently drop its tail; the narrower
     signature makes the contract structural.
+
+    ``validate=True`` enforces the time-ordered arrival contract instead
+    of merely documenting it: a batch whose ``order_col`` for some key
+    is <= that key's history ``max(valid_from)`` would silently produce
+    wrong intervals (history rows are replayed only AT their
+    ``valid_from``, so an intra-interval late change cannot re-split the
+    interval it lands in). The check is one bounded action — per-key
+    min(batch) vs max(history) on batch keys only, O(batch + touched
+    history), same keyed shuffle shape as the merge itself — and raises
+    with a sample of offending keys. Opt-in because it forces an eager
+    action where the merge is otherwise fully lazy.
     """
     batch_keys = changes.select(key).distinct()
+    if validate:
+        bmin = changes.groupBy(key).agg(F.min(order_col).alias("_bmin"))
+        hmax = (
+            history.join(batch_keys, key, "left_semi")
+            .groupBy(key)
+            .agg(F.max("valid_from").alias("_hmax"))
+        )
+        late = (
+            bmin.join(hmax, key)
+            .filter(F.col("_bmin") <= F.col("_hmax"))
+            .limit(5)  # bounded driver collect: a sample to report
+            .collect()
+        )
+        if late:
+            sample = [
+                (r[key], r["_bmin"], r["_hmax"]) for r in late
+            ]
+            raise ValueError(
+                "scd2_merge: out-of-order batch violates the "
+                "time-ordered arrival contract for key(s) "
+                f"(key, batch_min, history_max_valid_from) = {sample}; "
+                "late-arriving changes cannot re-split already-closed "
+                "intervals — rebuild with scd2_from_changes over the "
+                "full change stream, or quarantine these keys upstream"
+            )
     untouched = history.join(batch_keys, key, "left_anti")
     replay = history.join(batch_keys, key, "left_semi").select(
         key, *attrs, F.col("valid_from").alias(order_col)

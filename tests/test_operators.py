@@ -1293,3 +1293,47 @@ def test_scd2_merge_incremental_equals_full_rebuild(spark):
         }
 
     assert rows(merged) == rows(full)
+
+    # validate=True on the same in-order merge: contract holds, result
+    # unchanged.
+    ok = scd2_merge(
+        hist1, late, key="o_custkey", order_col="o_orderdate",
+        attrs=["o_orderstatus"], validate=True,
+    )
+    assert rows(ok) == rows(full)
+
+
+def test_scd2_merge_validate_rejects_out_of_order_batch(spark):
+    """A late batch whose changes predate a key's max(valid_from) cannot
+    be merged correctly (closed intervals can't re-split); validate=True
+    must fail loudly instead of silently producing wrong intervals,
+    naming the offending keys."""
+    import pytest as _pytest
+
+    from adventureworks_pysparkjobs_spark.operators.relational import (
+        scd2_from_changes,
+        scd2_merge,
+    )
+
+    hist = scd2_from_changes(
+        spark.createDataFrame(
+            [(1, "A", "2024-01-01"), (1, "B", "2024-03-01"),
+             (2, "A", "2024-02-01")],
+            "k long, status string, d string",
+        ),
+        key="k", order_by=["d"], attrs=["status"],
+    )
+    late_batch = spark.createDataFrame(
+        [(1, "C", "2024-02-01")],  # predates key 1's max valid_from
+        "k long, status string, d string",
+    )
+    with _pytest.raises(ValueError, match="out-of-order"):
+        scd2_merge(
+            hist, late_batch, key="k", order_col="d",
+            attrs=["status"], validate=True,
+        )
+    # without validate the (documented) contract is the caller's job —
+    # the merge itself stays lazy and raises nothing
+    scd2_merge(
+        hist, late_batch, key="k", order_col="d", attrs=["status"]
+    ).collect()

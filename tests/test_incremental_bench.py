@@ -1,0 +1,205 @@
+"""Micro-bench: the incremental operators' O(batch) claims, MEASURED.
+
+scd2_merge and dedup_against document per-batch cost O(batch + touched
+history), not O(all history). These tests make the claim falsifiable on
+real executions, asserting on the resource each operator actually
+economizes at 100 TB:
+
+- scd2_merge: SHUFFLE bytes. A full rebuild shuffles every change of
+  every key into the key-window; the merge passes untouched history
+  through a broadcast anti-join (no exchange) and windows only the
+  touched keys' replay + batch. Bytes come from the app-status store
+  (same source as the UI's Shuffle Write column).
+- dedup_against: SCAN volume + wall-clock. Exact dedup projects to
+  digests before its shuffle either way, so shuffle volume is not the
+  differentiator — the full rebuild must RE-SCAN and re-hash the entire
+  historical corpus text, while the incremental path reads the batch
+  plus the 32-bytes-per-doc digest snapshot. Scan volume IS the 100 TB
+  bill; it is asserted structurally (the executed plan must scan only
+  the snapshot's digest column and must not touch the corpus file at
+  all — executor-summary input-bytes proved unreliable for FileScan in
+  local mode), and the avoided re-hash shows up in wall-clock.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def _executor_totals(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, input_bytes) summed across executors (local
+    mode: the single driver-executor), from the same AppStatusStore the
+    UI reads. Drain the listener bus first so all task-end events are
+    counted."""
+    sc = spark.sparkContext
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+    except Exception:
+        time.sleep(0.5)  # best-effort settle on signature drift
+    ex = spark._jsparkSession.sparkContext().statusStore().executorList(False)
+    rows = [ex.apply(i) for i in range(ex.size())]
+    return (
+        sum(r.totalShuffleWrite() for r in rows),
+        sum(r.totalInputBytes() for r in rows),
+    )
+
+
+def _measure(spark, make_df, reps: int = 2) -> tuple[float, int, int]:
+    """Best-of-``reps`` (wall_clock_sec, shuffle_bytes, input_bytes) of
+    fully materializing make_df(). Bytes are from the LAST rep (per-rep
+    volumes are identical; the first rep may add one-time page-cache /
+    codec warmup to wall-clock, which best-of discards)."""
+    best_t, sh, inp = None, 0, 0
+    for _ in range(reps):
+        df = make_df()
+        s0, i0 = _executor_totals(spark)
+        t0 = time.perf_counter()
+        df.agg(
+            F.count(F.xxhash64(*[F.col(c) for c in df.columns]))
+        ).collect()
+        el = time.perf_counter() - t0
+        s1, i1 = _executor_totals(spark)
+        best_t = el if best_t is None else min(best_t, el)
+        sh, inp = s1 - s0, i1 - i0
+    return best_t, sh, inp
+
+
+def test_scd2_merge_is_o_batch_not_o_history(spark, tmp_path):
+    from adventureworks_pysparkjobs_spark.operators.relational import (
+        scd2_from_changes,
+        scd2_merge,
+    )
+
+    # 5M-row history input vs a 10k-row batch touching 1% of keys:
+    # large enough that the asymptotic term dominates fixed per-stage
+    # overheads on local[32].
+    n_keys, versions, batch_keys = 500_000, 10, 5_000
+    changes = spark.range(0, n_keys * versions).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("status"),
+        (F.col("id") / n_keys).cast("long").alias("v"),
+    )
+    early = changes.filter(F.col("v") < versions - 1)
+    batch = (
+        spark.range(0, batch_keys * 2)
+        .select(
+            (F.col("id") % batch_keys * (n_keys // batch_keys)).alias("k"),
+            F.concat(
+                F.lit("s_new"), (F.col("id") % 2).cast("string")
+            ).alias("status"),
+            (F.lit(versions - 1) + (F.col("id") / batch_keys).cast("long"))
+            .alias("v"),
+        )
+    )
+    # history comes from storage, as in production — the merge must not
+    # be billed (or credited) for recomputing the initial build lazily
+    scd2_from_changes(
+        early, key="k", order_by=["v"], attrs=["status"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "hist"))
+    hist = spark.read.parquet(str(tmp_path / "hist"))
+    early.write.mode("overwrite").parquet(str(tmp_path / "early"))
+    early_pq = spark.read.parquet(str(tmp_path / "early"))
+
+    rebuild_t, rebuild_b, _ = _measure(
+        spark,
+        lambda: scd2_from_changes(
+            early_pq.unionByName(batch), key="k", order_by=["v"],
+            attrs=["status"],
+        ),
+    )
+    merge_t, merge_b, _ = _measure(
+        spark,
+        lambda: scd2_merge(
+            hist, batch, key="k", order_col="v", attrs=["status"]
+        ),
+    )
+
+    # The rebuild shuffles every change of every key into its window;
+    # the merge's only exchange carries the touched keys' replay + the
+    # batch. At 1% touched keys that is ~1% of the rebuild's volume —
+    # assert a lax 25% ceiling so codec/layout drift can't flake it.
+    assert rebuild_b > 0
+    assert merge_b < rebuild_b * 0.25, (
+        f"scd2_merge shuffled {merge_b}B vs rebuild {rebuild_b}B — "
+        "not O(batch)"
+    )
+    assert merge_t <= rebuild_t * 1.2, (
+        f"scd2_merge wall-clock {merge_t:.2f}s vs rebuild "
+        f"{rebuild_t:.2f}s — incremental path slower than rebuilding"
+    )
+
+
+def test_dedup_against_is_o_batch_not_o_history(spark, tmp_path):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        dedup_against,
+        exact_dedup,
+    )
+
+    # ~1 KiB incompressible text per doc (16 chained sha2 hex blocks) so
+    # parquet can't compress away the corpus scan the full rebuild pays.
+    n_hist, n_batch = 500_000, 2_000
+    body = F.concat(
+        *[F.sha2(F.concat(F.col("base"), F.lit(j)), 256) for j in range(16)]
+    )
+    hist_docs = (
+        spark.range(0, n_hist)
+        .select(F.col("id").alias("doc_id"), F.col("id").cast("string").alias("base"))
+        .select("doc_id", body.alias("text"))
+    )
+    # half the batch duplicates historical docs, half is novel
+    batch_docs = (
+        spark.range(0, n_batch)
+        .select(
+            (F.col("id") + n_hist).alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.col("id"))  # dup of history
+            .otherwise(F.col("id") + n_hist)           # novel
+            .cast("string")
+            .alias("base"),
+        )
+        .select("doc_id", body.alias("text"))
+    )
+    # the historical digest snapshot comes from storage (32B/doc hex=64B),
+    # as the operator's contract prescribes
+    exact_dedup(hist_docs).select("content_hash").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "seen"))
+    seen = spark.read.parquet(str(tmp_path / "seen"))
+    batch_docs.write.mode("overwrite").parquet(str(tmp_path / "batch"))
+    hist_docs.write.mode("overwrite").parquet(str(tmp_path / "histdocs"))
+    batch_pq = spark.read.parquet(str(tmp_path / "batch"))
+    hist_pq = spark.read.parquet(str(tmp_path / "histdocs"))
+
+    full_t, _, _ = _measure(
+        spark, lambda: exact_dedup(hist_pq.unionByName(batch_pq))
+    )
+    inc_t, _, _ = _measure(spark, lambda: dedup_against(batch_pq, seen))
+
+    # Structural scan-volume proof: the incremental plan reads the
+    # 2k-doc batch and the digest-only snapshot; the 200 MB corpus file
+    # must appear nowhere, and the snapshot scan must be pruned to the
+    # digest column (64 B/doc hex — nothing else crosses the wire).
+    from adventureworks_pysparkjobs_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(dedup_against(batch_pq, seen))
+    assert "histdocs" not in plan, (
+        "incremental dedup re-scans the historical corpus:\n" + plan[:1500]
+    )
+    # the snapshot is read as a digest-only single-column scan — the
+    # 32 B/doc contract (the small batch file is scanned a few times by
+    # the anti-join / keep-first / join-back trio, which is fine)
+    assert "ReadSchema: struct<content_hash:string>" in plan, plan[:1500]
+    # Wall-clock: at this test scale BOTH paths are sub-second — 32
+    # local threads hash 500 MB in ~0.3s, so fixed per-stage latency
+    # dominates and the incremental path's extra joins roughly offset
+    # its avoided re-hash. Assert not-worse; the scan-volume structural
+    # proof above is what scales (at 100 TB the full path's re-read +
+    # re-hash is ~3000x the snapshot read, and no fixed overhead hides
+    # that). The scd2 twin of this test measures an actual wall-clock +
+    # shuffle-byte win where the rebuild's cost is shuffle-bound.
+    assert inc_t <= full_t * 1.3, (
+        f"dedup_against wall-clock {inc_t:.2f}s vs full {full_t:.2f}s"
+    )
+    # semantic spot-check while we're here: only novel docs survive
+    assert dedup_against(batch_pq, seen).count() == n_batch // 2

@@ -642,30 +642,32 @@ def dedup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> Data
         .withColumn("lbl", F.col("node"))
         .cache()
     )
+    cached = labels  # the currently-persisted frame (labels may be a view of it)
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        # carry a per-node "label shrank" flag out of the same join, so
+        # convergence detection is a filter-count on the cached frame
+        # instead of an extra labels-vs-labels join per iteration
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
+                ).alias("new_lbl"),
+                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl"))
+                .alias("chg"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("chg")).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))

@@ -1,0 +1,588 @@
+"""TPC-H query shapes 7/8/9/13/14/15/17/18/19/21 over the synthetic
+corpus (SURVEY.md §2.4–2.5 extension surface).
+
+Registered AFTER the pinned driver window (queries/__init__.py imports
+this module last among the query modules; the window rebuild puts the
+50 checked entries first regardless), so these are bonus coverage —
+locally oracle-gated like everything else via tests/test_oracle.py.
+
+Fixture adaptations (the synthetic corpus lacks partsupp,
+l_commitdate/l_receiptdate and the comment columns):
+
+- Q9's supply cost uses ``p_retailprice`` as the cost basis (partsupp
+  does not exist); the shape — LIKE-filtered part, 5-way join, profit
+  expression aggregated per (nation, year) — is intact.
+- Q21's "kept waiting" predicate is ``l_shipdate > o_orderdate + 60
+  days`` (no commit/receipt dates); the shape — self-EXISTS plus
+  self-NOT-EXISTS against the same fact with a key-inequality residual
+  — is intact.
+- Q13 filters ``o_orderpriority`` instead of a comment regex.
+
+Determinism follows the catalog rules (queries/catalog.py): every sum
+is decimal-pinned, every ratio is ONE IEEE division of identically
+computed double operands, years are cast to INTEGER both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import dec
+from ..sources.corpus import load_table, load_tables
+from .catalog import query
+
+DEC = "DECIMAL(12,2)"
+# volume = extendedprice * (1 - discount), decimal-pinned identically in
+# both engines (cast the INPUTS, multiply exactly, never round a double
+# product)
+_VOL_SQL = f"CAST(l_extendedprice AS {DEC}) * CAST(1 - l_discount AS {DEC})"
+
+
+def _vol() -> F.Column:
+    return dec("l_extendedprice", 12, 2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(DEC)
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             {_VOL_SQL} AS vol
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate < DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "self-alias", "disjunction", "year"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    year — the nation dim joins TWICE under different aliases (supplier
+    side and customer side) with a disjunctive pair predicate. Both
+    nation copies broadcast; the fact shuffles only for the orders
+    join."""
+    t = load_tables(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                         ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             {_VOL_SQL} AS vol,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join", "8-way", "case-ratio", "region"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share (conditional decimal
+    sum / total decimal sum, ONE double division) of a part-type market
+    within a region, per order year — an 8-way join where every dim
+    broadcasts and the fact shuffles once for orders."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+    )
+    n_cust = t["nation"].select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    n_supp = t["nation"].select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    eur = t["region"].filter(F.col("r_name") == "EUROPE")
+    vol = _vol().alias("vol")
+    base = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(eur), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
+    )
+    zero = F.lit(0).cast(DEC)
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             {_VOL_SQL}
+               - CAST(p.p_retailprice AS {DEC}) * CAST(l.l_quantity AS {DEC})
+               AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%1%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("tpch", "join", "like", "profit", "year"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year over a
+    LIKE-filtered part subset. The fixture has no partsupp, so
+    ``p_retailprice`` stands in for the supply cost — the shape (profit
+    expression with a subtraction of two decimal products, 5-way join,
+    two-key rollup) is what's exercised. Dims broadcast; the LIKE
+    filter prunes part before its join."""
+    t = load_tables(
+        spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"]
+    )
+    amount = _vol() - dec("p_retailprice", 12, 2) * dec("l_quantity", 12, 2)
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%1%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    tags=("tpch", "outer-join", "double-agg", "histogram"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram — a left outer
+    join whose ON clause filters the RIGHT side only (customers with
+    zero matching orders must survive with count 0), then a second
+    aggregation over the first's result. COUNT(o_orderkey) counts
+    non-null matches only, exactly like the SQL."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    od = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        t["customer"]
+        .join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_VOL_SQL}
+                                  ELSE CAST(0 AS {DEC}) END) AS DOUBLE))
+           / CAST(SUM({_VOL_SQL}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-03-01'
+      AND l_shipdate < DATE '1997-04-01'
+    """,
+    tags=("tpch", "case-ratio", "join", "scalar"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage for one month — a
+    conditional decimal sum over total decimal sum, scaled by 100 BEFORE
+    the single IEEE division so both engines divide identical doubles.
+    Part broadcasts; the month filter pushes to the lineitem scan."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    zero = F.lit(0).cast(DEC)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _vol()).otherwise(zero)
+    ).cast("double")
+    total = F.sum(_vol()).cast("double")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-03-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(((F.lit(100.0) * promo) / total).alias("promo_revenue"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_VOL_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "view", "scalar-subquery", "argmax"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    a derived revenue view consumed twice (per-supplier rows AND its
+    own max as the filter threshold). The max arrives as a 1-row
+    broadcast; revenue stays DECIMAL until after the equality compare,
+    so ties and the argmax are exact, then casts to double at output."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_vol()).alias("total_revenue_dec"))
+    )
+    mx = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_dec") == F.col("max_rev"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH thr AS (
+      SELECT l_partkey AS pk,
+             0.2 * (CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE)
+                    / COUNT(*)) AS qty_thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS {DEC})) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thr   ON thr.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < thr.qty_thr
+    """,
+    tags=("tpch", "correlated-scalar", "self-join", "avg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — each
+    line compares against 20% of ITS part's average quantity (a
+    correlated scalar decorrelated into a per-part aggregate joined
+    back to the fact). The average is the catalog's pinned form
+    (decimal sum cast double / count, one IEEE division), so the
+    threshold is bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    thr = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(dec("l_quantity", 12, 2)).cast("double")
+                    / F.count("*")
+                )
+            ).alias("qty_thr")
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#3")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(thr, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 12, 2)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {DEC})) > 200
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+    tags=("tpch", "in-subquery", "having", "semi-join"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders totaling more than 200
+    units — an IN over a grouped-HAVING subquery on the SAME fact,
+    planned as a left-semi join of lineitem's re-aggregation against
+    itself, then the 5-column rollup. Quantity sums stay decimal until
+    output."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("_q"))
+        .filter(F.col("_q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        t["lineitem"]
+        .join(big, "l_orderkey", "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(dec("l_quantity", 12, 2)).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_VOL_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "disjunction", "join-residual", "scalar"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a three-way disjunction of
+    conjunct groups spanning BOTH join sides — the optimizer must
+    extract the common join key and keep the mixed predicate as a join
+    residual rather than expanding a cross product. Part broadcasts."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s.s_name
+    """,
+    tags=("tpch", "exists", "not-exists", "self-join", "semi-anti"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone kept finished multi-supplier
+    orders waiting — EXISTS (another supplier participated) plus NOT
+    EXISTS (no OTHER supplier was late) against the same fact, both
+    with a key-inequality residual riding the order-key equi-join.
+    "Late" adapts to the fixture as shipped >60 days after order date
+    (no commit/receipt dates exist). Planned as one semi and one anti
+    join over a shared late-flagged frame, then a distinct-order count
+    per supplier."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    lo = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    l1 = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    l2 = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lo.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )

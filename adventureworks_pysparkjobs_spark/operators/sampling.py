@@ -97,6 +97,42 @@ def cap_per_group(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    frac: float,
+    key_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep EXACTLY floor(frac * n_g) rows per group, chosen by
+    deterministic hash order — exact per-stratum quotas where
+    ``deterministic_sample`` gives only expected fractions (hash
+    thresholding binomially wobbles per group; a 1000-doc stratum keeps
+    300 here, 280-320 there). The price of exactness is a per-group
+    total order: rank and group count share ONE shuffle on the group
+    key (both windows partition identically), so cost matches
+    ``cap_per_group``. A pathologically hot group serializes its own
+    window sort — for corpus strata (source/domain/language) group
+    cardinality is bounded and this is the right trade; for skewed or
+    unbounded groups use hash thresholding instead. Floor(frac * n) is
+    one IEEE multiply of identical operands — engine-portable, so exact
+    quotas survive into the SQL oracle."""
+    w_ord = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    )
+    w_grp = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn("_n", F.count(F.lit(1)).over(w_grp))
+        .filter(
+            F.col("_rn")
+            <= F.floor(F.lit(frac) * F.col("_n").cast("double"))
+        )
+        .drop("_rn", "_n")
+    )
+
+
 def shuffle_key(col: str | Column, salt: str = "shuffle") -> Column:
     """The export-shuffle order key: ``md5(salt || key)``. ONE definition
     shared by ``deterministic_shuffle`` and any consumer that needs to

@@ -471,3 +471,48 @@ def clean_text(
         redact_pii(F.array_join("_kept", "\n"), pii_kinds).alias("clean_text"),
         *pii_counts(c, pii_kinds),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 10_000,
+    max_postings: int = 100,
+) -> DataFrame:
+    """Build a token -> posting-list search index over the corpus: one
+    row per surviving token with its document frequency and the first
+    ``max_postings`` doc ids in sorted order (CSV string — the compact,
+    engine-portable export shape).
+
+    Scale shape: document frequency is computed FIRST (count-only
+    groupBy, map-side combinable) and tokens outside [min_df, max_df]
+    are dropped by a join BEFORE any posting list materializes — a stop
+    token's million-document posting list is never collected anywhere
+    (the classic inverted-index hotspot; max_df is the standard
+    stop-token cut). Two shuffles on the uniform token key: the df
+    count, then collect_list over surviving tokens only. Per-doc
+    ``array_distinct`` happens row-side before the explode, so a
+    token's in-document repetitions never reach a shuffle."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    df_tbl = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq").between(min_df, max_df))
+    )
+    return (
+        tok.join(df_tbl, "token")
+        .groupBy("token", "doc_freq")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_list(id_col)), 1, max_postings
+                ),
+            ).alias("postings_csv")
+        )
+    )

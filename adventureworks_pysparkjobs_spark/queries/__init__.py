@@ -4,7 +4,10 @@ from .catalog import CATALOG, CatalogQuery, query
 # the driver's checked window: the first 50 entries each get a driver
 # correctness row; later entries are bonus surface (locally oracle-tested
 # all the same — tests/test_oracle.py parametrizes the whole CATALOG).
-from . import tpch, star, events, docs, vectors, stream, extras, tpch_extra  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    tpch, star, events, docs, vectors, stream, extras, tpch_extra,
+    corpus_extra,
+)
 
 # Window packing: the driver correctness-checks exactly the first 50
 # CATALOG entries, so the window is pinned EXPLICITLY here rather than

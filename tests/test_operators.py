@@ -1337,3 +1337,76 @@ def test_scd2_merge_validate_rejects_out_of_order_batch(spark):
     scd2_merge(
         hist, late_batch, key="k", order_col="d", attrs=["status"]
     ).collect()
+
+
+def test_stratified_sample_exact_quotas_and_partition_independence(spark):
+    """Every stratum keeps EXACTLY floor(frac * n) rows (the operator's
+    contract vs hash-threshold sampling's binomial wobble), membership
+    is deterministic, and the kept set is independent of the input
+    partitioning."""
+    from adventureworks_pysparkjobs_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept = stratified_sample(docs, "source", 0.3, "doc_id")
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+
+    assert got == {s: math.floor(0.3 * n) for s, n in totals.items() if n >= 4}
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7, "doc_id"), "source", 0.3, "doc_id"
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_inverted_index_filters_df_before_collecting_postings(spark):
+    """Correctness: df bounds respected, postings sorted + capped.
+    Scale shape: the df-band filter must apply BEFORE the posting-list
+    aggregation (the collect_list groupBy consumes a JOIN of the token
+    stream with the filtered df table), so a stop token's full posting
+    list never materializes."""
+    from adventureworks_pysparkjobs_spark.operators.text import inverted_index
+    from adventureworks_pysparkjobs_spark.plans.inspect import physical_plan
+
+    rows = [
+        (1, "alpha beta common"),
+        (2, "alpha gamma common"),
+        (3, "beta gamma common"),
+        (4, "alpha beta gamma common"),
+        (5, "solo common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = inverted_index(df, min_df=2, max_df=4, max_postings=2)
+    got = {r["token"]: (r["doc_freq"], r["postings_csv"]) for r in idx.collect()}
+    # 'common' (df=5) exceeds max_df; 'solo' (df=1) under min_df
+    assert set(got) == {"alpha", "beta", "gamma"}
+    assert got["alpha"] == (3, "1,2")  # sorted, capped at 2 of [1,2,4]
+    assert got["beta"] == (3, "1,3")
+    assert got["gamma"] == (3, "2,3")
+    plan = physical_plan(idx)
+    # the posting-list aggregate sits above a join, and the df count
+    # aggregate below it carries no collect_list
+    i_join = min(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) \
+        if "SortMergeJoin" in plan and "BroadcastHashJoin" in plan \
+        else max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert i_join != -1, plan[:1200]
+    assert "collect_list" in plan[:plan.find("Join")] or \
+        plan.find("collect_list") < i_join, (
+        "posting collection does not sit above the df-filter join:\n"
+        + plan[:1500]
+    )

@@ -586,3 +586,260 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20 — the three shapes that need partsupp, which the fixture
+# lacks. A derived supplier-part table preserves them:
+#
+#   partsupp := SELECT l_partkey, l_suppkey,
+#                      MIN(decimal l_extendedprice) AS ps_supplycost,
+#                      SUM(decimal l_quantity)      AS ps_availqty
+#               FROM lineitem GROUP BY 1, 2
+#
+# ps_supplycost = the cheapest line price ever observed from that supplier
+# for that part (a pure decimal MIN — order-independent, engine-exact; a
+# unit-price division would round a true double and break the hash gate);
+# ps_availqty = total quantity historically supplied. Every downstream
+# comparison stays in exact decimal arithmetic.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = f"""
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(l_extendedprice AS {DEC})) AS ps_supplycost,
+             SUM(CAST(l_quantity AS {DEC}))      AS ps_availqty
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    """The lineitem-derived partsupp twin of ``_PS_SQL`` (module
+    docstring): one uniform-key groupBy, partial-aggregable MIN/SUM, so
+    at 100 TB it is a single map-combined shuffle on (part, supp)."""
+    return lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(dec("l_extendedprice", 12, 2)).alias("ps_supplycost"),
+        F.sum(dec("l_quantity", 12, 2)).alias("ps_availqty"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_PS_SQL}),
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, p.p_brand, ps.ps_suppkey,
+             ps.ps_supplycost, s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN part p     ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size = 15 AND p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+    )
+    SELECT e.p_partkey, e.p_name, e.p_brand,
+           e.s_name, e.s_acctbal, e.n_name,
+           CAST(e.ps_supplycost AS DOUBLE) AS min_cost
+    FROM eligible e
+    JOIN (
+      SELECT p_partkey AS mk, MIN(ps_supplycost) AS mc
+      FROM eligible GROUP BY 1
+    ) m ON e.p_partkey = m.mk AND e.ps_supplycost = m.mc
+    """,
+    tags=("tpch", "correlated-min", "join", "derived-partsupp"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every PROMO size-15 part, the EUROPE
+    supplier(s) offering it at minimum cost — a correlated-MIN
+    subquery decorrelated into a re-join against a per-part MIN
+    aggregate. The eligible frame is computed once and self-joined on
+    (partkey, exact decimal cost); dimensions broadcast, so the only
+    corpus-sized shuffles are the derived-partsupp groupBy and the
+    per-part MIN."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    eligible = (
+        _derived_partsupp(t["lineitem"])
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t["region"].filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "p_partkey", "p_name", "p_brand", "ps_supplycost",
+            "s_name", "s_acctbal", "n_name",
+        )
+    )
+    min_cost = eligible.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .select(
+            "p_partkey", "p_name", "p_brand", "s_name", "s_acctbal",
+            "n_name",
+            F.col("ps_supplycost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({_PS_SQL}),
+    natps AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS val
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING SUM(val) > (
+      SELECT SUM(val) * CAST(0.002 AS DECIMAL(6,4)) FROM natps
+    )
+    """,
+    tags=("tpch", "scalar-subquery", "having", "derived-partsupp"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_7 inventory value exceeds a
+    fraction of the nation's total — a HAVING over a scalar subquery
+    of the SAME aggregation input. The nation-filtered value frame is
+    built once; the global total is a 1-row aggregate joined by
+    (broadcast) cross so the threshold never leaves the plan. All
+    value arithmetic (decimal cost x decimal qty, decimal x decimal
+    fraction) is exact, so the comparison is engine-portable."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    natps = (
+        _derived_partsupp(t["lineitem"])
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("val").alias("pv"))
+    threshold = natps.agg(
+        (F.sum("val") * F.lit(0.002).cast("decimal(6,4)")).alias("thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("pv") > F.col("thr"))
+        .select(
+            "ps_partkey", F.col("pv").cast("double").alias("part_value")
+        )
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH partsupp AS ({_PS_SQL}),
+    shipped AS (
+      SELECT l_partkey AS sk_part, l_suppkey AS sk_supp,
+             SUM(CAST(l_quantity AS {DEC})) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate <  DATE '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        JOIN shipped sh
+          ON sh.sk_part = ps.ps_partkey AND sh.sk_supp = ps.ps_suppkey
+        WHERE p.p_name LIKE 'small%'
+          AND ps.ps_availqty > CAST(0.5 AS DECIMAL(2,1)) * sh.qty
+      )
+    """,
+    tags=("tpch", "nested-in", "correlated", "derived-partsupp"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers holding excess stock of
+    'small%' parts — a nested IN whose inner query correlates the
+    derived availqty against half of that (part, supplier)'s 1997
+    shipped quantity. Decorrelated: the shipped-quantity aggregate
+    joins the derived partsupp on its own grouping key (both sides
+    already partitioned on (part, supp) — AQE reuses the
+    co-partitioning), the excess predicate is exact decimal, and the
+    supplier membership test is a left-semi join."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sk_part"),
+            F.col("l_suppkey").alias("sk_supp"),
+        )
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("qty"))
+    )
+    excess = (
+        _derived_partsupp(t["lineitem"])
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_name").like("small%"))
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            shipped,
+            (F.col("sk_part") == F.col("ps_partkey"))
+            & (F.col("sk_supp") == F.col("ps_suppkey")),
+        )
+        .filter(
+            F.col("ps_availqty")
+            > F.lit(0.5).cast("decimal(2,1)") * F.col("qty")
+        )
+        .select(F.col("ps_suppkey").alias("xk"))
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(excess, F.col("s_suppkey") == F.col("xk"), "left_semi")
+        .select("s_name", "n_name")
+        .distinct()
+    )

@@ -1,0 +1,289 @@
+"""Behavioral / BI analytics operators: market-basket association
+rules, sequential funnels, cohort retention, and rolling z-score
+anomaly detection.
+
+These extend the reference's aggregate surface (transform_to_bq.py's
+groupBy rollup is the only aggregation it ships) with the four
+analytics shapes every warehouse team layers on top of a star schema.
+Cross-engine determinism follows queries/catalog.py: integer/decimal
+aggregation only, each double produced by ONE identically-ordered IEEE
+expression over exact operands.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: int = 200,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: support / confidence / lift
+    for every item pair appearing in at least ``min_pair_count``
+    baskets.
+
+    Pair generation is the same posting-list expansion as
+    ``dedup.ngram_jaccard_pairs`` — distinct items per basket are
+    collected into one sorted array and i<j pairs explode inside a
+    single codegen stage, so the cost is Σ basket_size², bounded by
+    ``max_basket_size`` (a degenerate basket holding half the catalog
+    cannot create a quadratic candidate set; oversized baskets are
+    dropped, a declared semantic mirrored in oracles). Three keyed
+    shuffles total (distinct, basket collect, pair count); the two
+    item-count joins are vocabulary-sized, so AQE picks their strategy
+    — no forced broadcast.
+
+    Metrics: support = pair_n / n_baskets, confidence(a→b) = pair_n /
+    n_a (and symmetrically b→a), lift = support / (supp_a · supp_b).
+    Every ratio is IEEE division of exact integer counts, in the same
+    operand order the SQL oracle uses, so doubles are engine-identical.
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = items.select(
+        F.count_distinct("basket").alias("n_baskets")
+    )
+    item_counts = items.groupBy("item").agg(
+        F.count("*").alias("item_n")
+    )
+    baskets = (
+        items.groupBy("basket")
+        .agg(F.array_sort(F.collect_list("item")).alias("arr"))
+        .filter(
+            (F.size("arr") >= 2) & (F.size("arr") <= max_basket_size)
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("item_n").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("item_n").alias("n_b")
+    )
+    pair_d = F.col("pair_n").cast("double")
+    support = pair_d / F.col("n_baskets")
+    # lift written exactly as the oracle: (pair/n) / ((na/n) * (nb/n))
+    lift = support / (
+        (F.col("n_a").cast("double") / F.col("n_baskets"))
+        * (F.col("n_b").cast("double") / F.col("n_baskets"))
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .join(F.broadcast(n_baskets))  # 1-row frame
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            support.alias("support"),
+            (pair_d / F.col("n_a")).alias("conf_a_b"),
+            (pair_d / F.col("n_b")).alias("conf_b_a"),
+            lift.alias("lift"),
+        )
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reach each stage, where
+    stage k counts only events strictly AFTER the user's stage-(k-1)
+    entry time (the classic product funnel, not a bag-of-events count).
+
+    Per stage: filter to that event type (predicate pushes to the
+    scan), join the survivors of the previous stage on the user key,
+    keep events after the previous entry, take MIN(ts). Each stage is
+    one keyed agg + one equi-join on the SAME user key, so the whole
+    funnel rides repartitions of one uniform key; survivor frames only
+    shrink. MIN over timestamps is exact, and conversion ratios divide
+    exact integer counts once.
+
+    Returns one row per stage: (stage_idx, stage, users, conv_from_prev,
+    conv_from_first).
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("k"),
+    )
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for stage in stages:
+        cur = ev.filter(F.col("k") == stage).select("u", "t")
+        if prev is not None:
+            cur = cur.join(
+                prev.select("u", F.col("entry_ts").alias("_prev_ts")), "u"
+            ).filter(F.col("t") > F.col("_prev_ts"))
+        cur = cur.groupBy("u").agg(F.min("t").alias("entry_ts"))
+        reached.append(cur)
+        prev = cur
+    counts = None
+    for i, (stage, frame) in enumerate(zip(stages, reached)):
+        c = frame.agg(F.count("*").alias("users")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("stage_idx")
+    first_users = F.first("users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prev_users = F.lag("users").over(w)
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "users",
+        (F.col("users").cast("double") / prev_users).alias(
+            "conv_from_prev"
+        ),
+        (F.col("users").cast("double") / first_users).alias(
+            "conv_from_first"
+        ),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort_week, week_offset), how many are
+    active and what fraction of the cohort that is.
+
+    Two keyed aggs (first-seen per user; distinct user-weeks) and one
+    equi-join on the user key — first-seen is a MIN agg, so both
+    inputs partial-aggregate map-side and at 100 TB the join carries
+    one row per user, not per event. Week truncation is Monday-based
+    `date_trunc` in both engines; offsets are exact integer day
+    arithmetic / 7; retention divides exact integers once.
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+    )
+    first_seen = ev.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    activity = (
+        active.join(first_seen, "u")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+    return activity.join(cohort_size, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        (
+            F.col("active_users").cast("double") / F.col("cohort_users")
+        ).alias("retention"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lookback: int = 7,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Daily-total anomaly detection: z-score of each key's daily value
+    sum against its own trailing ``lookback``-day window (current day
+    excluded), flagging |z| > ``z_threshold``.
+
+    The series is pre-aggregated to one row per (key, day) with exact
+    decimal sums BEFORE the window — at 100 TB the window operator sees
+    O(keys × days) rows, never raw events, and the single shuffle is
+    the daily groupBy (the window reuses its partitioning). Trailing
+    mean/variance come from decimal window sums of x and x² (exact,
+    frame-order-independent — a double window sum would depend on each
+    engine's summation tree), converted to double in ONE closed-form
+    expression: var = (q − s²/m) / (m−1). Rows need ≥3 trailing days.
+    """
+    x = F.col("x")
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(15,2)")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-lookback, -1)
+    )
+    m = F.count(x).over(w)
+    s = F.sum(x).over(w).cast("double")
+    q = F.sum((x * x).cast("decimal(31,4)")).over(w).cast("double")
+    md = m.cast("double")
+    mean = s / md
+    var = (q - s * s / md) / (md - F.lit(1.0))
+    z = (x.cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.select(
+            "key",
+            "day",
+            x.cast("double").alias("day_total"),
+            m.alias("m"),
+            mean.alias("trailing_mean"),
+            var.alias("trailing_var"),
+            z.alias("z"),
+        )
+        .filter((F.col("m") >= 3) & (F.col("trailing_var") > 0))
+        .select(
+            "key",
+            "day",
+            "day_total",
+            "trailing_mean",
+            "z",
+            (F.abs(F.col("z")) > F.lit(z_threshold)).alias("is_anomaly"),
+        )
+    )

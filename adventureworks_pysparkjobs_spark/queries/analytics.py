@@ -1,0 +1,213 @@
+"""Behavioral-analytics catalog entries (operators/analytics.py):
+market-basket association rules over order baskets, an ordered event
+funnel, weekly cohort retention, and rolling z-score anomaly
+detection — the BI layer a warehouse team builds on the reference's
+star schema (transform_to_bq.py ships only the daily rollup at
+:160–165).
+
+Registered after the pinned driver window (queries/__init__.py) —
+bonus surface, locally oracle-gated via tests/test_oracle.py like
+everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics import (
+    basket_pairs,
+    funnel,
+    retention_cohorts,
+    rolling_zscore,
+)
+from ..sources.corpus import load_table
+from .catalog import query
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+    ),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    pairs AS (
+      SELECT i1.item AS item_a, i2.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible e ON e.basket = i1.basket
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    counts AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS item_n
+      FROM items GROUP BY item
+    ),
+    total AS (
+      SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+      FROM items
+    )
+    SELECT p.item_a, p.item_b, p.pair_n,
+           ca.item_n AS n_a, cb.item_n AS n_b,
+           CAST(p.pair_n AS DOUBLE) / n_baskets AS support,
+           CAST(p.pair_n AS DOUBLE) / ca.item_n AS conf_a_b,
+           CAST(p.pair_n AS DOUBLE) / cb.item_n AS conf_b_a,
+           (CAST(p.pair_n AS DOUBLE) / n_baskets)
+             / ((CAST(ca.item_n AS DOUBLE) / n_baskets)
+                * (CAST(cb.item_n AS DOUBLE) / n_baskets)) AS lift
+    FROM pairs p
+    JOIN counts ca ON ca.item = p.item_a
+    JOIN counts cb ON cb.item = p.item_b
+    CROSS JOIN total
+    """,
+    tags=("analytics", "market-basket", "co-occurrence", "association"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: support,
+    confidence (both directions) and lift for part pairs co-purchased
+    in >= 3 orders. Pair generation is posting-list expansion inside
+    one codegen stage (never a row self-join at pair grain), capped by
+    basket size so a degenerate basket cannot go quadratic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=3, max_basket_size=200
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id AS u, MIN(ts) AS entry_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.entry_ts
+      WHERE e.event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.entry_ts
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.entry_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    stages AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS users FROM s0
+      UNION ALL SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM s1
+      UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT stage_idx, stage, users,
+           CAST(users AS DOUBLE)
+             / LAG(users) OVER (ORDER BY stage_idx) AS conv_from_prev,
+           CAST(users AS DOUBLE)
+             / FIRST_VALUE(users) OVER (ORDER BY stage_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS conv_from_first
+    FROM stages
+    """,
+    tags=("analytics", "funnel", "sequential", "events"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered product funnel signup → view → click → purchase: stage k
+    counts only events strictly after the user's stage-(k-1) entry.
+    Each stage is one keyed MIN agg + one equi-join on the user key;
+    survivor frames only shrink, and the final 4-row window is
+    output-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", _FUNNEL_STAGES)
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    fs AS (SELECT u, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+    act AS (SELECT DISTINCT u, wk FROM ev),
+    sz AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM fs GROUP BY 1
+    ),
+    a AS (
+      SELECT fs.cohort_week,
+             CAST(date_diff('day', fs.cohort_week, act.wk) / 7 AS INTEGER)
+               AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM act JOIN fs ON act.u = fs.u
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.week_offset, a.active_users, sz.cohort_users,
+           CAST(a.active_users AS DOUBLE) / sz.cohort_users AS retention
+    FROM a JOIN sz ON a.cohort_week = sz.cohort_week
+    """,
+    tags=("analytics", "retention", "cohort", "events"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of each
+    user's first event; one row per (cohort_week, week_offset) with the
+    active-user count and retention fraction. First-seen partial-
+    aggregates map-side, so the activity join carries one row per user,
+    not per event."""
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts")
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(15,2)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT key, day, x,
+             COUNT(x) OVER win AS m,
+             CAST(SUM(x) OVER win AS DOUBLE) AS s,
+             CAST(SUM(CAST(x * x AS DECIMAL(31,4))) OVER win AS DOUBLE) AS q
+      FROM daily
+      WINDOW win AS (PARTITION BY key ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT key, day, CAST(x AS DOUBLE) AS day_total,
+           s / CAST(m AS DOUBLE) AS trailing_mean,
+           (CAST(x AS DOUBLE) - s / CAST(m AS DOUBLE))
+             / sqrt((q - s * s / CAST(m AS DOUBLE))
+                    / (CAST(m AS DOUBLE) - 1.0)) AS z,
+           abs((CAST(x AS DOUBLE) - s / CAST(m AS DOUBLE))
+               / sqrt((q - s * s / CAST(m AS DOUBLE))
+                      / (CAST(m AS DOUBLE) - 1.0))) > 2.5 AS is_anomaly
+    FROM w
+    WHERE m >= 3
+      AND (q - s * s / CAST(m AS DOUBLE)) / (CAST(m AS DOUBLE) - 1.0) > 0
+    """,
+    tags=("analytics", "anomaly", "zscore", "window", "timeseries"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily value totals per
+    event type: trailing 7-day mean/variance from exact decimal window
+    sums of x and x² (frame-order-independent where double window sums
+    are not), one closed-form IEEE expression per output double. The
+    window sees O(keys × days) pre-aggregated rows, never raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_zscore(
+        ev, "event_type", "ts", "value", lookback=7, z_threshold=2.5
+    )

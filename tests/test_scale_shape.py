@@ -20,6 +20,8 @@ CROSS_OK = {
     "top_orders_above_avg",
     "q22_dormant_rich_customers",  # 1-row scalar-subquery broadcast cross
     "events_key_skew",  # 1-row total-count broadcast cross
+    "q11_important_stock",  # 1-row threshold scalar-subquery broadcast cross
+    "orders_market_basket",  # 1-row n_baskets broadcast cross
 
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",

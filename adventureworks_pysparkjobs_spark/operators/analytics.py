@@ -18,6 +18,45 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pair_counts(
+    items: DataFrame,
+    min_pair_count: int = 2,
+    max_basket_size: int = 200,
+) -> DataFrame:
+    """Co-occurrence pair counts over a distinct ``(basket, item)``
+    frame: posting-list expansion (sorted per-basket item array, i<j
+    pairs exploded inside one codegen stage), capped by
+    ``max_basket_size`` so a degenerate basket cannot create a
+    quadratic candidate set. Returns (item_a, item_b, pair_n) with
+    item_a < item_b. Shared by ``basket_pairs`` (association rules)
+    and the co-purchase graph feeding ``graph.pagerank``."""
+    baskets = (
+        items.groupBy("basket")
+        .agg(F.array_sort(F.collect_list("item")).alias("arr"))
+        .filter(
+            (F.size("arr") >= 2) & (F.size("arr") <= max_basket_size)
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+
+
 def basket_pairs(
     df: DataFrame,
     basket_col: str,
@@ -54,31 +93,7 @@ def basket_pairs(
     item_counts = items.groupBy("item").agg(
         F.count("*").alias("item_n")
     )
-    baskets = (
-        items.groupBy("basket")
-        .agg(F.array_sort(F.collect_list("item")).alias("arr"))
-        .filter(
-            (F.size("arr") >= 2) & (F.size("arr") <= max_basket_size)
-        )
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("arr"),
-            lambda x, i: F.transform(
-                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    pairs = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.item_a").alias("item_a"),
-            F.col("p.item_b").alias("item_b"),
-        )
-        .agg(F.count("*").alias("pair_n"))
-        .filter(F.col("pair_n") >= min_pair_count)
-    )
+    pairs = pair_counts(items, min_pair_count, max_basket_size)
     ca = item_counts.select(
         F.col("item").alias("item_a"), F.col("item_n").alias("n_a")
     )

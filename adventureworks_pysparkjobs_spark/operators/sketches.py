@@ -1,0 +1,76 @@
+"""Mergeable-sketch operators (Apache DataSketches via Spark SQL's
+hll_sketch_* family).
+
+The 100 TB pattern this enables: distinct counts do NOT re-aggregate
+(distinct users per day can't be summed into distinct users per week),
+so a warehouse either re-scans raw events per rollup grain or stores
+mergeable sketches at the finest grain and unions them upward. The
+sketch table is O(groups × sketch_size) — re-aggregating it to any
+coarser grain never touches raw data again.
+
+Correctness contract: the estimate is approximate (engine-specific
+binary sketches), so catalog entries expose the `approx_parts_ok`
+pattern — an exact count (computed in-plan, cross-engine) plus a
+boolean asserting the estimate lands within tolerance. The sketch
+bytes themselves never appear in oracle-checked output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_distinct_rollup(
+    df: DataFrame,
+    col: str,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    lg_k: int = 12,
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """Build HLL sketches at ``fine_keys`` grain, merge them up to
+    ``coarse_keys`` grain, and verify each merged estimate against the
+    exact distinct count.
+
+    ``coarse_keys`` must be a subset of ``fine_keys`` (the rollup must
+    be a coarsening — that is what makes the sketch union valid).
+    Returns one row per coarse group: the exact distinct count and
+    ``estimate_ok`` = |est/exact − 1| <= ``rel_tol``.
+
+    Scale shape: two aggs over the fine sketch table (built with ONE
+    pass over raw data, partial-aggregated map-side) plus one exact
+    agg for verification. In production the exact branch is dropped
+    and ONLY the fine sketch table persists; every coarser rollup is a
+    sketch union over it. lg_k=12 → ~1.6% standard error in ~4 KB per
+    sketch.
+    """
+    missing = [k for k in coarse_keys if k not in fine_keys]
+    if missing:
+        raise ValueError(
+            f"coarse_keys {missing} not contained in fine_keys {fine_keys}"
+        )
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sk")
+    )
+    merged = fine.groupBy(*coarse_keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = df.groupBy(*coarse_keys).agg(
+        F.count_distinct(col).alias("exact_distinct")
+    )
+    ok = (
+        F.abs(
+            F.col("est").cast("double")
+            / F.col("exact_distinct").cast("double")
+            - F.lit(1.0)
+        )
+        <= F.lit(rel_tol)
+    )
+    return merged.join(exact, list(coarse_keys)).select(
+        *coarse_keys,
+        "exact_distinct",
+        ok.alias("estimate_ok"),
+    )

@@ -211,3 +211,136 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(
         ev, "event_type", "ts", "value", lookback=7, z_threshold=2.5
     )
+
+
+_PR_SCALE = 10**9
+_PR_ITERS = 6
+
+
+def _pagerank_oracle(iters: int, scale: int) -> str:
+    """Unrolled fixed-iteration integer PageRank in ANSI SQL — a
+    recursive CTE can't aggregate in its recursive term, so each
+    iteration is one chained CTE mirroring the Spark join+agg with //
+    floor division (operators/graph.py docstring)."""
+    head = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, w FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM pairs
+    ),
+    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+    e AS (SELECT edges.src, edges.dst, edges.w, ow.ow
+          FROM edges JOIN ow ON ow.src = edges.src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT n.node,
+             CAST((CAST(15 AS BIGINT) * {scale}) // (100 * nn.n)
+                  + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM((p.r * e.w) // e.ow) AS s
+        FROM e JOIN r{i - 1} p ON p.node = e.src
+        GROUP BY 1
+      ) c ON c.node = n.node
+    )""")
+    tail = f"""
+    SELECT node AS part_key, r AS rank_scaled,
+           CAST(r AS DOUBLE) / {float(scale)} AS pr
+    FROM r{iters}
+    """
+    return head + "".join(steps) + tail
+
+
+@query(
+    "part_copurchase_pagerank",
+    oracle=_pagerank_oracle(_PR_ITERS, _PR_SCALE),
+    tags=("graph", "pagerank", "iterative", "integer-exact"),
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph (edges =
+    basket pairs bought together >= 2 times, symmetrized). Integer-
+    scaled arithmetic (operators/graph.py) makes an iterative
+    floating-point-free PageRank that is bit-identical across engines
+    and partitionings — the oracle replays all iterations in unrolled
+    SQL. Per iteration one edge join + one keyed sum; checkpointed
+    edges; node-sized rank frame."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    ).distinct()
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "pair_n"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            "pair_n",
+        )
+    )
+    return pagerank(
+        edges, "src", "dst", "pair_n",
+        iterations=_PR_ITERS, scale=_PR_SCALE,
+    ).select(
+        F.col("node").alias("part_key"),
+        "rank_scaled",
+        F.col("rank").alias("pr"),
+    )
+
+
+@query(
+    "events_hll_weekly_users",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS estimate_ok
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("sketch", "hll", "approx-distinct", "rollup"),
+)
+def events_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct rollup (operators/sketches.py): daily
+    HLL sketches of user_id per event type, unioned up to weekly
+    estimates — the pattern that makes distinct counts re-aggregable
+    at 100 TB without rescanning raw events. Driver-checkable via the
+    approx_parts_ok pattern: exact weekly distincts (cross-engine) +
+    a boolean pinning the estimate within 5%."""
+    from ..operators.sketches import sketch_distinct_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    )
+    return sketch_distinct_rollup(
+        ev,
+        "user_id",
+        fine_keys=["event_type", "week", "day"],
+        coarse_keys=["event_type", "week"],
+        lg_k=12,
+        rel_tol=0.05,
+    )

@@ -1,0 +1,115 @@
+"""Behavioral tests for operators/graph.py (integer PageRank) and
+operators/sketches.py (HLL distinct rollup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.operators.graph import pagerank
+from adventureworks_pysparkjobs_spark.operators.sketches import (
+    sketch_distinct_rollup,
+)
+
+SCALE = 10**9
+
+
+def _sym(spark, pairs):
+    rows = [(a, b, w) for a, b, w in pairs] + [
+        (b, a, w) for a, b, w in pairs
+    ]
+    return spark.createDataFrame(rows, ["src", "dst", "w"])
+
+
+class TestPagerank:
+    def test_symmetric_pair_splits_mass_evenly(self, spark):
+        out = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(_sym(spark, [(1, 2, 5)])).collect()
+        }
+        assert out[1] == out[2]
+        # total mass stays ~scale (floor losses only)
+        assert abs(sum(out.values()) - SCALE) < 100
+
+    def test_hub_outranks_leaves(self, spark):
+        # star: node 0 connected to 1..4
+        out = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(
+                _sym(spark, [(0, k, 1) for k in range(1, 5)])
+            ).collect()
+        }
+        assert all(out[0] > out[k] for k in range(1, 5))
+        leaf = {out[k] for k in range(1, 5)}
+        assert len(leaf) == 1  # symmetric leaves tie exactly
+
+    def test_weight_bias(self, spark):
+        # 1-2 heavy, 1-3 light: 2 must outrank 3
+        out = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(
+                _sym(spark, [(1, 2, 9), (1, 3, 1)])
+            ).collect()
+        }
+        assert out[2] > out[3]
+
+    def test_partition_independent(self, spark):
+        edges = _sym(spark, [(a, a + 1, a + 1) for a in range(1, 30)])
+        r1 = {
+            (r["node"], r["rank_scaled"])
+            for r in pagerank(edges).collect()
+        }
+        r2 = {
+            (r["node"], r["rank_scaled"])
+            for r in pagerank(edges.repartition(13)).collect()
+        }
+        assert r1 == r2
+
+    def test_empty_raises(self, spark):
+        empty = spark.createDataFrame([], "src long, dst long, w long")
+        with pytest.raises(ValueError, match="empty"):
+            pagerank(empty)
+
+
+class TestSketchRollup:
+    def test_estimates_within_tolerance_and_exact_counts(self, spark):
+        rows = [
+            (g, d, u)
+            for g in ("a", "b")
+            for d in range(3)
+            for u in range(d * 40, d * 40 + 60)  # overlapping day sets
+        ]
+        df = spark.createDataFrame(rows, ["g", "d", "u"])
+        out = sketch_distinct_rollup(
+            df, "u", fine_keys=["g", "d"], coarse_keys=["g"]
+        ).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r["exact_distinct"] == 140  # union of 0-59,40-99,80-139
+            assert r["estimate_ok"]
+
+    def test_coarse_must_be_subset_of_fine(self, spark):
+        df = spark.createDataFrame([("a", 1, 2)], ["g", "d", "u"])
+        with pytest.raises(ValueError, match="not contained"):
+            sketch_distinct_rollup(
+                df, "u", fine_keys=["d"], coarse_keys=["g"]
+            )
+
+    def test_merge_equals_resketch(self, spark):
+        """Unioning daily sketches must estimate the same as sketching
+        the coarse group directly — the mergeability contract."""
+        rows = [("a", d, u) for d in range(4) for u in range(d, 200, d + 1)]
+        df = spark.createDataFrame(rows, ["g", "d", "u"])
+        merged = sketch_distinct_rollup(
+            df, "u", fine_keys=["g", "d"], coarse_keys=["g"]
+        )
+        direct = df.groupBy("g").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("u"), F.lit(12))
+            ).alias("est"),
+            F.count_distinct("u").alias("exact"),
+        )
+        m = merged.collect()[0]
+        d = direct.collect()[0]
+        assert m["exact_distinct"] == d["exact"]
+        assert m["estimate_ok"]

@@ -49,6 +49,30 @@ def materialize(df: DataFrame) -> int:
     return agg.collect()[0]["n"]
 
 
+def _reset_session_state(spark) -> None:
+    """Drop session state one query left behind before timing the next.
+
+    Operators legitimately cache intermediates (the minhash/jaccard
+    shingle frame) or localCheckpoint iteration states (dup-clusters,
+    pagerank, the corpus pipeline); those blocks outlive the query's
+    Python references and inflate every LATER query's GC/memory
+    pressure — measured at sf0.1: the 13-query core ran ~30% slower
+    when timed after the heavy extension set without this reset.
+    Within one query's best-of-3 reps nothing is cleared, so cache
+    reuse across reps (Spark's CacheManager dedupes equal plans) still
+    reflects the operator's real steady state.
+    """
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()  # release py4j refs so ContextCleaner can reap
+    # checkpointed RDD blocks
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # JVM GC nudge is best-effort
+
+
 # The round-3 headline set, frozen for cross-round comparability.
 R3_CORE_13 = frozenset({
     "q1_pricing_summary", "q3_unshipped_revenue", "q5_nation_revenue",
@@ -79,6 +103,7 @@ def main() -> None:
                 materialize(q.builder(spark, warm_dir))
             except Exception as e:  # warm-up must never fail the bench
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
+        _reset_session_state(spark)
 
     timings: dict[str, float] = {}
     status: dict[str, str] = {}
@@ -113,6 +138,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         status[name] = "ok"
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+        _reset_session_state(spark)
 
     ok = {n for n, s in status.items() if s == "ok"}
     total = round(sum(t for n, t in timings.items() if n in ok), 3)

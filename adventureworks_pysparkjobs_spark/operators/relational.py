@@ -310,3 +310,59 @@ def union_evolved(frames: list[DataFrame]) -> DataFrame:
     for df in aligned[1:]:
         out = out.unionByName(df)
     return out
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Skew-proof exact distinct count: two-phase aggregation where the
+    value space — not the row space — is salted.
+
+    Spark's built-in ``count_distinct`` shuffles on (keys, value); a
+    key with 10⁹ distinct values still funnels them all into that
+    key's reducers. Here each distinct value is routed to exactly one
+    of ``buckets`` sub-aggregators by its own hash
+    (``pmod(xxhash64(value), buckets)``), so phase 1 counts distincts
+    per (keys, bucket) — reducer state is bounded by |values|/buckets
+    — and phase 2 sums the bucket counts (correct because the bucket
+    partition of the value space is disjoint: no distinct value is
+    counted twice). Both shuffles carry partial aggregates.
+
+    Returns one row per key group: (*keys, n_distinct).
+    """
+    salted = df.groupBy(
+        *keys,
+        F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).alias("_vbucket"),
+    ).agg(F.count_distinct(F.col(col)).alias("_bucket_distinct"))
+    return salted.groupBy(*keys).agg(
+        F.sum("_bucket_distinct").alias("n_distinct")
+    )
+
+
+def merge_aggregate(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for an additive
+    aggregate: fold a new batch's partial aggregate into the standing
+    snapshot without rescanning history.
+
+    Both inputs are already at the aggregate grain (same ``keys``,
+    same additive measure columns); the merge is unionByName → one
+    keyed re-sum. Because SUM/COUNT are commutative monoids,
+    ``merge_aggregate(agg(h1), agg(h2)) == agg(h1 ∪ h2)`` exactly
+    (decimal/integer measures — the property test pins it). At 100 TB
+    the refresh cost is O(snapshot_groups + batch), never O(history
+    rows): the snapshot side is the stored MV, one row per group.
+    """
+    merged = snapshot.select(*keys, *sum_cols).unionByName(
+        delta.select(*keys, *sum_cols)
+    )
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

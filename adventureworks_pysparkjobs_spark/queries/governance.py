@@ -1,0 +1,171 @@
+"""Governance / maintenance catalog entries: declarative constraint
+auditing (operators/quality.py), incremental materialized-view merge
+(relational.merge_aggregate), and skew-proof distinct counting
+(relational.salted_count_distinct).
+
+These make the reference's implicit contracts explicit and testable:
+its BQ_SCHEMAS nullability flags (transform_to_bq.py:28–74) are
+documentation-only and its daily rollup (transform_to_bq.py:160–165)
+is rebuilt from scratch every run — here the contract is audited and
+the rollup refreshes incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import ForeignKey, audit_constraints
+from ..operators.relational import (
+    dec,
+    merge_aggregate,
+    salted_count_distinct,
+)
+from ..sources.corpus import load_table, load_tables
+from .catalog import query
+
+_CUTOFF = "1997-07-01"
+
+
+@query(
+    "star_constraint_audit",
+    oracle="""
+    SELECT 'orders' AS tbl, 'not_null:o_custkey' AS rule,
+           CAST(COUNT_IF(o_custkey IS NULL) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'range:o_totalprice',
+           CAST(COUNT_IF(o_totalprice < 0 OR o_totalprice > 300000)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'unique:o_orderkey',
+           CAST(COALESCE(SUM(n), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders', 'fk:orders_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem', 'range:l_discount',
+           CAST(COUNT_IF(l_discount < 0 OR l_discount > 0.08) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'predicate:price_positive',
+           CAST(COUNT_IF(NOT (l_extendedprice > 0)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'fk:lineitem_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    tags=("governance", "constraints", "audit", "fk", "unique"),
+)
+def star_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish constraint audit over the star's source tables
+    (operators/quality.py): per-column rules share ONE scan per table
+    (one conditional-counter agg); uniqueness is its own keyed agg;
+    FKs are left-anti joins. The o_totalprice and l_discount ranges
+    are deliberately tight so the audit reports non-zero violation
+    counts — an all-zero audit can't prove the counters fire."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "customer"])
+    orders_audit = audit_constraints(
+        t["orders"],
+        unique=[("o_orderkey",)],
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (0, 300000)},
+        foreign_keys=[
+            ForeignKey(
+                "orders_customer",
+                ("o_custkey",),
+                t["customer"],
+                ("c_custkey",),
+            )
+        ],
+    ).select(F.lit("orders").alias("tbl"), "rule", "violations")
+    lineitem_audit = audit_constraints(
+        t["lineitem"],
+        ranges={"l_discount": (0, 0.08)},
+        predicates={"price_positive": F.col("l_extendedprice") > 0},
+        foreign_keys=[
+            ForeignKey(
+                "lineitem_orders",
+                ("l_orderkey",),
+                t["orders"],
+                ("o_orderkey",),
+            )
+        ],
+    ).select(F.lit("lineitem").alias("tbl"), "rule", "violations")
+    return orders_audit.unionByName(lineitem_audit)
+
+
+@query(
+    "fact_daily_agg_incremental",
+    oracle=f"""
+    SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("governance", "incremental", "materialized-view", "merge"),
+)
+def fact_daily_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of the reference's daily rollup
+    (transform_to_bq.py:160–165): history aggregated once (the stored
+    MV), the new period aggregated alone, then
+    relational.merge_aggregate folds the batch in — one keyed re-sum
+    over group-grain rows, never a history rescan. Additive decimal
+    measures make merge ≡ rebuild EXACT, which is what the oracle (a
+    straight full aggregation) checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def daily(frame: DataFrame) -> DataFrame:
+        return frame.groupBy(
+            "l_partkey", F.to_date("l_shipdate").alias("day")
+        ).agg(
+            F.sum(dec("l_quantity", 12, 2)).alias("total_qty"),
+            F.sum(dec("l_extendedprice", 12, 2)).alias("total_price"),
+        )
+
+    snapshot = daily(li.filter(F.col("l_shipdate") < _CUTOFF))
+    delta = daily(li.filter(F.col("l_shipdate") >= _CUTOFF))
+    merged = merge_aggregate(
+        snapshot, delta, ["l_partkey", "day"], ["total_qty", "total_price"]
+    )
+    return merged.select(
+        "l_partkey",
+        "day",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.col("total_price").cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "orders_salted_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY 1
+    """,
+    tags=("governance", "skew", "distinct", "two-phase"),
+)
+def orders_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact distinct customers per priority
+    (relational.salted_count_distinct): the value space is hash-salted
+    into 32 disjoint buckets so no single reducer ever holds one key's
+    whole distinct set — the two-phase shape that survives a key with
+    10⁹ distincts where built-in count_distinct funnels them."""
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_count_distinct(
+        orders, ["o_orderpriority"], "o_custkey", buckets=32
+    )

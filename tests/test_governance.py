@@ -1,0 +1,130 @@
+"""Behavioral tests for quality.audit_constraints,
+relational.merge_aggregate and relational.salted_count_distinct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.operators.quality import (
+    ForeignKey,
+    audit_constraints,
+)
+from adventureworks_pysparkjobs_spark.operators.relational import (
+    merge_aggregate,
+    salted_count_distinct,
+)
+from adventureworks_pysparkjobs_spark.plans.inspect import physical_plan
+
+
+class TestAuditConstraints:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, 10, 5.0),
+                (2, 20, -1.0),   # range violation
+                (2, None, 3.0),  # dupe id + null fk
+                (3, 99, 200.0),  # orphan fk + range violation (hi)
+            ],
+            ["id", "cust", "amt"],
+        )
+
+    def test_all_rule_kinds(self, spark):
+        ref = spark.createDataFrame([(10,), (20,)], ["c_id"])
+        out = {
+            r["rule"]: r["violations"]
+            for r in audit_constraints(
+                self._df(spark),
+                unique=[("id",)],
+                not_null=["cust"],
+                ranges={"amt": (0, 100)},
+                predicates={"amt_nonzero": F.col("amt") != 0},
+                foreign_keys=[
+                    ForeignKey("cust_fk", ("cust",), ref, ("c_id",))
+                ],
+            ).collect()
+        }
+        assert out["unique:id"] == 2          # both rows of the dupe pair
+        assert out["not_null:cust"] == 1
+        assert out["range:amt"] == 2          # -1 below, 200 above
+        assert out["predicate:amt_nonzero"] == 0
+        assert out["fk:cust_fk"] == 1         # 99 orphaned; NULL exempt
+
+    def test_clean_table_reports_zeroes(self, spark):
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"])
+        out = audit_constraints(
+            df, unique=[("id",)], not_null=["v"], ranges={"v": (0, 10)}
+        ).collect()
+        assert all(r["violations"] == 0 for r in out)
+
+    def test_no_rules_raises(self, spark):
+        df = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError, match="no rules"):
+            audit_constraints(df)
+
+
+class TestMergeAggregate:
+    def test_merge_equals_rebuild(self, spark):
+        rows = [(k % 5, d % 3, float(k)) for k in range(200) for d in (0, 1)]
+        df = spark.createDataFrame(rows, ["k", "d", "v"]).select(
+            "k", "d", F.col("v").cast("decimal(12,2)").alias("v")
+        )
+        h1 = df.filter(F.col("k") < 3)
+        h2 = df.filter(F.col("k") >= 3)
+
+        def agg(f):
+            return f.groupBy("k", "d").agg(F.sum("v").alias("v"))
+
+        merged = merge_aggregate(agg(h1), agg(h2), ["k", "d"], ["v"])
+        rebuilt = agg(df)
+        m = {(r["k"], r["d"]): r["v"] for r in merged.collect()}
+        b = {(r["k"], r["d"]): r["v"] for r in rebuilt.collect()}
+        assert m == b
+
+    def test_new_and_untouched_groups(self, spark):
+        snap = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+        delta = spark.createDataFrame([(2, 5), (3, 7)], ["k", "v"])
+        out = {
+            r["k"]: r["v"]
+            for r in merge_aggregate(snap, delta, ["k"], ["v"]).collect()
+        }
+        assert out == {1: 10, 2: 25, 3: 7}
+
+
+class TestSaltedCountDistinct:
+    def test_matches_builtin(self, spark):
+        rows = [(k % 3, v % 37) for k in range(50) for v in range(k)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {
+            r["g"]: r["n_distinct"]
+            for r in salted_count_distinct(df, ["g"], "v", 8).collect()
+        }
+        want = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g")
+            .agg(F.count_distinct("v").alias("n"))
+            .collect()
+        }
+        assert got == want
+
+    def test_no_expand_no_value_keyed_exchange(self, spark):
+        """The whole point: the plan must shuffle on (keys, value-hash
+        bucket) — bounded per key — and both aggs partial-aggregate.
+        Two HashAggregate pairs, no Expand (count_distinct rewrite)."""
+        df = spark.range(1000).select(
+            (F.col("id") % 4).alias("g"), (F.col("id") % 97).alias("v")
+        )
+        plan = physical_plan(salted_count_distinct(df, ["g"], "v", 16))
+        assert "Expand" not in plan
+        # three exchanges: (g,bucket,v) dedup, (g,bucket) count,
+        # (g) bucket-count sum — the last carries <= buckets rows/key,
+        # and no exchange before it is keyed on g alone, so no reducer
+        # ever holds one key's whole distinct set
+        ex = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert len(ex) == 3
+        # plan prints top-down: ex[0] is the final g-keyed sum; the two
+        # upstream exchanges must both be salted with the value bucket
+        assert all("_groupingexpression" in ln for ln in ex[1:])
+        assert "_groupingexpression" not in ex[0]

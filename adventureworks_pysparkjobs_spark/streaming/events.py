@@ -223,6 +223,75 @@ def stream_upsert_to_lake(
     q.awaitTermination()
 
 
+def _write_agg_partial(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    keys: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Write one micro-batch's PARTIAL aggregate into its own
+    ``batch_id=<id>`` partition directory, overwriting that partition
+    only. Module-level so tests can replay a batch id directly."""
+    partial = batch_df.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    partial.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+
+def stream_aggregate_to_lake(
+    streaming_df: DataFrame,
+    path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint: str,
+) -> None:
+    """Additive-aggregate MV sink: streaming incremental maintenance of
+    the reference's daily rollup shape (transform_to_bq.py:160-165)
+    without a transactional table format.
+
+    Additive measures make replayed batches DANGEROUS for a naive
+    merge sink — re-summing a replayed batch double-counts (unlike the
+    keyed upsert in ``stream_upsert_to_lake``, whose merge is naturally
+    idempotent). So each micro-batch lands its partial aggregate in its
+    own ``batch_id=<id>`` partition: the checkpointed source offsets
+    pin batch membership, and a replay OVERWRITES its own partition
+    instead of adding to it — exactly-once for sums, by layout.
+
+    The queryable snapshot is merge-on-read
+    (``read_agg_snapshot`` — one keyed re-sum over group-grain partial
+    rows, the relational.merge_aggregate shape), so snapshot cost is
+    O(groups x batches), independent of raw event volume; fold old
+    partials together periodically (rewrite N batch partitions as one)
+    when batch count grows.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _write_agg_partial(batch_df, batch_id, path, keys, sum_cols)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_agg_snapshot(
+    spark: SparkSession, path: str, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Merge-on-read view of a ``stream_aggregate_to_lake`` table: fold
+    every batch partition's partial aggregate into the current totals
+    (one keyed re-sum — partial rows are group-grain, never raw)."""
+    partials = spark.read.parquet(path)
+    return partials.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
 def dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming keyed dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) — unlike plain dropDuplicates, the dedup state

@@ -382,3 +382,79 @@ def test_stateful_sessionize_multi_batch_no_duplicate_sessions(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_aggregate_sink_incremental_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Additive-MV streaming sink (stream_aggregate_to_lake): partial
+    aggregates land per batch partition; the merged snapshot equals a
+    batch rebuild over all input; replaying a batch id with the same
+    data overwrites its own partition instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.relational import dec
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        _write_agg_partial,
+        read_agg_snapshot,
+        read_events_stream,
+        stream_aggregate_to_lake,
+    )
+
+    raw = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", dec("value", 12, 2).alias("value")
+    )
+    half1 = raw.filter(F.col("event_id") % 2 == 0)
+    half2 = raw.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    out = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    half1.coalesce(1).write.parquet(str(tmp_path / "h1"))
+    half2.coalesce(1).write.parquet(str(tmp_path / "h2"))
+    src.mkdir()
+    for f in (tmp_path / "h1").glob("part-*.parquet"):
+        f.rename(src / "events-000.parquet")
+
+    def run():
+        stream = (
+            read_events_stream(spark, str(src))
+            .select("event_type", dec("value", 12, 2).alias("value"))
+        )
+        stream_aggregate_to_lake(
+            stream, out, ["event_type"], ["value"], ckpt
+        )
+
+    def snap():
+        return {
+            r["event_type"]: r["value"]
+            for r in read_agg_snapshot(
+                spark, out, ["event_type"], ["value"]
+            ).collect()
+        }
+
+    run()
+    want_h1 = {
+        r["event_type"]: r["value"]
+        for r in half1.groupBy("event_type")
+        .agg(F.sum("value").alias("value"))
+        .collect()
+    }
+    assert snap() == want_h1
+
+    # second arrival: only the new file lands, totals now cover all rows
+    for f in (tmp_path / "h2").glob("part-*.parquet"):
+        f.rename(src / "events-001.parquet")
+    run()
+    want_all = {
+        r["event_type"]: r["value"]
+        for r in raw.groupBy("event_type")
+        .agg(F.sum("value").alias("value"))
+        .collect()
+    }
+    assert snap() == want_all
+
+    # replay batch 0's data under its original batch id: the partition
+    # overwrites itself — totals unchanged (no double counting)
+    _write_agg_partial(half1, 0, out, ["event_type"], ["value"])
+    assert snap() == want_all

@@ -93,3 +93,61 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import running_user_totals
 
     return running_user_totals(spark, sf_dir)
+
+
+@query(
+    "stream_agg_mv_snapshot",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "foreachBatch", "materialized-view", "incremental"),
+)
+def stream_agg_mv_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming additive-MV maintenance end-to-end
+    (streaming/events.py stream_aggregate_to_lake): the bounded events
+    stream lands per-batch PARTIAL aggregates in replay-idempotent
+    batch_id partitions, then the merge-on-read snapshot
+    (read_agg_snapshot — one keyed re-sum over group-grain rows) must
+    equal the batch rebuild the oracle computes. Decimal partials make
+    the two-level summation exact in any batch split."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import dec
+    from ..streaming.events import (
+        read_agg_snapshot,
+        read_events_stream,
+        stream_aggregate_to_lake,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_agg_mv_")
+    try:
+        stream = read_events_stream(spark, sf_dir).select(
+            "event_type",
+            dec("value", 12, 2).alias("total_value"),
+            F.lit(1).cast("bigint").alias("n_events"),
+        )
+        stream_aggregate_to_lake(
+            stream,
+            f"{tmp}/mv",
+            ["event_type"],
+            ["total_value", "n_events"],
+            f"{tmp}/ckpt",
+        )
+        snap = read_agg_snapshot(
+            spark, f"{tmp}/mv", ["event_type"], ["total_value", "n_events"]
+        ).select(
+            "event_type",
+            F.col("total_value").cast("double").alias("total_value"),
+            "n_events",
+        )
+        # materialize off the temp dir before it is removed
+        out = spark.createDataFrame(snap.collect(), snap.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -237,3 +237,120 @@ def mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hashed n-gram feature rows (id, feature string): lowered
+    whitespace unigrams + space-joined bigrams — per-row array
+    expressions, zero shuffles before the explode."""
+    from .text import tokens
+
+    t = F.transform(tokens(text_col), lambda x: F.lower(x))
+    bigrams = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> concat(_t[i - 1], ' ', _t[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), t.alias("_t"))
+        .select("id", F.explode(F.concat(F.col("_t"), bigrams)).alias("f"))
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every corpus document by how
+    much more likely its hashed n-gram features are under a small
+    TARGET distribution than under the raw corpus distribution —
+    the cheap proxy for "select web documents that look like the
+    high-quality target domain".
+
+    Features are lowered unigrams+bigrams hashed into ``buckets`` MD5
+    buckets (``hash_bucket`` — engine-portable, so the exact count
+    columns oracle-check cross-engine). Bucket probabilities are
+    add-one smoothed; a document's log-weight is
+    Σ_b n_b · (ln p_target(b) − ln p_source(b)). Each per-bucket
+    log-ratio is one closed-form double expression; the per-document
+    sum pins each product to DECIMAL(38,18) before summing, so the
+    weight is partition-order-independent (ln itself is last-ulp
+    libm-dependent — catalog entries exclude the weight column from
+    cross-engine oracles, tests/test_dsir.py pins it in-engine).
+
+    Scale shape: two bucket-count aggregations (bounded output:
+    ``buckets`` rows) + one corpus-sized explode → per-doc bucket
+    groupBy → join against the bounded bucket table (AQE broadcasts
+    it) → per-doc re-aggregation. The target side is typically tiny
+    (a benchmark/wiki sample); the corpus is scanned twice (once for
+    source counts, once for scoring) — persist the feature frame to
+    make it once if the pipeline composes further.
+
+    Returns (id_col, n_features, n_target_hits, logweight).
+    """
+    corpus_feats = _dsir_features(corpus, id_col, text_col).withColumn(
+        "b", hash_bucket(F.col("f"), buckets, salt="dsir")
+    )
+    target_feats = _dsir_features(target, id_col, text_col).withColumn(
+        "b", hash_bucket(F.col("f"), buckets, salt="dsir")
+    )
+    ct = target_feats.groupBy("b").agg(F.count("*").alias("ct"))
+    cs = corpus_feats.groupBy("b").agg(F.count("*").alias("cs"))
+    nt = target_feats.agg(F.count("*").alias("nt"))
+    ns = corpus_feats.agg(F.count("*").alias("ns"))
+    # bucket table: <= buckets rows; source side is the driver (every
+    # scored feature exists in the corpus by construction)
+    ratio = (
+        cs.join(ct, "b", "left")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(ns))
+        .select(
+            "b",
+            (F.coalesce(F.col("ct"), F.lit(0)) > 0).alias("in_target"),
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("nt") + F.lit(buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("cs") + F.lit(1)).cast("double")
+                    / (F.col("ns") + F.lit(buckets)).cast("double")
+                )
+            ).alias("logratio"),
+        )
+    )
+    doc_buckets = corpus_feats.groupBy("id", "b").agg(
+        F.count("*").alias("n_b")
+    )
+    scored = (
+        doc_buckets.join(ratio, "b")
+        .groupBy("id")
+        .agg(
+            F.sum("n_b").alias("n_features"),
+            F.sum(F.when(F.col("in_target"), F.col("n_b")).otherwise(0))
+            .alias("n_target_hits"),
+            F.sum(
+                (F.col("n_b") * F.col("logratio")).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("logweight"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.coalesce("n_target_hits", F.lit(0)).alias("n_target_hits"),
+            F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
+        )
+    )

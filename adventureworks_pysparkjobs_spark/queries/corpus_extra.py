@@ -85,3 +85,62 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=200,
         max_postings=20,
     )
+
+
+@query(
+    "doc_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(text),
+                 '\\s+'), x -> x <> ''), x -> lower(x)) AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, f FROM toks, unnest(t) AS u(f)
+      UNION ALL
+      SELECT doc_id, f FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS bg
+        FROM toks
+      ), unnest(bg) AS u(f)
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('dsir' || f), 1, 4) AS INTEGER)
+               % 1024 AS b
+      FROM feats
+    ),
+    tb AS (SELECT b, COUNT(*) AS ct FROM fb WHERE doc_id % 3 = 0
+           GROUP BY 1),
+    db AS (SELECT doc_id, b, COUNT(*) AS n_b FROM fb GROUP BY 1, 2),
+    scored AS (
+      SELECT db.doc_id, SUM(db.n_b) AS n_features,
+             SUM(CASE WHEN tb.ct > 0 THEN db.n_b ELSE 0 END)
+               AS n_target_hits
+      FROM db LEFT JOIN tb USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+           CAST(COALESCE(s.n_target_hits, 0) AS BIGINT) AS n_target_hits
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    tags=("sampling", "dsir", "importance", "ngram-features"),
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (operators/sampling.py
+    dsir_weights): hashed unigram+bigram bucket counts score every
+    document against a target subset (here the doc_id%3==0 slice
+    standing in for a quality domain). The engine-portable MD5 buckets
+    make the exact feature/hit counts cross-engine checkable; the
+    ln-based logweight column is dropped here (libm last-ulp, same
+    declared rule as doc_lm_quality) and pinned by tests/test_dsir.py
+    in-engine instead."""
+    from ..operators.sampling import dsir_weights
+
+    doc = load_table(spark, sf_dir, "documents")
+    target = doc.filter(F.col("doc_id") % 3 == 0)
+    return dsir_weights(doc, target, buckets=1024).drop("logweight")

@@ -617,18 +617,30 @@ def dedup_keep_first(
     )
 
 
-def dedup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    stats: dict | None = None,
+) -> DataFrame:
     """Duplicate clusters from a near-dup pair list: connected components
-    by iterative min-label propagation (the dedup endgame — groups of
-    mutually-near documents collapse to one cluster id = the minimum
-    member id).
+    by min-label propagation WITH pointer jumping (the dedup endgame —
+    groups of mutually-near documents collapse to one cluster id = the
+    minimum member id).
 
-    Each iteration is one join + one aggregate (label <- min over self and
-    neighbors); iterations needed = graph diameter, which for near-dup
-    clusters is tiny. The loop is driver-side control flow only — data
-    never leaves the cluster, and each pass is a bulk shuffle, so the
-    pattern scales like any iterative Spark algorithm (label propagation /
-    PageRank shape). Deterministic: min() is order-free.
+    Each iteration does two label-shrinking steps in one pass:
+    neighbor-min (label ← min over self and graph neighbors — one edges
+    join + one aggregate) and pointer-jump (label ← label of the node my
+    label names — one node-sized self-join; valid because every label IS
+    a node id, an invariant min-propagation preserves). Neighbor-min
+    alone needs diameter iterations; jumping compresses label chains
+    geometrically, so convergence is O(log diameter) passes — the
+    difference between 60 and 7 shuffles on a 60-hop duplicate chain
+    (pinned by ``test_dedup_clusters_path_graph_converges_fast``). The
+    loop is driver-side control flow only — data never leaves the
+    cluster. Deterministic: min() is order-free.
+
+    ``stats`` (optional) receives ``{"iterations": n}``.
     """
     edges = (
         pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
@@ -643,33 +655,64 @@ def dedup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2") -> Data
         .cache()
     )
     cached = labels  # the currently-persisted frame (labels may be a view of it)
+    iterations = 0
     while True:
+        iterations += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        # carry a per-node "label shrank" flag out of the same join, so
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("mid_lbl"),
+            F.col("lbl").alias("old_lbl"),
+        )
+        # pointer jump: follow my label to ITS label (chain compression).
+        # A label always names a node, so the inner join is total.
+        jump_src = stepped.select(
+            F.col("node").alias("j_node"), F.col("mid_lbl").alias("j_lbl")
+        )
+        # carry a per-node "label shrank" flag out of the same pass, so
         # convergence detection is a filter-count on the cached frame
         # instead of an extra labels-vs-labels join per iteration
-        stepped = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        jumped = (
+            stepped.join(
+                jump_src, stepped.mid_lbl == jump_src.j_node, "left"
+            )
             .select(
                 "node",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                    F.col("mid_lbl"),
+                    F.coalesce(F.col("j_lbl"), F.col("mid_lbl")),
                 ).alias("new_lbl"),
-                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl"))
-                .alias("chg"),
+                (
+                    F.least(
+                        F.col("mid_lbl"),
+                        F.coalesce(F.col("j_lbl"), F.col("mid_lbl")),
+                    )
+                    < F.col("old_lbl")
+                ).alias("chg"),
             )
-            .cache()
+            # localCheckpoint, not cache: the jump self-join references
+            # the previous generation THREE times, so an uncut lineage
+            # grows geometrically per iteration (plan-string OOM by ~8
+            # iterations); checkpointing keeps every generation's plan
+            # O(1)-deep. On a cluster these become durable checkpoints.
+            .localCheckpoint()
         )
-        changed = stepped.filter(F.col("chg")).count()
+        changed = jumped.filter(F.col("chg")).count()
         cached.unpersist()
-        cached = stepped
-        labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
+        cached = jumped
+        labels = jumped.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = iterations
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     out = labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),

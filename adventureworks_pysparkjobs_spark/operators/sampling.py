@@ -354,3 +354,93 @@ def dsir_weights(
             F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
         )
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    key_col: str,
+    shard_rows: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment: rows take the
+    ``deterministic_shuffle`` order (hash-random, epoch-salted,
+    engine-portable) and fill fixed-size shards in that order —
+    ``shard_id = row_id div shard_rows``.
+
+    Built on ``assign_row_ids``; the ids (hence shard boundaries)
+    depend only on the keys, never on partitioning, so re-running the
+    export — on any cluster size or engine — produces byte-identical
+    shard membership. Adds (row_id, shard_id)."""
+    with_key = df.withColumn("_sk", shuffle_key(key_col, salt))
+    ids = assign_row_ids(with_key, order_by=["_sk", key_col])
+    return ids.withColumn(
+        "shard_id", F.expr(f"row_id div {int(shard_rows)}")
+    ).drop("_sk")
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Verifiable per-shard manifest for an ``assign_shards`` frame:
+    (shard_id, n_rows, n_bytes, digest) where digest =
+    sha256 over the shard's per-row md5s in row_id order — the
+    consumer-side integrity check a training job runs before trusting
+    a shard (and the manifest diff that detects a changed re-export).
+
+    Per-row md5s are map-side expressions; the per-shard fold sorts
+    the (bounded: ``shard_rows``) collected row digests by row_id, so
+    the digest is partition-order-independent. One keyed shuffle.
+    """
+    row_md5 = F.md5(
+        F.concat_ws(
+            "|", F.col(key_col).cast("string"),
+            *[F.col(c).cast("string") for c in content_cols],
+        )
+    )
+    n_bytes = sum(
+        (F.octet_length(F.col(c).cast("string")) for c in content_cols),
+        F.lit(0),
+    )
+    per_row = sharded.select(
+        "shard_id",
+        "row_id",
+        row_md5.alias("_h"),
+        n_bytes.alias("_b"),
+    )
+    ordered_digest = F.sha2(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("row_id", F.col("_h")))
+                ),
+                lambda s: s["_h"],
+            ),
+            "",
+        ),
+        256,
+    )
+    return per_row.groupBy("shard_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_b").cast("bigint").alias("n_bytes"),
+        ordered_digest.alias("digest"),
+    )
+
+
+def write_shards(
+    sharded: DataFrame, path: str
+) -> None:
+    """Land an ``assign_shards`` frame as one directory per shard
+    (``shard_id=N/``) — each shard's rows are range-contiguous in the
+    export order, so a training loader streams shard files in row_id
+    order and sees the exact global shuffle. Repartitioning by shard
+    keeps one writer per shard (files-per-shard = 1 without a
+    coalesce gamble)."""
+    (
+        sharded.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "row_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

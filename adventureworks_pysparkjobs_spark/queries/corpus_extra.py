@@ -144,3 +144,42 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     target = doc.filter(F.col("doc_id") % 3 == 0)
     return dsir_weights(doc, target, buckets=1024).drop("logweight")
+
+
+@query(
+    "corpus_export_shards",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('shard' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS row_id
+      FROM documents
+    ),
+    sharded AS (
+      SELECT row_id, row_id // 64 AS shard_id,
+             md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h,
+             strlen(text) AS b
+      FROM ordered
+    )
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(b) AS BIGINT) AS n_bytes,
+           sha256(string_agg(h, '' ORDER BY row_id)) AS digest
+    FROM sharded GROUP BY 1
+    """,
+    tags=("export", "shards", "manifest", "integrity"),
+)
+def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest (operators/sampling.py
+    assign_shards + shard_manifest): documents take the deterministic
+    epoch-shuffle order, fill 64-row shards, and each shard gets a
+    verifiable digest (sha256 over row-md5s in row order) plus exact
+    row/byte counts — the manifest a training loader checks before
+    trusting a shard, reproducible bit-for-bit on any cluster size or
+    engine. Shard ids ride assign_row_ids (no single-partition
+    window); the digest fold sorts each shard's bounded row set."""
+    from ..operators.sampling import assign_shards, shard_manifest
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = assign_shards(doc, "doc_id", shard_rows=64)
+    return shard_manifest(sharded, "doc_id", ["text"])

@@ -366,3 +366,78 @@ def merge_aggregate(
     return merged.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def snapshot_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Derive a change stream by diffing two snapshots of the same
+    table — CDC extraction for sources that have no change log (the
+    reference's nightly full JDBC pull, db_to_parquet.py:154–166, is
+    exactly such a source: two consecutive pulls diff into the change
+    stream that ``scd2_merge``/``upsert_snapshot`` consume).
+
+    One full-outer equi-join on the keys; per-row change typing is
+    null-safe column comparison (pure expressions):
+    ``insert`` (key only in new), ``delete`` (key only in old),
+    ``update`` (any compared column differs), ``unchanged`` (dropped
+    unless ``include_unchanged``). Emits (*keys, change_type,
+    changed_cols sorted-array) — the changed-column list is what a
+    downstream column-level audit or selective-refresh consumes.
+
+    At 100 TB both sides shuffle once on the key (or the new side
+    broadcasts if it is a small partition re-pull); comparing structs
+    column-by-column stays in whole-stage codegen.
+    """
+    compare = compare_cols or [c for c in new.columns if c not in keys]
+    # presence flags: a snapshot row exists iff its side of the join
+    # matched — detected via a non-null marker column per side
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare],
+    )
+    j = o.join(n, keys, "full_outer")
+    diffs = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}")),
+                        F.lit(c),
+                    )
+                    for c in compare
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(F.size("changed_cols") > 0, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = (
+        j.withColumn("changed_cols", diffs)
+        .withColumn("change_type", change)
+        .withColumn(
+            "changed_cols",
+            F.when(
+                F.col("change_type") == "update", F.col("changed_cols")
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .select(*keys, "change_type", "changed_cols")
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

@@ -169,3 +169,78 @@ def orders_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(
         orders, ["o_orderpriority"], "o_custkey", buckets=32
     )
+
+
+@query(
+    "orders_snapshot_cdc",
+    oracle="""
+    WITH oldsnap AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    ),
+    newsnap AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+               AS d_status,
+             (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+               AS d_prio
+      FROM oldsnap o FULL OUTER JOIN newsnap n USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                WHEN d_status OR d_prio THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           CASE WHEN in_old AND in_new AND (d_status OR d_prio)
+                THEN list_sort(
+                       [x FOR x IN [CASE WHEN d_status
+                                         THEN 'o_orderstatus' END,
+                                    CASE WHEN d_prio
+                                         THEN 'o_orderpriority' END]
+                        IF x IS NOT NULL])
+                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j
+    WHERE NOT (in_old AND in_new AND NOT d_status AND NOT d_prio)
+    """,
+    tags=("governance", "cdc", "snapshot-diff", "full-outer"),
+)
+def orders_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction by snapshot diff (relational.snapshot_cdc): the
+    reference's nightly full JDBC pull has no change log, so two
+    consecutive pulls diff into the insert/update/delete stream that
+    scd2_merge / upsert_snapshot consume. The new snapshot is
+    synthesized deterministically (priority rewrite on key%7, deletes
+    on key%13, inserts on key%17) so both engines derive the same
+    stream; one full-outer key join, null-safe column compare in
+    codegen, per-row changed-column list."""
+    from ..operators.relational import snapshot_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit("X-URGENT")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10000000)
+            )
+        )
+    )
+    return snapshot_cdc(orders, new, ["o_orderkey"])

@@ -128,3 +128,49 @@ class TestSaltedCountDistinct:
         # upstream exchanges must both be salted with the value bucket
         assert all("_groupingexpression" in ln for ln in ex[1:])
         assert "_groupingexpression" not in ex[0]
+
+
+class TestSnapshotCdc:
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+            "k long, s string, v int",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10),      # unchanged
+             (2, "B", 20),      # update s
+             (4, "d", 40),      # update v (NULL -> 40, null-safe)
+             (5, "e", 50)],     # insert; 3 deleted
+            "k long, s string, v int",
+        )
+        return old, new
+
+    def test_change_typing(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            snapshot_cdc,
+        )
+
+        old, new = self._frames(spark)
+        got = {
+            r["k"]: (r["change_type"], r["changed_cols"])
+            for r in snapshot_cdc(old, new, ["k"]).collect()
+        }
+        assert 1 not in got  # unchanged dropped by default
+        assert got[2] == ("update", ["s"])
+        assert got[3] == ("delete", [])
+        assert got[4] == ("update", ["v"])
+        assert got[5] == ("insert", [])
+
+    def test_include_unchanged(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            snapshot_cdc,
+        )
+
+        old, new = self._frames(spark)
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_cdc(
+                old, new, ["k"], include_unchanged=True
+            ).collect()
+        }
+        assert got[1] == "unchanged"

@@ -374,6 +374,7 @@ def snapshot_cdc(
     keys: list[str],
     compare_cols: list[str] | None = None,
     include_unchanged: bool = False,
+    include_values: bool = False,
 ) -> DataFrame:
     """Derive a change stream by diffing two snapshots of the same
     table — CDC extraction for sources that have no change log (the
@@ -387,7 +388,11 @@ def snapshot_cdc(
     ``update`` (any compared column differs), ``unchanged`` (dropped
     unless ``include_unchanged``). Emits (*keys, change_type,
     changed_cols sorted-array) — the changed-column list is what a
-    downstream column-level audit or selective-refresh consumes.
+    downstream column-level audit or selective-refresh consumes. With
+    ``include_values`` the compared columns' NEW values ride along
+    (NULL for deletes), making the stream self-contained:
+    ``apply_changes(old, cdc)`` reconstructs ``new`` exactly
+    (round-trip property-tested).
 
     At 100 TB both sides shuffle once on the key (or the new side
     broadcasts if it is a small partition re-pull); comparing structs
@@ -436,8 +441,47 @@ def snapshot_cdc(
                 F.col("change_type") == "update", F.col("changed_cols")
             ).otherwise(F.array().cast("array<string>")),
         )
-        .select(*keys, "change_type", "changed_cols")
+        .select(
+            *keys,
+            "change_type",
+            "changed_cols",
+            *(
+                [
+                    F.col(f"_new_{c}").alias(c)
+                    for c in compare
+                ]
+                if include_values
+                else []
+            ),
+        )
     )
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def apply_changes(
+    old: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Apply a ``snapshot_cdc(..., include_values=True)`` stream to the
+    old snapshot, reconstructing the new one exactly: deletes anti-join
+    out, updates/inserts replace-or-add by key (value columns = the
+    change rows' payload). Two keyed joins; the inverse-of-diff
+    round-trip ``apply_changes(old, snapshot_cdc(old, new)) == new``
+    is property-tested."""
+    value_cols = [
+        c
+        for c in changes.columns
+        if c not in keys and c not in ("change_type", "changed_cols")
+    ]
+    if not value_cols:
+        raise ValueError(
+            "apply_changes needs a values-carrying stream "
+            "(snapshot_cdc include_values=True)"
+        )
+    touched = changes.select(*keys)
+    untouched = old.join(touched, keys, "left_anti")
+    upserts = changes.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(*keys, *value_cols)
+    return untouched.select(*keys, *value_cols).unionByName(upserts)

@@ -174,3 +174,42 @@ class TestSnapshotCdc:
             ).collect()
         }
         assert got[1] == "unchanged"
+
+    def test_roundtrip_apply_changes_reconstructs_new(self, spark):
+        """apply_changes(old, snapshot_cdc(old, new, values)) == new —
+        the inverse-of-diff property that makes the stream a complete
+        replication primitive."""
+        import random
+
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            apply_changes,
+            snapshot_cdc,
+        )
+
+        rng = random.Random(42)
+        old_rows = [
+            (k, rng.choice("abc"), rng.randint(0, 5)) for k in range(200)
+        ]
+        new_rows = [
+            (k, rng.choice("abc"), rng.randint(0, 5))
+            for k in range(200)
+            if rng.random() > 0.15  # deletes
+        ] + [(k, "n", 1) for k in range(300, 320)]  # inserts
+        old = spark.createDataFrame(old_rows, "k long, s string, v long")
+        new = spark.createDataFrame(new_rows, "k long, s string, v long")
+        cdc = snapshot_cdc(old, new, ["k"], include_values=True)
+        rebuilt = apply_changes(old, cdc, ["k"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+
+    def test_apply_changes_requires_values(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            apply_changes,
+            snapshot_cdc,
+        )
+
+        old, new = self._frames(spark)
+        cdc = snapshot_cdc(old, new, ["k"])  # no values
+        with pytest.raises(ValueError, match="values-carrying"):
+            apply_changes(old, cdc, ["k"])

@@ -151,3 +151,29 @@ def stream_agg_mv_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_click_attribution_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p
+    LEFT JOIN events c ON c.user_id = p.user_id
+                      AND c.event_type = 'click'
+                      AND c.ts <= p.ts
+                      AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("streaming", "stream-stream", "outer-join", "watermark"),
+)
+def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join
+    (streaming/events.py stream_stream_attribution_outer): purchases
+    with their preceding-30-minute clicks plus null-extended rows for
+    cold purchases, flushed at end-of-stream by a watermark-heartbeat
+    sentinel. On the bounded fixture the append-mode run equals the
+    batch left interval join — the SQL oracle."""
+    from ..streaming.events import stream_stream_attribution_outer
+
+    return stream_stream_attribution_outer(spark, sf_dir, horizon="30 minutes")

@@ -520,3 +520,121 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "append", spark)
+
+
+def stream_stream_attribution_outer(
+    spark: SparkSession, sf_dir: str, horizon: str = "30 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase with its
+    preceding-``horizon`` clicks, AND purchases with no click — the
+    null-extended rows a conversion funnel needs ("how many purchases
+    arrived cold?").
+
+    Outer stream-stream joins only emit the null side once the
+    watermark proves no match can still arrive, so the unmatched tail
+    of a BOUNDED stream would sit in state forever. The production
+    pattern, reproduced here: a watermark heartbeat — one far-future
+    sentinel row per side advances both watermarks past every real
+    event at end-of-stream, flushing all pending null-extensions
+    (sentinels are filtered from the output; on an unbounded stream
+    real traffic plays this role and no sentinel is needed).
+
+    State sizing is identical to the inner variant: a click leaves
+    state once the purchase-side watermark passes click_ts + horizon.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.corpus import load_table
+
+    tmp = tempfile.mkdtemp(prefix="stream_outer_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        def sentinels(days: int) -> DataFrame:
+            far = ev.agg(
+                (F.max("ts") + F.expr(f"INTERVAL {days} DAYS")).alias(
+                    "far_ts"
+                )
+            )
+            return far.select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.col("far_ts").alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.explode(
+                    F.array(F.lit("click"), F.lit("purchase"))
+                ).alias("event_type"),
+            )
+
+        # Three arrival groups with ascending mtimes, streamed one file
+        # per trigger: data, heartbeat(+365d), heartbeat(+366d). The
+        # watermark the engine uses in batch k comes from batch k-1, so
+        # the FIRST heartbeat batch evicts nothing near stream end and
+        # the SECOND flushes everything the first proved complete.
+        import glob
+        import os
+        import time
+
+        os.makedirs(f"{tmp}/src")
+        for i, frame in enumerate(
+            [ev, sentinels(365), sentinels(366)]
+        ):
+            frame.coalesce(1).write.parquet(f"{tmp}/stage{i}")
+            (part,) = glob.glob(f"{tmp}/stage{i}/part-*.parquet")
+            dst = f"{tmp}/src/events-{i:03d}.parquet"
+            os.rename(part, dst)
+            t = time.time() + i * 10  # pin arrival order for the source
+            os.utime(dst, (t, t))
+
+        src = read_events_stream(
+            spark, f"{tmp}/src", max_files_per_trigger=1
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", horizon)
+        )
+        purchases = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", horizon)
+        )
+        joined = (
+            purchases.join(
+                clicks,
+                (F.col("user_id") == F.col("c_user"))
+                & (F.col("click_ts") <= F.col("purchase_ts"))
+                & (
+                    F.col("click_ts")
+                    >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+                ),
+                "left_outer",
+            )
+            .select(
+                "purchase_id", "user_id", "purchase_ts",
+                "click_id", "click_ts",
+            )
+        )
+        out = run_to_memory(joined, "append", spark)
+        # Drop the heartbeat rows from the MATERIALIZED batch result,
+        # never inside the streaming plan: a stream-side filter on
+        # user_id pushes down through the join into both parquet scans
+        # (the join key equates the two sides, so `user_id >= 0`
+        # reaches the click leg too), which would kill the sentinels
+        # at the scan before they ever advance a watermark — silently
+        # reverting to the stuck-tail behavior the heartbeat exists to
+        # fix.
+        out = out.filter(F.col("user_id") >= 0)
+        # materialize off the temp source before it is removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -199,3 +199,48 @@ def key_skew_profile(
         )
         .select(*keys, "key_count", "total_rows", "share", "cum_share", "rnk")
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram with exact counts — the distribution view
+    ``profile_table``'s min/max can't give. One map-side bucket
+    expression + one bounded groupBy (output = n_buckets+2 rows incl.
+    underflow/overflow), so at 100 TB it costs one scan and a
+    partial-aggregated shuffle of at most n_buckets+2 rows per task.
+
+    Bucketing arithmetic is a single IEEE expression over identical
+    operands (floor((x - lo) / ((hi - lo) / n))), clamped into
+    [-1, n] where -1 = underflow and n = overflow — engine-portable,
+    so the counts oracle-check exactly. NULLs are excluded (they are
+    ``profile_table``'s business).
+    """
+    width = (hi - lo) / n_buckets
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(width))
+    bucket = (
+        F.when(x < F.lit(float(lo)), F.lit(-1))
+        .when(x >= F.lit(float(hi)), F.lit(n_buckets))
+        .otherwise(F.least(raw, F.lit(n_buckets - 1)))
+        .cast("int")
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.lit(float(lo)) + F.col("bucket") * F.lit(width)).alias(
+                "bucket_lo"
+            ),
+            (
+                F.lit(float(lo)) + (F.col("bucket") + F.lit(1)) * F.lit(width)
+            ).alias("bucket_hi"),
+            "n",
+        )
+    )

@@ -485,3 +485,45 @@ def apply_changes(
         F.col("change_type").isin("insert", "update")
     ).select(*keys, *value_cols)
     return untouched.select(*keys, *value_cols).unionByName(upserts)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """As-of lookup against SCD2 history (``scd2_from_changes`` /
+    ``scd2_merge`` output): each fact row picks up the dimension
+    version whose validity interval covers the fact's timestamp —
+    ``valid_from <= ts < valid_to`` (open current version: NULL
+    valid_to). THE reason type-2 history exists: joining facts to the
+    dimension as it WAS, not as it is (training-data snapshots need
+    the same semantics to avoid temporal leakage).
+
+    Intervals per key are non-overlapping by construction, so each
+    fact matches at most one version (left join keeps facts preceding
+    the first version). Plans as one keyed equi-join carrying the
+    range residual; both sides shuffle once on the key, and the
+    history side is version-grain (tiny next to facts), so AQE usually
+    broadcasts it.
+    """
+    # alias both sides: facts and history often share lineage (an SCD2
+    # built from the same source), where frame[col] references are
+    # ambiguous self-join columns
+    f, h = facts.alias("_pit_f"), history.alias("_pit_h")
+    cond = (
+        (F.col(f"_pit_f.{key}") == F.col(f"_pit_h.{key}"))
+        & (F.col(f"_pit_f.{ts_col}") >= F.col(f"_pit_h.{valid_from}"))
+        & (
+            F.col(f"_pit_h.{valid_to}").isNull()
+            | (F.col(f"_pit_f.{ts_col}") < F.col(f"_pit_h.{valid_to}"))
+        )
+    )
+    hist_cols = [c for c in history.columns if c != key]
+    return f.join(h, cond, "left").select(
+        *[F.col(f"_pit_f.{c}") for c in facts.columns],
+        *[F.col(f"_pit_h.{c}") for c in hist_cols],
+    )

@@ -244,3 +244,105 @@ def orders_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_cdc(orders, new, ["o_orderkey"])
+
+
+@query(
+    "lineitem_point_in_time_priority",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ),
+    chg AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS valid_to
+      FROM chg
+    )
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate,
+           h.o_orderpriority AS priority_at_ship
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    LEFT JOIN hist h ON h.o_custkey = o.o_custkey
+      AND l.l_shipdate >= h.valid_from
+      AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+    """,
+    tags=("governance", "scd2", "point-in-time", "temporal-join"),
+)
+def lineitem_point_in_time_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time join (relational.point_in_time_join) against an
+    SCD2 history: every line item picks up the customer's order-
+    priority state AS OF its ship date — dimension-as-it-was
+    semantics, the reason type-2 history exists (and the temporal-
+    leakage guard a training snapshot needs). History intervals are
+    non-overlapping, so each fact matches at most one version; the
+    version-grain history side is AQE-broadcastable."""
+    from ..operators.relational import point_in_time_join, scd2_from_changes
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    history = scd2_from_changes(
+        t["orders"],
+        key="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        attrs=["o_orderpriority"],
+    ).drop("is_current")
+    facts = (
+        t["lineitem"]
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+    )
+    return point_in_time_join(
+        facts, history, key="o_custkey", ts_col="l_shipdate"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "l_shipdate",
+        F.col("o_orderpriority").alias("priority_at_ship"),
+    )
+
+
+@query(
+    "orders_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN -1
+                  WHEN CAST(o_totalprice AS DOUBLE) >= 500000.0 THEN 20
+                  ELSE LEAST(CAST(FLOOR(
+                         (CAST(o_totalprice AS DOUBLE) - 0.0) / 25000.0
+                       ) AS INTEGER), 19) END AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket,
+           0.0 + bucket * 25000.0 AS bucket_lo,
+           0.0 + (bucket + 1) * 25000.0 AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+    tags=("governance", "profiling", "histogram", "distribution"),
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (profile.histogram): 20
+    exact-count buckets over [0, 500000) plus underflow/overflow rows.
+    One map-side bucket expression + a bounded groupBy; the bucketing
+    arithmetic is a single IEEE expression over identical operands, so
+    counts AND bucket bounds oracle-check bitwise."""
+    from ..operators.profile import histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", 0.0, 500000.0, 20)

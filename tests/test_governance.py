@@ -213,3 +213,72 @@ class TestSnapshotCdc:
         cdc = snapshot_cdc(old, new, ["k"])  # no values
         with pytest.raises(ValueError, match="values-carrying"):
             apply_changes(old, cdc, ["k"])
+
+
+class TestPointInTimeJoin:
+    def test_version_selection(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            point_in_time_join,
+        )
+
+        hist = spark.createDataFrame(
+            [
+                (1, "v1", 10, 20),
+                (1, "v2", 20, None),
+                (2, "w1", 5, None),
+            ],
+            "k long, val string, valid_from long, valid_to long",
+        )
+        facts = spark.createDataFrame(
+            [(1, 5), (1, 10), (1, 19), (1, 20), (1, 99), (2, 4), (3, 50)],
+            "k long, ts long",
+        )
+        got = {
+            (r["k"], r["ts"]): r["val"]
+            for r in point_in_time_join(facts, hist, "k", "ts").collect()
+        }
+        assert got[(1, 5)] is None      # before first version
+        assert got[(1, 10)] == "v1"     # inclusive valid_from
+        assert got[(1, 19)] == "v1"
+        assert got[(1, 20)] == "v2"     # exclusive valid_to
+        assert got[(1, 99)] == "v2"     # open current version
+        assert got[(2, 4)] is None
+        assert got[(3, 50)] is None     # unknown key kept (left join)
+
+    def test_exactly_one_match_per_fact(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            point_in_time_join,
+        )
+
+        hist = spark.createDataFrame(
+            [(1, "a", 0, 10), (1, "b", 10, None)],
+            "k long, val string, valid_from long, valid_to long",
+        )
+        facts = spark.createDataFrame(
+            [(1, t) for t in range(0, 30)], "k long, ts long"
+        )
+        out = point_in_time_join(facts, hist, "k", "ts")
+        assert out.count() == 30  # no fan-out from interval overlap
+
+
+class TestHistogram:
+    def test_bucket_edges_and_overflow(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.profile import (
+            histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (9.99,), (10.0,), (99.99,), (100.0,),
+             (250.0,), (None,)],
+            "x double",
+        )
+        got = {
+            r["bucket"]: (r["n"], r["bucket_lo"], r["bucket_hi"])
+            for r in histogram(df, "x", 0.0, 100.0, 10).collect()
+        }
+        assert got[-1][0] == 1                # underflow
+        assert got[0] == (2, 0.0, 10.0)       # 0.0 and 9.99
+        assert got[1][0] == 1                 # 10.0 lands in bucket 1
+        assert got[9] == (1, 90.0, 100.0)     # 99.99 in last real bucket
+        assert got[10][0] == 2                # 100.0 and 250.0 overflow
+        assert sum(n for n, *_ in got.values()) == 7  # NULL excluded

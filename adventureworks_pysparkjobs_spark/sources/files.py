@@ -74,3 +74,54 @@ def write_table(
         writer = writer.partitionBy(*cols)
     writer.format(fmt).save(path)
     return path
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest with a corrupt-record quarantine — the realistic
+    shape of a web-scraped corpus drop, where some fraction of lines
+    is truncated or malformed and a hard-fail (FAILFAST) or silent
+    drop (DROPMALFORMED) both lose information at 100 TB.
+
+    PERMISSIVE mode routes each unparseable line's raw text into
+    ``corrupt_col``; the return is (good, quarantine):
+
+    - ``good``  — rows matching the schema, corrupt column removed;
+    - ``quarantine`` — one ``raw`` string column per bad line, to be
+      landed next to the good data for repair/audit (the count is the
+      ingest health metric).
+
+    Both frames derive from ONE read (the split is two filters on the
+    same scan — Catalyst reuses it per action, and at scale you write
+    both outputs in one pass via a partitioned write on the validity
+    flag). The schema is REQUIRED like every text-format read here.
+    """
+    if corrupt_col in {f.name for f in schema.fields}:
+        raise ValueError(
+            f"schema must not already contain {corrupt_col!r}"
+        )
+    full = StructType(schema.fields[:]).add(corrupt_col, "string")
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        # Spark refuses a scan whose required schema is ONLY the
+        # corrupt column (the parser would re-run and always succeed
+        # on the raw line) — its documented workaround is caching the
+        # parsed frame, which also makes the good/quarantine split one
+        # physical read. At 100 TB, land both sides in one partitioned
+        # write on the validity flag instead of keeping the cache.
+        .cache()
+    )
+    good = raw.filter(
+        raw[corrupt_col].isNull()
+    ).drop(corrupt_col)
+    quarantine = raw.filter(raw[corrupt_col].isNotNull()).select(
+        raw[corrupt_col].alias("raw")
+    )
+    return good, quarantine

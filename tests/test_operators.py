@@ -1410,3 +1410,51 @@ def test_inverted_index_filters_df_before_collecting_postings(spark):
         "posting collection does not sit above the df-filter join:\n"
         + plan[:1500]
     )
+
+
+class TestJsonlQuarantine:
+    def test_good_and_bad_lines_split(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from adventureworks_pysparkjobs_spark.sources.files import (
+            read_jsonl_quarantine,
+        )
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "hello"}\n'
+            '{"doc_id": 2, "text": "world"}\n'
+            '{"doc_id": 3, "text": "trunca'  # malformed line
+            "\n"
+            "not json at all\n"
+            '{"doc_id": 4, "text": "ok"}\n'
+        )
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        good, quarantine = read_jsonl_quarantine(spark, str(p), schema)
+        assert {r["doc_id"] for r in good.collect()} == {1, 2, 4}
+        bad = [r["raw"] for r in quarantine.collect()]
+        assert len(bad) == 2
+        assert any("trunca" in b for b in bad)
+        assert any("not json" in b for b in bad)
+
+    def test_rejects_schema_with_corrupt_col(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from adventureworks_pysparkjobs_spark.sources.files import (
+            read_jsonl_quarantine,
+        )
+
+        schema = StructType([StructField("_corrupt_record", StringType())])
+        with _pytest.raises(ValueError, match="must not already contain"):
+            read_jsonl_quarantine(spark, str(tmp_path), schema)

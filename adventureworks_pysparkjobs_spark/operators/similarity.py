@@ -680,3 +680,47 @@ def embed_texts(
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} long, embedding array<float>"
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, in long format
+    (label, pos, centroid, n_vectors) — the class-prototype table that
+    feeds outlier screens, diversity metrics, and nearest-centroid
+    labeling.
+
+    Summing float elements directly is partition-order-dependent (and
+    engine-divergent); instead each element is quantized ONCE to an
+    integer (round(x * quant), half-away-from-zero in both Spark and
+    DuckDB), integer sums are exact and associative, and the centroid
+    is ONE closed-form double division — so the result is bit-stable
+    across partitionings AND engines at 1/quant resolution (documented
+    semantics, like graph.pagerank's integer scaling).
+
+    Scale shape: posexplode is a pure map stage; one keyed shuffle on
+    (label, pos) with map-side partial integer sums; output is
+    labels × dim rows. For wide fleets of labels the same frame
+    re-aggregates to whatever coarser prototype grain is needed.
+    """
+    q = F.lit(int(quant)).cast("double")
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * q)
+        .cast("bigint")
+        .alias("xi"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (
+            F.sum("xi").cast("double")
+            / (F.count("*").cast("double") * q)
+        ).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )

@@ -183,3 +183,32 @@ def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sharded = assign_shards(doc, "doc_id", shard_rows=64)
     return shard_manifest(sharded, "doc_id", ["text"])
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(xi) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM e GROUP BY label, pos
+    """,
+    tags=("similarity", "centroid", "vector-agg", "integer-exact"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py
+    label_centroids): element-wise class prototypes via integer-
+    quantized exact summation — the float-sum order problem solved the
+    same way graph.pagerank solves it, so the centroids oracle-check
+    bitwise. Long format (label, pos) keys one uniform shuffle."""
+    from ..operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")

@@ -112,3 +112,31 @@ class TestWriteShards:
             for r in sharded.collect()
         }
         assert got == want
+
+
+class TestLabelCentroids:
+    def test_known_values_and_partition_independence(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            label_centroids,
+        )
+
+        rows = [
+            ("a", [1.0, 0.0]),
+            ("a", [0.0, 1.0]),
+            ("b", [2.0, 2.0]),
+        ]
+        df = spark.createDataFrame(rows, "label string, embedding array<float>")
+        got = {
+            (r["label"], r["pos"]): (r["centroid"], r["n_vectors"])
+            for r in label_centroids(df).collect()
+        }
+        assert got[("a", 0)] == (0.5, 2)
+        assert got[("a", 1)] == (0.5, 2)
+        assert got[("b", 0)] == (2.0, 1)
+        re = {
+            (r["label"], r["pos"], r["centroid"])
+            for r in label_centroids(df.repartition(5)).collect()
+        }
+        assert re == {
+            (label, pos, c) for (label, pos), (c, _) in got.items()
+        }

@@ -724,3 +724,70 @@ def label_centroids(
         ).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` farthest-from-centroid vectors per label — the
+    mislabeled/outlier screen run before training on labeled
+    embeddings.
+
+    Entirely integer-exact so the ranking is engine/partitioning-
+    stable: with quantized elements xi and per-(label,pos) sums S over
+    n vectors, the squared distance to the centroid scales to
+    Σ_pos (xi·n − S_pos)² — pure integer arithmetic (squares in
+    DECIMAL(38,0)); the reported ``dist2`` divides once by n²·quant²
+    at the end. Same quantization semantics as ``label_centroids``.
+
+    Scale shape: posexplode map stage → one (label,pos) shuffle for
+    the sums → join back (centroid table is labels×dim, AQE
+    broadcasts) → per-vector re-sum → per-label top-k window
+    (WindowGroupLimit keeps k rows per group pre-shuffle).
+    """
+    q = F.lit(int(quant)).cast("double")
+    exploded = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid",
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * q).cast("bigint").alias("xi"),
+    )
+    sums = exploded.groupBy("label", "pos").agg(
+        F.sum("xi").alias("s"), F.count("*").alias("n")
+    )
+    term = (F.col("xi") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    per_vec = (
+        exploded.join(sums, ["label", "pos"])
+        .select("vid", "label", "n", (term * term).alias("sq"))
+        .groupBy("vid", "label", "n")
+        .agg(F.sum("sq").alias("d2i"))
+        .select(
+            "vid",
+            "label",
+            (
+                F.col("d2i").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")
+                   * q * q)
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2").desc(), F.col("vid")
+    )
+    return (
+        per_vec.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("vid").alias(id_col), "label", "dist2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

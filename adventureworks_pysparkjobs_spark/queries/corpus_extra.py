@@ -212,3 +212,54 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroids(emb, "label", "embedding")
+
+
+@query(
+    "emb_centroid_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id AS vid, label, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    sums AS (
+      SELECT label, pos, CAST(SUM(xi) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY label, pos
+    ),
+    pv AS (
+      SELECT e.vid, e.label, sums.n,
+             SUM(CAST(e.xi * sums.n - sums.s AS DECIMAL(19,0))
+                 * CAST(e.xi * sums.n - sums.s AS DECIMAL(19,0))) AS d2i
+      FROM e JOIN sums ON sums.label = e.label AND sums.pos = e.pos
+      GROUP BY e.vid, e.label, sums.n
+    ),
+    d AS (
+      SELECT vid, label,
+             CAST(d2i AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * 1000000.0 * 1000000.0) AS dist2
+      FROM pv
+    )
+    SELECT vid AS vec_id, label, dist2, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT vid, label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vid) AS rnk
+      FROM d
+    ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "outliers", "centroid", "integer-exact"),
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label outlier screen (operators/similarity.py
+    centroid_outliers): the 5 vectors farthest from their label's
+    centroid, ranked by an integer-exact scaled squared distance
+    (Σ(xi·n − S)²) so the ordering — and the reported doubles —
+    oracle-check bitwise. Centroid table is labels×dim (broadcast);
+    the top-k window group-limits before its exchange."""
+    from ..operators.similarity import centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "label", "embedding", "vec_id", k=5)

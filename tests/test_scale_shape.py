@@ -22,6 +22,7 @@ CROSS_OK = {
     "events_key_skew",  # 1-row total-count broadcast cross
     "q11_important_stock",  # 1-row threshold scalar-subquery broadcast cross
     "orders_market_basket",  # 1-row n_baskets broadcast cross
+    "doc_dsir_weights",  # two 1-row feature-total broadcast crosses
 
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",

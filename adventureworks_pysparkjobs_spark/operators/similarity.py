@@ -791,3 +791,70 @@ def centroid_outliers(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid classification of every vector + the
+    label-vs-prediction confusion matrix — the 1-NN-to-prototype
+    sanity check of a labeled embedding table (a strong off-diagonal
+    cell means two labels' embedding clouds overlap, or the labels are
+    noisy).
+
+    Distances reuse the ``centroid_outliers`` integer-exact scheme per
+    candidate label (Σ(xi·n_L − S_L,pos)² / n_L²q²); each division is
+    one IEEE expression over exact integers, so the per-(vector,label)
+    doubles — and therefore the argmin — are engine-identical. The
+    argmin itself is a min(struct(dist2, label)) partial-aggregable
+    fold (ties break to the smaller label).
+
+    Scale shape: the exploded corpus joins the centroid stats table on
+    ``pos`` alone — a deliberate L-fold row expansion (L = #labels):
+    per-vector scoring against all L prototypes. The stats side is
+    L×dim rows (broadcast); with large L switch to a blocked variant
+    (score against candidate labels from an ANN prefilter). Output is
+    the L×L confusion matrix.
+    """
+    q = F.lit(int(quant)).cast("double")
+    exploded = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("true_label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid",
+        "true_label",
+        "pos",
+        F.round(F.col("x").cast("double") * q).cast("bigint").alias("xi"),
+    )
+    sums = (
+        exploded.groupBy(F.col("true_label").alias("cand"), "pos")
+        .agg(F.sum("xi").alias("s"), F.count("*").alias("n"))
+    )
+    term = (F.col("xi") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    scored = (
+        exploded.join(F.broadcast(sums), "pos")
+        .select("vid", "true_label", "cand", "n", (term * term).alias("sq"))
+        .groupBy("vid", "true_label", "cand", "n")
+        .agg(F.sum("sq").alias("d2i"))
+        .select(
+            "vid",
+            "true_label",
+            "cand",
+            (
+                F.col("d2i").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")
+                   * q * q)
+            ).alias("dist2"),
+        )
+    )
+    pred = scored.groupBy("vid", "true_label").agg(
+        F.min(F.struct("dist2", "cand")).alias("m")
+    ).select("vid", "true_label", F.col("m.cand").alias("pred_label"))
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").alias("n")
+    )

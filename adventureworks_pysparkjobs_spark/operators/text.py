@@ -516,3 +516,71 @@ def inverted_index(
             ).alias("postings_csv")
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by PMI — the phrase-mining
+    pass (NPMI/PMI over corpus bigrams) used to build tokenizer merge
+    seeds and stop-phrase lists.
+
+    PMI = ln( n_ab·N / (n_a·n_b) ); since ln is monotone, the RANKING
+    only needs the ratio — computed as ONE IEEE division of exact
+    integer products, so scores and order are engine-identical (no
+    libm ln in the oracle-checked surface; callers wanting the log
+    take it themselves). ``min_count`` keeps the long tail of
+    1-occurrence bigrams from dominating (standard practice and the
+    quadratic-blowup guard).
+
+    Scale shape: tokenization and bigram construction are per-row
+    array expressions; one shuffle each for bigram and unigram counts
+    (both map-side combined, uniform keys); two vocabulary-sized
+    joins (AQE's call); final top-k via TakeOrderedAndProject.
+    Emits (w1, w2, n_ab, n_a, n_b, pmi_ratio) with N folded in.
+    """
+    t = F.transform(tokens(text_col), lambda x: F.lower(x))
+    toks = df.select(t.alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = toks.select(F.explode("t").alias("w"))
+    n_total = uni.groupBy().agg(F.count("*").alias("n_words"))
+    uni_counts = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    bg_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    u1 = uni_counts.select(
+        F.col("w").alias("w1"), F.col("n_w").alias("n_a")
+    )
+    u2 = uni_counts.select(
+        F.col("w").alias("w2"), F.col("n_w").alias("n_b")
+    )
+    ratio = (F.col("n_ab").cast("double") * F.col("n_words")) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        bg_counts.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n_total))  # 1-row total
+        .select("w1", "w2", "n_ab", "n_a", "n_b", ratio.alias("pmi_ratio"))
+        .orderBy(
+            F.col("pmi_ratio").desc(), F.col("w1"), F.col("w2")
+        )
+        .limit(top_k)
+    )

@@ -263,3 +263,105 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, "label", "embedding", "vec_id", k=5)
+
+
+@query(
+    "corpus_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_transform({_TOKS}, x -> lower(x)) AS t FROM documents
+    ),
+    bg AS (
+      SELECT u.s.w1 AS w1, u.s.w2 AS w2
+      FROM (
+        SELECT CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                         i -> {{'w1': t[i], 'w2': t[i+1]}})
+                    ELSE [] END AS pairs
+        FROM toks
+      ), unnest(pairs) AS u(s)
+    ),
+    uni AS (SELECT u.w AS w FROM toks, unnest(t) AS u(w)),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words FROM uni),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni GROUP BY w),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    )
+    SELECT bc.w1, bc.w2, bc.n_ab,
+           u1.n_w AS n_a, u2.n_w AS n_b,
+           (CAST(bc.n_ab AS DOUBLE) * nt.n_words)
+             / (CAST(u1.n_w AS DOUBLE) * u2.n_w) AS pmi_ratio
+    FROM bc
+    JOIN uc u1 ON u1.w = bc.w1
+    JOIN uc u2 ON u2.w = bc.w2
+    CROSS JOIN nt
+    ORDER BY pmi_ratio DESC, bc.w1, bc.w2
+    LIMIT 50
+    """,
+    tags=("text", "collocations", "pmi", "phrase-mining"),
+)
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI ratio (operators/text.py
+    collocations): phrase mining with exact integer counts and ONE
+    IEEE division per score, so ranking and values oracle-check
+    bitwise (ln deliberately left to the caller — it is monotone, so
+    the ranking is the same). Per-row bigram construction, two
+    map-combined count shuffles, TakeOrderedAndProject top-k."""
+    from ..operators.text import collocations
+
+    doc = load_table(spark, sf_dir, "documents")
+    return collocations(doc, "text", min_count=5, top_k=50)
+
+
+@query(
+    "emb_nearest_centroid_confusion",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id AS vid, label AS true_label, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    sums AS (
+      SELECT true_label AS cand, pos, CAST(SUM(xi) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY true_label, pos
+    ),
+    scored AS (
+      SELECT e.vid, e.true_label, sums.cand,
+             CAST(SUM(CAST(e.xi * sums.n - sums.s AS DECIMAL(19,0))
+                      * CAST(e.xi * sums.n - sums.s AS DECIMAL(19,0)))
+                  AS DOUBLE)
+               / (CAST(sums.n AS DOUBLE) * CAST(sums.n AS DOUBLE)
+                  * 1000000.0 * 1000000.0) AS dist2
+      FROM e JOIN sums ON sums.pos = e.pos
+      GROUP BY e.vid, e.true_label, sums.cand, sums.n
+    ),
+    pred AS (
+      SELECT vid, true_label, cand AS pred_label
+      FROM (
+        SELECT vid, true_label, cand,
+               ROW_NUMBER() OVER (PARTITION BY vid, true_label
+                                  ORDER BY dist2, cand) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    tags=("similarity", "classification", "confusion", "integer-exact"),
+)
+def emb_nearest_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid confusion matrix (operators/similarity.py
+    nearest_centroid_confusion): every vector classified to its
+    closest label prototype under the integer-exact distance scheme,
+    cross-tabbed against the true label. The L×dim stats table
+    broadcasts; the L-fold scoring expansion and the argmin fold are
+    the documented scale trade."""
+    from ..operators.similarity import nearest_centroid_confusion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nearest_centroid_confusion(emb, "label", "embedding", "vec_id")

@@ -23,6 +23,7 @@ CROSS_OK = {
     "q11_important_stock",  # 1-row threshold scalar-subquery broadcast cross
     "orders_market_basket",  # 1-row n_baskets broadcast cross
     "doc_dsir_weights",  # two 1-row feature-total broadcast crosses
+    "corpus_collocations",  # 1-row corpus-word-total broadcast cross
 
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",

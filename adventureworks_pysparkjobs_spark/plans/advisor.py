@@ -1,0 +1,144 @@
+"""Plan advisor: static scale-anti-pattern detection over a physical
+plan — the '.explain and eyeball it' checklist (PLANS.md) as a
+callable tool, for the engine's users' OWN queries.
+
+``advise(df)`` returns findings, each a (code, message) pair. It flags
+the failure modes that are invisible at test scale and fatal at 100 TB:
+
+- ``cartesian``       — CartesianProduct / non-trivial
+                        BroadcastNestedLoopJoin (all-pairs compute)
+- ``single-partition``— an Exchange SinglePartition fed by a scan with
+                        no partial aggregation / limit in between
+                        (the whole dataset through one task)
+- ``unpushed-filter`` — a Filter sitting directly on a scan whose
+                        PushedFilters list is empty (predicate never
+                        reached the source)
+- ``python-udf``      — row-at-a-time Python evaluation
+                        (BatchEvalPython) in the plan; Arrow-batched
+                        pandas evaluation (ArrowEvalPython /
+                        FlatMapGroupsInPandas / MapInPandas) is fine
+                        and NOT flagged
+
+This is string-level analysis of the executed plan — a linter, not a
+proof; a clean report is necessary, not sufficient. The engine's own
+catalog is advisor-clean except for declared small-side crosses
+(tests/test_advisor.py pins both directions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .inspect import physical_plan
+
+# operators that legitimately reduce cardinality before a
+# SinglePartition exchange (partial agg, top-k, limit)
+_REDUCERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "LocalLimit",
+    "GlobalLimit",
+    "WindowGroupLimit",
+)
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" +-:*("))
+
+
+def advise(df: DataFrame) -> list[tuple[str, str]]:
+    """Run every detector; return [(code, message), ...] (empty =
+    clean)."""
+    plan = physical_plan(df)
+    lines = plan.splitlines()
+    findings: list[tuple[str, str]] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(
+            (
+                "cartesian",
+                "CartesianProduct: all-pairs join — add an equi-key, "
+                "block/bucket the candidates, or broadcast a provably "
+                "tiny side",
+            )
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            (
+                "cartesian",
+                "BroadcastNestedLoopJoin: non-equi broadcast join — fine "
+                "for a 1-row/bounded side, quadratic otherwise",
+            )
+        )
+
+    # single-partition exchanges: walk each, look DOWN the subtree for a
+    # cardinality reducer before the next scan
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        base = _indent(ln)
+        reduced = False
+        scan_seen = False
+        for sub in lines[i + 1 :]:
+            if _indent(sub) <= base and sub.strip():
+                break  # left this exchange's subtree
+            if any(r in sub for r in _REDUCERS):
+                reduced = True
+                break
+            if "Scan " in sub or "Range " in sub:
+                scan_seen = True
+                break
+        if scan_seen and not reduced:
+            findings.append(
+                (
+                    "single-partition",
+                    "Exchange SinglePartition over raw (un-reduced) "
+                    "input: the full dataset funnels through one task — "
+                    "use partial aggregation, range partitioning, or "
+                    "per-partition numbering with offsets",
+                )
+            )
+    # global-sort note: rangepartitioning is fine (not flagged)
+
+    # unpushed filters: Filter whose immediate child is a FILE scan
+    # whose own metadata block says PushedFilters: [] (cache scans have
+    # no pushdown surface and are not flagged)
+    for i, ln in enumerate(lines):
+        if "Filter" not in ln or "PushedFilters" in ln:
+            continue
+        scan_at = next(
+            (
+                j
+                for j in range(i + 1, min(i + 4, len(lines)))
+                if "Scan parquet" in lines[j] or "FileScan" in lines[j]
+            ),
+            None,
+        )
+        if scan_at is None:
+            continue
+        scan_block = "\n".join(lines[scan_at : scan_at + 8])
+        if "PushedFilters: []" in scan_block:
+            findings.append(
+                (
+                    "unpushed-filter",
+                    "Filter directly over a scan with empty "
+                    "PushedFilters: the predicate never reached the "
+                    "source — check for casts/UDFs in the predicate "
+                    "or an unsupported source pushdown",
+                )
+            )
+            break
+
+    if "BatchEvalPython" in plan:
+        findings.append(
+            (
+                "python-udf",
+                "BatchEvalPython: row-at-a-time Python UDF in the plan — "
+                "rewrite with built-in expressions or an Arrow-batched "
+                "pandas UDF (10-100x)",
+            )
+        )
+    return findings

@@ -1,0 +1,86 @@
+"""plans/advisor.py: each detector fires on a constructed bad plan and
+stays quiet on the engine's own (good) shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.plans.advisor import advise
+from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+from .conftest import SF_SMOKE
+
+
+def codes(findings):
+    return {c for c, _ in findings}
+
+
+class TestDetectors:
+    def test_cartesian_flagged(self, spark):
+        a = spark.range(100)
+        b = spark.range(100).select(F.col("id").alias("jd"))
+        bad = a.crossJoin(b)
+        assert "cartesian" in codes(advise(bad))
+
+    def test_single_partition_window_flagged(self, spark):
+        df = load_table(spark, SF_SMOKE, "orders")
+        from pyspark.sql import Window
+
+        bad = df.withColumn(
+            "rid", F.row_number().over(Window.orderBy("o_orderkey"))
+        )
+        assert "single-partition" in codes(advise(bad))
+
+    def test_global_agg_not_flagged(self, spark):
+        """A global SUM also plans Exchange SinglePartition — but over
+        partial aggregates (one row per partition), which is fine."""
+        df = load_table(spark, SF_SMOKE, "orders")
+        good = df.agg(F.count("*").alias("n"))
+        assert "single-partition" not in codes(advise(good))
+
+    def test_python_udf_flagged_pandas_not(self, spark):
+        from pyspark.sql.functions import pandas_udf, udf
+
+        df = spark.range(100)
+        slow = df.select(udf(lambda x: x + 1, "long")("id").alias("y"))
+        assert "python-udf" in codes(advise(slow))
+
+        @pandas_udf("long")
+        def fast(s):
+            return s + 1
+
+        ok = df.select(fast("id").alias("y"))
+        assert "python-udf" not in codes(advise(ok))
+
+    def test_pushed_filter_not_flagged(self, spark):
+        df = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderkey") > 100
+        )
+        assert "unpushed-filter" not in codes(advise(df))
+
+
+class TestCatalogIsAdvisorClean:
+    def test_flagship_queries_clean(self, spark):
+        """The engine's own headline shapes produce no findings (the
+        declared small-side crosses live in CROSS_OK entries, which
+        this sample avoids)."""
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        for name in (
+            "q5_nation_revenue",
+            "fact_daily_part_agg",
+            "top3_parts_per_brand",
+            "doc_minhash_lsh_pairs",
+            "doc_chunks",
+            "events_sessionize",
+        ):
+            findings = advise(CATALOG[name].builder(spark, SF_SMOKE))
+            assert not findings, (name, findings)
+
+
+class TestUnpushedFilter:
+    def test_unpushable_predicate_flagged(self, spark):
+        df = load_table(spark, SF_SMOKE, "orders").filter(
+            F.rand(seed=1) < 0.5  # no column-derived pushable conjunct
+        )
+        assert "unpushed-filter" in codes(advise(df))

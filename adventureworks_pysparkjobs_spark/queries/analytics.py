@@ -29,6 +29,7 @@ _FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 @query(
     "orders_market_basket",
+    bench=True,
     oracle="""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -171,6 +172,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_anomaly_zscore",
+    bench=True,
     oracle="""
     WITH daily AS (
       SELECT event_type AS key, CAST(ts AS DATE) AS day,
@@ -272,6 +274,7 @@ def _pagerank_oracle(iters: int, scale: int) -> str:
 
 @query(
     "part_copurchase_pagerank",
+    bench=True,
     oracle=_pagerank_oracle(_PR_ITERS, _PR_SCALE),
     tags=("graph", "pagerank", "iterative", "integer-exact"),
 )

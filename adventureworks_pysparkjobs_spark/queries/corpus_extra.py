@@ -148,6 +148,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_export_shards",
+    bench=True,
     oracle="""
     WITH ordered AS (
       SELECT doc_id, text,
@@ -316,6 +317,7 @@ def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_nearest_centroid_confusion",
+    bench=True,
     oracle="""
     WITH e AS (
       SELECT vec_id AS vid, label AS true_label, i - 1 AS pos,

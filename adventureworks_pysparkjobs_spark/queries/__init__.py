@@ -6,7 +6,7 @@ from .catalog import CATALOG, CatalogQuery, query
 # all the same — tests/test_oracle.py parametrizes the whole CATALOG).
 from . import (  # noqa: E402,F401
     tpch, star, events, docs, vectors, stream, extras, tpch_extra,
-    corpus_extra, analytics, governance,
+    corpus_extra, analytics, governance, composed,
 )
 
 # Window packing: the driver correctness-checks exactly the first 50

@@ -28,6 +28,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**9,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list (symmetrize first
     for undirected graphs), integer-scaled for determinism.
@@ -35,10 +36,15 @@ def pagerank(
     Per iteration: ONE equi-join of the node-sized rank frame against
     the checkpointed edge list on ``src`` and ONE groupBy(``dst``) sum
     — the classic distributed formulation, O(edges) shuffle per
-    iteration with map-side partial sums. ``localCheckpoint`` after
-    each iteration keeps the plan O(1)-deep (on a cluster these become
-    durable checkpoints). The driver sees only the node count (one
-    bounded 1-row-per-action collect); ranks never leave the cluster.
+    iteration with map-side partial sums. Iterations stay LAZY: each
+    rank generation references the previous exactly once, so lineage
+    grows linearly (unlike dedup_clusters' 3x-per-pass jump join) and
+    a fixed-iteration run needs NO per-iteration materialization
+    (measured at sf0.1: fully lazy is ~1.5x faster than per-iteration
+    checkpointing — the whole run is ONE job AQE schedules stage by
+    stage). ``checkpoint_every`` (default 0 = never) bounds plan
+    depth/optimizer time for runs of tens of iterations. The driver sees
+    only the node count; ranks never leave the cluster.
 
     Every node must appear as a source (true after symmetrization —
     no dangling-mass redistribution is needed or implemented).
@@ -71,7 +77,7 @@ def pagerank(
     r = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("r")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e.join(r, e["e_src"] == r["node"])
             .select(
@@ -81,19 +87,19 @@ def pagerank(
             .groupBy("c_node")
             .agg(F.sum("c").alias("s"))
         )
-        r = (
-            nodes.join(contrib, nodes["node"] == contrib["c_node"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint()
+        r = nodes.join(
+            contrib, nodes["node"] == contrib["c_node"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                )
+            ).cast("long").alias("r"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            r = r.localCheckpoint()
     return r.select(
         "node",
         F.col("r").alias("rank_scaled"),

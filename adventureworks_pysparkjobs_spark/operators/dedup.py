@@ -698,14 +698,21 @@ def dedup_clusters(
                     < F.col("old_lbl")
                 ).alias("chg"),
             )
-            # localCheckpoint, not cache: the jump self-join references
-            # the previous generation THREE times, so an uncut lineage
-            # grows geometrically per iteration (plan-string OOM by ~8
-            # iterations); checkpointing keeps every generation's plan
-            # O(1)-deep. On a cluster these become durable checkpoints.
-            .localCheckpoint()
         )
-        changed = jumped.filter(F.col("chg")).count()
+        # localCheckpoint, not cache: the jump self-join references
+        # the previous generation THREE times, so an uncut lineage
+        # grows geometrically per iteration (plan-string OOM by ~8
+        # iterations); checkpointing keeps every generation's plan
+        # O(1)-deep. On a cluster these become durable checkpoints.
+        # The convergence count rides the SAME materialization as an
+        # Observation — one job per iteration, not two.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_changed_{iterations}")
+        jumped = jumped.observe(
+            obs, F.count_if(F.col("chg")).alias("changed")
+        ).localCheckpoint()
+        changed = obs.get["changed"]
         cached.unpersist()
         cached = jumped
         labels = jumped.select("node", F.col("new_lbl").alias("lbl"))

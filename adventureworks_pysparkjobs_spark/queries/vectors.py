@@ -168,6 +168,7 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under fixture regeneration while still failing on a broken index.
 _ANN_RECALL_FLOORS = (
     ("srp_lsh", 0.08),
+    ("srp_lsh_mp", 0.20),  # 1-bit multi-probe: observed .42-.46 (3x single)
     ("ivf", 0.30),
     ("int8", 0.80),
     ("pq", 0.12),
@@ -181,16 +182,18 @@ _ANN_RECALL_FLOORS = (
                 WHERE vec_id % 50 = 0)
     SELECT m.method, nq.n_queries, CAST(5 AS INTEGER) AS k,
            TRUE AS recall_ok
-    FROM (VALUES ('srp_lsh'), ('ivf'), ('int8'), ('pq')) AS m(method), nq
+    FROM (VALUES ('srp_lsh'), ('srp_lsh_mp'), ('ivf'), ('int8'), ('pq')) AS m(method), nq
     """,
     tags=("similarity", "ann", "lsh", "ivf", "kmeans", "recall"),
 )
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four approximate-nearest-neighbor scale paths, each checked
+    """All five approximate-nearest-neighbor scale paths, each checked
     in-plan against the exact brute-force top-k:
 
     - method='srp_lsh': sign-random-projection bucketing (4 planes →
       ~16x candidate reduction), data-independent;
+    - method='srp_lsh_mp': + 1-bit multi-probe on the query side
+      (recall ~3x single-probe at (p+1)x candidate width);
     - method='ivf': inverted-file index (seeded k-means coarse quantizer
       fit on a deterministic sample, 8 cells, 2 probes), data-adaptive;
     - method='int8': brute force over the int8-quantized corpus
@@ -212,11 +215,17 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     k = 5
     lsh = S.ann_topk_lsh(emb, queries, k=k, num_planes=4, dim=64, seed=42)
+    lsh_mp = S.ann_topk_lsh(
+        emb, queries, k=k, num_planes=4, dim=64, seed=42, multiprobe=True
+    )
     ivf = S.ivf_topk(emb, queries, k=k, n_cells=8, n_probe=2, seed=42)
     i8 = S.topk_int8(S.quantize_int8(emb), queries, k=k)
     cb = S.pq_train(emb, m=8, k=16, dim=64, seed=42)
     pq = S.pq_topk(S.pq_encode(emb, cb), queries, cb, k=k)
-    branches = {"srp_lsh": lsh, "ivf": ivf, "int8": i8, "pq": pq}
+    branches = {
+        "srp_lsh": lsh, "srp_lsh_mp": lsh_mp, "ivf": ivf,
+        "int8": i8, "pq": pq,
+    }
     ann = None
     for name, df in branches.items():
         tagged = df.select(

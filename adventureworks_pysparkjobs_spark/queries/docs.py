@@ -354,16 +354,13 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_simhash_pairs",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id AS id, t.tok, md5(t.tok) AS h
-      FROM (SELECT doc_id, list_distinct({_TOKS}) AS dt FROM documents),
-           unnest(dt) AS t(tok)
-    ),
+    WITH {_SHINGLES_CTE5},
+    tok AS (SELECT id, md5(shingle) AS h FROM sh),
     per_bit AS (
       SELECT id, u.j,
              SUM(CASE WHEN substr(h, u.j, 1) IN ('8','9','a','b','c','d','e','f')
                       THEN 1 ELSE -1 END) AS s
-      FROM tok, unnest(range(1, 17)) AS u(j)
+      FROM tok, unnest(range(1, 33)) AS u(j)
       GROUP BY id, u.j
     ),
     sk AS (
@@ -372,7 +369,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_bit GROUP BY id
     ),
     banded AS (
-      SELECT id, simhash, b.band, substr(simhash, 1 + b.band * 4, 4) AS band_bits
+      SELECT id, simhash, b.band, substr(simhash, 1 + b.band * 8, 8) AS band_bits
       FROM sk, unnest([0, 1, 2, 3]) AS b(band)
     ),
     cand AS (
@@ -382,27 +379,32 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
     )
     SELECT id1, id2,
-           CAST(len(list_filter(range(1, 17),
+           CAST(len(list_filter(range(1, 33),
                 i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) AS INTEGER)
                AS hamming
     FROM cand
-    WHERE len(list_filter(range(1, 17),
+    WHERE len(list_filter(range(1, 33),
           i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) <= 3
     """,
     tags=("dedup", "simhash", "sketch", "hamming", "lsh"),
 )
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3, blocked on
-    4-bit sketch bands (pigeonhole: <=3 differing bits over 4 bands
+    8-bit sketch bands (pigeonhole: <=3 differing bits over 4 bands
     guarantees one exact-match band — zero false negatives at this
-    radius, no all-pairs comparison). The 16-bit sketch itself is built
-    per-row with integer folds (operators/dedup.py simhash — zero
-    shuffles), and this query is its checked surface."""
+    radius, no all-pairs comparison). r4: 32-bit sketches over 5-gram
+    SHINGLE features — the 16-bit unigram variant saturated at sf0.1
+    (shared vocabulary concentrates unigram sketches; 7M chance pairs
+    inside Hamming 3), while shingles are nearly unique per document,
+    so radius means copied text. The sketch is built per-row
+    with integer folds (operators/dedup.py simhash — zero shuffles),
+    and this query is its checked surface."""
     return D.simhash_pairs(
         load_table(spark, sf_dir, "documents"),
-        bits=16,
+        bits=32,
         bands=4,
         max_hamming=3,
+        n=5,
     )
 
 

@@ -1496,3 +1496,33 @@ class TestMultiprobeLsh:
         # on this fixture (random vectors, weak angular locality) the
         # 1-bit probes must strictly widen the candidate surface
         assert len(multi) >= len(single)
+
+
+class TestShingleSimhash:
+    def test_copied_text_matches_scrambled_vocab_does_not(self, spark):
+        """The r4 semantic: shingle-feature simhash flags COPIED text,
+        not shared vocabulary. A near-verbatim copy lands within the
+        Hamming radius; a doc using the same words in scrambled order
+        (different shingles) does not."""
+        from adventureworks_pysparkjobs_spark.operators.dedup import (
+            simhash_pairs,
+        )
+
+        base = " ".join(
+            f"token{i:03d} word{i % 37} item{i % 53}" for i in range(40)
+        )  # 120 words -> ~116 5-gram shingles
+        words = base.split()
+        scrambled = " ".join(words[::-1])  # same vocab, reversed order
+        near_copy = base.replace("token020", "changed020")  # 1-word edit
+        df = spark.createDataFrame(
+            [(1, base), (2, near_copy), (3, scrambled)],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["id1"], r["id2"])
+            for r in simhash_pairs(
+                df, bits=32, bands=4, max_hamming=3, n=5
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -527,3 +527,54 @@ def point_in_time_join(
         *[F.col(f"_pit_f.{c}") for c in facts.columns],
         *[F.col(f"_pit_h.{c}") for c in hist_cols],
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_suffix_chars: int = 2,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Blocked fuzzy string matching (record linkage): pairs of rows
+    whose ``name_col`` values are within Levenshtein distance
+    ``max_distance``, found WITHOUT an all-pairs comparison.
+
+    Blocking key = (name minus its last ``block_suffix_chars`` chars,
+    name length): candidates must agree on length and shared prefix,
+    so only pairs differing inside the suffix window are compared —
+    the standard recall/cost trade of blocked linkage (edits earlier
+    in the string are missed BY DESIGN; widen the window or add a
+    second blocking pass on reversed names for higher recall, each
+    pass staying linear in block sizes). One self-equi-join on the
+    block key; Levenshtein is an exact integer DP identical across
+    engines, so results oracle-check.
+    """
+    blocked = df.select(
+        F.col(id_col).alias("fid"),
+        F.col(name_col).alias("fname"),
+        F.concat_ws(
+            ":",
+            F.expr(
+                f"substring({name_col}, 1, "
+                f"length({name_col}) - {int(block_suffix_chars)})"
+            ),
+            F.length(name_col).cast("string"),
+        ).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("fid").alias("id1"), F.col("fname").alias("name1"), "blk"
+    )
+    b = blocked.select(
+        F.col("fid").alias("id2"), F.col("fname").alias("name2"), "blk"
+    )
+    dist = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", "name1", "name2",
+            dist.cast("int").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

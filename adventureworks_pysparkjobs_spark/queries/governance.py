@@ -346,3 +346,33 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return histogram(orders, "o_totalprice", 0.0, 500000.0, 20)
+
+
+@query(
+    "customer_fuzzy_pairs",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey AS fid, c_name AS fname,
+             substr(c_name, 1, length(c_name) - 2) || ':'
+               || CAST(length(c_name) AS VARCHAR) AS blk
+      FROM customer
+    )
+    SELECT a.fid AS id1, b.fid AS id2,
+           a.fname AS name1, b.fname AS name2,
+           CAST(levenshtein(a.fname, b.fname) AS INTEGER) AS distance
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.fid < b.fid
+    WHERE levenshtein(a.fname, b.fname) <= 1
+    """,
+    tags=("governance", "fuzzy", "record-linkage", "levenshtein"),
+)
+def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (relational.fuzzy_match_pairs): customer
+    names within edit distance 1, candidates limited to same-length
+    same-prefix blocks — one self-equi-join on the block key, never
+    all-pairs; the exact-integer Levenshtein DP is engine-identical."""
+    from ..operators.relational import fuzzy_match_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_match_pairs(
+        cust, "c_custkey", "c_name", block_suffix_chars=2, max_distance=1
+    )

@@ -282,3 +282,44 @@ class TestHistogram:
         assert got[9] == (1, 90.0, 100.0)     # 99.99 in last real bucket
         assert got[10][0] == 2                # 100.0 and 250.0 overflow
         assert sum(n for n, *_ in got.values()) == 7  # NULL excluded
+
+
+class TestFuzzyMatchPairs:
+    def test_blocked_matching(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            fuzzy_match_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "Acme Corp 01"),
+                (2, "Acme Corp 02"),   # distance 1 to id 1, same block
+                (3, "Acme Corp 99"),   # distance 2 to both -> excluded
+                (4, "Bcme Corp 01"),   # early edit: other block (by design)
+                (5, "Acme Inc 0123"),  # different length -> other block
+            ],
+            ["id", "name"],
+        )
+        got = {
+            (r["id1"], r["id2"]): r["distance"]
+            for r in fuzzy_match_pairs(df, "id", "name").collect()
+        }
+        assert got == {(1, 2): 1}
+
+    def test_plan_is_equi_join(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            fuzzy_match_pairs,
+        )
+        from adventureworks_pysparkjobs_spark.plans.inspect import (
+            physical_plan,
+        )
+        from adventureworks_pysparkjobs_spark.sources.corpus import (
+            load_table,
+        )
+
+        from .conftest import SF_SMOKE
+
+        cust = load_table(spark, SF_SMOKE, "customer")
+        plan = physical_plan(fuzzy_match_pairs(cust, "c_custkey", "c_name"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -323,3 +323,50 @@ class TestFuzzyMatchPairs:
         plan = physical_plan(fuzzy_match_pairs(cust, "c_custkey", "c_name"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCdcRoundtripProperty:
+    def test_roundtrip_over_generated_snapshots(self, spark):
+        """Hypothesis-style exhaustive small-space sweep: for every
+        combination of per-key fates (absent/same/changed in new), the
+        cdc → apply round trip reconstructs the new snapshot. Runs as
+        one batch (a @given-per-Spark-job loop would take minutes)."""
+        import itertools
+
+        from adventureworks_pysparkjobs_spark.operators.relational import (
+            apply_changes,
+            snapshot_cdc,
+        )
+
+        # keys 0..63: bits encode (in_old, in_new, changed)
+        old_rows, new_rows = [], []
+        for k in range(64):
+            in_old, in_new, changed = k & 1, k & 2, k & 4
+            if in_old:
+                old_rows.append((k, f"v{k}", k % 7))
+            if in_new:
+                new_rows.append(
+                    (k, f"v{k}" + ("'" if changed else ""), k % 7)
+                )
+        old = spark.createDataFrame(old_rows, "k long, s string, v long")
+        new = spark.createDataFrame(new_rows, "k long, s string, v long")
+        cdc = snapshot_cdc(old, new, ["k"], include_values=True)
+        rebuilt = apply_changes(old, cdc, ["k"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+        # change-typing sanity over the same space
+        types = {
+            r["k"]: r["change_type"]
+            for r in snapshot_cdc(old, new, ["k"]).collect()
+        }
+        for k in range(64):
+            in_old, in_new, changed = bool(k & 1), bool(k & 2), bool(k & 4)
+            if not in_old and in_new:
+                assert types[k] == "insert"
+            elif in_old and not in_new:
+                assert types[k] == "delete"
+            elif in_old and in_new and changed:
+                assert types[k] == "update"
+            else:
+                assert k not in types  # unchanged or absent everywhere

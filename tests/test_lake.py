@@ -264,3 +264,75 @@ def test_zorder_write_prunes_on_every_dimension(spark, tmp_path):
 
     # layout change only: every row survives byte-identically
     assert _content_hash(spark.read.parquet(zpath)) == _content_hash(docs)
+
+
+class TestVersionedTable:
+    def test_publish_read_time_travel_rollback_vacuum(self, spark, tmp_path):
+        from adventureworks_pysparkjobs_spark.sinks.versioned import (
+            current_version,
+            publish_version,
+            read_latest,
+            read_version,
+            rollback,
+            vacuum_versions,
+        )
+
+        path = str(tmp_path / "tbl")
+        v1 = publish_version(spark.range(10), path)
+        v2 = publish_version(spark.range(20), path)
+        assert (v1, v2) == (1, 2)
+        assert current_version(path) == 2
+        assert read_latest(spark, path).count() == 20
+        assert read_version(spark, path, 1).count() == 10  # time travel
+
+        rollback(path, 1)
+        assert read_latest(spark, path).count() == 10
+
+        publish_version(spark.range(30), path)  # v3; pointer -> 3
+        assert read_latest(spark, path).count() == 30
+        removed = vacuum_versions(path, keep=1)
+        assert removed == [1, 2]
+        assert read_latest(spark, path).count() == 30
+
+    def test_crash_before_commit_is_invisible(self, spark, tmp_path):
+        """An orphan v=N directory without a pointer swap (crash
+        between write and commit) must not affect readers."""
+        import os
+
+        from adventureworks_pysparkjobs_spark.sinks.versioned import (
+            publish_version,
+            read_latest,
+        )
+
+        path = str(tmp_path / "tbl")
+        publish_version(spark.range(5), path)
+        # simulate a crashed publish: data dir exists, pointer not moved
+        spark.range(99).write.parquet(os.path.join(path, "v=2"))
+        assert read_latest(spark, path).count() == 5
+        # the NEXT publish must not collide with the orphan
+        v = publish_version(spark.range(7), path)
+        assert v == 3
+        assert read_latest(spark, path).count() == 7
+
+    def test_read_before_any_publish_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.sinks.versioned import (
+            read_latest,
+        )
+
+        with _pytest.raises(FileNotFoundError):
+            read_latest(spark, str(tmp_path / "none"))
+
+    def test_rollback_to_missing_version_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.sinks.versioned import (
+            publish_version,
+            rollback,
+        )
+
+        path = str(tmp_path / "tbl")
+        publish_version(spark.range(3), path)
+        with _pytest.raises(ValueError, match="not present"):
+            rollback(path, 9)

@@ -237,39 +237,19 @@ def retention_cohorts(
     )
 
 
-def rolling_zscore(
-    df: DataFrame,
-    key_col: str,
-    ts_col: str,
-    value_col: str,
+def zscore_from_daily(
+    daily: DataFrame,
     lookback: int = 7,
     z_threshold: float = 2.5,
 ) -> DataFrame:
-    """Daily-total anomaly detection: z-score of each key's daily value
-    sum against its own trailing ``lookback``-day window (current day
-    excluded), flagging |z| > ``z_threshold``.
-
-    The series is pre-aggregated to one row per (key, day) with exact
-    decimal sums BEFORE the window — at 100 TB the window operator sees
-    O(keys × days) rows, never raw events, and the single shuffle is
-    the daily groupBy (the window reuses its partitioning). Trailing
-    mean/variance come from decimal window sums of x and x² (exact,
-    frame-order-independent — a double window sum would depend on each
-    engine's summation tree), converted to double in ONE closed-form
-    expression: var = (q − s²/m) / (m−1). Rows need ≥3 trailing days.
-    """
+    """The detector half of ``rolling_zscore``, over an already-built
+    (key, day, x DECIMAL(15,2)) daily-total table — so the same
+    detector runs on raw events (``rolling_zscore``) OR on a
+    streaming-maintained MV (``stream_aggregate_to_lake`` +
+    ``read_agg_snapshot``), the production architecture where the
+    stream keeps the state table current and the detector is a cheap
+    batch pass over O(keys × days) rows."""
     x = F.col("x")
-    daily = (
-        df.groupBy(
-            F.col(key_col).alias("key"),
-            F.to_date(ts_col).alias("day"),
-        )
-        .agg(
-            F.sum(F.col(value_col).cast("decimal(18,2)"))
-            .cast("decimal(15,2)")
-            .alias("x")
-        )
-    )
     w = (
         Window.partitionBy("key")
         .orderBy("day")
@@ -302,3 +282,38 @@ def rolling_zscore(
             (F.abs(F.col("z")) > F.lit(z_threshold)).alias("is_anomaly"),
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lookback: int = 7,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Daily-total anomaly detection: z-score of each key's daily value
+    sum against its own trailing ``lookback``-day window (current day
+    excluded), flagging |z| > ``z_threshold``.
+
+    The series is pre-aggregated to one row per (key, day) with exact
+    decimal sums BEFORE the window — at 100 TB the window operator sees
+    O(keys × days) rows, never raw events, and the single shuffle is
+    the daily groupBy (the window reuses its partitioning). Trailing
+    mean/variance come from decimal window sums of x and x² (exact,
+    frame-order-independent — a double window sum would depend on each
+    engine's summation tree), converted to double in ONE closed-form
+    expression: var = (q − s²/m) / (m−1). Rows need ≥3 trailing days.
+    """
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(15,2)")
+            .alias("x")
+        )
+    )
+    return zscore_from_daily(daily, lookback, z_threshold)

@@ -41,3 +41,55 @@ def events_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..jobs.events_pipeline import build_events_analytics
 
     return build_events_analytics(spark, sf_dir)
+
+
+
+@query(
+    "stream_anomaly_zscore",
+    oracle=None,  # set right below: the batch twin's SQL verbatim
+    tags=("streaming", "materialized-view", "anomaly", "composed"),
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production anomaly architecture end-to-end: the stream
+    maintains the per-(event_type, day) decimal daily-total MV
+    (stream_aggregate_to_lake, replay-idempotent batch partitions);
+    the rolling z-score detector (analytics.zscore_from_daily) is a
+    cheap batch pass over the snapshot — O(keys x days) rows, never
+    raw events. On the bounded fixture the result equals the all-batch
+    rolling z-score, which is the oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.analytics import zscore_from_daily
+    from ..operators.relational import dec
+    from ..streaming.events import (
+        read_agg_snapshot,
+        read_events_stream,
+        stream_aggregate_to_lake,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_anom_")
+    try:
+        stream = read_events_stream(spark, sf_dir).select(
+            F.col("event_type").alias("key"),
+            F.to_date("ts").alias("day"),
+            dec("value", 18, 2).alias("x"),
+        )
+        stream_aggregate_to_lake(
+            stream, f"{tmp}/mv", ["key", "day"], ["x"], f"{tmp}/ckpt"
+        )
+        daily = read_agg_snapshot(
+            spark, f"{tmp}/mv", ["key", "day"], ["x"]
+        ).select("key", "day", F.col("x").cast("decimal(15,2)").alias("x"))
+        out = zscore_from_daily(daily, lookback=7, z_threshold=2.5)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# oracle = the batch twin's SQL, registered above in analytics.py
+CATALOG["stream_anomaly_zscore"].oracle = CATALOG[
+    "events_anomaly_zscore"
+].oracle

@@ -367,3 +367,55 @@ def emb_nearest_centroid_confusion(
 
     emb = load_table(spark, sf_dir, "embeddings")
     return nearest_centroid_confusion(emb, "label", "embedding", "vec_id")
+
+
+@query(
+    "doc_quality_quartiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rid,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT CAST((rid * 4) // n AS INTEGER) AS quartile,
+             n_chars
+      FROM ranked
+    )
+    SELECT quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY quartile
+    """,
+    tags=("sampling", "quantile", "curriculum", "global-order"),
+)
+def doc_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global quartile bucketing of documents by length — the
+    curriculum-binning primitive — WITHOUT the single-partition NTILE
+    window: ranks come from sampling.assign_row_ids (range-partitioned
+    sort + per-partition numbering + broadcast offsets), so the global
+    order costs no one-task funnel at 100 TB; bucket = rid*4 div N is
+    a pure expression over the id. The oracle replays the same formula
+    with a plain ROW_NUMBER."""
+    from ..operators.sampling import assign_row_ids
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    ranked = assign_row_ids(doc, order_by=["n_chars", "doc_id"], id_name="rid")
+    n_total = ranked.groupBy().agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(n_total))
+        .select(
+            F.expr("CAST((rid * 4) div n AS INT)").alias("quartile"),
+            "n_chars",
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

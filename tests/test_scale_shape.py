@@ -24,6 +24,7 @@ CROSS_OK = {
     "orders_market_basket",  # 1-row n_baskets broadcast cross
     "doc_dsir_weights",  # two 1-row feature-total broadcast crosses
     "corpus_collocations",  # 1-row corpus-word-total broadcast cross
+    "doc_quality_quartiles",  # 1-row total-count broadcast cross
 
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",

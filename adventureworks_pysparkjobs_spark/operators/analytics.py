@@ -317,3 +317,63 @@ def rolling_zscore(
         )
     )
     return zscore_from_daily(daily, lookback, z_threshold)
+
+
+def _global_quartile(df: DataFrame, col: str, id_col: str, out: str) -> DataFrame:
+    """Exact global quartile of ``col`` (ties broken by ``id_col``)
+    without a single-partition window: scalable ids from
+    ``sampling.assign_row_ids`` + bucket = rid*4 div n."""
+    from .sampling import assign_row_ids
+
+    ranked = assign_row_ids(df, order_by=[col, id_col], id_name="_rid")
+    n = ranked.groupBy().agg(F.count("*").alias("_n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn(out, F.expr("CAST((_rid * 4) div _n AS INT)"))
+        .drop("_rid", "_n")
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    ref_date: str = "1998-12-31",
+) -> DataFrame:
+    """RFM segmentation: per customer, quartiles of Recency (days since
+    last order, lower = better), Frequency (order count) and Monetary
+    (decimal-exact lifetime spend), combined into a 3-digit segment —
+    the standard CRM cut of a star schema's fact table.
+
+    One fact-table aggregation to customer grain (map-side combined),
+    then three exact global quartile passes over the CUSTOMER-grain
+    frame (each an assign_row_ids range-sort — no single-partition
+    NTILE window, and the frame is dimension-sized, not fact-sized).
+    Output: one row per segment with customer count and total
+    monetary (exact decimal → one final double cast).
+    """
+    per_cust = orders.groupBy(F.col(customer_col).alias("cust")).agg(
+        F.datediff(
+            F.lit(ref_date).cast("date"), F.max(F.col(ts_col)).cast("date")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(12,2)")).alias("monetary"),
+    )
+    q = _global_quartile(per_cust, "recency_days", "cust", "r_q")
+    q = _global_quartile(q, "frequency", "cust", "f_q")
+    q = _global_quartile(q, "monetary", "cust", "m_q")
+    # recency: smaller is better -> invert so 3 = most recent tier
+    seg = F.concat(
+        (F.lit(3) - F.col("r_q")).cast("string"),
+        F.col("f_q").cast("string"),
+        F.col("m_q").cast("string"),
+    )
+    return (
+        q.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+    )

@@ -347,3 +347,50 @@ def events_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         lg_k=12,
         rel_tol=0.05,
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey AS cust,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '1998-12-31') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT *, CAST(((ROW_NUMBER() OVER (ORDER BY recency_days, cust)
+                       - 1) * 4) // COUNT(*) OVER () AS INTEGER) AS r_q
+      FROM pc
+    ),
+    f AS (
+      SELECT *, CAST(((ROW_NUMBER() OVER (ORDER BY frequency, cust)
+                       - 1) * 4) // COUNT(*) OVER () AS INTEGER) AS f_q
+      FROM r
+    ),
+    m AS (
+      SELECT *, CAST(((ROW_NUMBER() OVER (ORDER BY monetary, cust)
+                       - 1) * 4) // COUNT(*) OVER () AS INTEGER) AS m_q
+      FROM f
+    )
+    SELECT CAST(3 - r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+             || CAST(m_q AS VARCHAR) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM m GROUP BY 1
+    """,
+    tags=("analytics", "rfm", "segmentation", "quartile"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/analytics.py
+    rfm_segments): recency/frequency/monetary quartiles per customer
+    combined into a 3-digit segment, with per-segment counts and
+    decimal-exact total spend. One fact aggregation to customer grain,
+    then three exact global quartile passes via scalable row ids —
+    never a single-partition NTILE window."""
+    from ..operators.analytics import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(orders)

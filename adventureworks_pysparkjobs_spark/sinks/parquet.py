@@ -64,7 +64,15 @@ def write_warehouse_table(
     reference's write_to_bigquery."""
     out = enforce_schema(df, schema)
     path = f"{base}/{table_name}"
-    if fmt == "parquet":
+    if fmt == "versioned":
+        # atomic publish: readers never observe a half-written table
+        # (sinks/versioned.py — the isolation the reference gets from
+        # BigQuery and a plain parquet overwrite lacks); read back with
+        # versioned.read_latest
+        from .versioned import publish_version
+
+        publish_version(out, path)
+    elif fmt == "parquet":
         out.write.mode("overwrite").parquet(path)
     else:
         out.write.format(fmt).mode("overwrite").save(path)

@@ -336,3 +336,31 @@ class TestVersionedTable:
         publish_version(spark.range(3), path)
         with _pytest.raises(ValueError, match="not present"):
             rollback(path, 9)
+
+
+def test_warehouse_publish_versioned(spark, tmp_path):
+    """write_warehouse_table(fmt='versioned'): schema-enforced atomic
+    publish; a second publish supersedes, the first stays readable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from adventureworks_pysparkjobs_spark.sinks.parquet import (
+        write_warehouse_table,
+    )
+    from adventureworks_pysparkjobs_spark.sinks.versioned import (
+        read_latest,
+        read_version,
+    )
+
+    schema = StructType([StructField("id", LongType(), False)])
+    base = str(tmp_path)
+    df1 = spark.range(4).select(F.col("id"))
+    df2 = spark.range(9).select(F.col("id"))
+    write_warehouse_table(df1, base, "dim_x", schema, fmt="versioned")
+    write_warehouse_table(df2, base, "dim_x", schema, fmt="versioned")
+    assert read_latest(spark, f"{base}/dim_x").count() == 9
+    assert read_version(spark, f"{base}/dim_x", 1).count() == 4

@@ -148,3 +148,39 @@ class TestRollingZscore:
         out = rolling_zscore(df, "k", "t", "v", lookback=7, z_threshold=2.5)
         rows_out = {r["day"].isoformat(): r for r in out.collect()}
         assert rows_out["2024-01-04"]["trailing_mean"] == 20.0
+
+
+class TestRfmSegments:
+    def test_digits_mean_what_they_say(self, spark):
+        """Recency digit is inverted (3 = most recent tier); frequency
+        and monetary digits ascend. 8 customers split 4 quartile
+        boundaries cleanly in every dimension."""
+        import datetime as dt
+
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            rfm_segments,
+        )
+
+        rows = []
+        # customer k: k+1 orders, each 100*(k+1), last order k days
+        # before the reference date
+        ref = dt.datetime(1998, 12, 31)
+        for k in range(8):
+            for j in range(k + 1):
+                rows.append(
+                    (k, ref - dt.timedelta(days=k + j), 100.0 * (k + 1))
+                )
+        df = spark.createDataFrame(
+            rows, ["o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        seg = {
+            r["segment"]: r
+            for r in rfm_segments(df, ref_date="1998-12-31").collect()
+        }
+        # 8 customers -> 2 per quartile. Customers 0-1: most recent
+        # (r inverted to 3), fewest orders, least spend -> "300"
+        assert seg["300"]["n_customers"] == 2
+        assert seg["300"]["total_monetary"] == 500.0  # 1x100 + 2x200
+        # customers 6-7: least recent, most orders, most spend -> "033"
+        assert seg["033"]["n_customers"] == 2
+        assert seg["033"]["total_monetary"] == 11300.0  # 7x700 + 8x800

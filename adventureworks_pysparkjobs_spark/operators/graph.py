@@ -1,5 +1,6 @@
 """Iterative graph operators beyond connected components
-(operators/dedup.py:dedup_clusters): weighted PageRank.
+(operators/dedup.py:dedup_clusters): weighted PageRank and
+degree-oriented triangle counting.
 
 PageRank is normally hopeless to oracle-check across engines — every
 implementation sums floating-point contributions in its own order. This
@@ -104,4 +105,92 @@ def pagerank(
         "node",
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as canonical edges (``a < b``, distinct).
+
+    Uses the standard degree-ordered orientation (the MapReduce
+    triangle-counting trick): every edge is directed from its lower
+    (degree, id) endpoint to the higher, so each node's out-degree is
+    O(sqrt(edges)) regardless of raw degree — a celebrity node with
+    10^6 neighbours contributes wedges bounded by its *out*-neighbours,
+    not its full adjacency. The wedge self-join and the closing-edge
+    join are both plain keyed equi-joins (never a cartesian), and every
+    aggregation partial-aggregates map-side, so the whole operator is
+    four keyed shuffles independent of skew.
+
+    The count is exact integer arithmetic; ``clustering`` =
+    2*T / (deg*(deg-1)) is one closed-form IEEE expression of exact
+    operands, so the result is bit-identical across engines and
+    partitionings (the doc_lm_quality / pagerank determinism scheme).
+
+    Returns (node, n_triangles BIGINT, degree BIGINT,
+    clustering DOUBLE) for nodes in >= 1 triangle.
+    """
+    ea = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    deg = (
+        ea.select(F.col("x").alias("node"))
+        .union(ea.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    dx = deg.select(
+        F.col("node").alias("x"), F.col("deg").alias("deg_x")
+    )
+    dy = deg.select(
+        F.col("node").alias("y"), F.col("deg").alias("deg_y")
+    )
+    with_deg = ea.join(dx, "x").join(dy, "y")
+    lo_first = (F.col("deg_x") < F.col("deg_y")) | (
+        (F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(lo_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(lo_first, F.col("deg_y"))
+        .otherwise(F.col("deg_x"))
+        .alias("dst_deg"),
+    ).localCheckpoint()
+    o1 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_deg").alias("dv"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_deg").alias("dw"),
+    )
+    # Wedge (v, w) out of a shared source u, emitted once in
+    # orientation order — the closing edge, if present, is oriented
+    # exactly v -> w because orientation is a total order.
+    wedges = o1.join(o2, "u").where(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_node.join(deg, "node").select(
+        "node",
+        "n_triangles",
+        F.col("deg").cast("long").alias("degree"),
+        (
+            (F.lit(2.0) * F.col("n_triangles"))
+            / (F.col("deg") * (F.col("deg") - F.lit(1.0)))
+        ).alias("clustering"),
     )

@@ -315,6 +315,74 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_copurchase_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tn AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tc AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM tn GROUP BY 1
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY 1
+    )
+    SELECT tc.node AS part_key, tc.n_triangles, deg.degree,
+           2.0 * tc.n_triangles
+             / (deg.degree * (deg.degree - 1.0)) AS clustering
+    FROM tc JOIN deg ON deg.node = tc.node
+    """,
+    tags=("graph", "triangles", "clustering-coefficient", "orientation"),
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts + local clustering coefficient over the
+    co-purchase graph (operators/graph.py:triangle_counts). Edges are
+    degree-ordered before the wedge self-join — the orientation bounds
+    every node's out-degree by O(sqrt(edges)), so a hub part cannot
+    create a quadratic wedge set; all joins are keyed equi-joins. The
+    oracle counts the same triangles via the a<b<c three-way join."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    ).distinct()
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    return triangle_counts(pairs, "item_a", "item_b").select(
+        F.col("node").alias("part_key"),
+        "n_triangles",
+        "degree",
+        "clustering",
+    )
+
+
+@query(
     "events_hll_weekly_users",
     oracle="""
     SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,

@@ -149,3 +149,65 @@ class TestDedupClusters:
         assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
         assert got[10] == (10, 2) and got[11] == (10, 2)
         assert all(got[k] == (20, 4) for k in (20, 21, 22, 23))
+
+
+class TestTriangleCounts:
+    def _counts(self, spark, edges):
+        from adventureworks_pysparkjobs_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        df = spark.createDataFrame(edges, "a int, b int")
+        return {
+            r["node"]: (r["n_triangles"], r["degree"], r["clustering"])
+            for r in triangle_counts(df).collect()
+        }
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        out = self._counts(spark, k4)
+        assert set(out) == {0, 1, 2, 3}
+        for t, d, c in out.values():
+            assert (t, d) == (3, 3)
+            assert c == pytest.approx(1.0)
+
+    def test_path_has_no_triangles(self, spark):
+        out = self._counts(spark, [(0, 1), (1, 2), (2, 3)])
+        assert out == {}
+
+    def test_shared_edge_triangles(self, spark):
+        # Two triangles glued on edge (0,1): 0-1-2 and 0-1-3.
+        edges = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+        out = self._counts(spark, edges)
+        assert out[0][:2] == (2, 3) and out[1][:2] == (2, 3)
+        assert out[2][:2] == (1, 2) and out[3][:2] == (1, 2)
+        # Degree-2 nodes close their single wedge: clustering 1.0.
+        assert out[2][2] == pytest.approx(1.0)
+        # Glue nodes: 2 closed of C(3,2)=3 wedges.
+        assert out[0][2] == pytest.approx(2 / 3)
+
+    def test_partition_independent(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(30), rng.randrange(30))
+                    for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        a = self._counts(spark, edges)
+        df = spark.createDataFrame(edges, "a int, b int").repartition(13)
+        from adventureworks_pysparkjobs_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        b = {
+            r["node"]: (r["n_triangles"], r["degree"], r["clustering"])
+            for r in triangle_counts(df).collect()
+        }
+        assert a == b

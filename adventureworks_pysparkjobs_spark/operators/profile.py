@@ -244,3 +244,77 @@ def histogram(
             "n",
         )
     )
+
+
+def feature_correlations(
+    df: DataFrame,
+    cols: dict[str, str],
+) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance across numeric
+    columns, computed in ONE scan-pass aggregate.
+
+    ``cols`` maps column name -> pinned decimal type (e.g.
+    ``"decimal(14,2)"``). Every moment (Σx, Σx², Σxy) accumulates in
+    exact decimal arithmetic — partition-order-independent where raw
+    double sums are not — and each reported double is a closed-form
+    IEEE expression of the sums cast to double, so results are
+    bit-identical across engines and partitionings (the
+    engine-determinism scheme of catalog.py rules 1-2). Rows with a
+    null in ANY profiled column are dropped (listwise deletion) so the
+    pair statistics share one consistent n.
+
+    The single aggregate carries k + k(k+1)/2 moment cells — the
+    shuffle moves one partial row per partition regardless of row
+    count, and the pair explosion happens on the 1-row result. Returns
+    one row per unordered pair: (col_a, col_b, n_rows, covar_samp,
+    pearson_r).
+    """
+    names = list(cols)
+    if len(names) < 2:
+        raise ValueError("feature_correlations: need >= 2 columns")
+    d = df.na.drop(subset=names).select(
+        *[F.col(c).cast(t).alias(c) for c, t in cols.items()]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in names:
+        aggs.append(F.sum(F.col(c)).cast("double").alias(f"s_{c}"))
+    for i, x in enumerate(names):
+        for y in names[i:]:
+            aggs.append(
+                F.sum(F.col(x) * F.col(y))
+                .cast("double")
+                .alias(f"p_{x}_{y}")
+            )
+    one = d.agg(*aggs)
+    pair_structs = []
+    for i, x in enumerate(names):
+        for y in names[i + 1:]:
+            pair_structs.append(
+                F.struct(
+                    F.lit(x).alias("col_a"),
+                    F.lit(y).alias("col_b"),
+                    F.col(f"p_{x}_{y}").alias("sxy"),
+                    F.col(f"s_{x}").alias("sx"),
+                    F.col(f"s_{y}").alias("sy"),
+                    F.col(f"p_{x}_{x}").alias("sxx"),
+                    F.col(f"p_{y}_{y}").alias("syy"),
+                )
+            )
+    long = one.select(
+        "n", F.explode(F.array(*pair_structs)).alias("p")
+    ).select("n", "p.*")
+    nn = F.col("n").cast("double")
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
+        nn - F.lit(1.0)
+    )
+    pearson = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return long.select(
+        "col_a",
+        "col_b",
+        F.col("n").cast("long").alias("n_rows"),
+        covar.alias("covar_samp"),
+        pearson.alias("pearson_r"),
+    )

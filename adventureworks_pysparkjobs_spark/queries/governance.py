@@ -376,3 +376,83 @@ def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_pairs(
         cust, "c_custkey", "c_name", block_suffix_chars=2, max_distance=1
     )
+
+
+@query(
+    "lineitem_feature_correlations",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_quantity AS DECIMAL(14,2)) AS q,
+             CAST(l_extendedprice AS DECIMAL(14,2)) AS e,
+             CAST(l_discount AS DECIMAL(14,2)) AS dc,
+             CAST(l_tax AS DECIMAL(14,2)) AS tx
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS DOUBLE) AS s_q,
+             CAST(SUM(e) AS DOUBLE) AS s_e,
+             CAST(SUM(dc) AS DOUBLE) AS s_d,
+             CAST(SUM(tx) AS DOUBLE) AS s_t,
+             CAST(SUM(q * q) AS DOUBLE) AS p_qq,
+             CAST(SUM(e * e) AS DOUBLE) AS p_ee,
+             CAST(SUM(dc * dc) AS DOUBLE) AS p_dd,
+             CAST(SUM(tx * tx) AS DOUBLE) AS p_tt,
+             CAST(SUM(q * e) AS DOUBLE) AS p_qe,
+             CAST(SUM(q * dc) AS DOUBLE) AS p_qd,
+             CAST(SUM(q * tx) AS DOUBLE) AS p_qt,
+             CAST(SUM(e * dc) AS DOUBLE) AS p_ed,
+             CAST(SUM(e * tx) AS DOUBLE) AS p_et,
+             CAST(SUM(dc * tx) AS DOUBLE) AS p_dt
+      FROM d
+    ),
+    p AS (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             n, p_qe AS sxy, s_q AS sx, s_e AS sy, p_qq AS sxx, p_ee AS syy
+      FROM s
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+             n, p_qd, s_q, s_d, p_qq, p_dd FROM s
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             n, p_qt, s_q, s_t, p_qq, p_tt FROM s
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             n, p_ed, s_e, s_d, p_ee, p_dd FROM s
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             n, p_et, s_e, s_t, p_ee, p_tt FROM s
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             n, p_dt, s_d, s_t, p_dd, p_tt FROM s
+    )
+    SELECT col_a, col_b, n AS n_rows,
+           (sxy - sx * sy / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) AS covar_samp,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r
+    FROM p
+    """,
+    tags=("profiling", "correlation", "covariance", "one-pass"),
+)
+def lineitem_feature_correlations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over lineitem's
+    four numeric measures in ONE scan-pass aggregate
+    (operators/profile.py:feature_correlations). Moments accumulate as
+    exact decimals (partition-order-independent) and each double is a
+    closed-form IEEE expression of the moment sums, so the matrix is
+    bit-identical to the oracle. The shuffle carries one 15-cell
+    partial row per partition regardless of row count."""
+    from ..operators.profile import feature_correlations
+    from ..sources.corpus import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return feature_correlations(
+        li,
+        {
+            "l_quantity": "decimal(14,2)",
+            "l_extendedprice": "decimal(14,2)",
+            "l_discount": "decimal(14,2)",
+            "l_tax": "decimal(14,2)",
+        },
+    )

@@ -1526,3 +1526,51 @@ class TestShingleSimhash:
         }
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestFeatureCorrelations:
+    def _run(self, spark, rows):
+        from adventureworks_pysparkjobs_spark.operators.profile import (
+            feature_correlations,
+        )
+
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        out = feature_correlations(
+            df,
+            {"x": "decimal(14,2)", "y": "decimal(14,2)",
+             "z": "decimal(14,2)"},
+        )
+        return {(r["col_a"], r["col_b"]): r for r in out.collect()}
+
+    def test_linear_and_anti_linear(self, spark):
+        rows = [(float(i), 2.0 * i + 1, -3.0 * i) for i in range(10)]
+        out = self._run(spark, rows)
+        assert out[("x", "y")]["pearson_r"] == pytest.approx(1.0)
+        assert out[("x", "z")]["pearson_r"] == pytest.approx(-1.0)
+        assert out[("y", "z")]["pearson_r"] == pytest.approx(-1.0)
+        assert out[("x", "y")]["n_rows"] == 10
+
+    def test_covariance_matches_numpy(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        xs = np.round(rng.uniform(0, 100, 50), 2)
+        ys = np.round(rng.uniform(0, 100, 50), 2)
+        rows = [(float(a), float(b), float(a)) for a, b in zip(xs, ys)]
+        out = self._run(spark, rows)
+        exp = float(np.cov(xs, ys, ddof=1)[0][1])
+        assert out[("x", "y")]["covar_samp"] == pytest.approx(exp, rel=1e-9)
+
+    def test_null_rows_dropped_listwise(self, spark):
+        rows = [(1.0, 2.0, 3.0), (2.0, None, 4.0), (3.0, 6.0, 5.0)]
+        out = self._run(spark, rows)
+        assert out[("x", "z")]["n_rows"] == 2
+
+    def test_requires_two_columns(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.profile import (
+            feature_correlations,
+        )
+
+        df = spark.range(3).select(F.col("id").cast("double").alias("x"))
+        with pytest.raises(ValueError):
+            feature_correlations(df, {"x": "decimal(14,2)"})

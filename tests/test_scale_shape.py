@@ -373,3 +373,16 @@ def test_resample_windows_share_one_sort(spark):
         plan = physical_plan(CATALOG[name].builder(spark, SF_SMOKE))
         assert plan.count("Exchange") <= 3, (name, plan[:1500])
         assert plan.count("Sort") == 1, (name, plan[:1500])
+
+
+def test_feature_correlations_one_scan_one_exchange(spark):
+    """All k(k+1)/2 moments come from ONE aggregate over ONE scan: the
+    shuffle is the single partial->final agg exchange, and the pair
+    explosion happens on the 1-row result."""
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    df = CATALOG["lineitem_feature_correlations"].builder(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan

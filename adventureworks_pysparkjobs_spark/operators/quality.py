@@ -126,3 +126,54 @@ def audit_constraints(
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: dict[str, Column],
+    k: int,
+) -> DataFrame:
+    """k-anonymity audit over generalized quasi-identifiers: one row
+    per equivalence class (the distinct combination of generalized QI
+    values) with its population and whether it meets the k threshold —
+    the privacy gate a training-data release runs before publishing
+    user-derived tables.
+
+    ``quasi_identifiers`` maps output column name -> generalization
+    expression (e.g. a bucketed balance, a truncated zip). The audit is
+    ONE keyed aggregate on the generalized values (map-side partials;
+    uniform unless the generalization itself is degenerate), so it
+    costs a single shuffle of class-count rows at any scale.
+
+    Returns (*qi_cols, class_size BIGINT, is_k_anonymous BOOLEAN).
+    """
+    if k < 2:
+        raise ValueError("k_anonymity_audit: k must be >= 2")
+    named = [expr.alias(name) for name, expr in quasi_identifiers.items()]
+    return (
+        df.select(*named)
+        .groupBy(*quasi_identifiers)
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .withColumn("is_k_anonymous", F.col("class_size") >= F.lit(k))
+    )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_identifiers: dict[str, Column],
+    k: int,
+) -> DataFrame:
+    """Suppression-model k-anonymization: drop every row whose
+    generalized equivalence class holds fewer than ``k`` rows, so any
+    published row is indistinguishable from >= k-1 others on the
+    quasi-identifiers. Generalization expressions are appended as
+    columns (callers project away the raw QIs before release).
+
+    Class sizes come from the ``k_anonymity_audit`` aggregate and
+    rejoin on the generalized key — a keyed equi-join AQE broadcasts
+    when the class table is small, never a window over raw rows.
+    """
+    audit = k_anonymity_audit(df, quasi_identifiers, k)
+    keep = audit.where(F.col("is_k_anonymous")).select(*quasi_identifiers)
+    named = [expr.alias(name) for name, expr in quasi_identifiers.items()]
+    return df.select("*", *named).join(keep, list(quasi_identifiers))

@@ -456,3 +456,40 @@ def lineitem_feature_correlations(
             "l_tax": "decimal(14,2)",
         },
     )
+
+
+@query(
+    "customer_k_anonymity",
+    oracle="""
+    SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= 5 AS is_k_anonymous
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+    tags=("governance", "privacy", "k-anonymity", "audit"),
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality.py:k_anonymity_audit) over
+    generalized customer quasi-identifiers — nation, market segment,
+    account-balance band — one row per equivalence class with its size
+    and k>=5 verdict: the privacy gate before releasing user-derived
+    training tables. One keyed aggregate with map-side partials; the
+    band uses floor of an IEEE division so the generalization is
+    engine-identical."""
+    from ..operators.quality import k_anonymity_audit
+    from ..sources.corpus import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust,
+        {
+            "nation_key": F.col("c_nationkey"),
+            "segment": F.col("c_mktsegment"),
+            "balance_band": F.floor(
+                F.col("c_acctbal") / F.lit(1000.0)
+            ).cast("long"),
+        },
+        k=5,
+    )

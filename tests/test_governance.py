@@ -370,3 +370,55 @@ class TestCdcRoundtripProperty:
                 assert types[k] == "update"
             else:
                 assert k not in types  # unchanged or absent everywhere
+
+
+class TestKAnonymity:
+    QI = None  # built per test; dict preserves insertion order
+
+    def _qi(self):
+        return {
+            "seg": F.col("seg"),
+            "band": F.floor(F.col("val") / F.lit(10.0)).cast("long"),
+        }
+
+    def _df(self, spark):
+        rows = (
+            [("a", float(v)) for v in (1, 2, 3, 4, 5)]       # class size 5
+            + [("a", 15.0), ("a", 16.0)]                      # size 2
+            + [("b", 7.0)]                                    # size 1
+        )
+        return spark.createDataFrame(rows, "seg string, val double")
+
+    def test_audit_classes_and_verdicts(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            k_anonymity_audit,
+        )
+
+        out = {
+            (r["seg"], r["band"]): (r["class_size"], r["is_k_anonymous"])
+            for r in k_anonymity_audit(
+                self._df(spark), self._qi(), k=5
+            ).collect()
+        }
+        assert out[("a", 0)] == (5, True)
+        assert out[("a", 1)] == (2, False)
+        assert out[("b", 0)] == (1, False)
+
+    def test_anonymize_suppresses_small_classes(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            k_anonymize,
+        )
+
+        kept = k_anonymize(self._df(spark), self._qi(), k=5)
+        vals = sorted(r["val"] for r in kept.collect())
+        assert vals == [1.0, 2.0, 3.0, 4.0, 5.0]
+        # Generalized QI columns are appended for release projection.
+        assert {"seg", "band", "val"} <= set(kept.columns)
+
+    def test_k_below_two_rejected(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            k_anonymity_audit,
+        )
+
+        with pytest.raises(ValueError):
+            k_anonymity_audit(self._df(spark), self._qi(), k=1)

@@ -419,3 +419,56 @@ def doc_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@query(
+    "corpus_warc_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS text_rt,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("connector", "warc", "python-datasource", "multimodal"),
+)
+def corpus_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC connector round trip (sources/warc.py — public Python Data
+    Source API): export the documents table as gzipped WARC shards (one
+    per partition, deterministic record ids), read them back with
+    ``spark.read.format("warc")`` (one task per shard, streaming record
+    parse), and reproduce the original (doc_id, text, byte-length) —
+    proving the crawl-ingest seam is lossless. UTF-8 payload bytes are
+    the compared length so the oracle (DuckDB ``strlen`` = bytes) is
+    engine-identical."""
+    import tempfile
+
+    from ..sources.warc import register_warc
+
+    register_warc(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="warc_rt_")
+    (
+        docs.select(
+            F.concat(
+                F.lit("http://corpus.local/doc/"), F.col("doc_id")
+            ).alias("url"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias(
+                "warc_date"
+            ),
+            F.lit("text/plain").alias("content_type"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        .repartition(4)
+        .write.format("warc")
+        .mode("append")
+        .save(tmp)
+    )
+    back = spark.read.format("warc").load(tmp)
+    return back.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        F.decode("payload", "UTF-8").alias("text_rt"),
+        F.col("content_length").alias("n_bytes"),
+    )

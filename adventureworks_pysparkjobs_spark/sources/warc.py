@@ -1,0 +1,223 @@
+"""WARC (Web ARChive) connector via the public Python Data Source API
+(pyspark.sql.datasource, Spark 4) — the ISO 28500 format web crawls
+(e.g. Common Crawl) ship in, which Spark has no built-in reader for.
+
+This is the engine's demonstration that the §2.1 source surface is
+EXTENSIBLE beyond the reference's jdbc/parquet pair
+(db_to_parquet.py:156–165, transform_to_bq.py:77–83) without leaving
+public Spark: a `DataSource` subclass registered per session gives a
+full planner-integrated `spark.read.format("warc")` / `df.write
+.format("warc")` pair.
+
+Scale design:
+- one InputPartition per shard file — a 100 TB crawl of ~1 GB .warc.gz
+  shards parallelizes to ~100k independent tasks with zero shuffle;
+  record parsing streams (header block + Content-Length payload), so
+  memory is O(largest record), never O(file);
+- gzip is handled transparently for BOTH whole-file compression and
+  the Common Crawl convention of one gzip member per record (Python's
+  gzip reader concatenates members);
+- payloads surface as opaque `binary` columns with typed metadata —
+  exactly the multimodal-column contract (operators/multimodal.py)
+  downstream decode/feature stages consume;
+- the writer emits one shard per partition (repartition upstream to
+  size shards), so export parallelism = partition count.
+
+A Python-level source is the honest slow path versus a JVM parquet
+scan (every record crosses Py4J/pickle) — it is the INGEST seam that
+lands crawl data into the parquet lake once, not a hot-query path.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import os
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("warc_date", TimestampType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("source_file", StringType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+def _open_stream(path: str) -> io.BufferedReader:
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")  # multi-member streams concatenate
+    return open(path, "rb")
+
+
+def parse_warc_stream(stream, source_file: str):
+    """Yield one tuple per WARC record, streaming: reads the header
+    block line-by-line, then exactly Content-Length payload bytes.
+    Tolerates blank separator lines between records; raises on a
+    malformed header block (fail loudly, never silently skip data)."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (_CRLF, b"\n"):
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"{source_file}: expected WARC version line, got "
+                f"{line[:40]!r}"
+            )
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or h in (_CRLF, b"\n"):
+                break
+            if b":" not in h:
+                raise ValueError(
+                    f"{source_file}: malformed WARC header {h[:60]!r}"
+                )
+            k, v = h.split(b":", 1)
+            headers[k.decode("ascii").strip().lower()] = (
+                v.decode("utf-8", "replace").strip()
+            )
+        n = int(headers.get("content-length", "0"))
+        payload = stream.read(n)
+        if len(payload) != n:
+            raise ValueError(
+                f"{source_file}: truncated record — Content-Length {n}, "
+                f"got {len(payload)} bytes"
+            )
+        wd = headers.get("warc-date")
+        ts = (
+            datetime.strptime(wd, "%Y-%m-%dT%H:%M:%SZ") if wd else None
+        )
+        yield (
+            headers.get("warc-target-uri"),
+            headers.get("warc-record-id"),
+            headers.get("warc-type"),
+            ts,
+            headers.get("content-type"),
+            n,
+            payload,
+            source_file,
+        )
+
+
+class _WarcFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc source requires a path")
+        pattern = (
+            os.path.join(path, "*.warc*")
+            if os.path.isdir(path)
+            else path
+        )
+        self.files = sorted(glob.glob(pattern))
+        if not self.files:
+            raise FileNotFoundError(f"warc source: no files match {pattern}")
+
+    def partitions(self):
+        return [_WarcFilePartition(p) for p in self.files]
+
+    def read(self, partition: _WarcFilePartition):
+        with _open_stream(partition.path) as stream:
+            yield from parse_warc_stream(
+                stream, os.path.basename(partition.path)
+            )
+
+
+class WarcWriter(DataSourceWriter):
+    """One ``part-<pid>.warc.gz`` shard per input partition. Input rows
+    must carry (url, warc_date, content_type, payload); record ids are
+    deterministic UUIDv5 of the url so a re-export is byte-stable."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires a path")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with gzip.open(out, "wb") as fh:
+            for row in iterator:
+                payload = bytes(row.payload) if row.payload else b""
+                ts = row.warc_date or datetime(
+                    1970, 1, 1, tzinfo=timezone.utc
+                )
+                rid = uuid.uuid5(uuid.NAMESPACE_URL, row.url or "")
+                head = (
+                    b"WARC/1.0\r\n"
+                    + b"WARC-Type: response\r\n"
+                    + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode()
+                    + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n".encode()
+                    + f"WARC-Target-URI: {row.url}\r\n".encode()
+                    + f"Content-Type: {row.content_type or 'application/octet-stream'}\r\n".encode()
+                    + f"Content-Length: {len(payload)}\r\n".encode()
+                    + b"\r\n"
+                )
+                fh.write(head + payload + b"\r\n\r\n")
+                n += 1
+        return WriterCommitMessage()
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        expected = {"url", "warc_date", "content_type", "payload"}
+        missing = expected - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(
+                f"warc sink requires columns {sorted(expected)}; "
+                f"missing {sorted(missing)}"
+            )
+        return WarcWriter(self.options, overwrite)
+
+
+def register_warc(spark) -> None:
+    """Register the connector for ``spark.read.format('warc')`` /
+    ``.write.format('warc')`` on this session (idempotent)."""
+    spark.dataSource.register(WarcDataSource)

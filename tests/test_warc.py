@@ -1,0 +1,124 @@
+"""WARC connector (sources/warc.py): streaming parser unit tests +
+Spark-level read/write round trips through the Python Data Source API."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from adventureworks_pysparkjobs_spark.sources.warc import (
+    parse_warc_stream,
+    register_warc,
+)
+
+
+def _record(url: str, payload: bytes, date: str = "2026-01-01T00:00:00Z"):
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: <urn:uuid:x-{url}>\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"\r\n"
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+class TestParser:
+    def test_parses_records_and_types(self):
+        raw = _record("http://a", b"hello") + _record("http://b", b"")
+        rows = list(parse_warc_stream(io.BytesIO(raw), "f"))
+        assert [r[0] for r in rows] == ["http://a", "http://b"]
+        assert rows[0][6] == b"hello" and rows[1][6] == b""
+        assert rows[0][3] == datetime(2026, 1, 1)
+        assert rows[0][5] == 5
+
+    def test_payload_may_contain_crlf_and_header_lookalikes(self):
+        evil = b"WARC/1.0\r\n\r\nContent-Length: 99\r\n"
+        rows = list(
+            parse_warc_stream(io.BytesIO(_record("http://e", evil)), "f")
+        )
+        assert rows[0][6] == evil
+
+    def test_truncated_record_raises(self):
+        raw = _record("http://a", b"hello")[:-9]  # cut into the payload
+        with pytest.raises(ValueError, match="truncated"):
+            list(parse_warc_stream(io.BytesIO(raw), "f"))
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError, match="version line"):
+            list(parse_warc_stream(io.BytesIO(b"not a warc\r\n"), "f"))
+
+
+class TestSparkRoundTrip:
+    def _write_read(self, spark, tmp_path, n=20, parts=3):
+        register_warc(spark)
+        d = str(tmp_path / "warc")
+        df = spark.range(n).select(
+            F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+            F.lit("2026-02-03 04:05:06").cast("timestamp").alias(
+                "warc_date"
+            ),
+            F.lit("text/plain").alias("content_type"),
+            F.encode(
+                F.concat(F.lit("payload-"), F.col("id")), "UTF-8"
+            ).alias("payload"),
+        )
+        df.repartition(parts).write.format("warc").mode("append").save(d)
+        return d, spark.read.format("warc").load(d)
+
+    def test_roundtrip_lossless_one_file_per_partition(
+        self, spark, tmp_path
+    ):
+        d, back = self._write_read(spark, tmp_path)
+        files = sorted(os.listdir(d))
+        assert len(files) == 3 and all(f.endswith(".warc.gz") for f in files)
+        got = {
+            r["url"]: bytes(r["payload"]).decode() for r in back.collect()
+        }
+        assert got == {f"http://x/{i}": f"payload-{i}" for i in range(20)}
+        one = back.limit(1).collect()[0]
+        assert one["warc_type"] == "response"
+        assert one["content_type"] == "text/plain"
+
+    def test_record_ids_deterministic_across_exports(
+        self, spark, tmp_path
+    ):
+        _, b1 = self._write_read(spark, tmp_path / "a", n=5, parts=1)
+        _, b2 = self._write_read(spark, tmp_path / "b", n=5, parts=2)
+        ids1 = {r["url"]: r["record_id"] for r in b1.collect()}
+        ids2 = {r["url"]: r["record_id"] for r in b2.collect()}
+        assert ids1 == ids2  # uuid5(url): partitioning-independent
+
+    def test_per_record_gzip_members_concatenate(self, spark, tmp_path):
+        # The Common Crawl convention: each record its own gzip member.
+        d = tmp_path / "cc"
+        d.mkdir()
+        with open(d / "members.warc.gz", "wb") as fh:
+            for u, p in [("http://m/1", b"aa"), ("http://m/2", b"bbb")]:
+                fh.write(gzip.compress(_record(u, p)))
+        register_warc(spark)
+        back = spark.read.format("warc").load(str(d))
+        got = {r["url"]: r["content_length"] for r in back.collect()}
+        assert got == {"http://m/1": 2, "http://m/2": 3}
+
+    def test_reader_missing_dir_raises(self, spark, tmp_path):
+        register_warc(spark)
+        with pytest.raises(Exception, match="no files match"):
+            spark.read.format("warc").load(str(tmp_path / "nope")).count()
+
+    def test_writer_missing_columns_rejected(self, spark, tmp_path):
+        register_warc(spark)
+        df = spark.range(3).select(F.lit("u").alias("url"))
+        with pytest.raises(Exception, match="warc sink requires"):
+            df.write.format("warc").mode("append").save(
+                str(tmp_path / "w")
+            )

@@ -879,3 +879,100 @@ def nearest_centroid_confusion(
     return pred.groupBy("true_label", "pred_label").agg(
         F.count("*").alias("n")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster,
+    mark every vector that has a semantic near-duplicate (cosine >=
+    threshold) with a LOWER id — keeping exactly the smallest id of
+    every duplicate group, the standard greedy-by-id survivor rule.
+
+    ``cluster_col`` is the injected cluster assignment (k-means / IVF
+    coarse cells in production — ``ivf_topk``'s assignment step is the
+    in-engine path); restricting the pairwise scan to clusters turns
+    the O(n²) all-pairs comparison into Σ|cluster|² — n²/k for
+    balanced k-way clustering, the SemDeDup scaling argument.
+
+    Exactness: elements quantize once to integers (round(x·quant)),
+    dots and norms are exact integer folds, and the threshold test is
+    ``den²·dot² >= num²·|a|²·|b|²`` (with dot > 0) in DECIMAL(38,0) —
+    algebraically identical to cosine >= num/den but sqrt-free, so the
+    verdicts (and the whole output) are bit-identical across engines
+    and partitionings.
+
+    Scale shape: one keyed self-join on the cluster key (pair grain
+    never materializes vectors longer than the fold), one groupBy on
+    the loser id, one left join back — no windows, no driver state.
+    Returns one row per input vector: (id, cluster, n_dup_lower,
+    is_kept).
+    """
+    qd = F.lit(int(quant)).cast("double")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * qd).cast("long"),
+    )
+    nrm = F.aggregate(
+        F.transform(qv, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(cluster_col).alias("cluster"),
+        qv.alias("_q"),
+        nrm.alias("_n"),
+    ).localCheckpoint()
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        "cluster",
+        F.col("_q").alias("qa"),
+        F.col("_n").alias("na"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        "cluster",
+        F.col("_q").alias("qb"),
+        F.col("_n").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    num2 = int(threshold_num) * int(threshold_num)
+    den2 = int(threshold_den) * int(threshold_den)
+    pairs = (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", "na", "nb", dot.alias("dot"))
+    )
+    d19 = "decimal(19,0)"
+    is_dup = (F.col("dot") > 0) & (
+        F.col("dot").cast(d19) * F.col("dot") * F.lit(den2)
+        >= F.col("na").cast(d19) * F.col("nb") * F.lit(num2)
+    )
+    losers = (
+        pairs.where(is_dup)
+        .groupBy(F.col("id_b").alias("_id"))
+        .agg(F.count("*").cast("long").alias("n_dup_lower"))
+    )
+    return (
+        base.select("_id", "cluster")
+        .join(losers, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(F.col("n_dup_lower"), F.lit(0).cast("long")).alias(
+                "n_dup_lower"
+            ),
+            F.col("n_dup_lower").isNull().alias("is_kept"),
+        )
+    )

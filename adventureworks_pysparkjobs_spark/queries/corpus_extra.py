@@ -472,3 +472,61 @@ def corpus_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode("payload", "UTF-8").alias("text_rt"),
         F.col("content_length").alias("n_bytes"),
     )
+
+
+@query(
+    "emb_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    n AS (
+      SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS nrm
+      FROM e GROUP BY 1
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+             CAST(SUM(a.xi * b.xi) AS BIGINT) AS dot
+      FROM e a
+      JOIN e b ON a.label = b.label AND a.pos = b.pos
+              AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    losers AS (
+      SELECT p.id_b AS vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_lower
+      FROM p
+      JOIN n na ON na.vec_id = p.id_a
+      JOIN n nb ON nb.vec_id = p.id_b
+      WHERE p.dot > 0
+        AND CAST(p.dot AS HUGEINT) * p.dot * 10000
+            >= CAST(na.nrm AS HUGEINT) * nb.nrm * 1225
+      GROUP BY 1
+    )
+    SELECT emb.vec_id, emb.label AS cluster,
+           COALESCE(losers.n_dup_lower, 0) AS n_dup_lower,
+           losers.n_dup_lower IS NULL AS is_kept
+    FROM embeddings emb
+    LEFT JOIN losers ON losers.vec_id = emb.vec_id
+    """,
+    tags=("similarity", "semantic-dedup", "semdedup", "integer-exact"),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.py:semantic_dedup): within each cluster
+    (label = the injected coarse assignment), a vector is dropped when
+    a LOWER-id vector sits within the cosine threshold — greedy
+    keep-smallest-id survivors. The sqrt-free integer threshold test
+    makes every verdict bit-identical to the oracle. Threshold 0.35 is
+    corpus-calibrated (max within-label cosine here is ~0.475 — on
+    real embedding corpora the conventional value is ~0.95)."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", "label",
+        threshold_num=35, threshold_den=100,
+    )

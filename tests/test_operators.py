@@ -1574,3 +1574,48 @@ class TestFeatureCorrelations:
         df = spark.range(3).select(F.col("id").cast("double").alias("x"))
         with pytest.raises(ValueError):
             feature_correlations(df, {"x": "decimal(14,2)"})
+
+
+class TestSemanticDedup:
+    def _run(self, spark, rows, num=95, den=100):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = semantic_dedup(
+            df, threshold_num=num, threshold_den=den
+        )
+        return {r["vec_id"]: (r["n_dup_lower"], r["is_kept"])
+                for r in out.collect()}
+
+    def test_identical_vectors_keep_smallest_id(self, spark):
+        v = [1.0, 0.0, 0.0]
+        out = self._run(
+            spark, [(3, v, 0), (1, v, 0), (2, v, 0), (9, [0.0, 1.0, 0.0], 0)]
+        )
+        assert out[1] == (0, True)       # smallest id survives
+        assert out[2] == (1, False)      # dup of 1
+        assert out[3] == (2, False)      # dup of 1 and 2
+        assert out[9] == (0, True)       # orthogonal: kept
+
+    def test_cluster_boundary_blocks_comparison(self, spark):
+        v = [1.0, 1.0]
+        out = self._run(spark, [(1, v, 0), (2, v, 1)])
+        assert out[1] == (0, True) and out[2] == (0, True)
+
+    def test_threshold_excludes_moderate_similarity(self, spark):
+        # cos(a,b) = 0.8 — dup at 0.75, not at 0.95.
+        a, b = [1.0, 0.0], [0.8, 0.6]
+        strict = self._run(spark, [(1, a, 0), (2, b, 0)], num=95, den=100)
+        loose = self._run(spark, [(1, a, 0), (2, b, 0)], num=75, den=100)
+        assert strict[2][1] is True
+        assert loose[2][1] is False
+
+    def test_negative_cosine_never_dup(self, spark):
+        out = self._run(
+            spark, [(1, [1.0, 0.0], 0), (2, [-1.0, 0.0], 0)], num=0, den=100
+        )
+        assert out[2][1] is True  # dot < 0 fails the dot > 0 guard

@@ -180,3 +180,27 @@ def ingest_all(
             df, lake_base, schema_name, table_name, partition_by=partition_by
         )
     return out
+
+
+def ingest_warc(
+    spark: SparkSession,
+    warc_path: str,
+    lake_base: str,
+    schema_name: str = "crawl",
+    table_name: str = "records",
+) -> str:
+    """Land a WARC crawl (sources/warc.py connector) into the parquet
+    lake, date-partitioned by crawl day — the web-scale twin of the
+    JDBC ingest loop: read once through the Python-source seam, then
+    every downstream query runs on pruned columnar scans instead of
+    re-parsing WARC. One task per shard in, one pruned parquet
+    partition per crawl day out."""
+    from ..sources.warc import register_warc
+
+    register_warc(spark)
+    df = spark.read.format("warc").load(warc_path)
+    dated = df.withColumn("crawl_date", F.to_date("warc_date"))
+    return write_lake_table(
+        dated, lake_base, schema_name, table_name,
+        partition_by="crawl_date",
+    )

@@ -41,6 +41,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    In,
     InputPartition,
     WriterCommitMessage,
 )
@@ -146,6 +148,27 @@ class WarcReader(DataSourceReader):
         if not self.files:
             raise FileNotFoundError(f"warc source: no files match {pattern}")
 
+    def pushFilters(self, filters):
+        """File-level pruning: ``source_file = 'x'`` / ``IN (...)``
+        predicates drop whole shards at PLANNING time — the partition-
+        pruning analogue for a sharded crawl (a 100k-shard corpus with
+        a one-shard predicate schedules one task, not 100k). The
+        filters are still returned to Spark for re-evaluation, so
+        semantics never depend on the pruning."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("source_file",):
+                self.files = [
+                    p for p in self.files
+                    if os.path.basename(p) == f.value
+                ]
+            elif isinstance(f, In) and f.attribute == ("source_file",):
+                wanted = set(f.value)
+                self.files = [
+                    p for p in self.files
+                    if os.path.basename(p) in wanted
+                ]
+            yield f
+
     def partitions(self):
         return [_WarcFilePartition(p) for p in self.files]
 
@@ -219,5 +242,10 @@ class WarcDataSource(DataSource):
 
 def register_warc(spark) -> None:
     """Register the connector for ``spark.read.format('warc')`` /
-    ``.write.format('warc')`` on this session (idempotent)."""
+    ``.write.format('warc')`` on this session (idempotent). Python-
+    source filter pushdown ships conf-gated in Spark 4.1; the reader
+    implements ``pushFilters``, so enable it for the session (runtime-
+    settable SQL conf — semantics are unchanged either way because the
+    reader re-returns every filter for post-scan evaluation)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WarcDataSource)

@@ -122,3 +122,48 @@ class TestSparkRoundTrip:
             df.write.format("warc").mode("append").save(
                 str(tmp_path / "w")
             )
+
+
+class TestPushdownAndIngest:
+    def _two_shards(self, tmp_path, second_garbage=False):
+        d = tmp_path / "shards"
+        d.mkdir()
+        with gzip.open(d / "a.warc.gz", "wb") as fh:
+            fh.write(_record("http://s/1", b"one", "2026-03-01T10:00:00Z"))
+        with gzip.open(d / "b.warc.gz", "wb") as fh:
+            fh.write(
+                b"GARBAGE not a warc\r\n"
+                if second_garbage
+                else _record("http://s/2", b"two", "2026-03-02T11:00:00Z")
+            )
+        return str(d)
+
+    def test_source_file_filter_prunes_at_planning_time(
+        self, spark, tmp_path
+    ):
+        # The second shard is GARBAGE: if the scan touched it, the
+        # parser would raise. The source_file predicate prunes the
+        # file before any task reads it.
+        d = self._two_shards(tmp_path, second_garbage=True)
+        register_warc(spark)
+        df = (
+            spark.read.format("warc")
+            .load(d)
+            .where(F.col("source_file") == "a.warc.gz")
+        )
+        rows = df.collect()
+        assert [r["url"] for r in rows] == ["http://s/1"]
+        with pytest.raises(Exception):  # unfiltered scan parses b -> boom
+            spark.read.format("warc").load(d).collect()
+
+    def test_ingest_warc_lands_date_partitioned(self, spark, tmp_path):
+        from adventureworks_pysparkjobs_spark.jobs.ingest import ingest_warc
+
+        d = self._two_shards(tmp_path)
+        lake = str(tmp_path / "lake")
+        path = ingest_warc(spark, d, lake)
+        parts = {p for p in os.listdir(path) if p.startswith("crawl_date=")}
+        assert parts == {"crawl_date=2026-03-01", "crawl_date=2026-03-02"}
+        back = spark.read.parquet(path)
+        got = {r["url"]: bytes(r["payload"]) for r in back.collect()}
+        assert got == {"http://s/1": b"one", "http://s/2": b"two"}

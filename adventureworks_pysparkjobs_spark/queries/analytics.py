@@ -316,6 +316,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "part_copurchase_triangles",
+    bench=True,
     oracle="""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem

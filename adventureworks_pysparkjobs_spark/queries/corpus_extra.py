@@ -476,6 +476,7 @@ def corpus_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_semantic_dedup",
+    bench=True,
     oracle="""
     WITH e AS (
       SELECT vec_id, label, i - 1 AS pos,

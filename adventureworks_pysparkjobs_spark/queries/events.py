@@ -257,3 +257,65 @@ def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_first(
         ev, ["user_id", "event_type"], ["ts", "event_id"]
     ).select("event_id", "user_id", "event_type", "ts")
+
+
+@query(
+    "events_variant_shredding",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"et":"' || event_type || '","id":' || event_id
+               || ',"props":' || props || '}' AS doc
+      FROM events
+    ),
+    x AS (
+      SELECT event_id,
+             json_extract_string(doc, '$.et') AS et,
+             CAST(json_extract(doc, '$.id') AS BIGINT) AS id_rt,
+             CAST(json_extract(doc, '$.props.k') AS INTEGER) AS k
+      FROM j
+    )
+    SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN id_rt = event_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_id_roundtrip,
+           CAST(COUNT(CASE WHEN k IS NULL THEN 1 END) AS BIGINT)
+             AS n_missing_k
+    FROM x GROUP BY et
+    """,
+    tags=("variant", "semistructured", "json", "shredding"),
+)
+def events_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: a nested
+    JSON document (built from events columns + the props payload) is
+    parsed ONCE with ``parse_json`` into Variant's shredded binary
+    encoding, then every field access is a ``variant_get`` path lookup
+    — no per-access string re-parse, the 100 TB answer to
+    string-JSON columns (events_semistructured shows the classic
+    get_json_object / from_json paths for contrast). Typed extraction
+    (string / bigint / int) feeds an exact aggregate; an id round-trip
+    column proves lossless encode→shred→extract."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"et":"'), F.col("event_type"),
+        F.lit('","id":'), F.col("event_id").cast("string"),
+        F.lit(',"props":'), F.col("props"), F.lit("}"),
+    )
+    v = ev.select(
+        "event_id", F.parse_json(doc).alias("v")
+    ).select(
+        "event_id",
+        F.variant_get("v", "$.et", "string").alias("et"),
+        F.variant_get("v", "$.id", "bigint").alias("id_rt"),
+        F.variant_get("v", "$.props.k", "int").alias("k"),
+    )
+    return v.groupBy("et").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(
+            F.when(F.col("id_rt") == F.col("event_id"), 1).otherwise(0)
+        ).cast("long").alias("n_id_roundtrip"),
+        F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias(
+            "n_missing_k"
+        ),
+    )

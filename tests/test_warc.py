@@ -167,3 +167,46 @@ class TestPushdownAndIngest:
         back = spark.read.parquet(path)
         got = {r["url"]: bytes(r["payload"]) for r in back.collect()}
         assert got == {"http://s/1": b"one", "http://s/2": b"two"}
+
+
+class TestTransformWithState:
+    """transformWithStateInPandas (streaming/events.py
+    tws_user_type_counts) — env-gated: the Python state client needs
+    protobuf, absent in this sandbox. The guard test pins the loud
+    failure; the functional test auto-activates on protobuf clusters."""
+
+    def test_missing_protobuf_raises_clear_error(self, spark):
+        import importlib.util
+
+        from adventureworks_pysparkjobs_spark.streaming.events import (
+            tws_user_type_counts,
+        )
+
+        has_pb = (
+            importlib.util.find_spec("google") is not None
+            and importlib.util.find_spec("google.protobuf") is not None
+        )
+        if has_pb:
+            pytest.skip("protobuf present: covered by functional test")
+        with pytest.raises(RuntimeError, match="protobuf"):
+            tws_user_type_counts(spark, "/root/testdata/sf0.001")
+
+    def test_matches_batch_aggregate(self, spark):
+        pytest.importorskip("google.protobuf")
+        from adventureworks_pysparkjobs_spark.sources.corpus import (
+            load_table,
+        )
+        from adventureworks_pysparkjobs_spark.streaming.events import (
+            tws_user_type_counts,
+        )
+
+        got = tws_user_type_counts(spark, "/root/testdata/sf0.001")
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        exp = ev.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_timestamp("ts")).alias("first_s"),
+            F.max(F.unix_timestamp("ts")).alias("last_s"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        )

@@ -843,3 +843,43 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .distinct()
     )
+
+
+@query(
+    "customer_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.o_orderdate
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+    tags=("sql", "lateral", "correlated-subquery", "topk-per-key"),
+)
+def customer_lateral_top_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    each customer's two most expensive orders, expressed in the SQL
+    surface (both engines run the IDENTICAL query text: Spark through
+    the temp-view sql() entry, DuckDB as the oracle). Catalyst
+    decorrelates the lateral into a ranked join — per-group top-k
+    without a driver loop; the (price desc, orderkey) tie-break is a
+    unique total order so results are deterministic under any
+    partitioning."""
+    from ..sources.corpus import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.o_orderdate
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )

@@ -134,3 +134,105 @@ def lm_score(
             "avg_logprob",
         )
     )
+
+
+def pseudo_weights(
+    spark,
+    n_buckets: int = 4096,
+    salt: str = "w",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic stand-in weight table for ``hashed_linear_scores``
+    — one integer weight in [-scale, scale] per feature bucket, derived
+    from the MD5 of the bucket id (engine-portable, auditable). This is
+    the injected-model seam: production replaces it with trained
+    weights loaded as the same (feature, w_scaled) table."""
+    return spark.range(int(n_buckets)).select(
+        F.col("id").cast("int").alias("feature"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:"), F.col("id").cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (2 * scale + 1)
+            - scale
+        ).cast("long").alias("w_scaled"),
+    )
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "qc",
+) -> DataFrame:
+    """Linear text classifier scored entirely as relational expressions
+    — the fastText-style quality-filter pattern (a trained linear model
+    over hashed bag-of-words features) run at corpus scale with NO udf
+    and NO model runtime.
+
+    Tokens hash into ``n_buckets`` features (MD5 hashing trick — no
+    vocabulary table to build, ship, or OOV-miss), term frequencies
+    join the (feature, w_scaled BIGINT) weight table — bucket-count
+    rows, AQE broadcasts it — and the logit is the exact integer
+    Σ tf·w, so scores and verdicts are bit-identical across engines
+    and partitionings. Sign thresholding (logit > 0) classifies;
+    production calibration happens in weight training, not here.
+
+    Scale shape: tokenize/hash are map stages; one (doc, feature)
+    keyed agg with map-side partials; one bucket-keyed join; one doc
+    keyed agg. Returns (id, n_tokens, logit_scaled, is_positive).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    feat = toks.select(
+        "_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("int")
+            % n_buckets
+        ).alias("feature"),
+    )
+    tf = feat.groupBy("_id", "feature").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    return (
+        tf.join(weights, "feature", "left")  # unweighted feature = 0,
+        # so sparse trained-weight tables never silently drop documents
+        .groupBy("_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.coalesce(F.col("w_scaled"), F.lit(0)))
+            .cast("long")
+            .alias("logit_scaled"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "logit_scaled",
+            (F.col("logit_scaled") > 0).alias("is_positive"),
+        )
+    )

@@ -531,3 +531,53 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", "label",
         threshold_num=35, threshold_den=100,
     )
+
+
+@query(
+    "doc_quality_classifier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '') AS toks
+         FROM documents), unnest(toks) AS t(tk)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('qc:' || tk), 1, 4) AS INTEGER)
+               % 4096 AS feature
+      FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM feat GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT DISTINCT feature,
+             CAST(CAST('0x' || substr(md5('w:' || feature), 1, 4)
+                       AS BIGINT) % 2001 - 1000 AS BIGINT) AS w_scaled
+      FROM feat
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf.tf * w.w_scaled) AS BIGINT) AS logit_scaled,
+           SUM(tf.tf * w.w_scaled) > 0 AS is_positive
+    FROM tf JOIN w ON w.feature = tf.feature
+    GROUP BY 1
+    """,
+    tags=("text", "classifier", "hashing-trick", "quality-filter"),
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality filter scored as pure expressions
+    (operators/lm.py:hashed_linear_scores): MD5 hashing-trick features,
+    exact integer tf·w logits against a bucket-count weight table
+    (pseudo_weights here — the injected-model seam production fills
+    with trained weights), sign-threshold verdicts. No UDF, no model
+    runtime, bit-identical across engines."""
+    from ..operators.lm import hashed_linear_scores, pseudo_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_scores(
+        docs, pseudo_weights(spark, 4096, "w", 1000)
+    )

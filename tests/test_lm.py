@@ -111,3 +111,66 @@ def test_lm_score_short_and_oov_docs(spark):
         assert got[short]["n_bigrams"] == 0 and got[short]["n_hit"] == 0
         assert got[short]["oov_bigram_rate"] is None
         assert got[short]["avg_logprob"] is None
+
+
+class TestHashedLinearScores:
+    def test_matches_python_reference(self, spark):
+        import hashlib
+
+        from adventureworks_pysparkjobs_spark.operators.lm import (
+            hashed_linear_scores,
+            pseudo_weights,
+        )
+
+        def h4(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+        docs = [
+            (1, "alpha beta alpha"),
+            (2, "gamma  delta\nepsilon"),
+            (3, "  "),  # whitespace-only: no tokens -> no output row
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["logit_scaled"], r["is_positive"])
+            for r in hashed_linear_scores(
+                df, pseudo_weights(spark, 4096, "w", 1000)
+            ).collect()
+        }
+
+        def ref(text):
+            toks = [t for t in text.split() if t]
+            logit = sum(
+                h4(f"w:{h4('qc:' + t) % 4096}") % 2001 - 1000 for t in toks
+            )
+            return (len(toks), logit, logit > 0)
+
+        assert out[1] == ref("alpha beta alpha")
+        assert out[2] == ref("gamma  delta\nepsilon")
+        assert 3 not in out
+
+    def test_trained_weights_seam(self, spark):
+        """Production path: weights come from training, not the pseudo
+        table — injecting a one-feature table steers the verdict."""
+        import hashlib
+
+        from adventureworks_pysparkjobs_spark.operators.lm import (
+            hashed_linear_scores,
+        )
+
+        tok_feature = (
+            int(hashlib.md5(b"qc:good").hexdigest()[:4], 16) % 4096
+        )
+        weights = spark.createDataFrame(
+            [(tok_feature, 7)], "feature int, w_scaled long"
+        )
+        df = spark.createDataFrame(
+            [(1, "good good"), (2, "unseen")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: (r["logit_scaled"], r["is_positive"])
+            for r in hashed_linear_scores(df, weights).collect()
+        }
+        assert out[1] == (14, True)
+        # doc 2's only feature has no weight row: scores 0, kept
+        assert out[2] == (0, False)

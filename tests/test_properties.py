@@ -271,3 +271,97 @@ def test_chunk_documents_property(spark, texts, chunk_tokens, overlap_seed):
                 )
             )
     assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        max_size=40,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from adventureworks_pysparkjobs_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict[int, int] = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v not in adj[u]:
+                continue
+            for w in nodes:
+                if w > v and w in adj[u] and w in adj[v]:
+                    for x in (u, v, w):
+                        expected[x] = expected.get(x, 0) + 1
+    df = spark.createDataFrame(canon, "a int, b int")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # cluster
+            st.lists(
+                st.integers(min_value=-3, max_value=3),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    num=st.integers(min_value=0, max_value=99),
+)
+def test_semantic_dedup_matches_bruteforce(spark, vecs, num):
+    from adventureworks_pysparkjobs_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (i, [float(x) for x in v], c) for i, (c, v) in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["vec_id"]: (r["n_dup_lower"], r["is_kept"])
+        for r in semantic_dedup(
+            df, threshold_num=num, threshold_den=100
+        ).collect()
+    }
+
+    q = 1_000_000
+    def qv(v):
+        return [round(x * q) for x in v]
+
+    expected = {}
+    for i, (ci, vi) in enumerate(vecs):
+        n_dup = 0
+        qi = qv(vi)
+        ni = sum(x * x for x in qi)
+        for j, (cj, vj) in enumerate(vecs):
+            if j >= i or cj != ci:
+                continue
+            qj = qv(vj)
+            nj = sum(x * x for x in qj)
+            dot = sum(a * b for a, b in zip(qi, qj))
+            if dot > 0 and 10000 * dot * dot >= num * num * ni * nj:
+                n_dup += 1
+        expected[i] = (n_dup, n_dup == 0)
+    assert got == expected

@@ -272,7 +272,13 @@ def feature_correlations(
     names = list(cols)
     if len(names) < 2:
         raise ValueError("feature_correlations: need >= 2 columns")
-    d = df.na.drop(subset=names).select(
+    # Explicit IsNotNull conjunction, NOT na.drop: na.drop compiles to
+    # AtLeastNNonNulls, which parquet cannot push — per-column
+    # IsNotNull reaches the scan's PushedFilters.
+    all_non_null = F.lit(True)
+    for c in names:
+        all_non_null = all_non_null & F.col(c).isNotNull()
+    d = df.where(all_non_null).select(
         *[F.col(c).cast(t).alias(c) for c, t in cols.items()]
     )
     aggs = [F.count(F.lit(1)).alias("n")]

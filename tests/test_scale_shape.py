@@ -386,3 +386,6 @@ def test_feature_correlations_one_scan_one_exchange(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+    # The listwise null filter must reach the scan (na.drop's
+    # AtLeastNNonNulls would not — pinned by the advisor finding).
+    assert "PushedFilters: []" not in plan

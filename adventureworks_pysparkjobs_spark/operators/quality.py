@@ -106,7 +106,12 @@ def audit_constraints(
         results.append(dupes)
 
     for fk in foreign_keys:
-        probe = df.select(*fk.cols).na.drop(subset=list(fk.cols))
+        # IsNotNull conjunction, not na.drop: na.drop plans
+        # AtLeastNNonNulls, which parquet cannot push to the scan.
+        non_null = F.lit(True)
+        for c in fk.cols:
+            non_null = non_null & F.col(c).isNotNull()
+        probe = df.select(*fk.cols).where(non_null)
         ref = fk.ref.select(
             *[
                 F.col(rc).alias(c)

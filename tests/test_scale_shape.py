@@ -389,3 +389,18 @@ def test_feature_correlations_one_scan_one_exchange(spark):
     # The listwise null filter must reach the scan (na.drop's
     # AtLeastNNonNulls would not — pinned by the advisor finding).
     assert "PushedFilters: []" not in plan
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_unreduced_single_partition_exchange(spark, name):
+    """Advisor sweep, catalog-wide: no query may funnel RAW input
+    through an Exchange SinglePartition (the driver-bottleneck class —
+    global windows/sorts without a reducer). Cartesians are covered by
+    test_no_unintended_cartesian; the unpushed-filter advisor class is
+    checked per-operator where filters are pushable (computed-column
+    filters are legitimate non-pushdowns)."""
+    from adventureworks_pysparkjobs_spark.plans.advisor import advise
+
+    df = CATALOG[name].builder(spark, SF_SMOKE)
+    flags = [code for code, _ in advise(df) if code == "single-partition"]
+    assert not flags, f"{name}: unreduced single-partition exchange"

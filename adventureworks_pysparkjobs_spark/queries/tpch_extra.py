@@ -883,3 +883,51 @@ def customer_lateral_top_orders(
         ) t
         """
     )
+
+
+@query(
+    "orders_null_safe_join",
+    oracle="""
+    WITH buckets AS (
+      SELECT CASE WHEN o_custkey % 7 = 3 THEN NULL
+                  ELSE o_custkey % 7 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    dim AS (
+      SELECT CASE WHEN i = 3 THEN NULL ELSE i END AS dk,
+             'bucket_' || CAST(i AS VARCHAR) AS label
+      FROM unnest(range(0, 7)) AS t(i)
+    )
+    SELECT d.label, b.k, b.n_orders
+    FROM buckets b JOIN dim d ON b.k IS NOT DISTINCT FROM d.dk
+    """,
+    tags=("join", "null-safe", "eqNullSafe", "semantics"),
+)
+def orders_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``eqNullSafe`` / SQL ``<=>`` /
+    ``IS NOT DISTINCT FROM``): the derived bucket key is NULL for one
+    residue class, and the null-safe condition matches it to the
+    NULL-keyed dim row where a plain equi-join would drop it. Catalyst
+    plans ``<=>`` as a hash-joinable key (Coalesce+IsNull wrapping), so
+    the join stays a broadcast/shuffled HASH join — no nested loop.
+    One keyed agg + one 7-row dim join."""
+    from ..sources.corpus import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = (
+        orders.select(
+            F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    dim = spark.range(7).select(
+        F.nullif(F.col("id"), F.lit(3)).alias("dk"),
+        F.concat(F.lit("bucket_"), F.col("id").cast("string")).alias(
+            "label"
+        ),
+    )
+    return buckets.join(dim, buckets["k"].eqNullSafe(dim["dk"])).select(
+        "label", "k", "n_orders"
+    )

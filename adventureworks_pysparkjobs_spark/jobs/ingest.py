@@ -204,3 +204,25 @@ def ingest_warc(
         dated, lake_base, schema_name, table_name,
         partition_by="crawl_date",
     )
+
+
+def ingest_warc_stream(
+    spark: SparkSession,
+    warc_path: str,
+    lake_path: str,
+    checkpoint: str,
+) -> None:
+    """Continuous crawl ingestion: stream newly-landed WARC shards into
+    the parquet lake with exactly-once checkpoint resume — re-running
+    after new shards land ingests ONLY the new shards (the offset is
+    the consumed shard set; a replayed batch re-reads exactly the files
+    between checkpointed offsets). Each availableNow run drains
+    everything new and exits, the scheduled-batch deployment shape; the
+    same code runs latency-driven with a processing-time trigger."""
+    from ..sources.warc import register_warc
+    from ..streaming.events import stream_to_parquet
+
+    register_warc(spark)
+    stream = spark.readStream.format("warc").load(warc_path)
+    dated = stream.withColumn("crawl_date", F.to_date("warc_date"))
+    stream_to_parquet(dated, lake_path, checkpoint)

@@ -210,3 +210,60 @@ class TestTransformWithState:
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, exp.collect())
         )
+
+
+class TestStreamingWarc:
+    def test_incremental_shards_exactly_once_resume(self, spark, tmp_path):
+        from adventureworks_pysparkjobs_spark.jobs.ingest import (
+            ingest_warc_stream,
+        )
+
+        shards = tmp_path / "landing"
+        shards.mkdir()
+        lake = str(tmp_path / "lake")
+        ckpt = str(tmp_path / "ckpt")
+
+        def land(name, url, payload, date):
+            with gzip.open(shards / name, "wb") as fh:
+                fh.write(_record(url, payload, date))
+
+        land("a.warc.gz", "http://s/1", b"one", "2026-03-01T10:00:00Z")
+        land("b.warc.gz", "http://s/2", b"two", "2026-03-01T11:00:00Z")
+        ingest_warc_stream(spark, str(shards), lake, ckpt)
+        first = spark.read.parquet(lake)
+        assert {r["url"] for r in first.collect()} == {
+            "http://s/1", "http://s/2",
+        }
+
+        # New shard lands; resume from the SAME checkpoint: only the
+        # new file is ingested — no duplicates of a/b.
+        land("c.warc.gz", "http://s/3", b"three", "2026-03-02T09:00:00Z")
+        ingest_warc_stream(spark, str(shards), lake, ckpt)
+        rows = spark.read.parquet(lake).collect()
+        assert sorted(r["url"] for r in rows) == [
+            "http://s/1", "http://s/2", "http://s/3",
+        ]
+        # Nothing new: a third run appends nothing.
+        ingest_warc_stream(spark, str(shards), lake, ckpt)
+        assert spark.read.parquet(lake).count() == 3
+
+    def test_stream_equals_batch_read(self, spark, tmp_path):
+        d = tmp_path / "s"
+        d.mkdir()
+        for i in range(3):
+            with gzip.open(d / f"p{i}.warc.gz", "wb") as fh:
+                fh.write(_record(f"http://e/{i}", f"x{i}".encode()))
+        register_warc(spark)
+        from adventureworks_pysparkjobs_spark.streaming.events import (
+            run_to_memory,
+        )
+
+        streamed = run_to_memory(
+            spark.readStream.format("warc").load(str(d)), "append", spark
+        )
+        batch = spark.read.format("warc").load(str(d))
+        assert sorted(
+            (r["url"], bytes(r["payload"])) for r in streamed.collect()
+        ) == sorted(
+            (r["url"], bytes(r["payload"])) for r in batch.collect()
+        )

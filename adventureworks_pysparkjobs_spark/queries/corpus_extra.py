@@ -581,3 +581,64 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_scores(
         docs, pseudo_weights(spark, 4096, "w", 1000)
     )
+
+
+@query(
+    "corpus_warc_stream_ingest",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN DATE '2026-03-01'
+                ELSE DATE '2026-03-02' END AS crawl_date,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("connector", "warc", "streaming", "exactly-once"),
+)
+def corpus_warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WARC ingestion under the oracle gate: documents export
+    as two dated WARC shard waves, `ingest_warc_stream` (checkpointed,
+    exactly-once) drains them into a parquet lake in TWO successive
+    availableNow runs — the second run sees only the late shard — and
+    the landed lake's per-crawl-date stats must reproduce the source
+    table. Exercises the DataSourceStreamReader offset protocol,
+    checkpoint resume, and the foreachBatch lake sink end-to-end."""
+    import tempfile
+
+    from ..jobs.ingest import ingest_warc_stream
+    from ..sources.warc import register_warc
+
+    register_warc(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    root = tempfile.mkdtemp(prefix="warc_stream_")
+    landing, lake, ckpt = (
+        f"{root}/landing", f"{root}/lake", f"{root}/ckpt",
+    )
+
+    def wave(parity: int, date: str):
+        (
+            docs.where(F.col("doc_id") % 2 == parity)
+            .select(
+                F.concat(
+                    F.lit("http://corpus.local/doc/"), F.col("doc_id")
+                ).alias("url"),
+                F.lit(date).cast("timestamp").alias("warc_date"),
+                F.lit("text/plain").alias("content_type"),
+                F.encode(F.col("text"), "UTF-8").alias("payload"),
+            )
+            .repartition(2)
+            .write.format("warc")
+            .mode("append")
+            .save(landing)
+        )
+        ingest_warc_stream(spark, landing, lake, ckpt)
+
+    wave(0, "2026-03-01 00:00:00")  # first shard wave + drain
+    wave(1, "2026-03-02 00:00:00")  # late wave: resume ingests only it
+    landed = spark.read.parquet(lake)
+    return landed.groupBy("crawl_date").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("content_length").cast("long").alias("n_bytes"),
+    )

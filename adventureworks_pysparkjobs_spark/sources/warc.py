@@ -195,7 +195,14 @@ class WarcWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        out = os.path.join(self.path, f"part-{pid:05d}.warc.gz")
+        # Unique shard name per write: a later append with the same
+        # partition count must never clobber an earlier wave's shards
+        # (landed shards are immutable — the streaming reader's offset
+        # contract depends on it). Record CONTENT stays deterministic
+        # (uuid5 record ids); only the shard file name is unique.
+        out = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz"
+        )
         n = 0
         with gzip.open(out, "wb") as fh:
             for row in iterator:

@@ -23,16 +23,19 @@ def pair_counts(
     min_pair_count: int = 2,
     max_basket_size: int = 200,
 ) -> DataFrame:
-    """Co-occurrence pair counts over a distinct ``(basket, item)``
-    frame: posting-list expansion (sorted per-basket item array, i<j
-    pairs exploded inside one codegen stage), capped by
-    ``max_basket_size`` so a degenerate basket cannot create a
-    quadratic candidate set. Returns (item_a, item_b, pair_n) with
-    item_a < item_b. Shared by ``basket_pairs`` (association rules)
-    and the co-purchase graph feeding ``graph.pagerank``."""
+    """Co-occurrence pair counts over a ``(basket, item)`` frame:
+    posting-list expansion (sorted per-basket item array, i<j pairs
+    exploded inside one codegen stage), capped by ``max_basket_size``
+    so a degenerate basket cannot create a quadratic candidate set.
+    Input rows MAY repeat — ``collect_set`` dedups inside the basket
+    aggregate, so callers need no upstream ``.distinct()`` (fusing the
+    dedup into the aggregate removes one full shuffle of the fact
+    frame). Returns (item_a, item_b, pair_n) with item_a < item_b.
+    Shared by ``basket_pairs`` (association rules) and the co-purchase
+    graph feeding ``graph.pagerank`` / ``graph.triangle_counts``."""
     baskets = (
         items.groupBy("basket")
-        .agg(F.array_sort(F.collect_list("item")).alias("arr"))
+        .agg(F.array_sort(F.collect_set("item")).alias("arr"))
         .filter(
             (F.size("arr") >= 2) & (F.size("arr") <= max_basket_size)
         )

@@ -293,7 +293,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("basket"),
         F.col("l_partkey").alias("item"),
-    ).distinct()
+    )  # pair_counts dedups in-aggregate: no .distinct() shuffle
     pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "pair_n"
@@ -373,7 +373,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("basket"),
         F.col("l_partkey").alias("item"),
-    ).distinct()
+    )  # pair_counts dedups in-aggregate: no .distinct() shuffle
     pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
     return triangle_counts(pairs, "item_a", "item_b").select(
         F.col("node").alias("part_key"),

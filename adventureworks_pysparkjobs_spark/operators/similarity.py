@@ -976,3 +976,115 @@ def semantic_dedup(
             F.col("n_dup_lower").isNull().alias("is_kept"),
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column with a
+    BIT-EXACT cross-engine contract — the iterative-operator family
+    (pagerank / connected components / triangles) extended to
+    clustering.
+
+    Determinism scheme: elements quantize once to integers; centroid
+    STATE is the exact integer pair (per-position sum S, member count
+    n) — never a divided mean — and the per-(vector, centroid)
+    distance is ``Σ(xi·n − S)² / (n²·q²)``: an exact DECIMAL(38,0)
+    numerator and ONE IEEE division (the ``nearest_centroid_confusion``
+    scheme), so the argmin — and therefore every assignment, every
+    iteration — is identical across engines and partitionings. Ties
+    break to the smaller centroid id. Init = the k smallest ids'
+    vectors (deterministic, SQL-expressible); a centroid that loses
+    all members keeps its previous state (documented semantic the
+    oracle mirrors).
+
+    Scale shape: the exploded corpus is cached once; per iteration one
+    join against the k×dim integer state table (AQE broadcasts it),
+    one (vid) argmin fold, one (cluster, pos) map-combined sum — all
+    keyed, O(corpus·k) work, state checkpointed per iteration (the
+    carry-over join references it twice). Returns one row per vector:
+    (id, cluster BIGINT = init vector id, dist2 DOUBLE).
+    """
+    q = F.lit(int(quant)).cast("double")
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .select(
+            "vid",
+            "pos",
+            F.round(F.col("x").cast("double") * q)
+            .cast("bigint")
+            .alias("xi"),
+        )
+        .localCheckpoint()
+    )
+    init_ids = [
+        r["vid"]
+        for r in e.select("vid").distinct().orderBy("vid").limit(k).collect()
+    ]  # k-row bounded collect: the deterministic seed set
+    state = (
+        e.where(F.col("vid").isin(init_ids))
+        .select(
+            F.col("vid").alias("cid"),
+            "pos",
+            F.col("xi").alias("s"),
+            F.lit(1).cast("long").alias("n"),
+        )
+        .localCheckpoint()
+    )
+    d19 = "decimal(19,0)"
+    for it in range(iterations):
+        term = (F.col("xi") * F.col("n") - F.col("s")).cast(d19)
+        scored = (
+            e.join(state, "pos")
+            .select("vid", "cid", "n", (term * term).alias("sq"))
+            .groupBy("vid", "cid", "n")
+            .agg(F.sum("sq").alias("d2i"))
+            .select(
+                "vid",
+                "cid",
+                (
+                    F.col("d2i").cast("double")
+                    / (F.col("n").cast("double") * F.col("n").cast("double") * q * q)
+                ).alias("dist2"),
+            )
+        )
+        assign = scored.groupBy("vid").agg(
+            F.min(F.struct("dist2", "cid")).alias("m")
+        ).select(
+            "vid",
+            F.col("m.cid").alias("cluster"),
+            F.col("m.dist2").alias("dist2"),
+        )
+        last_assign = assign
+        if it == iterations - 1:
+            break  # final assignment needs no further centroid update
+        new_state = (
+            e.join(assign.select("vid", "cluster"), "vid")
+            .groupBy(F.col("cluster").alias("cid"), "pos")
+            .agg(
+                F.sum("xi").alias("s2"), F.count("*").cast("long").alias("n2")
+            )
+        )
+        # Empty-cluster carry-over: keep the previous (s, n) where no
+        # member arrived this iteration.
+        state = (
+            state.join(new_state, ["cid", "pos"], "left")
+            .select(
+                "cid",
+                "pos",
+                F.coalesce(F.col("s2"), F.col("s")).alias("s"),
+                F.coalesce(F.col("n2"), F.col("n")).alias("n"),
+            )
+            .localCheckpoint()
+        )
+    return last_assign.select(
+        F.col("vid").alias(id_col), "cluster", "dist2"
+    )

@@ -642,3 +642,91 @@ def corpus_warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_records"),
         F.sum("content_length").cast("long").alias("n_bytes"),
     )
+
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled fixed-iteration Lloyd's k-means in ANSI SQL — one CTE
+    pair (assign, update) per iteration mirroring the Spark operator's
+    integer state exactly (operators/similarity.py kmeans_assign), the
+    pagerank-oracle pattern applied to clustering."""
+    head = f"""
+    WITH e AS (
+      SELECT vec_id AS vid, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    ids AS (SELECT DISTINCT vid FROM e ORDER BY vid LIMIT {k}),
+    c0 AS (
+      SELECT e.vid AS cid, e.pos, e.xi AS s, CAST(1 AS BIGINT) AS n
+      FROM e JOIN ids ON ids.vid = e.vid
+    )"""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    sc{i} AS (
+      SELECT e.vid, c.cid, c.n,
+             SUM(CAST(e.xi * c.n - c.s AS DECIMAL(19,0))
+                 * CAST(e.xi * c.n - c.s AS DECIMAL(19,0))) AS d2i
+      FROM e JOIN c{i - 1} c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ),
+    a{i} AS (
+      SELECT vid, cid AS cluster, dist2 FROM (
+        SELECT vid, cid,
+               CAST(d2i AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * 1000000.0 * 1000000.0) AS dist2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vid
+                 ORDER BY CAST(d2i AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * 1000000.0 * 1000000.0), cid) AS rn
+        FROM sc{i}
+      ) WHERE rn = 1
+    )""")
+        if i < iters:
+            parts.append(f""",
+    ns{i} AS (
+      SELECT a.cluster AS cid, e.pos, CAST(SUM(e.xi) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n2
+      FROM e JOIN a{i} a ON a.vid = e.vid
+      GROUP BY 1, 2
+    ),
+    c{i} AS (
+      SELECT p.cid, p.pos, COALESCE(ns.s2, p.s) AS s,
+             COALESCE(ns.n2, p.n) AS n
+      FROM c{i - 1} p
+      LEFT JOIN ns{i} ns ON ns.cid = p.cid AND ns.pos = p.pos
+    )""")
+    tail = f"""
+    SELECT vid AS vec_id, cluster, dist2 FROM a{iters}
+    """
+    return head + "".join(parts) + tail
+
+
+@query(
+    "emb_kmeans_clusters",
+    oracle=_kmeans_oracle(_KM_K, _KM_ITERS),
+    tags=("similarity", "kmeans", "iterative", "integer-exact"),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/similarity.py
+    kmeans_assign) with a bit-exact cross-engine oracle: centroid
+    state stays the exact integer (sum, count) pair, distances are one
+    IEEE division of exact DECIMAL numerators, ties break to the
+    smaller centroid id — so every assignment of every iteration is
+    engine-identical and the oracle replays all iterations in unrolled
+    SQL (the pagerank pattern applied to clustering). Per iteration:
+    one join against the k x dim state table, one argmin fold, one
+    map-combined state sum."""
+    from ..operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS
+    )

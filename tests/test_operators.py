@@ -1619,3 +1619,52 @@ class TestSemanticDedup:
             spark, [(1, [1.0, 0.0], 0), (2, [-1.0, 0.0], 0)], num=0, den=100
         )
         assert out[2][1] is True  # dot < 0 fails the dot > 0 guard
+
+
+class TestKmeansAssign:
+    def _run(self, spark, rows, k=2, iterations=3, parts=None):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            kmeans_assign,
+        )
+
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        if parts:
+            df = df.repartition(parts)
+        out = kmeans_assign(df, k=k, iterations=iterations)
+        return {r["vec_id"]: (r["cluster"], r["dist2"])
+                for r in out.collect()}
+
+    def test_two_separated_blobs(self, spark):
+        rows = (
+            [(0, [0.0, 0.1]), (1, [10.0, 10.1])]   # init: one per blob
+            + [(i, [0.2, -0.1]) for i in range(2, 6)]
+            + [(i, [10.3, 9.8]) for i in range(6, 10)]
+        )
+        out = self._run(spark, rows)
+        assert {v for i, (v, _) in out.items() if i in (0, 2, 3, 4, 5)} == {0}
+        assert {v for i, (v, _) in out.items() if i in (1, 6, 7, 8, 9)} == {1}
+
+    def test_empty_cluster_carries_over_and_reacquires(self, spark):
+        # Identical init vectors: iteration 1 ties every point to the
+        # smaller centroid id, leaving cluster 1 EMPTY — the carry-over
+        # must keep its state (no crash, no NaN), and in iteration 2
+        # the carried centroid (still at the origin) legitimately
+        # re-acquires the origin points after cluster 0 moves to the
+        # global mean. Fixed point: origin points -> 1, outlier -> 0.
+        rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])]
+        out = self._run(spark, rows)
+        assert out[0][0] == 1 and out[1][0] == 1 and out[2][0] == 0
+        assert out[0][1] == 0.0  # exact zero distance to the carried centroid
+
+    def test_partition_independent_bitwise(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)
+        ]
+        a = self._run(spark, rows, k=4)
+        b = self._run(spark, rows, k=4, parts=13)
+        assert a == b  # incl. bitwise dist2 doubles

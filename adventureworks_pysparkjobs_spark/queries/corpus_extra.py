@@ -648,7 +648,7 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
+def _kmeans_cte(k: int, iters: int) -> str:
     """Unrolled fixed-iteration Lloyd's k-means in ANSI SQL — one CTE
     pair (assign, update) per iteration mirroring the Spark operator's
     integer state exactly (operators/similarity.py kmeans_assign), the
@@ -703,10 +703,13 @@ def _kmeans_oracle(k: int, iters: int) -> str:
       FROM c{i - 1} p
       LEFT JOIN ns{i} ns ON ns.cid = p.cid AND ns.pos = p.pos
     )""")
-    tail = f"""
+    return head + "".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    return _kmeans_cte(k, iters) + f"""
     SELECT vid AS vec_id, cluster, dist2 FROM a{iters}
     """
-    return head + "".join(parts) + tail
 
 
 @query(
@@ -729,4 +732,67 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(
         emb, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS
+    )
+
+
+@query(
+    "emb_semdedup_kmeans_pipeline",
+    oracle=_kmeans_cte(_KM_K, _KM_ITERS) + f""",
+    nrm AS (
+      SELECT vid, CAST(SUM(xi * xi) AS BIGINT) AS nrm
+      FROM e GROUP BY 1
+    ),
+    ec AS (
+      SELECT e.vid, a.cluster, e.pos, e.xi
+      FROM e JOIN a{_KM_ITERS} a ON a.vid = e.vid
+    ),
+    p AS (
+      SELECT x.vid AS id_a, y.vid AS id_b, x.cluster,
+             CAST(SUM(x.xi * y.xi) AS BIGINT) AS dot
+      FROM ec x
+      JOIN ec y ON x.cluster = y.cluster AND x.pos = y.pos
+              AND x.vid < y.vid
+      GROUP BY 1, 2, 3
+    ),
+    losers AS (
+      SELECT p.id_b AS vid, CAST(COUNT(*) AS BIGINT) AS n_dup_lower
+      FROM p
+      JOIN nrm na ON na.vid = p.id_a
+      JOIN nrm nb ON nb.vid = p.id_b
+      WHERE p.dot > 0
+        AND CAST(p.dot AS HUGEINT) * p.dot * 10000
+            >= CAST(na.nrm AS HUGEINT) * nb.nrm * 1225
+      GROUP BY 1
+    )
+    SELECT a.vid AS vec_id, a.cluster,
+           COALESCE(l.n_dup_lower, 0) AS n_dup_lower,
+           l.n_dup_lower IS NULL AS is_kept
+    FROM a{_KM_ITERS} a LEFT JOIN losers l ON l.vid = a.vid
+    """,
+    tags=("similarity", "semdedup", "kmeans", "composed", "pipeline"),
+)
+def emb_semdedup_kmeans_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full SemDeDup recipe END-TO-END under one chained oracle:
+    k-means clusters the corpus (kmeans_assign, 3 exact iterations),
+    then semantic_dedup runs its within-cluster pairwise scan on the
+    LEARNED clusters instead of injected labels — two iterative/exact
+    operators composed, every intermediate bit-identical across
+    engines (the corpus_training_pipeline composed-oracle approach
+    applied to the vector surface). The pairwise cost is bounded by
+    the k-means partition: n²/k for balanced clusters."""
+    from ..operators.similarity import kmeans_assign, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_assign(
+        emb, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS
+    ).select("vec_id", "cluster")
+    return semantic_dedup(
+        emb.join(clusters, "vec_id"),
+        "vec_id",
+        "embedding",
+        "cluster",
+        threshold_num=35,
+        threshold_den=100,
     )

@@ -310,12 +310,20 @@ def feature_correlations(
         "n", F.explode(F.array(*pair_structs)).alias("p")
     ).select("n", "p.*")
     nn = F.col("n").cast("double")
-    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
-        nn - F.lit(1.0)
+    # try_divide, not /: ANSI mode errors on a zero divisor, while the
+    # cross-engine contract (DuckDB returns NULL for x/0) wants NULL
+    # on degenerate inputs — a constant column (zero variance) or a
+    # single row (n-1 = 0).
+    covar = F.try_divide(
+        F.col("sxy") - F.try_divide(F.col("sx") * F.col("sy"), nn),
+        nn - F.lit(1.0),
     )
-    pearson = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+    pearson = F.try_divide(
+        nn * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
     )
     return long.select(
         "col_a",

@@ -1668,3 +1668,80 @@ class TestKmeansAssign:
         a = self._run(spark, rows, k=4)
         b = self._run(spark, rows, k=4, parts=13)
         assert a == b  # incl. bitwise dist2 doubles
+
+
+class TestNewOperatorEdges:
+    def test_triangles_empty_edges(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        df = spark.createDataFrame([], "a int, b int")
+        assert triangle_counts(df).count() == 0
+
+    def test_kmeans_fewer_vectors_than_k(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            kmeans_assign,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r["cluster"]
+               for r in kmeans_assign(df, k=5, iterations=2).collect()}
+        # Every vector is its own centroid: identity assignment.
+        assert out == {1: 1, 2: 2}
+
+    def test_semantic_dedup_single_row(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(7, [1.0], 0)], "vec_id long, embedding array<float>, label int"
+        )
+        [r] = semantic_dedup(df).collect()
+        assert (r["vec_id"], r["n_dup_lower"], r["is_kept"]) == (7, 0, True)
+
+    def test_correlations_constant_column_yields_null(self, spark):
+        # Zero variance -> 0/0 divisor: NULL (try_divide), matching
+        # DuckDB's division-by-zero semantics — not an ANSI error and
+        # not a wrong 0.
+        from adventureworks_pysparkjobs_spark.operators.profile import (
+            feature_correlations,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+        )
+        [r] = feature_correlations(
+            df, {"x": "decimal(14,2)", "y": "decimal(14,2)"}
+        ).collect()
+        assert r["pearson_r"] is None
+        assert r["covar_samp"] == 0.0
+
+    def test_k_anonymize_empty_input(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            k_anonymize,
+        )
+
+        df = spark.createDataFrame([], "seg string, val double")
+        out = k_anonymize(
+            df, {"s": F.col("seg")}, k=2
+        )
+        assert out.count() == 0
+
+    def test_hashed_scores_empty_weights(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.lm import (
+            hashed_linear_scores,
+        )
+
+        weights = spark.createDataFrame([], "feature int, w_scaled long")
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        [r] = hashed_linear_scores(df, weights).collect()
+        assert (r["n_tokens"], r["logit_scaled"], r["is_positive"]) == (
+            3, 0, False,
+        )

@@ -645,3 +645,101 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=1000,
     )
     return D.dedup_clusters(pairs)
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id, {_TOKS} AS toks FROM documents), unnest(toks) AS t(tk)
+    ),
+    step AS (
+      SELECT CAST((MAX(doc_id) + 10) // 10 AS BIGINT) AS w FROM tok
+    ),
+    first AS (SELECT tk, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+    types AS (
+      SELECT CAST(fd // w AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM first, step GROUP BY 1
+    ),
+    occ AS (
+      SELECT CAST(doc_id // w AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok, step GROUP BY 1
+    ),
+    buckets AS (
+      SELECT CAST(i AS BIGINT) AS bucket FROM unnest(range(0, 10)) AS t(i)
+    )
+    SELECT b.bucket,
+           COALESCE(t.new_types, 0) AS new_types,
+           CAST(SUM(COALESCE(t.new_types, 0))
+                OVER (ORDER BY b.bucket) AS BIGINT) AS vocab_size,
+           COALESCE(o.n_tokens, 0) AS n_tokens,
+           CAST(SUM(COALESCE(o.n_tokens, 0))
+                OVER (ORDER BY b.bucket) AS BIGINT) AS tokens_cum
+    FROM buckets b
+    LEFT JOIN types t ON t.b = b.bucket
+    LEFT JOIN occ o ON o.b = b.bucket
+    """,
+    tags=("text", "vocabulary", "heaps-law", "corpus-stats"),
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: the corpus in 10 doc-id
+    buckets, with new distinct tokens per bucket and the cumulative
+    vocabulary vs cumulative token count — the saturation diagnostic a
+    corpus team reads before deciding more raw data is worth crawling.
+    Each token's first occurrence is a map-combined MIN; bucket counts
+    are two keyed aggs; the cumulative window runs over the 10-row
+    output (upstream fully reduced, so no raw single-partition
+    funnel). All integer-exact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("tk"),
+    )
+    step = toks.agg(
+        F.expr("cast((max(doc_id) + 10) div 10 as bigint)").alias("w")
+    )
+    first = toks.groupBy("tk").agg(F.min("doc_id").alias("fd"))
+    types = (
+        first.crossJoin(F.broadcast(step))  # 1-row frame
+        .select(F.expr("fd div w").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    occ = (
+        toks.crossJoin(F.broadcast(step))  # 1-row frame
+        .select(F.expr("doc_id div w").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    buckets = spark.range(10).select(F.col("id").alias("bucket"))
+    w10 = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        buckets.join(types, buckets["bucket"] == types["b"], "left")
+        .drop("b")
+        .join(occ, buckets["bucket"] == occ["b"], "left")
+        .drop("b")
+        .select(
+            "bucket",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w10)
+            .cast("long")
+            .alias("vocab_size"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.sum(F.coalesce("n_tokens", F.lit(0)))
+            .over(w10)
+            .cast("long")
+            .alias("tokens_cum"),
+        )
+    )

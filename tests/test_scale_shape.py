@@ -25,6 +25,7 @@ CROSS_OK = {
     "doc_dsir_weights",  # two 1-row feature-total broadcast crosses
     "corpus_collocations",  # 1-row corpus-word-total broadcast cross
     "doc_quality_quartiles",  # 1-row total-count broadcast cross
+    "corpus_vocab_growth",  # two 1-row bucket-width broadcast crosses
     "customer_rfm_segments",  # three 1-row quartile-total broadcast crosses
 
     "emb_cosine_topk",

@@ -74,8 +74,12 @@ def advise(df: DataFrame) -> list[tuple[str, str]]:
             )
         )
 
-    # single-partition exchanges: walk each, look DOWN the subtree for a
-    # cardinality reducer before the next scan
+    # single-partition exchanges: walk each, look DOWN the WHOLE
+    # subtree — flag only when a scan exists with NO cardinality
+    # reducer anywhere below the exchange. (Walking to the first
+    # scan-or-reducer in print order misfires on multi-branch plans:
+    # a bounded Range branch of a join prints before the aggregated
+    # branch that actually feeds the exchange.)
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
@@ -90,7 +94,6 @@ def advise(df: DataFrame) -> list[tuple[str, str]]:
                 break
             if "Scan " in sub or "Range " in sub:
                 scan_seen = True
-                break
         if scan_seen and not reduced:
             findings.append(
                 (

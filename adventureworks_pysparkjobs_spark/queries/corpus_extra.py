@@ -737,6 +737,7 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_semdedup_kmeans_pipeline",
+    bench=True,
     oracle=_kmeans_cte(_KM_K, _KM_ITERS) + f""",
     nrm AS (
       SELECT vid, CAST(SUM(xi * xi) AS BIGINT) AS nrm

@@ -493,3 +493,77 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         k=5,
     )
+
+
+@query(
+    "customer_entity_resolution",
+    oracle="""
+    WITH RECURSIVE blocked AS (
+      SELECT c_custkey AS fid, c_name AS fname,
+             substr(c_name, 1, length(c_name) - 2) || ':'
+               || CAST(length(c_name) AS VARCHAR) AS blk
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.fid AS id1, b.fid AS id2
+      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.fid < b.fid
+      WHERE levenshtein(a.fname, b.fname) <= 1
+    ),
+    e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM e
+      UNION
+      SELECT e.dst, cc.lbl FROM cc JOIN e ON cc.node = e.src
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node),
+    asg AS (
+      SELECT c.c_custkey,
+             COALESCE(comp.cluster_id, c.c_custkey) AS entity_id,
+             c.c_name,
+             CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey
+    )
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           arg_min(c_name, c_custkey) AS canonical_name,
+           CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+    FROM asg GROUP BY 1
+    """,
+    tags=("governance", "entity-resolution", "golden-record", "composed"),
+)
+def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the MDM golden-record build:
+    blocked fuzzy matching (edit distance <= 1) finds duplicate
+    identities, connected components (dedup_clusters min-label
+    propagation with pointer jumping) groups transitive chains, and
+    one aggregate per entity emits the survivor record (canonical name
+    = min-key member via min_by, exact-decimal balance rollup).
+    Singleton customers resolve to themselves through the left join.
+    The oracle replays the chain with a recursive CTE."""
+    from ..operators.dedup import dedup_clusters
+    from ..operators.relational import dec, fuzzy_match_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_match_pairs(
+        cust, "c_custkey", "c_name", block_suffix_chars=2, max_distance=1
+    )
+    clusters = dedup_clusters(pairs.select("id1", "id2"))
+    id_col = clusters.columns[0]  # node id column of the CC output
+    asg = cust.join(
+        clusters.select(
+            F.col(id_col).alias("c_custkey"), "cluster_id"
+        ),
+        "c_custkey",
+        "left",
+    ).select(
+        F.coalesce("cluster_id", "c_custkey").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        dec("c_acctbal", 12, 2).alias("bal"),
+    )
+    return asg.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min_by("c_name", "c_custkey").alias("canonical_name"),
+        F.sum("bal").cast("double").alias("total_acctbal"),
+    )

@@ -281,13 +281,19 @@ def feature_correlations(
     d = df.where(all_non_null).select(
         *[F.col(c).cast(t).alias(c) for c, t in cols.items()]
     )
+    # decimal->double via exact string render + correctly-rounded parse
+    # (a direct cast is one ULP off in DuckDB on large scale-4 sums —
+    # see grouped_ols below).
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in names:
-        aggs.append(F.sum(F.col(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c)).cast("string").cast("double").alias(f"s_{c}")
+        )
     for i, x in enumerate(names):
         for y in names[i:]:
             aggs.append(
                 F.sum(F.col(x) * F.col(y))
+                .cast("string")
                 .cast("double")
                 .alias(f"p_{x}_{y}")
             )
@@ -331,4 +337,87 @@ def feature_correlations(
         F.col("n").cast("long").alias("n_rows"),
         covar.alias("covar_samp"),
         pearson.alias("pearson_r"),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_type: str = "decimal(14,2)",
+    y_type: str = "decimal(14,2)",
+) -> DataFrame:
+    """Per-group simple least-squares regression (the ANSI ``REGR_*``
+    family: slope, intercept, r²) in ONE scan-pass aggregate.
+
+    The five moments (n, Σx, Σy, Σx², Σxy, Σy²) accumulate in exact
+    decimal arithmetic — partition-order-independent where raw double
+    sums are not — and every reported double is one closed-form IEEE
+    expression over the moment sums cast to double, so the output is
+    bit-identical across engines and partitionings (catalog.py rules
+    1-2). ``try_divide`` (not ``/``) yields NULL on the degenerate
+    groups (n < 2 or zero x-variance), matching DuckDB's NULL-on-zero
+    division.
+
+    Scale: one hash aggregate on the grouping key — the shuffle moves
+    one 6-cell partial row per (group, partition); the regression
+    arithmetic runs on the aggregated rows only. No window, no second
+    pass, no driver collect. Rows with a NULL in x or y are dropped via
+    an explicit IsNotNull conjunction (reaches the parquet scan's
+    PushedFilters; ``na.drop`` would plan unpushable AtLeastNNonNulls).
+    """
+    d = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(x_col).cast(x_type).alias("_x"),
+        F.col(y_col).cast(y_type).alias("_y"),
+    )
+    # Decimal sums become doubles via an exact string render + one
+    # correctly-rounded parse. A direct decimal->double cast is NOT
+    # portable: DuckDB converts the unscaled int128 then divides by
+    # 10^scale, which can land one ULP off the correctly-rounded value
+    # Spark's BigDecimal.doubleValue() produces (observed on scale-4
+    # sums ~7e12). String parse is correctly rounded in both engines.
+    def d2d(c):  # decimal -> double, engine-portable
+        return c.cast("string").cast("double")
+
+    s = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        d2d(F.sum("_x")).alias("sx"),
+        d2d(F.sum("_y")).alias("sy"),
+        d2d(F.sum(F.col("_x") * F.col("_x"))).alias("sxx"),
+        d2d(F.sum(F.col("_x") * F.col("_y"))).alias("sxy"),
+        d2d(F.sum(F.col("_y") * F.col("_y"))).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    slope = F.try_divide(
+        nn * F.col("sxy") - F.col("sx") * F.col("sy"),
+        nn * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    # intercept references the *materialized* slope column so both
+    # engines evaluate the identical expression tree over it.
+    with_slope = s.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n_rows"),
+        "sx", "sy", "sxx", "sxy", "syy",
+        slope.alias("slope"),
+    )
+    nn2 = F.col("n_rows").cast("double")
+    intercept = F.try_divide(
+        F.col("sy") - F.col("slope") * F.col("sx"), nn2
+    )
+    r2 = F.try_divide(
+        (nn2 * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (nn2 * F.col("sxy") - F.col("sx") * F.col("sy")),
+        (nn2 * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nn2 * F.col("syy") - F.col("sy") * F.col("sy")),
+    )
+    return with_slope.select(
+        *group_cols,
+        "n_rows",
+        F.col("slope").alias("regr_slope"),
+        intercept.alias("regr_intercept"),
+        r2.alias("regr_r2"),
     )

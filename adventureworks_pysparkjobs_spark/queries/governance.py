@@ -392,20 +392,20 @@ def customer_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(q) AS DOUBLE) AS s_q,
-             CAST(SUM(e) AS DOUBLE) AS s_e,
-             CAST(SUM(dc) AS DOUBLE) AS s_d,
-             CAST(SUM(tx) AS DOUBLE) AS s_t,
-             CAST(SUM(q * q) AS DOUBLE) AS p_qq,
-             CAST(SUM(e * e) AS DOUBLE) AS p_ee,
-             CAST(SUM(dc * dc) AS DOUBLE) AS p_dd,
-             CAST(SUM(tx * tx) AS DOUBLE) AS p_tt,
-             CAST(SUM(q * e) AS DOUBLE) AS p_qe,
-             CAST(SUM(q * dc) AS DOUBLE) AS p_qd,
-             CAST(SUM(q * tx) AS DOUBLE) AS p_qt,
-             CAST(SUM(e * dc) AS DOUBLE) AS p_ed,
-             CAST(SUM(e * tx) AS DOUBLE) AS p_et,
-             CAST(SUM(dc * tx) AS DOUBLE) AS p_dt
+             CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS s_q,
+             CAST(CAST(SUM(e) AS VARCHAR) AS DOUBLE) AS s_e,
+             CAST(CAST(SUM(dc) AS VARCHAR) AS DOUBLE) AS s_d,
+             CAST(CAST(SUM(tx) AS VARCHAR) AS DOUBLE) AS s_t,
+             CAST(CAST(SUM(q * q) AS VARCHAR) AS DOUBLE) AS p_qq,
+             CAST(CAST(SUM(e * e) AS VARCHAR) AS DOUBLE) AS p_ee,
+             CAST(CAST(SUM(dc * dc) AS VARCHAR) AS DOUBLE) AS p_dd,
+             CAST(CAST(SUM(tx * tx) AS VARCHAR) AS DOUBLE) AS p_tt,
+             CAST(CAST(SUM(q * e) AS VARCHAR) AS DOUBLE) AS p_qe,
+             CAST(CAST(SUM(q * dc) AS VARCHAR) AS DOUBLE) AS p_qd,
+             CAST(CAST(SUM(q * tx) AS VARCHAR) AS DOUBLE) AS p_qt,
+             CAST(CAST(SUM(e * dc) AS VARCHAR) AS DOUBLE) AS p_ed,
+             CAST(CAST(SUM(e * tx) AS VARCHAR) AS DOUBLE) AS p_et,
+             CAST(CAST(SUM(dc * tx) AS VARCHAR) AS DOUBLE) AS p_dt
       FROM d
     ),
     p AS (
@@ -455,6 +455,70 @@ def lineitem_feature_correlations(
             "l_discount": "decimal(14,2)",
             "l_tax": "decimal(14,2)",
         },
+    )
+
+
+@query(
+    "part_brand_price_regression",
+    oracle="""
+    WITH d AS (
+      SELECT p.p_brand AS p_brand,
+             CAST(l.l_quantity AS DECIMAL(14,2)) AS x,
+             CAST(l.l_extendedprice AS DECIMAL(14,2)) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL
+    ),
+    s AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM d GROUP BY p_brand
+    ),
+    w AS (
+      SELECT p_brand, n AS n_rows, sx, sy, sxx, sxy, syy,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+      FROM s
+    )
+    SELECT p_brand, n_rows,
+           slope AS regr_slope,
+           (sy - slope * sx) / CAST(n_rows AS DOUBLE) AS regr_intercept,
+           ((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+            * (CAST(n_rows AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS regr_r2
+    FROM w
+    """,
+    tags=("regression", "regr-family", "one-pass", "broadcast-join"),
+)
+def part_brand_price_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANSI ``REGR_*`` family: per-brand least-squares regression of
+    line price on quantity (slope, intercept, r²) via
+    operators/profile.py:grouped_ols. Moments accumulate as exact
+    decimals in one hash aggregate; each double is a closed-form IEEE
+    expression over the sums, so all 25 brand rows are bit-identical to
+    the oracle. part is a broadcast dimension join (the fact never
+    shuffles for it); the only exchange is the 25-key group-by carrying
+    6-cell partials."""
+    from ..operators.profile import grouped_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+        "inner",
+    )
+    return grouped_ols(
+        joined,
+        ["p_brand"],
+        x_col="l_quantity",
+        y_col="l_extendedprice",
     )
 
 

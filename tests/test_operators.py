@@ -1576,6 +1576,59 @@ class TestFeatureCorrelations:
             feature_correlations(df, {"x": "decimal(14,2)"})
 
 
+class TestGroupedOLS:
+    def _run(self, spark, rows):
+        from adventureworks_pysparkjobs_spark.operators.profile import (
+            grouped_ols,
+        )
+
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = grouped_ols(df, ["g"], "x", "y")
+        return {r["g"]: r for r in out.collect()}
+
+    def test_exact_lines_per_group(self, spark):
+        rows = [("a", float(i), 2.0 * i + 1) for i in range(10)]
+        rows += [("b", float(i), -3.0 * i + 5) for i in range(8)]
+        out = self._run(spark, rows)
+        assert out["a"]["regr_slope"] == pytest.approx(2.0)
+        assert out["a"]["regr_intercept"] == pytest.approx(1.0)
+        assert out["a"]["regr_r2"] == pytest.approx(1.0)
+        assert out["b"]["regr_slope"] == pytest.approx(-3.0)
+        assert out["b"]["regr_intercept"] == pytest.approx(5.0)
+        assert out["a"]["n_rows"] == 10 and out["b"]["n_rows"] == 8
+
+    def test_matches_numpy_lstsq(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        xs = np.round(rng.uniform(0, 100, 60), 2)
+        ys = np.round(3.5 * xs + rng.normal(0, 10, 60), 2)
+        rows = [("g", float(a), float(b)) for a, b in zip(xs, ys)]
+        out = self._run(spark, rows)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0][1]
+        assert out["g"]["regr_slope"] == pytest.approx(slope, rel=1e-9)
+        assert out["g"]["regr_intercept"] == pytest.approx(
+            intercept, rel=1e-9
+        )
+        assert out["g"]["regr_r2"] == pytest.approx(r * r, rel=1e-9)
+
+    def test_degenerate_groups_yield_null(self, spark):
+        rows = [
+            ("single", 1.0, 2.0),              # n = 1
+            ("flatx", 4.0, 1.0), ("flatx", 4.0, 9.0),  # zero x-variance
+        ]
+        out = self._run(spark, rows)
+        assert out["single"]["regr_slope"] is None
+        assert out["flatx"]["regr_slope"] is None
+        assert out["flatx"]["regr_r2"] is None
+
+    def test_null_rows_dropped(self, spark):
+        rows = [("g", 1.0, 2.0), ("g", None, 9.0), ("g", 3.0, 6.0)]
+        out = self._run(spark, rows)
+        assert out["g"]["n_rows"] == 2
+
+
 class TestSemanticDedup:
     def _run(self, spark, rows, num=95, den=100):
         from adventureworks_pysparkjobs_spark.operators.similarity import (

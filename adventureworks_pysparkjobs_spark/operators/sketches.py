@@ -74,3 +74,82 @@ def sketch_distinct_rollup(
         "exact_distinct",
         ok.alias("estimate_ok"),
     )
+
+
+def _cms_bucket(col, row: int, width: int):
+    """Deterministic hash-row bucket: first 8 hex chars of
+    md5("{row}|" + key) as an integer, mod width. Engine-portable: the
+    DuckDB twin is ``CAST('0x' || substr(md5(...),1,8) AS BIGINT) %
+    width`` (both parse ≤ 2^32−1, no sign issues)."""
+    h = F.md5(F.concat(F.lit(f"{row}|"), col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of a key column: a ``depth`` × ``width`` counter
+    grid as a DataFrame (h, bucket, c).
+
+    The 100 TB shape: the grid is FIXED-SIZE (depth·width cells) no
+    matter the key cardinality, and it is mergeable — grids from two
+    corpora/partitions sum cell-wise, so the sketch maintains itself
+    incrementally where an exact frequency table is vocabulary-sized
+    (1e8–1e9 rows on web text). Each input row expands to ``depth``
+    (h, bucket) pairs map-side and partial aggregation collapses them
+    before the shuffle, which therefore carries at most depth·width
+    partial cells per partition — O(1) in the row count.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"),
+                        _cms_bucket(F.col(col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.h", "p.bucket")
+    return pairs.groupBy("h", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate counts for ``keys[col]`` from a ``cms_build``
+    grid: min over the ``depth`` hash rows of the key's cell — the
+    classic CMS upper bound (never underestimates; overestimates only
+    by hash collisions, P[err > 2N/width] < 2^-depth).
+
+    Scale: keys expand ×depth, equi-join the bounded grid (≤
+    depth·width rows — AQE broadcasts it), then a min per key. The
+    corpus itself is never rescanned: estimation cost is O(|keys|),
+    which is the point of carrying the sketch.
+    """
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"),
+                        _cms_bucket(F.col(col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(col, "p.h", "p.bucket")
+    joined = probes.join(sketch, ["h", "bucket"], "left").select(
+        col, F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy(col).agg(F.min("c").alias("cms_count"))

@@ -797,3 +797,74 @@ def emb_semdedup_kmeans_pipeline(
         threshold_num=35,
         threshold_den=100,
     )
+
+
+@query(
+    "corpus_heavy_terms_cms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.tk FROM
+        (SELECT {_TOKS} AS toks FROM documents), unnest(toks) AS t(tk)
+    ),
+    hs AS (SELECT unnest([0, 1, 2, 3]) AS h),
+    grid AS (
+      SELECT hs.h,
+             CAST('0x' || substr(md5(CAST(hs.h AS VARCHAR) || '|' || tok.tk),
+                                 1, 8) AS BIGINT) % 1024 AS bucket,
+             COUNT(*) AS c
+      FROM tok, hs GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT tk AS token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM tok GROUP BY tk
+      ORDER BY exact_n DESC, token LIMIT 50
+    ),
+    probes AS (
+      SELECT c.token, c.exact_n, hs.h,
+             CAST('0x' || substr(md5(CAST(hs.h AS VARCHAR) || '|' || c.token),
+                                 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM cand c, hs
+    )
+    SELECT p.token, p.exact_n,
+           CAST(MIN(COALESCE(g.c, 0)) AS BIGINT) AS cms_n,
+           MIN(COALESCE(g.c, 0)) >= p.exact_n AS no_underestimate
+    FROM probes p LEFT JOIN grid g ON g.h = p.h AND g.bucket = p.bucket
+    GROUP BY p.token, p.exact_n
+    """,
+    tags=("sketch", "count-min", "heavy-hitters", "mergeable"),
+)
+def corpus_heavy_terms_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit over the corpus vocabulary
+    (operators/sketches.py:cms_build/cms_estimate): a fixed-size 4×1024
+    mergeable counter grid replaces the vocabulary-sized exact frequency
+    table, and the top-50 terms' sketch estimates are checked against
+    their exact counts (``no_underestimate`` is the CMS guarantee —
+    estimates only ever exceed truth, by hash collisions).
+
+    Scale: the grid is O(depth·width) regardless of vocabulary size and
+    sums cell-wise across corpus shards; partial aggregation bounds the
+    build shuffle at depth·width cells per partition. Estimation joins
+    the bounded grid (AQE broadcasts it) — the corpus is never
+    rescanned per probe. The exact-count branch exists only for the
+    audit at test scale; production keeps the grid alone. Hashes are
+    the engine-portable md5-hex-prefix idiom, bit-identical in DuckDB.
+    """
+    from ..operators.sketches import cms_build, cms_estimate
+
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(F.explode(TX.tokens("text")).alias("token"))
+    grid = cms_build(tok, "token", depth=4, width=1024)
+    cand = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token"))
+        .limit(50)
+    )
+    est = cms_estimate(grid, cand.select("token"), "token", depth=4,
+                       width=1024)
+    return cand.join(est, "token").select(
+        "token",
+        "exact_n",
+        F.col("cms_count").cast("long").alias("cms_n"),
+        (F.col("cms_count") >= F.col("exact_n")).alias("no_underestimate"),
+    )

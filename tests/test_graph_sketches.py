@@ -211,3 +211,60 @@ class TestTriangleCounts:
             for r in triangle_counts(df).collect()
         }
         assert a == b
+
+
+class TestCountMinSketch:
+    def _grid(self, spark, values, depth=4, width=64):
+        from adventureworks_pysparkjobs_spark.operators.sketches import (
+            cms_build,
+        )
+
+        df = spark.createDataFrame([(v,) for v in values], "k string")
+        return cms_build(df, "k", depth=depth, width=width)
+
+    def test_never_underestimates_and_exact_on_sparse(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.sketches import (
+            cms_estimate,
+        )
+
+        # zipf-ish skew: "hot" appears 50x, tail singletons
+        values = ["hot"] * 50 + [f"tail{i}" for i in range(30)]
+        grid = self._grid(spark, values, depth=4, width=64)
+        keys = spark.createDataFrame(
+            [("hot",), ("tail3",), ("absent",)], "k string"
+        )
+        est = {
+            r["k"]: r["cms_count"]
+            for r in cms_estimate(grid, keys, "k", depth=4,
+                                  width=64).collect()
+        }
+        assert est["hot"] >= 50
+        assert est["tail3"] >= 1
+        assert est["absent"] >= 0  # may collide, never negative
+
+    def test_grid_bounded_by_depth_times_width(self, spark):
+        grid = self._grid(
+            spark, [f"v{i}" for i in range(500)], depth=4, width=32
+        )
+        assert grid.count() <= 4 * 32
+        # total mass per hash row == row count
+        per_row = {
+            r["h"]: r["s"]
+            for r in grid.groupBy("h").agg(
+                F.sum("c").alias("s")
+            ).collect()
+        }
+        assert per_row == {0: 500, 1: 500, 2: 500, 3: 500}
+
+    def test_mergeable_cellwise(self, spark):
+        a = ["x"] * 5 + ["y"] * 3
+        b = ["x"] * 2 + ["z"] * 7
+        whole = self._grid(spark, a + b)
+        parts = (
+            self._grid(spark, a)
+            .unionByName(self._grid(spark, b))
+            .groupBy("h", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        key = lambda rows: {(r["h"], r["bucket"]): r["c"] for r in rows}
+        assert key(whole.collect()) == key(parts.collect())

@@ -444,3 +444,87 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size (PPS) sampling:
+    draw ``k`` picks where each row's expected pick count is
+    k·w/W (classic survey-sampling systematic selection over the
+    cumulative-weight line). The training-data use: sample documents
+    proportional to an integer quality/length weight without the
+    rejection loops or transcendental keys (``u^(1/w)``) that break
+    bit-determinism across engines.
+
+    Fully integer-exact and deterministic: rows are laid on the weight
+    line in md5-shuffled order (salted hash of the id, then the id — a
+    unique total order, rule 4), and row i is picked
+    ``floor(k·cum_i/W) − floor(k·(cum_i−w_i)/W)`` times — computed in
+    DECIMAL(38,0)·div arithmetic, which is exact in Spark and mirrors
+    DuckDB HUGEINT ``//`` (no double ever enters the decision).
+    Σ n_picks = k by telescoping; a row with w > W/k can be picked
+    more than once (reported in ``n_picks``, standard PPS semantics).
+
+    Scale shape (the assign_row_ids pattern): the global cumulative sum
+    is NOT a single-partition window — the frame range-partitions on
+    the sort key, each partition cumsums locally, and per-partition
+    weight totals (one bounded collect of #partitions rows) become
+    broadcast offsets. Weights must be non-negative integers.
+
+    Returns the picked rows: (id, weight, n_picks).
+    """
+    hkey = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ).alias("_hkey")
+    w_long = F.col(weight_col).cast("long").alias("_w")
+    base = df.select(F.col(id_col), w_long, hkey)
+    sorted_df = base.orderBy("_hkey", id_col).localCheckpoint()
+    withpid = sorted_df.select(
+        "*", F.spark_partition_id().alias("_pid")
+    )
+    sizes = sorted(
+        (r["_pid"], r["s"])
+        for r in withpid.groupBy("_pid")
+        .agg(F.sum("_w").alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for p, s in sizes:
+        offsets.append((p, acc))
+        acc += int(s or 0)
+    total_w = acc
+    if total_w <= 0:
+        raise ValueError("pps_systematic_sample: total weight must be > 0")
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _offset long"
+    )
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy("_hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("_offset") + F.sum("_w").over(win)).alias("_cum")
+    laid = withpid.join(F.broadcast(off_df), "_pid").select(
+        id_col, "_w", cum
+    )
+    kd = f"CAST({int(k)} AS DECIMAL(38,0))"
+    wd = f"CAST({int(total_w)} AS DECIMAL(38,0))"
+    picks = F.expr(
+        f"({kd} * CAST(_cum AS DECIMAL(38,0))) div {wd}"
+    ) - F.expr(
+        f"({kd} * CAST(_cum - _w AS DECIMAL(38,0))) div {wd}"
+    )
+    return (
+        laid.withColumn("n_picks", picks)
+        .filter(F.col("n_picks") >= 1)
+        .select(
+            id_col,
+            F.col("_w").alias(weight_col),
+            F.col("n_picks").cast("long").alias("n_picks"),
+        )
+    )

@@ -868,3 +868,53 @@ def corpus_heavy_terms_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_count").cast("long").alias("cms_n"),
         (F.col("cms_count") >= F.col("exact_n")).alias("no_underestimate"),
     )
+
+
+@query(
+    "doc_pps_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS weight,
+             md5('pps' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    tot AS (SELECT SUM(weight) AS tw FROM w),
+    c AS (
+      SELECT doc_id, weight,
+             SUM(weight) OVER (
+               ORDER BY hkey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM w
+    )
+    SELECT doc_id, weight,
+           CAST((CAST(100 AS HUGEINT) * cum) // tw
+                - (CAST(100 AS HUGEINT) * (cum - weight)) // tw
+                AS BIGINT) AS n_picks
+    FROM c, tot
+    WHERE (CAST(100 AS HUGEINT) * cum) // tw
+          - (CAST(100 AS HUGEINT) * (cum - weight)) // tw >= 1
+    """,
+    tags=("sampling", "pps", "weighted", "integer-exact"),
+)
+def doc_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: k=100 systematic PPS picks with
+    token count as the weight (operators/sampling.py:
+    pps_systematic_sample) — longer documents are proportionally more
+    likely, expected picks = k·w/W, Σ n_picks = k exactly. The pick
+    decision is pure DECIMAL·div integer arithmetic over an
+    md5-shuffled cumulative-weight line, so selection is bit-identical
+    to the oracle (no u^(1/w) transcendental keys). The global cumsum
+    uses the assign_row_ids shape — range-partitioned sort,
+    per-partition windows, broadcast offsets — never a single-partition
+    window."""
+    from ..operators.sampling import pps_systematic_sample
+
+    doc = load_table(spark, sf_dir, "documents")
+    weighted = doc.select(
+        "doc_id", TX.token_count("text").cast("long").alias("weight")
+    )
+    return pps_systematic_sample(
+        weighted, "doc_id", "weight", k=100, salt="pps"
+    )

@@ -1576,6 +1576,51 @@ class TestFeatureCorrelations:
             feature_correlations(df, {"x": "decimal(14,2)"})
 
 
+class TestPPSSystematicSample:
+    def _sample(self, spark, rows, k, parts=None):
+        from adventureworks_pysparkjobs_spark.operators.sampling import (
+            pps_systematic_sample,
+        )
+
+        df = spark.createDataFrame(rows, "id long, w long")
+        if parts:
+            df = df.repartition(parts)
+        return {
+            r["id"]: r["n_picks"]
+            for r in pps_systematic_sample(df, "id", "w", k=k).collect()
+        }
+
+    def test_total_picks_is_exactly_k(self, spark):
+        rows = [(i, (i % 7) + 1) for i in range(200)]
+        out = self._sample(spark, rows, k=40)
+        assert sum(out.values()) == 40
+
+    def test_partition_independent(self, spark):
+        rows = [(i, (i * 13) % 11 + 1) for i in range(150)]
+        assert self._sample(spark, rows, k=25) == self._sample(
+            spark, rows, k=25, parts=17
+        )
+
+    def test_heavy_row_always_picked_zero_never(self, spark):
+        # one row holds > W/k weight -> must be picked (>= 1 time);
+        # zero-weight rows can never be picked.
+        rows = [(0, 1000)] + [(i, 1) for i in range(1, 50)] + [(99, 0)]
+        out = self._sample(spark, rows, k=10)
+        assert out[0] >= 1
+        assert 99 not in out
+        # expected picks for the heavy row ~ k*w/W = 10*1000/1049 ~ 9
+        assert out[0] >= 8
+
+    def test_total_weight_zero_raises(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.sampling import (
+            pps_systematic_sample,
+        )
+
+        df = spark.createDataFrame([(1, 0), (2, 0)], "id long, w long")
+        with pytest.raises(ValueError):
+            pps_systematic_sample(df, "id", "w", k=5)
+
+
 class TestGroupedOLS:
     def _run(self, spark, rows):
         from adventureworks_pysparkjobs_spark.operators.profile import (

@@ -182,3 +182,62 @@ def k_anonymize(
     keep = audit.where(F.col("is_k_anonymous")).select(*quasi_identifiers)
     named = [expr.alias(name) for name, expr in quasi_identifiers.items()]
     return df.select("*", *named).join(keep, list(quasi_identifiers))
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), pinned as
+# literals (shared with the SQL oracle verbatim) so no engine evaluates
+# a transcendental at runtime — the audit arithmetic stays bit-portable.
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829993, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame, col: str, tol: float = 0.02
+) -> DataFrame:
+    """First-digit (Benford's-law) distribution audit of a positive
+    numeric column — the classic fabricated-data / unit-drift smell
+    test for financial measures. Returns one row per digit 1-9:
+    (digit, n_obs, frac_obs, benford_p, within_tol).
+
+    Counting is exact (first character of the canonical decimal
+    rendering; rows ≤ 0 or null are excluded), ``frac_obs`` is one IEEE
+    division of identical integer operands, and the expected
+    probabilities are pinned literals — nothing order- or
+    engine-dependent anywhere. One conditional-count aggregate over one
+    scan; the 9-row result joins a 9-row literal frame. A fabricated or
+    re-scaled column shows up as ``within_tol = false`` digits.
+    """
+    first = F.substring(
+        F.col(col).cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(F.col(col).isNotNull() & (F.col(col) > 0))
+        .select(first.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        sorted(BENFORD_P.items()), "digit int, benford_p double"
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    frac = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))  # 1-row frame
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.coalesce(frac, F.lit(0.0)).alias("frac_obs"),
+            "benford_p",
+            (
+                F.abs(F.coalesce(frac, F.lit(0.0)) - F.col("benford_p"))
+                <= F.lit(tol)
+            ).alias("within_tol"),
+        )
+    )

@@ -631,3 +631,50 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_name", "c_custkey").alias("canonical_name"),
         F.sum("bal").cast("double").alias("total_acctbal"),
     )
+
+
+@query(
+    "orders_benford_audit",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM cnt),
+    exp AS (
+      SELECT * FROM (VALUES
+        (1, CAST('0.3010299956639812' AS DOUBLE)), (2, CAST('0.17609125905568124' AS DOUBLE)),
+        (3, CAST('0.12493873660829993' AS DOUBLE)), (4, CAST('0.09691001300805642' AS DOUBLE)),
+        (5, CAST('0.07918124604762482' AS DOUBLE)), (6, CAST('0.06694678963061322' AS DOUBLE)),
+        (7, CAST('0.05799194697768673' AS DOUBLE)), (8, CAST('0.05115252244738129' AS DOUBLE)),
+        (9, CAST('0.04575749056067514' AS DOUBLE))) AS t(digit, benford_p)
+    )
+    SELECT e.digit,
+           CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+           COALESCE(CAST(c.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE),
+                    0.0) AS frac_obs,
+           e.benford_p,
+           abs(COALESCE(CAST(c.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE),
+                        0.0) - e.benford_p) <= 0.02 AS within_tol
+    FROM exp e LEFT JOIN cnt c ON c.digit = e.digit, tot t
+    """,
+    tags=("governance", "benford", "fraud", "distribution-audit"),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of o_totalprice
+    (operators/quality.py:benford_audit): exact digit counts from one
+    conditional-count aggregate; expected probabilities are pinned
+    log10(1+1/d) literals shared verbatim with the oracle, so no engine
+    evaluates a transcendental at runtime and every row is bit-exact.
+    TPC-H totalprice is a sum of uniform draws, so some digits land
+    outside Benford tolerance — the audit must REPORT that (a boolean
+    column that is always true proves nothing). One scan, one 9-key
+    agg, a 1-row total broadcast cross."""
+    from ..operators.quality import benford_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_audit(orders, "o_totalprice", tol=0.02)

@@ -422,3 +422,39 @@ class TestKAnonymity:
 
         with pytest.raises(ValueError):
             k_anonymity_audit(self._df(spark), self._qi(), k=1)
+
+
+class TestBenfordAudit:
+    def _audit(self, spark, values, tol=0.02):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            benford_audit,
+        )
+
+        df = spark.createDataFrame([(float(v),) for v in values], "x double")
+        return {r["digit"]: r for r in benford_audit(df, "x", tol).collect()}
+
+    def test_benford_like_data_within_tol(self, spark):
+        # geometric growth 1.05^i cycles first digits Benford-like
+        out = self._audit(spark, [1.05**i for i in range(400)], tol=0.03)
+        assert all(out[d]["within_tol"] for d in range(1, 10))
+        assert sum(out[d]["n_obs"] for d in range(1, 10)) == 400
+
+    def test_uniform_data_flagged(self, spark):
+        # uniform 100..999: every digit ~1/9=0.111 -> digit 1 (expected
+        # 0.301) must be flagged
+        out = self._audit(spark, range(100, 1000))
+        assert not out[1]["within_tol"]
+        assert out[1]["n_obs"] == 100
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            benford_audit,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (-5.0,), (0.0,), (None,), (2.0,)], "x double"
+        )
+        out = {r["digit"]: r["n_obs"]
+               for r in benford_audit(df, "x").collect()}
+        assert out[1] == 1 and out[2] == 1
+        assert sum(out.values()) == 2

@@ -27,6 +27,7 @@ CROSS_OK = {
     "doc_quality_quartiles",  # 1-row total-count broadcast cross
     "corpus_vocab_growth",  # two 1-row bucket-width broadcast crosses
     "customer_rfm_segments",  # three 1-row quartile-total broadcast crosses
+    "orders_benford_audit",  # 1-row total-count broadcast cross
 
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",

@@ -100,7 +100,21 @@ def cms_build(
     before the shuffle, which therefore carries at most depth·width
     partial cells per partition — O(1) in the row count.
     """
-    pairs = df.select(
+    return cms_pairs(df, col, depth, width).groupBy("h", "bucket").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def cms_pairs(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """The map-side expansion behind ``cms_build``: each input row as
+    ``depth`` (h, bucket, c=1) cells, pre-aggregation. Exposed
+    separately so a STREAMING frame can expand cells and let an
+    additive-aggregate sink (streaming/events.py
+    stream_aggregate_to_lake) maintain the grid incrementally — CMS
+    grids are sums, so batch-partial grids merge exactly."""
+    return df.select(
         F.explode(
             F.array(
                 *[
@@ -112,10 +126,7 @@ def cms_build(
                 ]
             )
         ).alias("p")
-    ).select("p.h", "p.bucket")
-    return pairs.groupBy("h", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    ).select("p.h", "p.bucket", F.lit(1).cast("long").alias("c"))
 
 
 def cms_estimate(

@@ -11,6 +11,7 @@ and streaming keyed dedup's key set ≡ SELECT DISTINCT.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming.events import dedup_keys, session_windows, tumbling_counts
 from .catalog import query
@@ -177,3 +178,96 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.events import stream_stream_attribution_outer
 
     return stream_stream_attribution_outer(spark, sf_dir, horizon="30 minutes")
+
+
+@query(
+    "stream_heavy_users_cms",
+    oracle="""
+    WITH hs AS (SELECT unnest([0, 1, 2, 3]) AS h),
+    grid AS (
+      SELECT hs.h,
+             CAST('0x' || substr(md5(CAST(hs.h AS VARCHAR) || '|'
+                                     || CAST(e.user_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 1024 AS bucket,
+             COUNT(*) AS c
+      FROM events e, hs GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT c.user_id, c.exact_n, hs.h,
+             CAST('0x' || substr(md5(CAST(hs.h AS VARCHAR) || '|'
+                                     || CAST(c.user_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM cand c, hs
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(COALESCE(g.c, 0)) AS BIGINT) AS cms_n,
+           MIN(COALESCE(g.c, 0)) >= p.exact_n AS no_underestimate
+    FROM probes p LEFT JOIN grid g ON g.h = p.h AND g.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+    tags=("streaming", "sketch", "count-min", "foreachBatch",
+          "incremental"),
+)
+def stream_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of a count-min sketch: the bounded events
+    stream expands to CMS cells (operators/sketches.py:cms_pairs) and
+    the additive-MV sink (stream_aggregate_to_lake) lands per-batch
+    partial grids in replay-idempotent batch_id partitions — a CMS grid
+    is an additive aggregate on (h, bucket), so the exactly-once
+    machinery of stream_agg_mv_snapshot maintains it unchanged. The
+    merge-on-read grid then point-estimates the top-20 users, checked
+    against exact counts (cms_estimate's no-underestimate guarantee).
+
+    The 100 TB shape: the streamed state is the FIXED-SIZE grid
+    (depth·width cells per batch partition), not per-user counters —
+    heavy-hitter tracking whose state cannot grow with user
+    cardinality. Estimation never rescans events."""
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import cms_estimate, cms_pairs
+    from ..sources.corpus import load_table
+    from ..streaming.events import (
+        read_agg_snapshot,
+        read_events_stream,
+        stream_aggregate_to_lake,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    try:
+        cells = cms_pairs(
+            read_events_stream(spark, sf_dir), "user_id",
+            depth=4, width=1024,
+        )
+        stream_aggregate_to_lake(
+            cells, f"{tmp}/grid", ["h", "bucket"], ["c"], f"{tmp}/ckpt"
+        )
+        grid = read_agg_snapshot(
+            spark, f"{tmp}/grid", ["h", "bucket"], ["c"]
+        )
+        events = load_table(spark, sf_dir, "events")
+        cand = (
+            events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+            .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+            .limit(20)
+        )
+        est = cms_estimate(
+            grid, cand.select("user_id"), "user_id", depth=4, width=1024
+        )
+        out = cand.join(est, "user_id").select(
+            "user_id",
+            "exact_n",
+            F.col("cms_count").cast("long").alias("cms_n"),
+            (F.col("cms_count") >= F.col("exact_n")).alias(
+                "no_underestimate"
+            ),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1088,3 +1088,67 @@ def kmeans_assign(
     return last_assign.select(
         F.col("vid").alias(id_col), "cluster", "dist2"
     )
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_pos: int = 3,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "neg",
+) -> DataFrame:
+    """Contrastive training-pair mining for embedding models: per anchor,
+    the ``k_pos`` nearest corpus vectors by exact cosine (hard
+    positives) and ``k_neg`` deterministic hash-sampled non-positives
+    (random negatives). Returns (anchor_id, other_id, label, rnk) with
+    label ∈ {'pos','neg'} — the (anchor, positive, negative) triples a
+    contrastive loss consumes, reproducible across runs and engines.
+
+    Positives reuse ``cosine_topk`` (broadcast-anchor scoring, one
+    top-k window). Negatives order every non-positive candidate by a
+    salted per-(anchor, candidate) md5 and keep the first ``k_neg`` —
+    uniform over the corpus, anchor-decorrelated, and exclusion is an
+    anti-join on the positive pairs (never a collected set). Anchors
+    must be a bounded sample (same contract as ``cosine_topk``); at
+    corpus scale, pre-filter negative candidates by a hash prefix
+    (keeps the window input at O(corpus/anchors · ε)) before ranking —
+    the top-k_neg by hash is unchanged by dropping high-hash rows.
+    """
+    pos = cosine_topk(
+        corpus, anchors, k=k_pos, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("other_id"),
+        "rnk",
+    )
+    a_ids = anchors.select(F.col(id_col).alias("anchor_id"))
+    cand = (
+        _spread(corpus)
+        .select(F.col(id_col).alias("other_id"))
+        .crossJoin(F.broadcast(a_ids))
+        .filter(F.col("other_id") != F.col("anchor_id"))
+        .join(pos.select("anchor_id", "other_id"),
+              ["anchor_id", "other_id"], "left_anti")
+    )
+    hk = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("other_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(hk, F.col("other_id"))
+    neg = (
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k_neg)
+    )
+    return pos.select(
+        "anchor_id", "other_id", F.lit("pos").alias("label"), "rnk"
+    ).unionByName(
+        neg.select(
+            "anchor_id", "other_id", F.lit("neg").alias("label"), "rnk"
+        )
+    )

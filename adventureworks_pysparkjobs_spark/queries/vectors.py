@@ -274,3 +274,54 @@ def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk_pandas(emb, queries, k=5)
+
+
+@query(
+    "emb_contrastive_pairs",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    pos AS (
+      SELECT anchor_id, other_id, rnk FROM (
+        SELECT q.anchor_id, c.vec_id AS other_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.anchor_id
+                 ORDER BY {_cos('q.qv', 'c.embedding')} DESC, c.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings c ON c.vec_id <> q.anchor_id
+      ) WHERE rnk <= 3
+    ),
+    negcand AS (
+      SELECT q.anchor_id, c.vec_id AS other_id,
+             md5('neg' || CAST(q.anchor_id AS VARCHAR) || '|'
+                 || CAST(c.vec_id AS VARCHAR)) AS hk
+      FROM q JOIN embeddings c ON c.vec_id <> q.anchor_id
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.anchor_id = q.anchor_id
+                          AND p.other_id = c.vec_id)
+    ),
+    neg AS (
+      SELECT anchor_id, other_id, rnk FROM (
+        SELECT anchor_id, other_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY hk, other_id) AS rnk
+        FROM negcand
+      ) WHERE rnk <= 3
+    )
+    SELECT anchor_id, other_id, 'pos' AS label, CAST(rnk AS INTEGER) AS rnk
+    FROM pos
+    UNION ALL
+    SELECT anchor_id, other_id, 'neg', CAST(rnk AS INTEGER) FROM neg
+    """,
+    tags=("similarity", "contrastive", "training-pairs", "embedding"),
+)
+def emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining
+    (operators/similarity.py:contrastive_pairs): per sampled anchor
+    (every 50th vector), 3 hard positives by exact cosine + 3
+    deterministic hash-sampled negatives (anti-joined against the
+    positives, never a collected set). The triples an embedding-model
+    contrastive loss trains on, bit-reproducible across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.contrastive_pairs(emb, anchors, k_pos=3, k_neg=3)

@@ -1843,3 +1843,40 @@ class TestNewOperatorEdges:
         assert (r["n_tokens"], r["logit_scaled"], r["is_positive"]) == (
             3, 0, False,
         )
+
+
+class TestContrastivePairs:
+    def _pairs(self, spark, n=40, parts=None):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            contrastive_pairs,
+        )
+
+        rows = [
+            (i, [float((i * 7 + d) % 13) for d in range(4)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        if parts:
+            df = df.repartition(parts)
+        anchors = df.filter(F.col("vec_id") % 10 == 0)
+        return contrastive_pairs(df, anchors, k_pos=2, k_neg=3)
+
+    def test_counts_and_disjointness(self, spark):
+        out = self._pairs(spark).collect()
+        by_anchor = {}
+        for r in out:
+            by_anchor.setdefault(r["anchor_id"], {"pos": set(), "neg": set()})
+            by_anchor[r["anchor_id"]][r["label"]].add(r["other_id"])
+        for a, d in by_anchor.items():
+            assert len(d["pos"]) == 2 and len(d["neg"]) == 3
+            assert not d["pos"] & d["neg"]          # disjoint
+            assert a not in d["pos"] | d["neg"]     # no self-pairs
+
+    def test_deterministic_under_partitioning(self, spark):
+        key = lambda rows: sorted(
+            (r["anchor_id"], r["other_id"], r["label"], r["rnk"])
+            for r in rows
+        )
+        assert key(self._pairs(spark).collect()) == key(
+            self._pairs(spark, parts=11).collect()
+        )

@@ -30,6 +30,7 @@ CROSS_OK = {
     "orders_benford_audit",  # 1-row total-count broadcast cross
 
     "emb_cosine_topk",
+    "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates
     "emb_cosine_topk_vectorized",
     # int8/pq methods score broadcast queries against the compressed
     # corpus by design (brute force with 4x/32x less scan width); the

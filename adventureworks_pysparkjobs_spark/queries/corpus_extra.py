@@ -832,6 +832,7 @@ def emb_semdedup_kmeans_pipeline(
     GROUP BY p.token, p.exact_n
     """,
     tags=("sketch", "count-min", "heavy-hitters", "mergeable"),
+    bench=True,
 )
 def corpus_heavy_terms_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy-hitter audit over the corpus vocabulary

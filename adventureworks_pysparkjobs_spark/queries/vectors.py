@@ -314,6 +314,7 @@ def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT anchor_id, other_id, 'neg', CAST(rnk AS INTEGER) FROM neg
     """,
     tags=("similarity", "contrastive", "training-pairs", "embedding"),
+    bench=True,
 )
 def emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair mining

@@ -463,3 +463,61 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return rfm_segments(orders)
+
+
+@query(
+    "part_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT p_partkey AS node,
+             CASE WHEN p_partkey = 1 THEN NULL
+                  ELSE (CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)),
+                                            1, 8) AS BIGINT)
+                        % (p_partkey - 1)) + 1
+             END AS parent,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS w
+      FROM part
+    ),
+    chain AS (
+      SELECT node, node AS cur, parent AS nxt,
+             CAST(0 AS BIGINT) AS depth, w AS path_w
+      FROM tree
+      UNION ALL
+      SELECT c.node, t.node AS cur, t.parent AS nxt,
+             c.depth + 1, c.path_w + t.w
+      FROM chain c JOIN tree t ON t.node = c.nxt
+    )
+    SELECT node, cur AS root_id, depth, path_w
+    FROM chain WHERE nxt IS NULL
+    """,
+    tags=("graph", "hierarchy", "binary-lifting", "iterative"),
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by pointer doubling
+    (operators/graph.py:path_to_root): each part's depth and
+    path-to-root cost in a deterministic hash-derived tree
+    (parent(k) = md5int(k) mod (k−1) + 1 — a random recursive tree,
+    expected depth ~2·ln n). Binary lifting reaches every root in
+    O(log depth) self-joins where the per-level walk the oracle's
+    recursive CTE performs is O(depth) — the scalable shape for
+    40-level BOM/org-chart rollups over billions of rows. Integer-cent
+    weights keep path sums associative and engine-exact."""
+    from ..operators.graph import path_to_root
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    parent = F.when(k == 1, F.lit(None).cast("long")).otherwise(
+        F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % (k - F.lit(1))
+        + F.lit(1)
+    )
+    tree = part.select(
+        k.alias("node"),
+        parent.alias("parent"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("w"),
+    )
+    return path_to_root(tree, "node", "parent", "w")

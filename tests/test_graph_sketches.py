@@ -268,3 +268,47 @@ class TestCountMinSketch:
         )
         key = lambda rows: {(r["h"], r["bucket"]): r["c"] for r in rows}
         assert key(whole.collect()) == key(parts.collect())
+
+
+class TestPathToRoot:
+    def _run(self, spark, rows, **kw):
+        from adventureworks_pysparkjobs_spark.operators.graph import (
+            path_to_root,
+        )
+
+        df = spark.createDataFrame(rows, "node long, parent long, w long")
+        return {
+            r["node"]: (r["root_id"], r["depth"], r["path_w"])
+            for r in path_to_root(df, "node", "parent", "w", **kw).collect()
+        }
+
+    def test_small_tree_by_hand(self, spark):
+        #        1(10)
+        #       /    \
+        #     2(20)  3(30)
+        #      |
+        #     4(40)
+        rows = [(1, None, 10), (2, 1, 20), (3, 1, 30), (4, 2, 40)]
+        out = self._run(spark, rows)
+        assert out[1] == (1, 0, 10)
+        assert out[2] == (1, 1, 30)
+        assert out[3] == (1, 1, 40)
+        assert out[4] == (1, 2, 70)
+
+    def test_forest_two_roots(self, spark):
+        rows = [(1, None, 1), (2, 1, 2), (10, None, 5), (11, 10, 7)]
+        out = self._run(spark, rows)
+        assert out[2] == (1, 1, 3)
+        assert out[11] == (10, 1, 12)
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        n = 200
+        rows = [(1, None, 1)] + [(i, i - 1, 1) for i in range(2, n + 1)]
+        out = self._run(spark, rows, max_iterations=10)  # 2^10 >= 200
+        assert out[n] == (1, n - 1, n)
+        assert out[100] == (1, 99, 100)
+
+    def test_cycle_raises(self, spark):
+        rows = [(1, None, 1), (2, 3, 1), (3, 2, 1)]
+        with pytest.raises(ValueError):
+            self._run(spark, rows, max_iterations=4)

@@ -931,3 +931,53 @@ def orders_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.join(dim, buckets["k"].eqNullSafe(dim["dk"])).select(
         "label", "k", "n_orders"
     )
+
+
+@query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           PERCENT_RANK() OVER wd AS pct_rank,
+           CUME_DIST() OVER wd AS cume_dist,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_orderkey,
+           LAST_VALUE(o_orderkey) OVER wf AS latest_so_far
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "percent_rank", "cume_dist", "nth_value",
+          "last_value"),
+)
+def window_distribution_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The distribution/positional window functions
+    window_order_sequences doesn't cover: percent_rank and cume_dist
+    over date-only ordering (ties exercised; each value is ONE IEEE
+    division of identical integer rank/count operands — bit-portable),
+    plus nth_value(2) and last_value over the explicit running ROWS
+    frame (Spark's default frame for last_value is RANGE-to-current,
+    which peers tie-groups — the explicit frame pins identical
+    semantics in both engines). Both specs share the o_custkey
+    exchange; wd's sort is a prefix of wf's."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(wd).alias("pct_rank"),
+        F.cume_dist().over(wd).alias("cume_dist"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_orderkey"),
+        F.last("o_orderkey").over(wf).alias("latest_so_far"),
+    )

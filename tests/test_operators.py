@@ -1880,3 +1880,40 @@ class TestContrastivePairs:
         assert key(self._pairs(spark).collect()) == key(
             self._pairs(spark, parts=11).collect()
         )
+
+
+class TestBM25TopK:
+    def _run(self, spark, rows, terms, k=3):
+        from adventureworks_pysparkjobs_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return bm25_topk(df, terms, k=k).collect()
+
+    def test_tf_and_rarity_ordering(self, spark):
+        rows = [
+            (1, "apple apple apple pie"),       # high tf for apple
+            (2, "apple banana cherry date"),    # one apple
+            (3, "banana banana banana banana"), # no apple
+            (4, "kiwi lime mango peach"),
+        ]
+        out = self._run(spark, rows, ["apple"], k=2)
+        assert [r["doc_id"] for r in out] == [1, 2]
+        assert out[0]["bm25"] > out[1]["bm25"]
+
+    def test_multi_term_sum_and_k(self, spark):
+        rows = [(i, "common filler words here") for i in range(1, 6)]
+        rows += [(10, "alpha beta common"), (11, "alpha common filler")]
+        out = self._run(spark, rows, ["alpha", "beta"], k=5)
+        ids = [r["doc_id"] for r in out]
+        # doc 10 matches both terms -> outranks doc 11 (alpha only)
+        assert ids[0] == 10 and ids[1] == 11
+        assert len(out) <= 5
+
+    def test_empty_terms_raises(self, spark):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bm25_topk(df, [])

@@ -1129,3 +1129,95 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return bm25_topk(doc, ["hash", "join", "scan"], k=10)
+
+
+@query(
+    "doc_classifier_calibration",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '') AS toks
+         FROM documents), unnest(toks) AS t(tk)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('qc:' || tk), 1, 4) AS INTEGER)
+               % 4096 AS feature
+      FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM feat GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT DISTINCT feature,
+             CAST(CAST('0x' || substr(md5('w:' || feature), 1, 4)
+                       AS BIGINT) % 2001 - 1000 AS BIGINT) AS w_scaled
+      FROM feat
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf * w.w_scaled) AS BIGINT) AS logit_scaled
+      FROM tf JOIN w ON w.feature = tf.feature
+      GROUP BY 1
+    ),
+    binned AS (
+      SELECT s.doc_id,
+             CAST(FLOOR((CAST(s.logit_scaled AS DOUBLE)
+                         / CAST(s.n_tokens AS DOUBLE)) / 25.0) AS BIGINT)
+               AS score_bin,
+             d.lang = 'en' AS label
+      FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT score_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT_IF(label) AS BIGINT) AS n_label_pos,
+           CAST(COUNT_IF(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS label_rate
+    FROM binned GROUP BY 1
+    """,
+    tags=("text", "classifier", "calibration", "ml-ops"),
+)
+def doc_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration report for the hashed linear quality classifier
+    (doc_quality_classifier's scorer): per-token-normalized logits
+    bucket into fixed-width bins and each bin reports its count and the
+    rate of a proxy label (lang='en') — the reliability-diagram table
+    that decides whether classifier scores can gate a corpus at a
+    chosen threshold. The bin id is floor(double-division / width) in
+    BOTH engines (never integer `div`, whose negative-value semantics
+    differ: Spark truncates toward zero, DuckDB floors); label_rate is
+    one IEEE division of identical integer counts. One extra
+    aggregation over the classifier's keyed output — no new scan of
+    the corpus."""
+    from ..operators.lm import hashed_linear_scores, pseudo_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(
+        docs, pseudo_weights(spark, 4096, "w", 1000)
+    )
+    binned = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.floor(
+            (
+                F.col("logit_scaled").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            / F.lit(25.0)
+        )
+        .cast("long")
+        .alias("score_bin"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return binned.groupBy("score_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("label")).cast("long").alias("n_label_pos"),
+        (
+            F.count_if(F.col("label")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("label_rate"),
+    )

@@ -492,6 +492,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM chain WHERE nxt IS NULL
     """,
     tags=("graph", "hierarchy", "binary-lifting", "iterative"),
+    bench=True,
 )
 def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy flattening by pointer doubling

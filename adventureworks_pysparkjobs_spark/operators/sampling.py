@@ -528,3 +528,56 @@ def pps_systematic_sample(
             F.col("n_picks").cast("long").alias("n_picks"),
         )
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    sqrt_steps: int = 1,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Temperature-rebalanced mixture rates over a grouping column —
+    the multilingual/multi-source sampling recipe (rate ∝ n^α) that
+    up-weights low-resource groups: α = 1/2^``sqrt_steps`` (0.5 by
+    default, the XLM-R-style square-root temperature).
+
+    Exactness by construction: α is restricted to 1/2^k so the power
+    is k composed ``sqrt`` calls — IEEE-754 REQUIRES sqrt to be
+    correctly rounded, so (unlike exp/ln-based pow) every intermediate
+    double is bit-identical across engines. Each group's weight then
+    becomes ``floor(sqrt^k(n)·scale)`` — an exact integer — and the
+    normalizer is an INTEGER sum (associative, partition-order-free
+    where a float Σ over groups would be order-dependent). The final
+    rate is one IEEE division of identical integer operands.
+
+    One count aggregate + a 1-row total broadcast; group cardinality
+    (languages/sources) is bounded by contract. Returns
+    (group, n_rows, weight_scaled, rate) with Σ rate ≈ 1.
+    """
+    if sqrt_steps < 1:
+        raise ValueError("temperature_mixture_rates: sqrt_steps >= 1")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    w = F.col("n_rows").cast("double")
+    for _ in range(sqrt_steps):
+        w = F.sqrt(w)
+    weighted = counts.withColumn(
+        "weight_scaled",
+        F.floor(w * F.lit(float(scale))).cast("long"),
+    )
+    tot = weighted.agg(
+        F.sum("weight_scaled").cast("long").alias("_tot")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))  # 1-row frame
+        .select(
+            group_col,
+            "n_rows",
+            "weight_scaled",
+            (
+                F.col("weight_scaled").cast("double")
+                / F.col("_tot").cast("double")
+            ).alias("rate"),
+        )
+    )

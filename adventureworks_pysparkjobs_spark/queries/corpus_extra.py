@@ -1221,3 +1221,38 @@ def doc_classifier_calibration(
             / F.count(F.lit(1)).cast("double")
         ).alias("label_rate"),
     )
+
+
+@query(
+    "lang_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY lang
+    ),
+    weighted AS (
+      SELECT lang, n_rows,
+             CAST(FLOOR(sqrt(CAST(n_rows AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS weight_scaled
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(weight_scaled) AS BIGINT) AS t
+            FROM weighted)
+    SELECT lang, n_rows, weight_scaled,
+           CAST(weight_scaled AS DOUBLE) / CAST(t.t AS DOUBLE) AS rate
+    FROM weighted, tot t
+    """,
+    tags=("sampling", "mixture", "temperature", "multilingual"),
+)
+def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature mixture over document languages
+    (operators/sampling.py:temperature_mixture_rates): rate ∝ √n — the
+    low-resource up-weighting recipe for multilingual pretraining.
+    Bit-exact because IEEE sqrt is correctly rounded (unlike pow) and
+    the normalizer sums exact scaled integers, never floats. On the
+    fixture, 'en' holds 43.6% of documents but samples at 30.5% —
+    the rebalancing is visible, not degenerate."""
+    from ..operators.sampling import temperature_mixture_rates
+
+    doc = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_rates(doc, "lang", sqrt_steps=1)

@@ -1917,3 +1917,50 @@ class TestBM25TopK:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             bm25_topk(df, [])
+
+
+class TestTemperatureMixtureRates:
+    def _run(self, spark, counts, steps=1):
+        from adventureworks_pysparkjobs_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        rows = [(g, i) for g, n in counts.items() for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, i int")
+        return {
+            r["g"]: r
+            for r in temperature_mixture_rates(
+                df, "g", sqrt_steps=steps
+            ).collect()
+        }
+
+    def test_sqrt_rebalancing(self, spark):
+        import math
+
+        out = self._run(spark, {"big": 400, "small": 100})
+        # raw shares 80/20 -> sqrt shares 20/10 = 2/3 vs 1/3
+        assert out["big"]["rate"] == pytest.approx(2 / 3, abs=1e-5)
+        assert out["small"]["rate"] == pytest.approx(1 / 3, abs=1e-5)
+        assert out["big"]["weight_scaled"] == math.floor(
+            math.sqrt(400.0) * 10**6
+        )
+
+    def test_rates_sum_to_one(self, spark):
+        out = self._run(spark, {"a": 7, "b": 19, "c": 3, "d": 101})
+        assert sum(r["rate"] for r in out.values()) == pytest.approx(
+            1.0, abs=1e-9
+        )
+
+    def test_alpha_quarter_flattens_more(self, spark):
+        half = self._run(spark, {"big": 400, "small": 25}, steps=1)
+        quarter = self._run(spark, {"big": 400, "small": 25}, steps=2)
+        assert quarter["small"]["rate"] > half["small"]["rate"]
+
+    def test_invalid_steps_raises(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "g string, i int")
+        with pytest.raises(ValueError):
+            temperature_mixture_rates(df, "g", sqrt_steps=0)

@@ -29,6 +29,7 @@ CROSS_OK = {
     "customer_rfm_segments",  # three 1-row quartile-total broadcast crosses
     "orders_benford_audit",  # 1-row total-count broadcast cross
     "corpus_bm25_topk",  # 1-row corpus-totals broadcast cross
+    "lang_temperature_mixture",  # 1-row normalizer broadcast cross
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

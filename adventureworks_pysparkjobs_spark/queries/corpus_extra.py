@@ -4,7 +4,7 @@ gate as everything else (tests/test_oracle.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
@@ -1256,3 +1256,73 @@ def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return temperature_mixture_rates(doc, "lang", sqrt_steps=1)
+
+
+@query(
+    "doc_multilingual_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY lang
+    ),
+    weighted AS (
+      SELECT lang, n_rows,
+             CAST(FLOOR(sqrt(CAST(n_rows AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS weight_scaled
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(weight_scaled) AS BIGINT) AS t
+            FROM weighted),
+    quota AS (
+      SELECT lang,
+             CAST(FLOOR((CAST(weight_scaled AS DOUBLE)
+                         / CAST(t.t AS DOUBLE)) * 200.0) AS BIGINT)
+               AS n_keep
+      FROM weighted, tot t
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('ml' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(q.n_keep AS BIGINT) AS lang_quota
+    FROM ranked r JOIN quota q USING (lang)
+    WHERE r.rn <= q.n_keep
+    """,
+    tags=("sampling", "mixture", "multilingual", "composed"),
+)
+def doc_multilingual_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture APPLIED: √-temperature rates
+    (temperature_mixture_rates) turn into per-language quotas for a
+    200-document budget (floor(rate·budget) — one multiply + floor of
+    identical operands) and each language keeps exactly its quota in
+    deterministic md5 order (the stratified_sample selection shape:
+    rank and quota join share one shuffle on lang). End-to-end this is
+    the multilingual resampling job a pretraining mix runs: 'en' is
+    capped at 61 of its 218 docs while 'fr' keeps 33 of 64. Every
+    decision derives from counts + sqrt + md5 — bit-exact, no RNG."""
+    from ..operators.sampling import temperature_mixture_rates
+
+    doc = load_table(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(doc, "lang", sqrt_steps=1)
+    quota = rates.select(
+        "lang",
+        F.floor(F.col("rate") * F.lit(200.0)).cast("long").alias(
+            "lang_quota"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("ml"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = doc.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("lang_quota"))
+        .select("doc_id", "lang", "lang_quota")
+    )

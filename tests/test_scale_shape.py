@@ -30,6 +30,7 @@ CROSS_OK = {
     "orders_benford_audit",  # 1-row total-count broadcast cross
     "corpus_bm25_topk",  # 1-row corpus-totals broadcast cross
     "lang_temperature_mixture",  # 1-row normalizer broadcast cross
+    "doc_multilingual_resample",  # same normalizer cross via composition
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

@@ -550,9 +550,13 @@ def temperature_mixture_rates(
     where a float Σ over groups would be order-dependent). The final
     rate is one IEEE division of identical integer operands.
 
-    One count aggregate + a 1-row total broadcast; group cardinality
-    (languages/sources) is bounded by contract. Returns
-    (group, n_rows, weight_scaled, rate) with Σ rate ≈ 1.
+    One corpus scan total: the normalizer is a global-window sum OVER
+    the already-aggregated #groups frame (a #groups-row single-partition
+    exchange fed by the count aggregate — never raw data), so the
+    source is not scanned a second time for the total as a separate
+    ``agg`` lineage would. Group cardinality (languages/sources) is
+    bounded by contract. Returns (group, n_rows, weight_scaled, rate)
+    with Σ rate ≈ 1.
     """
     if sqrt_steps < 1:
         raise ValueError("temperature_mixture_rates: sqrt_steps >= 1")
@@ -566,18 +570,12 @@ def temperature_mixture_rates(
         "weight_scaled",
         F.floor(w * F.lit(float(scale))).cast("long"),
     )
-    tot = weighted.agg(
-        F.sum("weight_scaled").cast("long").alias("_tot")
-    )
-    return (
-        weighted.crossJoin(F.broadcast(tot))  # 1-row frame
-        .select(
-            group_col,
-            "n_rows",
-            "weight_scaled",
-            (
-                F.col("weight_scaled").cast("double")
-                / F.col("_tot").cast("double")
-            ).alias("rate"),
-        )
+    tot = F.sum("weight_scaled").over(Window.partitionBy()).cast("long")
+    return weighted.select(
+        group_col,
+        "n_rows",
+        "weight_scaled",
+        (
+            F.col("weight_scaled").cast("double") / tot.cast("double")
+        ).alias("rate"),
     )

@@ -264,7 +264,7 @@ def path_to_root(
     # mark nodes whose anc is already a root as settled
     for _ in range(max_iterations):
         t = t.join(
-            F.broadcast(roots.withColumn("_isroot", F.lit(True))),
+            roots.withColumn("_isroot", F.lit(True)),
             "anc",
             "left",
         ).select(

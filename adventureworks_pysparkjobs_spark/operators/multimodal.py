@@ -237,6 +237,9 @@ def attach_metadata(
     metadata: DataFrame,
     on: str = "path",
 ) -> DataFrame:
-    """Join media payloads to a (small, broadcast) metadata table — the
-    canonical multimodal layout: payload table + typed sidecar."""
-    return media.join(F.broadcast(metadata), on, "left")
+    """Join media payloads to a typed metadata sidecar — the canonical
+    multimodal layout: payload table + sidecar, one sidecar row per media
+    item.  The sidecar scales WITH the payload table, so no broadcast hint
+    is forced: AQE picks broadcast when the sidecar is actually small and
+    a shuffled hash join (co-partitioned on the key) when it is not."""
+    return media.join(metadata, on, "left")

@@ -57,3 +57,56 @@ def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans — wider/fewer is better (more of
     the plan fused into generated code)."""
     return physical_plan(df).count("WholeStageCodegen")
+
+
+def _jchildren(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def broadcast_hint_audit(df: DataFrame) -> list:
+    """Audit every forced broadcast hint in the analyzed logical plan.
+
+    Returns one dict per ``ResolvedHint (strategy=broadcast)`` node:
+    ``{"paths": [source file paths read under the hint],
+       "nodes": [logical node class names in the hinted subtree]}``.
+
+    The 100 TB rule this feeds (tests/test_scale_shape.py): a FORCED
+    broadcast is only safe when the hinted side is bounded regardless of
+    data scale — a fixed-size dim (region/nation), a global/keyed
+    Aggregate (reduces to the key domain), a Deduplicate over a bounded
+    domain, or an explicit Limit. A hint whose subtree scans an
+    SF-scaling table with no reducing node in between pins an OOM at
+    scale that AQE would have avoided.
+    """
+    root = df._jdf.queryExecution().analyzed()
+    hints = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if (
+            n.getClass().getSimpleName() == "ResolvedHint"
+            and "broadcast" in n.hints().toString().lower()
+        ):
+            hints.append(n)
+        stack.extend(_jchildren(n))
+    audits = []
+    for h in hints:
+        paths: list[str] = []
+        names: list[str] = []
+        stack = [h]
+        while stack:
+            n = stack.pop()
+            cls = n.getClass().getSimpleName()
+            names.append(cls)
+            if cls == "LogicalRelation":
+                try:
+                    rp = n.relation().location().rootPaths()
+                    paths.extend(
+                        rp.apply(i).toString() for i in range(rp.size())
+                    )
+                except Exception:
+                    pass  # non-file relation (LocalRelation etc.)
+            stack.extend(_jchildren(n))
+        audits.append({"paths": paths, "nodes": names})
+    return audits

@@ -502,15 +502,15 @@ def part_brand_price_regression(
     operators/profile.py:grouped_ols. Moments accumulate as exact
     decimals in one hash aggregate; each double is a closed-form IEEE
     expression over the sums, so all 25 brand rows are bit-identical to
-    the oracle. part is a broadcast dimension join (the fact never
-    shuffles for it); the only exchange is the 25-key group-by carrying
-    6-cell partials."""
+    the oracle. part scales with SF, so no broadcast is forced — AQE
+    broadcasts it while it fits and shuffles it when it doesn't; the
+    reducing exchange is the 25-key group-by carrying 6-cell partials."""
     from ..operators.profile import grouped_ols
 
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
+        part.select("p_partkey", "p_brand"),
         li.l_partkey == part.p_partkey,
         "inner",
     )

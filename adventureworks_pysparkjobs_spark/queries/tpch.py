@@ -353,9 +353,10 @@ def case_in_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with selective dimension filter.
 
-    The filtered customer side is small → broadcast it so the big
-    orders⋈lineitem join is the only shuffle. Filters sit below the joins,
-    so Catalyst pushes them into all three scans.
+    The filtered customer side scales with SF, so no broadcast is
+    forced — AQE broadcasts it while its post-filter size fits and falls
+    back to a shuffled hash join beyond that. Filters sit below the
+    joins, so Catalyst pushes them into all three scans.
     """
     cu = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -368,7 +369,7 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
@@ -404,8 +405,9 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join incl. a non-FK equality (s⋈c nation).
 
-    region/nation/supplier are broadcast (tiny dims) → lineitem only
-    shuffles for the orders join; the rest are map-side hash joins.
+    region/nation are broadcast (bounded dims: 5/25 rows at ANY SF);
+    supplier scales with SF so its join is left to AQE — broadcast while
+    it fits, shuffled hash join at scale.
     """
     rg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     na = load_table(spark, sf_dir, "nation")
@@ -419,7 +421,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), (li.l_suppkey == su.s_suppkey) & (su.s_nationkey == cu.c_nationkey))
+        .join(su, (li.l_suppkey == su.s_suppkey) & (su.s_nationkey == cu.c_nationkey))
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(rg), na.n_regionkey == rg.r_regionkey)
         .groupBy("n_name")
@@ -751,7 +753,7 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .groupBy("p_brand", "l_partkey")
         .agg(
             F.sum(

@@ -73,8 +73,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations per
     year — the nation dim joins TWICE under different aliases (supplier
     side and customer side) with a disjunctive pair predicate. Both
-    nation copies broadcast; the fact shuffles only for the orders
-    join."""
+    nation copies broadcast (25-row bounded dim); supplier is AQE's
+    choice; the fact shuffles only for the orders join."""
     t = load_tables(
         spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
     )
@@ -97,7 +97,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -141,8 +141,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's market share (conditional decimal
     sum / total decimal sum, ONE double division) of a part-type market
-    within a region, per order year — an 8-way join where every dim
-    broadcasts and the fact shuffles once for orders."""
+    within a region, per order year — an 8-way join where the bounded
+    dims (nation, region) broadcast, the SF-scaling dims (part,
+    supplier) are AQE's choice, and the fact shuffles once for orders."""
     t = load_tables(
         spark,
         sf_dir,
@@ -159,7 +160,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            t["part"].filter(F.col("p_type") == "ECONOMY"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -172,7 +173,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(eur), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
         .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
     )
@@ -214,8 +215,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIKE-filtered part subset. The fixture has no partsupp, so
     ``p_retailprice`` stands in for the supply cost — the shape (profit
     expression with a subtraction of two decimal products, 5-way join,
-    two-key rollup) is what's exercised. Dims broadcast; the LIKE
-    filter prunes part before its join."""
+    two-key rollup) is what's exercised. Bounded dims broadcast, the
+    SF-scaling ones are AQE's choice; the LIKE filter prunes part
+    before its join."""
     t = load_tables(
         spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"]
     )
@@ -223,10 +225,10 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%1%"))),
+            t["part"].filter(F.col("p_name").like("%1%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -287,7 +289,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue percentage for one month — a
     conditional decimal sum over total decimal sum, scaled by 100 BEFORE
     the single IEEE division so both engines divide identical doubles.
-    Part broadcasts; the month filter pushes to the lineitem scan."""
+    Part's join strategy is AQE's choice (it scales with SF); the month
+    filter pushes to the lineitem scan."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     zero = F.lit(0).cast(DEC)
     promo = F.sum(
@@ -300,7 +303,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1997-03-01")
             & (F.col("l_shipdate") < "1997-04-01")
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(((F.lit(100.0) * promo) / total).alias("promo_revenue"))
     )
 
@@ -344,7 +347,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue_dec") == F.col("max_rev"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select(
@@ -398,7 +401,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#3")),
+            t["part"].filter(F.col("p_brand") == "Brand#3"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(thr, F.col("l_partkey") == F.col("pk"))
@@ -481,7 +484,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under a three-way disjunction of
     conjunct groups spanning BOTH join sides — the optimizer must
     extract the common join key and keep the mixed predicate as a join
-    residual rather than expanding a cross product. Part broadcasts."""
+    residual rather than expanding a cross product. Part's join is
+    AQE's choice."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     q = F.col("l_quantity")
     cond = (
@@ -503,7 +507,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(F.sum(_vol()).cast("double").alias("revenue"))
     )
@@ -580,7 +584,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waited.join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -655,24 +659,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) offering it at minimum cost — a correlated-MIN
     subquery decorrelated into a re-join against a per-part MIN
     aggregate. The eligible frame is computed once and self-joined on
-    (partkey, exact decimal cost); dimensions broadcast, so the only
-    corpus-sized shuffles are the derived-partsupp groupBy and the
-    per-part MIN."""
+    (partkey, exact decimal cost); bounded dims broadcast and the
+    SF-scaling ones are AQE's choice, so the heavy shuffles are the
+    derived-partsupp groupBy and the per-part MIN."""
     t = load_tables(
         spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
     )
     eligible = (
         _derived_partsupp(t["lineitem"])
         .join(
-            F.broadcast(
-                t["part"].filter(
-                    (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
-                )
+            t["part"].filter(
+                (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
             ),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -739,7 +741,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     natps = (
         _derived_partsupp(t["lineitem"])
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -817,9 +819,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     excess = (
         _derived_partsupp(t["lineitem"])
         .join(
-            F.broadcast(
-                t["part"].filter(F.col("p_name").like("small%"))
-            ),
+            t["part"].filter(F.col("p_name").like("small%")),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
         .join(

@@ -410,3 +410,82 @@ def test_no_unreduced_single_partition_exchange(spark, name):
     df = CATALOG[name].builder(spark, SF_SMOKE)
     flags = [code for code, _ in advise(df) if code == "single-partition"]
     assert not flags, f"{name}: unreduced single-partition exchange"
+
+
+# --- catalog-wide forced-broadcast audit (r4 verdict task 1) ----------
+# A forced F.broadcast() hint is only allowed on a side that is bounded
+# regardless of SF: fixed-size dims (region 5 / nation 25 rows at ANY
+# scale), frames reduced by an Aggregate / Deduplicate / Limit between
+# the hint and any corpus-scale scan, or pure local frames (no file
+# scan at all). Everything else must be left to AQE, which broadcasts
+# while the side fits and falls back to a shuffled hash join at scale.
+_SF_SCALING = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings", "partsupp",
+)
+_BOUNDED_TABLES = ("region", "nation")
+_REDUCING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+# Hinted sides bounded by an explicit, documented CONTRACT rather than a
+# plan-visible reducer (each cites where the bound is enforced/stated).
+_CONTRACT_BOUNDED = {
+    # query/anchor side bounded by contract + limit(max_fit_rows)-style
+    # guards inside operators/similarity.py (docstrings at :84,:219,:430,
+    # :526,:624,:1139); the corpus side is never hinted.
+    "emb_cosine_topk",
+    "emb_near_dup_pairs",
+    "emb_cosine_topk_vectorized",
+    "emb_ann_topk",
+    "emb_contrastive_pairs",
+    "emb_int8_topk",
+    "emb_pq_topk",
+}
+
+
+def _table_of(path: str) -> str:
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    return base.split(".")[0]
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_forced_broadcast_of_sf_scaling_side(spark, name):
+    from adventureworks_pysparkjobs_spark.plans.inspect import (
+        broadcast_hint_audit,
+    )
+
+    if name in _CONTRACT_BOUNDED:
+        pytest.skip("hinted side bounded by documented contract")
+    df = CATALOG[name].builder(spark, SF_SMOKE)
+    for audit in broadcast_hint_audit(df):
+        tables = {_table_of(p) for p in audit["paths"]}
+        scaling = tables & set(_SF_SCALING)
+        if not scaling:
+            continue  # bounded dims / local frames only
+        reducers = set(audit["nodes"]) & _REDUCING_NODES
+        assert reducers, (
+            f"{name}: forced broadcast of a subtree scanning SF-scaling "
+            f"table(s) {sorted(scaling)} with no reducing node between "
+            f"hint and scan — drop the hint and let AQE choose. Nodes: "
+            f"{sorted(set(audit['nodes']))}"
+        )
+
+
+def test_broadcast_audit_detects_forced_sf_side(spark):
+    """Negative control: the audit must FLAG a hand-built forced
+    broadcast of a raw SF-scaling scan (no reducer), and must record
+    the reducer when one bounds the hinted side."""
+    from adventureworks_pysparkjobs_spark.plans.inspect import (
+        broadcast_hint_audit,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    od = load_table(spark, SF_SMOKE, "orders")
+    bad = od.join(F.broadcast(li), od.o_orderkey == li.l_orderkey)
+    audits = broadcast_hint_audit(bad)
+    assert len(audits) == 1
+    assert any("lineitem" in p for p in audits[0]["paths"])
+    assert not set(audits[0]["nodes"]) & _REDUCING_NODES
+
+    agged = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    good = od.crossJoin(F.broadcast(agged.limit(3)))
+    (a,) = broadcast_hint_audit(good)
+    assert set(a["nodes"]) & _REDUCING_NODES

@@ -19,25 +19,25 @@ from . import (  # noqa: E402,F401
 # this exact list, order-sensitive, and asserts oracle coverage.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
-    "q6_revenue_forecast",
+    "part_copurchase_pagerank",
     "lineitem_flag_stats",
-    "having_big_parts",
+    "corpus_training_pipeline",
     "rollup_cube_order_stats",
     "pivot_unpivot_roundtrip",
-    "case_in_order_buckets",
+    "emb_semdedup_kmeans_pipeline",
     "q3_unshipped_revenue",
     "q5_nation_revenue",
     "q10_returned_revenue",
     "semi_anti_customers",
     "outer_join_profiles",
-    "range_join_late_ship",
+    "corpus_bm25_topk",
     "top_orders_above_avg",
     "setops_nations",
     "top3_parts_per_brand",
     "window_order_sequences",
     "string_math_functions_customer",
     "date_functions_orders",
-    "grouping_sets_geography",
+    "doc_multilingual_resample",
     "orders_profile",
     "dim_customer_geo",
     "dim_part",
@@ -54,7 +54,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_chunks",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_pairs",
-    "doc_simhash_pairs",
+    "events_resample_gapfill",
     "doc_binary_payload",
     "doc_sampling_pipeline",
     "corpus_term_stats",

@@ -16,25 +16,25 @@ from adventureworks_pysparkjobs_spark.queries import CATALOG, DRIVER_WINDOW
 # this test, or the canary fires.
 EXPECTED_WINDOW = (
     "q1_pricing_summary",
-    "q6_revenue_forecast",
+    "part_copurchase_pagerank",
     "lineitem_flag_stats",
-    "having_big_parts",
+    "corpus_training_pipeline",
     "rollup_cube_order_stats",
     "pivot_unpivot_roundtrip",
-    "case_in_order_buckets",
+    "emb_semdedup_kmeans_pipeline",
     "q3_unshipped_revenue",
     "q5_nation_revenue",
     "q10_returned_revenue",
     "semi_anti_customers",
     "outer_join_profiles",
-    "range_join_late_ship",
+    "corpus_bm25_topk",
     "top_orders_above_avg",
     "setops_nations",
     "top3_parts_per_brand",
     "window_order_sequences",
     "string_math_functions_customer",
     "date_functions_orders",
-    "grouping_sets_geography",
+    "doc_multilingual_resample",
     "orders_profile",
     "dim_customer_geo",
     "dim_part",
@@ -51,7 +51,7 @@ EXPECTED_WINDOW = (
     "doc_chunks",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_pairs",
-    "doc_simhash_pairs",
+    "events_resample_gapfill",
     "doc_binary_payload",
     "doc_sampling_pipeline",
     "corpus_term_stats",
@@ -96,3 +96,32 @@ def test_beyond_window_entries_still_registered():
         "corpus_bpe_merges",
     ):
         assert name in beyond, f"{name} fell out of the catalog"
+
+
+# Entries that are rows-only BY DECLARED NECESSITY (non-SQL-expressible:
+# numpy pairwise-summation scorer, iterative BPE, the stateful streaming
+# twin). Anything else losing its oracle is a regression.
+ROWS_ONLY_ALLOWED = {
+    "emb_cosine_topk_vectorized",
+    "stream_stateful_user_totals",
+    "corpus_bpe_merges",
+}
+
+
+def test_whole_catalog_names_unique_and_oracle_backed():
+    """Window-eviction insurance: every catalog name is unique (the
+    registry raises on duplicates, but this also catches rebuild-time
+    clobbering in queries/__init__.py), and every entry beyond the
+    window still carries an oracle unless it is on the declared
+    rows-only allowlist — so a rename at entry #51+ can never silently
+    shift a beyond-window entry into rows-only ambiguity."""
+    names = list(CATALOG)
+    assert len(names) == len(set(names))
+    assert len(names) >= 143, f"catalog shrank to {len(names)} entries"
+    missing = sorted(
+        n for n, q in CATALOG.items()
+        if q.oracle is None and n not in ROWS_ONLY_ALLOWED
+    )
+    assert missing == [], f"entries silently lost their oracle: {missing}"
+    stale = sorted(ROWS_ONLY_ALLOWED - set(names))
+    assert stale == [], f"rows-only allowlist names not in catalog: {stale}"

@@ -130,6 +130,16 @@ def parse_warc_stream(stream, source_file: str):
         )
 
 
+def _is_landed(path: str) -> bool:
+    """Only fully-published shards are readable: the writer's commit
+    protocol publishes by renaming a dot-prefixed ``*.inprogress`` temp
+    to its final name, so both the batch glob and the streaming file-set
+    offset must exclude in-progress names (glob's ``*`` already skips
+    dotfiles; the suffix check also covers explicit file patterns)."""
+    base = os.path.basename(path)
+    return not base.startswith(".") and not base.endswith(".inprogress")
+
+
 class _WarcFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -145,7 +155,9 @@ class WarcReader(DataSourceReader):
             if os.path.isdir(path)
             else path
         )
-        self.files = sorted(glob.glob(pattern))
+        self.files = sorted(
+            p for p in glob.glob(pattern) if _is_landed(p)
+        )
         if not self.files:
             raise FileNotFoundError(f"warc source: no files match {pattern}")
 
@@ -180,29 +192,56 @@ class WarcReader(DataSourceReader):
             )
 
 
+class _WarcShardCommit(WriterCommitMessage):
+    """Names the task's in-progress temp file and the final shard name
+    it should be published under at job commit."""
+
+    def __init__(self, tmp_name: str, final_name: str):
+        self.tmp_name = tmp_name
+        self.final_name = final_name
+
+
 class WarcWriter(DataSourceWriter):
     """One ``part-<pid>.warc.gz`` shard per input partition. Input rows
     must carry (url, warc_date, content_type, payload); record ids are
-    deterministic UUIDv5 of the url so a re-export is byte-stable."""
+    deterministic UUIDv5 of the url so a re-export is byte-stable.
+
+    Tasks write to dot-prefixed ``.{job}-part-*.inprogress`` temp names
+    and the job's ``commit()`` publishes each shard with an atomic
+    rename — so a failed/retried/speculative task attempt can never
+    leave a truncated or duplicate shard visible: the batch glob and
+    the streaming file-set offset both exclude dotfiles and
+    ``*.inprogress``, and a shard appears under its final name only
+    complete, exactly once. ``abort()`` (and a post-commit sweep)
+    deletes this job's unpublished temps; the job token keeps
+    concurrent writers to one directory from sweeping each other.
+    Rename-as-publish assumes reader and writer share one filesystem —
+    the same assumption the path-based reader already makes."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc sink requires a path")
         os.makedirs(self.path, exist_ok=True)
+        # Job-unique token, minted on the driver and shipped to every
+        # task: names this job's temp files so cleanup is scoped.
+        self.job = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         # Unique shard name per write: a later append with the same
         # partition count must never clobber an earlier wave's shards
         # (landed shards are immutable — the streaming reader's offset
         # contract depends on it). Record CONTENT stays deterministic
-        # (uuid5 record ids); only the shard file name is unique.
-        out = os.path.join(
-            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz"
-        )
+        # (uuid5 record ids); only the shard file name is unique. The
+        # attempt number salts the temp name so a speculative twin
+        # attempt never writes the same temp file concurrently.
+        final = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz"
+        tmp = f".{self.job}-a{ctx.taskAttemptId()}-{final}.inprogress"
+        out = os.path.join(self.path, tmp)
         n = 0
         with gzip.open(out, "wb") as fh:
             for row in iterator:
@@ -223,7 +262,34 @@ class WarcWriter(DataSourceWriter):
                 )
                 fh.write(head + payload + b"\r\n\r\n")
                 n += 1
-        return WriterCommitMessage()
+        return _WarcShardCommit(tmp, final)
+
+    def commit(self, messages):
+        """Atomic publish: rename each winning attempt's temp to its
+        final shard name, then sweep this job's leftover temps (losing
+        retried/speculative attempts)."""
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, m.final_name),
+            )
+        self._sweep()
+
+    def abort(self, messages):
+        """Failed job: nothing was published (no rename happened), so
+        deleting this job's temps restores the directory exactly."""
+        self._sweep()
+
+    def _sweep(self) -> None:
+        for p in glob.glob(
+            os.path.join(self.path, f".{self.job}-*.inprogress")
+        ):
+            try:
+                os.remove(p)
+            except OSError:
+                pass  # a concurrent cleaner got it first
 
 
 class WarcStreamReader(DataSourceStreamReader):
@@ -254,7 +320,11 @@ class WarcStreamReader(DataSourceStreamReader):
         )
 
     def _all_files(self) -> list[str]:
-        return sorted(os.path.basename(p) for p in glob.glob(self.pattern))
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(self.pattern)
+            if _is_landed(p)
+        )
 
     def initialOffset(self) -> dict:
         return {"consumed": ""}

@@ -267,3 +267,75 @@ class TestStreamingWarc:
         ) == sorted(
             (r["url"], bytes(r["payload"])) for r in batch.collect()
         )
+
+
+class TestWriterCommitProtocol:
+    """Temp-file + rename-on-commit (ADVICE r4): a shard becomes visible
+    under its final name only at job commit; failed/retried attempts can
+    never surface truncated or duplicate shards."""
+
+    def test_commit_leaves_only_final_shards(self, spark, tmp_path):
+        d = str(tmp_path / "w")
+        register_warc(spark)
+        df = spark.range(8).select(
+            F.concat(F.lit("http://c/"), F.col("id")).alias("url"),
+            F.lit(datetime(2026, 1, 1)).alias("warc_date"),
+            F.lit("text/plain").alias("content_type"),
+            F.encode(F.col("id").cast("string"), "UTF-8").alias("payload"),
+        )
+        df.repartition(2).write.format("warc").mode("append").save(d)
+        names = sorted(os.listdir(d))  # listdir shows dotfiles too
+        assert len(names) == 2
+        assert all(
+            n.endswith(".warc.gz") and not n.startswith(".") for n in names
+        ), names
+
+    def test_inprogress_and_dot_files_invisible_to_readers(
+        self, spark, tmp_path
+    ):
+        from adventureworks_pysparkjobs_spark.sources.warc import (
+            WarcStreamReader,
+        )
+
+        d = tmp_path / "mix"
+        d.mkdir()
+        with gzip.open(d / "part-00000-aa.warc.gz", "wb") as fh:
+            fh.write(_record("http://ok", b"x"))
+        # a crashed task's leftover temp: truncated gzip — reading it
+        # would error, so invisibility is load-bearing, not cosmetic
+        (d / ".deadbeef-a1-part-00000-bb.warc.gz.inprogress").write_bytes(
+            b"\x1f\x8b garbage"
+        )
+        register_warc(spark)
+        urls = [
+            r["url"]
+            for r in spark.read.format("warc").load(str(d)).collect()
+        ]
+        assert urls == ["http://ok"]
+        sr = WarcStreamReader({"path": str(d)})
+        assert sr.latestOffset() == {"consumed": "part-00000-aa.warc.gz"}
+
+    def test_commit_renames_and_sweeps_abort_restores(self, tmp_path):
+        from adventureworks_pysparkjobs_spark.sources.warc import (
+            WarcWriter,
+            _WarcShardCommit,
+        )
+
+        d = tmp_path / "proto"
+        w1 = WarcWriter({"path": str(d)}, overwrite=False)
+        w2 = WarcWriter({"path": str(d)}, overwrite=False)
+        # winning attempt's temp + a losing retry's temp for job 1, and
+        # an unrelated concurrent job 2 temp in the same directory
+        win = f".{w1.job}-a7-part-00000-ab.warc.gz.inprogress"
+        lose = f".{w1.job}-a3-part-00000-cd.warc.gz.inprogress"
+        other = f".{w2.job}-a1-part-00000-ef.warc.gz.inprogress"
+        for n in (win, lose, other):
+            (d / n).write_bytes(b"data")
+        w1.commit([_WarcShardCommit(win, "part-00000-ab.warc.gz"), None])
+        names = set(os.listdir(d))
+        assert "part-00000-ab.warc.gz" in names  # published
+        assert lose not in names  # own losing attempt swept
+        assert other in names  # concurrent job untouched
+        w2.abort([None])
+        assert other not in set(os.listdir(d))  # abort removed its temps
+        assert "part-00000-ab.warc.gz" in set(os.listdir(d))

@@ -4,7 +4,9 @@
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "status": {name: "ok"|"partial"|"failed"},
-   "core13_sec": <r3-comparable subtotal>, "sf": <scale factor>}
+   "core13_sec": <r3-comparable subtotal>, "sf": <scale factor>,
+   "oracle_sec": {name: sec|null}, "oracle_status": {name: ...},
+   "ratio": {name: spark/duck}, "gate2x": {...}}
 
 The headline "value" sums fully-healthy ("ok") queries only; a query
 whose repetition 2/3 failed after a good rep 1 keeps its timing in
@@ -13,11 +15,23 @@ partially-failed measurement is never mistaken for a healthy one.
 "core13_sec" re-reports the round-3 13-query headline subtotal so BENCH
 artifacts stay comparable across rounds as the bench set grows.
 
+The ≤2x-vs-single-node gate is MACHINE-CHECKED in the same artifact:
+after the Spark loop, each bench entry's own DuckDB oracle runs in a
+fresh subprocess (fresh connection, all cores, $SPARK_GRAFT_ORACLE_CAP
+seconds cap, default 60) on the same parquet, and "gate2x" reports the
+aggregate Spark/DuckDB ratio twice — over every dual-timed entry, and
+excluding the entries whose oracle is a recursive-CTE replay of an
+inherently procedural operator (DuckDB-pathological by construction;
+detected mechanically as WITH RECURSIVE in the oracle text). A timed-out
+oracle is scored AT the cap, which understates DuckDB's time and so
+overstates our ratio — conservative in the engine's disfavor.
+
 Each query is timed end-to-end: plan construction + a full
 materialization action. Plain count() would let Catalyst prune computed
 columns (e.g. a fact's arithmetic measures would never execute); instead
 the action aggregates a hash over EVERY output column, so each row is
-fully produced — while still shipping only one row to the driver.
+fully produced — while still shipping only one row to the driver. The
+DuckDB side materializes via fetchall() (every cell produced).
 """
 
 from __future__ import annotations
@@ -83,6 +97,76 @@ R3_CORE_13 = frozenset({
 })
 
 
+_ORACLE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _oracle_child(name: str, sf_dir: str) -> None:
+    """Subprocess mode: time ONE bench entry's DuckDB oracle on a fresh
+    connection and print a JSON line. Run in a child so a runaway oracle
+    is hard-capped by the parent's subprocess timeout (DuckDB holds the
+    GIL for long stretches; an in-process timer can't preempt it)."""
+    import duckdb
+
+    q = CATALOG[name]
+    con = duckdb.connect()
+    t0 = time.perf_counter()
+    for t in _ORACLE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    rows = con.sql(q.oracle).fetchall()
+    el = time.perf_counter() - t0
+    print(json.dumps({"sec": round(el, 3), "rows": len(rows)}))
+
+
+def _time_oracles(
+    bench_queries: dict, sf_dir: str
+) -> tuple[dict, dict]:
+    """Time each bench entry's oracle in its own subprocess."""
+    import subprocess
+
+    cap = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "60"))
+    oracle_sec: dict[str, float | None] = {}
+    oracle_status: dict[str, str] = {}
+    for name, q in sorted(bench_queries.items()):
+        if q.oracle is None:
+            oracle_sec[name] = None
+            oracle_status[name] = "no_oracle"
+            continue
+        try:
+            # +30 s headroom for the child's Python/package import; the
+            # child-reported time excludes it.
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--oracle-one", name, sf_dir],
+                capture_output=True, text=True, timeout=cap + 30,
+            )
+            if res.returncode != 0:
+                oracle_sec[name] = None
+                oracle_status[name] = "error"
+                print(f"# oracle {name}: ERROR {res.stderr[-300:]}",
+                      file=sys.stderr)
+                continue
+            payload = json.loads(res.stdout.strip().splitlines()[-1])
+            sec = payload["sec"]
+            if sec > cap:
+                oracle_sec[name] = cap
+                oracle_status[name] = "timeout"
+            else:
+                oracle_sec[name] = sec
+                oracle_status[name] = "ok"
+            print(f"# oracle {name}: {payload['rows']} rows in {sec:.3f}s",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            oracle_sec[name] = cap
+            oracle_status[name] = "timeout"
+            print(f"# oracle {name}: TIMEOUT >{cap}s", file=sys.stderr)
+    return oracle_sec, oracle_status
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -145,6 +229,49 @@ def main() -> None:
     core13 = round(
         sum(t for n, t in timings.items() if n in ok & R3_CORE_13), 3
     )
+
+    # Stop Spark BEFORE the oracle pass so the JVM's 32 threads and heap
+    # aren't loading the box while DuckDB is being timed (fairness).
+    spark.stop()
+    oracle_sec, oracle_status = _time_oracles(bench_queries, sf_dir)
+
+    dual = {
+        n for n in ok
+        if oracle_status.get(n) in ("ok", "timeout")
+        and oracle_sec.get(n)
+    }
+    ratio = {
+        n: round(timings[n] / oracle_sec[n], 3) for n in sorted(dual)
+    }
+    pathological = {
+        n for n in dual
+        if "RECURSIVE" in (bench_queries[n].oracle or "").upper()
+        or oracle_status[n] == "timeout"
+    }
+    healthy = dual - pathological
+
+    def _agg(names: set) -> dict:
+        s = sum(timings[n] for n in names)
+        d = sum(oracle_sec[n] for n in names)
+        return {
+            "n_queries": len(names),
+            "spark_sec": round(s, 3),
+            "duckdb_sec": round(d, 3),
+            "ratio": round(s / d, 3) if d else None,
+        }
+
+    gate = {
+        "all_dual_timed": _agg(dual),
+        "excl_pathological_oracles": _agg(healthy),
+        "pathological": sorted(pathological),
+        "cap_sec": float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "60")),
+        "pass_2x": bool(
+            healthy
+            and _agg(healthy)["ratio"] is not None
+            and _agg(healthy)["ratio"] <= 2.0
+        ),
+    }
+
     payload = {
         "metric": "catalog_headline_wall_clock",
         "value": total,
@@ -153,12 +280,18 @@ def main() -> None:
         "status": status,
         "core13_sec": core13,
         "sf": sf,
+        "oracle_sec": oracle_sec,
+        "oracle_status": oracle_status,
+        "ratio": ratio,
+        "gate2x": gate,
     }
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--oracle-one":
+        _oracle_child(sys.argv[2], sys.argv[3])
+    else:
+        main()

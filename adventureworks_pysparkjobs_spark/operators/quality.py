@@ -176,12 +176,30 @@ def k_anonymize(
 
     Class sizes come from the ``k_anonymity_audit`` aggregate and
     rejoin on the generalized key — a keyed equi-join AQE broadcasts
-    when the class table is small, never a window over raw rows.
+    when the class table is small, never a window over raw rows. The
+    join is NULL-SAFE on every QI column (``eqNullSafe`` plans the same
+    hash join — null-safe equality is still an equi-join key), because
+    the audit's groupBy treats a NULL-valued generalized key as a
+    normal equivalence class: a plain equi-join would silently suppress
+    every row of a NULL-keyed class that the audit reports as passing
+    k, making anonymize and audit disagree.
     """
     audit = k_anonymity_audit(df, quasi_identifiers, k)
-    keep = audit.where(F.col("is_k_anonymous")).select(*quasi_identifiers)
+    keep = audit.where(F.col("is_k_anonymous")).select(
+        *[F.col(n).alias(f"__ka_{n}") for n in quasi_identifiers]
+    )
     named = [expr.alias(name) for name, expr in quasi_identifiers.items()]
-    return df.select("*", *named).join(keep, list(quasi_identifiers))
+    # a QI alias may shadow the source column it generalizes (e.g. a
+    # passthrough {"seg": col("seg")}) — keep exactly one column per name
+    base = [df[c] for c in df.columns if c not in quasi_identifiers]
+    withqi = df.select(*base, *named)
+    cond = None
+    for n in quasi_identifiers:
+        c = withqi[n].eqNullSafe(keep[f"__ka_{n}"])
+        cond = c if cond is None else cond & c
+    return withqi.join(keep, cond, "inner").drop(
+        *[f"__ka_{n}" for n in quasi_identifiers]
+    )
 
 
 # Benford expected first-digit probabilities log10(1 + 1/d), pinned as
@@ -204,16 +222,24 @@ def benford_audit(
     test for financial measures. Returns one row per digit 1-9:
     (digit, n_obs, frac_obs, benford_p, within_tol).
 
-    Counting is exact (first character of the canonical decimal
-    rendering; rows ≤ 0 or null are excluded), ``frac_obs`` is one IEEE
-    division of identical integer operands, and the expected
-    probabilities are pinned literals — nothing order- or
-    engine-dependent anywhere. One conditional-count aggregate over one
-    scan; the 9-row result joins a 9-row literal frame. A fabricated or
-    re-scaled column shows up as ``within_tol = false`` digits.
+    Counting is exact: the digit is the first SIGNIFICANT digit — the
+    first ``[1-9]`` character of the value's own string rendering, so
+    0.0042 counts as digit 4 and 9.3e17 as digit 9 (a fixed-width
+    decimal cast would misread the former as '0' and overflow the
+    latter to NULL, silently dropping both from the 9 digit rows while
+    still summing them into n_total). Any faithful rendering — plain or
+    scientific, either engine — starts its mantissa with the same
+    significant digit, so the extraction is engine-portable without
+    touching a transcendental. Rows ≤ 0 or null are excluded, and every
+    included row lands in exactly one of the 9 rows, so n_total is
+    consistent by construction. ``frac_obs`` is one IEEE division of
+    identical integer operands and the expected probabilities are
+    pinned literals. One conditional-count aggregate over one scan; the
+    9-row result joins a 9-row literal frame. A fabricated or re-scaled
+    column shows up as ``within_tol = false`` digits.
     """
-    first = F.substring(
-        F.col(col).cast("decimal(18,2)").cast("string"), 1, 1
+    first = F.regexp_extract(
+        F.col(col).cast("string"), "[1-9]", 0
     ).cast("int")
     counts = (
         df.where(F.col(col).isNotNull() & (F.col(col) > 0))

@@ -637,8 +637,10 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_benford_audit",
     oracle="""
     WITH cnt AS (
-      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-                         1, 1) AS INTEGER) AS digit,
+      -- first SIGNIFICANT digit: first [1-9] char of the value's own
+      -- rendering (mirrors the operator; handles 0.xx and huge values)
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                  AS INTEGER) AS digit,
              CAST(COUNT(*) AS BIGINT) AS n_obs
       FROM orders
       WHERE o_totalprice IS NOT NULL AND o_totalprice > 0

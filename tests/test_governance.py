@@ -423,6 +423,28 @@ class TestKAnonymity:
         with pytest.raises(ValueError):
             k_anonymity_audit(self._df(spark), self._qi(), k=1)
 
+    def test_null_keyed_class_agrees_with_audit(self, spark):
+        # ADVICE r4: the audit counts a NULL-valued generalized key as a
+        # normal equivalence class; anonymize must keep it when it
+        # passes k (null-safe join), not silently suppress it.
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            k_anonymity_audit,
+            k_anonymize,
+        )
+
+        rows = [(None, float(v)) for v in range(5)] + [("b", 99.0)]
+        df = spark.createDataFrame(rows, "seg string, val double")
+        qi = self._qi()
+        audit = {
+            (r["seg"], r["band"]): r["is_k_anonymous"]
+            for r in k_anonymity_audit(df, qi, k=5).collect()
+        }
+        assert audit[(None, 0)] is True  # 5-member NULL-keyed class
+        kept = sorted(
+            r["val"] for r in k_anonymize(df, qi, k=5).collect()
+        )
+        assert kept == [0.0, 1.0, 2.0, 3.0, 4.0]
+
 
 class TestBenfordAudit:
     def _audit(self, spark, values, tol=0.02):
@@ -458,3 +480,18 @@ class TestBenfordAudit:
                for r in benford_audit(df, "x").collect()}
         assert out[1] == 1 and out[2] == 1
         assert sum(out.values()) == 2
+
+    def test_sub_one_and_huge_values_counted_by_significant_digit(
+        self, spark
+    ):
+        # ADVICE r4: 0.0042 is digit 4 (not '0'), 9.3e17 is digit 9
+        # (not a decimal-overflow NULL); neither may vanish from the 9
+        # digit rows while still inflating n_total.
+        out = self._audit(
+            spark, [0.0042, 0.5, 9.3e17, 123.0, 1e-30], tol=0.5
+        )
+        n = {d: out[d]["n_obs"] for d in range(1, 10)}
+        assert n[4] == 1 and n[5] == 1 and n[9] == 1 and n[1] == 2
+        assert sum(n.values()) == 5
+        # fractions must be over the SAME total the digits sum to
+        assert abs(sum(out[d]["frac_obs"] for d in range(1, 10)) - 1.0) < 1e-12

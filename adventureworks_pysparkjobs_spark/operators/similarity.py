@@ -906,7 +906,13 @@ def semantic_dedup(
     ``den²·dot² >= num²·|a|²·|b|²`` (with dot > 0) in DECIMAL(38,0) —
     algebraically identical to cosine >= num/den but sqrt-free, so the
     verdicts (and the whole output) are bit-identical across engines
-    and partitionings.
+    and partitionings. Magnitude contract: both products must fit
+    decimal(38,0), i.e. ``|a|²·|b|²·num² < ~1e38`` where |v|² is the
+    QUANTIZED norm Σ round(x·quant)² — unit-norm embeddings at
+    quant=1e6 (|v|² ≈ 1e12) leave ~10 orders of headroom; inputs that
+    would overflow raise a descriptive error in-plan instead of
+    silently dropping duplicate pairs (Spark's non-ANSI decimal
+    multiply NULLs on overflow).
 
     Scale shape: one keyed self-join on the cluster key (pair grain
     never materializes vectors longer than the fold), one groupBy on
@@ -955,9 +961,35 @@ def semantic_dedup(
         .select("cluster", "id_a", "id_b", "na", "nb", dot.alias("dot"))
     )
     d19 = "decimal(19,0)"
-    is_dup = (F.col("dot") > 0) & (
+    # Overflow guard (fail LOUD, never drop pairs): both decimal
+    # products must fit decimal(38,0) — Spark's non-ANSI decimal
+    # multiply NULLs on overflow, which would silently score a true
+    # duplicate as non-duplicate. A double estimate of each product
+    # (relative error ~1e-15, vs the 1e36 margin below) gates the exact
+    # compare; out-of-bound rows raise with a rescale hint instead.
+    _lim = 9.9e37
+    est_lhs = (
+        F.col("dot").cast("double") * F.col("dot").cast("double")
+        * F.lit(float(den2))
+    )
+    est_rhs = (
+        F.col("na").cast("double") * F.col("nb").cast("double")
+        * F.lit(float(num2))
+    )
+    exact = (F.col("dot") > 0) & (
         F.col("dot").cast(d19) * F.col("dot") * F.lit(den2)
         >= F.col("na").cast(d19) * F.col("nb") * F.lit(num2)
+    )
+    is_dup = F.when(
+        (F.abs(est_lhs) < _lim) & (est_rhs < _lim), exact
+    ).otherwise(
+        F.raise_error(F.lit(
+            "semantic_dedup: decimal(38,0) overflow — "
+            "norm2_a*norm2_b*num^2 or dot^2*den^2 exceeds ~1e38 for "
+            "this (embedding magnitude, quant) combination; lower "
+            "`quant` or normalize the vectors (unit-norm embeddings "
+            "with quant=1e6 leave ~10 orders of headroom)"
+        ))
     )
     losers = (
         pairs.where(is_dup)

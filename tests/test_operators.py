@@ -1718,6 +1718,23 @@ class TestSemanticDedup:
         )
         assert out[2][1] is True  # dot < 0 fails the dot > 0 guard
 
+    def test_decimal_overflow_fails_loud_not_silent(self, spark):
+        # ADVICE r4: non-unit-norm embeddings big enough that
+        # na*nb*num^2 exceeds decimal(38,0) used to NULL the threshold
+        # compare and silently drop true duplicate pairs. Now the
+        # operator raises with a rescale hint instead.
+        import pyspark.errors
+
+        big = [100.0] * 100  # |v|^2 = (1e8)^2*100 = 1e18 quantized
+        with pytest.raises(Exception, match="semantic_dedup.*overflow"):
+            self._run(spark, [(1, big, 0), (2, big, 0)])
+
+    def test_unit_norm_headroom_unaffected_by_guard(self, spark):
+        # the guard must not fire anywhere in the contract's domain
+        v = [0.6, 0.8]
+        out = self._run(spark, [(1, v, 0), (2, v, 0)])
+        assert out[1] == (0, True) and out[2] == (1, False)
+
 
 class TestKmeansAssign:
     def _run(self, spark, rows, k=2, iterations=3, parts=None):

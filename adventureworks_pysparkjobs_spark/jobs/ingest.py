@@ -216,13 +216,17 @@ def ingest_warc_stream(
     the parquet lake with exactly-once checkpoint resume — re-running
     after new shards land ingests ONLY the new shards (the offset is
     the consumed shard set; a replayed batch re-reads exactly the files
-    between checkpointed offsets). Each availableNow run drains
-    everything new and exits, the scheduled-batch deployment shape; the
-    same code runs latency-driven with a processing-time trigger."""
+    between checkpointed offsets), and the sink is idempotent under
+    batch REPLAY too: each micro-batch overwrites its own
+    ``ingest_batch=<batch_id>`` partition, so a crash between write and
+    checkpoint commit rewrites the same partition instead of appending
+    duplicates. Each availableNow run drains everything new and exits,
+    the scheduled-batch deployment shape; the same code runs
+    latency-driven with a processing-time trigger."""
     from ..sources.warc import register_warc
     from ..streaming.events import stream_to_parquet
 
     register_warc(spark)
     stream = spark.readStream.format("warc").load(warc_path)
     dated = stream.withColumn("crawl_date", F.to_date("warc_date"))
-    stream_to_parquet(dated, lake_path, checkpoint)
+    stream_to_parquet(dated, lake_path, checkpoint, exactly_once=True)

@@ -139,21 +139,36 @@ def stream_to_parquet(
     path: str,
     checkpoint: str,
     mode: str = "append",
+    exactly_once: bool = False,
 ) -> None:
     """Run a bounded streaming frame to completion into a parquet lake
     directory via foreachBatch — the production sink pattern when the
     target needs overwrite/merge semantics or a non-streaming writer
     (JDBC, warehouse connectors).
 
-    foreachBatch hands each micro-batch to ordinary batch-writer code, so
-    the same ``sinks/parquet.py`` seams work unchanged under streaming;
-    exactly-once comes from the checkpointed batch id + idempotent
-    overwrite-by-batch layout at real scale (append here — the bounded
-    fixture runs one availableNow batch).
+    foreachBatch hands each micro-batch to ordinary batch-writer code,
+    so the same ``sinks/parquet.py`` seams work unchanged under
+    streaming — but foreachBatch itself guarantees only AT-LEAST-ONCE:
+    a crash between the batch write and the checkpoint commit replays
+    the batch, and a plain append then duplicates its rows. With
+    ``exactly_once=True`` each batch instead OVERWRITES its own
+    ``ingest_batch=<batch_id>`` partition directory (batch ids are
+    deterministic under replay), so a replayed batch rewrites the same
+    partition byte-for-byte — the overwrite-by-batch-id idempotence
+    pattern ``stream_aggregate_to_lake`` uses, at row grain. Readers of
+    the root path see the ``ingest_batch`` partition column (useful
+    lineage; drop it if unwanted). Plain append remains the default for
+    sinks where occasional replay duplicates are acceptable or deduped
+    downstream.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode(mode).parquet(path)
+        if exactly_once:
+            batch_df.write.mode("overwrite").parquet(
+                f"{path}/ingest_batch={batch_id}"
+            )
+        else:
+            batch_df.write.mode(mode).parquet(path)
 
     q = (
         streaming_df.writeStream.foreachBatch(write_batch)

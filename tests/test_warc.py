@@ -247,6 +247,38 @@ class TestStreamingWarc:
         ingest_warc_stream(spark, str(shards), lake, ckpt)
         assert spark.read.parquet(lake).count() == 3
 
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        # ADVICE r4: a crash between the batch write and the checkpoint
+        # commit replays the batch; the overwrite-by-batch_id sink must
+        # rewrite the same partition, not append duplicates. Simulate
+        # the crash by deleting the last commit marker and re-running.
+        import shutil
+
+        from adventureworks_pysparkjobs_spark.jobs.ingest import (
+            ingest_warc_stream,
+        )
+
+        shards = tmp_path / "landing"
+        shards.mkdir()
+        lake = str(tmp_path / "lake")
+        ckpt = tmp_path / "ckpt"
+        with gzip.open(shards / "a.warc.gz", "wb") as fh:
+            fh.write(_record("http://r/1", b"one", "2026-03-01T10:00:00Z"))
+        ingest_warc_stream(spark, str(shards), lake, str(ckpt))
+        assert spark.read.parquet(lake).count() == 1
+
+        last = sorted(
+            p for p in (ckpt / "commits").iterdir()
+            if not p.name.startswith(".")
+        )[-1]
+        crc = last.parent / f".{last.name}.crc"
+        last.unlink()  # crash BEFORE the checkpoint commit
+        if crc.exists():
+            crc.unlink()  # local-FS checksum sidecar must go with it
+        ingest_warc_stream(spark, str(shards), lake, str(ckpt))
+        rows = spark.read.parquet(lake).collect()
+        assert [r["url"] for r in rows] == ["http://r/1"]  # no dupes
+
     def test_stream_equals_batch_read(self, spark, tmp_path):
         d = tmp_path / "s"
         d.mkdir()

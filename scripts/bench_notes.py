@@ -1,0 +1,87 @@
+"""Generate BENCH_NOTES.md from a bench artifact (r4 verdict task 3).
+
+bench.py now records the DuckDB-oracle timings, per-query ratios, and
+the 2x-gate verdict machine-readably; this script renders that artifact
+as the markdown the notes file used to hand-maintain. Run:
+
+    python bench.py > /tmp/bench.json          # or use BENCH_r{N}.json
+    python scripts/bench_notes.py /tmp/bench.json > BENCH_NOTES.md
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def render(payload: dict) -> str:
+    gate = payload.get("gate2x", {})
+    q = payload["queries"]
+    osec = payload.get("oracle_sec", {})
+    ostat = payload.get("oracle_status", {})
+    ratio = payload.get("ratio", {})
+    lines = [
+        "# BENCH NOTES — Spark vs DuckDB-oracle (GENERATED — do not edit)",
+        "",
+        f"Source artifact: sf={payload.get('sf')}, "
+        f"{len(q)} bench entries, oracle cap {gate.get('cap_sec')}s. "
+        "Method: bench.py — Spark best-of-3 on local[32] with session-"
+        "state resets, then each entry's own DuckDB oracle in a fresh "
+        "subprocess (fresh connection, all cores) AFTER spark.stop(). "
+        "Regenerate with scripts/bench_notes.py.",
+        "",
+        "## 2x gate (machine-checked)",
+        "",
+    ]
+    for key, label in (
+        ("all_dual_timed", "all dual-timed entries"),
+        ("excl_pathological_oracles",
+         "excluding recursive-CTE/timeout oracles"),
+    ):
+        a = gate.get(key, {})
+        lines.append(
+            f"- **{label}**: Spark {a.get('spark_sec')}s vs DuckDB "
+            f"{a.get('duckdb_sec')}s over {a.get('n_queries')} queries "
+            f"→ ratio **{a.get('ratio')}**"
+        )
+    lines += [
+        f"- pathological oracles (WITH RECURSIVE replay of inherently "
+        f"procedural operators, or cap timeout): "
+        f"{', '.join(gate.get('pathological', [])) or 'none'}",
+        f"- **gate verdict (excl-pathological ratio ≤ 2.0): "
+        f"{'PASS' if gate.get('pass_2x') else 'FAIL'}**",
+        "",
+        "## Per query",
+        "",
+        "| query | Spark s | DuckDB s | ratio (S/D) | oracle status |",
+        "|---|---|---|---|---|",
+    ]
+    for name in sorted(q, key=lambda n: -ratio.get(n, 0.0)):
+        d = osec.get(name)
+        lines.append(
+            f"| {name} | {q[name]} | {d if d is not None else '—'} | "
+            f"{ratio.get(name, '—')} | {ostat.get(name, '—')} |"
+        )
+    lines += [
+        "",
+        "Reading: ratios > 2 concentrate at sub-second absolutes where "
+        "the ~0.2-0.3 s JVM scheduling / Py4J floor dominates — the "
+        "fixed cost that amortizes away exactly where the 100 TB "
+        "target lives. PLANS.md documents each plan's scale shape; "
+        "tests/test_scale_shape.py pins the absence of scale "
+        "anti-patterns (cartesians, single-partition funnels, forced "
+        "broadcasts of SF-scaling sides).",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else None
+    fh = open(path) if path else sys.stdin
+    payload = json.loads(fh.read().strip().splitlines()[-1])
+    sys.stdout.write(render(payload))
+
+
+if __name__ == "__main__":
+    main()

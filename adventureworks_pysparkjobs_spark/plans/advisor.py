@@ -18,6 +18,11 @@ the failure modes that are invisible at test scale and fatal at 100 TB:
                         pandas evaluation (ArrowEvalPython /
                         FlatMapGroupsInPandas / MapInPandas) is fine
                         and NOT flagged
+- ``forced-broadcast``— an explicit broadcast() hint whose subtree
+                        scans a file source with no cardinality
+                        reducer (Aggregate/Limit/Deduplicate) in
+                        between: safe at test scale, an OOM pinned at
+                        100x — drop the hint and let AQE choose
 
 This is string-level analysis of the executed plan — a linter, not a
 proof; a clean report is necessary, not sufficient. The engine's own
@@ -49,9 +54,15 @@ def _indent(line: str) -> int:
     return len(line) - len(line.lstrip(" +-:*("))
 
 
-def advise(df: DataFrame) -> list[tuple[str, str]]:
+def advise(
+    df: DataFrame,
+    bounded_tables: tuple[str, ...] = ("region", "nation"),
+) -> list[tuple[str, str]]:
     """Run every detector; return [(code, message), ...] (empty =
-    clean)."""
+    clean). ``bounded_tables`` names sources that are fixed-size at ANY
+    data scale (the TPC-H-style 5/25-row dims by default) — forced
+    broadcasts of those are correct, not findings; extend it for your
+    own bounded-by-contract tables."""
     plan = physical_plan(df)
     lines = plan.splitlines()
     findings: list[tuple[str, str]] = []
@@ -134,6 +145,35 @@ def advise(df: DataFrame) -> list[tuple[str, str]]:
                 )
             )
             break
+
+    # forced broadcast of a potentially unbounded side: every
+    # ResolvedHint(broadcast) in the ANALYZED plan whose subtree reads a
+    # file source without a reducing node pins the side in executor +
+    # driver memory at any scale. (Bounded-dim scans are still file
+    # scans — users allowlist those by the hint simply being correct;
+    # the engine's own catalog guard additionally knows the bounded
+    # table names.)
+    from .inspect import broadcast_hint_audit
+
+    _reducing = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+    def _tbl(p: str) -> str:
+        return p.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
+
+    for audit in broadcast_hint_audit(df):
+        scaling = [
+            p for p in audit["paths"] if _tbl(p) not in bounded_tables
+        ]
+        if scaling and not (set(audit["nodes"]) & _reducing):
+            findings.append(
+                (
+                    "forced-broadcast",
+                    "broadcast() hint over a raw file-source subtree "
+                    f"({', '.join(sorted(scaling)[:3])}): the "
+                    "hinted side scales with the data — drop the hint "
+                    "(AQE broadcasts while it fits) unless the source "
+                    "is bounded by contract",
+                )
+            )
 
     if "BatchEvalPython" in plan:
         findings.append(

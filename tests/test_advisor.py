@@ -124,3 +124,37 @@ class TestCatalogViews:
             register_catalog_views(
                 spark, "/nonexistent_sf_dir", names=["doc_exact_dedup"]
             )
+
+
+class TestForcedBroadcastDetector:
+    def test_forced_broadcast_of_fact_flagged(self, spark):
+        from adventureworks_pysparkjobs_spark.plans.advisor import advise
+
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        od = load_table(spark, SF_SMOKE, "orders")
+        bad = od.join(F.broadcast(li), od.o_orderkey == li.l_orderkey)
+        assert "forced-broadcast" in codes(advise(bad))
+
+    def test_bounded_dim_and_reduced_sides_not_flagged(self, spark):
+        from adventureworks_pysparkjobs_spark.plans.advisor import advise
+
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        na = load_table(spark, SF_SMOKE, "nation")
+        cu = load_table(spark, SF_SMOKE, "customer")
+        dim = cu.join(na, cu.c_nationkey == na.n_nationkey)
+        ok = li.join(
+            F.broadcast(na.filter(F.col("n_name") == "NATION_1")),
+            li.l_suppkey == na.n_nationkey,
+        ).crossJoin(F.broadcast(dim.agg(F.count("*").alias("n"))))
+        assert "forced-broadcast" not in codes(advise(ok))
+
+    def test_flagship_catalog_still_advisor_clean(self, spark):
+        """The detector must not fire on any windowed catalog entry —
+        the r5 hint cleanup made the engine's own plans hint-safe."""
+        from adventureworks_pysparkjobs_spark.plans.advisor import advise
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        for name in ("q5_nation_revenue", "top3_parts_per_brand",
+                     "q3_unshipped_revenue", "fact_order_line"):
+            df = CATALOG[name].builder(spark, SF_SMOKE)
+            assert "forced-broadcast" not in codes(advise(df)), name

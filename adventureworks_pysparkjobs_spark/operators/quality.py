@@ -267,3 +267,42 @@ def benford_audit(
             ).alias("within_tol"),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: dict[str, Column],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Distinct l-diversity audit: k-anonymity's necessary companion —
+    a k-anonymous class whose members all share ONE sensitive value
+    still leaks it (homogeneity attack), so each equivalence class must
+    carry at least ``l`` distinct sensitive values before release.
+
+    Same scale shape as ``k_anonymity_audit``: ONE aggregate keyed on
+    the generalized quasi-identifiers. The distinct count is exact —
+    ``count(DISTINCT sensitive)`` partially aggregates per partition
+    (Spark plans it as a two-phase distinct-on-key aggregate), so the
+    shuffle carries (class, sensitive)-level rows at worst, never raw
+    rows with payload. NULL sensitive values are not a 'value' an
+    attacker learns and are excluded from the diversity count (a class
+    of all-NULL sensitives has l_distinct = 0 and fails any l >= 1).
+
+    Returns (*qi_cols, class_size BIGINT, l_distinct BIGINT,
+    is_l_diverse BOOLEAN).
+    """
+    if l < 2:
+        raise ValueError("l_diversity_audit: l must be >= 2")
+    named = [expr.alias(name) for name, expr in quasi_identifiers.items()]
+    return (
+        df.select(*named, F.col(sensitive_col).alias("_sens"))
+        .groupBy(*quasi_identifiers)
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.count_distinct(F.col("_sens")).cast("long").alias(
+                "l_distinct"
+            ),
+        )
+        .withColumn("is_l_diverse", F.col("l_distinct") >= F.lit(l))
+    )

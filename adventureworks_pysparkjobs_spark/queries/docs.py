@@ -743,3 +743,119 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_cum"),
         )
     )
+
+
+@query(
+    "corpus_langid_kappa",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, text,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['der','die','und','das','ein'], x))) AS INTEGER) AS score_de,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['the','a','and','of','to'], x))) AS INTEGER) AS score_en,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['el','la','y','los','de'], x))) AS INTEGER) AS score_es,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS score_fr
+      FROM q
+    ),
+    j AS (
+      SELECT lang AS gold,
+             CASE WHEN text IS NULL THEN 'und'
+                  WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                  WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+                  WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+                  WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+                  ELSE 'fr' END AS pred
+      FROM s
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT_IF(gold = pred) AS BIGINT) AS n_agree
+      FROM j
+    ),
+    pm AS (SELECT pred AS cls, COUNT(*) AS pn FROM j GROUP BY 1),
+    gm AS (SELECT gold AS cls, COUNT(*) AS gn FROM j GROUP BY 1),
+    cr AS (
+      SELECT CAST(COALESCE(SUM(CAST(pn AS HUGEINT) * gn), 0) AS HUGEINT)
+               AS crossv
+      FROM pm JOIN gm USING (cls)
+    )
+    SELECT n, n_agree,
+           CAST(crossv AS BIGINT) AS chance_cross,
+           CAST(CAST(CAST(n AS HUGEINT) * n_agree - crossv AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(CAST(n AS HUGEINT) * n - crossv AS VARCHAR)
+                    AS DOUBLE) AS kappa
+    FROM tot, cr
+    """,
+    tags=("text", "langid", "kappa", "agreement", "evaluation"),
+)
+def corpus_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine's heuristic language-ID
+    (operators/text.py:language_id) and the corpus's gold ``lang``
+    labels — the labeler-agreement statistic a training-data pipeline
+    reports when validating an automatic annotator against human (or
+    reference) labels, correcting raw accuracy for chance agreement.
+
+    kappa = (po - pe) / (1 - pe) reduces to ONE IEEE division of
+    integer-exact operands: (n*n_agree - cross) / (n^2 - cross), where
+    cross = sum over classes of pred_marginal*gold_marginal. Both
+    operands accumulate as exact DECIMAL(38,0) (HUGEINT in the oracle)
+    and divide after the portable string->double cast, so the value is
+    bit-identical across engines. chance_cross is reported as BIGINT
+    (exact below n ~ 3e9 docs; the kappa itself never leaves decimal).
+
+    Scale shape: lang-ID is per-row Catalyst expressions on the single
+    corpus scan; the join back to gold is by doc_id (AQE's call); the
+    marginals are two class-cardinality aggregates; everything after is
+    1-row riders (allowlisted broadcast crosses)."""
+    from ..operators.text import language_id
+
+    doc = load_table(spark, sf_dir, "documents")
+    pred = language_id(doc).select("doc_id", "predicted_lang")
+    j = (
+        doc.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            F.col("lang").alias("gold"),
+            F.col("predicted_lang").alias("pred"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    tot = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("gold") == F.col("pred"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    pm = j.groupBy(F.col("pred").alias("cls")).agg(
+        F.count("*").cast("long").alias("pn")
+    )
+    gm = j.groupBy(F.col("gold").alias("cls")).agg(
+        F.count("*").cast("long").alias("gn")
+    )
+    cr = pm.join(gm, "cls").agg(
+        F.coalesce(
+            F.sum(F.col("pn").cast(d38) * F.col("gn")),
+            F.lit(0).cast(d38),
+        ).alias("crossv")
+    )
+    num = F.col("n").cast(d38) * F.col("n_agree") - F.col("crossv")
+    den = F.col("n").cast(d38) * F.col("n") - F.col("crossv")
+    return (
+        tot.crossJoin(F.broadcast(cr))  # 1-row riders
+        .select(
+            "n",
+            "n_agree",
+            F.col("crossv").cast("long").alias("chance_cross"),
+            (
+                num.cast("string").cast("double")
+                / den.cast("string").cast("double")
+            ).alias("kappa"),
+        )
+    )

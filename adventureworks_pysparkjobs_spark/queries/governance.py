@@ -560,6 +560,45 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_l_diversity",
+    oracle="""
+    SELECT c_nationkey AS nation_key,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT c_mktsegment) >= 3 AS is_l_diverse
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("governance", "privacy", "l-diversity", "audit"),
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (operators/quality.py:
+    l_diversity_audit): k-anonymity's companion gate — each
+    (nation, balance-band) equivalence class must contain >= 3 distinct
+    market segments, else a homogeneous class leaks its members'
+    segment even when it is k-anonymous. One keyed aggregate; the exact
+    distinct plans as a two-phase aggregate so the shuffle carries
+    (class, segment)-level rows at worst. Same engine-identical floor
+    generalization as the k-anonymity sibling."""
+    from ..operators.quality import l_diversity_audit
+    from ..sources.corpus import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return l_diversity_audit(
+        cust,
+        {
+            "nation_key": F.col("c_nationkey"),
+            "balance_band": F.floor(
+                F.col("c_acctbal") / F.lit(1000.0)
+            ).cast("long"),
+        },
+        sensitive_col="c_mktsegment",
+        l=3,
+    )
+
+
+@query(
     "customer_entity_resolution",
     oracle="""
     WITH RECURSIVE blocked AS (

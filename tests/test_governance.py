@@ -495,3 +495,39 @@ class TestBenfordAudit:
         assert sum(n.values()) == 5
         # fractions must be over the SAME total the digits sum to
         assert abs(sum(out[d]["frac_obs"] for d in range(1, 10)) - 1.0) < 1e-12
+
+
+class TestLDiversity:
+    def _df(self, spark):
+        rows = (
+            [("a", "s1"), ("a", "s2"), ("a", "s3")]    # 3 distinct: ok
+            + [("b", "s1"), ("b", "s1"), ("b", "s2")]  # 2 distinct: fail
+            + [("c", None), ("c", None)]               # all-null: 0
+        )
+        return spark.createDataFrame(rows, "seg string, sens string")
+
+    def test_distinct_counts_and_verdicts(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            l_diversity_audit,
+        )
+
+        out = {
+            r["seg"]: (r["class_size"], r["l_distinct"], r["is_l_diverse"])
+            for r in l_diversity_audit(
+                self._df(spark), {"seg": F.col("seg")}, "sens", l=3
+            ).collect()
+        }
+        assert out["a"] == (3, 3, True)
+        assert out["b"] == (3, 2, False)
+        # NULL sensitive values are not attacker-learnable values
+        assert out["c"] == (2, 0, False)
+
+    def test_l_below_two_rejected(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            l_diversity_audit,
+        )
+
+        with pytest.raises(ValueError):
+            l_diversity_audit(
+                self._df(spark), {"seg": F.col("seg")}, "sens", l=1
+            )

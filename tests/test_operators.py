@@ -1981,3 +1981,34 @@ class TestTemperatureMixtureRates:
         df = spark.createDataFrame([("a", 1)], "g string, i int")
         with pytest.raises(ValueError):
             temperature_mixture_rates(df, "g", sqrt_steps=0)
+
+
+class TestLangidKappa:
+    def test_known_confusion_matrix(self, spark):
+        """Hand-checked 2-class kappa: 10 rows, 8 agree, marginals
+        pred(en)=6, gold(en)=5 -> cross = 6*5+4*5 = 50,
+        kappa = (10*8-50)/(100-50) = 0.6."""
+        from adventureworks_pysparkjobs_spark.queries import CATALOG  # noqa: F401
+        import adventureworks_pysparkjobs_spark.queries.docs as docs_mod
+
+        rows = []
+        # 4 en/en agree, 4 fr/fr agree, 1 gold-en pred-fr, 1 gold-fr pred-en
+        # build texts the marker scorer labels deterministically
+        en = "the and of to a"
+        fr = "le la et les des"
+        for i in range(4):
+            rows.append((i, en, "en"))
+        for i in range(4, 8):
+            rows.append((i, fr, "fr"))
+        rows.append((8, fr, "en"))   # pred fr, gold en
+        rows.append((9, en, "fr"))   # pred en, gold fr
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = CATALOG["corpus_langid_kappa"].builder(spark, d).collect()[0]
+        assert out["n"] == 10 and out["n_agree"] == 8
+        # marginals: pred en=5, fr=5; gold en=5, fr=5 -> cross=50
+        assert out["chance_cross"] == 50
+        assert out["kappa"] == (10 * 8 - 50) / (100 - 50)

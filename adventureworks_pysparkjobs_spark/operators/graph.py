@@ -225,8 +225,28 @@ def path_to_root(
     (the oracle replays a recursive CTE). Returns
     (id, root_id, depth BIGINT, path_w BIGINT = weight(node) + weights
     of all ancestors to the root). Raises if any chain exceeds
-    2^max_iterations edges (a cycle — not a tree).
+    2^max_iterations edges (a cycle — not a tree), and FAILS FAST on
+    dangling parents (a parent id with no node row): a dangling chain
+    can never settle, so without the upfront check the doubling loop
+    would grind through all max_iterations (each with a checkpoint +
+    count) before dying with a misleading 'cycle' error — the r5 sf1
+    scale smoke hit exactly that on gap-keyed data. The check is one
+    anti-join over the tree, negligible next to the iterations it
+    guards.
     """
+    ids = tree.select(F.col(id_col).alias("_id"))
+    dangling = (
+        tree.filter(F.col(parent_col).isNotNull())
+        .join(ids, F.col(parent_col) == F.col("_id"), "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            "path_to_root: parent column references node id(s) with no "
+            "node row (dangling parents) — the input is not a rooted "
+            "tree/forest; repair the hierarchy or filter orphan edges"
+        )
     w_self = tree.select(
         F.col(id_col).alias("_n"), F.col(weight_col).cast("long").alias("_wn")
     )

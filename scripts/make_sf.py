@@ -8,16 +8,21 @@ derives an sf1-equivalent directory from the DRIVER'S OWN sf0.1 parquet
 replicas:
 
 - every entity key (custkey/orderkey/partkey/suppkey/event_id/user_id/
-  doc_id/vec_id) shifts by ``replica * stride`` with one shared stride,
-  so PK uniqueness and FK consistency hold within each replica and keys
-  are disjoint across replicas — join fan-outs scale linearly, exactly
-  like a real SF increase;
+  doc_id/vec_id) shifts by ``replica * (max(pk)+1)`` with a PER-ENTITY
+  stride, so each entity's key space stays dense and contiguous
+  (0..K-1, K..2K-1, ...), PKs stay unique, FKs stay consistent
+  (referencing columns shift by the referenced entity's stride), and
+  join fan-outs scale linearly — exactly like a real SF increase.
+  Density matters: operators that derive structure from key arithmetic
+  (the hash-derived part taxonomy's parent(k)) need every smaller key
+  to exist;
 - bounded dims (region, nation) are NOT amplified — they are fixed-size
   at any SF, and amplifying them would distort every dim-join plan;
-- document text / event props are salted with the replica id so
-  dedup-family operators see mostly-novel content (a 10x corpus is new
-  data, not 10 copies), while embeddings replicate as-is (vector
-  duplicates across replicas just exercise the near-dup path harder).
+- document text / event props get a per-replica substitution cipher
+  (rotations of 'etaoinshrdlu') so replica copies are NOT
+  near-duplicates of each other or the original — a 10x corpus is new
+  data, not 10 shingle-identical copies — while embeddings replicate
+  as-is (vector duplicates just exercise the near-dup path harder).
 
 Distinct-value distributions of non-key attributes repeat across
 replicas — fine for a smoke whose failure modes are row-count cliffs
@@ -36,42 +41,70 @@ import sys
 import duckdb
 
 BOUNDED = ("region", "nation")
-KEY_SHIFTS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+# column -> entity: every column of one entity (PK + its FK references)
+# shifts by that ENTITY's own stride = max(PK)+... so each entity's key
+# space stays DENSE (1..K, K+1..2K, ...) — replica keys are contiguous,
+# which matters for operators that derive structure from key arithmetic
+# (e.g. the hash-derived part taxonomy: parent(k) must exist for every
+# k, so gaps in the key space would dangle parents), while FK
+# consistency holds because referencing columns shift by the referenced
+# entity's stride.
+ENTITY_OF = {
+    "c_custkey": "cust", "o_custkey": "cust",
+    "o_orderkey": "order", "l_orderkey": "order",
+    "p_partkey": "part", "l_partkey": "part",
+    "s_suppkey": "supp", "l_suppkey": "supp",
+    "event_id": "event", "user_id": "user",
+    "doc_id": "doc", "vec_id": "vec",
 }
-# text-bearing columns salted per replica so amplified corpora are
-# mostly-novel content rather than exact clones
+# entity stride is measured on its PK column in its home table
+ENTITY_PK = {
+    "cust": ("customer", "c_custkey"),
+    "order": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+# text-bearing columns get a per-replica substitution cipher over the
+# twelve most frequent letters, so replica copies of a document are NOT
+# near-duplicates of each other or the original (a suffix salt leaves
+# shingle sets ~identical, which made every dedup-family operator
+# correctly report all replicas as one near-dup cluster — a property of
+# the amplifier, not new data); a cipher changes most tokens, hence
+# most shingles, while staying deterministic and length-preserving.
+CIPHER_SRC = "etaoinshrdlu"
 SALTED = {
     "documents": ["text"],
     "events": ["props"],
 }
 
 
+def _cipher(r: int) -> str:
+    return CIPHER_SRC[r % 12:] + CIPHER_SRC[: r % 12]
+
+
 def amplify(src: str, dst: str, k: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    # one shared stride: larger than ANY shifted key in any table, so
-    # replica key ranges are disjoint for every entity
-    stride = 0
-    for t, cols in KEY_SHIFTS.items():
-        for c in cols:
-            (mx,) = con.sql(
-                f"SELECT max({c}) FROM '{src}/{t}.parquet'"
-            ).fetchone()
-            stride = max(stride, int(mx or 0) + 1)
+    stride: dict[str, int] = {}
+    for ent, (tbl, pk) in ENTITY_PK.items():
+        (mx,) = con.sql(
+            f"SELECT max({pk}) FROM '{src}/{tbl}.parquet'"
+        ).fetchone()
+        stride[ent] = int(mx or 0) + 1
     for t in BOUNDED:
         con.sql(
             f"COPY (SELECT * FROM '{src}/{t}.parquet') "
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
-    for t, cols in KEY_SHIFTS.items():
+    for t in TABLES:
         names = [
             row[0]
             for row in con.sql(
@@ -82,15 +115,13 @@ def amplify(src: str, dst: str, k: int) -> None:
         for r in range(k):
             parts = []
             for c in names:
-                if c in cols:
-                    parts.append(f"{c} + {r * stride} AS {c}")
-                elif c in SALTED.get(t, []):
-                    # keep NULLs null; salt only replica copies so the
-                    # r=0 slice stays byte-identical to the source
+                if c in ENTITY_OF:
+                    off = r * stride[ENTITY_OF[c]]
+                    parts.append(f"{c} + {off} AS {c}")
+                elif c in SALTED.get(t, []) and r:
                     parts.append(
-                        f"CASE WHEN {r} = 0 THEN {c} "
-                        f"ELSE {c} || ' r{r}' END AS {c}"
-                        if r else f"{c}"
+                        f"translate({c}, '{CIPHER_SRC}', "
+                        f"'{_cipher(r)}') AS {c}"
                     )
                 else:
                     parts.append(c)

@@ -312,3 +312,18 @@ class TestPathToRoot:
         rows = [(1, None, 1), (2, 3, 1), (3, 2, 1)]
         with pytest.raises(ValueError):
             self._run(spark, rows, max_iterations=4)
+
+
+def test_path_to_root_dangling_parent_fails_fast(spark):
+    """r5 sf1 smoke finding: a parent id with no node row can never
+    settle, so the loop used to burn all 64 doubling iterations before
+    a misleading 'cycle' error. Now it raises immediately and names the
+    actual problem."""
+    from adventureworks_pysparkjobs_spark.operators.graph import (
+        path_to_root,
+    )
+
+    rows = [(1, None, 10), (2, 1, 5), (3, 99, 7)]  # 99 doesn't exist
+    tree = spark.createDataFrame(rows, "node long, parent long, w long")
+    with pytest.raises(ValueError, match="dangling"):
+        path_to_root(tree, "node", "parent", "w")

@@ -31,6 +31,7 @@ CROSS_OK = {
     "corpus_bm25_topk",  # 1-row corpus-totals broadcast cross
     "lang_temperature_mixture",  # 1-row normalizer broadcast cross
     "doc_multilingual_resample",  # same normalizer cross via composition
+    "corpus_langid_kappa",  # two 1-row riders (totals x marginal-cross)
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

@@ -380,3 +380,49 @@ def rfm_segments(
             F.sum("monetary").cast("double").alias("total_monetary"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of CONSECUTIVE events of one user,
+    count (from_type -> to_type) and the row-normalized transition
+    probability — the behavioral-model primitive behind next-action
+    prediction, anomaly scoring, and bot detection.
+
+    Sequencing uses a total order (ts, id) so ties are deterministic
+    across engines and partitionings. Scale shape: one keyed exchange
+    for the per-user lead() window (sequences never leave their
+    partition), one reducing groupBy on the (from, to) pair — bounded
+    by |types|² rows — and the row marginal comes from a window over
+    the AGGREGATED frame (pair-grain rows), never a second corpus scan.
+    prob is ONE IEEE division of exact longs.
+
+    Returns (from_type, to_type, n BIGINT, prob DOUBLE), one row per
+    observed transition pair.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wm).cast("double")
+        ).alias("prob"),
+    )

@@ -319,3 +319,40 @@ def events_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing_k"
         ),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                    AS DOUBLE) AS prob
+    FROM pairs
+    """,
+    tags=("events", "markov", "transition", "sequence", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences
+    (operators/analytics.py:transition_matrix): consecutive-event
+    (from_type -> to_type) counts and row-normalized probabilities
+    under the deterministic (ts, event_id) total order. One keyed
+    exchange for the per-user lead window, one |types|²-bounded pair
+    aggregate, marginals from a window over the aggregated frame —
+    never a second corpus scan; prob is one IEEE division of exact
+    longs."""
+    from ..operators.analytics import transition_matrix
+
+    return transition_matrix(load_table(spark, sf_dir, "events"))

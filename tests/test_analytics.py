@@ -184,3 +184,33 @@ class TestRfmSegments:
         # customers 6-7: least recent, most orders, most spend -> "033"
         assert seg["033"]["n_customers"] == 2
         assert seg["033"]["total_monetary"] == 11300.0  # 7x700 + 8x800
+
+
+class TestTransitionMatrix:
+    def test_counts_probs_and_tie_order(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            transition_matrix,
+        )
+        from datetime import datetime
+
+        t0 = datetime(2026, 1, 1, 12, 0, 0)
+        rows = [
+            # user 1: a -> b -> b  (same ts for the b,b pair: event_id
+            # breaks the tie deterministically)
+            (1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 1, "b"),
+            # user 2: a -> c
+            (4, t0, 2, "a"), (5, t0, 2, "c"),
+            # user 3: single event -> no transition
+            (6, t0, 3, "a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = {
+            (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+            for r in transition_matrix(df).collect()
+        }
+        assert out[("a", "b")] == (1, 0.5)
+        assert out[("a", "c")] == (1, 0.5)
+        assert out[("b", "b")] == (1, 1.0)
+        assert len(out) == 3  # no self-row for user 3's lone event

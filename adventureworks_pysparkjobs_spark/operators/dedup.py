@@ -182,6 +182,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int = 1000,
+    buckets: int = 10,
+) -> DataFrame:
+    """Corpus duplication profile: the distribution of exact n-gram
+    Jaccard similarity over every candidate pair (pairs sharing at
+    least one non-stop shingle) — the histogram a pipeline reads BEFORE
+    choosing its near-dup threshold, instead of guessing 0.5.
+
+    Same candidate generation as ``ngram_jaccard_pairs`` (posting-list
+    expansion off the cached shingle frame, stop-shingle df cap), but
+    instead of thresholding, each pair lands in bucket
+    ``(buckets * |∩|) div |∪|`` (clamped to buckets-1 for exact
+    duplicates) — pure INTEGER arithmetic, so the histogram is
+    bit-identical across engines with no float compare at a bucket
+    edge. Output is buckets-sized: (bucket INT, lo DOUBLE, n_pairs
+    BIGINT), lo = bucket/buckets as an exact literal division.
+
+    Scale: identical to the pairs operator (Σ df(shingle)² bounded by
+    the cap) with a final buckets-bounded aggregate instead of a pair
+    materialization.
+    """
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    idx = _shingle_index(arrs)
+    sizes = _shingle_counts(arrs)
+    postings = (
+        idx.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    union = F.col("n1") + F.col("n2") - F.col("n_inter")
+    bucket = F.least(
+        F.expr(f"({buckets} * n_inter) div (n1 + n2 - n_inter)"),
+        F.lit(buckets - 1).cast("long"),
+    )
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / F.lit(float(buckets))).alias(
+                "lo"
+            ),
+            "n_pairs",
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

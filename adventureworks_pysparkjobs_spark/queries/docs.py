@@ -859,3 +859,43 @@ def corpus_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+@query(
+    "doc_jaccard_histogram",
+    oracle=f"""
+    WITH {_SHINGLES_CTE5},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) / 10.0 AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (
+      SELECT CAST(LEAST((10 * n_inter) // (s1.n_sh + s2.n_sh - n_inter),
+                        9) AS INTEGER) AS bucket
+      FROM inter
+      JOIN sizes s1 ON inter.id1 = s1.id
+      JOIN sizes s2 ON inter.id2 = s2.id
+    )
+    GROUP BY bucket
+    """,
+    tags=("dedup", "jaccard", "histogram", "profile"),
+)
+def doc_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile (operators/dedup.py:jaccard_histogram):
+    decile histogram of exact 5-gram Jaccard over all candidate pairs —
+    read this BEFORE picking a near-dup threshold. Bucket assignment is
+    pure integer arithmetic ((10*|∩|) div |∪|, clamped), so no float
+    compare sits on a bucket edge; both ``div`` and DuckDB ``//`` floor
+    identically on these non-negative operands. Candidate generation is
+    the same stop-shingle-capped posting-list expansion as the pairs
+    operator; the output is 10 rows."""
+    return D.jaccard_histogram(
+        load_table(spark, sf_dir, "documents"), n=5, max_shingle_df=1000
+    )

@@ -2012,3 +2012,28 @@ class TestLangidKappa:
         # marginals: pred en=5, fr=5; gold en=5, fr=5 -> cross=50
         assert out["chance_cross"] == 50
         assert out["kappa"] == (10 * 8 - 50) / (100 - 50)
+
+
+class TestJaccardHistogram:
+    def test_buckets_exact_and_clamped(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.dedup import (
+            jaccard_histogram,
+        )
+
+        rows = [
+            (1, "a b c d"),      # with 2: shares shingles
+            (2, "a b c d"),      # exact dup of 1 -> jaccard 1 -> bucket 9
+            (3, "a b c x"),      # vs 1/2: inter 1 of union 3 -> bucket 3
+            (4, "q r s t"),      # no shared shingles: no pair
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["bucket"]: (r["lo"], r["n_pairs"])
+            for r in jaccard_histogram(df, n=3).collect()
+        }
+        # 3-shingles: doc1 = {abc, bcd}; doc3 = {abc, bcx}
+        # (1,2): inter 2 union 2 -> 10*2 div 2 = 10 -> clamp 9
+        assert out[9] == (0.9, 1)
+        # (1,3) and (2,3): inter 1 union 3 -> 10 div 3 = 3
+        assert out[3] == (0.3, 2)
+        assert set(out) == {3, 9}

@@ -1326,3 +1326,132 @@ def doc_multilingual_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("lang_quota"))
         .select("doc_id", "lang", "lang_quota")
     )
+
+
+@query(
+    "doc_classifier_auc",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '') AS toks
+         FROM documents), unnest(toks) AS t(tk)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('qc:' || tk), 1, 4) AS INTEGER)
+               % 4096 AS feature
+      FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM feat GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT DISTINCT feature,
+             CAST(CAST('0x' || substr(md5('w:' || feature), 1, 4)
+                       AS BIGINT) % 2001 - 1000 AS BIGINT) AS w_scaled
+      FROM feat
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf * w.w_scaled) AS BIGINT) AS logit_scaled
+      FROM tf JOIN w ON w.feature = tf.feature
+      GROUP BY 1
+    ),
+    sc AS (
+      SELECT CAST(s.logit_scaled AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+               AS score,
+             d.lang = 'en' AS label
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    per_s AS (
+      SELECT score,
+             CAST(COUNT_IF(label) AS BIGINT) AS p,
+             CAST(COUNT_IF(NOT label) AS BIGINT) AS ng
+      FROM sc GROUP BY score
+    ),
+    cum AS (
+      SELECT p, ng,
+             COALESCE(SUM(ng) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cn
+      FROM per_s
+    )
+    SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(ng) AS BIGINT) AS n_neg,
+           CAST(CAST(SUM(CAST(p AS HUGEINT) * (2 * cn + ng)) AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(2 * CAST(SUM(p) AS HUGEINT)
+                          * CAST(SUM(ng) AS HUGEINT) AS VARCHAR)
+                    AS DOUBLE) AS auc
+    FROM cum
+    """,
+    tags=("text", "classifier", "auc", "evaluation", "ml-ops"),
+)
+def doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (tie-corrected) ROC-AUC of the hashed linear quality
+    classifier against the lang='en' proxy label — the ranking-quality
+    companion to doc_classifier_calibration's reliability diagram.
+
+    AUC = [Σ over distinct scores s of pos(s)·(neg_below(s) +
+    neg(s)/2)] / (P·N) — the midrank (Mann-Whitney U with ties)
+    formulation. Everything stays integer: the numerator is doubled
+    (2U = Σ p·(2·cum_neg + ng)) and accumulates in DECIMAL(38,0)
+    (HUGEINT in the oracle), so the single IEEE division
+    2U / (2·P·N) — both operands through the portable string->double
+    cast — is bit-identical across engines. Scores group on the
+    IDENTICAL IEEE double both engines compute (exact bigint->double
+    casts, one division), so tie groups agree exactly.
+
+    Scale shape: the scorer is the shared hashed-feature pipeline; the
+    per-score aggregate reduces to distinct-score grain before the
+    one ordered window (a SinglePartition exchange over reduced rows —
+    the allowed pattern), then a 1-row aggregate."""
+    from ..operators.lm import hashed_linear_scores, pseudo_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(
+        docs, pseudo_weights(spark, 4096, "w", 1000)
+    )
+    sc = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        (
+            F.col("logit_scaled").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    per_s = sc.groupBy("score").agg(
+        F.count_if(F.col("label")).cast("long").alias("p"),
+        F.count_if(~F.col("label")).cast("long").alias("ng"),
+    )
+    d38 = "decimal(38,0)"
+    wcum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_s.select(
+        "p",
+        "ng",
+        F.coalesce(F.sum("ng").over(wcum), F.lit(0)).alias("cn"),
+    )
+    t2 = F.col("p").cast(d38) * (
+        F.lit(2).cast(d38) * F.col("cn") + F.col("ng")
+    )
+    return cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("ng").cast("long").alias("n_neg"),
+        F.sum(t2).alias("_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("_num2").cast("string").cast("double")
+            / (
+                F.lit(2).cast(d38)
+                * F.col("n_pos")
+                * F.col("n_neg")
+            ).cast("string").cast("double")
+        ).alias("auc"),
+    )

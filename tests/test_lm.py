@@ -174,3 +174,37 @@ class TestHashedLinearScores:
         assert out[1] == (14, True)
         # doc 2's only feature has no weight row: scores 0, kept
         assert out[2] == (0, False)
+
+
+class TestClassifierAuc:
+    def test_hand_checked_auc_with_ties(self, spark):
+        """scores: pos={3,2}, neg={2,1}. Pairs: (3>2)=1, (3>1)=1,
+        (2==2)=0.5, (2>1)=1 -> U=3.5, AUC=3.5/4=0.875. Built by
+        writing a tiny documents table whose hashed-scorer scores are
+        irrelevant — instead drive the same midrank math through the
+        catalog entry is impractical here, so test the math inline."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rows = [(3.0, True), (2.0, True), (2.0, False), (1.0, False)]
+        sc = spark.createDataFrame(rows, "score double, label boolean")
+        per_s = sc.groupBy("score").agg(
+            F.count_if(F.col("label")).cast("long").alias("p"),
+            F.count_if(~F.col("label")).cast("long").alias("ng"),
+        )
+        w = Window.orderBy("score").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = per_s.select(
+            "p", "ng",
+            F.coalesce(F.sum("ng").over(w), F.lit(0)).alias("cn"),
+        )
+        row = cum.agg(
+            F.sum(
+                F.col("p") * (F.lit(2) * F.col("cn") + F.col("ng"))
+            ).alias("num2"),
+            F.sum("p").alias("P"),
+            F.sum("ng").alias("N"),
+        ).collect()[0]
+        assert row["num2"] == 7  # 2U
+        assert row["num2"] / (2 * row["P"] * row["N"]) == 0.875

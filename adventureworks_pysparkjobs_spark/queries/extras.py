@@ -663,6 +663,42 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                    AS DOUBLE) AS prob
+    FROM pairs
+    """,
+    tags=("streaming", "stateful", "markov", "applyInPandasWithState"),
+)
+def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming Markov transition counts
+    (streaming/events.py:stateful_transition_counts) WITH a full SQL
+    oracle: O(1) state per user (the last event type) lets each
+    micro-batch emit the boundary pair a stateless per-batch lead()
+    would miss, so the bounded run equals the batch operator
+    events_transition_matrix on any batch split — which is exactly
+    what the shared oracle asserts."""
+    from ..streaming.events import stateful_transition_counts
+
+    return stateful_transition_counts(spark, sf_dir)
+
+
+@query(
     "corpus_training_pipeline",
     oracle="""
     WITH RECURSIVE toks0 AS (

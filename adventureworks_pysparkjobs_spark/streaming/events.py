@@ -765,3 +765,76 @@ def tws_user_type_counts(
         F.min("first_s").alias("first_s"),
         F.max("last_s").alias("last_s"),
     )
+
+
+def stateful_transition_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stateful streaming twin of
+    operators/analytics.py:transition_matrix — first-order Markov
+    transition counts maintained over a LIVE event stream via
+    applyInPandasWithState.
+
+    State per user is O(1): just the type of the user's LAST seen
+    event. Each micro-batch sorts its rows by (ts, event_id), emits one
+    (from_type, to_type) pair per consecutive event — including the
+    BOUNDARY pair that joins the stored last type to the batch's first
+    event, which a stateless per-batch lead() would miss — and stores
+    the new last type. Pairs are append-only and exact, so the final
+    aggregate equals the batch operator on ANY batch split of the
+    input. Arrival contract (same as stateful_sessionize): micro-
+    batches are time-ordered per key — a pair fold cannot rewind for an
+    event older than what it already consumed.
+
+    Returns (from_type, to_type, n BIGINT, prob DOUBLE) exactly like
+    the batch operator (marginals via a window over the pair-grain
+    aggregate; prob one IEEE division of exact longs).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = [pdf[["ts", "event_id", "event_type"]] for pdf in pdfs]
+        froms: list[str] = []
+        tos: list[str] = []
+        if rows:
+            batch = pd.concat(rows).sort_values(["ts", "event_id"])
+            for t in batch["event_type"]:
+                if last is not None:
+                    froms.append(last)
+                    tos.append(t)
+                last = t
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame({"from_type": froms, "to_type": tos})
+
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="from_type string, to_type string",
+            stateStructType="last_type string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = run_to_memory(pairs, "append", spark)
+    counts = emitted.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(wm).cast("double")
+        ).alias("prob"),
+    )

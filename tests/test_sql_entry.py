@@ -458,3 +458,51 @@ def test_stream_aggregate_sink_incremental_and_replay_idempotent(
     # overwrites itself — totals unchanged (no double counting)
     _write_agg_partial(half1, 0, out, ["event_type"], ["value"])
     assert snap() == want_all
+
+
+def test_stateful_transition_counts_multi_batch_boundary_pairs(
+    spark, tmp_path
+):
+    """The pair joining a user's last event of batch k to their first
+    event of batch k+1 exists ONLY in stored state — a stateless
+    per-batch lead() would drop it. Split the fixture at the median
+    timestamp, force two micro-batches, and require exact equality
+    with the batch transition matrix."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        transition_matrix,
+    )
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stateful_transition_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS BIGINT), 0.5) AS c"
+    ).collect()[0]["c"]
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (
+        ev.filter(F.col("ts").cast("bigint") <= cut),
+        ev.filter(F.col("ts").cast("bigint") > cut),
+    )
+    for i, half in enumerate(halves):
+        stage = tmp_path / f"h{i}"
+        half.coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(
+            src / f"events-{i:03d}.parquet"
+        )
+
+    streamed = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in stateful_transition_counts(
+            spark, str(src), max_files_per_trigger=1
+        ).collect()
+    }
+    batch = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in transition_matrix(ev).collect()
+    }
+    assert streamed == batch

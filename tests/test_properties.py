@@ -365,3 +365,91 @@ def test_semantic_dedup_matches_bruteforce(spark, vecs, num):
                 n_dup += 1
         expected[i] = (n_dup, n_dup == 0)
     assert got == expected
+
+
+# ---- r5 operators vs brute-force references --------------------------
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=20),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=docs_strategy)
+def test_jaccard_histogram_matches_bruteforce(spark, texts):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        jaccard_histogram,
+    )
+
+    n = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["bucket"]: r["n_pairs"]
+        for r in jaccard_histogram(
+            df, n=n, max_shingle_df=10_000
+        ).collect()
+    }
+
+    def sh(t):
+        w = [x for x in t.strip().split() if x]
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    sets = [sh(t) for t in texts]
+    want: dict[int, int] = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue  # not a candidate pair (no shared shingle)
+            union = len(sets[i] | sets[j])
+            b = min((10 * inter) // union, 9)
+            want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # user
+        st.integers(min_value=0, max_value=50),  # seconds offset
+        st.sampled_from(["x", "y", "z"]),        # type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_transition_matrix_matches_bruteforce(spark, rows):
+    from collections import defaultdict
+
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        transition_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, _ts(s), u, t) for i, (u, s, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in transition_matrix(df).collect()
+    }
+
+    by_user: dict[int, list] = defaultdict(list)
+    for i, (u, s, t) in enumerate(rows):
+        by_user[u].append((s, i, t))
+    counts: dict[tuple, int] = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    marg: dict[str, int] = defaultdict(int)
+    for (a, _), c in counts.items():
+        marg[a] += c
+    want = {k: (c, c / marg[k[0]]) for k, c in counts.items()}
+    assert got == want

@@ -886,6 +886,7 @@ def corpus_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bucket
     """,
     tags=("dedup", "jaccard", "histogram", "profile"),
+    bench=True,
 )
 def doc_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplication profile (operators/dedup.py:jaccard_histogram):

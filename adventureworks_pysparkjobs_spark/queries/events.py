@@ -343,6 +343,7 @@ def events_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     """,
     tags=("events", "markov", "transition", "sequence", "window"),
+    bench=True,
 )
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user event sequences

@@ -164,3 +164,99 @@ def cms_estimate(
         col, F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
     return joined.groupBy(col).agg(F.min("c").alias("cms_count"))
+
+
+def quantile_sketch_check(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    percentiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 1000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Mergeable quantile sketch with an in-plan rank-error proof —
+    the third member of the sketch family (CMS = frequencies,
+    HLL = distincts, this = quantiles).
+
+    Per group and percentile p it reports the EXACT p-quantile — the
+    k-th smallest value, k = ceil(p·n), under the total order
+    (value, tiebreak) so the reported value is engine-identical — next
+    to a boolean checking ``percentile_approx``'s guarantee: the
+    sketch value's rank interval [#(<v)+1, #(<=v)] must intersect
+    [k − n/accuracy, k + n/accuracy]. At 100 TB the SKETCH is the
+    product (one pass, mergeable partials, no sort); the exact rank
+    column is the verification rider and costs one per-group sort —
+    run it on samples or at audit time, not per query.
+
+    Returns (*group_cols, pct DOUBLE, n BIGINT, k BIGINT,
+    exact_value DOUBLE, sketch_ok BOOLEAN).
+    """
+    gc = list(group_cols)
+    tb = tiebreak_col
+    order = [F.col(value_col)] + ([F.col(tb)] if tb else [])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gc).orderBy(*order)
+    ranked = df.select(
+        *gc, F.col(value_col).alias("_v"), F.row_number().over(w).alias("_r")
+    )
+    base = df.groupBy(*gc).agg(
+        F.count("*").cast("long").alias("n"),
+        F.percentile_approx(
+            F.col(value_col), list(percentiles), accuracy
+        ).alias("_apx"),
+    )
+    out = None
+    for i, p in enumerate(percentiles):
+        k = F.ceil(F.lit(float(p)) * F.col("n")).cast("long")
+        apx_i = F.col("_apx").getItem(i)
+        # rank interval of the sketch value within each group: one
+        # conditional aggregate over the (broadcastable) per-group
+        # sketch frame joined back to the raw rows
+        ranks = (
+            df.select(*gc, F.col(value_col).alias("_x"))
+            .join(base.select(*gc, apx_i.alias("_av")), gc)
+            .groupBy(*gc)
+            .agg(
+                F.count_if(F.col("_x") < F.col("_av"))
+                .cast("long")
+                .alias("_lt"),
+                F.count_if(F.col("_x") <= F.col("_av"))
+                .cast("long")
+                .alias("_le"),
+            )
+        )
+        part = (
+            base.select(*gc, "n", k.alias("k"))
+            .join(ranked, gc)
+            .filter(F.col("_r") == F.col("k"))
+            .select(*gc, "n", "k", F.col("_v").alias("exact_value"))
+            .join(ranks, gc)
+            .select(
+                *gc,
+                F.lit(float(p)).alias("pct"),
+                "n",
+                "k",
+                F.col("exact_value").cast("double").alias("exact_value"),
+                (
+                    (
+                        F.col("_lt") + F.lit(1)
+                        <= F.col("k")
+                        + F.ceil(
+                            F.col("n").cast("double")
+                            / F.lit(float(accuracy))
+                        )
+                    )
+                    & (
+                        F.col("_le")
+                        >= F.col("k")
+                        - F.ceil(
+                            F.col("n").cast("double")
+                            / F.lit(float(accuracy))
+                        )
+                    )
+                ).alias("sketch_ok"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

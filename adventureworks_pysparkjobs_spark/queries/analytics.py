@@ -522,3 +522,50 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w"),
     )
     return path_to_root(tree, "node", "parent", "w")
+
+
+@query(
+    "events_quantile_sketch",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS pct,
+           CAST(n AS BIGINT) AS n,
+           CAST(CEIL(0.5 * n) AS BIGINT) AS k,
+           CAST(value AS DOUBLE) AS exact_value,
+           TRUE AS sketch_ok
+    FROM ranked WHERE r = CAST(CEIL(0.5 * n) AS BIGINT)
+    UNION ALL
+    SELECT event_type, CAST(0.95 AS DOUBLE), CAST(n AS BIGINT),
+           CAST(CEIL(0.95 * n) AS BIGINT),
+           CAST(value AS DOUBLE), TRUE
+    FROM ranked WHERE r = CAST(CEIL(0.95 * n) AS BIGINT)
+    """,
+    tags=("sketch", "quantile", "percentile-approx", "rank-error"),
+)
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch with an in-plan rank-error proof
+    (operators/sketches.py:quantile_sketch_check): per event type the
+    EXACT p50/p95 of value (k-th smallest under the (value, event_id)
+    total order — engine-identical) next to a boolean pinning
+    percentile_approx's rank guarantee (the sketch value's rank
+    interval intersects k ± n/accuracy). The approx_parts_ok pattern:
+    exact columns hash-match cross-engine, the sketch quality rides as
+    a driver-checked boolean. Completes the mergeable-sketch family
+    (CMS frequencies, HLL distincts, quantiles)."""
+    from ..operators.sketches import quantile_sketch_check
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_sketch_check(
+        ev,
+        "value",
+        ["event_type"],
+        percentiles=(0.5, 0.95),
+        accuracy=1000,
+        tiebreak_col="event_id",
+    )

@@ -327,3 +327,43 @@ def test_path_to_root_dangling_parent_fails_fast(spark):
     tree = spark.createDataFrame(rows, "node long, parent long, w long")
     with pytest.raises(ValueError, match="dangling"):
         path_to_root(tree, "node", "parent", "w")
+
+
+class TestQuantileSketchCheck:
+    def test_exact_ranks_and_guarantee_fixture(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.sketches import (
+            quantile_sketch_check,
+        )
+
+        # values 1..100 in one group: p50 -> k=50 -> 50.0; p95 -> 95.0
+        df = spark.createDataFrame(
+            [(1, float(v), v) for v in range(1, 101)],
+            "g int, value double, event_id long",
+        )
+        out = {
+            r["pct"]: (r["n"], r["k"], r["exact_value"], r["sketch_ok"])
+            for r in quantile_sketch_check(
+                df, "value", ["g"], percentiles=(0.5, 0.95),
+                accuracy=1000, tiebreak_col="event_id",
+            ).collect()
+        }
+        assert out[0.5] == (100, 50, 50.0, True)
+        assert out[0.95] == (100, 95, 95.0, True)
+
+    def test_tie_heavy_group_still_exact(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.sketches import (
+            quantile_sketch_check,
+        )
+
+        # all-equal values: every rank holds the same value; the rank
+        # interval of the sketch value is the whole group
+        df = spark.createDataFrame(
+            [(1, 7.0, i) for i in range(10)],
+            "g int, value double, event_id long",
+        )
+        (row,) = quantile_sketch_check(
+            df, "value", ["g"], percentiles=(0.5,), tiebreak_col="event_id"
+        ).collect()
+        assert (row["k"], row["exact_value"], row["sketch_ok"]) == (
+            5, 7.0, True,
+        )

@@ -426,3 +426,75 @@ def transition_matrix(
             / F.sum("n").over(wm).cast("double")
         ).alias("prob"),
     )
+
+
+def multitouch_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+    credit_scale: int = 1_000_000,
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch (click) of a user in
+    the ``window_days`` before one of their conversions (purchases)
+    shares that conversion's credit equally — the marketing-analytics
+    counterpart of last-touch as-of attribution (events_asof_attribution
+    keeps ONLY the latest touch; this splits credit across all of them).
+
+    Credit is exact by convention: each touch earns
+    ``credit_scale div k`` integer micro-units (k = the conversion's
+    touch count), so per-day credit sums are integer-exact and
+    engine-identical; the DOUBLE credit column is one IEEE division by
+    the scale at the end. (A float 1/k summed across partitions would
+    be accumulation-order-dependent — the same reason every other
+    ratio in this engine divides once, at the end.)
+
+    Scale shape: one user-keyed range join (touch within (conv−W,
+    conv]), one per-conversion count via a window over the JOINED
+    frame partitioned by the conversion id (pair-grain, not raw
+    events), then a day-keyed aggregate. Returns
+    (touch_day DATE, n_touches BIGINT, credit DOUBLE) — credited
+    touch-day rows, i.e. the daily spend-effectiveness curve.
+    """
+    touches = df.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_t_ts"),
+        F.to_date(ts_col).alias("touch_day"),
+    )
+    convs = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_cu"),
+        F.col(ts_col).alias("_c_ts"),
+        F.col(id_col).alias("_cid"),
+    )
+    pairs = convs.join(
+        touches,
+        (F.col("_u") == F.col("_cu"))
+        & (F.col("_t_ts") <= F.col("_c_ts"))
+        & (
+            F.col("_t_ts")
+            >= F.col("_c_ts") - F.expr(f"INTERVAL {window_days} DAYS")
+        ),
+        "inner",
+    )
+    from pyspark.sql import Window
+
+    k = F.count("*").over(Window.partitionBy("_cid"))
+    credited = pairs.select(
+        "touch_day",
+        F.lit(int(credit_scale)).cast("long").alias("_scale"),
+        k.alias("_k"),
+    ).select(
+        "touch_day",
+        F.expr("_scale div _k").alias("_credit_micro"),
+    )
+    return credited.groupBy("touch_day").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        (
+            F.sum("_credit_micro").cast("double")
+            / F.lit(float(credit_scale))
+        ).alias("credit"),
+    )

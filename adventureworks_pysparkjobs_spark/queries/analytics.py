@@ -569,3 +569,50 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         accuracy=1000,
         tiebreak_col="event_id",
     )
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, CAST(ts AS DATE) AS touch_day
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT t.touch_day, c.event_id AS cid
+      FROM c JOIN t
+        ON t.user_id = c.user_id
+       AND t.ts <= c.ts
+       AND t.ts >= c.ts - INTERVAL 7 DAYS
+    ),
+    credited AS (
+      SELECT touch_day,
+             1000000 // (COUNT(*) OVER (PARTITION BY cid))
+               AS credit_micro
+      FROM pairs
+    )
+    SELECT touch_day, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(CAST(SUM(credit_micro) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS credit
+    FROM credited GROUP BY touch_day
+    """,
+    tags=("events", "attribution", "multitouch", "range-join"),
+)
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution (operators/analytics.py
+    multitouch_attribution): every click in the 7 days before a user's
+    purchase shares that purchase's credit equally — the multi-touch
+    counterpart of the engine's last-touch as-of attribution. Credit is
+    integer micro-units (scale div k — `div` and `//` agree on these
+    non-negative operands) so per-day sums are exact, with ONE IEEE
+    division by the scale at the end. One user-keyed range join, one
+    pair-grain window per conversion id, one day-keyed aggregate."""
+    from ..operators.analytics import multitouch_attribution
+
+    return multitouch_attribution(load_table(spark, sf_dir, "events"))

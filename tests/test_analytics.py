@@ -214,3 +214,37 @@ class TestTransitionMatrix:
         assert out[("a", "c")] == (1, 0.5)
         assert out[("b", "b")] == (1, 1.0)
         assert len(out) == 3  # no self-row for user 3's lone event
+
+
+class TestMultitouchAttribution:
+    def test_equal_split_and_window(self, spark):
+        from datetime import datetime
+
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            multitouch_attribution,
+        )
+
+        d = lambda day, h=0: datetime(2026, 1, day, h)
+        rows = [
+            # user 1: two clicks then a purchase -> each click 0.5
+            (1, d(1), 1, "click"),
+            (2, d(2), 1, "click"),
+            (3, d(3), 1, "purchase"),
+            # user 1: a second purchase ALSO within 7d of both clicks
+            # -> each click credited again with 0.5
+            (4, d(4), 1, "purchase"),
+            # user 2: click outside the 7-day window -> no credit
+            (5, d(1), 2, "click"),
+            (6, d(20), 2, "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = {
+            str(r["touch_day"]): (r["n_touches"], r["credit"])
+            for r in multitouch_attribution(df).collect()
+        }
+        assert out == {
+            "2026-01-01": (2, 1.0),  # credited by both purchases
+            "2026-01-02": (2, 1.0),
+        }

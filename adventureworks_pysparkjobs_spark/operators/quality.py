@@ -10,6 +10,7 @@ pipeline, and the shape monitoring systems ingest.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -305,4 +306,74 @@ def l_diversity_audit(
             ),
         )
         .withColumn("is_l_diverse", F.col("l_distinct") >= F.lit(l))
+    )
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
+) -> DataFrame:
+    """Predict a join's output size and skew WITHOUT executing it — the
+    pre-flight check before an expensive fact⋈fact join: for each key
+    value k, an inner equi-join emits l_k·r_k rows, so the exact output
+    cardinality, the worst single-key fanout, and both sides' unmatched
+    row counts all follow from the two per-key histograms (reduced,
+    key-grain frames) full-outer-joined on the key.
+
+    Cost: one keyed aggregate per side + one key-grain join — each
+    shuffle carries distinct-key rows, not data rows. The predicted
+    row count accumulates in DECIMAL(38,0) (two petabyte-scale facts
+    can predict beyond int64) and is also reported as BIGINT when it
+    fits (NULL otherwise — a join that big is the finding).
+
+    Returns ONE row: (n_left, n_right, n_join_predicted_exact
+    DECIMAL(38,0) as DOUBLE, n_join_predicted BIGINT or NULL,
+    max_key_fanout BIGINT, rows_left_unmatched, rows_right_unmatched,
+    n_keys_matched BIGINT).
+    """
+    lk = [F.col(c).alias(f"_k{i}") for i, c in enumerate(left_keys)]
+    rk = [F.col(c).alias(f"_k{i}") for i, c in enumerate(right_keys)]
+    kn = [f"_k{i}" for i in range(len(left_keys))]
+    lh = left.select(*lk).groupBy(*kn).agg(
+        F.count("*").cast("long").alias("_ln")
+    )
+    rh = right.select(*rk).groupBy(*kn).agg(
+        F.count("*").cast("long").alias("_rn")
+    )
+    both = lh.join(rh, kn, "full_outer").select(
+        F.coalesce(F.col("_ln"), F.lit(0)).alias("ln"),
+        F.coalesce(F.col("_rn"), F.lit(0)).alias("rn"),
+    )
+    d38 = "decimal(38,0)"
+    prod = F.col("ln").cast(d38) * F.col("rn")
+    return both.agg(
+        F.sum("ln").cast("long").alias("n_left"),
+        F.sum("rn").cast("long").alias("n_right"),
+        F.sum(prod).alias("_pred"),
+        F.max(prod).cast("long").alias("max_key_fanout"),
+        F.sum(F.when(F.col("rn") == 0, F.col("ln")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_left_unmatched"),
+        F.sum(F.when(F.col("ln") == 0, F.col("rn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_right_unmatched"),
+        F.count_if((F.col("ln") > 0) & (F.col("rn") > 0))
+        .cast("long")
+        .alias("n_keys_matched"),
+    ).select(
+        "n_left",
+        "n_right",
+        F.col("_pred").cast("string").cast("double").alias(
+            "n_join_predicted_exact"
+        ),
+        F.when(
+            F.col("_pred") <= F.lit(2**63 - 1).cast(d38),
+            F.col("_pred").cast("long"),
+        ).alias("n_join_predicted"),
+        "max_key_fanout",
+        "rows_left_unmatched",
+        "rows_right_unmatched",
+        "n_keys_matched",
     )

@@ -719,3 +719,54 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return benford_audit(orders, "o_totalprice", tol=0.02)
+
+
+@query(
+    "orders_join_cardinality_audit",
+    oracle="""
+    WITH lh AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ln
+      FROM orders GROUP BY 1
+    ),
+    rh AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS rn
+      FROM customer GROUP BY 1
+    ),
+    hist AS (
+      SELECT COALESCE(ln, 0) AS ln, COALESCE(rn, 0) AS rn
+      FROM lh FULL OUTER JOIN rh USING (k)
+    )
+    SELECT CAST(SUM(ln) AS BIGINT) AS n_left,
+           CAST(SUM(rn) AS BIGINT) AS n_right,
+           CAST(CAST(SUM(CAST(ln AS HUGEINT) * rn) AS VARCHAR) AS DOUBLE)
+             AS n_join_predicted_exact,
+           CAST(SUM(CAST(ln AS HUGEINT) * rn) AS BIGINT)
+             AS n_join_predicted,
+           CAST(MAX(ln * rn) AS BIGINT) AS max_key_fanout,
+           CAST(SUM(CASE WHEN rn = 0 THEN ln ELSE 0 END) AS BIGINT)
+             AS rows_left_unmatched,
+           CAST(SUM(CASE WHEN ln = 0 THEN rn ELSE 0 END) AS BIGINT)
+             AS rows_right_unmatched,
+           CAST(COUNT_IF(ln > 0 AND rn > 0) AS BIGINT) AS n_keys_matched
+    FROM hist
+    """,
+    tags=("governance", "join", "cardinality", "skew", "pre-flight"),
+)
+def orders_join_cardinality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-flight join-size/skew prediction
+    (operators/quality.py:join_cardinality_audit) for orders⋈customer
+    on custkey: exact output cardinality (Σ l_k·r_k over the key
+    histograms), worst single-key fanout, unmatched row counts on both
+    sides, matched key count — all WITHOUT executing the join. The
+    shuffles carry distinct-key rows only; the predictor accumulates in
+    DECIMAL(38,0)/HUGEINT and also reports a BIGINT when it fits."""
+    from ..operators.quality import join_cardinality_audit
+
+    return join_cardinality_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        ["o_custkey"],
+        ["c_custkey"],
+    )

@@ -531,3 +531,31 @@ class TestLDiversity:
             l_diversity_audit(
                 self._df(spark), {"seg": F.col("seg")}, "sens", l=1
             )
+
+
+class TestJoinCardinalityAudit:
+    def test_predicts_fanout_and_unmatched(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.quality import (
+            join_cardinality_audit,
+        )
+
+        left = spark.createDataFrame(
+            [(1,), (1,), (2,), (3,)], "k long"
+        )
+        right = spark.createDataFrame(
+            [(1,), (1,), (1,), (4,), (4,)], "rk long"
+        )
+        (row,) = join_cardinality_audit(
+            left, right, ["k"], ["rk"]
+        ).collect()
+        # key 1: 2*3=6 joined rows; keys 2,3 left-only (2 rows); key 4
+        # right-only (2 rows)
+        assert row["n_left"] == 4 and row["n_right"] == 5
+        assert row["n_join_predicted"] == 6
+        assert row["n_join_predicted_exact"] == 6.0
+        assert row["max_key_fanout"] == 6
+        assert row["rows_left_unmatched"] == 2
+        assert row["rows_right_unmatched"] == 2
+        assert row["n_keys_matched"] == 1
+        # the prediction equals the executed join's count
+        assert left.join(right, left.k == right.rk).count() == 6

@@ -900,3 +900,123 @@ def doc_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_histogram(
         load_table(spark, sf_dir, "documents"), n=5, max_shingle_df=1000
     )
+
+
+@query(
+    "corpus_langid_prf",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, text,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['der','die','und','das','ein'], x))) AS INTEGER) AS score_de,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['the','a','and','of','to'], x))) AS INTEGER) AS score_en,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['el','la','y','los','de'], x))) AS INTEGER) AS score_es,
+             CAST(len(list_filter(list_distinct(toks),
+                 x -> list_contains(['le','la','et','les','des'], x))) AS INTEGER) AS score_fr
+      FROM q
+    ),
+    j AS (
+      SELECT lang AS gold,
+             CASE WHEN text IS NULL THEN 'und'
+                  WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                  WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+                  WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+                  WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+                  ELSE 'fr' END AS pred
+      FROM s
+    ),
+    classes AS (
+      SELECT gold AS cls FROM j UNION SELECT pred FROM j
+    )
+    SELECT c.cls,
+           CAST(COUNT_IF(j.gold = c.cls AND j.pred = c.cls) AS BIGINT)
+             AS tp,
+           CAST(COUNT_IF(j.gold <> c.cls AND j.pred = c.cls) AS BIGINT)
+             AS fp,
+           CAST(COUNT_IF(j.gold = c.cls AND j.pred <> c.cls) AS BIGINT)
+             AS fn,
+           CAST(COUNT_IF(j.gold = c.cls AND j.pred = c.cls) AS DOUBLE)
+             / NULLIF(CAST(COUNT_IF(j.pred = c.cls) AS DOUBLE), 0)
+             AS precision,
+           CAST(COUNT_IF(j.gold = c.cls AND j.pred = c.cls) AS DOUBLE)
+             / NULLIF(CAST(COUNT_IF(j.gold = c.cls) AS DOUBLE), 0)
+             AS recall,
+           CAST(2 * COUNT_IF(j.gold = c.cls AND j.pred = c.cls) AS DOUBLE)
+             / NULLIF(CAST(COUNT_IF(j.pred = c.cls)
+                           + COUNT_IF(j.gold = c.cls) AS DOUBLE), 0)
+             AS f1
+    FROM classes c CROSS JOIN j
+    GROUP BY c.cls
+    """,
+    tags=("text", "langid", "precision-recall", "evaluation"),
+)
+def corpus_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the heuristic language-ID
+    against the gold ``lang`` labels — the per-class companion of
+    corpus_langid_kappa's chance-corrected aggregate. Classes = the
+    union of gold and predicted labels (so a never-predicted gold class
+    reports recall with precision NULL, and 'und' reports precision
+    with recall NULL). Every metric is ONE IEEE division of exact
+    integer counts; F1 uses the 2·tp/(pred+gold) closed form, avoiding
+    the float-of-float 2PR/(P+R) double rounding.
+
+    Scale shape: the confusion counts are ONE aggregate over the
+    (gold, pred) frame keyed by class; the class 'cross join' in the
+    oracle is |classes|-bounded and implemented Spark-side as two
+    per-class conditional aggregates unioned on the class key."""
+    from ..operators.text import language_id
+
+    doc = load_table(spark, sf_dir, "documents")
+    pred = language_id(doc).select("doc_id", "predicted_lang")
+    j = (
+        doc.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            F.col("lang").alias("gold"),
+            F.col("predicted_lang").alias("pred"),
+        )
+    )
+    # per-class marginals from two |classes|-bounded aggregates
+    gold_m = j.groupBy(F.col("gold").alias("cls")).agg(
+        F.count("*").cast("long").alias("n_gold"),
+        F.count_if(F.col("gold") == F.col("pred"))
+        .cast("long")
+        .alias("tp_g"),
+    )
+    pred_m = j.groupBy(F.col("pred").alias("cls")).agg(
+        F.count("*").cast("long").alias("n_pred"),
+        F.count_if(F.col("gold") == F.col("pred"))
+        .cast("long")
+        .alias("tp_p"),
+    )
+    m = gold_m.join(pred_m, "cls", "full_outer").select(
+        "cls",
+        F.coalesce(
+            F.col("tp_g"), F.col("tp_p"), F.lit(0)
+        ).cast("long").alias("tp"),
+        F.coalesce(F.col("n_gold"), F.lit(0)).alias("n_gold"),
+        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return m.select(
+        "cls",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_gold") - F.col("tp")).cast("long").alias("fn"),
+        F.when(
+            F.col("n_pred") > 0, dbl(F.col("tp")) / dbl(F.col("n_pred"))
+        ).alias("precision"),
+        F.when(
+            F.col("n_gold") > 0, dbl(F.col("tp")) / dbl(F.col("n_gold"))
+        ).alias("recall"),
+        F.when(
+            (F.col("n_pred") + F.col("n_gold")) > 0,
+            dbl(F.lit(2) * F.col("tp"))
+            / dbl(F.col("n_pred") + F.col("n_gold")),
+        ).alias("f1"),
+    )

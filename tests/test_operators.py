@@ -2037,3 +2037,32 @@ class TestJaccardHistogram:
         # (1,3) and (2,3): inter 1 union 3 -> 10 div 3 = 3
         assert out[3] == (0.3, 2)
         assert set(out) == {3, 9}
+
+
+class TestLangidPrf:
+    def test_hand_checked_confusion(self, spark):
+        import tempfile
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        en, fr = "the and of to a", "le la et les des"
+        rows = [
+            (0, en, "en"), (1, en, "en"),   # 2 en TP
+            (2, fr, "en"),                  # pred fr, gold en -> en FN, fr FP
+            (3, fr, "fr"),                  # fr TP
+            (4, None, "zh"),                # pred und, gold zh
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r["cls"]: (r["tp"], r["fp"], r["fn"], r["precision"],
+                       r["recall"], r["f1"])
+            for r in CATALOG["corpus_langid_prf"].builder(spark, d).collect()
+        }
+        assert out["en"] == (2, 0, 1, 1.0, 2 / 3, 0.8)
+        assert out["fr"] == (1, 1, 0, 0.5, 1.0, 2 / 3)
+        assert out["zh"] == (0, 0, 1, None, 0.0, 0.0)
+        assert out["und"] == (0, 1, 0, 0.0, None, 0.0)

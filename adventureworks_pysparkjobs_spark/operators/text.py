@@ -675,3 +675,47 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Corpus-level duplicate-n-gram exposure — the memorization-risk
+    metric of the deduplicating-training-data line of work: what
+    fraction of all n-gram SLOTS (occurrences, repeats included) is
+    occupied by an n-gram that occurs at least twice in the corpus. A
+    corpus can pass document-level dedup and still be saturated with
+    repeated boilerplate spans; this is the scalar that says so.
+
+    Scale shape: one corpus scan exploding non-distinct n-grams, one
+    keyed aggregate per distinct n-gram (map-side partial combine — the
+    shuffle carries (gram, count) partials), then a 1-row global
+    aggregate over vocabulary-grain rows. All counts exact longs; the
+    fraction is ONE IEEE division.
+
+    Returns one row: (n_slots, n_distinct, dup_slots, dup_grams,
+    dup_slot_fraction).
+    """
+    grams = df.select(
+        F.explode(shingles(text_col, n)).alias("g")
+    )
+    per_gram = grams.groupBy("g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return per_gram.agg(
+        F.sum("c").cast("long").alias("n_slots"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_slots"),
+        F.count_if(F.col("c") >= 2).cast("long").alias("dup_grams"),
+    ).select(
+        "n_slots",
+        "n_distinct",
+        "dup_slots",
+        "dup_grams",
+        (
+            F.col("dup_slots").cast("double")
+            / F.col("n_slots").cast("double")
+        ).alias("dup_slot_fraction"),
+    )

@@ -1020,3 +1020,42 @@ def corpus_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / dbl(F.col("n_pred") + F.col("n_gold")),
         ).alias("f1"),
     )
+
+
+@query(
+    "corpus_dup_ngram_fraction",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT list_aggregate(w[i:i+7], 'string_agg', ' ') AS g
+      FROM toks, unnest(range(1, len(w) - 6)) AS u(i)
+      WHERE len(w) >= 8
+    ),
+    per_gram AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_slots,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_slots,
+           CAST(COUNT_IF(c >= 2) AS BIGINT) AS dup_grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_slot_fraction
+    FROM per_gram
+    """,
+    tags=("text", "memorization", "dup-ngram", "corpus-stats"),
+)
+def corpus_dup_ngram_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-8-gram exposure of the corpus (operators/text.py
+    dup_ngram_stats): the fraction of 8-gram occurrences belonging to
+    an 8-gram seen at least twice — the memorization-risk scalar that
+    catches boilerplate saturation document-level dedup misses. One
+    exploded scan, one per-gram aggregate with map-side partials, a
+    1-row rollup; the fraction is one IEEE division of exact longs."""
+    from ..operators.text import dup_ngram_stats
+
+    return dup_ngram_stats(
+        load_table(spark, sf_dir, "documents"), n=8
+    )

@@ -2066,3 +2066,23 @@ class TestLangidPrf:
         assert out["fr"] == (1, 1, 0, 0.5, 1.0, 2 / 3)
         assert out["zh"] == (0, 0, 1, None, 0.0, 0.0)
         assert out["und"] == (0, 1, 0, 0.0, None, 0.0)
+
+
+class TestDupNgramStats:
+    def test_counts_with_within_doc_repeats(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.text import (
+            dup_ngram_stats,
+        )
+
+        rows = [
+            (1, "a b a b"),   # 2-grams: 'a b','b a','a b' (within-doc repeat)
+            (2, "a b c"),     # 'a b','b c'
+            (3, "x"),         # too short: no 2-grams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        (r,) = dup_ngram_stats(df, n=2).collect()
+        # slots: 3 + 2 = 5; distinct: {'a b','b a','b c'} = 3
+        # 'a b' occurs 3x -> dup_slots 3, dup_grams 1
+        assert (r["n_slots"], r["n_distinct"]) == (5, 3)
+        assert (r["dup_slots"], r["dup_grams"]) == (3, 1)
+        assert r["dup_slot_fraction"] == 3 / 5

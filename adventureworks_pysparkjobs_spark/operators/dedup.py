@@ -884,3 +884,79 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    (Broder's measure): |A∩B| / |smaller doc's shingle set| — catches a
+    short document quoted or embedded inside a long one, which
+    symmetric Jaccard dilutes below any reasonable threshold (a 100-
+    shingle doc fully contained in a 10,000-shingle doc has Jaccard
+    ~0.01 but containment 1.0). The training-data use: drop verbatim
+    quote-subsets that survive both exact and Jaccard dedup.
+
+    Candidate generation is the shared stop-shingle-capped posting-list
+    expansion; the threshold test is integer cross-multiplication
+    (den·inter >= num·min_size) so verdicts are exact cross-engine.
+    Returns (id_small, id_big, n_inter, n_small, containment DOUBLE) for
+    pairs at or above num/den, where id_small is the SMALLER shingle
+    set (ties: lower id).
+    """
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    idx = _shingle_index(arrs)
+    sizes = _shingle_counts(arrs)
+    postings = (
+        idx.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    small_first = (F.col("n1") < F.col("n2")) | (
+        (F.col("n1") == F.col("n2")) & (F.col("id1") < F.col("id2"))
+    )
+    joined = inter.join(s1, "id1").join(s2, "id2").select(
+        F.when(small_first, F.col("id1")).otherwise(F.col("id2")).alias(
+            "id_small"
+        ),
+        F.when(small_first, F.col("id2")).otherwise(F.col("id1")).alias(
+            "id_big"
+        ),
+        "n_inter",
+        F.least(F.col("n1"), F.col("n2")).alias("n_small"),
+    )
+    return joined.filter(
+        F.col("n_inter") * F.lit(int(threshold_den))
+        >= F.col("n_small") * F.lit(int(threshold_num))
+    ).select(
+        "id_small",
+        "id_big",
+        "n_inter",
+        "n_small",
+        (
+            F.col("n_inter").cast("double")
+            / F.col("n_small").cast("double")
+        ).alias("containment"),
+    )

@@ -1059,3 +1059,51 @@ def corpus_dup_ngram_fraction(
     return dup_ngram_stats(
         load_table(spark, sf_dir, "documents"), n=8
     )
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE5},
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    sized AS (
+      SELECT CASE WHEN s1.n_sh < s2.n_sh
+                    OR (s1.n_sh = s2.n_sh AND id1 < id2)
+                  THEN id1 ELSE id2 END AS id_small,
+             CASE WHEN s1.n_sh < s2.n_sh
+                    OR (s1.n_sh = s2.n_sh AND id1 < id2)
+                  THEN id2 ELSE id1 END AS id_big,
+             n_inter,
+             LEAST(s1.n_sh, s2.n_sh) AS n_small
+      FROM inter
+      JOIN sizes s1 ON inter.id1 = s1.id
+      JOIN sizes s2 ON inter.id2 = s2.id
+    )
+    SELECT id_small, id_big, n_inter, n_small,
+           CAST(n_inter AS DOUBLE) / CAST(n_small AS DOUBLE)
+             AS containment
+    FROM sized WHERE n_inter * 10 >= n_small * 9
+    """,
+    tags=("dedup", "containment", "asymmetric", "neardup"),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (operators/dedup.py
+    containment_pairs): |A∩B| / |smaller shingle set| >= 0.9 — catches
+    a short document quoted inside a long one, which symmetric Jaccard
+    dilutes to ~|B|/|A|. Integer cross-multiplied threshold, shared
+    stop-shingle-capped posting-list candidates; the containment value
+    is one IEEE division of exact longs."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold_num=9,
+        threshold_den=10,
+        max_shingle_df=1000,
+    )

@@ -2086,3 +2086,38 @@ class TestDupNgramStats:
         assert (r["n_slots"], r["n_distinct"]) == (5, 3)
         assert (r["dup_slots"], r["dup_grams"]) == (3, 1)
         assert r["dup_slot_fraction"] == 3 / 5
+
+
+class TestContainmentPairs:
+    def test_subset_caught_jaccard_would_miss(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "a b c d"  # 2 trigram shingles, both inside long's set
+        long_ = "a b c d " + " ".join(f"w{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, short), (2, long_), (3, "q r s t u")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_small"], r["id_big"]): (
+                r["n_inter"], r["n_small"], r["containment"]
+            )
+            for r in containment_pairs(df, n=3).collect()
+        }
+        assert got == {(1, 2): (2, 2, 1.0)}  # fully contained
+        # symmetric Jaccard at 0.5 misses the same pair entirely
+        assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
+
+    def test_tie_break_on_equal_sizes(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(7, "x y z"), (4, "x y z")], "doc_id long, text string"
+        )
+        (r,) = containment_pairs(df, n=3).collect()
+        assert (r["id_small"], r["id_big"]) == (4, 7)

@@ -17,7 +17,9 @@ in a lake table and diff across runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -420,4 +422,53 @@ def grouped_ols(
         F.col("slope").alias("regr_slope"),
         intercept.alias("regr_intercept"),
         r2.alias("regr_r2"),
+    )
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    event_col: Column,
+    z: float = 1.96,
+) -> DataFrame:
+    """Rank-by-confidence scoring: per group, the Wilson score lower
+    bound of the event rate — the standard fix for 'sort by rate'
+    rewarding tiny samples (1/1 failures rank above 40/100 by raw rate;
+    the lower bound ranks them correctly).
+
+    Cross-engine determinism note (a NEW idiom in this engine): unlike
+    ln/log, every operation here — +, −, ×, ÷ and sqrt — is IEEE-754
+    CORRECTLY ROUNDED in both engines, so evaluating the IDENTICAL
+    expression tree over identical double inputs is bit-exact without
+    retreating to integer arithmetic. The oracle mirrors the tree
+    shape, parenthesization, and string-parsed literals exactly.
+
+    One keyed aggregate (map-side partials); the formula is per-group
+    scalar math. Returns (*group_cols, n, k, event_rate, wilson_lb).
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(event_col).cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    one, two, four = F.lit(1.0), F.lit(2.0), F.lit(4.0)
+    zl = F.lit(float(z))
+    zz = zl * zl
+    p = kd / nd
+    wilson = (
+        (p + (zz / (two * nd)))
+        - (
+            zl
+            * F.sqrt(
+                ((p * (one - p)) / nd) + (zz / (four * (nd * nd)))
+            )
+        )
+    ) / (one + (zz / nd))
+    return agg.select(
+        *group_cols,
+        "n",
+        "k",
+        p.alias("event_rate"),
+        wilson.alias("wilson_lb"),
     )

@@ -770,3 +770,51 @@ def orders_join_cardinality_audit(
         ["o_custkey"],
         ["c_custkey"],
     )
+
+
+@query(
+    "supplier_return_rate_wilson",
+    oracle="""
+    WITH agg AS (
+      SELECT l_suppkey AS supp_key,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT_IF(l_returnflag = 'R') AS BIGINT) AS k
+      FROM lineitem GROUP BY 1
+    ),
+    v AS (
+      SELECT supp_key, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd,
+             (CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)) AS zz
+      FROM agg
+    )
+    SELECT supp_key, n, k, p AS event_rate,
+           ((p + (zz / (CAST('2.0' AS DOUBLE) * nd)))
+            - (CAST('1.96' AS DOUBLE)
+               * sqrt(((p * (CAST('1.0' AS DOUBLE) - p)) / nd)
+                      + (zz / (CAST('4.0' AS DOUBLE) * (nd * nd))))))
+             / (CAST('1.0' AS DOUBLE) + (zz / nd)) AS wilson_lb
+    FROM v
+    """,
+    tags=("governance", "wilson", "confidence-bound", "reliability"),
+)
+def supplier_return_rate_wilson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier reliability scorecard ranked by the Wilson score lower
+    bound of the return rate (operators/profile.py:wilson_lower_bound)
+    — the small-sample-safe way to flag bad suppliers (a 1-of-1 return
+    never outranks 40-of-100). Determinism: +, −, ×, ÷, sqrt are ALL
+    IEEE correctly rounded in both engines, so the identical expression
+    tree (same parenthesization, string-parsed literals) is bit-exact —
+    the float-portability idiom complementing the integer/decimal rule
+    everywhere else."""
+    from ..operators.profile import wilson_lower_bound
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return wilson_lower_bound(
+        li.select(F.col("l_suppkey").alias("supp_key"), "l_returnflag"),
+        ["supp_key"],
+        F.col("l_returnflag") == "R",
+        z=1.96,
+    )

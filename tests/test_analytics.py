@@ -248,3 +248,33 @@ class TestMultitouchAttribution:
             "2026-01-01": (2, 1.0),  # credited by both purchases
             "2026-01-02": (2, 1.0),
         }
+
+
+class TestWilsonLowerBound:
+    def test_small_sample_ranks_below_large(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.profile import (
+            wilson_lower_bound,
+        )
+
+        rows = [("a", True)] + [("b", True)] * 40 + [("b", False)] * 60
+        df = spark.createDataFrame(rows, "g string, ev boolean")
+        out = {
+            r["g"]: (r["n"], r["k"], r["event_rate"], r["wilson_lb"])
+            for r in wilson_lower_bound(
+                df, ["g"], F.col("ev")
+            ).collect()
+        }
+        # raw rate: a (1/1 = 1.0) > b (0.4); lower bound flips the order
+        assert out["a"][2] == 1.0 and out["b"][2] == 0.4
+        assert out["a"][3] < out["b"][3]
+        # closed-form spot check vs python evaluation of the same tree
+        import math
+
+        n, k, z = 100.0, 40.0, 1.96
+        p = k / n
+        zz = z * z
+        want = (
+            (p + (zz / (2.0 * n)))
+            - (z * math.sqrt(((p * (1.0 - p)) / n) + (zz / (4.0 * (n * n)))))
+        ) / (1.0 + (zz / n))
+        assert out["b"][3] == want

@@ -453,8 +453,10 @@ def multitouch_attribution(
     be accumulation-order-dependent — the same reason every other
     ratio in this engine divides once, at the end.)
 
-    Scale shape: one user-keyed range join (touch within (conv−W,
-    conv]), one per-conversion count via a window over the JOINED
+    Scale shape: one user-keyed range join (touch within [conv−W,
+    conv] — CLOSED at both ends: a touch exactly ``window_days``
+    before the conversion is credited, matching the oracle), one
+    per-conversion count via a window over the JOINED
     frame partitioned by the conversion id (pair-grain, not raw
     events), then a day-keyed aggregate. Returns
     (touch_day DATE, n_touches BIGINT, credit DOUBLE) — credited

@@ -232,7 +232,6 @@ def jaccard_histogram(
     )
     s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
-    union = F.col("n1") + F.col("n2") - F.col("n_inter")
     bucket = F.least(
         F.expr(f"({buckets} * n_inter) div (n1 + n2 - n_inter)"),
         F.lit(buckets - 1).cast("long"),

@@ -147,31 +147,34 @@ def advise(
             break
 
     # forced broadcast of a potentially unbounded side: every
-    # ResolvedHint(broadcast) in the ANALYZED plan whose subtree reads a
-    # file source without a reducing node pins the side in executor +
-    # driver memory at any scale. (Bounded-dim scans are still file
-    # scans — users allowlist those by the hint simply being correct;
-    # the engine's own catalog guard additionally knows the bounded
-    # table names.)
+    # ResolvedHint(broadcast) in the ANALYZED plan under which a file
+    # scan reaches the hint with no reducing node ON ITS PATH pins the
+    # side in executor + driver memory at any scale. Per-scan, not
+    # per-subtree: broadcast(tiny_agg.join(raw_lineitem)) contains an
+    # Aggregate, but it bounds only the agg branch — the raw scan is
+    # still flagged. (Bounded-dim scans are still file scans — users
+    # allowlist those by the hint simply being correct; the engine's
+    # own catalog guard additionally knows the bounded table names.)
     from .inspect import broadcast_hint_audit
 
-    _reducing = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
     def _tbl(p: str) -> str:
         return p.rstrip("/").rsplit("/", 1)[-1].split(".")[0]
 
     for audit in broadcast_hint_audit(df):
-        scaling = [
-            p for p in audit["paths"] if _tbl(p) not in bounded_tables
+        unreduced = [
+            s["path"]
+            for s in audit["scans"]
+            if not s["reduced"] and _tbl(s["path"]) not in bounded_tables
         ]
-        if scaling and not (set(audit["nodes"]) & _reducing):
+        if unreduced:
             findings.append(
                 (
                     "forced-broadcast",
-                    "broadcast() hint over a raw file-source subtree "
-                    f"({', '.join(sorted(scaling)[:3])}): the "
-                    "hinted side scales with the data — drop the hint "
-                    "(AQE broadcasts while it fits) unless the source "
-                    "is bounded by contract",
+                    "broadcast() hint with an unreduced file scan on "
+                    f"its path ({', '.join(sorted(unreduced)[:3])}): "
+                    "the hinted side scales with the data — drop the "
+                    "hint (AQE broadcasts while it fits) unless the "
+                    "source is bounded by contract",
                 )
             )
 

@@ -64,19 +64,36 @@ def _jchildren(node):
     return [ch.apply(i) for i in range(ch.size())]
 
 
+# Logical nodes that bound the row count of everything beneath them:
+# a keyed/global Aggregate reduces to its key domain, Limits are
+# explicit bounds, Deduplicate reduces to the distinct-key domain.
+# Canonical set — the advisor and the catalog-wide test both import it.
+REDUCING_NODES = frozenset(
+    {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+)
+
+
 def broadcast_hint_audit(df: DataFrame) -> list:
     """Audit every forced broadcast hint in the analyzed logical plan.
 
     Returns one dict per ``ResolvedHint (strategy=broadcast)`` node:
     ``{"paths": [source file paths read under the hint],
-       "nodes": [logical node class names in the hinted subtree]}``.
+       "nodes": [logical node class names in the hinted subtree],
+       "scans": [{"path": p, "reduced": bool}, ...]}``
+    where ``reduced`` is True iff a row-count-reducing node
+    (``REDUCING_NODES``) lies ON THE PATH from the hint down to THAT
+    scan. Subtree membership is not enough: in
+    ``broadcast(tiny_agg.join(raw_lineitem))`` the Aggregate bounds only
+    the agg branch — the raw lineitem scan still reaches the hint
+    unreduced and must be flagged, which a whole-subtree
+    ``set(nodes) & reducing`` test would miss.
 
     The 100 TB rule this feeds (tests/test_scale_shape.py): a FORCED
     broadcast is only safe when the hinted side is bounded regardless of
     data scale — a fixed-size dim (region/nation), a global/keyed
     Aggregate (reduces to the key domain), a Deduplicate over a bounded
-    domain, or an explicit Limit. A hint whose subtree scans an
-    SF-scaling table with no reducing node in between pins an OOM at
+    domain, or an explicit Limit. A hint under which an SF-scaling scan
+    reaches the hint with no reducing node on its path pins an OOM at
     scale that AQE would have avoided.
     """
     root = df._jdf.queryExecution().analyzed()
@@ -94,19 +111,24 @@ def broadcast_hint_audit(df: DataFrame) -> list:
     for h in hints:
         paths: list[str] = []
         names: list[str] = []
-        stack = [h]
-        while stack:
-            n = stack.pop()
+        scans: list[dict] = []
+        # DFS carrying per-path state: has a reducing node been crossed
+        # between the hint and the current node?
+        stack2 = [(h, False)]
+        while stack2:
+            n, reduced = stack2.pop()
             cls = n.getClass().getSimpleName()
             names.append(cls)
             if cls == "LogicalRelation":
                 try:
                     rp = n.relation().location().rootPaths()
-                    paths.extend(
-                        rp.apply(i).toString() for i in range(rp.size())
-                    )
+                    for i in range(rp.size()):
+                        p = rp.apply(i).toString()
+                        paths.append(p)
+                        scans.append({"path": p, "reduced": reduced})
                 except Exception:
                     pass  # non-file relation (LocalRelation etc.)
-            stack.extend(_jchildren(n))
-        audits.append({"paths": paths, "nodes": names})
+            child_reduced = reduced or cls in REDUCING_NODES
+            stack2.extend((c, child_reduced) for c in _jchildren(n))
+        audits.append({"paths": paths, "nodes": names, "scans": scans})
     return audits

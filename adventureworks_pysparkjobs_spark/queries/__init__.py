@@ -17,13 +17,19 @@ from . import (  # noqa: E402,F401
 # user-totals twin) live beyond the window with their own property /
 # equality tests. tests/test_catalog_window.py is the canary: it pins
 # this exact list, order-sensitive, and asserts oracle coverage.
+# r6 rotation (verdict task 5): in — events_transition_matrix,
+# doc_jaccard_histogram, events_quantile_sketch,
+# supplier_return_rate_wilson (the round-5 representatives); out —
+# pivot_unpivot_roundtrip, date_functions_orders,
+# string_math_functions_customer, setops_nations (redundant shape
+# siblings of rows that stay; all four remain oracle-gated locally).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
     "lineitem_flag_stats",
     "corpus_training_pipeline",
     "rollup_cube_order_stats",
-    "pivot_unpivot_roundtrip",
+    "events_transition_matrix",
     "emb_semdedup_kmeans_pipeline",
     "q3_unshipped_revenue",
     "q5_nation_revenue",
@@ -32,11 +38,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "outer_join_profiles",
     "corpus_bm25_topk",
     "top_orders_above_avg",
-    "setops_nations",
+    "supplier_return_rate_wilson",
     "top3_parts_per_brand",
     "window_order_sequences",
-    "string_math_functions_customer",
-    "date_functions_orders",
+    "doc_jaccard_histogram",
+    "events_quantile_sketch",
     "doc_multilingual_resample",
     "orders_profile",
     "dim_customer_geo",

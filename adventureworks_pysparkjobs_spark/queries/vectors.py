@@ -162,16 +162,21 @@ def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Per-method recall floors for emb_ann_topk, set at ~half the recall
-# observed on the synthetic fixtures (sf0.001/sf0.01: srp_lsh .14-.16,
-# ivf .48-.56, int8 .96-.98, pq .22-.24) so the booleans are stable
-# under fixture regeneration while still failing on a broken index.
+# Per-method recall floors for emb_ann_topk, set at ~60-70% of the
+# recall observed on the synthetic fixtures (sf0.001/sf0.01: srp_lsh
+# .14-.16, srp_lsh_mp .42-.46, ivf@nprobe4 .72-.76, int8 .96-.98,
+# pq@rerank100 .88) so the booleans are stable under fixture
+# regeneration while still failing on a broken index. r6 (verdict task
+# 2): ivf multi-cell probing (n_probe 2 -> 4) and the PQ exact-re-rank
+# tail lifted the two production sublinear paths to >= 0.7 observed;
+# their floors are now 0.5 — a regression to the old configs FAILS the
+# oracle.
 _ANN_RECALL_FLOORS = (
     ("srp_lsh", 0.08),
     ("srp_lsh_mp", 0.20),  # 1-bit multi-probe: observed .42-.46 (3x single)
-    ("ivf", 0.30),
+    ("ivf", 0.50),
     ("int8", 0.80),
-    ("pq", 0.12),
+    ("pq", 0.50),
 )
 
 
@@ -195,13 +200,19 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - method='srp_lsh_mp': + 1-bit multi-probe on the query side
       (recall ~3x single-probe at (p+1)x candidate width);
     - method='ivf': inverted-file index (seeded k-means coarse quantizer
-      fit on a deterministic sample, 8 cells, 2 probes), data-adaptive;
+      fit on a deterministic sample, 8 cells, 4 probes — recall ~0.75
+      at half the scan of brute force; n_probe is the recall/cost dial
+      and at production cell counts (~sqrt(N)) the same probe count is
+      a tiny corpus fraction), data-adaptive;
     - method='int8': brute force over the int8-quantized corpus
       (asymmetric distance — 4x less corpus scan I/O, near-exact
       ranking);
     - method='pq': product quantization (8 subspaces x 16 centroids,
       codebooks trained on a deterministic sample, 32x compression) with
-      asymmetric-distance scoring against the reconstructed corpus.
+      asymmetric-distance scoring against the reconstructed corpus and
+      an exact-cosine re-rank of the per-query top-100 shortlist
+      (recall ~0.88; the shortlist is O(|Q|) point reads, never a
+      second corpus scan).
 
     Approximate scores are engine-specific, so (the lineitem_flag_stats
     ``approx_parts_ok`` pattern) the checkable contract is the boolean
@@ -218,10 +229,10 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_mp = S.ann_topk_lsh(
         emb, queries, k=k, num_planes=4, dim=64, seed=42, multiprobe=True
     )
-    ivf = S.ivf_topk(emb, queries, k=k, n_cells=8, n_probe=2, seed=42)
+    ivf = S.ivf_topk(emb, queries, k=k, n_cells=8, n_probe=4, seed=42)
     i8 = S.topk_int8(S.quantize_int8(emb), queries, k=k)
     cb = S.pq_train(emb, m=8, k=16, dim=64, seed=42)
-    pq = S.pq_topk(S.pq_encode(emb, cb), queries, cb, k=k)
+    pq = S.pq_topk(S.pq_encode(emb, cb), queries, cb, k=k, rerank=100)
     branches = {
         "srp_lsh": lsh, "srp_lsh_mp": lsh_mp, "ivf": ivf,
         "int8": i8, "pq": pq,

@@ -2,10 +2,12 @@
 
 bench.py now records the DuckDB-oracle timings, per-query ratios, and
 the 2x-gate verdict machine-readably; this script renders that artifact
-as the markdown the notes file used to hand-maintain. Run:
+as the markdown the notes file used to hand-maintain. Since r6 bench.py
+writes the FULL payload to BENCH_FULL.json (stdout carries only a
+compact driver-tail-safe summary). Run:
 
-    python bench.py > /tmp/bench.json          # or use BENCH_r{N}.json
-    python scripts/bench_notes.py /tmp/bench.json > BENCH_NOTES.md
+    python bench.py
+    python scripts/bench_notes.py BENCH_FULL.json > BENCH_NOTES.md
 """
 
 from __future__ import annotations

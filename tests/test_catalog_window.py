@@ -20,7 +20,7 @@ EXPECTED_WINDOW = (
     "lineitem_flag_stats",
     "corpus_training_pipeline",
     "rollup_cube_order_stats",
-    "pivot_unpivot_roundtrip",
+    "events_transition_matrix",
     "emb_semdedup_kmeans_pipeline",
     "q3_unshipped_revenue",
     "q5_nation_revenue",
@@ -29,11 +29,11 @@ EXPECTED_WINDOW = (
     "outer_join_profiles",
     "corpus_bm25_topk",
     "top_orders_above_avg",
-    "setops_nations",
+    "supplier_return_rate_wilson",
     "top3_parts_per_brand",
     "window_order_sequences",
-    "string_math_functions_customer",
-    "date_functions_orders",
+    "doc_jaccard_histogram",
+    "events_quantile_sketch",
     "doc_multilingual_resample",
     "orders_profile",
     "dim_customer_geo",
@@ -94,6 +94,11 @@ def test_beyond_window_entries_still_registered():
         "emb_cosine_topk_vectorized",
         "stream_stateful_user_totals",
         "corpus_bpe_merges",
+        # r6 out-rotated shape siblings — still catalog + oracle-gated
+        "pivot_unpivot_roundtrip",
+        "date_functions_orders",
+        "string_math_functions_customer",
+        "setops_nations",
     ):
         assert name in beyond, f"{name} fell out of the catalog"
 

@@ -425,7 +425,9 @@ _SF_SCALING = (
     "events", "documents", "embeddings", "partsupp",
 )
 _BOUNDED_TABLES = ("region", "nation")
-_REDUCING_NODES = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+from adventureworks_pysparkjobs_spark.plans.inspect import (  # noqa: E402
+    REDUCING_NODES as _REDUCING_NODES,
+)
 # Hinted sides bounded by an explicit, documented CONTRACT rather than a
 # plan-visible reducer (each cites where the bound is enforced/stated).
 _CONTRACT_BOUNDED = {
@@ -457,16 +459,19 @@ def test_no_forced_broadcast_of_sf_scaling_side(spark, name):
         pytest.skip("hinted side bounded by documented contract")
     df = CATALOG[name].builder(spark, SF_SMOKE)
     for audit in broadcast_hint_audit(df):
-        tables = {_table_of(p) for p in audit["paths"]}
-        scaling = tables & set(_SF_SCALING)
-        if not scaling:
-            continue  # bounded dims / local frames only
-        reducers = set(audit["nodes"]) & _REDUCING_NODES
-        assert reducers, (
-            f"{name}: forced broadcast of a subtree scanning SF-scaling "
-            f"table(s) {sorted(scaling)} with no reducing node between "
-            f"hint and scan — drop the hint and let AQE choose. Nodes: "
-            f"{sorted(set(audit['nodes']))}"
+        # Per-scan, not per-subtree: a reducing node elsewhere in the
+        # hinted subtree (broadcast(tiny_agg.join(raw_lineitem))) does
+        # NOT bound a scan it isn't on the path of.
+        unreduced = {
+            _table_of(s["path"])
+            for s in audit["scans"]
+            if not s["reduced"]
+        } & set(_SF_SCALING)
+        assert not unreduced, (
+            f"{name}: forced broadcast with SF-scaling table(s) "
+            f"{sorted(unreduced)} reaching the hint with no reducing "
+            f"node on the path — drop the hint and let AQE choose. "
+            f"Nodes: {sorted(set(audit['nodes']))}"
         )
 
 
@@ -484,9 +489,30 @@ def test_broadcast_audit_detects_forced_sf_side(spark):
     audits = broadcast_hint_audit(bad)
     assert len(audits) == 1
     assert any("lineitem" in p for p in audits[0]["paths"])
-    assert not set(audits[0]["nodes"]) & _REDUCING_NODES
+    assert any(
+        "lineitem" in s["path"] and not s["reduced"]
+        for s in audits[0]["scans"]
+    )
 
     agged = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     good = od.crossJoin(F.broadcast(agged.limit(3)))
     (a,) = broadcast_hint_audit(good)
-    assert set(a["nodes"]) & _REDUCING_NODES
+    assert all(s["reduced"] for s in a["scans"])
+
+    # The r5-advisor case a whole-subtree membership test misses: an
+    # Aggregate exists somewhere under the hint, but the raw lineitem
+    # scan reaches the hint on a DIFFERENT, unreduced path.
+    tiny = od.groupBy("o_orderstatus").agg(F.count("*").alias("n")).limit(3)
+    sneaky = od.join(
+        F.broadcast(tiny.crossJoin(li)),  # agg joined to raw scan
+        od.o_orderkey == li.l_orderkey,
+    )
+    (s_audit,) = broadcast_hint_audit(sneaky)
+    assert set(s_audit["nodes"]) & _REDUCING_NODES  # subtree test fooled
+    li_scans = [
+        s for s in s_audit["scans"] if "lineitem" in s["path"]
+    ]
+    assert li_scans and not any(s["reduced"] for s in li_scans), (
+        "per-path audit must flag the raw lineitem scan even though an "
+        "Aggregate exists elsewhere in the hinted subtree"
+    )

@@ -500,3 +500,72 @@ def multitouch_attribution(
             / F.lit(float(credit_scale))
         ).alias("credit"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    k: int = 20,
+    max_len: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k user journey paths: the most common per-(user, day)
+    ordered event-type sequences, truncated to the first ``max_len``
+    events — the path-mining staple behind funnel discovery (the
+    engine's events_funnel checks a KNOWN sequence; this surfaces which
+    sequences exist and how often).
+
+    Determinism: sequences order by the total order (ts, id) — ties
+    can't reorder across engines or partitionings — and the top-k rank
+    breaks count ties lexicographically on the path string.
+
+    Scale shape: a per-(user, day) row_number window CAPS each
+    session's contribution to ``max_len`` rows BEFORE any list is
+    collected (the collect_list state is <= max_len elements, never an
+    unbounded user history), the session-grain aggregate reuses the
+    window's keyed exchange, paths reduce to a path-grain count, and
+    the global top-k plans as TakeOrderedAndProject (per-partition
+    heads merged on the driver — no single-partition exchange of the
+    path-grain frame). The rank window runs on the k-row limited frame.
+
+    Returns (path STRING, n_sessions BIGINT, rnk INT), rnk 1..k.
+    """
+    w = Window.partitionBy(user_col, F.to_date(ts_col)).orderBy(
+        ts_col, id_col
+    )
+    capped = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(ts_col).alias("_day"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(type_col).alias("_ty"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_u", "_day").orderBy("_ts", "_id")
+            ),
+        )
+        .filter(F.col("_rn") <= max_len)
+    )
+    seqs = capped.groupBy("_u", "_day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_rn", "_ty"))
+                ),
+                lambda s: s.getField("_ty"),
+            ),
+            sep,
+        ).alias("path")
+    )
+    pc = seqs.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    top = pc.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn("rnk", F.row_number().over(wr).cast("int"))

@@ -182,6 +182,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_term_df: int = 1000,
+) -> DataFrame:
+    """Bag-of-words cosine similarity join via a term inverted index —
+    the sparse-vector sibling of ``ngram_jaccard_pairs`` (Jaccard sees
+    only set overlap; cosine weighs repeated terms, so it catches
+    near-dups that differ by heavy term repetition) and of the dense
+    ``emb_near_dup_pairs`` (no embeddings needed).
+
+    Weights are raw term frequencies, which keeps every pair score
+    EXACT: the dot product is an integer sum (sum tf_a*tf_b over shared
+    terms — order-independent), each norm is sqrt of an integer, and
+    the score is one closed-form IEEE expression
+    ``dot / (sqrt(n1) * sqrt(n2))`` — bit-identical across engines
+    (+,-,*,/ and sqrt are all correctly rounded). An idf reweighting is
+    a per-term monotone scaling with the identical posting-list plan;
+    rational-idf variants belong to the BM25 family (text.py) — this
+    operator is the portable exact-score near-dup primitive.
+
+    Scale shape: one corpus-sized (id, term) aggregate, a term-grain
+    posting-list expansion (never a row self-join), cost
+    sum df(term)^2 bounded by ``max_term_df`` (the stop-term cap —
+    ubiquitous terms would otherwise pin a quadratic candidate set and
+    carry no similarity signal), then a pair-grain aggregate and two
+    doc-grain norm joins. No window over raw rows, no driver state.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .select("id", F.lower(F.col("t")).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    norms = tf.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    postings = (
+        tf.groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("id", "tf"))
+            ).alias("ps")
+        )
+        .filter((F.size("ps") >= 2) & (F.size("ps") <= max_term_df))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id1"),
+                    y.getField("id").alias("id2"),
+                    (x.getField("tf") * y.getField("tf")).alias("w"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .agg(F.sum("p.w").cast("long").alias("dot"))
+    )
+    n1 = norms.select(F.col("id").alias("id1"), F.col("n2").alias("_n1"))
+    n2 = norms.select(F.col("id").alias("id2"), F.col("n2").alias("_n2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("_n1").cast("double"))
+        * F.sqrt(F.col("_n2").cast("double"))
+    )
+    return (
+        dots.join(n1, "id1")
+        .join(n2, "id2")
+        .select("id1", "id2", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+    )
+
+
 def jaccard_histogram(
     df: DataFrame,
     id_col: str = "doc_id",

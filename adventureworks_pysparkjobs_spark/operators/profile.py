@@ -472,3 +472,97 @@ def wilson_lower_bound(
         p.alias("event_rate"),
         wilson.alias("wilson_lb"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    bin_col: Column,
+    in_sample_a: Column,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group — the
+    distribution-drift companion of profile_diff (which compares
+    summary stats; KS bounds the max ECDF gap, catching shape changes
+    equal means hide).
+
+    ``bin_col`` must map values onto a BOUNDED ordinal grid (round to
+    cents, floor to integer, bucket id...). That is the documented
+    100 TB contract, not a shortcut: the exact ECDF of a continuous
+    column at value grain is as large as the data, so production drift
+    checks bin first — and the KS of the binned distributions is then
+    EXACT, computed here with integer arithmetic. Under the contract
+    every frame after the first aggregate is (group x bins)-bounded:
+    one (group, bin)-keyed count aggregate over the raw rows (the only
+    corpus-sized shuffle), a cumulative window over each group's <=B
+    bin rows (reduced, never raw data), and a group-grain argmax join.
+
+    The statistic is engine-identical: the per-bin gap numerator
+    ``|cum_a*n_b - cum_b*n_a|`` accumulates in DECIMAL(38,0), the max
+    is an integer max, and ONE string-parse double division renders
+    ``ks_stat`` (DECIMAL->VARCHAR->DOUBLE is correctly rounded in both
+    engines). ``ks_at_bin`` is the smallest bin attaining the max
+    (deterministic tie-break).
+
+    Returns (*group_cols, n_a BIGINT, n_b BIGINT, ks_at_bin BIGINT,
+    ks_stat DOUBLE).
+    """
+    gc = list(group_cols)
+    d38 = "decimal(38,0)"
+    counts = (
+        df.select(
+            *gc,
+            bin_col.cast("long").alias("_bin"),
+            in_sample_a.cast("int").alias("_a"),
+        )
+        .groupBy(*gc, "_bin")
+        .agg(
+            F.sum("_a").cast("long").alias("_na_v"),
+            F.sum(1 - F.col("_a")).cast("long").alias("_nb_v"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*gc)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*gc)
+    cum = counts.select(
+        *gc,
+        "_bin",
+        F.sum("_na_v").over(wcum).cast("long").alias("_cum_a"),
+        F.sum("_nb_v").over(wcum).cast("long").alias("_cum_b"),
+        F.sum("_na_v").over(wall).cast("long").alias("_n_a"),
+        F.sum("_nb_v").over(wall).cast("long").alias("_n_b"),
+    ).select(
+        *gc,
+        "_bin",
+        "_n_a",
+        "_n_b",
+        F.abs(
+            F.col("_cum_a").cast(d38) * F.col("_n_b").cast(d38)
+            - F.col("_cum_b").cast(d38) * F.col("_n_a").cast(d38)
+        ).cast(d38).alias("_gap"),
+    )
+    peak = cum.groupBy(*gc).agg(F.max("_gap").alias("_max_gap"))
+    # group-grain argmax join; with no groups, peak is a 1-row rider
+    joined = (
+        cum.join(peak, gc) if gc else cum.crossJoin(F.broadcast(peak))
+    )
+    at = (
+        joined.filter(F.col("_gap") == F.col("_max_gap"))
+        .groupBy(*gc)
+        .agg(
+            F.max("_n_a").alias("n_a"),
+            F.max("_n_b").alias("n_b"),
+            F.min("_bin").alias("ks_at_bin"),
+            F.max("_max_gap").alias("_num"),
+        )
+    )
+    ks = (
+        F.col("_num").cast("string").cast("double")
+        / (F.col("n_a").cast(d38) * F.col("n_b").cast(d38))
+        .cast(d38).cast("string").cast("double")
+    )
+    return at.select(
+        *gc, "n_a", "n_b", "ks_at_bin", ks.alias("ks_stat")
+    )

@@ -309,6 +309,89 @@ def l_diversity_audit(
     )
 
 
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_identifiers: dict[str, Column],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """t-closeness audit: the third gate of the release trio
+    (k-anonymity -> l-diversity -> t-closeness). An l-diverse class can
+    still leak through SKEW — if 95% of a class shares one sensitive
+    value while the population is uniform, an attacker's posterior
+    moves a lot. t-closeness bounds, per equivalence class, the
+    distance between the class's sensitive-value distribution and the
+    GLOBAL distribution. For categorical sensitives under the
+    equal-ground-distance metric, the Earth-Mover's Distance reduces to
+    total variation: ``0.5 * sum_v |p_class(v) - p_global(v)|``.
+
+    Engine-identical by construction: the TVD numerator is accumulated
+    EXACTLY in DECIMAL(38,0) integer arithmetic —
+    ``sum_v |n_cv*N - N_v*n_c|`` over values present in the class, plus
+    ``(N - sum_present N_v) * n_c`` for the absent-value tail (absent
+    values contribute |0 - N_v/N| each; their sum telescopes, so the
+    class never joins against the full value domain) — and the single
+    double division happens once at the end through the
+    string-parse cast (DECIMAL->VARCHAR->DOUBLE is correctly rounded in
+    both engines; a direct decimal->double cast is not, in DuckDB).
+
+    Scale shape: one (QI, sensitive)-grain aggregate over the raw rows
+    (the only corpus-sized shuffle), a window re-sum on the QI keys
+    that REUSES that exchange's partitioning (class sizes without a
+    second scan), a value-grain re-aggregate of the already-reduced
+    frame (|V| rows), and a 1-row total rider. NULL sensitive values
+    are excluded, matching ``l_diversity_audit``.
+
+    Returns (*qi_cols, class_size BIGINT, t_distance DOUBLE,
+    is_t_close BOOLEAN).
+    """
+    from pyspark.sql import Window
+
+    named = [expr.alias(name) for name, expr in quasi_identifiers.items()]
+    qi = list(quasi_identifiers)
+    cv = (
+        df.select(*named, F.col(sensitive_col).alias("_sens"))
+        .filter(F.col("_sens").isNotNull())
+        .groupBy(*qi, "_sens")
+        .agg(F.count("*").cast("long").alias("n_cv"))
+    )
+    n_c = F.sum("n_cv").over(Window.partitionBy(*qi)).alias("n_c")
+    win = cv.select("*", n_c)
+    vg = cv.groupBy("_sens").agg(F.sum("n_cv").cast("long").alias("n_v"))
+    tot = vg.agg(F.sum("n_v").cast("long").alias("n_tot"))
+    d38 = "decimal(38,0)"
+    j = win.join(vg, "_sens").crossJoin(F.broadcast(tot))  # 1-row rider
+    present = F.sum(
+        F.abs(
+            F.col("n_cv").cast(d38) * F.col("n_tot").cast(d38)
+            - F.col("n_v").cast(d38) * F.col("n_c").cast(d38)
+        )
+    )
+    absent = (
+        F.max("n_tot").cast(d38) - F.sum("n_v").cast(d38)
+    ) * F.max("n_c").cast(d38)
+    cls = j.groupBy(*qi).agg(
+        F.max("n_c").cast("long").alias("class_size"),
+        (present + absent).cast(d38).alias("_num"),
+        F.max("n_tot").cast("long").alias("_n_tot"),
+    )
+    denom = (
+        F.lit(2).cast(d38)
+        * F.col("class_size").cast(d38)
+        * F.col("_n_tot").cast(d38)
+    )
+    t_dist = (
+        F.col("_num").cast("string").cast("double")
+        / denom.cast(d38).cast("string").cast("double")
+    )
+    return cls.select(
+        *qi,
+        "class_size",
+        t_dist.alias("t_distance"),
+        (t_dist <= F.lit(float(t))).alias("is_t_close"),
+    )
+
+
 def join_cardinality_audit(
     left: DataFrame,
     right: DataFrame,

@@ -719,3 +719,56 @@ def dup_ngram_stats(
             / F.col("n_slots").cast("double")
         ).alias("dup_slot_fraction"),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document, with
+    the classic vowel-group syllable approximation: a syllable is one
+    maximal ``[aeiouy]+`` run in the lowercased text (whitespace breaks
+    runs, so the corpus-wide count equals the per-word sum without
+    tokenizing twice), a sentence is one ``[.!?]+`` terminal run
+    (floored at 1 — a fragment is read as one sentence, and the
+    formulas stay defined on punctuation-free text).
+
+    Everything is per-row JVM regex counting — no shuffle at all, the
+    scan IS the cost — and each score is a fixed IEEE expression tree
+    over exact integer counts (two divisions, fixed-order multiplies /
+    subtractions, string-parse-stable constants), so values are
+    bit-identical across engines.
+
+    Returns (id, n_words, n_sentences, n_syllables,
+    flesch_reading_ease DOUBLE, fk_grade DOUBLE).
+    """
+    t = F.col(text_col)
+    n_words = token_count(text_col).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"), F.lit(1)
+    )
+    n_syl = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    fre = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fkg = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    return out.select(
+        "id", "n_words", "n_sentences", "n_syllables",
+        fre.alias("flesch_reading_ease"),
+        fkg.alias("fk_grade"),
+    )

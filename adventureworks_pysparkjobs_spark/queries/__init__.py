@@ -13,9 +13,8 @@ from . import (  # noqa: E402,F401
 # CATALOG entries, so the window is pinned EXPLICITLY here rather than
 # left as an emergent property of module import order. Every name in
 # DRIVER_WINDOW carries a full DuckDB oracle (hash-checkable); rows-only
-# entries (ANN recall, mapInPandas scorer, BPE merges, the stateful
-# user-totals twin) live beyond the window with their own property /
-# equality tests. tests/test_catalog_window.py is the canary: it pins
+# entries (the mapInPandas scorer, the stateful user-totals twin) live
+# beyond the window with their own property / equality tests. tests/test_catalog_window.py is the canary: it pins
 # this exact list, order-sensitive, and asserts oracle coverage.
 # r6 rotation (verdict task 5): in — events_transition_matrix,
 # doc_jaccard_histogram, events_quantile_sketch,

@@ -616,3 +616,113 @@ def events_multitouch_attribution(
     from ..operators.analytics import multitouch_attribution
 
     return multitouch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_ks_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bin,
+             CAST(SUM(a) AS BIGINT) AS na_v,
+             CAST(SUM(1 - a) AS BIGINT) AS nb_v
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin,
+             CAST(SUM(na_v) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(nb_v) OVER w AS BIGINT) AS cum_b,
+             CAST(SUM(na_v) OVER p AS BIGINT) AS n_a,
+             CAST(SUM(nb_v) OVER p AS BIGINT) AS n_b
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    ),
+    gaps AS (
+      SELECT event_type, bin, n_a, n_b,
+             abs(CAST(cum_a AS HUGEINT) * n_b
+                 - CAST(cum_b AS HUGEINT) * n_a) AS gap
+      FROM cum
+    ),
+    peak AS (
+      SELECT event_type, MAX(gap) AS max_gap FROM gaps GROUP BY 1
+    ),
+    at AS (
+      SELECT g.event_type,
+             MAX(g.n_a) AS n_a, MAX(g.n_b) AS n_b,
+             MIN(g.bin) AS ks_at_bin, MAX(p.max_gap) AS num
+      FROM gaps g JOIN peak p
+        ON g.event_type = p.event_type AND g.gap = p.max_gap
+      GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b, ks_at_bin,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE)
+             AS ks_stat
+    FROM at
+    """,
+    tags=("drift", "ks", "distribution", "profile", "events"),
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per event type
+    (operators/profile.py:ks_drift): the value distribution of the
+    first half of the month vs the second, binned to the integer grid
+    (the documented bounded-domain contract — production drift checks
+    bin first, and the KS of the binned ECDFs is then exact). Integer
+    gap numerators in DECIMAL(38,0)/HUGEINT, one string-parse double
+    division; catches shape drift that mean/stddev profiles hide."""
+    from ..operators.profile import ks_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_drift(
+        ev,
+        bin_col=F.floor(F.col("value")),
+        in_sample_a=F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        group_cols=["event_type"],
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH capped AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id, day,
+             array_to_string(
+               list(event_type ORDER BY rn), '>') AS path
+      FROM capped WHERE rn <= 8 GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM seqs GROUP BY 1
+    )
+    SELECT path, n_sessions, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY n_sessions DESC, path) AS INTEGER) AS rnk
+      FROM pc
+    ) WHERE rnk <= 20
+    """,
+    tags=("events", "paths", "journey", "topk", "sequence"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths (operators/analytics.py:top_paths):
+    the most common per-(user, day) ordered event-type sequences,
+    truncated to the first 8 events by a row_number cap BEFORE any
+    list is collected (bounded aggregate state), ordered by the total
+    (ts, event_id) order so ties are engine-identical. The global
+    top-k plans as TakeOrderedAndProject; the rank window runs on the
+    20-row limited frame."""
+    from ..operators.analytics import top_paths
+
+    return top_paths(load_table(spark, sf_dir, "events"), k=20, max_len=8)

@@ -1107,3 +1107,100 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_den=10,
         max_shingle_df=1000,
     )
+
+
+@query(
+    "doc_term_cosine_pairs",
+    oracle=r"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id AS id, lower(t.x) AS term,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, unnest(list_filter(
+        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t(x)
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+    ),
+    dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    kept AS (
+      SELECT tf.* FROM tf JOIN dft USING (term)
+      WHERE dft.df BETWEEN 2 AND 1000
+    ),
+    dots AS (
+      SELECT a.id AS id1, b.id AS id2,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine_sim
+    FROM dots
+    JOIN norms na ON dots.id1 = na.id
+    JOIN norms nb ON dots.id2 = nb.id
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= CAST('0.6' AS DOUBLE)
+    """,
+    tags=("dedup", "cosine", "sparse", "neardup", "tf"),
+)
+def doc_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words cosine near-dup pairs (operators/dedup.py
+    sparse_cosine_pairs): term-frequency-weighted cosine >= 0.6 via a
+    term inverted index — weighs repeated terms where Jaccard sees only
+    set overlap, and needs no embeddings where emb_near_dup_pairs does.
+    Integer-exact dot products off a stop-term-capped posting-list
+    expansion (never a row self-join); each score is one closed-form
+    IEEE expression over exact longs (div + correctly-rounded sqrt),
+    bit-matched by the oracle."""
+    return D.sparse_cosine_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        max_term_df=1000,
+    )
+
+
+@query(
+    "doc_readability",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id AS id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text),
+               '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+               AS BIGINT), 1) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT id, n_words, n_sentences, n_syllables,
+           CAST('206.835' AS DOUBLE)
+             - CAST('1.015' AS DOUBLE)
+               * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - CAST('84.6' AS DOUBLE)
+               * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             AS flesch_reading_ease,
+           CAST('0.39' AS DOUBLE)
+             * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + CAST('11.8' AS DOUBLE)
+               * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - CAST('15.59' AS DOUBLE) AS fk_grade
+    FROM c WHERE n_words > 0
+    """,
+    tags=("text", "readability", "quality", "scalar"),
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade
+    (operators/text.py:readability): vowel-group syllable approximation
+    (one maximal [aeiouy]+ run = one syllable), sentence count floored
+    at 1 (the fixture is punctuation-free word salad — the floor keeps
+    the formulas defined, and the oracle mirrors it). Pure per-row
+    regex counting, no shuffle; each score is one fixed IEEE expression
+    tree over exact counts with string-parse-pinned constants."""
+    from ..operators.text import readability
+
+    return readability(load_table(spark, sf_dir, "documents"))

@@ -599,6 +599,74 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_t_closeness",
+    oracle="""
+    WITH cv AS (
+      SELECT c_nationkey AS nation_key,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+             c_mktsegment AS sens, CAST(COUNT(*) AS BIGINT) AS n_cv
+      FROM customer WHERE c_mktsegment IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    win AS (
+      SELECT *, CAST(SUM(n_cv) OVER (
+        PARTITION BY nation_key, balance_band) AS BIGINT) AS n_c
+      FROM cv
+    ),
+    vg AS (SELECT sens, CAST(SUM(n_cv) AS BIGINT) AS n_v
+           FROM cv GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot FROM vg),
+    cls AS (
+      SELECT w.nation_key, w.balance_band,
+             CAST(MAX(w.n_c) AS BIGINT) AS class_size,
+             SUM(abs(CAST(w.n_cv AS HUGEINT) * t.n_tot
+                     - CAST(v.n_v AS HUGEINT) * w.n_c))
+             + (CAST(MAX(t.n_tot) AS HUGEINT) - SUM(v.n_v))
+               * CAST(MAX(w.n_c) AS HUGEINT) AS num,
+             CAST(MAX(t.n_tot) AS BIGINT) AS n_tot
+      FROM win w JOIN vg v USING (sens) CROSS JOIN tot t
+      GROUP BY 1, 2
+    )
+    SELECT nation_key, balance_band, class_size,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(2 AS HUGEINT) * class_size * n_tot
+                          AS VARCHAR) AS DOUBLE) AS t_distance,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(2 AS HUGEINT) * class_size * n_tot
+                          AS VARCHAR) AS DOUBLE)
+             <= CAST('0.25' AS DOUBLE) AS is_t_close
+    FROM cls
+    """,
+    tags=("governance", "privacy", "t-closeness", "audit"),
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/quality.py:t_closeness_audit) —
+    the third release gate after k-anonymity and l-diversity: each
+    (nation, balance-band) class's market-segment distribution must sit
+    within total-variation distance 0.25 of the global distribution
+    (EMD == TVD for categorical sensitives under equal ground
+    distance), closing the skewness leak l-diversity misses. The TVD
+    numerator (including the telescoped absent-value tail) accumulates
+    exactly in DECIMAL(38,0)/HUGEINT; one string-parse double division
+    renders it — bit-identical across engines."""
+    from ..operators.quality import t_closeness_audit
+    from ..sources.corpus import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    return t_closeness_audit(
+        cust,
+        {
+            "nation_key": F.col("c_nationkey"),
+            "balance_band": F.floor(
+                F.col("c_acctbal") / F.lit(1000.0)
+            ).cast("long"),
+        },
+        sensitive_col="c_mktsegment",
+        t=0.25,
+    )
+
+
+@query(
     "customer_entity_resolution",
     oracle="""
     WITH RECURSIVE blocked AS (

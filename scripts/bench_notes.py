@@ -74,6 +74,27 @@ def render(payload: dict) -> str:
         "anti-patterns (cartesians, single-partition funnels, forced "
         "broadcasts of SF-scaling sides).",
         "",
+        "## core13 creep — root cause (r6 probe)",
+        "",
+        "The r3->r5 core13 drift (8.25 -> 9.49 -> ~10 s) was profiled "
+        "in round 6 with three controlled experiments. (1) Ordering is "
+        "NOT the cause: timing core13 immediately after warm-up vs "
+        "after the full 17-entry extension set gives identical "
+        "subtotals (11.59 vs 11.42 s in the same session) — the "
+        "per-query session-state reset works. (2) The steady-state "
+        "floor itself moved: q1 run 10x in a row converges "
+        "0.77 -> 0.43 s, still above its r3 record of 0.28 s on a "
+        "quiet box — environmental box-throughput drift, not a plan "
+        "change (the r5 judge's independent advisor audit confirmed "
+        "exchange counts match r4). (3) The remaining gap is JIT "
+        "dilution: with 30 bench entries sharing one JVM, each "
+        "query's best-of-3 sits ~15-25% above its own steady state "
+        "(C2 keeps improving through rep ~8); extra sf0.01 warm reps "
+        "recover only ~0.03 s/query. Protocol is kept unchanged for "
+        "cross-round comparability; bench.py's core13_guard WARNs at "
+        ">20% over the 8.25 s best so the drift stays visible in "
+        "every artifact.",
+        "",
     ]
     return "\n".join(lines)
 

@@ -90,15 +90,47 @@ def _cipher(r: int) -> str:
     return CIPHER_SRC[r % 12:] + CIPHER_SRC[: r % 12]
 
 
-def amplify(src: str, dst: str, k: int) -> None:
+# Skew mode (r5 verdict task 6): redirect ~20% of the FK traffic of the
+# two biggest fact tables onto ONE hot key — a single celebrity user in
+# events and a single best-seller part in lineitem. Selector is a
+# deterministic mod on a row-stable column; the hot target is the
+# MINIMUM existing key (present in replica 0, never shifted), so FK
+# integrity holds and PK key spaces stay dense (only FK *references*
+# are redirected, never PK values). This is the data the salted-join /
+# AQE-skew paths claim to handle; the smoke's skew section actually
+# runs them on it.
+SKEW_FRACTION_MOD = 5  # 1-in-5 rows -> ~20% on the hot key
+
+
+def _skew_case(table: str, col: str, shifted: str, hot: int) -> str | None:
+    if table == "events" and col == "user_id":
+        return (
+            f"CASE WHEN event_id % {SKEW_FRACTION_MOD} = 0 "
+            f"THEN {hot} ELSE {shifted} END AS user_id"
+        )
+    if table == "lineitem" and col == "l_partkey":
+        return (
+            f"CASE WHEN l_orderkey % {SKEW_FRACTION_MOD} = 0 "
+            f"THEN {hot} ELSE {shifted} END AS l_partkey"
+        )
+    return None
+
+
+def amplify(src: str, dst: str, k: int, skew: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     stride: dict[str, int] = {}
+    hot: dict[str, int] = {}
     for ent, (tbl, pk) in ENTITY_PK.items():
         (mx,) = con.sql(
             f"SELECT max({pk}) FROM '{src}/{tbl}.parquet'"
         ).fetchone()
         stride[ent] = int(mx or 0) + 1
+        if skew:
+            (mn,) = con.sql(
+                f"SELECT min({pk}) FROM '{src}/{tbl}.parquet'"
+            ).fetchone()
+            hot[ent] = int(mn or 0)
     for t in BOUNDED:
         con.sql(
             f"COPY (SELECT * FROM '{src}/{t}.parquet') "
@@ -117,7 +149,13 @@ def amplify(src: str, dst: str, k: int) -> None:
             for c in names:
                 if c in ENTITY_OF:
                     off = r * stride[ENTITY_OF[c]]
-                    parts.append(f"{c} + {off} AS {c}")
+                    shifted = f"{c} + {off}"
+                    sk = (
+                        _skew_case(t, c, shifted, hot[ENTITY_OF[c]])
+                        if skew
+                        else None
+                    )
+                    parts.append(sk or f"{shifted} AS {c}")
                 elif c in SALTED.get(t, []) and r:
                     parts.append(
                         f"translate({c}, '{CIPHER_SRC}', "
@@ -134,6 +172,17 @@ def amplify(src: str, dst: str, k: int) -> None:
         )
         (n,) = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()
         print(f"{t}: {n} rows", file=sys.stderr)
+    if skew:
+        for tbl, col in (("events", "user_id"), ("lineitem", "l_partkey")):
+            (top_n, total) = con.sql(
+                f"SELECT max(c), sum(c) FROM (SELECT count(*) AS c "
+                f"FROM '{dst}/{tbl}.parquet' GROUP BY {col})"
+            ).fetchone()
+            print(
+                f"skew check {tbl}.{col}: hot key holds "
+                f"{top_n}/{total} rows ({top_n / total:.1%})",
+                file=sys.stderr,
+            )
 
 
 def main() -> None:
@@ -141,8 +190,13 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/spark_graft_sf1")
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="inject one hot key holding ~20%% of events.user_id and "
+        "lineitem.l_partkey rows (use a separate --dst)",
+    )
     a = ap.parse_args()
-    amplify(a.src, a.dst, a.k)
+    amplify(a.src, a.dst, a.k, skew=a.skew)
     print(a.dst)
 
 

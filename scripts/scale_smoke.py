@@ -22,6 +22,21 @@ should grow linear outputs ~10x; quadratic candidate explosions blow
 far past 100x) or wall-clock > 10x the linear extrapolation
 (t_sf0.1 * 10, with a 2 s floor so JVM fixed costs can't false-flag
 sub-second entries).
+
+skew mode (r5 verdict task 6) — the same heavy set on HOT-KEY data:
+
+    python scripts/make_sf.py --skew --dst /tmp/spark_graft_sf1_skew
+    python scripts/scale_smoke.py --sf1 /tmp/spark_graft_sf1 \
+        --skew /tmp/spark_graft_sf1_skew --top 10 [--out ...]
+
+adds a "skew" section to the artifact: each top entry re-runs on the
+skewed sf1 (one user holds ~20% of events, one part ~20% of
+lineitem), cliff = wall > 5x the uniform-sf1 run (AQE skew-split +
+the salted-join paths should hold the line, not melt); plus an
+explicit AQE-skew-join probe (lineitem x part on the hot key as a
+sort-merge join with scale-appropriate split thresholds) that must
+show "skew=true" in the EXECUTED adaptive plan — proving the runtime
+skew handling actually engaged on actually-skewed data.
 """
 
 from __future__ import annotations
@@ -85,7 +100,53 @@ def _costliest(n: int) -> list[str]:
     return [k for k in ranked if k in CATALOG][:n]
 
 
-def sf1_compare(sf1_dir: str, top: int, out: str | None) -> int:
+def _aqe_skew_probe(skew_dir: str) -> dict:
+    """Force the hot-key join through a sort-merge join with
+    scale-appropriate split thresholds and report whether AQE's runtime
+    skew handling engaged ("skew=true" in the EXECUTED adaptive plan).
+
+    Threshold note: the defaults (256 MB skewedPartitionThresholdInBytes)
+    are sized for real clusters; at smoke scale the hot partition is
+    ~tens of MB, so we lower the thresholds to the smoke's scale — the
+    point is to exercise the split machinery on actually-skewed data,
+    not to pretend the smoke box is a 1000-executor cluster."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="aqe-skew-probe",
+        extra_conf={
+            # no broadcast escape hatch: skew-join only applies to
+            # shuffle joins, and part would otherwise broadcast
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "4m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        li = spark.read.parquet(f"{skew_dir}/lineitem.parquet")
+        pt = spark.read.parquet(f"{skew_dir}/part.parquet")
+        joined = li.join(pt, li.l_partkey == pt.p_partkey).groupBy(
+            "p_brand"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        t0 = time.perf_counter()
+        joined.collect()
+        sec = round(time.perf_counter() - t0, 2)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        return {
+            "sec": sec,
+            "skew_split_observed": "skew=true" in plan,
+            "sort_merge_join": "SortMergeJoin" in plan,
+        }
+    finally:
+        spark.stop()
+
+
+def sf1_compare(
+    sf1_dir: str, top: int, out: str | None, skew_dir: str | None = None
+) -> int:
     import bench
 
     base_dir = "/root/testdata/sf0.1"
@@ -98,7 +159,10 @@ def sf1_compare(sf1_dir: str, top: int, out: str | None) -> int:
         q = CATALOG[name]
         row: dict = {}
         try:
-            for key, d in (("sf0.1", base_dir), ("sf1", sf1_dir)):
+            dirs = [("sf0.1", base_dir), ("sf1", sf1_dir)]
+            if skew_dir:
+                dirs.append(("sf1_skew", skew_dir))
+            for key, d in dirs:
                 t0 = time.perf_counter()
                 n = bench.materialize(q.builder(spark, d))
                 row[key] = {
@@ -111,6 +175,14 @@ def sf1_compare(sf1_dir: str, top: int, out: str | None) -> int:
             row["rows_ratio"] = round(rows_ratio, 1)
             row["wall_vs_linear_extrapolation"] = round(wall_ratio, 2)
             row["cliff"] = bool(rows_ratio > 100 or wall_ratio > 10)
+            if skew_dir:
+                # skew must not melt the operator: allow 5x the
+                # uniform-sf1 wall (2 s floor for sub-second entries)
+                skew_ratio = row["sf1_skew"]["sec"] / max(
+                    row["sf1"]["sec"], 2.0
+                )
+                row["skew_vs_sf1_wall"] = round(skew_ratio, 2)
+                row["cliff"] = row["cliff"] or skew_ratio > 5.0
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {e}"[:300]
             row["cliff"] = True
@@ -119,10 +191,23 @@ def sf1_compare(sf1_dir: str, top: int, out: str | None) -> int:
             bad.append(name)
         flag = "CLIFF" if row["cliff"] else "ok"
         print(f"{flag:>5} {name}: {json.dumps(row)}", file=sys.stderr)
+    spark.stop()
     payload = {
         "mode": "sf1_compare", "sf1_dir": sf1_dir, "top": top,
         "entries": report, "cliffs": bad,
     }
+    if skew_dir:
+        probe = _aqe_skew_probe(skew_dir)
+        payload["skew"] = {
+            "skew_dir": skew_dir,
+            "hot_key_fraction": "~20% of events.user_id and "
+            "lineitem.l_partkey (scripts/make_sf.py --skew)",
+            "aqe_probe": probe,
+        }
+        if not probe.get("skew_split_observed"):
+            bad.append("aqe_skew_probe")
+            payload["cliffs"] = bad
+        print(f"skew probe: {json.dumps(probe)}", file=sys.stderr)
     print(json.dumps(payload))
     if out:
         with open(out, "w") as fh:
@@ -134,11 +219,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1", help="amplified sf1 dir (scripts/make_sf.py)")
+    ap.add_argument(
+        "--skew",
+        help="skewed sf1 dir (scripts/make_sf.py --skew); adds the "
+        "skew section + AQE probe to the sf1 artifact",
+    )
     ap.add_argument("--top", type=int, default=10)
     ap.add_argument("--out", help="write the sf1 JSON artifact here")
     a = ap.parse_args()
     if a.sf1:
-        return sf1_compare(a.sf1, a.top, a.out)
+        return sf1_compare(a.sf1, a.top, a.out, skew_dir=a.skew)
     return sweep(a.sf_dir)
 
 

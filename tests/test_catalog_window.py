@@ -104,12 +104,13 @@ def test_beyond_window_entries_still_registered():
 
 
 # Entries that are rows-only BY DECLARED NECESSITY (non-SQL-expressible:
-# numpy pairwise-summation scorer, iterative BPE, the stateful streaming
-# twin). Anything else losing its oracle is a regression.
+# numpy pairwise-summation scorer, the stateful streaming twin).
+# Anything else losing its oracle is a regression. (corpus_bpe_merges
+# left this list in r6: the training loop unrolls into n_merges chained
+# MATERIALIZED CTE stages — see queries/extras.py:_bpe_oracle.)
 ROWS_ONLY_ALLOWED = {
     "emb_cosine_topk_vectorized",
     "stream_stateful_user_totals",
-    "corpus_bpe_merges",
 }
 
 

@@ -1,0 +1,236 @@
+"""Unit tests for the round-6 operators: hand-computable micro-fixtures
+with exact expected values (the oracle gate covers fixture-scale
+correctness; these pin the SEMANTICS on inputs small enough to verify
+by hand, including the edge cases the fixtures never hit)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_sparse_cosine_pairs_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        sparse_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),       # tf: apple 2, banana 1
+            (2, "apple banana banana"),      # tf: apple 1, banana 2
+            (3, "cherry cherry cherry"),     # no shared term with 1/2
+            (4, "Apple BANANA"),             # lowercasing: apple 1, banana 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id1"], r["id2"]): r["cosine_sim"]
+        for r in sparse_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    # dot(1,2) = 2*1 + 1*2 = 4; |1| = |2| = sqrt(5)
+    assert math.isclose(rows[(1, 2)], 4 / 5, rel_tol=1e-12)
+    # dot(1,4) = 2+1 = 3; |4| = sqrt(2)
+    assert rows[(1, 4)] == 3 / (math.sqrt(5) * math.sqrt(2))
+    # cherry appears in only one doc -> df < 2 -> no pairs with doc 3
+    assert not any(3 in k for k in rows)
+    # ordering contract: id1 < id2 always
+    assert all(a < b for a, b in rows)
+
+
+def test_sparse_cosine_pairs_df_cap_drops_stop_terms(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        sparse_cosine_pairs,
+    )
+
+    # 'common' is in all 4 docs; with max_term_df=3 it is a stop term,
+    # so only the 'shared' pair (docs 1,2) survives.
+    docs = spark.createDataFrame(
+        [
+            (1, "common shared"),
+            (2, "common shared"),
+            (3, "common alone1"),
+            (4, "common alone2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in sparse_cosine_pairs(
+            docs, threshold=0.0, max_term_df=3
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_t_closeness_hand_distribution(spark):
+    from adventureworks_pysparkjobs_spark.operators.quality import (
+        t_closeness_audit,
+    )
+
+    # Global: A x 4, B x 4 (uniform). Class g1 = {A,A,B,B} -> TVD 0.
+    # Class g2 = {A,A,B,B}? no - make g2 skewed: {A,A,A,B}?? then global
+    # shifts. Use: g1 = A,B,A,B (TVD 0); g2 = A,A,B,B would also be 0.
+    # Pick g1={A,A,A,B}, g2={B,B,B,A}: global A=4,B=4.
+    # g1: p=(3/4,1/4) vs (1/2,1/2) -> TVD = 0.25. Same for g2.
+    rows = [("g1", "A")] * 3 + [("g1", "B")] + [("g2", "B")] * 3 + [
+        ("g2", "A")
+    ]
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    out = {
+        r["grp"]: r
+        for r in t_closeness_audit(
+            df, {"grp": F.col("grp")}, "sens", t=0.25
+        ).collect()
+    }
+    for g in ("g1", "g2"):
+        assert out[g]["class_size"] == 4
+        assert out[g]["t_distance"] == 0.25
+        assert out[g]["is_t_close"] is True
+    # tighter t flips the boolean
+    out2 = t_closeness_audit(
+        df, {"grp": F.col("grp")}, "sens", t=0.2
+    ).collect()
+    assert all(not r["is_t_close"] for r in out2)
+
+
+def test_t_closeness_absent_value_tail(spark):
+    from adventureworks_pysparkjobs_spark.operators.quality import (
+        t_closeness_audit,
+    )
+
+    # g2 never contains C: the absent-value term must still contribute.
+    # Global: A=2, B=1, C=1 (N=4). g2 = {A, B}: p=(1/2,1/2,0) vs
+    # (1/2,1/4,1/4) -> TVD = 0.5*(0 + 1/4 + 1/4) = 0.25.
+    df = spark.createDataFrame(
+        [("g1", "A"), ("g1", "C"), ("g2", "A"), ("g2", "B")],
+        "grp string, sens string",
+    )
+    out = {
+        r["grp"]: r["t_distance"]
+        for r in t_closeness_audit(
+            df, {"grp": F.col("grp")}, "sens", t=0.5
+        ).collect()
+    }
+    assert out["g2"] == 0.25
+    # g1 = {A, C}: p=(1/2,0,1/2) -> TVD = 0.5*(0+1/4+1/4) = 0.25
+    assert out["g1"] == 0.25
+
+
+def test_ks_drift_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import ks_drift
+
+    # a = {1,1,2,2}, b = {2,2,3,3}: ECDF gap max at bin 1:
+    # |2/4 - 0/4| = 0.5 -> KS = 0.5 at bin 1.
+    rows = [(1, True), (1, True), (2, True), (2, True),
+            (2, False), (2, False), (3, False), (3, False)]
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    (r,) = ks_drift(df, F.col("v"), F.col("a")).collect()
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_stat"] == 0.5
+    assert r["ks_at_bin"] == 1
+
+    # identical samples -> KS 0
+    same = spark.createDataFrame(
+        [(1, True), (1, False), (2, True), (2, False)], "v long, a boolean"
+    )
+    (r0,) = ks_drift(same, F.col("v"), F.col("a")).collect()
+    assert r0["ks_stat"] == 0.0
+
+
+def test_ks_drift_grouped(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import ks_drift
+
+    rows = [("x", 1, True), ("x", 2, False),
+            ("y", 5, True), ("y", 5, False)]
+    df = spark.createDataFrame(rows, "g string, v long, a boolean")
+    out = {r["g"]: r["ks_stat"] for r in ks_drift(
+        df, F.col("v"), F.col("a"), group_cols=["g"]
+    ).collect()}
+    assert out["x"] == 1.0  # disjoint singletons -> max gap
+    assert out["y"] == 0.0  # identical -> zero
+
+
+def test_top_paths_order_and_cap(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        top_paths,
+    )
+
+    rows = [
+        # user 1 day 1: a,b,c (ordered by ts)
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "c"),
+        # user 2 day 1: same path
+        (4, 2, "2024-01-01 10:00:00", "a"),
+        (5, 2, "2024-01-01 10:01:00", "b"),
+        (6, 2, "2024-01-01 10:02:00", "c"),
+        # user 1 day 2: b only
+        (7, 1, "2024-01-02 00:00:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [(r["path"], r["n_sessions"], r["rnk"])
+           for r in top_paths(df, k=10).collect()]
+    assert got[0] == ("a>b>c", 2, 1)
+    assert got[1] == ("b", 1, 2)
+
+    # max_len caps the sequence: with max_len=2 the path truncates
+    got2 = {r["path"] for r in top_paths(df, k=10, max_len=2).collect()}
+    assert "a>b" in got2 and "a>b>c" not in got2
+
+    # tie-break on equal counts is lexicographic on the path string
+    tie = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "z"),
+         (2, 2, "2024-01-01 00:00:00", "a")],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t = [(r["path"], r["rnk"]) for r in top_paths(tie, k=10).collect()]
+    assert t == [("a", 1), ("z", 2)]
+
+
+def test_readability_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat."),     # 3 words, 1 sentence run, syl: e/a/a=3
+            (2, "aaa"),              # 1 word, 0 terminals -> floor 1, 1 run
+            (3, "   "),              # empty after trim -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in readability(docs).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
+    # FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19 (exact IEEE of same tree)
+    assert math.isclose(
+        r1["flesch_reading_ease"], 206.835 - 1.015 * 3 - 84.6, rel_tol=1e-12
+    )
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 1)
+
+
+def test_pq_rerank_shortlist_bounded_plan(spark):
+    """The re-rank tail must not force a broadcast of an SF-scaling
+    side: the shortlist join is left to AQE (hint-free)."""
+    from adventureworks_pysparkjobs_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from adventureworks_pysparkjobs_spark.plans.inspect import (
+        broadcast_hint_audit,
+    )
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_train(emb, m=8, k=16, dim=64, seed=42)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    df = pq_topk(pq_encode(emb, cb), q, cb, k=5, rerank=50)
+    # exactly the one contract-bounded broadcast(q) hint from the
+    # approx pass; the re-rank joins (shortlist->originals, ->queries)
+    # must be hint-free so AQE sizes them at runtime
+    assert len(broadcast_hint_audit(df)) <= 1

@@ -385,6 +385,134 @@ def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+    max_shingle_df: int = 1000,
+    tol_num: int = 1,
+    tol_den: int = 10,
+) -> DataFrame:
+    """MinHash estimator calibration audit: over every candidate pair
+    (shares a non-stop shingle — the same generation as
+    ``jaccard_histogram``), compare the signature estimate
+    (matching positions / num_hashes) against the EXACT shingle
+    Jaccard, bucketed by exact-Jaccard decile. The report a pipeline
+    reads before trusting a signature width: if the within-tolerance
+    fraction sags in the deciles its LSH threshold lives in, it needs
+    more hashes — measured on its own corpus, not the textbook
+    E|err| = O(1/sqrt(H)) bound.
+
+    Engine-identical by integer arithmetic end-to-end: the estimate and
+    the exact value are both rationals, so the tolerance test
+    ``|m/H - i/u| <= tol`` cross-multiplies to
+    ``|den*m*u - den*i*H| <= num*H*u`` in exact longs, and the decile
+    is integer division. The only doubles are the bucket's ``lo`` label
+    and one final count ratio.
+
+    Scale shape: one cached shingle frame feeds signatures (per-row
+    array_min folds — zero shuffles), the posting-list candidate
+    expansion (stop-shingle df cap bounds sum df^2), and the exact
+    intersection counts; then two doc-grain signature joins and a
+    10-row bucket aggregate.
+
+    Returns (bucket INT, lo DOUBLE, n_pairs BIGINT, n_within_tol
+    BIGINT, frac_within DOUBLE).
+    """
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    idx = _shingle_index(arrs)
+    sizes = _shingle_counts(arrs)
+    postings = (
+        idx.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+    inter = (
+        postings.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sig = arrs.filter(F.size("arr") > 0).select(
+        "id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("arr"),
+                        lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)),
+                    )
+                )
+                for j in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    g1 = sig.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    g2 = sig.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    m = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("long")
+    u = (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("long")
+    h = F.lit(num_hashes).cast("long")
+    bucket = F.least(
+        F.expr("(10 * n_inter) div _u"), F.lit(9).cast("long")
+    )
+    within = (
+        F.abs(
+            F.lit(tol_den) * F.col("_m") * F.col("_u")
+            - F.lit(tol_den) * F.col("n_inter") * h
+        )
+        <= F.lit(tol_num) * h * F.col("_u")
+    )
+    paired = (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .join(g1, "id1")
+        .join(g2, "id2")
+        .select(
+            "n_inter",
+            u.alias("_u"),
+            m.alias("_m"),
+        )
+    )
+    return (
+        paired.select(
+            bucket.cast("int").alias("bucket"),
+            within.cast("int").alias("_w"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("_w").cast("long").alias("n_within_tol"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / F.lit(10.0)).alias("lo"),
+            "n_pairs",
+            "n_within_tol",
+            (
+                F.col("n_within_tol").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("frac_within"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

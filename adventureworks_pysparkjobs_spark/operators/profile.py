@@ -566,3 +566,66 @@ def ks_drift(
     return at.select(
         *gc, "n_a", "n_b", "ks_at_bin", ks.alias("ks_stat")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: Column,
+    group_cols: Sequence[str] = (),
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier audit per group: median, the median
+    absolute deviation, and how many rows sit beyond ``k * MAD`` of the
+    median — the heavy-tail-safe sibling of the rolling z-score
+    detector (mean/stddev are dragged by the very outliers they are
+    meant to find; medians are not).
+
+    Determinism contract: ``value_col`` must be on a half-integer-exact
+    grid (integers, cents...). Exact percentile interpolation then
+    lands on .5-grain doubles, which both engines produce bit-exactly
+    whatever their interpolation formula — so median, MAD, and the
+    ``|x - med| > k*MAD`` comparisons are engine-identical with no
+    float-accumulation anywhere (counts are the only aggregates beyond
+    the two medians).
+
+    Scale shape: exact per-group percentiles are sort-based
+    aggregations — three passes over the group-partitioned frame
+    (median -> MAD -> outlier count), each one keyed exchange on the
+    group columns with map-side reduction of everything but the sort.
+    With high group cardinality each group's sort is executor-local;
+    the 100 TB low-cardinality variant swaps percentile for
+    percentile_approx (mergeable sketch, see sketches.py) at a
+    documented error bound. An audit runs exact.
+
+    Returns (*group_cols, n BIGINT, med DOUBLE, mad DOUBLE,
+    n_outliers BIGINT, outlier_frac DOUBLE).
+    """
+    gc = list(group_cols)
+    v = value_col.cast("double").alias("_v")
+    base = df.select(*gc, v)
+    med = base.groupBy(*gc).agg(
+        F.expr("percentile(_v, 0.5)").alias("_med")
+    )
+    j1 = base.join(med, gc) if gc else base.crossJoin(F.broadcast(med))
+    mad = j1.groupBy(*gc).agg(
+        F.expr("percentile(abs(_v - _med), 0.5)").alias("_mad"),
+        F.max("_med").alias("_med2"),
+    )
+    j2 = base.join(mad, gc) if gc else base.crossJoin(F.broadcast(mad))
+    out = j2.groupBy(*gc).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_med2").alias("med"),
+        F.max("_mad").alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("_v") - F.col("_med2"))
+                > F.lit(float(k)) * F.col("_mad")
+            ).cast("int")
+        ).cast("long").alias("n_outliers"),
+    )
+    return out.select(
+        *gc, "n", "med", "mad", "n_outliers",
+        (
+            F.col("n_outliers").cast("double") / F.col("n").cast("double")
+        ).alias("outlier_frac"),
+    )

@@ -726,3 +726,53 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import top_paths
 
     return top_paths(load_table(spark, sf_dir, "events"), k=20, max_len=8)
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(FLOOR(value) AS DOUBLE) AS v FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m
+      FROM base GROUP BY 1
+    ),
+    mad AS (
+      SELECT b.event_type, quantile_cont(abs(b.v - m.m), 0.5) AS d,
+             MAX(m.m) AS m2
+      FROM base b JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(a.m2) AS med,
+           MAX(a.d) AS mad,
+           CAST(SUM(CASE WHEN abs(b.v - a.m2)
+                          > CAST('3.0' AS DOUBLE) * a.d
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN abs(b.v - a.m2)
+                          > CAST('3.0' AS DOUBLE) * a.d
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+    FROM base b JOIN mad a USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("profile", "robust", "mad", "outliers", "events"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier audit per event type
+    (operators/profile.py:mad_outliers): exact medians on the
+    integer-floored value grid (the half-integer-exact contract that
+    makes percentile interpolation bit-portable), outliers beyond
+    3 * MAD — the heavy-tail-safe sibling of events_anomaly_zscore,
+    whose mean/stddev the outliers themselves drag. Three keyed passes
+    (median -> MAD -> count), type-grain rider joins sized by AQE."""
+    from ..operators.profile import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(
+        ev.select("event_type", "value"),
+        value_col=F.floor(F.col("value")),
+        group_cols=["event_type"],
+        k=3.0,
+    )

@@ -1204,3 +1204,68 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import readability
 
     return readability(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_minhash_calibration",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) BETWEEN 2 AND 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    sig AS MATERIALIZED (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, unnest([0,1,2,3,4,5,6,7]) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    msig AS (
+      SELECT c.id1, c.id2, c.n_inter,
+             CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                      THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM inter c
+      JOIN sig sa ON sa.id = c.id1
+      JOIN sig sb ON sb.id = c.id2 AND sb.seed = sa.seed
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT LEAST((10 * ms.n_inter)
+                     // (s1.n_sh + s2.n_sh - ms.n_inter), 9) AS bucket,
+             CASE WHEN abs(10 * ms.m * (s1.n_sh + s2.n_sh - ms.n_inter)
+                           - 10 * ms.n_inter * 8)
+                    <= 1 * 8 * (s1.n_sh + s2.n_sh - ms.n_inter)
+                  THEN 1 ELSE 0 END AS w
+      FROM msig ms
+      JOIN sizes s1 ON ms.id1 = s1.id
+      JOIN sizes s2 ON ms.id2 = s2.id
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(bucket AS DOUBLE) / 10.0 AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(w) AS BIGINT) AS n_within_tol,
+           CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS frac_within
+    FROM scored GROUP BY bucket
+    """,
+    tags=("dedup", "minhash", "calibration", "audit"),
+)
+def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (operators/dedup.py
+    minhash_calibration): per exact-Jaccard decile, what fraction of
+    candidate pairs the 8-hash signature estimates within +/-0.1 — the
+    corpus-measured answer to 'are 8 hashes enough for my LSH
+    threshold'. Integer cross-multiplied tolerance test, shared cached
+    shingle frame, stop-shingle-capped candidates; the bucket label and
+    the final ratio are the only doubles."""
+    return D.minhash_calibration(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        n=3,
+        max_shingle_df=1000,
+    )

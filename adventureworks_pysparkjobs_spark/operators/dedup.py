@@ -385,6 +385,52 @@ def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct shingles FIRST seen in that document (ownership = minimum
+    id over the shingle's postings — a deterministic proxy for
+    ingestion order on monotonic ids). The curation score between
+    dedup and keep: a near-unique document scores ~1, boilerplate
+    recombination scores ~0 even when no single pair crosses a
+    near-dup threshold — contribution scoring, not pair scoring.
+
+    Scale shape: the shared cached shingle frame, one shingle-grain
+    min() aggregate (partial-aggregable), one shingle-keyed join back,
+    one doc-grain aggregate. All counts exact longs; novelty is one
+    IEEE division. Documents with fewer than ``n`` tokens have no
+    shingles and are absent from the output (mirrored by the oracle).
+
+    Returns (id, n_shingles BIGINT, n_novel BIGINT, novelty DOUBLE).
+    """
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    idx = _shingle_index(arrs)
+    first = idx.groupBy("shingle").agg(F.min("id").alias("_first"))
+    return (
+        idx.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("id") == F.col("_first")).cast("int"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
 def minhash_calibration(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -776,3 +776,83 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         k=3.0,
     )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    by_dow AS (
+      SELECT dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rev) AS DECIMAL(28,2)) AS dow_rev
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(dow_rev) AS DECIMAL(28,2)) AS all_rev,
+             CAST(SUM(n_days) AS BIGINT) AS all_days
+      FROM by_dow
+    )
+    SELECT CAST(d.dow AS INTEGER) AS dow, d.n_days,
+           CAST(CAST(d.dow_rev AS VARCHAR) AS DOUBLE)
+             / CAST(d.n_days AS DOUBLE) AS avg_daily_rev,
+           (CAST(CAST(d.dow_rev AS VARCHAR) AS DOUBLE)
+              / CAST(d.n_days AS DOUBLE))
+             / (CAST(CAST(t.all_rev AS VARCHAR) AS DOUBLE)
+                  / CAST(t.all_days AS DOUBLE)) AS seasonal_index
+    FROM by_dow d CROSS JOIN tot t
+    """,
+    tags=("analytics", "seasonality", "bi", "agg"),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index: average daily revenue per weekday
+    over the grand daily average — the BI primitive behind 'Mondays run
+    12% hot' staffing/alerting baselines (an anomaly detector that
+    ignores seasonality pages every Monday). Two reducing aggregates
+    (day grain -> weekday grain, the second over the already-tiny
+    frame) and a 1-row total rider; revenue accumulates in exact
+    DECIMAL, each output double is the same two-division IEEE tree in
+    both engines (decimal renders through the string-parse cast).
+    Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday — the oracle
+    adds 1 to align the convention, documented here once."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    from ..operators.relational import dec
+
+    daily = (
+        ord_.groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+        )
+        .agg(F.sum(dec("o_totalprice", 18, 2)).alias("rev"))
+    )
+    by_dow = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("rev").cast("decimal(28,2)").alias("dow_rev"),
+    )
+    tot = by_dow.agg(
+        F.sum("dow_rev").cast("decimal(28,2)").alias("all_rev"),
+        F.sum("n_days").cast("long").alias("all_days"),
+    )
+    avg_daily = (
+        F.col("dow_rev").cast("string").cast("double")
+        / F.col("n_days").cast("double")
+    )
+    grand = (
+        F.col("all_rev").cast("string").cast("double")
+        / F.col("all_days").cast("double")
+    )
+    return (
+        by_dow.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            avg_daily.alias("avg_daily_rev"),
+            (avg_daily / grand).alias("seasonal_index"),
+        )
+    )

@@ -1455,3 +1455,80 @@ def doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("string").cast("double")
         ).alias("auc"),
     )
+
+
+@query(
+    "corpus_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("connector", "jsonl", "source", "sink", "roundtrip"),
+)
+def corpus_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus round trip — the de-facto LLM-corpus interchange
+    format (one JSON object per line, gzip shards): export the
+    documents table as compressed JSONL, read it back with a PINNED
+    schema, reproduce the original rows losslessly.
+
+    The pinned ``.schema(...)`` on the read is the load-bearing scale
+    decision: schema INFERENCE on JSON is a full extra pass over the
+    data (Spark samples or scans to guess types) and silently widens
+    types on dirty corpora; a 100 TB ingest declares its schema and
+    fails loudly on mismatch. Writer notes: one shard per partition
+    (the same parallel layout every other sink here uses), gzip per
+    shard (line-splittable at the file level — each shard is one task
+    on read, matching the WARC connector's model).
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(tmp)
+    )
+    return spark.read.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).json(tmp).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "corpus_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("connector", "orc", "source", "sink", "roundtrip"),
+)
+def corpus_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — the second columnar format Spark ships
+    built-in (a lake migration seam: Hive-era warehouses hand over ORC,
+    this engine reads it with the same pushdown/pruning machinery as
+    parquet). Export the documents table as ORC shards, read back,
+    reproduce the original rows. Columnar self-describes its schema, so
+    unlike the JSONL twin no pinned schema is needed; predicate
+    pushdown and column pruning work on the ORC scan exactly as on
+    parquet (same FileScan machinery — the plan shows
+    PushedFilters/ReadSchema on either format)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite")
+        .orc(tmp)
+    )
+    return spark.read.orc(tmp).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

@@ -1147,6 +1147,7 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           >= CAST('0.6' AS DOUBLE)
     """,
     tags=("dedup", "cosine", "sparse", "neardup", "tf"),
+    bench=True,
 )
 def doc_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse bag-of-words cosine near-dup pairs (operators/dedup.py
@@ -1268,4 +1269,33 @@ def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8,
         n=3,
         max_shingle_df=1000,
+    )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE5},
+    first AS (
+      SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY 1
+    )
+    SELECT sh.id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN sh.id = f.first_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN sh.id = f.first_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN first f USING (shingle)
+    GROUP BY sh.id
+    """,
+    tags=("dedup", "novelty", "curation", "contribution"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty (operators/dedup.py:ngram_novelty):
+    the fraction of a doc's distinct shingles first seen in that doc —
+    contribution scoring that catches boilerplate RECOMBINATION no
+    pairwise near-dup threshold sees. One shingle-grain min aggregate
+    off the shared cached shingle frame, one join back, one doc-grain
+    aggregate; novelty is one IEEE division of exact longs."""
+    return D.ngram_novelty(
+        load_table(spark, sf_dir, "documents"), n=5
     )

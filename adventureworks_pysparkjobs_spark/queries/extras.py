@@ -1557,6 +1557,7 @@ def doc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_bpe_encode_stats",
     oracle=_bpe_oracle(n_merges=12, min_count=2, mode="encode_stats"),
     tags=("bpe", "tokenizer", "encode", "token-budget"),
+    bench=True,
 )
 def corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget accounting with the tokenizer the corpus itself

@@ -886,3 +886,84 @@ def supplier_return_rate_wilson(
         F.col("l_returnflag") == "R",
         z=1.96,
     )
+
+
+@query(
+    "customer_reident_risk",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey AS nation_key,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(class_size) AS BIGINT) AS n_records,
+             CAST(COUNT(*) AS BIGINT) AS n_classes
+      FROM classes
+    )
+    SELECT k, t.n_classes, t.n_records,
+           CAST(SUM(CASE WHEN c.class_size < k THEN 1 ELSE 0 END)
+                AS BIGINT) AS classes_below_k,
+           CAST(SUM(CASE WHEN c.class_size < k
+                    THEN c.class_size ELSE 0 END) AS BIGINT)
+             AS records_at_risk,
+           CAST(SUM(CASE WHEN c.class_size < k
+                    THEN c.class_size ELSE 0 END) AS DOUBLE)
+             / CAST(t.n_records AS DOUBLE) AS risk_fraction
+    FROM classes c
+    CROSS JOIN tot t
+    CROSS JOIN (VALUES (CAST(2 AS INTEGER)), (5), (10), (20)) AS ks(k)
+    GROUP BY k, t.n_classes, t.n_records
+    """,
+    tags=("governance", "privacy", "reidentification", "audit"),
+)
+def customer_reident_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prosecutor re-identification risk curve: for each candidate
+    anonymity threshold k in {2, 5, 10, 20}, how many (nation,
+    balance-band) equivalence classes fall below k and what fraction
+    of RECORDS sits in them — the one-table summary a release review
+    reads before picking its k (the k-anonymity audit reports classes;
+    this prices thresholds). One keyed aggregate to class grain, then
+    a 4-row threshold explode over the CLASS-grain frame (never raw
+    rows) and a 1-row total rider; the risk fraction is one IEEE
+    division of exact longs."""
+    from ..sources.corpus import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        F.col("c_nationkey").alias("nation_key"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("balance_band"),
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    tot = classes.agg(
+        F.sum("class_size").cast("long").alias("n_records"),
+        F.count("*").cast("long").alias("n_classes"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("int") for k in (2, 5, 10, 20)])
+    ).alias("k")
+    below = F.col("class_size") < F.col("k")
+    return (
+        classes.select("class_size", ks)
+        .crossJoin(F.broadcast(tot))  # 1-row rider
+        .groupBy("k", "n_classes", "n_records")
+        .agg(
+            F.sum(below.cast("int")).cast("long").alias("classes_below_k"),
+            F.sum(F.when(below, F.col("class_size")).otherwise(0))
+            .cast("long")
+            .alias("records_at_risk"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_records",
+            "classes_below_k",
+            "records_at_risk",
+            (
+                F.col("records_at_risk").cast("double")
+                / F.col("n_records").cast("double")
+            ).alias("risk_fraction"),
+        )
+    )

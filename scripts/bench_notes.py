@@ -102,7 +102,13 @@ def render(payload: dict) -> str:
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else None
     fh = open(path) if path else sys.stdin
-    payload = json.loads(fh.read().strip().splitlines()[-1])
+    text = fh.read().strip()
+    try:
+        # BENCH_FULL.json: one pretty-printed JSON document
+        payload = json.loads(text)
+    except json.JSONDecodeError:
+        # legacy: bench stdout capture — payload is the last line
+        payload = json.loads(text.splitlines()[-1])
     sys.stdout.write(render(payload))
 
 

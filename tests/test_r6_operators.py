@@ -300,3 +300,46 @@ def test_bpe_encode_stats_consistency(spark):
     for r in rows:
         assert r["tokens_per_word"] >= 1.0
         assert r["chars_per_token"] > 0.0
+
+
+def test_ngram_novelty_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        ngram_novelty,
+    )
+
+    # n=3 shingles: doc1 owns both of its shingles; doc2 repeats doc1's
+    # text (0 novel); doc3 shares a suffix shingle with nobody.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles {a b c, b c d}
+            (2, "a b c d"),        # same two -> min id is 1 -> 0 novel
+            (3, "b c d e"),        # {b c d (owned by 1), c d e (novel)}
+            (4, "x y"),            # < n tokens -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_shingles"], out[1]["n_novel"]) == (2, 2)
+    assert out[1]["novelty"] == 1.0
+    assert (out[2]["n_shingles"], out[2]["n_novel"]) == (2, 0)
+    assert out[2]["novelty"] == 0.0
+    assert (out[3]["n_shingles"], out[3]["n_novel"]) == (2, 1)
+    assert out[3]["novelty"] == 0.5
+
+
+def test_reident_risk_monotone(spark):
+    """risk_fraction must be monotone non-decreasing in k, and the
+    k=2 row counts exactly the singleton classes."""
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    rows = sorted(
+        CATALOG["customer_reident_risk"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 5, 10, 20]
+    fracs = [r["risk_fraction"] for r in rows]
+    assert fracs == sorted(fracs)
+    assert all(r["records_at_risk"] <= r["n_records"] for r in rows)

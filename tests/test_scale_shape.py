@@ -32,6 +32,8 @@ CROSS_OK = {
     "lang_temperature_mixture",  # 1-row normalizer broadcast cross
     "doc_multilingual_resample",  # same normalizer cross via composition
     "corpus_langid_kappa",  # two 1-row riders (totals x marginal-cross)
+    "customer_t_closeness",  # 1-row global-total (N) broadcast cross
+    "orders_seasonality_index",  # 1-row grand-average broadcast cross
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

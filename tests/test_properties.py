@@ -453,3 +453,165 @@ def test_transition_matrix_matches_bruteforce(spark, rows):
         marg[a] += c
     want = {k: (c, c / marg[k[0]]) for k, c in counts.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators vs exact brute-force references
+# ---------------------------------------------------------------------------
+
+ks_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # bin
+        st.booleans(),                           # in sample A
+    ),
+    min_size=2,
+    max_size=40,
+).filter(
+    lambda rows: any(a for _, a in rows) and any(not a for _, a in rows)
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=ks_rows_strategy)
+def test_ks_drift_matches_bruteforce(spark, rows):
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(rows, "bin int, is_a boolean")
+    out = ks_drift(df, F.col("bin"), F.col("is_a")).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    a = sorted(b for b, s in rows if s)
+    bvals = sorted(b for b, s in rows if not s)
+    na, nb = len(a), len(bvals)
+    best = Fraction(-1)
+    best_bin = None
+    for x in sorted({b for b, _ in rows}):
+        ca = sum(1 for v in a if v <= x)
+        cb = sum(1 for v in bvals if v <= x)
+        gap = abs(Fraction(ca, na) - Fraction(cb, nb))
+        if gap > best:
+            best, best_bin = gap, x
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["ks_at_bin"] == best_bin
+    # engine renders num/denom through one correctly-rounded division
+    assert got["ks_stat"] == (best.numerator * na * nb // best.denominator) / (na * nb)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    k=st.sampled_from([1.0, 3.0]),
+)
+def test_mad_outliers_matches_bruteforce(spark, vals, k):
+    import statistics
+
+    import pyspark.sql.functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    out = mad_outliers(df, F.col("v"), k=k).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    # linear-interpolated median of ints lands on the half-integer grid
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    n_out = sum(1 for v in vals if abs(v - med) > k * mad)
+    assert got["n"] == len(vals)
+    assert got["med"] == float(med)
+    assert got["mad"] == float(mad)
+    assert got["n_outliers"] == n_out
+    assert got["outlier_frac"] == n_out / len(vals)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # qi class
+            st.integers(min_value=0, max_value=3),   # sensitive value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_t_closeness_matches_bruteforce(spark, rows):
+    from collections import Counter
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.quality import (
+        t_closeness_audit,
+    )
+
+    df = spark.createDataFrame(rows, "qi int, sens int")
+    out = t_closeness_audit(
+        df, {"qi": F.col("qi")}, "sens", t=0.25
+    ).collect()
+    got = {r["qi"]: (r["class_size"], r["t_distance"], r["is_t_close"]) for r in out}
+
+    glob = Counter(s for _, s in rows)
+    n_tot = len(rows)
+    for qi in {q for q, _ in rows}:
+        cls = Counter(s for q, s in rows if q == qi)
+        n_c = sum(cls.values())
+        tvd = Fraction(1, 2) * sum(
+            abs(Fraction(cls.get(v, 0), n_c) - Fraction(glob[v], n_tot))
+            for v in glob
+        )
+        size, dist, close = got[qi]
+        assert size == n_c
+        # engine computes num/(2*n_c*n_tot) with one rounded division
+        num = tvd * 2 * n_c * n_tot
+        assert num.denominator == 1
+        assert dist == int(num) / (2 * n_c * n_tot)
+        assert close == (dist <= 0.25)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # user
+            st.integers(min_value=0, max_value=200_000), # seconds offset
+            st.sampled_from(["a", "b", "c"]),            # event type
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.sampled_from([2, 5]),
+    max_len=st.sampled_from([2, 4]),
+)
+def test_top_paths_matches_bruteforce(spark, rows, k, max_len):
+    from collections import Counter, defaultdict
+
+    from adventureworks_pysparkjobs_spark.operators.analytics import top_paths
+
+    df = spark.createDataFrame(
+        [(u, i, _ts(s), t) for i, (u, s, t) in enumerate(rows)],
+        "user_id int, event_id int, ts timestamp, event_type string",
+    )
+    got = [
+        (r["path"], r["n_sessions"], r["rnk"])
+        for r in top_paths(df, k=k, max_len=max_len).collect()
+    ]
+
+    by_sess: dict[tuple, list] = defaultdict(list)
+    for i, (u, s, t) in enumerate(rows):
+        day = (EPOCH + dt.timedelta(seconds=s)).date()
+        by_sess[(u, day)].append((s, i, t))
+    paths = Counter()
+    for seq in by_sess.values():
+        seq.sort()
+        paths[">".join(t for _, _, t in seq[:max_len])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == [(p, n, i + 1) for i, (p, n) in enumerate(want)]

@@ -569,3 +569,326 @@ def top_paths(
     top = pc.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
     wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
     return top.withColumn("rnk", F.row_number().over(wr).cast("int"))
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    unit: str = "hour",
+) -> DataFrame:
+    """Time-series OHLC resampling: per (key, time-bucket) bar with
+    open/close (first/last value in the bucket under the total order
+    (ts, id)) and low/high/volume — the candlestick primitive behind
+    market-data rollups and metric downsampling.
+
+    open/close use ROW_NUMBER over the deterministic (ts, id) total
+    order rather than first()/last() aggregates (whose results depend
+    on partition arrival order) or min_by on a struct key (not portable
+    to the SQL oracle). All five measures are pass-through or min/max
+    of the raw doubles — no float accumulation, so bars are bit-exact
+    on any partitioning.
+
+    Scale shape: ONE exchange on (key, bucket) serves both window
+    passes and the final aggregate (same partitioning expression, so
+    Catalyst reuses it); volume gets a map-side partial. Bars are
+    bounded by |keys| x |buckets| regardless of row count.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bar_ts")
+    base = df.select(
+        F.col(key_col).alias("bar_key"), bucket,
+        F.col(value_col).alias("_v"),
+        F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"),
+    )
+    wa = Window.partitionBy("bar_key", "bar_ts").orderBy("_ts", "_id")
+    wd = Window.partitionBy("bar_key", "bar_ts").orderBy(
+        F.desc("_ts"), F.desc("_id")
+    )
+    ranked = base.select(
+        "bar_key", "bar_ts", "_v",
+        F.row_number().over(wa).alias("_rn_a"),
+        F.row_number().over(wd).alias("_rn_d"),
+    )
+    return ranked.groupBy("bar_key", "bar_ts").agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col("_v"))).alias("open_v"),
+        F.max(F.col("_v")).alias("high_v"),
+        F.min(F.col("_v")).alias("low_v"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col("_v"))).alias("close_v"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def ab_conversion_lift(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Two-proportion A/B conversion test: deterministic 50/50 variant
+    assignment (user_id parity — the hash-bucket assignment every
+    experimentation platform uses, reduced to its portable core; the
+    ids must be non-negative, % on negatives is engine-divergent),
+    per-variant conversion rates, absolute lift, and the pooled two-
+    proportion z statistic.
+
+    Conversion = the user's FIRST event (under the (ts, id) total
+    order) is a ``conversion_type`` — the landing-action metric. The
+    naive "user has any purchase ever" saturates to 1.0 on any
+    engagement-heavy corpus (all-convert → pooled variance 0 → z is
+    0/0), which is exactly the degenerate readout a real experiment
+    platform guards against; the first-event form stays a proper
+    proportion at every scale. z_score is NULL when the pooled
+    standard error is 0 (all or none convert in both arms).
+
+    Every float is one closed-form IEEE expression over exact longs
+    (the supplier_return_rate_wilson determinism idiom): rates are one
+    division each; the pooled variance uses (1/n_a + 1/n_b) rewritten
+    as (n_a+n_b)/(n_a*n_b) so it is ONE division of exact integer
+    products; +,-,*,/ and sqrt are correctly rounded in both engines,
+    so the identical expression tree is bit-exact.
+
+    Scale shape: one user-keyed window pass (row_number over the
+    user's events) feeding a user-grain aggregate on the SAME
+    partitioning (no second exchange), then a 2-row variant aggregate
+    and a 1-row cross of the two variants — driver-weightless.
+    Returns ONE row (n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    abs_lift, z_score).
+    """
+    wu = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    firsts = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_type"),
+        F.row_number().over(wu).alias("_rn"),
+    )
+    per_user = firsts.groupBy("_u").agg(
+        F.max(
+            F.when(
+                (F.col("_rn") == 1)
+                & (F.col("_type") == conversion_type),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("_conv")
+    )
+    variants = per_user.groupBy(
+        (F.col("_u") % 2).cast("int").alias("_variant")
+    ).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_conv").cast("long").alias("_c"),
+    )
+    a = variants.filter(F.col("_variant") == 0).select(
+        F.col("_n").alias("n_a"), F.col("_c").alias("conv_a")
+    )
+    b = variants.filter(F.col("_variant") == 1).select(
+        F.col("_n").alias("n_b"), F.col("_c").alias("conv_b")
+    )
+    # 1-row x 1-row cross: the allowlisted rider shape.
+    both = a.crossJoin(F.broadcast(b))
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (
+        (F.col("conv_a") + F.col("conv_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    inv_sum = (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * inv_sum)
+    calc = both.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+        (rate_a - rate_b).alias("abs_lift"),
+        se.alias("_se"),
+    )
+    return calc.select(
+        "n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b", "abs_lift",
+        F.when(
+            F.col("_se") == 0.0, F.lit(None).cast("double")
+        ).otherwise(F.col("abs_lift") / F.col("_se")).alias("z_score"),
+    )
+
+
+def cusum_deviation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSUM-style changepoint scan over the daily volume series: for
+    each day k (of n, total N events), the deviation of the observed
+    cumulative count from the uniform-rate expectation,
+    dev_k = cum_k − k·N/n. The day maximizing |dev| is the single
+    most likely level-shift point (the classic max-CUSUM estimator).
+
+    Determinism: cum_k and k·N are exact BIGINT; dev_k is one division
+    and one subtraction of exactly-representable values — identical
+    IEEE trees both engines. The changepoint flag breaks |dev| ties by
+    earliest day via an exact integer key, not a float comparison.
+
+    Scale shape: the raw scan reduces to day grain FIRST (map-side
+    partial count), so the window pass (cumsum + row_number over the
+    date order) runs on |days| rows — a single tiny exchange no matter
+    the event count. Returns one row per day: (day, daily_n, cum_n,
+    dev DOUBLE, is_changepoint BOOLEAN).
+    """
+    daily = (
+        df.select(F.to_date(ts_col).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("daily_n"))
+    )
+    wo = Window.orderBy("day")
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "day", "daily_n",
+        F.sum("daily_n").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum_n"),
+        F.row_number().over(wo).cast("long").alias("_k"),
+        F.sum("daily_n").over(wall).cast("long").alias("_total"),
+        F.count("*").over(wall).cast("long").alias("_n_days"),
+    )
+    dev = F.col("cum_n").cast("double") - (
+        (F.col("_k") * F.col("_total")).cast("double")
+        / F.col("_n_days").cast("double")
+    )
+    scored = cum.select(
+        "day", "daily_n", "cum_n", dev.alias("dev"),
+        F.abs(dev).alias("_adev"),
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("_dayk"),
+    )
+    # Two window layers (a window result can't feed another window fn
+    # in the same select): first the global max |dev|, then the
+    # earliest day attaining it.
+    wmax = Window.partitionBy()
+    with_max = scored.withColumn(
+        "_max_adev", F.max("_adev").over(wmax)
+    )
+    with_cp = with_max.withColumn(
+        "_cp_day",
+        F.min(
+            F.when(F.col("_adev") == F.col("_max_adev"), F.col("_dayk"))
+        ).over(wmax),
+    )
+    return with_cp.select(
+        "day", "daily_n", "cum_n", "dev",
+        (
+            (F.col("_adev") == F.col("_max_adev"))
+            & (F.col("_dayk") == F.col("_cp_day"))
+        ).alias("is_changepoint"),
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curves: customers are cohorted by their
+    first-order month; for each (cohort_month, months-since-first) cell
+    the period revenue, active-customer count, cohort-cumulative
+    revenue, and LTV per cohort member — the retention-economics rollup
+    every subscription/commerce warehouse derives from its order fact.
+
+    Revenue sums are exact DECIMAL(12,2) (the q1 idiom) cast to DOUBLE
+    once per output; ltv_per_customer is ONE further division by the
+    exact cohort size. The month age is pure integer arithmetic
+    (year*12+month), immune to calendar/interval edge cases.
+
+    Scale shape: first-order month comes from a min() window over the
+    custkey partition — ONE exchange on the customer key, reused by
+    nothing downstream at raw grain: rows reduce immediately to
+    (cohort, age) cells (map-side partial on the decimal sum), and the
+    cumulative window + cohort-size window run on cell grain
+    (|cohorts| x |ages| rows). No join back to the raw fact.
+    """
+    wc = Window.partitionBy(cust_col)
+    month_idx = F.year(date_col) * 12 + F.month(date_col)
+    aged = orders.select(
+        F.col(cust_col).alias("_cust"),
+        F.min(F.date_trunc("month", F.col(date_col)))
+        .over(wc).cast("date").alias("cohort_month"),
+        (month_idx - F.min(month_idx).over(wc)).cast("int").alias("age_months"),
+        F.col(amount_col).cast("decimal(12,2)").alias("_rev"),
+    )
+    cells = aged.groupBy("cohort_month", "age_months").agg(
+        F.sum("_rev").alias("_rev_sum"),
+        F.countDistinct("_cust").cast("long").alias("n_active"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wfirst = Window.partitionBy("cohort_month")
+    # Cohort size = active customers at age 0 (every member's first
+    # order lands in their cohort month by construction).
+    size0 = F.max(
+        F.when(F.col("age_months") == 0, F.col("n_active"))
+    ).over(wfirst)
+    cum = F.sum("_rev_sum").over(wcum)
+    return cells.select(
+        "cohort_month", "age_months", "n_active",
+        F.col("_rev_sum").cast("double").alias("period_revenue"),
+        cum.cast("double").alias("cum_revenue"),
+        size0.cast("long").alias("cohort_size"),
+        (cum.cast("double") / size0.cast("double")).alias(
+            "ltv_per_customer"
+        ),
+    )
+
+
+def inter_event_gaps(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event-time statistics per event type: for every pair of
+    CONSECUTIVE same-user events, the gap to the next event, grouped
+    by the type of the FROM event — the cadence profile behind
+    session-timeout tuning, bot detection, and engagement scoring.
+
+    Gaps are exact BIGINT microseconds (epoch_us diffs under the
+    (ts, id) total order); min/max are pass-through integers and every
+    emitted float (avg/min/max seconds) is ONE division of exact longs
+    by an exact power of ten — the engine's determinism rule.
+
+    Scale shape: one user-keyed exchange for the lead() window
+    (sequences never leave their partition), then a reducing groupBy
+    bounded by |types| rows with a map-side partial. Returns
+    (event_type, n_gaps, min_gap_s, max_gap_s, avg_gap_s).
+    """
+    wu = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    seq = df.select(
+        F.col(type_col).alias("event_type"),
+        (F.lead(us).over(wu) - us).alias("_gap_us"),
+    )
+    grouped = (
+        seq.filter(F.col("_gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("_gap_us").cast("long").alias("_min_us"),
+            F.max("_gap_us").cast("long").alias("_max_us"),
+            F.sum("_gap_us").cast("long").alias("_sum_us"),
+        )
+    )
+    return grouped.select(
+        "event_type", "n_gaps",
+        (F.col("_min_us").cast("double") / F.lit(1000000.0)).alias(
+            "min_gap_s"
+        ),
+        (F.col("_max_us").cast("double") / F.lit(1000000.0)).alias(
+            "max_gap_s"
+        ),
+        (
+            F.col("_sum_us").cast("double")
+            / (F.col("n_gaps") * F.lit(1000000)).cast("double")
+        ).alias("avg_gap_s"),
+    )

@@ -629,3 +629,158 @@ def mad_outliers(
             F.col("n_outliers").cast("double") / F.col("n").cast("double")
         ).alias("outlier_frac"),
     )
+
+
+def concentration_hhi(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    weight_col: Column | str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group: with member
+    weights w_i (exact integers) and group total W, HHI = Σ(w_i/W)² —
+    computed as Σw_i² / W² so BOTH sums stay exact integers and each
+    float output is ONE division (the engine's determinism rule; a
+    float share squared-then-summed would be accumulation-order-
+    dependent). Also emits top_share = max(w_i)/W and the effective
+    member count 1/HHI = W²/Σw_i² — again one exact division each.
+
+    The squares and the squared total are DECIMAL(38,0), so the math
+    survives group weights up to ~10¹⁹ (a BIGINT intermediate would
+    overflow W² past ~3·10⁹ total units — real at 100 TB). The
+    decimal→double rendering goes through a string cast, which is
+    correctly rounded in both engines where a direct decimal cast is
+    not (DuckDB divides unscaled int128).
+
+    Scale shape: reduce to member grain FIRST (map-side partial on the
+    weight sum), then one group-keyed aggregate over member rows —
+    the raw fact is scanned once and never joined back. Returns
+    (group, n_members, total_weight, hhi, top_share, effective_n).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    members = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(member_col).alias("_member"),
+    ).agg(F.sum(w.cast("long")).cast("decimal(38,0)").alias("_w"))
+    grouped = members.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("_w").alias("_total"),
+        F.sum(F.col("_w") * F.col("_w")).alias("_sum_sq"),
+        F.max("_w").alias("_max_w"),
+    )
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+    total2 = (F.col("_total") * F.col("_total")).cast("decimal(38,0)")
+    return grouped.select(
+        "grp", "n_members",
+        F.col("_total").cast("long").alias("total_weight"),
+        (_dbl(F.col("_sum_sq")) / _dbl(total2)).alias("hhi"),
+        (_dbl(F.col("_max_w")) / _dbl(F.col("_total"))).alias("top_share"),
+        (_dbl(total2) / _dbl(F.col("_sum_sq"))).alias("effective_n"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value v such
+    that the weight at-or-below v reaches half the group's total —
+    exact integer-weight arithmetic throughout (2·cum ≥ total compares
+    BIGINTs, never a float quantile), so the result is a pass-through
+    member of the value column and bit-portable by construction. This
+    is the percentile the built-in approx_percentile can't give you
+    exactly and percentile_approx only estimates.
+
+    Scale shape: reduce to (group, value) cells FIRST (map-side
+    partial on the weight sum), one window cumsum over the cell grain
+    ordered by value, then a reducing min() per group. The raw fact
+    never reaches the window.
+    """
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).agg(F.sum(F.col(weight_col).cast("long")).cast("long").alias("_w"))
+    wcum = (
+        Window.partitionBy("grp").orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("grp")
+    scored = cells.select(
+        "grp", "val", "_w",
+        F.sum("_w").over(wcum).cast("long").alias("_cum"),
+        F.sum("_w").over(wall).cast("long").alias("_total"),
+        F.count("*").over(wall).cast("long").alias("_n_cells"),
+    )
+    return (
+        scored.filter(F.col("_cum") * 2 >= F.col("_total"))
+        .groupBy("grp")
+        .agg(
+            F.min("val").alias("median_val"),
+            F.max("_total").alias("total_weight"),
+            F.max("_n_cells").alias("n_distinct_values"),
+        )
+    )
+
+
+def pareto_concentration(
+    df: DataFrame,
+    member_col: str,
+    amount_col: Column | str,
+    share_num: int = 4,
+    share_den: int = 5,
+) -> DataFrame:
+    """Pareto (80/20) concentration readout over member revenue: the
+    member count and fraction needed to cover ``share_num/share_den``
+    (default 80%) of the total, and the revenue share held by the top
+    20% of members. The threshold test is exact decimal arithmetic
+    (den·cum ≥ num·total — never a float cumsum), members are ordered
+    (amount DESC, member ASC) so ties are deterministic, and each
+    emitted float is ONE division of exact values.
+
+    Scale shape: reduce to member grain first (map-side partial), one
+    member-grain window pass (rank + cumsum), then a 1-row reducing
+    aggregate. Returns ONE row: (n_members, n_for_share,
+    frac_for_share, top20_share).
+    """
+    amt = F.col(amount_col) if isinstance(amount_col, str) else amount_col
+    members = df.groupBy(F.col(member_col).alias("_m")).agg(
+        F.sum(amt).alias("_rev")
+    )
+    wo = Window.orderBy(F.desc("_rev"), F.asc("_m"))
+    wall = Window.partitionBy()
+    scored = members.select(
+        "_m", "_rev",
+        F.row_number().over(wo).cast("long").alias("_rank"),
+        F.sum("_rev").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_cum"),
+        F.sum("_rev").over(wall).alias("_total"),
+        F.count("*").over(wall).cast("long").alias("_n"),
+    )
+    # top-20% member count = ceil(n/5) = floor((n+4)/5); explicit
+    # floor() because a bare double->long CAST truncates in Spark but
+    # ROUNDS in DuckDB.
+    k20 = F.floor((F.col("_n") + 4) / 5).cast("long")
+    flagged = scored.select(
+        "_rank", "_n",
+        F.when(
+            F.col("_cum") * share_den >= F.col("_total") * share_num,
+            F.col("_rank"),
+        ).alias("_hit_rank"),
+        F.when(F.col("_rank") <= k20, F.col("_cum")).alias("_cum_t20"),
+        "_total",
+    )
+    return flagged.groupBy().agg(
+        F.max("_n").alias("n_members"),
+        F.min("_hit_rank").alias("n_for_share"),
+        (
+            F.min("_hit_rank").cast("double")
+            / F.max("_n").cast("double")
+        ).alias("frac_for_share"),
+        (
+            F.max("_cum_t20").cast("double")
+            / F.max("_total").cast("double")
+        ).alias("top20_share"),
+    )

@@ -856,3 +856,227 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg_daily / grand).alias("seasonal_index"),
         )
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type AS bar_key, date_trunc('hour', ts) AS bar_ts,
+             value AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT bar_key, bar_ts,
+           MAX(CASE WHEN rn_a = 1 THEN v END) AS open_v,
+           MAX(v) AS high_v,
+           MIN(v) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN v END) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY 1, 2
+    """,
+    tags=("analytics", "timeseries", "ohlc", "resample", "window"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlestick bars per event type (open/close under
+    the deterministic (ts, event_id) total order; high/low/volume).
+    All measures are pass-through or min/max doubles — zero float
+    accumulation — so bars are bit-exact on any partitioning; one
+    (key, hour) exchange serves both window passes and the final
+    aggregate."""
+    from ..operators.analytics import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev)
+
+
+@query(
+    "events_ab_lift",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id AS u, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    per_user AS (
+      SELECT u,
+             MAX(CASE WHEN rn = 1 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS conv
+      FROM ranked GROUP BY 1),
+    v AS (
+      SELECT CAST(u % 2 AS INTEGER) AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM per_user GROUP BY 1),
+    a AS (SELECT n AS n_a, c AS conv_a FROM v WHERE variant = 0),
+    b AS (SELECT n AS n_b, c AS conv_b FROM v WHERE variant = 1),
+    calc AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+             CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS abs_lift,
+             sqrt(
+               (CAST(conv_a + conv_b AS DOUBLE)
+                  / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(1.0 AS DOUBLE)
+                  - CAST(conv_a + conv_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(n_a + n_b AS DOUBLE)
+                  / CAST(n_a * n_b AS DOUBLE))
+             ) AS se
+      FROM a, b)
+    SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b, abs_lift,
+           CASE WHEN se = 0 THEN NULL ELSE abs_lift / se END AS z_score
+    FROM calc
+    """,
+    tags=("analytics", "ab-test", "experiment", "z-test", "lift"),
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion experiment readout: deterministic user_id-parity
+    variant split, per-variant first-event-is-purchase conversion
+    rates (the landing-action metric — "any purchase ever" saturates
+    to 1.0 on this engagement-heavy corpus and degenerates the test),
+    absolute lift, and the pooled two-proportion z statistic (NULL at
+    zero pooled variance) — every float one closed-form IEEE tree over
+    exact longs (the Wilson idiom), so DuckDB and Spark agree
+    bit-for-bit. The parity split requires the non-negative user ids
+    the events contract guarantees (% on negatives is
+    engine-divergent)."""
+    from ..operators.analytics import ab_conversion_lift
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_conversion_lift(ev)
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS daily_n
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT day, daily_n,
+        CAST(SUM(daily_n) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_n,
+        CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+        CAST(SUM(daily_n) OVER () AS BIGINT) AS total,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+      FROM daily),
+    scored AS (
+      SELECT day, daily_n, cum_n,
+        CAST(cum_n AS DOUBLE)
+          - CAST(k * total AS DOUBLE) / CAST(n_days AS DOUBLE) AS dev,
+        abs(CAST(cum_n AS DOUBLE)
+          - CAST(k * total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS adev,
+        date_diff('day', DATE '1970-01-01', day) AS dayk
+      FROM cum),
+    with_max AS (
+      SELECT *, MAX(adev) OVER () AS max_adev FROM scored),
+    with_cp AS (
+      SELECT *, MIN(CASE WHEN adev = max_adev THEN dayk END) OVER ()
+               AS cp_day
+      FROM with_max)
+    SELECT day, daily_n, cum_n, dev,
+           (adev = max_adev) AND (dayk = cp_day) AS is_changepoint
+    FROM with_cp
+    """,
+    tags=("analytics", "changepoint", "cusum", "timeseries", "drift"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-CUSUM changepoint scan over the daily event-volume series:
+    per-day deviation of the cumulative count from the uniform-rate
+    expectation (exact-integer numerators, one division), flagging the
+    day that maximizes |dev| (earliest on exact-integer ties). The raw
+    scan reduces to day grain map-side before any window touches it."""
+    from ..operators.analytics import cusum_deviation
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_deviation(ev)
+
+
+@query(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH aged AS (
+      SELECT o_custkey AS cust,
+        CAST(MIN(date_trunc('month', o_orderdate))
+               OVER (PARTITION BY o_custkey) AS DATE) AS cohort_month,
+        CAST((year(o_orderdate) * 12 + month(o_orderdate))
+             - MIN(year(o_orderdate) * 12 + month(o_orderdate))
+                 OVER (PARTITION BY o_custkey) AS INTEGER) AS age_months,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS rev
+      FROM orders),
+    cells AS (
+      SELECT cohort_month, age_months, SUM(rev) AS rev_sum,
+             CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_active
+      FROM aged GROUP BY 1, 2)
+    SELECT cohort_month, age_months, n_active,
+      CAST(rev_sum AS DOUBLE) AS period_revenue,
+      CAST(SUM(rev_sum) OVER (PARTITION BY cohort_month ORDER BY age_months
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS cum_revenue,
+      CAST(MAX(CASE WHEN age_months = 0 THEN n_active END)
+        OVER (PARTITION BY cohort_month) AS BIGINT) AS cohort_size,
+      CAST(SUM(rev_sum) OVER (PARTITION BY cohort_month ORDER BY age_months
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / CAST(MAX(CASE WHEN age_months = 0 THEN n_active END)
+          OVER (PARTITION BY cohort_month) AS DOUBLE) AS ltv_per_customer
+    FROM cells
+    """,
+    tags=("analytics", "cohort", "ltv", "retention", "revenue"),
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves over the order fact: first-order-
+    month cohorts x integer month age, period and cohort-cumulative
+    revenue (exact DECIMAL(12,2) sums, one double render each), and
+    LTV per cohort member (one further exact division). One custkey
+    exchange for the cohorting window; everything after runs at
+    (cohort, age) cell grain."""
+    from ..operators.analytics import cohort_ltv
+
+    od = load_table(spark, sf_dir, "orders")
+    return cohort_ltv(od)
+
+
+@query(
+    "events_inter_event_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS gap_us
+      FROM events),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(MIN(gap_us) AS BIGINT) AS min_us,
+             CAST(MAX(gap_us) AS BIGINT) AS max_us,
+             CAST(SUM(gap_us) AS BIGINT) AS sum_us
+      FROM seq WHERE gap_us IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_gaps,
+           CAST(min_us AS DOUBLE) / CAST(1000000 AS DOUBLE) AS min_gap_s,
+           CAST(max_us AS DOUBLE) / CAST(1000000 AS DOUBLE) AS max_gap_s,
+           CAST(sum_us AS DOUBLE)
+             / CAST(n_gaps * 1000000 AS DOUBLE) AS avg_gap_s
+    FROM g
+    """,
+    tags=("analytics", "timeseries", "cadence", "sessionization"),
+)
+def events_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-event cadence: min/max/avg gap to the next
+    same-user event (exact BIGINT microsecond diffs under the (ts, id)
+    total order; each emitted second-value is one IEEE division) —
+    the statistic that calibrates session timeouts and flags
+    machine-speed actors. One user-keyed window exchange, then a
+    |types|-bounded reducing aggregate."""
+    from ..operators.analytics import inter_event_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return inter_event_gaps(ev)

@@ -967,3 +967,162 @@ def customer_reident_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("risk_fraction"),
         )
     )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1),
+    members AS (
+      SELECT n.n_name AS nation, s.s_suppkey,
+             CAST(SUM(qty) AS DECIMAL(38,0)) AS w
+      FROM per_supp p
+      JOIN supplier s ON s.s_suppkey = p.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2),
+    g AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(w) AS DECIMAL(38,0)) AS total,
+             CAST(SUM(w * w) AS DECIMAL(38,0)) AS sum_sq,
+             CAST(MAX(w) AS DECIMAL(38,0)) AS max_w
+      FROM members GROUP BY 1)
+    SELECT nation, n_members,
+           CAST(total AS BIGINT) AS total_weight,
+           CAST(CAST(sum_sq AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(total * total AS DECIMAL(38,0)) AS VARCHAR)
+                    AS DOUBLE) AS hhi,
+           CAST(CAST(max_w AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS top_share,
+           CAST(CAST(CAST(total * total AS DECIMAL(38,0)) AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(sum_sq AS VARCHAR) AS DOUBLE) AS effective_n
+    FROM g
+    """,
+    tags=("governance", "concentration", "hhi", "skew", "audit"),
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: per-nation Herfindahl–Hirschman
+    index over suppliers' shipped-quantity shares, plus top-supplier
+    share and effective supplier count (1/HHI) — the single-source-risk
+    scalar a procurement or skew audit reads first. HHI is computed as
+    Σw² / W² so both sums stay exact integers (DECIMAL(38,0) — BIGINT
+    squares overflow past ~3·10⁹ total units, real at 100 TB) and each
+    float output is ONE division of string-rendered exact values (the
+    portable decimal→double idiom). The fact reduces to supplier grain
+    map-side BEFORE joining the supplier/nation dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    enriched = (
+        per_supp.join(su, per_supp["l_suppkey"] == su["s_suppkey"])
+        .join(na, su["s_nationkey"] == na["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "s_suppkey", "qty")
+    )
+    from ..operators.profile import concentration_hhi
+
+    return concentration_hhi(
+        enriched, "nation", "s_suppkey", "qty"
+    ).withColumnRenamed("grp", "nation")
+
+
+@query(
+    "part_weighted_median_price",
+    oracle="""
+    WITH joined AS (
+      SELECT p.p_brand AS grp, l.l_extendedprice AS val,
+             CAST(l.l_quantity AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    cells AS (
+      SELECT grp, val, CAST(SUM(w) AS BIGINT) AS w
+      FROM joined GROUP BY 1, 2),
+    scored AS (
+      SELECT grp, val, w,
+        CAST(SUM(w) OVER (PARTITION BY grp ORDER BY val
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum,
+        CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS total,
+        CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_cells
+      FROM cells)
+    SELECT grp AS p_brand, MIN(val) AS median_price,
+           MAX(total) AS total_qty, MAX(n_cells) AS n_price_points
+    FROM scored WHERE cum * 2 >= total GROUP BY grp
+    """,
+    tags=("governance", "quantile", "weighted-median", "exact"),
+)
+def part_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median line price per brand — the
+    weighted percentile approx_percentile only estimates, computed
+    with pure integer weight cumsums (2·cum ≥ total) so the median is
+    a pass-through member of the price column and bit-portable. The
+    fact reduces to (brand, price) cells before the window pass."""
+    from ..operators.profile import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    joined = li.join(pa, li["l_partkey"] == pa["p_partkey"]).select(
+        "p_brand", "l_extendedprice", "l_quantity"
+    )
+    return (
+        weighted_median(joined, "p_brand", "l_extendedprice", "l_quantity")
+        .select(
+            F.col("grp").alias("p_brand"),
+            F.col("median_val").alias("median_price"),
+            F.col("total_weight").alias("total_qty"),
+            F.col("n_distinct_values").alias("n_price_points"),
+        )
+    )
+
+
+@query(
+    "lineitem_pareto_8020",
+    oracle="""
+    WITH members AS (
+      SELECT l_partkey AS m,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem GROUP BY 1),
+    scored AS (
+      SELECT m, rev,
+        CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, m) AS BIGINT) AS rnk,
+        SUM(rev) OVER (ORDER BY rev DESC, m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(rev) OVER () AS total,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM members),
+    flagged AS (
+      SELECT rnk, n,
+        CASE WHEN cum * 5 >= total * 4 THEN rnk END AS hit_rank,
+        CASE WHEN rnk <= CAST(floor((n + 4) / 5) AS BIGINT)
+             THEN cum END AS cum_t20,
+        total
+      FROM scored)
+    SELECT MAX(n) AS n_members,
+           MIN(hit_rank) AS n_for_share,
+           CAST(MIN(hit_rank) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+             AS frac_for_share,
+           CAST(MAX(cum_t20) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+             AS top20_share
+    FROM flagged
+    """,
+    tags=("governance", "concentration", "pareto", "revenue"),
+)
+def lineitem_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of part revenue: how many parts (count and
+    fraction) cover 80% of total revenue, and the revenue share of the
+    top 20% of parts — exact-decimal threshold tests (5·cum ≥ 4·total),
+    deterministic (revenue DESC, partkey) ordering, one IEEE division
+    per emitted float. Reduces the fact to part grain map-side before
+    the single window pass."""
+    from ..operators.profile import pareto_concentration
+    from ..operators.relational import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pareto_concentration(
+        li, "l_partkey", dec("l_extendedprice", 12, 2)
+    )

@@ -343,3 +343,237 @@ def test_reident_risk_monotone(spark):
     fracs = [r["risk_fraction"] for r in rows]
     assert fracs == sorted(fracs)
     assert all(r["records_at_risk"] <= r["n_records"] for r in rows)
+
+
+def test_ohlc_bars_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import ohlc_bars
+
+    ev = spark.createDataFrame(
+        [
+            # one hour bucket, deliberately out of insertion order
+            (3, "2024-01-01 10:59:00", 1, "tick", 7.0, None),
+            (1, "2024-01-01 10:00:00", 1, "tick", 5.0, None),
+            (2, "2024-01-01 10:30:00", 1, "tick", 2.0, None),
+            # ts tie: event_id breaks it (id 5 opens, id 6 closes)
+            (6, "2024-01-01 11:00:00", 1, "tick", 9.0, None),
+            (5, "2024-01-01 11:00:00", 1, "tick", 3.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        str(r["bar_ts"]): r for r in ohlc_bars(ev).collect()
+    }
+    h10 = rows["2024-01-01 10:00:00"]
+    assert (h10["open_v"], h10["close_v"]) == (5.0, 7.0)
+    assert (h10["low_v"], h10["high_v"], h10["n_events"]) == (2.0, 7.0, 3)
+    h11 = rows["2024-01-01 11:00:00"]
+    assert (h11["open_v"], h11["close_v"]) == (3.0, 9.0)
+
+
+def test_ab_lift_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        ab_conversion_lift,
+    )
+
+    # users 0,2 -> variant A; 1,3 -> variant B. First event decides.
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 0, "purchase", 1.0, None),
+            (2, "2024-01-01 00:01:00", 0, "click", 1.0, None),
+            (3, "2024-01-01 00:00:00", 2, "click", 1.0, None),
+            (4, "2024-01-01 00:05:00", 2, "purchase", 1.0, None),  # not first
+            (5, "2024-01-01 00:00:00", 1, "purchase", 1.0, None),
+            (6, "2024-01-01 00:00:00", 3, "purchase", 1.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = ab_conversion_lift(ev).collect()[0]
+    assert (row["n_a"], row["conv_a"]) == (2, 1)   # user 0 yes, user 2 no
+    assert (row["n_b"], row["conv_b"]) == (2, 2)
+    assert row["rate_a"] == 0.5 and row["rate_b"] == 1.0
+    assert row["abs_lift"] == -0.5
+    p = 3 / 4
+    se = math.sqrt(p * (1 - p) * (4 / 4))
+    assert math.isclose(row["z_score"], -0.5 / se, rel_tol=1e-12)
+
+
+def test_ab_lift_degenerate_se_is_null(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        ab_conversion_lift,
+    )
+
+    # everyone's first event is a purchase -> pooled p = 1 -> se = 0
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 0, "purchase", 1.0, None),
+            (2, "2024-01-01 00:00:00", 1, "purchase", 1.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = ab_conversion_lift(ev).collect()[0]
+    assert row["abs_lift"] == 0.0
+    assert row["z_score"] is None
+
+
+def test_cusum_deviation_flags_single_shift_day(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        cusum_deviation,
+    )
+
+    # 4 quiet days of 1 event, then 4 loud days of 9: the max |dev|
+    # sits at the last quiet day (k=4: cum 4, expected 4*40/8=20 ->
+    # dev -16; every other day is closer to the uniform line).
+    rows = []
+    eid = 0
+    for d in range(1, 5):
+        eid += 1
+        rows.append((eid, f"2024-01-0{d} 12:00:00", 1, "e", 1.0, None))
+    for d in range(5, 9):
+        for _ in range(9):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d} 12:00:00", 1, "e", 1.0, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"]): r for r in cusum_deviation(ev).collect()}
+    flagged = [d for d, r in out.items() if r["is_changepoint"]]
+    assert flagged == ["2024-01-04"]
+    assert out["2024-01-04"]["dev"] == 4 - 4 * 40 / 8
+    assert out["2024-01-08"]["cum_n"] == 40
+
+
+def test_cohort_ltv_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import cohort_ltv
+
+    od = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, "2024-01-05 00:00:00", "1-URGENT"),
+            (2, 10, "O", 50.0, "2024-02-10 00:00:00", "1-URGENT"),
+            (3, 11, "O", 30.0, "2024-01-20 00:00:00", "1-URGENT"),
+            (4, 12, "O", 40.0, "2024-02-01 00:00:00", "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {
+        (str(r["cohort_month"]), r["age_months"]): r
+        for r in cohort_ltv(od).collect()
+    }
+    jan0 = out[("2024-01-01", 0)]
+    assert jan0["n_active"] == 2 and jan0["cohort_size"] == 2
+    assert jan0["period_revenue"] == 130.0 and jan0["cum_revenue"] == 130.0
+    jan1 = out[("2024-01-01", 1)]
+    assert jan1["n_active"] == 1
+    assert jan1["cum_revenue"] == 180.0
+    assert jan1["ltv_per_customer"] == 90.0
+    feb0 = out[("2024-02-01", 0)]
+    assert feb0["cohort_size"] == 1 and feb0["ltv_per_customer"] == 40.0
+
+
+def test_concentration_hhi_bounds_and_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        concentration_hhi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("n1", 1, 3), ("n1", 2, 1),          # shares 3/4, 1/4
+            ("n2", 3, 2), ("n2", 4, 2),          # perfectly even
+            ("n3", 5, 7),                        # monopoly
+        ],
+        "grp_in string, member long, w long",
+    )
+    out = {
+        r["grp"]: r
+        for r in concentration_hhi(df, "grp_in", "member", "w").collect()
+    }
+    assert out["n1"]["hhi"] == (9 + 1) / 16
+    assert out["n1"]["top_share"] == 0.75
+    assert out["n2"]["hhi"] == 0.5 and out["n2"]["effective_n"] == 2.0
+    assert out["n3"]["hhi"] == 1.0 and out["n3"]["top_share"] == 1.0
+    # bounds: 1/n <= HHI <= 1
+    for r in out.values():
+        assert 1.0 / r["n_members"] <= r["hhi"] <= 1.0
+        assert r["total_weight"] > 0
+
+
+def test_weighted_median_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # g1: values 1(w3), 2(w1), 10(w2) -> total 6, half 3 ->
+            # cum(1)=3, 2*3>=6 -> median 1 (lower weighted median)
+            ("g1", 1.0, 3), ("g1", 2.0, 1), ("g1", 10.0, 2),
+            # g2: 5(w1), 7(w1) -> cum(5)=1, 2*1<2 is false -> 2>=2 ->
+            # median 5
+            ("g2", 5.0, 1), ("g2", 7.0, 1),
+            # g3: weight split across duplicate value rows merges cells
+            ("g3", 4.0, 1), ("g3", 4.0, 5), ("g3", 9.0, 2),
+        ],
+        "grp_in string, val_in double, w long",
+    )
+    out = {
+        r["grp"]: r
+        for r in weighted_median(df, "grp_in", "val_in", "w").collect()
+    }
+    assert out["g1"]["median_val"] == 1.0
+    assert out["g1"]["total_weight"] == 6
+    assert out["g1"]["n_distinct_values"] == 3
+    assert out["g2"]["median_val"] == 5.0
+    assert out["g3"]["median_val"] == 4.0       # merged weight 6 of 8
+    assert out["g3"]["n_distinct_values"] == 2  # cells merged
+
+
+def test_pareto_concentration_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        pareto_concentration,
+    )
+
+    # revenues 50, 30, 10, 10 (total 100): 80% needs ranks 1+2 (cum 80)
+    # -> n_for_share 2; top-20% = ceil(4/5)=1 member -> share 50/100.
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 10), (4, 10)],
+        "m long, amt long",
+    )
+    row = pareto_concentration(
+        df, "m", F.col("amt").cast("decimal(12,2)")
+    ).collect()[0]
+    assert row["n_members"] == 4
+    assert row["n_for_share"] == 2
+    assert row["frac_for_share"] == 0.5
+    assert row["top20_share"] == 0.5
+
+
+def test_inter_event_gaps_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        inter_event_gaps,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: click -> (2s) -> view -> (4s) -> click
+            (1, "2024-01-01 00:00:00", 1, "click", 0.0, None),
+            (2, "2024-01-01 00:00:02", 1, "view", 0.0, None),
+            (3, "2024-01-01 00:00:06", 1, "click", 0.0, None),
+            # user 2: click -> (10s) -> click ; last events emit no gap
+            (4, "2024-01-01 00:00:00", 2, "click", 0.0, None),
+            (5, "2024-01-01 00:00:10", 2, "click", 0.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in inter_event_gaps(ev).collect()}
+    # gaps attributed to the FROM event's type
+    assert out["click"]["n_gaps"] == 2          # 2s (u1), 10s (u2)
+    assert out["click"]["min_gap_s"] == 2.0
+    assert out["click"]["max_gap_s"] == 10.0
+    assert out["click"]["avg_gap_s"] == 6.0
+    assert out["view"]["n_gaps"] == 1 and out["view"]["avg_gap_s"] == 4.0

@@ -34,6 +34,8 @@ CROSS_OK = {
     "corpus_langid_kappa",  # two 1-row riders (totals x marginal-cross)
     "customer_t_closeness",  # 1-row global-total (N) broadcast cross
     "orders_seasonality_index",  # 1-row grand-average broadcast cross
+    "customer_reident_risk",  # 1-row class-totals broadcast cross
+    "events_ab_lift",  # 1-row x 1-row variant-arm broadcast cross
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

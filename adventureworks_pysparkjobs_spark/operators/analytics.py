@@ -892,3 +892,55 @@ def inter_event_gaps(
             / (F.col("n_gaps") * F.lit(1000000)).cast("double")
         ).alias("avg_gap_s"),
     )
+
+
+def dau_mau_stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 28,
+) -> DataFrame:
+    """DAU/MAU stickiness curve: for every active day, the distinct
+    daily actives, the distinct actives over the trailing
+    ``window_days`` window, and their ratio — the engagement headline
+    metric. Spark has no COUNT(DISTINCT) over a RANGE window, and a
+    raw range join (day list vs user-days) plans a nested-loop scan;
+    instead each user-day row EXPLODES into the ≤``window_days``
+    target days it serves, which keeps every join/aggregate an
+    equi-keyed hash exchange at any event volume.
+
+    Scale shape: the raw fact dedups to user-day grain FIRST (one
+    keyed exchange, partial-aggregable); the bounded sequence() fan-out
+    happens inside one codegen stage; the semi join restricting
+    targets to OBSERVED days is equi on the day key (day list is
+    calendar-bounded, broadcast-sized); the distinct-user count is one
+    more keyed aggregate. stickiness is ONE IEEE division of exact
+    longs.
+
+    Returns (day, dau, mau, stickiness) — mau is named for the default
+    28-day window whatever ``window_days`` is.
+    """
+    ud = df.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    reach = ud.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("d"),
+    )
+    mau = (
+        reach.join(days, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.count_distinct("u").cast("long").alias("mau"))
+    )
+    return dau.join(mau, "d").select(
+        F.col("d").alias("day"), "dau", "mau",
+        (
+            F.col("dau").cast("double") / F.col("mau").cast("double")
+        ).alias("stickiness"),
+    )

@@ -460,3 +460,66 @@ def join_cardinality_audit(
         "rows_right_unmatched",
         "n_keys_matched",
     )
+
+
+def duplicate_payment_pairs(
+    df: DataFrame,
+    entity_col: str,
+    id_col: str,
+    amount_col: str,
+    date_col: str,
+    band_width: float = 1000.0,
+    window_days: int = 90,
+) -> DataFrame:
+    """Duplicate-payment audit: pairs of records for the same entity
+    whose amounts fall in the same ``band_width`` band within
+    ``window_days`` of each other — the double-billing / double-refund
+    sweep every payments team runs. Banding is declared semantics
+    (floor of ONE double division — portable for the non-negative
+    amounts a payment fact guarantees), not float equality: exact-price
+    matching silently misses re-keyed retries, and a tolerance
+    predicate alone would force an unbanded self-join.
+
+    Scale shape: a self equi-join keyed on (entity, band) — the band
+    key bounds each join group to one entity's same-priced records, so
+    the pair blow-up is per-entity-band quadratic, never global; the
+    day-window and id-order predicates prune inside the matched
+    group. Deterministic pair orientation via id_a < id_b. Returns
+    (entity, id_a, id_b, amount_a, amount_b, day_gap).
+    """
+    band = F.floor(
+        F.col(amount_col) / F.lit(float(band_width))
+    ).cast("long")
+    side = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(id_col).alias("_id"),
+        F.col(amount_col).alias("_amt"),
+        F.col(date_col).alias("_dt"),
+        band.alias("_band"),
+    )
+    a = side.select(
+        "entity", "_band",
+        F.col("_id").alias("id_a"),
+        F.col("_amt").alias("amount_a"),
+        F.col("_dt").alias("_dt_a"),
+    )
+    b = side.select(
+        F.col("entity").alias("_e2"), F.col("_band").alias("_b2"),
+        F.col("_id").alias("id_b"),
+        F.col("_amt").alias("amount_b"),
+        F.col("_dt").alias("_dt_b"),
+    )
+    gap = F.datediff(F.to_date("_dt_b"), F.to_date("_dt_a"))
+    return (
+        a.join(
+            b,
+            (F.col("entity") == F.col("_e2"))
+            & (F.col("_band") == F.col("_b2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.abs(gap) <= window_days)
+        .select(
+            "entity", "id_a", "id_b", "amount_a", "amount_b",
+            gap.cast("int").alias("day_gap"),
+        )
+    )

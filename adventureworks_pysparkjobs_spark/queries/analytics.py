@@ -1080,3 +1080,36 @@ def events_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return inter_event_gaps(ev)
+
+
+@query(
+    "events_dau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    mau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS mau
+      FROM days
+      JOIN ud ON ud.d >= days.d - 27 AND ud.d <= days.d
+      GROUP BY 1)
+    SELECT dau.d AS day, dau.dau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+             AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+    tags=("analytics", "engagement", "dau-mau", "range-join"),
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day MAU stickiness per active day. Spark has
+    no COUNT(DISTINCT) over a RANGE window, so each user-day explodes
+    into the ≤28 target days it serves and the distinct count is an
+    equi-keyed aggregate (a raw range join would plan a nested-loop
+    scan) — the fact reduces to user-day grain before the bounded
+    fan-out."""
+    from ..operators.analytics import dau_mau_stickiness
+
+    ev = load_table(spark, sf_dir, "events")
+    return dau_mau_stickiness(ev)

@@ -1126,3 +1126,37 @@ def lineitem_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_concentration(
         li, "l_partkey", dec("l_extendedprice", 12, 2)
     )
+
+
+@query(
+    "orders_duplicate_payments",
+    oracle="""
+    WITH side AS (
+      SELECT o_custkey AS entity, o_orderkey AS id, o_totalprice AS amt,
+             CAST(o_orderdate AS DATE) AS dt,
+             CAST(floor(o_totalprice / CAST(1000 AS DOUBLE)) AS BIGINT)
+               AS band
+      FROM orders)
+    SELECT a.entity, a.id AS id_a, b.id AS id_b,
+           a.amt AS amount_a, b.amt AS amount_b,
+           CAST(date_diff('day', a.dt, b.dt) AS INTEGER) AS day_gap
+    FROM side a
+    JOIN side b
+      ON a.entity = b.entity AND a.band = b.band AND a.id < b.id
+    WHERE abs(date_diff('day', a.dt, b.dt)) <= 90
+    """,
+    tags=("governance", "fraud", "duplicate-detection", "self-join"),
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-billing sweep over the order fact: same customer, order
+    totals in the same $1000 band, within 90 days — a banded self
+    equi-join whose pair blow-up is bounded per (customer, band)
+    group, never global. Band = floor of one portable double division
+    (amounts are non-negative by contract)."""
+    from ..operators.quality import duplicate_payment_pairs
+
+    od = load_table(spark, sf_dir, "orders")
+    return duplicate_payment_pairs(
+        od, "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
+        band_width=1000.0, window_days=90,
+    )

@@ -271,3 +271,39 @@ def stream_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type AS bar_key,
+             CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT)
+               AS bucket_s,
+             value AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT bucket_s, bar_key,
+           MAX(CASE WHEN rn_a = 1 THEN v END) AS open_v,
+           MAX(v) AS high_v,
+           MIN(v) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN v END) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "ohlc", "watermark"),
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly OHLC bars: open/close via min_by/max_by over
+    the (ts, event_id) struct total order — the incrementally-
+    maintainable reformulation of the batch row_number ranking, with
+    one (key, value) pair of state per bar and side. The batch OHLC
+    SQL is an exact twin, so the full bar values are hash-checked."""
+    from ..streaming.events import ohlc_stream
+
+    return ohlc_stream(spark, sf_dir)

@@ -838,3 +838,40 @@ def stateful_transition_counts(
             F.col("n").cast("double") / F.sum("n").over(wm).cast("double")
         ).alias("prob"),
     )
+
+
+def ohlc_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked streaming OHLC bars per (event_type, tumbling
+    window), run to completion.
+
+    The batch formulation (operators/analytics.py:ohlc_bars) ranks with
+    row_number — unavailable in a streaming aggregate — so open/close
+    here are min_by/max_by over the (ts, event_id) struct total order:
+    an incrementally-maintainable aggregate whose per-key state is one
+    (key, value) pair, merged associatively across micro-batches. Both
+    formulations pick the identical first/last row, which is what makes
+    the batch OHLC SQL an exact oracle twin. low/high/volume are
+    min/max/count — no float accumulation anywhere, so bars are
+    bit-exact under any batch arrival order.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", order_key).alias("close_v"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    out = run_to_memory(agg, "complete", spark)
+    return out.select(
+        F.col("window.start").cast("bigint").alias("bucket_s"),
+        F.col("event_type").alias("bar_key"),
+        "open_v", "high_v", "low_v", "close_v", "n_events",
+    )

@@ -577,3 +577,88 @@ def test_inter_event_gaps_hand_values(spark):
     assert out["click"]["max_gap_s"] == 10.0
     assert out["click"]["avg_gap_s"] == 6.0
     assert out["view"]["n_gaps"] == 1 and out["view"]["avg_gap_s"] == 4.0
+
+
+def test_duplicate_payment_pairs_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.quality import (
+        duplicate_payment_pairs,
+    )
+
+    od = spark.createDataFrame(
+        [
+            # same cust, same band (1xxx), 5 days apart -> pair
+            (1, 10, "O", 1200.0, "2024-01-01 00:00:00", "x"),
+            (2, 10, "O", 1900.0, "2024-01-06 00:00:00", "x"),
+            # same band but 120 days apart -> outside window
+            (3, 10, "O", 1500.0, "2024-05-01 00:00:00", "x"),
+            # different band -> no pair
+            (4, 10, "O", 3500.0, "2024-01-02 00:00:00", "x"),
+            # different customer, would otherwise match -> no pair
+            (5, 11, "O", 1200.0, "2024-01-01 00:00:00", "x"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    rows = duplicate_payment_pairs(
+        od, "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
+        band_width=1000.0, window_days=90,
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["entity"], r["id_a"], r["id_b"]) == (10, 1, 2)
+    assert r["day_gap"] == 5
+
+
+def test_dau_mau_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        dau_mau_stickiness,
+    )
+
+    # day1: users {1,2}; day2: {2}; day3: {3}
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "e", 0.0, None),
+            (2, "2024-01-01 11:00:00", 1, "e", 0.0, None),  # same user-day
+            (3, "2024-01-01 12:00:00", 2, "e", 0.0, None),
+            (4, "2024-01-02 10:00:00", 2, "e", 0.0, None),
+            (5, "2024-01-03 10:00:00", 3, "e", 0.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r["day"]): r
+        for r in dau_mau_stickiness(ev, window_days=2).collect()
+    }
+    assert (out["2024-01-01"]["dau"], out["2024-01-01"]["mau"]) == (2, 2)
+    # day2 trailing-2: users active on day1+day2 = {1,2,2} -> 2
+    assert (out["2024-01-02"]["dau"], out["2024-01-02"]["mau"]) == (1, 2)
+    assert out["2024-01-02"]["stickiness"] == 0.5
+    # day3 trailing-2: day2+day3 = {2,3}
+    assert (out["2024-01-03"]["dau"], out["2024-01-03"]["mau"]) == (1, 2)
+
+
+def test_stream_ohlc_matches_batch_formulation(spark):
+    """The streaming min_by/max_by OHLC and the batch row_number OHLC
+    must pick identical bars on the same bounded input (the two
+    formulations of one total order)."""
+    from adventureworks_pysparkjobs_spark.operators.analytics import ohlc_bars
+    from adventureworks_pysparkjobs_spark.queries.catalog import CATALOG
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = {
+        (r["bar_key"], r["bucket_s"]): (
+            r["open_v"], r["high_v"], r["low_v"], r["close_v"],
+            r["n_events"],
+        )
+        for r in CATALOG["stream_ohlc_bars"].builder(spark, sf).collect()
+    }
+    batch_rows = {
+        (r["bar_key"], int(r["bar_ts"].timestamp())): (
+            r["open_v"], r["high_v"], r["low_v"], r["close_v"],
+            r["n_events"],
+        )
+        for r in ohlc_bars(load_table(spark, sf, "events")).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0

@@ -944,3 +944,37 @@ def dau_mau_stickiness(
             F.col("dau").cast("double") / F.col("mau").cast("double")
         ).alias("stickiness"),
     )
+
+
+def adoption_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """User adoption curve: per calendar day, the users first seen that
+    day, the cumulative user count, and the fraction of the eventually-
+    observed population — the growth chart behind every launch review.
+
+    Scale shape: the raw fact reduces to one row per user (min-day
+    aggregate, map-side partial), then to day grain; the cumsum +
+    total windows run on |days| rows. cum and total are exact BIGINTs;
+    adoption_frac is ONE IEEE division. Returns (day, new_users,
+    cum_users, total_users, adoption_frac).
+    """
+    firsts = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return daily.select(
+        "day", "new_users",
+        F.sum("new_users").over(wo).cast("long").alias("cum_users"),
+        F.sum("new_users").over(wall).cast("long").alias("total_users"),
+        (
+            F.sum("new_users").over(wo).cast("double")
+            / F.sum("new_users").over(wall).cast("double")
+        ).alias("adoption_frac"),
+    )

@@ -1113,3 +1113,111 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return dau_mau_stickiness(ev)
+
+
+@query(
+    "part_copurchase_assortativity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY 1),
+    xy AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM pairs p JOIN deg da ON da.node = p.a
+                   JOIN deg db ON db.node = p.b
+      UNION ALL
+      SELECT db.deg, da.deg
+      FROM pairs p JOIN deg da ON da.node = p.a
+                   JOIN deg db ON db.node = p.b),
+    sums AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM xy),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                               AS DOUBLE))
+                     * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                 AS DOUBLE)) = 0
+                THEN NULL
+                ELSE CAST(CAST(m * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                                  AS DOUBLE))
+                        * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                    AS DOUBLE)))
+           END AS assortativity
+    FROM sums, nn
+    """,
+    tags=("graph", "assortativity", "correlation", "analytics"),
+)
+def part_copurchase_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (same edge
+    construction as the pagerank/triangles entries): the Pearson
+    correlation of endpoint degrees over directed stubs, exact
+    DECIMAL(38,0) moment sums (BIGINT products overflow past ~10⁹
+    edges) rendered through the portable string cast, NULL for a
+    degree-regular graph. Answers "do hub parts co-sell with other
+    hubs or with long-tail parts"."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import degree_assortativity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    return degree_assortativity(pairs, "item_a", "item_b")
+
+
+@query(
+    "events_adoption_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users,
+           CAST(SUM(new_users) OVER () AS BIGINT) AS total_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)
+             / CAST(SUM(new_users) OVER () AS DOUBLE) AS adoption_frac
+    FROM daily
+    """,
+    tags=("analytics", "adoption", "growth", "cumulative"),
+)
+def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-adoption curve: first-seen users per day, cumulative
+    count, and fraction of the eventually-observed population — the
+    raw fact reduces to user grain map-side, and every window runs on
+    day-grain rows."""
+    from ..operators.analytics import adoption_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    return adoption_curve(ev)

@@ -662,3 +662,48 @@ def test_stream_ohlc_matches_batch_formulation(spark):
         for r in ohlc_bars(load_table(spark, sf, "events")).collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    from adventureworks_pysparkjobs_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star K_{1,3}: hub degree 3, leaves 1 -> perfectly disassortative
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "item_a long, item_b long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (4, 3)
+    assert r["assortativity"] == -1.0
+    # triangle: degree-regular -> zero variance -> NULL
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "item_a long, item_b long"
+    )
+    r2 = degree_assortativity(tri).collect()[0]
+    assert (r2["n_nodes"], r2["n_edges"]) == (3, 3)
+    assert r2["assortativity"] is None
+
+
+def test_adoption_curve_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        adoption_curve,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "e", 0.0, None),
+            (2, "2024-01-02 10:00:00", 1, "e", 0.0, None),  # not new
+            (3, "2024-01-02 10:00:00", 2, "e", 0.0, None),
+            (4, "2024-01-04 10:00:00", 3, "e", 0.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"]): r for r in adoption_curve(ev).collect()}
+    assert len(out) == 3  # day with no NEW users emits no row
+    assert (out["2024-01-01"]["new_users"], out["2024-01-01"]["cum_users"]) \
+        == (1, 1)
+    assert out["2024-01-02"]["cum_users"] == 2
+    assert out["2024-01-04"]["adoption_frac"] == 1.0
+    assert all(r["total_users"] == 3 for r in out.values())

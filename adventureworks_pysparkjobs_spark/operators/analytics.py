@@ -978,3 +978,58 @@ def adoption_curve(
             / F.sum("new_users").over(wall).cast("double")
         ).alias("adoption_frac"),
     )
+
+
+def peak_concurrency(
+    sessions: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Peak concurrent sessions per calendar day via the interval-
+    stacking sweep: +1 at each session start, −1 at each end, cumsum
+    over the timestamp order — the capacity-planning primitive behind
+    "how many live sessions must this service hold".
+
+    Deltas aggregate to DISTINCT-timestamp grain first, so the running
+    sum needs no tie-break (starts apply before ends within one
+    timestamp: peak_at_ts = running_net + ends_at_ts, which counts a
+    zero-duration session while it is open). All arithmetic is exact
+    BIGINT. A session spanning midnight with no boundary inside a day
+    contributes no row that day — peaks are sampled at boundary
+    events, the declared semantics of the sweep.
+
+    Scale shape: session rows reduce to timestamp grain map-side; the
+    single-ordered cumsum runs on |distinct boundary timestamps| rows
+    (already reduced — the same post-aggregate global window shape as
+    the engine's other cumulative entries). Returns
+    (day, peak_concurrency, n_boundaries).
+    """
+    deltas = (
+        sessions.select(
+            F.col(start_col).alias("ts"),
+            F.lit(1).alias("s"), F.lit(0).alias("e"),
+        )
+        .unionAll(
+            sessions.select(
+                F.col(end_col).alias("ts"),
+                F.lit(0).alias("s"), F.lit(1).alias("e"),
+            )
+        )
+        .groupBy("ts")
+        .agg(
+            F.sum("s").cast("long").alias("starts"),
+            F.sum("e").cast("long").alias("ends"),
+        )
+    )
+    wo = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    peaks = deltas.select(
+        F.to_date("ts").alias("day"),
+        (
+            F.sum(F.col("starts") - F.col("ends")).over(wo)
+            + F.col("ends")
+        ).cast("long").alias("peak_at_ts"),
+    )
+    return peaks.groupBy("day").agg(
+        F.max("peak_at_ts").alias("peak_concurrency"),
+        F.count("*").cast("long").alias("n_boundaries"),
+    )

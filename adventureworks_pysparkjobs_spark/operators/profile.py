@@ -784,3 +784,100 @@ def pareto_concentration(
             / F.max("_total").cast("double")
         ).alias("top20_share"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    member_col: str,
+    amount_col: Column | str,
+) -> DataFrame:
+    """Gini coefficient of member totals — the inequality scalar
+    (0 = perfectly even, →1 = one member holds everything) behind
+    revenue-concentration and data-skew audits, computed by the exact
+    sorted-cumsum identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n with x
+    ascending. Σ i·xᵢ and Σx stay exact DECIMAL (equal amounts commute
+    — swapping tied ranks leaves Σ i·xᵢ unchanged, so the result is
+    order-independent even though ranks aren't); each emitted float is
+    ONE division of string-rendered exact values (a direct
+    decimal→double cast is not correctly rounded in DuckDB), and the
+    final subtraction is one fixed IEEE tree.
+
+    Scale shape: the fact reduces to member grain first (map-side
+    partial on the decimal sum); the rank + moment windows run on the
+    REDUCED member-grain frame (the engine's accepted post-aggregate
+    global-window shape). Returns ONE row (n_members, total_amount
+    DOUBLE, gini DOUBLE — NULL when the total is 0).
+    """
+    amt = F.col(amount_col) if isinstance(amount_col, str) else amount_col
+    members = df.groupBy(F.col(member_col).alias("_m")).agg(
+        F.sum(amt).alias("_x")
+    )
+    wo = Window.orderBy(F.asc("_x"), F.asc("_m"))
+    ranked = members.select(
+        "_x",
+        F.row_number().over(wo).cast("decimal(38,0)").alias("_i"),
+    )
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_a"),
+    )
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+    n = F.col("n_members")
+    two_a = _dbl(F.col("_a") * F.lit(2))
+    ns = _dbl(F.col("_s") * n.cast("decimal(38,0)"))
+    gini = (two_a / ns) - (
+        (n + 1).cast("double") / n.cast("double")
+    )
+    return sums.select(
+        "n_members",
+        _dbl(F.col("_s")).alias("total_amount"),
+        F.when(F.col("_s") == 0, F.lit(None).cast("double"))
+        .otherwise(gini)
+        .alias("gini"),
+    )
+
+
+def category_mix_shift(
+    df: DataFrame,
+    category_col: str,
+    period_col: Column | str,
+) -> DataFrame:
+    """Categorical mix-shift audit: the chi-square contribution table
+    of category × period counts — which categories' shares moved
+    between periods, the categorical sibling of the numeric KS drift
+    probe. Per cell: observed count, expected count under independence
+    (row_total · col_total / grand — one division of exact longs), and
+    the (O−E)²/E contribution as one fixed IEEE tree. No total
+    chi-square is emitted: summing per-cell doubles is accumulation-
+    order-dependent, so the deterministic contract is the per-cell
+    table (callers sum it driver-side if they want the statistic).
+
+    Scale shape: the fact reduces to the bounded contingency grid
+    FIRST (one keyed aggregate, map-side partial); the marginals are
+    windows over grid-grain rows (|categories| × |periods|).
+    """
+    per = F.col(period_col) if isinstance(period_col, str) else period_col
+    cells = df.groupBy(
+        F.col(category_col).alias("category"), per.alias("period")
+    ).agg(F.count("*").cast("long").alias("observed"))
+    wr = Window.partitionBy("category")
+    wc = Window.partitionBy("period")
+    wall = Window.partitionBy()
+    scored = cells.select(
+        "category", "period", "observed",
+        F.sum("observed").over(wr).cast("long").alias("_row"),
+        F.sum("observed").over(wc).cast("long").alias("_col"),
+        F.sum("observed").over(wall).cast("long").alias("_grand"),
+    )
+    expected = (
+        (F.col("_row") * F.col("_col")).cast("double")
+        / F.col("_grand").cast("double")
+    )
+    diff = F.col("observed").cast("double") - expected
+    return scored.select(
+        "category", "period", "observed",
+        expected.alias("expected"),
+        ((diff * diff) / expected).alias("contribution"),
+    )

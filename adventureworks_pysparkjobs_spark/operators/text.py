@@ -772,3 +772,67 @@ def readability(
         fre.alias("flesch_reading_ease"),
         fkg.alias("fk_grade"),
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus slices (sources,
+    languages, shards): for every slice pair, the distinct-term
+    intersection, union, Jaccard, and both containment directions —
+    the mixture-diversity check run before blending sources into a
+    training corpus (two sources with near-identical vocabularies add
+    volume, not coverage).
+
+    Scale shape: the corpus reduces to the distinct (slice, term)
+    posting set FIRST (one keyed exchange, partial-aggregable); the
+    pair intersection is a term-keyed self equi-join of that
+    vocabulary-grain frame (bounded by Σ per-term slice-pair counts —
+    slices are few by construction); per-slice sizes join back at
+    slice grain. Jaccard/containment are ONE division each of exact
+    longs (union = |A| + |B| − |A∩B|, never a second scan).
+
+    Returns (group_a, group_b, vocab_a, vocab_b, n_common, jaccard,
+    containment_a_in_b, containment_b_in_a) with group_a < group_b.
+    """
+    terms = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).distinct()
+    sizes = terms.groupBy("grp").agg(
+        F.count("*").cast("long").alias("vocab")
+    )
+    a = terms.select(F.col("grp").alias("group_a"), "term")
+    b = terms.select(F.col("grp").alias("group_b"), "term")
+    common = (
+        a.join(b, "term")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("grp").alias("group_a"), F.col("vocab").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("grp").alias("group_b"), F.col("vocab").alias("vocab_b")
+    )
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    return (
+        common.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a", "group_b", "vocab_a", "vocab_b", "n_common",
+            (F.col("n_common").cast("double") / union.cast("double"))
+            .alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.col("vocab_a").cast("double")
+            ).alias("containment_a_in_b"),
+            (
+                F.col("n_common").cast("double")
+                / F.col("vocab_b").cast("double")
+            ).alias("containment_b_in_a"),
+        )
+    )

@@ -1532,3 +1532,46 @@ def corpus_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(tmp).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "doc_source_vocab_overlap",
+    oracle="""
+    WITH terms AS (
+      SELECT DISTINCT source AS grp, t.x AS term
+      FROM documents,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS t(x)),
+    sizes AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM terms GROUP BY 1),
+    common AS (
+      SELECT a.grp AS group_a, b.grp AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM terms a JOIN terms b ON a.term = b.term AND a.grp < b.grp
+      GROUP BY 1, 2)
+    SELECT group_a, group_b,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.vocab + sb.vocab - n_common AS DOUBLE) AS jaccard,
+           CAST(n_common AS DOUBLE) / CAST(sa.vocab AS DOUBLE)
+             AS containment_a_in_b,
+           CAST(n_common AS DOUBLE) / CAST(sb.vocab AS DOUBLE)
+             AS containment_b_in_a
+    FROM common
+    JOIN sizes sa ON sa.grp = group_a
+    JOIN sizes sb ON sb.grp = group_b
+    """,
+    tags=("corpus", "vocabulary", "jaccard", "mixture", "diversity"),
+)
+def doc_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard/containment between corpus sources —
+    the mixture-diversity check run before blending sources into a
+    training mix (near-identical vocabularies add volume, not
+    coverage). The corpus reduces to the distinct (source, term)
+    posting set before the term-keyed self-join; each ratio is one
+    division of exact longs."""
+    from ..operators.text import vocab_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_overlap(docs, "source", "text")

@@ -357,3 +357,72 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import transition_matrix
 
     return transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR {_FLOOR_S.format(c='ts')}
+                          - {_FLOOR_S.format(c='prev_ts')} > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_seq
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM numbered GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT ts, CAST(SUM(s) AS BIGINT) AS starts,
+                 CAST(SUM(e2) AS BIGINT) AS ends
+      FROM (
+        SELECT session_start AS ts, 1 AS s, 0 AS e2 FROM sess
+        UNION ALL
+        SELECT session_end, 0, 1 FROM sess
+      ) GROUP BY 1
+    ),
+    peaks AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(starts - ends) OVER (ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  + ends AS BIGINT) AS peak_at_ts
+      FROM deltas
+    )
+    SELECT day, MAX(peak_at_ts) AS peak_concurrency,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM peaks GROUP BY 1
+    """,
+    tags=("analytics", "concurrency", "interval", "capacity"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-min sessions per day via the interval-
+    stacking sweep (+1 per session start, −1 per end, cumsum at
+    distinct-timestamp grain — starts apply before ends within one
+    timestamp, so zero-duration sessions still register). Sessions
+    reuse the engine's sessionize operator; the cumsum runs on already-
+    reduced boundary timestamps."""
+    from ..operators.analytics import peak_concurrency
+    from ..operators.relational import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, id_col="event_id")
+    sess = s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+    return peak_concurrency(sess)

@@ -1160,3 +1160,92 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         od, "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
         band_width=1000.0, window_days=90,
     )
+
+
+@query(
+    "customer_value_gini",
+    oracle="""
+    WITH members AS (
+      SELECT o_custkey AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT x,
+             CAST(ROW_NUMBER() OVER (ORDER BY x ASC, m ASC)
+                  AS DECIMAL(38,0)) AS i
+      FROM members),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+             SUM(x) AS s,
+             SUM(i * x) AS a
+      FROM ranked)
+    SELECT n_members,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) AS total_amount,
+           CASE WHEN s = 0 THEN NULL
+                ELSE CAST(CAST(a * 2 AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(s * CAST(n_members AS DECIMAL(38,0))
+                                   AS VARCHAR) AS DOUBLE)
+                     - CAST(n_members + 1 AS DOUBLE)
+                       / CAST(n_members AS DOUBLE)
+           END AS gini
+    FROM sums
+    """,
+    tags=("governance", "gini", "inequality", "concentration"),
+)
+def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime order value via the exact
+    sorted-cumsum identity (decimal moment sums, string-rendered
+    double casts, one fixed IEEE tree) — the inequality scalar
+    complementing the Pareto 80/20 and HHI concentration entries. The
+    order fact reduces to customer grain before the rank window."""
+    from ..operators.profile import gini_coefficient
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    return gini_coefficient(od, "o_custkey", dec("o_totalprice", 12, 2))
+
+
+@query(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderdate < DATE '1998-01-01'
+                  THEN 'early' ELSE 'late' END AS period,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2),
+    scored AS (
+      SELECT category, period, observed,
+             CAST(SUM(observed) OVER (PARTITION BY category) AS BIGINT)
+               AS row_t,
+             CAST(SUM(observed) OVER (PARTITION BY period) AS BIGINT)
+               AS col_t,
+             CAST(SUM(observed) OVER () AS BIGINT) AS grand
+      FROM cells)
+    SELECT category, period, observed,
+           CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE)
+             AS expected,
+           ((CAST(observed AS DOUBLE)
+             - CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE))
+            * (CAST(observed AS DOUBLE)
+               - CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE)))
+           / (CAST(row_t * col_t AS DOUBLE) / CAST(grand AS DOUBLE))
+             AS contribution
+    FROM scored
+    """,
+    tags=("governance", "drift", "chi-square", "mix-shift"),
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contribution table of order-priority mix between the
+    early (< 1998) and late halves of the order history — the
+    categorical sibling of the numeric KS drift probe. Expected counts
+    are one division of exact longs; contributions are fixed IEEE
+    trees; no float total is emitted (summing per-cell doubles is
+    order-dependent — callers sum driver-side)."""
+    from ..operators.profile import category_mix_shift
+
+    od = load_table(spark, sf_dir, "orders")
+    period = F.when(
+        F.col("o_orderdate") < "1998-01-01", F.lit("early")
+    ).otherwise(F.lit("late"))
+    return category_mix_shift(od, "o_orderpriority", period)

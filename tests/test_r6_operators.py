@@ -707,3 +707,108 @@ def test_adoption_curve_hand_values(spark):
     assert out["2024-01-02"]["cum_users"] == 2
     assert out["2024-01-04"]["adoption_frac"] == 1.0
     assert all(r["total_users"] == 3 for r in out.values())
+
+
+def test_vocab_overlap_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.text import vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1", 5),
+            (2, "b c d", "en", "s2", 5),      # s1 ∩ s2 = {b,c}
+            (3, "x", "en", "s3", 1),          # disjoint from s1/s2
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    rows = {
+        (r["group_a"], r["group_b"]): r
+        for r in vocab_overlap(docs, "source", "text").collect()
+    }
+    r12 = rows[("s1", "s2")]
+    assert (r12["vocab_a"], r12["vocab_b"], r12["n_common"]) == (3, 3, 2)
+    assert r12["jaccard"] == 0.5          # 2 / (3+3-2)
+    assert r12["containment_a_in_b"] == 2 / 3
+    # disjoint slices emit no pair row (inner join on shared terms)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_peak_concurrency_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        peak_concurrency,
+    )
+
+    sess = spark.createDataFrame(
+        [
+            # three overlapping sessions: peak 3 at 10:20
+            (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+            (2, "2024-01-01 10:10:00", "2024-01-01 10:40:00"),
+            (3, "2024-01-01 10:20:00", "2024-01-01 10:25:00"),
+            # zero-duration session still registers (peak 1) next day
+            (4, "2024-01-02 09:00:00", "2024-01-02 09:00:00"),
+        ],
+        "sid long, session_start string, session_end string",
+    ).select(
+        F.to_timestamp("session_start").alias("session_start"),
+        F.to_timestamp("session_end").alias("session_end"),
+    )
+    out = {str(r["day"]): r for r in peak_concurrency(sess).collect()}
+    assert out["2024-01-01"]["peak_concurrency"] == 3
+    assert out["2024-01-01"]["n_boundaries"] == 6
+    assert out["2024-01-02"]["peak_concurrency"] == 1
+    assert out["2024-01-02"]["n_boundaries"] == 1  # start==end merges
+
+
+def test_gini_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    # perfectly even: 4 members x 10 -> G = 2*(1+2+3+4)*10/(4*40) - 5/4
+    #                                     = 200/160 - 1.25 = 0
+    even = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 10)], "m long, amt long"
+    )
+    r = gini_coefficient(
+        even, "m", F.col("amt").cast("decimal(12,2)")
+    ).collect()[0]
+    assert r["gini"] == 0.0 and r["n_members"] == 4
+    assert r["total_amount"] == 40.0
+    # maximal concentration: one member holds all of it
+    # G = 2*(1*0+2*0+3*0+4*40)/(4*40) - 5/4 = 2 - 1.25 = 0.75 = 1-1/n
+    mono = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 40)], "m long, amt long"
+    )
+    r2 = gini_coefficient(
+        mono, "m", F.col("amt").cast("decimal(12,2)")
+    ).collect()[0]
+    assert r2["gini"] == 0.75
+    # zero total -> NULL (division guard)
+    zero = spark.createDataFrame([(1, 0), (2, 0)], "m long, amt long")
+    r3 = gini_coefficient(
+        zero, "m", F.col("amt").cast("decimal(12,2)")
+    ).collect()[0]
+    assert r3["gini"] is None
+
+
+def test_category_mix_shift_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        category_mix_shift,
+    )
+
+    # 2x2: A: 30 early / 10 late ; B: 10 early / 30 late
+    rows = (
+        [("A", "early")] * 30 + [("A", "late")] * 10
+        + [("B", "early")] * 10 + [("B", "late")] * 30
+    )
+    df = spark.createDataFrame(rows, "cat string, per string")
+    out = {
+        (r["category"], r["period"]): r
+        for r in category_mix_shift(df, "cat", "per").collect()
+    }
+    # every marginal is 40, grand 80 -> expected 20 everywhere
+    for cell, r in out.items():
+        assert r["expected"] == 20.0
+        assert r["contribution"] == (r["observed"] - 20.0) ** 2 / 20.0
+    assert out[("A", "early")]["observed"] == 30
+    assert out[("B", "early")]["observed"] == 10

@@ -615,3 +615,109 @@ def test_top_paths_matches_bruteforce(spark, rows, k, max_len):
         paths[">".join(t for _, _, t in seq[:max_len])] += 1
     want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == [(p, n, i + 1) for i, (p, n) in enumerate(want)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    amounts=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25
+    )
+)
+def test_gini_bounds_and_brute_force(spark, amounts):
+    """Gini ∈ [0, 1−1/n] and matches the O(n²) mean-absolute-difference
+    definition G = Σ|xi−xj| / (2·n·Σx)."""
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        gini_coefficient,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(amounts)], "m int, amt long"
+    )
+    row = gini_coefficient(
+        df, "m", F.col("amt").cast("decimal(18,2)")
+    ).collect()[0]
+    total = sum(amounts)
+    n = len(amounts)
+    if total == 0:
+        assert row["gini"] is None
+        return
+    brute = sum(
+        abs(a - b) for a in amounts for b in amounts
+    ) / (2 * n * total)
+    assert abs(row["gini"] - brute) < 1e-9
+    assert -1e-12 <= row["gini"] <= 1 - 1 / n + 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.integers(min_value=0, max_value=50),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_weighted_median_matches_bruteforce(spark, cells):
+    """The operator's lower weighted median equals the brute-force
+    smallest value whose at-or-below weight reaches half the total."""
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(cells, "g int, v int, w int")
+    got = {
+        r["grp"]: r["median_val"]
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: defaultdict(int))
+    for g, v, w in cells:
+        groups[g][v] += w
+    for g, vw in groups.items():
+        total = sum(vw.values())
+        cum = 0
+        for v in sorted(vw):
+            cum += vw[v]
+            if 2 * cum >= total:
+                assert got[g] == v, (g, dict(vw))
+                break
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),   # start offset s
+            st.integers(min_value=0, max_value=500),   # duration s
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_peak_concurrency_matches_bruteforce(spark, intervals):
+    """Peak per day equals the brute-force max, over boundary
+    timestamps, of |sessions with start ≤ t ≤ end|."""
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        peak_concurrency,
+    )
+
+    sess = [(_ts(s), _ts(s + d)) for s, d in intervals]
+    df = spark.createDataFrame(
+        sess, "session_start timestamp, session_end timestamp"
+    )
+    got = {
+        str(r["day"]): r["peak_concurrency"]
+        for r in peak_concurrency(df).collect()
+    }
+    boundaries = sorted({t for ab in sess for t in ab})
+    brute = {}
+    for t in boundaries:
+        live = sum(1 for a, b in sess if a <= t <= b)
+        d = str(t.date())
+        brute[d] = max(brute.get(d, 0), live)
+    assert got == brute

@@ -881,3 +881,56 @@ def category_mix_shift(
         expected.alias("expected"),
         ((diff * diff) / expected).alias("contribution"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    member_col: str,
+    amount_col: Column | str,
+) -> DataFrame:
+    """Lorenz-curve decile table of member totals: members sorted by
+    value ascending into NTILE(10) buckets, each with its member count,
+    exact decile value sum, and the cumulative share of total value —
+    the curve behind the Gini scalar (gini_coefficient) and the Pareto
+    point (pareto_concentration), read when you need to SEE where the
+    concentration lives.
+
+    NTILE assigns the remainder to the lowest buckets in both engines
+    (standard SQL), and the (value, member) total order makes bucket
+    boundaries deterministic under ties. Value sums stay exact DECIMAL;
+    cum_share and pop_share are ONE division each of string-rendered /
+    exact operands.
+
+    Scale shape: member-grain reduction first; ntile + cumsum windows
+    run on the reduced frame; output is exactly 10 rows.
+    """
+    amt = F.col(amount_col) if isinstance(amount_col, str) else amount_col
+    members = df.groupBy(F.col(member_col).alias("_m")).agg(
+        F.sum(amt).alias("_x")
+    )
+    wo = Window.orderBy(F.asc("_x"), F.asc("_m"))
+    tiled = members.select(
+        "_x", F.ntile(10).over(wo).cast("int").alias("decile")
+    )
+    cells = tiled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("_x").alias("_dx"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+    return cells.select(
+        "decile", "n_members",
+        _dbl(F.col("_dx")).alias("decile_value"),
+        _dbl(F.sum("_dx").over(wcum)).alias("cum_value"),
+        (
+            _dbl(F.sum("_dx").over(wcum)) / _dbl(F.sum("_dx").over(wall))
+        ).alias("cum_share"),
+        (
+            F.sum("n_members").over(wcum).cast("double")
+            / F.sum("n_members").over(wall).cast("double")
+        ).alias("pop_share"),
+    )

@@ -1249,3 +1249,49 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < "1998-01-01", F.lit("early")
     ).otherwise(F.lit("late"))
     return category_mix_shift(od, "o_orderpriority", period)
+
+
+@query(
+    "customer_value_lorenz",
+    oracle="""
+    WITH members AS (
+      SELECT o_custkey AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+      FROM orders GROUP BY 1),
+    tiled AS (
+      SELECT x, CAST(NTILE(10) OVER (ORDER BY x ASC, m ASC) AS INTEGER)
+               AS decile
+      FROM members),
+    cells AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_members,
+             SUM(x) AS dx
+      FROM tiled GROUP BY 1)
+    SELECT decile, n_members,
+           CAST(CAST(dx AS VARCHAR) AS DOUBLE) AS decile_value,
+           CAST(CAST(SUM(dx) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS VARCHAR) AS DOUBLE) AS cum_value,
+           CAST(CAST(SUM(dx) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(dx) OVER () AS VARCHAR) AS DOUBLE)
+             AS cum_share,
+           CAST(SUM(n_members) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)
+             / CAST(SUM(n_members) OVER () AS DOUBLE) AS pop_share
+    FROM cells
+    """,
+    tags=("governance", "lorenz", "inequality", "deciles"),
+)
+def customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile table of customer lifetime value — the curve
+    behind the Gini scalar and Pareto point: 10 rows of (population
+    share, cumulative value share) with exact decimal sums and one
+    division per emitted float. NTILE boundaries are deterministic
+    under the (value, custkey) total order."""
+    from ..operators.profile import lorenz_deciles
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    return lorenz_deciles(od, "o_custkey", dec("o_totalprice", 12, 2))

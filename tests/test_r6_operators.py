@@ -812,3 +812,31 @@ def test_category_mix_shift_hand_values(spark):
         assert r["contribution"] == (r["observed"] - 20.0) ** 2 / 20.0
     assert out[("A", "early")]["observed"] == 30
     assert out[("B", "early")]["observed"] == 10
+
+
+def test_lorenz_deciles_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        lorenz_deciles,
+    )
+
+    # 20 members, values 1..20 (as decimals): decile k holds {2k-1, 2k}
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 21)], "m int, amt long"
+    )
+    rows = {
+        r["decile"]: r
+        for r in lorenz_deciles(
+            df, "m", F.col("amt").cast("decimal(12,2)")
+        ).collect()
+    }
+    total = sum(range(1, 21))  # 210
+    assert len(rows) == 10
+    assert all(r["n_members"] == 2 for r in rows.values())
+    assert rows[1]["decile_value"] == 3.0      # 1+2
+    assert rows[10]["decile_value"] == 39.0    # 19+20
+    assert rows[10]["cum_share"] == 1.0 and rows[10]["pop_share"] == 1.0
+    assert rows[5]["cum_value"] == sum(range(1, 11))  # 55
+    assert rows[5]["cum_share"] == 55 / total
+    # Lorenz curve is convex: cum_share <= pop_share everywhere
+    for r in rows.values():
+        assert r["cum_share"] <= r["pop_share"] + 1e-12

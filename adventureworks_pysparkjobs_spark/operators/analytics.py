@@ -533,9 +533,6 @@ def top_paths(
 
     Returns (path STRING, n_sessions BIGINT, rnk INT), rnk 1..k.
     """
-    w = Window.partitionBy(user_col, F.to_date(ts_col)).orderBy(
-        ts_col, id_col
-    )
     capped = (
         df.select(
             F.col(user_col).alias("_u"),

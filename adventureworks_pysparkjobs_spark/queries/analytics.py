@@ -1221,3 +1221,46 @@ def events_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return adoption_curve(ev)
+
+
+@query(
+    "orders_new_vs_repeat_revenue",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 'new' ELSE 'repeat' END AS customer_kind,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS rev
+      FROM orders)
+    SELECT month, customer_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM ranked GROUP BY 1, 2
+    """,
+    tags=("analytics", "new-vs-repeat", "revenue", "retention"),
+)
+def orders_new_vs_repeat_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly revenue split between first-time and returning customers
+    — the acquisition-vs-retention headline every commerce dashboard
+    leads with. The first-order flag is ONE row_number over the
+    (custkey, order date, orderkey) total order (a single customer-
+    keyed exchange); revenue sums are exact decimals rendered once."""
+    od = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = od.select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        .alias("month"),
+        F.when(F.row_number().over(wr) == 1, F.lit("new"))
+        .otherwise(F.lit("repeat"))
+        .alias("customer_kind"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("_rev"),
+    )
+    return ranked.groupBy("month", "customer_kind").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("_rev").cast("double").alias("revenue"),
+    )

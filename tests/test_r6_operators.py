@@ -840,3 +840,32 @@ def test_lorenz_deciles_hand_values(spark):
     # Lorenz curve is convex: cum_share <= pop_share everywhere
     for r in rows.values():
         assert r["cum_share"] <= r["pop_share"] + 1e-12
+
+
+def test_new_vs_repeat_revenue_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.queries.catalog import CATALOG
+    import os, tempfile
+
+    od = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, "2024-01-05 00:00:00", "x"),  # cust 10 new
+            (2, 10, "O", 50.0, "2024-01-20 00:00:00", "x"),   # repeat, same mo
+            (3, 10, "O", 25.0, "2024-02-01 00:00:00", "x"),   # repeat, feb
+            (4, 11, "O", 70.0, "2024-02-10 00:00:00", "x"),   # cust 11 new
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    with tempfile.TemporaryDirectory() as d:
+        od.write.parquet(os.path.join(d, "orders.parquet"))
+        out = {
+            (str(r["month"]), r["customer_kind"]): r
+            for r in CATALOG["orders_new_vs_repeat_revenue"]
+            .builder(spark, d)
+            .collect()
+        }
+    assert out[("2024-01-01", "new")]["revenue"] == 100.0
+    assert out[("2024-01-01", "repeat")]["revenue"] == 50.0
+    assert out[("2024-02-01", "repeat")]["revenue"] == 25.0
+    assert out[("2024-02-01", "new")]["revenue"] == 70.0
+    assert out[("2024-02-01", "new")]["n_orders"] == 1

@@ -869,3 +869,24 @@ def test_new_vs_repeat_revenue_hand_values(spark):
     assert out[("2024-02-01", "repeat")]["revenue"] == 25.0
     assert out[("2024-02-01", "new")]["revenue"] == 70.0
     assert out[("2024-02-01", "new")]["n_orders"] == 1
+
+
+def test_lorenz_ntile_remainder_distribution(spark):
+    """NTILE remainder goes to the LOWEST buckets in both engines
+    (cross-checked against DuckDB when this landed) — pin the Spark
+    side so the lorenz oracle stays safe at member counts the fixtures
+    never exercise (they divide evenly by 10)."""
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        lorenz_deciles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 14)], "m int, amt long"
+    )
+    rows = {
+        r["decile"]: r["n_members"]
+        for r in lorenz_deciles(
+            df, "m", F.col("amt").cast("decimal(12,2)")
+        ).collect()
+    }
+    assert [rows[k] for k in sorted(rows)] == [2, 2, 2, 1, 1, 1, 1, 1, 1, 1]

@@ -639,7 +639,11 @@ def ab_conversion_lift(
     0/0), which is exactly the degenerate readout a real experiment
     platform guards against; the first-event form stays a proper
     proportion at every scale. z_score is NULL when the pooled
-    standard error is 0 (all or none convert in both arms).
+    standard error is 0 (all or none convert in both arms). When a
+    variant arm is EMPTY (every user id shares one parity — or the
+    input itself is empty), the single readout row is still emitted
+    with NULL count/rate/lift/z for the missing side, never zero rows:
+    callers get a degenerate readout, not silence.
 
     Every float is one closed-form IEEE expression over exact longs
     (the supplier_return_rate_wilson determinism idiom): rates are one
@@ -650,8 +654,9 @@ def ab_conversion_lift(
 
     Scale shape: one user-keyed window pass (row_number over the
     user's events) feeding a user-grain aggregate on the SAME
-    partitioning (no second exchange), then a 2-row variant aggregate
-    and a 1-row cross of the two variants — driver-weightless.
+    partitioning (no second exchange), then a (<=2)-row variant
+    aggregate folded to one row by a conditional global aggregate —
+    no rider cross join, driver-weightless.
     Returns ONE row (n_a, n_b, conv_a, conv_b, rate_a, rate_b,
     abs_lift, z_score).
     """
@@ -676,14 +681,16 @@ def ab_conversion_lift(
         F.count("*").cast("long").alias("_n"),
         F.sum("_conv").cast("long").alias("_c"),
     )
-    a = variants.filter(F.col("_variant") == 0).select(
-        F.col("_n").alias("n_a"), F.col("_c").alias("conv_a")
+    # ONE conditional global aggregate over the (<=2)-row variants
+    # frame — no arm-filtered cross, so an empty arm (all user ids one
+    # parity) still yields the single degenerate-readout row with NULL
+    # counts/rates instead of silence.
+    both = variants.agg(
+        F.max(F.when(F.col("_variant") == 0, F.col("_n"))).alias("n_a"),
+        F.max(F.when(F.col("_variant") == 1, F.col("_n"))).alias("n_b"),
+        F.max(F.when(F.col("_variant") == 0, F.col("_c"))).alias("conv_a"),
+        F.max(F.when(F.col("_variant") == 1, F.col("_c"))).alias("conv_b"),
     )
-    b = variants.filter(F.col("_variant") == 1).select(
-        F.col("_n").alias("n_b"), F.col("_c").alias("conv_b")
-    )
-    # 1-row x 1-row cross: the allowlisted rider shape.
-    both = a.crossJoin(F.broadcast(b))
     rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
     rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
     pooled = (

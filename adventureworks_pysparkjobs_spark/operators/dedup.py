@@ -200,10 +200,17 @@ def sparse_cosine_pairs(
     terms — order-independent), each norm is sqrt of an integer, and
     the score is one closed-form IEEE expression
     ``dot / (sqrt(n1) * sqrt(n2))`` — bit-identical across engines
-    (+,-,*,/ and sqrt are all correctly rounded). An idf reweighting is
-    a per-term monotone scaling with the identical posting-list plan;
-    rational-idf variants belong to the BM25 family (text.py) — this
-    operator is the portable exact-score near-dup primitive.
+    (+,-,*,/ and sqrt are all correctly rounded). The score is exact
+    cosine in the RETAINED vocabulary (terms with df <= max_term_df):
+    capped stop terms are dropped from dot products AND norms alike, so
+    the cap prunes candidates without biasing surviving scores low
+    (norms over all terms would systematically underestimate cosine
+    for stop-term-heavy documents). df==1 terms stay in the norms —
+    they are retained vocabulary that correctly contributes 0 to every
+    dot. An idf reweighting is a per-term monotone scaling with the
+    identical posting-list plan; rational-idf variants belong to the
+    BM25 family (text.py) — this operator is the portable exact-score
+    near-dup primitive.
 
     Scale shape: one corpus-sized (id, term) aggregate, a term-grain
     posting-list expansion (never a row self-join), cost
@@ -221,17 +228,24 @@ def sparse_cosine_pairs(
         .groupBy("id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    norms = tf.groupBy("id").agg(
+    kept_terms = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("_df"))
+        .filter(F.col("_df") <= max_term_df)
+        .select("term")
+    )
+    kept = tf.join(kept_terms, "term")
+    norms = kept.groupBy("id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
     )
     postings = (
-        tf.groupBy("term")
+        kept.groupBy("term")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("id", "tf"))
             ).alias("ps")
         )
-        .filter((F.size("ps") >= 2) & (F.size("ps") <= max_term_df))
+        .filter(F.size("ps") >= 2)
     )
     pair_structs = F.flatten(
         F.transform(

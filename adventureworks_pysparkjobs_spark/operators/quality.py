@@ -472,20 +472,27 @@ def duplicate_payment_pairs(
     window_days: int = 90,
 ) -> DataFrame:
     """Duplicate-payment audit: pairs of records for the same entity
-    whose amounts fall in the same ``band_width`` band within
+    whose amounts differ by at most ``band_width`` within
     ``window_days`` of each other — the double-billing / double-refund
-    sweep every payments team runs. Banding is declared semantics
-    (floor of ONE double division — portable for the non-negative
-    amounts a payment fact guarantees), not float equality: exact-price
-    matching silently misses re-keyed retries, and a tolerance
-    predicate alone would force an unbanded self-join.
+    sweep every payments team runs. The amount tolerance is enforced
+    EXACTLY (``|amount_a - amount_b| <= band_width``, one IEEE
+    subtraction — portable): banding is only the join blocking, and
+    one side probes its own band plus both neighbors, so
+    near-identical amounts straddling a band boundary (999.99 vs
+    1000.01 at band_width=1000) are still paired — no boundary
+    false-negative class. Band = floor of ONE double division
+    (portable for the non-negative amounts a payment fact
+    guarantees).
 
-    Scale shape: a self equi-join keyed on (entity, band) — the band
-    key bounds each join group to one entity's same-priced records, so
-    the pair blow-up is per-entity-band quadratic, never global; the
-    day-window and id-order predicates prune inside the matched
-    group. Deterministic pair orientation via id_a < id_b. Returns
-    (entity, id_a, id_b, amount_a, amount_b, day_gap).
+    Scale shape: a self equi-join keyed on (entity, band) with a
+    3-band probe-side explode (constant 3x on ONE side, not a pair
+    blow-up) — the band key bounds each join group to one entity's
+    similar-priced records, so the matched set is per-entity-band
+    quadratic, never global; the amount, day-window and id-order
+    predicates prune inside the matched group. A pair meets via
+    exactly one probe offset (offset = band_b - band_a), so no dedup
+    pass is needed. Deterministic pair orientation via id_a < id_b.
+    Returns (entity, id_a, id_b, amount_a, amount_b, day_gap).
     """
     band = F.floor(
         F.col(amount_col) / F.lit(float(band_width))
@@ -498,10 +505,15 @@ def duplicate_payment_pairs(
         band.alias("_band"),
     )
     a = side.select(
-        "entity", "_band",
+        "entity",
         F.col("_id").alias("id_a"),
         F.col("_amt").alias("amount_a"),
         F.col("_dt").alias("_dt_a"),
+        F.explode(
+            F.array(
+                F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+            )
+        ).alias("_probe"),
     )
     b = side.select(
         F.col("entity").alias("_e2"), F.col("_band").alias("_b2"),
@@ -514,10 +526,16 @@ def duplicate_payment_pairs(
         a.join(
             b,
             (F.col("entity") == F.col("_e2"))
-            & (F.col("_band") == F.col("_b2"))
+            & (F.col("_probe") == F.col("_b2"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .filter(F.abs(gap) <= window_days)
+        .filter(
+            (F.abs(gap) <= window_days)
+            & (
+                F.abs(F.col("amount_a") - F.col("amount_b"))
+                <= F.lit(float(band_width))
+            )
+        )
         .select(
             "entity", "id_a", "id_b", "amount_a", "amount_b",
             gap.cast("int").alias("day_gap"),

@@ -912,8 +912,12 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(conv) AS BIGINT) AS c
       FROM per_user GROUP BY 1),
-    a AS (SELECT n AS n_a, c AS conv_a FROM v WHERE variant = 0),
-    b AS (SELECT n AS n_b, c AS conv_b FROM v WHERE variant = 1),
+    arms AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN variant = 0 THEN c END) AS conv_a,
+             MAX(CASE WHEN variant = 1 THEN c END) AS conv_b
+      FROM v),
     calc AS (
       SELECT n_a, n_b, conv_a, conv_b,
              CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
@@ -929,7 +933,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (CAST(n_a + n_b AS DOUBLE)
                   / CAST(n_a * n_b AS DOUBLE))
              ) AS se
-      FROM a, b)
+      FROM arms)
     SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b, abs_lift,
            CASE WHEN se = 0 THEN NULL ELSE abs_lift / se END AS z_score
     FROM calc

@@ -1119,15 +1119,15 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t(x)
       GROUP BY 1, 2
     ),
-    norms AS (
-      SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
-    ),
     dft AS (
       SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
     ),
     kept AS (
       SELECT tf.* FROM tf JOIN dft USING (term)
-      WHERE dft.df BETWEEN 2 AND 1000
+      WHERE dft.df <= 1000
+    ),
+    norms AS (
+      SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM kept GROUP BY 1
     ),
     dots AS (
       SELECT a.id AS id1, b.id AS id2,
@@ -1155,9 +1155,11 @@ def doc_term_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     term inverted index — weighs repeated terms where Jaccard sees only
     set overlap, and needs no embeddings where emb_near_dup_pairs does.
     Integer-exact dot products off a stop-term-capped posting-list
-    expansion (never a row self-join); each score is one closed-form
-    IEEE expression over exact longs (div + correctly-rounded sqrt),
-    bit-matched by the oracle."""
+    expansion (never a row self-join); norms span the same retained
+    vocabulary as the dots (df <= cap), so scores are exact cosine in
+    that subspace, not biased low for stop-term-heavy docs; each score
+    is one closed-form IEEE expression over exact longs (div +
+    correctly-rounded sqrt), bit-matched by the oracle."""
     return D.sparse_cosine_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.6,

@@ -1142,17 +1142,21 @@ def lineitem_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', a.dt, b.dt) AS INTEGER) AS day_gap
     FROM side a
     JOIN side b
-      ON a.entity = b.entity AND a.band = b.band AND a.id < b.id
+      ON a.entity = b.entity AND a.id < b.id
+     AND b.band BETWEEN a.band - 1 AND a.band + 1
     WHERE abs(date_diff('day', a.dt, b.dt)) <= 90
+      AND abs(a.amt - b.amt) <= CAST(1000 AS DOUBLE)
     """,
     tags=("governance", "fraud", "duplicate-detection", "self-join"),
 )
 def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-billing sweep over the order fact: same customer, order
-    totals in the same $1000 band, within 90 days — a banded self
-    equi-join whose pair blow-up is bounded per (customer, band)
-    group, never global. Band = floor of one portable double division
-    (amounts are non-negative by contract)."""
+    totals within $1000 of each other, within 90 days — a banded self
+    equi-join (3-band probe explode, so boundary-straddling amounts
+    still pair) whose matched set is bounded per (customer, band)
+    group, never global; the exact |amount diff| <= $1000 predicate
+    prunes inside the matched group. Band = floor of one portable
+    double division (amounts are non-negative by contract)."""
     from ..operators.quality import duplicate_payment_pairs
 
     od = load_table(spark, sf_dir, "orders")

@@ -133,18 +133,27 @@ def _oracle_child(name: str, sf_dir: str) -> None:
     el = time.perf_counter() - t0
     # 1 ms floor: a sub-millisecond oracle must NOT round to 0.0 and
     # silently drop out of the parent's dual-timed set — those are the
-    # entries where DuckDB is fastest, i.e. our worst ratios.
-    print(json.dumps({"sec": round(max(el, 0.001), 3), "rows": len(rows)}))
+    # entries where DuckDB is fastest, i.e. our worst ratios. sec_raw
+    # keeps the unfloored elapsed so the artifact records the
+    # unflattering ratio too (the floor alone can cut a reported ratio
+    # severalfold on the fastest oracles).
+    print(json.dumps({
+        "sec": round(max(el, 0.001), 3),
+        "sec_raw": round(el, 6),
+        "rows": len(rows),
+    }))
 
 
 def _time_oracles(
     bench_queries: dict, sf_dir: str
-) -> tuple[dict, dict]:
-    """Time each bench entry's oracle in its own subprocess."""
+) -> tuple[dict, dict, dict]:
+    """Time each bench entry's oracle in its own subprocess. Returns
+    (floored sec, raw unfloored sec, status) per entry."""
     import subprocess
 
     cap = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "60"))
     oracle_sec: dict[str, float | None] = {}
+    oracle_sec_raw: dict[str, float | None] = {}
     oracle_status: dict[str, str] = {}
     for name, q in sorted(bench_queries.items()):
         if q.oracle is None:
@@ -167,6 +176,7 @@ def _time_oracles(
                 continue
             payload = json.loads(res.stdout.strip().splitlines()[-1])
             sec = payload["sec"]
+            oracle_sec_raw[name] = payload.get("sec_raw", sec)
             if sec > cap:
                 oracle_sec[name] = cap
                 oracle_status[name] = "timeout"
@@ -179,7 +189,7 @@ def _time_oracles(
             oracle_sec[name] = cap
             oracle_status[name] = "timeout"
             print(f"# oracle {name}: TIMEOUT >{cap}s", file=sys.stderr)
-    return oracle_sec, oracle_status
+    return oracle_sec, oracle_sec_raw, oracle_status
 
 
 def main() -> None:
@@ -248,7 +258,9 @@ def main() -> None:
     # Stop Spark BEFORE the oracle pass so the JVM's 32 threads and heap
     # aren't loading the box while DuckDB is being timed (fairness).
     spark.stop()
-    oracle_sec, oracle_status = _time_oracles(bench_queries, sf_dir)
+    oracle_sec, oracle_sec_raw, oracle_status = _time_oracles(
+        bench_queries, sf_dir
+    )
 
     dual = {
         n for n in ok
@@ -257,6 +269,14 @@ def main() -> None:
     }
     ratio = {
         n: round(timings[n] / oracle_sec[n], 3) for n in sorted(dual)
+    }
+    # Unfloored ratios: the 1 ms floor (and the view-binding exclusion)
+    # understate spark/duck on the fastest oracles — keep the
+    # unflattering number in the full artifact alongside the gated one.
+    ratio_raw = {
+        n: round(timings[n] / oracle_sec_raw[n], 3)
+        for n in sorted(dual)
+        if oracle_sec_raw.get(n)
     }
     pathological = {
         n for n in dual
@@ -296,8 +316,10 @@ def main() -> None:
         "core13_sec": core13,
         "sf": sf,
         "oracle_sec": oracle_sec,
+        "oracle_sec_raw": oracle_sec_raw,
         "oracle_status": oracle_status,
         "ratio": ratio,
+        "ratio_raw": ratio_raw,
         "gate2x": gate,
     }
     if errors:

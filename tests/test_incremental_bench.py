@@ -24,6 +24,7 @@ economizes at 100 TB:
 from __future__ import annotations
 
 import time
+import warnings
 
 from pyspark.sql import functions as F
 
@@ -150,11 +151,18 @@ def test_scd2_merge_is_o_batch_not_o_history(spark, tmp_path):
     # regression where the incremental path does MORE work than rebuild.
     # ...and even 3x flaked once under a FULLY co-located second Spark
     # session (r6), so the wall-clock half additionally gates on a quiet
-    # box — sampled before this test started its own work.
-    assert not quiet or merge_t <= rebuild_t * 3.0, (
-        f"scd2_merge wall-clock {merge_t:.2f}s vs rebuild "
-        f"{rebuild_t:.2f}s — incremental path slower than rebuilding"
-    )
+    # box — sampled before this test started its own work. The skip is
+    # VISIBLE (warning in the report), never a silent vacuous pass.
+    if not quiet:
+        warnings.warn(
+            "box loaded: scd2 wall-clock assert skipped "
+            f"(merge {merge_t:.2f}s vs rebuild {rebuild_t:.2f}s unchecked)"
+        )
+    else:
+        assert merge_t <= rebuild_t * 3.0, (
+            f"scd2_merge wall-clock {merge_t:.2f}s vs rebuild "
+            f"{rebuild_t:.2f}s — incremental path slower than rebuilding"
+        )
 
 
 def test_dedup_against_is_o_batch_not_o_history(spark, tmp_path):
@@ -233,9 +241,16 @@ def test_dedup_against_is_o_batch_not_o_history(spark, tmp_path):
     # passed clean in isolation).
     # quiet-box gate on top of the 3x factor (see _box_is_quiet): the
     # r6 full-suite run co-located with a second Spark session pushed
-    # even this ratio past 3x while every structural assert held.
-    assert not quiet or inc_t <= full_t * 3.0, (
-        f"dedup_against wall-clock {inc_t:.2f}s vs full {full_t:.2f}s"
-    )
+    # even this ratio past 3x while every structural assert held. The
+    # skip is VISIBLE (warning in the report), never a silent pass.
+    if not quiet:
+        warnings.warn(
+            "box loaded: dedup_against wall-clock assert skipped "
+            f"(inc {inc_t:.2f}s vs full {full_t:.2f}s unchecked)"
+        )
+    else:
+        assert inc_t <= full_t * 3.0, (
+            f"dedup_against wall-clock {inc_t:.2f}s vs full {full_t:.2f}s"
+        )
     # semantic spot-check while we're here: only novel docs survive
     assert dedup_against(batch_pq, seen).count() == n_batch // 2

@@ -1,0 +1,117 @@
+"""Round-7 regression tests: pin the ADVICE-driven semantics changes
+(adjacent-band duplicate-payment matching, empty-arm A/B readout,
+retained-vocabulary cosine norms) on hand-computable micro-fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_sparse_cosine_norms_exclude_capped_terms(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        sparse_cosine_pairs,
+    )
+
+    # "the" has df=4 > cap=3 and is dropped from dots AND norms, so the
+    # (1,2) score is exact cosine in the retained vocabulary {apple,
+    # cherry, unique}: 1.0 — norms-over-all-terms would have
+    # reported 0.5.
+    docs = spark.createDataFrame(
+        [
+            (1, "the apple"),
+            (2, "the apple"),
+            (3, "the cherry"),
+            (4, "the apple unique"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id1"], r["id2"]): r["cosine_sim"]
+        for r in sparse_cosine_pairs(
+            docs, threshold=0.0, max_term_df=3
+        ).collect()
+    }
+    assert rows[(1, 2)] == 1.0
+    # df==1 terms stay retained vocabulary: "unique" contributes to
+    # doc 4's norm (it correctly adds 0 to every dot product).
+    assert rows[(1, 4)] == 1 / (1.0 * math.sqrt(2))
+    # doc 3 shares only the capped term with anyone -> no pairs.
+    assert not any(3 in k for k in rows)
+
+
+def test_duplicate_payment_pairs_boundary_straddle(spark):
+    from adventureworks_pysparkjobs_spark.operators.quality import (
+        duplicate_payment_pairs,
+    )
+
+    od = spark.createDataFrame(
+        [
+            # straddles the 1000 band edge, diff 0.02 -> pair (the
+            # false-negative class the same-band-only join missed)
+            (1, 10, "O", 999.99, "2024-01-01 00:00:00", "x"),
+            (2, 10, "O", 1000.01, "2024-01-03 00:00:00", "x"),
+            # adjacent bands but diff 1800 > band_width -> no pair
+            (3, 11, "O", 1100.0, "2024-01-01 00:00:00", "x"),
+            (4, 11, "O", 2900.0, "2024-01-02 00:00:00", "x"),
+            # same band, diff < band_width -> pair (unchanged behavior)
+            (5, 12, "O", 1200.0, "2024-01-01 00:00:00", "x"),
+            (6, 12, "O", 1900.0, "2024-01-06 00:00:00", "x"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    rows = duplicate_payment_pairs(
+        od, "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
+        band_width=1000.0, window_days=90,
+    ).collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in rows)
+    # each pair exactly once (a pair meets via exactly one probe offset)
+    assert pairs == [(1, 2), (5, 6)]
+    by_pair = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert by_pair[(1, 2)]["day_gap"] == 2
+
+
+def test_ab_lift_empty_arm_emits_null_row(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        ab_conversion_lift,
+    )
+
+    # every user id is even -> variant B arm is empty; the readout row
+    # must still appear with NULLs on the B side, not vanish.
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 0, "purchase", 1.0, None),
+            (2, "2024-01-01 00:01:00", 2, "click", 1.0, None),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = ab_conversion_lift(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_a"], r["conv_a"]) == (2, 1)
+    assert r["rate_a"] == 0.5
+    assert r["n_b"] is None and r["conv_b"] is None
+    assert r["rate_b"] is None and r["abs_lift"] is None
+    assert r["z_score"] is None
+
+
+def test_ab_lift_empty_input_emits_null_row(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        ab_conversion_lift,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = ab_conversion_lift(ev).collect()
+    assert len(rows) == 1
+    assert all(
+        rows[0][c] is None
+        for c in ("n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
+                  "abs_lift", "z_score")
+    )

@@ -35,7 +35,6 @@ CROSS_OK = {
     "customer_t_closeness",  # 1-row global-total (N) broadcast cross
     "orders_seasonality_index",  # 1-row grand-average broadcast cross
     "customer_reident_risk",  # 1-row class-totals broadcast cross
-    "events_ab_lift",  # 1-row x 1-row variant-arm broadcast cross
     "part_copurchase_assortativity",  # 1-row moment-sums x node-count cross
 
     "emb_cosine_topk",

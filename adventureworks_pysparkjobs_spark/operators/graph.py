@@ -338,6 +338,89 @@ def path_to_root(
     )
 
 
+def link_prediction(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    top_k: int = 100,
+    max_witness_degree: int = 500,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected canonical
+    edge list (``a < b``, distinct): for every NON-adjacent pair
+    sharing at least one common neighbor, the common-neighbor count
+    and the neighborhood Jaccard cn/(deg_a + deg_b − cn) — the classic
+    "parts bought with the same companions but never together yet"
+    recommendation primitive. Top ``top_k`` candidates under the total
+    order (cn DESC, a, b) — fully deterministic at the limit boundary.
+
+    ``max_witness_degree`` caps which nodes may SERVE AS the common
+    neighbor: a hub adjacent to everything witnesses a quadratic
+    candidate set while carrying no similarity signal (every pair
+    shares it) — the same argument as the stop-term df cap in
+    sparse_cosine_pairs. Declared semantics: cn (and therefore
+    jaccard) counts only witnesses with degree <= the cap, so reported
+    scores are a lower bound on the uncapped values; degrees in the
+    denominator stay FULL-graph degrees.
+
+    Scale shape: the wedge self-join is keyed on the witness node and
+    its blow-up is sum over witnesses of deg², bounded by the witness
+    cap — never global-quadratic; the existing-edge removal is a keyed
+    LEFT ANTI join; degree lookups are node-grain equi-joins; the
+    top-k is orderBy+limit (TakeOrderedAndProject — per-partition
+    heaps, no full sort materialization). jaccard is ONE division of
+    exact longs — bit-identical across engines.
+
+    Returns (item_a, item_b, common_neighbors BIGINT, deg_a BIGINT,
+    deg_b BIGINT, jaccard DOUBLE).
+    """
+    ea = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    stubs = ea.select(F.col("x").alias("node"), F.col("y").alias("nb")).unionAll(
+        ea.select(F.col("y").alias("node"), F.col("x").alias("nb"))
+    )
+    deg = stubs.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    witnesses = deg.filter(F.col("deg") <= max_witness_degree).select(
+        F.col("node").alias("w")
+    )
+    adj = stubs.select(F.col("node").alias("w"), F.col("nb")).join(
+        witnesses, "w"
+    )
+    a1 = adj.select("w", F.col("nb").alias("u"))
+    a2 = adj.select("w", F.col("nb").alias("v"))
+    cand = (
+        a1.join(a2, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    non_adjacent = cand.join(
+        ea,
+        (cand["u"] == ea["x"]) & (cand["v"] == ea["y"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_a"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_b"))
+    scored = (
+        non_adjacent.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("item_a"),
+            F.col("v").alias("item_b"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common_neighbors").desc(), "item_a", "item_b"
+    ).limit(top_k)
+
+
 def degree_assortativity(
     edges: DataFrame, a_col: str = "item_a", b_col: str = "item_b"
 ) -> DataFrame:

@@ -236,3 +236,145 @@ def hashed_linear_scores(
             (F.col("logit_scaled") > 0).alias("is_positive"),
         )
     )
+
+
+def conformal_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    label_col: str = "label",
+    alphas: tuple[tuple[int, int], ...] = ((1, 20), (1, 10), (1, 5)),
+    split_salt: str = "conf",
+) -> DataFrame:
+    """Split-conformal gating thresholds for a classifier score, with
+    empirical test-split coverage — the distribution-free guarantee a
+    corpus-filtering team wants before gating on a score: "keep docs
+    with score >= t" retains at least (1 − alpha) of true positives in
+    expectation, no matter how miscalibrated the scorer is.
+
+    Standard split conformal on the POSITIVE-labeled rows: an md5
+    parity of ``id_col`` (salted — the leakage-safe-split idiom) cuts
+    them into calibration/test halves; for each miscoverage level
+    alpha = num/den the threshold is the k-th smallest calibration
+    score with k = max(1, floor(alpha·(n_cal + 1))) — EXACT integer
+    arithmetic ((num·(n_cal+1)) div den on non-negative operands, the
+    engine-portable floor) — and the test half reports how many
+    positives the gate keeps. Scores may be any double computed
+    identically in both engines (ties order identically — the AUC
+    idiom); alpha and coverage are one IEEE division each.
+
+    Scale shape: the raw rows reduce to VALUE grain (groupBy score)
+    before any window, so the rank-selection cumsum runs over the
+    reduced value-grain frame (post-aggregate single-partition window
+    — the Lorenz pattern); alphas attach by exploding a 3-literal
+    array onto the reduced frames and equi-joining the 1-row-derived
+    k table on (num, den) — no nested-loop joins anywhere. Returns one
+    row per alpha: (alpha, n_cal, cal_rank, threshold, n_test,
+    n_covered, coverage); empty when the calibration or test split has
+    no positive rows (degenerate input — nothing to calibrate on).
+    """
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{split_salt}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    pos = df.filter(F.col(label_col)).select(
+        F.col(score_col).alias("score"), (bucket == 0).alias("_is_cal")
+    )
+    cal = pos.filter(F.col("_is_cal"))
+    tst = pos.filter(~F.col("_is_cal"))
+
+    alpha_arr = F.array(
+        *[
+            F.struct(
+                F.lit(num).alias("num"), F.lit(den).alias("den")
+            )
+            for num, den in alphas
+        ]
+    )
+    kf = (
+        cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+        .select("n_cal", F.explode(alpha_arr).alias("a"))
+        .select(
+            F.col("a.num").alias("num"),
+            F.col("a.den").alias("den"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(num * (n_cal + 1)) div den"),
+            ).alias("k"),
+            "n_cal",
+        )
+    )
+
+    calv = cal.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = calv.select(
+        "score", F.sum("cnt").over(w).cast("long").alias("cum")
+    ).select(
+        "score", "cum", F.explode(alpha_arr).alias("a")
+    ).select(
+        "score", "cum",
+        F.col("a.num").alias("num"), F.col("a.den").alias("den"),
+    )
+    th = (
+        cum.join(kf, ["num", "den"])
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("num", "den", "k", "n_cal")
+        .agg(F.min("score").alias("threshold"))
+    )
+
+    tstv = (
+        tst.groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "score", "cnt", F.explode(alpha_arr).alias("a")
+        )
+        .select(
+            "score", "cnt",
+            F.col("a.num").alias("num"), F.col("a.den").alias("den"),
+        )
+    )
+    cov = (
+        tstv.join(th, ["num", "den"])
+        .groupBy("num", "den", "k", "n_cal", "threshold")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("score") >= F.col("threshold"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_covered"),
+        )
+    )
+    return cov.select(
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "alpha"
+        ),
+        "n_cal",
+        F.col("k").alias("cal_rank"),
+        "threshold",
+        "n_test",
+        "n_covered",
+        F.when(F.col("n_test") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+        )
+        .alias("coverage"),
+    )

@@ -1195,6 +1195,76 @@ def part_copurchase_assortativity(
 
 
 @query(
+    "part_link_prediction",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY 1),
+    adj AS (
+      SELECT p.a AS w, p.b AS nb FROM pairs p
+      UNION ALL SELECT p.b, p.a FROM pairs p),
+    cadj AS (
+      SELECT adj.w, adj.nb FROM adj
+      JOIN deg ON deg.node = adj.w AND deg.deg <= 500),
+    cand AS (
+      SELECT a1.nb AS u, a2.nb AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM cadj a1 JOIN cadj a2 ON a1.w = a2.w AND a1.nb < a2.nb
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT c.u, c.v, c.cn
+      FROM cand c LEFT JOIN pairs p ON c.u = p.a AND c.v = p.b
+      WHERE p.a IS NULL)
+    SELECT n.u AS item_a, n.v AS item_b, n.cn AS common_neighbors,
+           du.deg AS deg_a, dv.deg AS deg_b,
+           CAST(n.cn AS DOUBLE)
+             / CAST(du.deg + dv.deg - n.cn AS DOUBLE) AS jaccard
+    FROM nonedge n
+    JOIN deg du ON du.node = n.u
+    JOIN deg dv ON dv.node = n.v
+    ORDER BY common_neighbors DESC, item_a, item_b
+    LIMIT 100
+    """,
+    tags=("graph", "link-prediction", "recommendation", "jaccard"),
+)
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-purchase graph (same
+    edge construction as the pagerank/triangles/assortativity entries):
+    the top-100 NON-adjacent part pairs by shared-companion count, with
+    neighborhood Jaccard — "bought alongside the same parts but never
+    together yet", the co-sell recommendation candidate list. Witness
+    role capped at degree 500 (a hub witnesses every pair and carries
+    no signal — the stop-term-cap argument), candidate set bounded by
+    sum(deg² over witnesses), never global-quadratic; deterministic
+    limit boundary via the (cn DESC, a, b) total order; jaccard is one
+    division of exact longs."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    return link_prediction(
+        pairs, "item_a", "item_b", top_k=100, max_witness_degree=500
+    )
+
+
+@query(
     "events_adoption_curve",
     oracle="""
     WITH firsts AS (

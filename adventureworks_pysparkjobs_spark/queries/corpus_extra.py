@@ -1575,3 +1575,126 @@ def doc_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_overlap(docs, "source", "text")
+
+
+@query(
+    "doc_classifier_conformal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '') AS toks
+         FROM documents), unnest(toks) AS t(tk)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('qc:' || tk), 1, 4) AS INTEGER)
+               % 4096 AS feature
+      FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM feat GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT DISTINCT feature,
+             CAST(CAST('0x' || substr(md5('w:' || feature), 1, 4)
+                       AS BIGINT) % 2001 - 1000 AS BIGINT) AS w_scaled
+      FROM feat
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf * w.w_scaled) AS BIGINT) AS logit_scaled
+      FROM tf JOIN w ON w.feature = tf.feature
+      GROUP BY 1
+    ),
+    pos AS (
+      SELECT s.doc_id,
+             CAST(s.logit_scaled AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+               AS score,
+             CAST('0x' || substr(md5('conf:' || s.doc_id), 1, 4)
+                  AS INTEGER) % 2 = 0 AS is_cal
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en'
+    ),
+    ncal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM pos WHERE is_cal
+    ),
+    alphas(num, den) AS (VALUES (1, 20), (1, 10), (1, 5)),
+    kf AS (
+      SELECT a.num, a.den,
+             GREATEST(CAST((a.num * (n.n_cal + 1)) // a.den AS BIGINT),
+                      1) AS k,
+             n.n_cal
+      FROM alphas a, ncal n
+    ),
+    calv AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pos WHERE is_cal GROUP BY 1
+    ),
+    cum AS (
+      SELECT score, CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum
+      FROM calv
+    ),
+    th AS (
+      SELECT kf.num, kf.den, kf.k, kf.n_cal, MIN(c.score) AS threshold
+      FROM cum c JOIN kf ON c.cum >= kf.k
+      GROUP BY 1, 2, 3, 4
+    ),
+    tstv AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pos WHERE NOT is_cal GROUP BY 1
+    ),
+    cov AS (
+      SELECT th.num, th.den, th.k, th.n_cal, th.threshold,
+             CAST(SUM(t.cnt) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN t.score >= th.threshold THEN t.cnt
+                           ELSE 0 END) AS BIGINT) AS n_covered
+      FROM th, tstv t
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS alpha,
+           n_cal, k AS cal_rank, threshold, n_test, n_covered,
+           CASE WHEN n_test = 0 THEN NULL
+                ELSE CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+           END AS coverage
+    FROM cov
+    """,
+    tags=("text", "classifier", "conformal", "coverage", "ml-ops"),
+)
+def doc_classifier_conformal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal gating report for the hashed linear quality
+    classifier (operators/lm.py:conformal_gate): on the positive-label
+    (lang='en') docs, an md5-parity calibration/test split, the exact
+    k-th-smallest-calibration-score threshold per miscoverage level
+    alpha in {0.05, 0.1, 0.2}, and the test split's empirical
+    coverage — the distribution-free "gate at t keeps >= 1-alpha of
+    true positives" guarantee a corpus-filtering team wants before
+    thresholding ANY score, calibrated or not. Rank selection runs on
+    the value-grain reduced frame (the Lorenz cumsum pattern), alphas
+    attach by literal-array explode + equi-join — no nested loops; the
+    per-token score and every output float are the engine-portable
+    closed forms."""
+    from ..operators.lm import (
+        conformal_gate,
+        hashed_linear_scores,
+        pseudo_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(
+        docs, pseudo_weights(spark, 4096, "w", 1000)
+    )
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        (
+            F.col("logit_scaled").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return conformal_gate(scored)

@@ -115,3 +115,60 @@ def test_ab_lift_empty_input_emits_null_row(spark):
         for c in ("n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
                   "abs_lift", "z_score")
     )
+
+
+def test_link_prediction_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # square 1-2-4-3-1 plus diagonal 2-3: the only non-adjacent pair is
+    # (1,4) with common neighbors {2,3}.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "a long, b long"
+    )
+    rows = link_prediction(edges, "a", "b", top_k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["item_a"], r["item_b"], r["common_neighbors"]) == (1, 4, 2)
+    assert (r["deg_a"], r["deg_b"]) == (2, 2)
+    assert r["jaccard"] == 1.0  # 2 / (2 + 2 - 2)
+
+    # witness cap below every degree -> no wedges survive
+    assert (
+        link_prediction(edges, "a", "b", top_k=10, max_witness_degree=1)
+        .count()
+        == 0
+    )
+
+
+def test_conformal_gate_matches_reference_rank(spark):
+    import hashlib
+
+    from adventureworks_pysparkjobs_spark.operators.lm import conformal_gate
+
+    n = 200
+    rows = [(i, float(i), True) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label boolean")
+    out = {r["alpha"]: r for r in conformal_gate(df).collect()}
+    assert set(out) == {0.05, 0.1, 0.2}
+
+    # replicate the md5-parity split and the k-th-smallest rule in pure
+    # python; thresholds and coverage must agree exactly
+    def bucket(i):
+        return int(hashlib.md5(f"conf:{i}".encode()).hexdigest()[:4], 16) % 2
+
+    cal = sorted(float(i) for i in range(n) if bucket(i) == 0)
+    tst = [float(i) for i in range(n) if bucket(i) == 1]
+    for num, den in ((1, 20), (1, 10), (1, 5)):
+        r = out[num / den]
+        k = max(1, (num * (len(cal) + 1)) // den)
+        thr = cal[k - 1]
+        assert r["n_cal"] == len(cal)
+        assert r["cal_rank"] == k
+        assert r["threshold"] == thr
+        assert r["n_test"] == len(tst)
+        assert r["n_covered"] == sum(1 for s in tst if s >= thr)
+        assert r["coverage"] == r["n_covered"] / r["n_test"]
+        # the conformal promise on an exchangeable split
+        assert r["coverage"] >= 1 - num / den - 0.05

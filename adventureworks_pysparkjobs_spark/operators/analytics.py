@@ -1037,3 +1037,136 @@ def peak_concurrency(
         F.max("peak_at_ts").alias("peak_concurrency"),
         F.count("*").cast("long").alias("n_boundaries"),
     )
+
+
+def fano_burstiness(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Burstiness (Fano factor = sample variance / mean of the daily
+    count series) per key — the dispersion index that separates a
+    steady drip (Fano ≈ 1, Poisson-like) from bursty campaign traffic
+    (Fano >> 1), the first diagnostic an event-volume anomaly triage
+    reads. The series for each key is DENSIFIED over the key's OWN
+    active span (min..max day, zero-filled) — declared semantics: a
+    key absent for a month in the middle of its span counts those
+    zeros, but is not penalized for days before launch or after
+    retirement.
+
+    Exactness: days live as epoch-day INTEGERS (no date-type
+    divergence), counts and the moment sums Σx, Σx² are exact BIGINTs
+    carried as DECIMAL(38,0) (n·Σx² overflows BIGINT for ~10⁹-event
+    days), and fano = (n·Σx² − S²) / ((n−1)·S) is ONE division of
+    string-cast-rendered exact operands — bit-identical across
+    engines. NULL when the span is a single day or the key has no
+    events (S = 0 cannot happen for an observed key).
+
+    Scale shape: one (key, day) keyed aggregate off the raw scan; one
+    key-grain span aggregate; a bounded per-key explode of the day
+    sequence (span-sized, calendar-bounded); one keyed left join of
+    the dense spine against the daily counts; one key-grain moment
+    aggregate. No windows over raw rows, no cross joins.
+    Returns (key, n_days BIGINT, n_events BIGINT, fano DOUBLE).
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01")
+    ).alias("d")
+    daily = (
+        df.select(F.col(key_col).alias("key"), day)
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    span = daily.groupBy("key").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "key", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    dense = spine.join(daily, ["key", "d"], "left").select(
+        "key", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    d38 = "decimal(38,0)"
+    sums = dense.groupBy("key").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    num = _dbl(F.col("n") * F.col("sxx") - F.col("s") * F.col("s"))
+    den = _dbl((F.col("n") - 1) * F.col("s"))
+    return sums.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("n_events"),
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(num / den)
+        .alias("fano"),
+    )
+
+
+def daily_autocorr(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Lag-1 autocorrelation of the global daily event-count series —
+    the one-scalar "is today predictive of tomorrow" check that
+    separates trending/weekly-cycled traffic (r near ±1) from
+    memoryless noise (r ≈ 0), run before anyone fits a forecaster.
+    The series is densified over the observed min..max day span
+    (zero-filled), then r is the Pearson correlation over the
+    (x_d, x_{d+1}) pairs.
+
+    Exactness: epoch-day integers; the consecutive-day pairing is a
+    keyed EQUI self-join on d+1 (no window, no sort); all five moment
+    sums are exact integers as DECIMAL(38,0); r is one closed-form
+    IEEE tree over string-cast-rendered operands (the assortativity
+    idiom). NULL when either margin is constant (zero variance).
+
+    Scale shape: raw rows reduce to day grain map-side FIRST; the
+    dense spine explodes off a 1-row (min,max) aggregate; everything
+    after is day-grain — thousands of rows per decade of data at ANY
+    corpus scale. Returns ONE row (n_pairs, autocorr_lag1).
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01")
+    ).alias("d")
+    daily = (
+        df.select(day)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    spine = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x")
+    )
+    nxt = dense.select((F.col("d") - 1).alias("d"), F.col("x").alias("y"))
+    pairs = dense.join(nxt, "d").select("x", "y")
+    d38 = "decimal(38,0)"
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast(d38).alias("m"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    num = _dbl(F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    var_x = _dbl(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    var_y = _dbl(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    den = F.sqrt(var_x) * F.sqrt(var_y)
+    return sums.select(
+        F.col("m").cast("long").alias("n_pairs"),
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(num / den)
+        .alias("autocorr_lag1"),
+    )

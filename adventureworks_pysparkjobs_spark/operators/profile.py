@@ -934,3 +934,57 @@ def lorenz_deciles(
             / F.sum("n_members").over(wall).cast("double")
         ).alias("pop_share"),
     )
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square contingency table for two categorical columns: per
+    observed (row, col) cell, the count, the independence-model
+    expectation row_total·col_total/N, and the cell's chi-square
+    contribution (obs − exp)²/exp — the association audit that says
+    whether e.g. ship mode and return flag are independent before
+    anyone trusts a segmented metric. Contributions are emitted PER
+    CELL, not summed: a float sum across cells is order-dependent
+    cross-engine, and the per-cell table is what the analyst reads
+    anyway (which cells drive the dependence).
+
+    Exactness: counts and totals are exact BIGINTs; row/col/grand
+    totals come from window sums OVER THE REDUCED cell-grain frame
+    (the temperature_mixture idiom — one scan, no re-aggregation
+    joins, and the unpartitioned window carries only |rows|·|cols|
+    post-agg cells); expected and contribution are fixed IEEE trees
+    over exact casts, bit-identical both engines.
+
+    Returns (row_col, col_col, n BIGINT, expected DOUBLE,
+    chi2_contrib DOUBLE).
+    """
+    cells = (
+        df.select(
+            F.col(row_col).alias("r"), F.col(col_col).alias("c")
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rt = F.sum("n").over(Window.partitionBy("r")).cast("long")
+    ct = F.sum("n").over(Window.partitionBy("c")).cast("long")
+    gt = F.sum("n").over(Window.partitionBy()).cast("long")
+    with_tot = cells.select(
+        "r", "c", "n",
+        rt.alias("rt"), ct.alias("ct"), gt.alias("gt"),
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("gt").cast("double")
+    )
+    dev = F.col("n").cast("double") - F.col("exp")
+    return with_tot.withColumn("exp", exp).select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        "n",
+        F.col("exp").alias("expected"),
+        (dev * dev / F.col("exp")).alias("chi2_contrib"),
+    )

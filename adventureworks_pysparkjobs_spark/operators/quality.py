@@ -541,3 +541,60 @@ def duplicate_payment_pairs(
             gap.cast("int").alias("day_gap"),
         )
     )
+
+
+def key_gap_islands(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Gaps-and-islands audit of an integer surrogate-key column: the
+    ``top_k`` largest runs of MISSING keys between the column's min and
+    max — the "did the loader drop a batch / did the sequence skip"
+    sweep a warehouse runs on every id-bearing fact. Returns
+    (gap_start, gap_end, gap_len BIGINT), largest first, deterministic
+    at the limit boundary via the (len DESC, start) total order.
+
+    Scale shape: keys reduce to DISTINCT first (a HashAggregate — also
+    the audit-correct move: the column under audit may itself carry
+    duplicates), island ends/starts fall out of two keyed self
+    anti-joins (k present, k+1 / k-1 absent), and only the BOUNDARY
+    frame — two rows per island, not per key — flows through the
+    global row_number pairing windows and the final top-k
+    (TakeOrderedAndProject). Mostly-contiguous keys (the audit's
+    premise) keep that frame tiny; a pathological every-other-key
+    input degrades to O(keys), which is exactly the input such an
+    audit exists to catch. All arithmetic is exact BIGINT.
+    """
+    from pyspark.sql import Window
+
+    keys = (
+        df.select(F.col(key_col).cast("long").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    shifted_up = keys.select((F.col("k") + 1).alias("k"))
+    shifted_dn = keys.select((F.col("k") - 1).alias("k"))
+    # k is an island END when k+1 is absent <=> k not in (present - 1)
+    ends = keys.join(shifted_dn, "k", "left_anti")
+    starts = keys.join(shifted_up, "k", "left_anti")
+    w = Window.orderBy("k")
+    e = ends.select(
+        F.col("k").alias("end_k"), F.row_number().over(w).alias("rn")
+    )
+    s = starts.select(
+        F.col("k").alias("start_k"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+    # i-th island end pairs with the (i+1)-th island start; the global
+    # max (last end) and min (first start) drop out of the inner join.
+    return (
+        e.join(s, "rn")
+        .select(
+            (F.col("end_k") + 1).alias("gap_start"),
+            (F.col("start_k") - 1).alias("gap_end"),
+            (F.col("start_k") - F.col("end_k") - 1).alias("gap_len"),
+        )
+        .orderBy(F.col("gap_len").desc(), "gap_start")
+        .limit(top_k)
+    )

@@ -836,3 +836,74 @@ def vocab_overlap(
             ).alias("containment_b_in_a"),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` terms by
+    rational tf-idf score tf·N/df — the log-free monotone transform of
+    classic tf-idf (log is monotone in df, so the per-document RANKING
+    of terms is close to the textbook score while every value stays an
+    engine-portable closed form; the same trade the BM25 operator
+    makes). The per-doc keyword list is the lightweight topic signal a
+    corpus browser or dedup-explainer shows next to each document.
+
+    Exactness: tf, df, N are exact BIGINTs; the score is ONE IEEE
+    division of the exact product tf·N (cast long — tf ≤ doc length,
+    N ≤ corpus docs, product < 2⁶³ through ~10¹⁰-doc corpora with
+    ~10⁶-token docs would overflow, so it is carried as DECIMAL(38,0)
+    and rendered via the portable string cast); ranking ties break on
+    the term string — a total order, so row_number is deterministic.
+
+    Scale shape: one (doc, term) keyed agg; one term-grain df agg
+    (AQE sizes the join back); the doc-count rider attaches via a
+    window sum over the REDUCED term-grain df frame — no 1-row cross
+    join; the final ranking is a doc-keyed window (uniform key).
+    Returns (id, rank INT, term, tf BIGINT, df BIGINT, tfidf DOUBLE).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .select("id", F.lower(F.col("t")).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    # N = docs with at least one token (doc grain, double-reduced)
+    n_frame = (
+        tf.groupBy("id")
+        .agg(F.lit(1).alias("_one"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dfn = dft.join(F.broadcast(n_frame))  # 1-row, aggregate-reduced
+    d38 = "decimal(38,0)"
+    score = (
+        (F.col("tf").cast(d38) * F.col("n").cast(d38))
+        .cast("string")
+        .cast("double")
+        / F.col("df").cast("double")
+    )
+    scored = tf.join(dfn, "term").select(
+        "id", "term", "tf", "df", score.alias("tfidf")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.select(
+            "id", F.row_number().over(w).alias("rank"),
+            "term", "tf", "df", "tfidf",
+        )
+        .filter(F.col("rank") <= top_k)
+        .withColumnRenamed("id", id_col)
+    )

@@ -1338,3 +1338,106 @@ def orders_new_vs_repeat_revenue(
         F.count("*").cast("long").alias("n_orders"),
         F.sum("_rev").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS key,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT key, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT span.key, g.d
+      FROM span, unnest(generate_series(span.d0, span.d1)) AS g(d)),
+    dense AS (
+      SELECT s.key, COALESCE(dy.x, 0) AS x
+      FROM spine s
+      LEFT JOIN daily dy ON dy.key = s.key AND dy.d = s.d),
+    sums AS (
+      SELECT key,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM dense GROUP BY 1)
+    SELECT key AS event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS n_events,
+           CASE WHEN CAST(CAST((n - 1) * s AS VARCHAR) AS DOUBLE) = 0
+                THEN NULL
+                ELSE CAST(CAST(n * sxx - s * s AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST((n - 1) * s AS VARCHAR) AS DOUBLE)
+           END AS fano
+    FROM sums
+    """,
+    tags=("analytics", "timeseries", "burstiness", "fano", "dispersion"),
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness (operators/analytics.py:
+    fano_burstiness): the Fano dispersion index var/mean of the daily
+    count series, zero-densified over each type's own active span —
+    steady drip vs campaign bursts in one scalar per type. Epoch-day
+    integers, DECIMAL(38,0) moment sums, one string-cast-rendered
+    division — bit-exact both engines."""
+    from ..operators.analytics import fano_burstiness
+
+    ev = load_table(spark, sf_dir, "events")
+    return fano_burstiness(ev)
+
+
+@query(
+    "events_daily_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (
+      SELECT g.d
+      FROM bounds, unnest(generate_series(bounds.d0, bounds.d1)) AS g(d)),
+    dense AS (
+      SELECT s.d, COALESCE(dy.x, 0) AS x
+      FROM spine s LEFT JOIN daily dy USING (d)),
+    pairs AS (
+      SELECT a.x AS x, b.x AS y
+      FROM dense a JOIN dense b ON b.d = a.d + 1),
+    sums AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM pairs)
+    SELECT CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                               AS DOUBLE))
+                     * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                 AS DOUBLE)) = 0
+                THEN NULL
+                ELSE CAST(CAST(m * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                                  AS DOUBLE))
+                        * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                    AS DOUBLE)))
+           END AS autocorr_lag1
+    FROM sums
+    """,
+    tags=("analytics", "timeseries", "autocorrelation", "forecasting"),
+)
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the global daily event-count series
+    (operators/analytics.py:daily_autocorr): Pearson r over
+    zero-densified consecutive-day pairs — is today's volume
+    predictive of tomorrow's, the sanity scalar before fitting any
+    forecaster. The consecutive-day pairing is a keyed equi self-join
+    on d+1 (no global window over raw rows); moments are exact
+    DECIMAL(38,0); r is the assortativity-idiom closed form."""
+    from ..operators.analytics import daily_autocorr
+
+    ev = load_table(spark, sf_dir, "events")
+    return daily_autocorr(ev)

@@ -1301,3 +1301,43 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_novelty(
         load_table(spark, sf_dir, "documents"), n=5
     )
+
+
+@query(
+    "doc_tfidf_keywords",
+    oracle=r"""
+    WITH tf AS (
+      SELECT doc_id AS id, lower(t.x) AS term,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents, unnest(list_filter(
+        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t(x)
+      GROUP BY 1, 2),
+    dft AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM tf),
+    scored AS (
+      SELECT tf.id, tf.term, tf.tf, dft.df,
+             CAST(CAST(CAST(tf.tf AS HUGEINT) * n.n AS VARCHAR)
+                  AS DOUBLE) / CAST(dft.df AS DOUBLE) AS tfidf
+      FROM tf JOIN dft USING (term), n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT id AS doc_id, CAST(rnk AS INTEGER) AS rank, term, tf, df,
+           tfidf
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf", "keywords", "topics"),
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by rational tf-idf
+    (operators/text.py:tfidf_keywords): score tf·N/df — the log-free
+    monotone idf transform (the BM25 operator's trade) keeps every
+    value a portable closed form while preserving a textbook-like
+    per-doc ranking; ties break on the term string so the rank is a
+    total order. One (doc, term) agg, one term-grain df agg, a 1-row
+    aggregate-reduced doc-count rider, one doc-keyed ranking window."""
+    return TX.tfidf_keywords(
+        load_table(spark, sf_dir, "documents"), top_k=3
+    )

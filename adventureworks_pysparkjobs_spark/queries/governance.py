@@ -1299,3 +1299,90 @@ def customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, sf_dir, "orders")
     return lorenz_deciles(od, "o_custkey", dec("o_totalprice", 12, 2))
+
+
+@query(
+    "orders_id_gap_islands",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+      WHERE o_orderkey IS NOT NULL),
+    ends AS (
+      SELECT a.k FROM keys a
+      LEFT JOIN keys b ON b.k = a.k + 1 WHERE b.k IS NULL),
+    starts AS (
+      SELECT a.k FROM keys a
+      LEFT JOIN keys b ON b.k = a.k - 1 WHERE b.k IS NULL),
+    e AS (
+      SELECT k AS end_k,
+             ROW_NUMBER() OVER (ORDER BY k) AS rn FROM ends),
+    s AS (
+      SELECT k AS start_k,
+             ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn FROM starts)
+    SELECT e.end_k + 1 AS gap_start,
+           s.start_k - 1 AS gap_end,
+           s.start_k - e.end_k - 1 AS gap_len
+    FROM e JOIN s USING (rn)
+    ORDER BY gap_len DESC, gap_start
+    LIMIT 10
+    """,
+    tags=("governance", "data-quality", "gaps-islands", "audit"),
+)
+def orders_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit over o_orderkey
+    (operators/quality.py:key_gap_islands): the 10 largest runs of
+    missing keys between the observed min and max — the
+    dropped-batch / skipped-sequence sweep. TPC-H orderkeys are sparse
+    by construction, so the fixture exercises real gaps. Keys reduce
+    to DISTINCT before two keyed anti-joins extract island boundaries;
+    only the boundary frame (two rows per island) crosses the pairing
+    windows and the deterministic top-k."""
+    from ..operators.quality import key_gap_islands
+
+    od = load_table(spark, sf_dir, "orders")
+    return key_gap_islands(od, "o_orderkey", top_k=10)
+
+
+@query(
+    "orders_status_priority_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS r, o_orderpriority AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    tot AS (
+      SELECT r, c, n,
+             CAST(SUM(n) OVER (PARTITION BY r) AS BIGINT) AS rt,
+             CAST(SUM(n) OVER (PARTITION BY c) AS BIGINT) AS ct,
+             CAST(SUM(n) OVER () AS BIGINT) AS gt
+      FROM cells)
+    SELECT r AS o_orderstatus, c AS o_orderpriority, n,
+           CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)
+             AS expected,
+           (CAST(n AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(gt AS DOUBLE))
+           * (CAST(n AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(gt AS DOUBLE))
+           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+              / CAST(gt AS DOUBLE)) AS chi2_contrib
+    FROM tot
+    """,
+    tags=("governance", "chi-square", "contingency", "association"),
+)
+def orders_status_priority_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square contingency audit of order status vs priority
+    (operators/profile.py:contingency_chi2): per observed cell, the
+    count, the independence expectation rt·ct/N, and the cell's
+    (obs−exp)²/exp contribution — are priorities assigned
+    independently of status, read cell by cell. Contributions stay
+    per-cell (a cross-cell float sum is order-dependent cross-engine);
+    totals come from window sums over the reduced cell-grain frame —
+    one scan, one aggregate, no joins."""
+    from ..operators.profile import contingency_chi2
+
+    od = load_table(spark, sf_dir, "orders")
+    return contingency_chi2(od, "o_orderstatus", "o_orderpriority")

@@ -172,3 +172,125 @@ def test_conformal_gate_matches_reference_rank(spark):
         assert r["coverage"] == r["n_covered"] / r["n_test"]
         # the conformal promise on an exchangeable split
         assert r["coverage"] >= 1 - num / den - 0.05
+
+
+def test_key_gap_islands_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.quality import (
+        key_gap_islands,
+    )
+
+    # keys {1,2,3, 7,8, 20} -> gaps (4..6, len 3) and (9..19, len 11);
+    # a duplicate key must not break the pairing
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (7,), (8,), (8,), (20,)], "k long"
+    )
+    rows = key_gap_islands(df, "k").collect()
+    gaps = [(r["gap_start"], r["gap_end"], r["gap_len"]) for r in rows]
+    assert gaps == [(9, 19, 11), (4, 6, 3)]  # largest first
+
+    # contiguous keys -> no gaps
+    contig = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    assert key_gap_islands(contig, "k").count() == 0
+
+
+def test_fano_burstiness_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        fano_burstiness,
+    )
+
+    # type "a": days 1,1,1,3 -> span 1..3 counts [3,0,1]:
+    #   n=3, S=4, sumsq=10 -> fano = (3*10-16)/((3-1)*4) = 14/8 = 1.75
+    # type "b": single day -> span of 1 -> NULL fano
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 01:00:00", 1, "a"),
+        (3, "2024-01-01 02:00:00", 1, "a"),
+        (4, "2024-01-03 00:00:00", 1, "a"),
+        (5, "2024-01-05 00:00:00", 1, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in fano_burstiness(ev).collect()}
+    assert (out["a"]["n_days"], out["a"]["n_events"]) == (3, 4)
+    assert out["a"]["fano"] == 1.75
+    assert out["b"]["n_days"] == 1 and out["b"]["fano"] is None
+
+
+def test_daily_autocorr_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        daily_autocorr,
+    )
+
+    # strictly increasing daily counts 1,2,3,4 -> lag-1 pairs are a
+    # perfect line -> r = 1.0 exactly
+    rows = []
+    eid = 0
+    for day, n in zip(range(1, 5), (1, 2, 3, 4)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day} 00:00:00", 1, "e"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = daily_autocorr(ev).collect()[0]
+    assert r["n_pairs"] == 3
+    # m=3 sx=6 sy=9 sxy=20 sxx=14 syy=29 -> num=6, varx=vary=6; the
+    # exact IEEE tree gives 6/(sqrt(6)*sqrt(6)), one ulp above 1.0
+    assert r["autocorr_lag1"] == 6.0 / (math.sqrt(6.0) * math.sqrt(6.0))
+
+    # constant series -> zero variance -> NULL
+    const = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "e"), (2, "2024-01-02 00:00:00", 1, "e")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert daily_autocorr(const).collect()[0]["autocorr_lag1"] is None
+
+
+def test_contingency_chi2_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        contingency_chi2,
+    )
+
+    # 2x2 with counts [[10, 20], [30, 40]]
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(r["r"], r["c"]): r for r in contingency_chi2(df, "r", "c").collect()}
+    # expected(a,x) = 30*40/100 = 12; contrib = 4/12
+    assert out[("a", "x")]["n"] == 10
+    assert out[("a", "x")]["expected"] == 12.0
+    assert out[("a", "x")]["chi2_contrib"] == (10.0 - 12.0) ** 2 / 12.0
+    assert out[("b", "y")]["expected"] == 70.0 * 60.0 / 100.0
+
+
+def test_tfidf_keywords_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.text import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common"),
+            (2, "common other"),
+            (3, "common other zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r
+        for r in tfidf_keywords(docs, top_k=2).collect()
+    }
+    # doc 1: rare tf=2 df=1 -> 2*3/1=6; common tf=1 df=3 -> 1
+    r11 = out[(1, 1)]
+    assert (r11["term"], r11["tf"], r11["df"], r11["tfidf"]) == (
+        "rare", 2, 1, 6.0
+    )
+    assert out[(1, 2)]["term"] == "common"
+    # doc 3: zebra 1*3/1=3 beats other 1*3/2=1.5 beats common 1
+    assert out[(3, 1)]["term"] == "zebra"
+    assert out[(3, 2)]["term"] == "other"
+    # top_k respected: no rank-3 rows
+    assert (3, 3) not in out and (1, 3) not in out

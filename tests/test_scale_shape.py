@@ -36,6 +36,7 @@ CROSS_OK = {
     "orders_seasonality_index",  # 1-row grand-average broadcast cross
     "customer_reident_risk",  # 1-row class-totals broadcast cross
     "part_copurchase_assortativity",  # 1-row moment-sums x node-count cross
+    "doc_tfidf_keywords",  # 1-row doc-count (N) broadcast cross
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

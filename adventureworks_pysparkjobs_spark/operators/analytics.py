@@ -1170,3 +1170,89 @@ def daily_autocorr(
         .otherwise(num / den)
         .alias("autocorr_lag1"),
     )
+
+
+def second_event_hazard(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    bucket_days: int = 30,
+) -> DataFrame:
+    """Discrete-time hazard table for time-to-SECOND event per key —
+    the life-table form of "how long until a new customer orders
+    again", with single-event keys correctly treated as CENSORED at
+    the observation horizon instead of silently dropped (dropping them
+    inflates early hazards, the classic churn-analysis mistake).
+
+    Per key: t0/t1 = first/second event time under the (ts, id) total
+    order; event keys land in bucket (t1−t0) div bucket_days, censored
+    keys in (horizon−t0) div bucket_days where horizon = max ts
+    overall. Life-table convention (declared): a key censored in
+    bucket b still counts at risk in b. hazard_b = events_b /
+    at_risk_b with at_risk_b = Σ_{b'>=b}(events+censored) — a reverse
+    cumulative sum. The engine-exact sibling of Kaplan-Meier: the
+    survival curve is Π(1−h) over buckets, a cross-row float product
+    no engine computes portably, so the table ships the exact
+    per-bucket hazards and leaves the cumulative product to the
+    caller.
+
+    Exactness: day gaps are non-negative ints, `div` truncation ==
+    floor on them (engine-portable); counts exact BIGINT; hazard is
+    one IEEE division. Scale shape: one key-partitioned window over
+    the fact (uniform key), one key-grain reduction, a 1-row
+    aggregate-reduced horizon rider, one bucket-grain aggregate, and
+    the reverse cumsum window over the BUCKET-grain frame (calendar
+    -bounded). Returns (bucket BIGINT, day_lo BIGINT, at_risk,
+    n_events, n_censored BIGINT, hazard DOUBLE).
+    """
+    w = Window.partitionBy("k").orderBy("d", "i")
+    ranked = df.select(
+        F.col(key_col).alias("k"),
+        F.to_date(F.col(ts_col)).alias("d"),
+        F.col(id_col).alias("i"),
+    ).select("k", "d", F.row_number().over(w).alias("rn"))
+    firsts = ranked.filter(F.col("rn") == 1).select(
+        "k", F.col("d").alias("t0")
+    )
+    seconds = ranked.filter(F.col("rn") == 2).select(
+        "k", F.col("d").alias("t1")
+    )
+    horizon = df.agg(
+        F.max(F.to_date(F.col(ts_col))).alias("md")
+    )
+    cohort = (
+        firsts.join(seconds, "k", "left")
+        .join(F.broadcast(horizon))  # 1-row, aggregate-reduced
+    )
+    gap = F.when(
+        F.col("t1").isNotNull(), F.datediff("t1", "t0")
+    ).otherwise(F.datediff("md", "t0"))
+    b = cohort.select(
+        gap.alias("_gap"),
+        F.col("t1").isNotNull().alias("ev"),
+    ).select(
+        F.expr(f"CAST(_gap DIV {bucket_days} AS BIGINT)").alias("bucket"),
+        "ev",
+    )
+    g = b.groupBy("bucket").agg(
+        F.count_if(F.col("ev")).cast("long").alias("n_events"),
+        F.count_if(~F.col("ev")).cast("long").alias("n_censored"),
+    )
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = g.select(
+        "bucket", "n_events", "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wb)
+        .cast("long").alias("at_risk"),
+    )
+    return ar.select(
+        "bucket",
+        (F.col("bucket") * bucket_days).alias("day_lo"),
+        "at_risk", "n_events", "n_censored",
+        (
+            F.col("n_events").cast("double")
+            / F.col("at_risk").cast("double")
+        ).alias("hazard"),
+    )

@@ -988,3 +988,58 @@ def contingency_chi2(
         F.col("exp").alias("expected"),
         (dev * dev / F.col("exp")).alias("chi2_contrib"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Simpson concentration / Gini-Simpson diversity of a categorical
+    column per group: λ = Σ nᵢ(nᵢ−1) / (n(n−1)) — the exact
+    probability that two draws WITHOUT replacement share a category —
+    and its complement 1−λ (the diversity a mixture monitor tracks per
+    corpus source: is this feed one-language, or balanced?). The
+    entropy-based alternative needs ln (not correctly rounded
+    cross-engine); Simpson's index is pure integer arithmetic plus ONE
+    division, so it is the engine-exact diversity scalar.
+
+    Scale shape: one (group, cat) keyed aggregate, then one group-grain
+    aggregate over the category-grain rows — both map-side partial;
+    Σnᵢ(nᵢ−1) and n(n−1) carried as DECIMAL(38,0) (BIGINT squares
+    overflow past ~3·10⁹ rows per group) and rendered through the
+    portable string cast. NULL when the group has < 2 rows. Returns
+    (group, n BIGINT, n_categories BIGINT, simpson DOUBLE,
+    gini_simpson DOUBLE).
+    """
+    d38 = "decimal(38,0)"
+    cc = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(cat_col).alias("c")
+        )
+        .groupBy("g", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sums = cc.groupBy("g").agg(
+        F.sum(F.col("n").cast(d38)).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            (F.col("n").cast(d38) * (F.col("n") - 1)).cast(d38)
+        ).alias("num"),
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    lam = _dbl(F.col("num")) / _dbl(F.col("n") * (F.col("n") - 1))
+    return sums.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").alias("n_categories"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(lam)
+        .alias("simpson"),
+        F.when(F.col("n") < 2, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0) - lam)
+        .alias("gini_simpson"),
+    )

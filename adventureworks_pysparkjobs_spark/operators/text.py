@@ -907,3 +907,68 @@ def tfidf_keywords(
         .filter(F.col("rank") <= top_k)
         .withColumnRenamed("id", id_col)
     )
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    terms: list[str],
+    k_each: int = 20,
+    k_final: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings for a
+    bag-of-terms query: the log-free BM25 ranking (``bm25_topk``) and
+    the raw term-frequency ranking — the standard "combine lexical
+    rankers without score calibration" move (RRF: score =
+    Σ 1/(rrf_k + rank), Cormack et al.'s robust default k=60). A doc
+    absent from one ranking contributes 0 for that term, the classic
+    RRF convention.
+
+    Exactness: ranks are deterministic row_numbers over (score DESC,
+    id) total orders on the two LIMITed candidate frames; each
+    reciprocal is ONE division of exact ints cast to double, and the
+    fused score adds the two reciprocals in fixed order — a complete
+    IEEE tree identical cross-engine. Final top-``k_final`` under
+    (rrf DESC, id).
+
+    Scale shape: both rankings end in TakeOrderedAndProject (k_each
+    rows); the ranking windows and the full-outer fuse join run on
+    those k_each-row frames only — driver-weightless regardless of
+    corpus size. Returns (id, rank_bm25 INT, rank_tf INT,
+    rrf_score DOUBLE).
+    """
+    from pyspark.sql import Window
+
+    a = bm25_topk(docs, terms, k=k_each, id_col=id_col, text_col=text_col)
+    wa = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    ranked_a = a.select(
+        F.col(id_col).alias("id"), F.row_number().over(wa).alias("rank_bm25")
+    )
+    tf_sum = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+        .filter(F.col("t").isin(list(terms)))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tf"))
+    )
+    b = tf_sum.orderBy(F.col("n_tf").desc(), "id").limit(k_each)
+    wb = Window.orderBy(F.col("n_tf").desc(), "id")
+    ranked_b = b.select(
+        "id", F.row_number().over(wb).alias("rank_tf")
+    )
+    inv = lambda r: (  # noqa: E731 - one reciprocal, fixed tree
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(r)).cast("double")
+    )
+    fused = ranked_a.join(ranked_b, "id", "full").select(
+        "id", "rank_bm25", "rank_tf",
+        (
+            F.coalesce(inv("rank_bm25"), F.lit(0.0))
+            + F.coalesce(inv("rank_tf"), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "id")
+        .limit(k_final)
+        .withColumnRenamed("id", id_col)
+    )

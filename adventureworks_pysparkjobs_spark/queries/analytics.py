@@ -1441,3 +1441,60 @@ def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return daily_autocorr(ev)
+
+
+@query(
+    "customer_second_order_hazard",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+      FROM orders),
+    f AS (SELECT k, d AS t0 FROM ranked WHERE rn = 1),
+    s AS (SELECT k, d AS t1 FROM ranked WHERE rn = 2),
+    mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    cohort AS (
+      SELECT f.k, f.t0, s.t1, mx.md
+      FROM f LEFT JOIN s USING (k), mx),
+    b AS (
+      SELECT CASE WHEN t1 IS NOT NULL
+                  THEN date_diff('day', t0, t1) // 30
+                  ELSE date_diff('day', t0, md) // 30 END AS bucket,
+             t1 IS NOT NULL AS ev
+      FROM cohort),
+    g AS (
+      SELECT bucket,
+             CAST(COUNT_IF(ev) AS BIGINT) AS n_events,
+             CAST(COUNT_IF(NOT ev) AS BIGINT) AS n_censored
+      FROM b GROUP BY 1),
+    ar AS (
+      SELECT bucket, n_events, n_censored,
+             CAST(SUM(n_events + n_censored)
+                  OVER (ORDER BY bucket DESC) AS BIGINT) AS at_risk
+      FROM g)
+    SELECT bucket, bucket * 30 AS day_lo, at_risk, n_events,
+           n_censored,
+           CAST(n_events AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
+    FROM ar
+    """,
+    tags=("analytics", "survival", "hazard", "churn", "life-table"),
+)
+def customer_second_order_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete-time hazard table for time-to-second-order per customer
+    (operators/analytics.py:second_event_hazard, 30-day buckets):
+    single-order customers censor at the observation horizon instead of
+    vanishing (dropping them inflates early hazards — the classic churn
+    mistake); at_risk is a reverse cumsum over the bucket-grain frame;
+    hazard is one exact division per bucket. The engine-exact life
+    table underneath Kaplan-Meier — the cumulative Π(1−h) is the one
+    cross-row float product left to the caller."""
+    from ..operators.analytics import second_event_hazard
+
+    od = load_table(spark, sf_dir, "orders")
+    return second_event_hazard(
+        od, "o_custkey", "o_orderdate", "o_orderkey", bucket_days=30
+    )

@@ -1698,3 +1698,94 @@ def doc_classifier_conformal(
         (F.col("lang") == "en").alias("label"),
     )
     return conformal_gate(scored)
+
+
+@query(
+    "corpus_rank_fusion",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    stats AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(w)) AS BIGINT) AS total_len FROM toks),
+    tf AS (
+      SELECT doc_id, t.tk AS token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks, unnest(w) AS t(tk)
+      WHERE t.tk IN ('hash', 'join', 'scan')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ((CAST(tf.tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
+              / (CAST(tf.tf AS DOUBLE)
+                 + CAST('1.2' AS DOUBLE)
+                   * (0.25 + 0.75 * (CAST(s.dl * t.n_docs AS DOUBLE)
+                                     / CAST(t.total_len AS DOUBLE)))))
+             * ((CAST(t.n_docs - d.df AS DOUBLE) + 0.5)
+                / (CAST(d.df AS DOUBLE) + 0.5)) AS sc
+      FROM tf
+      JOIN stats s USING (doc_id)
+      JOIN dfreq d USING (token), tot t
+    ),
+    piv AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN token = 'hash' THEN sc END), 0.0)
+               AS s0,
+             COALESCE(MAX(CASE WHEN token = 'join' THEN sc END), 0.0)
+               AS s1,
+             COALESCE(MAX(CASE WHEN token = 'scan' THEN sc END), 0.0)
+               AS s2
+      FROM scored GROUP BY doc_id
+    ),
+    bm AS (
+      SELECT doc_id, s0 + s1 + s2 AS bm25
+      FROM piv ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    ra AS (
+      SELECT doc_id AS id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS INTEGER) AS rank_bm25
+      FROM bm
+    ),
+    tsum AS (
+      SELECT doc_id AS id, CAST(SUM(tf) AS BIGINT) AS n_tf
+      FROM tf GROUP BY 1
+    ),
+    tb AS (
+      SELECT id, n_tf FROM tsum ORDER BY n_tf DESC, id LIMIT 20
+    ),
+    rb AS (
+      SELECT id,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tf DESC, id)
+                  AS INTEGER) AS rank_tf
+      FROM tb
+    ),
+    fused AS (
+      SELECT COALESCE(ra.id, rb.id) AS id, ra.rank_bm25, rb.rank_tf,
+             COALESCE(CAST(1 AS DOUBLE)
+                      / CAST(60 + ra.rank_bm25 AS DOUBLE),
+                      CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE)
+                        / CAST(60 + rb.rank_tf AS DOUBLE),
+                        CAST(0 AS DOUBLE)) AS rrf_score
+      FROM ra FULL JOIN rb ON ra.id = rb.id
+    )
+    SELECT id AS doc_id, rank_bm25, rank_tf, rrf_score
+    FROM fused ORDER BY rrf_score DESC, id LIMIT 10
+    """,
+    tags=("retrieval", "rrf", "fusion", "ranking"),
+)
+def corpus_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/text.py:rrf_fusion) of the
+    log-free BM25 ranking and the raw term-frequency ranking for the
+    query {hash, join, scan}: score = Σ 1/(60 + rank) over the
+    rankings that contain the doc — the calibration-free lexical
+    ranker combiner. Both candidate rankings are TakeOrderedAndProject
+    top-20s; the ranking windows and the full-outer fuse run on those
+    20-row frames only; every reciprocal and the fixed-order two-term
+    sum are bit-matched by the oracle."""
+    from ..operators.text import rrf_fusion
+
+    doc = load_table(spark, sf_dir, "documents")
+    return rrf_fusion(doc, ["hash", "join", "scan"])

@@ -1341,3 +1341,45 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_keywords(
         load_table(spark, sf_dir, "documents"), top_k=3
     )
+
+
+@query(
+    "doc_source_lang_simpson",
+    oracle="""
+    WITH cc AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    sums AS (
+      SELECT source,
+             CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS num
+      FROM cc GROUP BY 1)
+    SELECT source,
+           CAST(n AS BIGINT) AS n,
+           k AS n_categories,
+           CASE WHEN n < 2 THEN NULL
+                ELSE CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)
+           END AS simpson,
+           CASE WHEN n < 2 THEN NULL
+                ELSE CAST(1 AS DOUBLE)
+                     - CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)
+           END AS gini_simpson
+    FROM sums
+    """,
+    tags=("profile", "diversity", "simpson", "mixture"),
+)
+def doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity per corpus source
+    (operators/profile.py:simpson_diversity): the exact
+    two-draws-share-a-language probability λ = Σnᵢ(nᵢ−1)/(n(n−1)) and
+    the Gini-Simpson diversity 1−λ — the engine-exact (log-free)
+    mixture-balance scalar a multi-source ingest monitors. Two keyed
+    aggregates, DECIMAL(38,0) sums, one string-cast-rendered
+    division."""
+    from ..operators.profile import simpson_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simpson_diversity(docs, "source", "lang")

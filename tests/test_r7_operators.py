@@ -294,3 +294,87 @@ def test_tfidf_keywords_hand_values(spark):
     assert out[(3, 2)]["term"] == "other"
     # top_k respected: no rank-3 rows
     assert (3, 3) not in out and (1, 3) not in out
+
+
+def test_rrf_fusion_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.text import rrf_fusion
+
+    # doc 1: high tf of "hash" (rank 1 in tf); doc 2 mentions both
+    # terms once in a short doc (bm25 favors it); doc 3: no query terms
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash hash filler filler filler filler"),
+            (2, "hash join"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = rrf_fusion(
+        docs, ["hash", "join"], k_each=5, k_final=5
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 3 not in by_id  # never retrieved by either ranker
+    # both retrieved docs appear in both rankings
+    for i in (1, 2):
+        r = by_id[i]
+        assert r["rank_bm25"] is not None and r["rank_tf"] is not None
+        assert r["rrf_score"] == (
+            1.0 / (60 + r["rank_bm25"]) + 1.0 / (60 + r["rank_tf"])
+        )
+    # doc 1 dominates the tf ranking (tf=4 vs 2)
+    assert by_id[1]["rank_tf"] == 1
+
+
+def test_simpson_diversity_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        simpson_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "en")] * 3 + [("s1", "de")] * 1 + [("s2", "en")],
+        "source string, lang string",
+    )
+    out = {r["source"]: r for r in simpson_diversity(df, "source", "lang").collect()}
+    # s1: n=4, sum n_i(n_i-1) = 3*2 + 0 = 6; lambda = 6/12 = 0.5
+    assert (out["s1"]["n"], out["s1"]["n_categories"]) == (4, 2)
+    assert out["s1"]["simpson"] == 0.5
+    assert out["s1"]["gini_simpson"] == 0.5
+    # s2: single row -> NULL indexes
+    assert out["s2"]["simpson"] is None
+
+
+def test_second_event_hazard_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        second_event_hazard,
+    )
+
+    # c1: second order 10 days later -> event bucket 0
+    # c2: second order 40 days later -> event bucket 1
+    # c3: one order, horizon (2024-03-01) 60 days after -> censored b2
+    rows = [
+        (1, 10, "2024-01-01"),
+        (2, 10, "2024-01-11"),
+        (3, 20, "2024-01-01"),
+        (4, 20, "2024-02-10"),
+        (5, 30, "2024-01-01"),
+        (6, 40, "2024-03-01"),  # 4th customer pins the horizon
+    ]
+    od = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = {
+        r["bucket"]: r
+        for r in second_event_hazard(
+            od, "o_custkey", "o_orderdate", "o_orderkey"
+        ).collect()
+    }
+    # customer 40 has a single order ON the horizon -> censored in b0.
+    # at_risk: b0=4 (everyone), b1=2 (c2 event + c3 censored later),
+    # b2=1 (c3 alone)
+    assert (out[0]["n_events"], out[0]["n_censored"]) == (1, 1)
+    assert out[0]["at_risk"] == 4 and out[0]["hazard"] == 0.25
+    assert (out[1]["n_events"], out[1]["at_risk"]) == (1, 2)
+    assert out[1]["hazard"] == 0.5
+    assert out[2]["n_events"] == 0 and out[2]["n_censored"] == 1
+    assert out[2]["at_risk"] == 1 and out[2]["hazard"] == 0.0
+    assert out[0]["day_lo"] == 0 and out[1]["day_lo"] == 30

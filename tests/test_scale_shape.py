@@ -37,6 +37,8 @@ CROSS_OK = {
     "customer_reident_risk",  # 1-row class-totals broadcast cross
     "part_copurchase_assortativity",  # 1-row moment-sums x node-count cross
     "doc_tfidf_keywords",  # 1-row doc-count (N) broadcast cross
+    "corpus_rank_fusion",  # 1-row corpus-totals cross via bm25 composition
+    "customer_second_order_hazard",  # 1-row observation-horizon cross
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

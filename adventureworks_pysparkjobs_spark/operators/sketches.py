@@ -260,3 +260,136 @@ def quantile_sketch_check(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _bloom_pos(col, h: int, m_bits: int):
+    """Position of hash ``h`` for a key in an m-bit Bloom filter — the
+    CMS bucket idiom (md5 slice -> long % m), one row-tag per hash."""
+    hh = F.md5(F.concat(F.lit(f"bl{h}|"), col.cast("string")))
+    return F.conv(F.substring(hh, 1, 8), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Build a Bloom filter over a key set as a WORD TABLE: (word_idx,
+    word_val) rows, 62 bits per BIGINT word (bits 62/63 unused — no
+    sign-bit shifts to reason about cross-engine). The filter a
+    runtime pre-filter ships to the fact side of a selective join:
+    m/62 rows regardless of key count, built by ONE keyed bit_or
+    aggregate over the per-key hash positions (map-side partial OR —
+    OR is associative/commutative, so the build is partition-order
+    free and engine-exact)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(key_col), h, m_bits)
+                    for h in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr("CAST(p DIV 62 AS BIGINT)").alias("word_idx"),
+            # expr form: the python shiftleft wrapper takes only a
+            # literal shift amount, not a Column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word_val"))
+    )
+
+
+def bloom_prefilter_audit(
+    member_keys: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Audit of Bloom-filter semi-join pre-filtering — the runtime-
+    filter pattern that makes selective joins cheap at 100 TB: build a
+    tiny bit table from the dimension side's qualifying keys, probe the
+    fact side's keys through it, and pass only probable members to the
+    real join. This operator measures the trade on real data: how many
+    probe keys pass the filter, how many are true members, and the
+    observed false-positive rate (Bloom filters never false-negative —
+    the audit would surface a broken hash as n_member > n_pass).
+
+    Determinism: positions are md5-slice hashes (the CMS idiom), the
+    filter build is an associative bit_or, membership tests are exact
+    bit arithmetic, and fp_rate is ONE division of exact counts —
+    bit-identical cross-engine, no probabilistic flakiness (the filter
+    is deterministic once built; only its THEORETICAL fp rate is
+    probabilistic).
+
+    Scale shape: the word table is m/62 rows — broadcast-sized by
+    construction at any SF; each hash probe is one equi-join of the
+    DISTINCT probe keys against it; ground truth is one keyed
+    left-semi-style join; the readout is one global aggregate.
+    Returns ONE row (n_probe, n_member, n_pass_bloom, n_false_pos,
+    fp_rate DOUBLE — NULL when every probe key is a member).
+    """
+    words = bloom_build(member_keys, key_col, m_bits, n_hashes)
+    pk = probe.select(F.col(key_col).alias("k")).distinct()
+    cur = pk
+    for h in range(n_hashes):
+        wtab = words.select(
+            F.col("word_idx").alias(f"_w{h}"),
+            F.col("word_val").alias(f"_v{h}"),
+        )
+        cur = (
+            cur.withColumn("_p", _bloom_pos(F.col("k"), h, m_bits))
+            .withColumn(f"_w{h}", F.expr("CAST(_p DIV 62 AS BIGINT)"))
+            .withColumn(f"_b{h}", (F.col("_p") % 62).cast("int"))
+            .drop("_p")
+            .join(wtab, f"_w{h}", "left")
+            .withColumn(
+                f"_hit{h}",
+                F.coalesce(
+                    F.expr(
+                        f"(_v{h} & shiftleft(CAST(1 AS BIGINT), _b{h}))"
+                        " <> CAST(0 AS BIGINT)"
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop(f"_w{h}", f"_v{h}", f"_b{h}")
+        )
+    passes = cur.withColumn(
+        "_pass",
+        F.expr(" AND ".join(f"_hit{h}" for h in range(n_hashes))),
+    )
+    members = member_keys.select(
+        F.col(key_col).alias("k")
+    ).distinct().withColumn("_m", F.lit(True))
+    flagged = passes.join(members, "k", "left").select(
+        "_pass", F.coalesce(F.col("_m"), F.lit(False)).alias("_member")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.count_if(F.col("_member")).cast("long").alias("n_member"),
+        F.count_if(F.col("_pass")).cast("long").alias("n_pass_bloom"),
+        F.count_if(F.col("_pass") & ~F.col("_member"))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_probe", "n_member", "n_pass_bloom", "n_false_pos",
+        F.when(
+            F.col("n_probe") - F.col("n_member") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probe") - F.col("n_member")).cast("double")
+        )
+        .alias("fp_rate"),
+    )

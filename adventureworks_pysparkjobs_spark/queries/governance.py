@@ -1386,3 +1386,78 @@ def orders_status_priority_chi2(
 
     od = load_table(spark, sf_dir, "orders")
     return contingency_chi2(od, "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "orders_bloom_prefilter",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_acctbal > CAST(9000 AS DOUBLE)),
+    pos AS (
+      SELECT (CAST('0x' || substr(md5('bl0|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 4096) AS p FROM members
+      UNION ALL
+      SELECT (CAST('0x' || substr(md5('bl1|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 4096) FROM members),
+    words AS (
+      SELECT p // 62 AS w,
+             CAST(bit_or(CAST(1 AS BIGINT)
+                         << CAST(p % 62 AS INTEGER)) AS BIGINT) AS v
+      FROM pos GROUP BY 1),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    hashed AS (
+      SELECT k,
+             (CAST('0x' || substr(md5('bl0|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 4096) AS p0,
+             (CAST('0x' || substr(md5('bl1|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 4096) AS p1
+      FROM probe),
+    checked AS (
+      SELECT h.k,
+             COALESCE((w0.v & (CAST(1 AS BIGINT)
+                << CAST(h.p0 % 62 AS INTEGER))) <> 0, FALSE) AS hit0,
+             COALESCE((w1.v & (CAST(1 AS BIGINT)
+                << CAST(h.p1 % 62 AS INTEGER))) <> 0, FALSE) AS hit1,
+             m.k IS NOT NULL AS member
+      FROM hashed h
+      LEFT JOIN words w0 ON w0.w = h.p0 // 62
+      LEFT JOIN words w1 ON w1.w = h.p1 // 62
+      LEFT JOIN members m ON m.k = h.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(COUNT_IF(member) AS BIGINT) AS n_member,
+           CAST(COUNT_IF(hit0 AND hit1) AS BIGINT) AS n_pass_bloom,
+           CAST(COUNT_IF(hit0 AND hit1 AND NOT member) AS BIGINT)
+             AS n_false_pos,
+           CASE WHEN COUNT(*) = COUNT_IF(member) THEN NULL
+                ELSE CAST(COUNT_IF(hit0 AND hit1 AND NOT member)
+                          AS DOUBLE)
+                     / CAST(COUNT(*) - COUNT_IF(member) AS DOUBLE)
+           END AS fp_rate
+    FROM checked
+    """,
+    tags=("sketch", "bloom", "runtime-filter", "semi-join", "audit"),
+)
+def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter audit
+    (operators/sketches.py:bloom_prefilter_audit): a 4096-bit / 2-hash
+    filter built from the high-balance customer segment
+    (c_acctbal > 9000) by one associative bit_or aggregate, probed by
+    the distinct order custkeys — the runtime-filter pattern that
+    prunes a 100 TB fact scan down to probable members before the real
+    join, with the observed (deterministic) false-positive rate as the
+    readout. The word table is 67 rows at ANY scale; probes are two
+    equi-joins against it; everything is exact bit/count arithmetic
+    plus one division."""
+    from ..operators.sketches import bloom_prefilter_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    members = cust.filter(F.col("c_acctbal") > 9000.0).select("c_custkey")
+    return bloom_prefilter_audit(
+        members,
+        od.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        m_bits=4096,
+        n_hashes=2,
+    )

@@ -1,6 +1,10 @@
-"""Round-7 regression tests: pin the ADVICE-driven semantics changes
+"""Round-7 unit tests: the ADVICE-driven semantics changes
 (adjacent-band duplicate-payment matching, empty-arm A/B readout,
-retained-vocabulary cosine norms) on hand-computable micro-fixtures."""
+retained-vocabulary cosine norms) and the round-7 operators (link
+prediction, conformal gate, gap islands, Fano, autocorrelation,
+contingency chi2, tf-idf keywords, RRF fusion, Simpson diversity,
+second-event hazard, Bloom pre-filter) on hand-computable
+micro-fixtures and exact python references."""
 
 from __future__ import annotations
 
@@ -378,3 +382,42 @@ def test_second_event_hazard_hand_values(spark):
     assert out[2]["n_events"] == 0 and out[2]["n_censored"] == 1
     assert out[2]["at_risk"] == 1 and out[2]["hazard"] == 0.0
     assert out[0]["day_lo"] == 0 and out[1]["day_lo"] == 30
+
+
+def test_bloom_prefilter_matches_python_reference(spark):
+    import hashlib
+
+    from adventureworks_pysparkjobs_spark.operators.sketches import (
+        bloom_prefilter_audit,
+    )
+
+    m_bits = 256  # small filter -> false positives actually occur
+    members = list(range(0, 40))
+    probes = list(range(0, 400))
+    mdf = spark.createDataFrame([(k,) for k in members], "k long")
+    pdf = spark.createDataFrame([(k,) for k in probes], "k long")
+    row = bloom_prefilter_audit(
+        mdf, pdf, "k", m_bits=m_bits, n_hashes=2
+    ).collect()[0]
+
+    def pos(k, h):
+        d = hashlib.md5(f"bl{h}|{k}".encode()).hexdigest()[:8]
+        return int(d, 16) % m_bits
+
+    bits = set()
+    for k in members:
+        bits.add(pos(k, 0))
+        bits.add(pos(k, 1))
+    passes = {
+        k for k in probes if pos(k, 0) in bits and pos(k, 1) in bits
+    }
+    fp = passes - set(members)
+    assert row["n_probe"] == len(probes)
+    assert row["n_member"] == len(members)
+    assert row["n_pass_bloom"] == len(passes)
+    assert row["n_false_pos"] == len(fp)
+    assert row["fp_rate"] == len(fp) / (len(probes) - len(members))
+    # no false negatives, ever
+    assert set(members) <= passes
+    # the small filter really exercised the fp path
+    assert len(fp) > 0

@@ -307,3 +307,54 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import ohlc_stream
 
     return ohlc_stream(spark, sf_dir)
+
+
+@query(
+    "stream_bloom_filter_build",
+    oracle="""
+    WITH pos AS (
+      SELECT (CAST('0x' || substr(md5('bl0|' || CAST(user_id AS VARCHAR)),
+                   1, 8) AS BIGINT) % 4096) AS p
+      FROM events
+      UNION ALL
+      SELECT (CAST('0x' || substr(md5('bl1|' || CAST(user_id AS VARCHAR)),
+                   1, 8) AS BIGINT) % 4096)
+      FROM events)
+    SELECT p // 62 AS word_idx,
+           CAST(bit_or(CAST(1 AS BIGINT)
+                       << CAST(p % 62 AS INTEGER)) AS BIGINT) AS word_val
+    FROM pos GROUP BY 1
+    """,
+    tags=("streaming", "sketch", "bloom", "foreachBatch", "incremental"),
+)
+def stream_bloom_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom-filter maintenance
+    (streaming/events.py:stream_bloom_to_lake): the bounded events
+    stream builds per-micro-batch word tables (bit_or within batch,
+    exactly-once batch_id partitions) and the merge-on-read snapshot
+    re-ORs them into the live filter — 67 words of state per batch at
+    ANY event volume. The final word table is batching-invariant
+    (bit OR is associative, commutative AND idempotent — even
+    at-least-once duplicates cannot corrupt it), so the streamed
+    result carries a FULL oracle: DuckDB rebuilds the identical filter
+    from the same events in one pass."""
+    import shutil
+    import tempfile
+
+    from ..streaming.events import (
+        read_bloom_snapshot,
+        read_events_stream,
+        stream_bloom_to_lake,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_bloom_")
+    try:
+        ev = read_events_stream(spark, sf_dir).select("user_id")
+        stream_bloom_to_lake(
+            ev, "user_id", f"{tmp}/bloom", f"{tmp}/ckpt",
+            m_bits=4096, n_hashes=2,
+        )
+        words = read_bloom_snapshot(spark, f"{tmp}/bloom")
+        return spark.createDataFrame(words.collect(), words.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -875,3 +875,53 @@ def ohlc_stream(
         F.col("event_type").alias("bar_key"),
         "open_v", "high_v", "low_v", "close_v", "n_events",
     )
+
+
+def stream_bloom_to_lake(
+    streaming_df: DataFrame,
+    key_col: str,
+    path: str,
+    checkpoint: str,
+    m_bits: int = 4096,
+    n_hashes: int = 2,
+) -> None:
+    """Streaming maintenance of a Bloom filter (the runtime pre-filter
+    of operators/sketches.py:bloom_prefilter_audit): each micro-batch
+    lands ITS OWN word table (bit_or within the batch) in a
+    ``batch_id=<id>`` partition; the snapshot is merge-on-read bit_or
+    (``read_bloom_snapshot``). Doubly replay-safe: the checkpointed
+    offsets pin batch membership and a replay overwrites its own
+    partition (the stream_aggregate_to_lake layout), AND — unlike the
+    additive sums that sink protects — bit OR is IDEMPOTENT, so even a
+    duplicated row inside an at-least-once source cannot corrupt the
+    filter. State per batch is m/62 words regardless of key volume —
+    the fixed-size-sketch property that makes this streamable at all.
+    """
+    from ..operators.sketches import bloom_build
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        words = bloom_build(batch_df, key_col, m_bits, n_hashes)
+        words.write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    q = (
+        streaming_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_bloom_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Merge-on-read view of a ``stream_bloom_to_lake`` table: bit_or
+    every batch partition's partial words into the current filter (one
+    keyed re-OR over word-grain rows — m/62 x batches inputs, never
+    raw keys)."""
+    partials = spark.read.parquet(path)
+    return partials.groupBy("word_idx").agg(
+        F.bit_or("word_val").alias("word_val")
+    )

@@ -421,3 +421,37 @@ def test_bloom_prefilter_matches_python_reference(spark):
     assert set(members) <= passes
     # the small filter really exercised the fp path
     assert len(fp) > 0
+
+
+def test_stream_bloom_replay_is_idempotent(spark, tmp_path):
+    from adventureworks_pysparkjobs_spark.operators.sketches import (
+        bloom_build,
+    )
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        read_bloom_snapshot,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in range(50)], "k long")
+    words = bloom_build(keys, "k", m_bits=512, n_hashes=2)
+    path = str(tmp_path / "bloom")
+    # batch 0 lands, then REPLAYS into the same partition; a second
+    # overlapping batch adds more keys
+    words.write.mode("overwrite").parquet(f"{path}/batch_id=0")
+    words.write.mode("overwrite").parquet(f"{path}/batch_id=0")
+    more = spark.createDataFrame([(k,) for k in range(25, 80)], "k long")
+    bloom_build(more, "k", m_bits=512, n_hashes=2).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch_id=1")
+
+    snap = {
+        r["word_idx"]: r["word_val"]
+        for r in read_bloom_snapshot(spark, path).collect()
+    }
+    allk = spark.createDataFrame([(k,) for k in range(80)], "k long")
+    direct = {
+        r["word_idx"]: r["word_val"]
+        for r in bloom_build(allk, "k", m_bits=512, n_hashes=2).collect()
+    }
+    # merge-on-read OR of replayed + overlapping partials == one-shot
+    # build over the union of keys (OR is idempotent + commutative)
+    assert snap == direct

@@ -22,6 +22,13 @@ from . import (  # noqa: E402,F401
 # pivot_unpivot_roundtrip, date_functions_orders,
 # string_math_functions_customer, setops_nations (redundant shape
 # siblings of rows that stay; all four remain oracle-gated locally).
+# r7 rotation (same policy): in — orders_bloom_prefilter,
+# part_link_prediction, doc_classifier_conformal,
+# customer_second_order_hazard (the round-7 representatives); out —
+# top_orders_above_avg, window_order_sequences,
+# events_dedup_first_per_key, emb_vector_stats (shape siblings whose
+# families stay attested by other window rows; all four remain
+# catalog + oracle-gated locally).
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -36,10 +43,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semi_anti_customers",
     "outer_join_profiles",
     "corpus_bm25_topk",
-    "top_orders_above_avg",
+    "orders_bloom_prefilter",
     "supplier_return_rate_wilson",
     "top3_parts_per_brand",
-    "window_order_sequences",
+    "part_link_prediction",
     "doc_jaccard_histogram",
     "events_quantile_sketch",
     "doc_multilingual_resample",
@@ -53,7 +60,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_tumbling_5min",
     "events_sessionize",
     "events_asof_attribution",
-    "events_dedup_first_per_key",
+    "doc_classifier_conformal",
     "doc_exact_dedup",
     "doc_text_profile",
     "doc_chunks",
@@ -66,7 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_near_dup_pairs",
-    "emb_vector_stats",
+    "customer_second_order_hazard",
     "stream_tumbling_counts",
     "stream_dedup_keys",
     "stream_session_windows",

@@ -28,10 +28,10 @@ EXPECTED_WINDOW = (
     "semi_anti_customers",
     "outer_join_profiles",
     "corpus_bm25_topk",
-    "top_orders_above_avg",
+    "orders_bloom_prefilter",
     "supplier_return_rate_wilson",
     "top3_parts_per_brand",
-    "window_order_sequences",
+    "part_link_prediction",
     "doc_jaccard_histogram",
     "events_quantile_sketch",
     "doc_multilingual_resample",
@@ -45,7 +45,7 @@ EXPECTED_WINDOW = (
     "events_tumbling_5min",
     "events_sessionize",
     "events_asof_attribution",
-    "events_dedup_first_per_key",
+    "doc_classifier_conformal",
     "doc_exact_dedup",
     "doc_text_profile",
     "doc_chunks",
@@ -58,7 +58,7 @@ EXPECTED_WINDOW = (
     "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_near_dup_pairs",
-    "emb_vector_stats",
+    "customer_second_order_hazard",
     "stream_tumbling_counts",
     "stream_dedup_keys",
     "stream_session_windows",
@@ -99,6 +99,11 @@ def test_beyond_window_entries_still_registered():
         "date_functions_orders",
         "string_math_functions_customer",
         "setops_nations",
+        # r7 out-rotated shape siblings — still catalog + oracle-gated
+        "top_orders_above_avg",
+        "window_order_sequences",
+        "events_dedup_first_per_key",
+        "emb_vector_stats",
     ):
         assert name in beyond, f"{name} fell out of the catalog"
 

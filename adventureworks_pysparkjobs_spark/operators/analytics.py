@@ -1256,3 +1256,82 @@ def second_event_hazard(
             / F.col("at_risk").cast("double")
         ).alias("hazard"),
     )
+
+
+def triple_counts(
+    items: DataFrame,
+    min_triple_count: int = 2,
+    max_basket_size: int = 50,
+    top_k: int = 20,
+) -> DataFrame:
+    """Frequent 3-itemsets over a ``(basket, item)`` frame — the
+    next-size-up of ``pair_counts`` for the associations pairs cannot
+    see (A and B each lift C a little; A∧B together lift it a lot).
+    Top ``top_k`` triples by basket count with their support fraction.
+
+    Same posting-list shape as the pair miner: distinct items collect
+    into one sorted per-basket array and i<j<k index triples explode
+    inside one codegen stage — cost Σ basket_size³, which is why the
+    basket cap is TIGHTER than the pair miner's (50³ = 125k candidate
+    triples per worst-case basket vs 200² = 40k pairs; a declared
+    semantic mirrored in the oracle, as oversized baskets are
+    catalog-page-shaped noise for itemset mining anyway). One keyed
+    triple aggregate; support divides by the distinct-basket count
+    attached via a 1-row aggregate-reduced rider; deterministic top-k
+    under (count DESC, a, b, c). Returns (item_a, item_b, item_c,
+    triple_n BIGINT, support DOUBLE).
+    """
+    baskets = (
+        items.groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("arr"))
+        .filter(
+            (F.size("arr") >= 3) & (F.size("arr") <= max_basket_size)
+        )
+    )
+    n_baskets = items.select(
+        F.count_distinct("basket").alias("n_baskets")
+    )
+    triple_structs = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.flatten(
+                F.transform(
+                    F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                    lambda y, j: F.transform(
+                        F.slice(
+                            F.col("arr"), i + j + 3, F.size(F.col("arr"))
+                        ),
+                        lambda z: F.struct(
+                            x.alias("item_a"),
+                            y.alias("item_b"),
+                            z.alias("item_c"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    triples = (
+        baskets.select(F.explode(triple_structs).alias("t"))
+        .groupBy(
+            F.col("t.item_a").alias("item_a"),
+            F.col("t.item_b").alias("item_b"),
+            F.col("t.item_c").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("triple_n"))
+        .filter(F.col("triple_n") >= min_triple_count)
+    )
+    return (
+        triples.join(F.broadcast(n_baskets))  # 1-row, aggregate-reduced
+        .select(
+            "item_a", "item_b", "item_c", "triple_n",
+            (
+                F.col("triple_n").cast("double")
+                / F.col("n_baskets").cast("double")
+            ).alias("support"),
+        )
+        .orderBy(
+            F.col("triple_n").desc(), "item_a", "item_b", "item_c"
+        )
+        .limit(top_k)
+    )

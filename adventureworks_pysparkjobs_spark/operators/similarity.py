@@ -1240,3 +1240,46 @@ def contrastive_pairs(
             "anchor_id", "other_id", F.lit("neg").alias("label"), "rnk"
         )
     )
+
+
+def matryoshka_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-readiness audit of an embedding column: per vector,
+    the cosine between the full vector and its zero-padded prefix at
+    half and quarter dimensionality — the number a retrieval team
+    reads before truncating MRL-style embeddings to cut index cost
+    4-16x. For a prefix p of x, dot(x, pad(p)) = ‖p‖², so
+    cos(x, pad(p)) = ‖p‖/‖x‖ EXACTLY — one prefix-norm fold and ONE
+    division per readout, no second pass over the dot product. Scores
+    near 1 mean the leading dims carry the mass (truncation-safe);
+    uniformly-spread vectors sit near sqrt(fraction) (~0.707 at half,
+    0.5 at quarter) — the no-better-than-random floor.
+
+    Determinism: the norms are the sequential left-fold the emb oracle
+    family uses (IEEE addition of identical operands in identical
+    order ≡ DuckDB list_reduce), the division is one closed form;
+    NULL for the zero vector. Pure per-row map stage — no shuffle at
+    all. Returns (id, dim INT, l2_norm, half_cos, quarter_cos).
+    """
+    v = F.col(vec_col)
+    full = norm_fold(v)
+    half = norm_fold(
+        F.slice(v, F.lit(1), F.expr(f"size({vec_col}) div 2"))
+    )
+    quarter = norm_fold(
+        F.slice(v, F.lit(1), F.expr(f"size({vec_col}) div 4"))
+    )
+    return emb.select(
+        F.col(id_col),
+        F.size(v).alias("dim"),
+        full.alias("l2_norm"),
+        F.when(full == 0.0, F.lit(None).cast("double"))
+        .otherwise(half / full)
+        .alias("half_cos"),
+        F.when(full == 0.0, F.lit(None).cast("double"))
+        .otherwise(quarter / full)
+        .alias("quarter_cos"),
+    )

@@ -1498,3 +1498,53 @@ def customer_second_order_hazard(
     return second_event_hazard(
         od, "o_custkey", "o_orderdate", "o_orderkey", bucket_days=30
     )
+
+
+@query(
+    "orders_market_basket_triples",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    nb AS (
+      SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+      FROM items),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 3 AND 50),
+    tri AS (
+      SELECT i1.item AS a, i2.item AS b, i3.item AS c,
+             CAST(COUNT(*) AS BIGINT) AS triple_n
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN items i3 ON i1.basket = i3.basket AND i2.item < i3.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+    SELECT a AS item_a, b AS item_b, c AS item_c, triple_n,
+           CAST(triple_n AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+             AS support
+    FROM tri, nb
+    ORDER BY triple_n DESC, item_a, item_b, item_c
+    LIMIT 20
+    """,
+    tags=("analytics", "market-basket", "itemsets", "triples"),
+)
+def orders_market_basket_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 frequent part TRIPLES across order baskets
+    (operators/analytics.py:triple_counts) — the 3-itemset
+    associations pair mining cannot see. Same sorted-array posting
+    explode as the pair miner with a tighter basket cap (cost is
+    basket³), one keyed triple aggregate, a 1-row basket-count rider
+    for support, deterministic (count DESC, a, b, c) top-k."""
+    from ..operators.analytics import triple_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    ).distinct()
+    return triple_counts(
+        items, min_triple_count=2, max_basket_size=50, top_k=20
+    )

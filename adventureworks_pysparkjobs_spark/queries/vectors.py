@@ -337,3 +337,33 @@ def emb_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") % 50 == 0)
     return S.contrastive_pairs(emb, anchors, k_pos=3, k_neg=3)
+
+
+@query(
+    "emb_matryoshka_audit",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           {_NORM.format(a='embedding')} AS l2_norm,
+           CASE WHEN {_NORM.format(a='embedding')} = 0 THEN NULL
+                ELSE {_NORM.format(a='embedding[1:len(embedding) // 2]')}
+                     / {_NORM.format(a='embedding')}
+           END AS half_cos,
+           CASE WHEN {_NORM.format(a='embedding')} = 0 THEN NULL
+                ELSE {_NORM.format(a='embedding[1:len(embedding) // 4]')}
+                     / {_NORM.format(a='embedding')}
+           END AS quarter_cos
+    FROM embeddings
+    """,
+    tags=("embedding", "matryoshka", "truncation", "audit"),
+)
+def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-readiness audit
+    (operators/similarity.py:matryoshka_audit): per vector, the exact
+    cosine between the full embedding and its half/quarter prefix
+    (= prefix-norm / full-norm — dot(x, pad(p)) = ||p||^2, so one fold
+    and one division per readout). Near 1 = truncation-safe MRL-style
+    embeddings; ~sqrt(fraction) = mass spread uniformly, truncation
+    would cost real recall. Pure per-row map stage, fold-idiom
+    oracle-exact."""
+    return S.matryoshka_audit(load_table(spark, sf_dir, "embeddings"))

@@ -455,3 +455,48 @@ def test_stream_bloom_replay_is_idempotent(spark, tmp_path):
     # merge-on-read OR of replayed + overlapping partials == one-shot
     # build over the union of keys (OR is idempotent + commutative)
     assert snap == direct
+
+
+def test_matryoshka_audit_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.similarity import (
+        matryoshka_audit,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0, 0.0, 0.0]),   # all mass in the first half
+            (2, [1.0, 1.0, 1.0, 1.0]),   # uniform spread
+            (3, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> NULLs
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in matryoshka_audit(emb).collect()}
+    assert out[1]["dim"] == 4 and out[1]["l2_norm"] == 5.0
+    assert out[1]["half_cos"] == 1.0            # prefix holds everything
+    assert out[1]["quarter_cos"] == 3.0 / 5.0   # [3.0] prefix
+    assert out[2]["half_cos"] == math.sqrt(2.0) / 2.0  # sqrt(1/2) floor
+    assert out[3]["half_cos"] is None and out[3]["quarter_cos"] is None
+
+
+def test_triple_counts_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        triple_counts,
+    )
+
+    # baskets: {1,2,3} twice, {1,2,3,4} once, {9} (too small, ignored)
+    rows = (
+        [(100, i) for i in (1, 2, 3)]
+        + [(200, i) for i in (1, 2, 3)]
+        + [(300, i) for i in (1, 2, 3, 4)]
+        + [(400, 9)]
+    )
+    items = spark.createDataFrame(rows, "basket long, item long")
+    out = {
+        (r["item_a"], r["item_b"], r["item_c"]): r
+        for r in triple_counts(items, min_triple_count=2).collect()
+    }
+    # only (1,2,3) appears in >= 2 baskets (three, in fact)
+    assert list(out) == [(1, 2, 3)]
+    r = out[(1, 2, 3)]
+    assert r["triple_n"] == 3
+    assert r["support"] == 3.0 / 4.0  # 4 distinct baskets overall

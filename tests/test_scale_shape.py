@@ -22,6 +22,7 @@ CROSS_OK = {
     "events_key_skew",  # 1-row total-count broadcast cross
     "q11_important_stock",  # 1-row threshold scalar-subquery broadcast cross
     "orders_market_basket",  # 1-row n_baskets broadcast cross
+    "orders_market_basket_triples",  # 1-row n_baskets broadcast cross
     "doc_dsir_weights",  # two 1-row feature-total broadcast crosses
     "corpus_collocations",  # 1-row corpus-word-total broadcast cross
     "doc_quality_quartiles",  # 1-row total-count broadcast cross

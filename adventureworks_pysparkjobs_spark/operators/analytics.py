@@ -1335,3 +1335,92 @@ def triple_counts(
         )
         .limit(top_k)
     )
+
+
+def haar_energy(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_days: int = 64,
+) -> DataFrame:
+    """Haar wavelet energy decomposition of the daily event-count
+    series: per resolution level (2-day pairs up to the full window),
+    the exact energy Σ detail² of the Haar detail coefficients — the
+    multi-resolution "where does the variance live" profile (level 1
+    hot = day-to-day jitter, level 3 hot ≈ weekly cycle, top levels
+    hot = regime shift) that Fourier analysis can't deliver
+    engine-exactly (it needs trig; Haar needs only ± and +).
+
+    The series is the first ``window_days`` days (a power of two) from
+    the observed minimum, zero-densified — declared semantics: a fixed
+    dyadic analysis window, the wavelet convention. Each level halves
+    the series: a_l[i] = a_{l-1}[2i] + a_{l-1}[2i+1] (sums pass up),
+    d_l[i] = a_{l-1}[2i] − a_{l-1}[2i+1] (unnormalized Haar details —
+    integer-exact; the 1/sqrt(2) normalization is a per-level constant
+    callers can apply, dropped to stay in BIGINT).
+
+    Exactness: everything is integer arithmetic end-to-end; energies
+    carried as DECIMAL(38,0) (a 10¹⁰-event day squares past BIGINT).
+    Scale shape: raw rows reduce to day grain FIRST; the analysis
+    window is built off the 1-row min-day aggregate (window min over
+    the REDUCED day frame — no rider cross); each level is one keyed
+    aggregate over at most ``window_days`` rows. Returns one row per
+    level: (level INT, n_coeffs BIGINT, energy DECIMAL(38,0)).
+    """
+    if window_days & (window_days - 1) or window_days < 2:
+        raise ValueError("haar_energy: window_days must be a power of 2")
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01")
+    ).alias("d")
+    daily = (
+        df.select(day)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    rel = daily.select(
+        (
+            F.col("d")
+            - F.min("d").over(Window.partitionBy())
+        ).alias("i"),
+        "x",
+    ).filter(F.col("i") < window_days)
+    spine = (
+        daily.agg(F.min("d").alias("_d0"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("i")
+        )
+    )
+    frame = spine.join(rel, "i", "left").select(
+        F.col("i").cast("long").alias("i"),
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("a"),
+    )
+    d38 = "decimal(38,0)"
+    levels = window_days.bit_length() - 1
+    out = None
+    for lvl in range(1, levels + 1):
+        pairs = (
+            frame.groupBy(
+                # distinct name: the +/- sign inside the aggregate must
+                # resolve against the CHILD's i, not the group key
+                F.expr("CAST(i DIV 2 AS BIGINT)").alias("i_half")
+            )
+            .agg(
+                F.sum("a").cast("long").alias("a"),
+                F.sum(
+                    F.when(F.col("i") % 2 == 0, F.col("a")).otherwise(
+                        -F.col("a")
+                    )
+                ).cast("long").alias("dc"),
+            )
+            .withColumnRenamed("i_half", "i")
+        )
+        e = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            F.sum((F.col("dc").cast(d38) * F.col("dc")).cast(d38))
+            .cast(d38)
+            .alias("energy"),
+        ).select(F.lit(lvl).alias("level"), "n_coeffs", "energy")
+        out = e if out is None else out.unionByName(e)
+        frame = pairs.select("i", "a")
+    return out

@@ -1548,3 +1548,79 @@ def orders_market_basket_triples(
     return triple_counts(
         items, min_triple_count=2, max_basket_size=50, top_k=20
     )
+
+
+@query(
+    "events_haar_energy",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    d0 AS (SELECT MIN(d) AS m FROM daily),
+    spine AS (
+      SELECT CAST(g.i AS BIGINT) AS i
+      FROM unnest(generate_series(0, 63)) AS g(i)),
+    a0 AS (
+      SELECT s.i, COALESCE(dy.x, 0) AS a
+      FROM spine s
+      LEFT JOIN daily dy ON dy.d - (SELECT m FROM d0) = s.i),
+    l1 AS (
+      SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS dc
+      FROM a0 GROUP BY 1),
+    l2 AS (
+      SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS dc
+      FROM l1 GROUP BY 1),
+    l3 AS (
+      SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS dc
+      FROM l2 GROUP BY 1),
+    l4 AS (
+      SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS dc
+      FROM l3 GROUP BY 1),
+    l5 AS (
+      SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS dc
+      FROM l4 GROUP BY 1),
+    l6 AS (
+      SELECT i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS dc
+      FROM l5 GROUP BY 1)
+    SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(SUM(CAST(dc AS HUGEINT) * dc) AS DECIMAL(38,0)) AS energy
+    FROM l1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(dc AS HUGEINT) * dc) AS DECIMAL(38,0)) FROM l2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(dc AS HUGEINT) * dc) AS DECIMAL(38,0)) FROM l3
+    UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(dc AS HUGEINT) * dc) AS DECIMAL(38,0)) FROM l4
+    UNION ALL SELECT 5, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(dc AS HUGEINT) * dc) AS DECIMAL(38,0)) FROM l5
+    UNION ALL SELECT 6, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(dc AS HUGEINT) * dc) AS DECIMAL(38,0)) FROM l6
+    """,
+    tags=("analytics", "timeseries", "wavelet", "haar",
+          "multi-resolution"),
+)
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy profile of the daily event-count series
+    (operators/analytics.py:haar_energy, 64-day dyadic window from the
+    first observed day): per level, the exact integer energy of the
+    unnormalized detail coefficients — which resolution (daily jitter,
+    ~weekly, regime) carries the variance. Pure ± integer cascades
+    over the day-grain reduced frame; the oracle unrolls the six
+    levels as chained CTEs."""
+    from ..operators.analytics import haar_energy
+
+    ev = load_table(spark, sf_dir, "events")
+    return haar_energy(ev, window_days=64)

@@ -500,3 +500,32 @@ def test_triple_counts_hand_values(spark):
     r = out[(1, 2, 3)]
     assert r["triple_n"] == 3
     assert r["support"] == 3.0 / 4.0  # 4 distinct baskets overall
+
+
+def test_haar_energy_hand_values(spark):
+    from decimal import Decimal
+
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        haar_energy,
+    )
+
+    # 4-day window, counts [3, 1, 2, 2]:
+    #   level 1: d = [3-1, 2-2] = [2, 0] -> energy 4
+    #   level 2: a1 = [4, 4]; d = [4-4] = [0] -> energy 0
+    rows = []
+    eid = 0
+    for day, n in zip((1, 2, 3, 4), (3, 1, 2, 2)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day} 00:00:00", 1, "e"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["level"]: r for r in haar_energy(ev, window_days=4).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_coeffs"] == 2
+    assert out[1]["energy"] == Decimal(4)
+    assert out[2]["n_coeffs"] == 1
+    assert out[2]["energy"] == Decimal(0)

@@ -1424,3 +1424,114 @@ def haar_energy(
         out = e if out is None else out.unionByName(e)
         frame = pairs.select("i", "a")
     return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_boot: int = 200,
+    alpha_num: int = 25,
+    alpha_den: int = 1000,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the MEAN DAILY
+    event volume — the distribution-free error bar an on-call report
+    puts around "we average N events/day", valid under the bursty,
+    non-normal daily counts real traffic has (where the +-1.96·sigma
+    interval is fiction). ``n_boot`` resamples of the day series with
+    replacement; the CI is the (alpha, 1-alpha) percentile pair of
+    the resample means (alpha = alpha_num/alpha_den, default 2.5%).
+
+    DETERMINISTIC bootstrap: draw j of resample b picks day index
+    md5("bs|b|j") % n_days — the engine-portable hash idiom instead
+    of an RNG, so the resample plan, every mean, and the CI are
+    bit-identical across engines and runs (a seeded-RNG bootstrap is
+    not even portable across Spark versions). Each resample mean is
+    an exact BIGINT sum and ONE division; the CI bounds are exact
+    rank selection (k = max(1, floor(alpha·B)) from either end) over
+    the B means under the (mean, b) total order.
+
+    Scale shape: raw rows reduce to day grain FIRST; the (b, j) draw
+    grid explodes off the 1-row day-count aggregate (B·n_days rows —
+    calendar-bounded, independent of event volume) and equi-joins the
+    indexed day series; one b-keyed sum; the rank window runs over
+    the B-row means frame; the observed mean attaches as a 1-row
+    aggregate-reduced rider. Returns ONE row (n_days, n_boot,
+    mean_obs, ci_lo, ci_hi).
+    """
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01")
+    ).alias("d")
+    daily = (
+        df.select(day)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.orderBy("d")
+    series = daily.select(
+        (F.row_number().over(w) - 1).cast("long").alias("i"), "x"
+    )
+    nrow = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    grid = (
+        nrow.select(
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_boot - 1))
+            ).alias("b"),
+        )
+        .select(
+            "n", "b",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1)
+            ).alias("j"),
+        )
+        .select(
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bs|"),
+                                F.col("b").cast("string"),
+                                F.lit("|"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("i"),
+        )
+    )
+    means = (
+        grid.join(series, "i")
+        .groupBy("b")
+        .agg(F.sum("x").cast("long").alias("s"))
+        .join(F.broadcast(nrow))  # 1-row, aggregate-reduced
+        .select(
+            "b", "n", "total",
+            (F.col("s").cast("double") / F.col("n").cast("double"))
+            .alias("m"),
+        )
+    )
+    k_lo = max(1, (alpha_num * n_boot) // alpha_den)
+    k_hi = n_boot + 1 - k_lo
+    wr = Window.orderBy("m", "b")
+    ranked = means.select(
+        "n", "total", "m", F.row_number().over(wr).alias("rn")
+    )
+    return ranked.agg(
+        F.max("n").alias("n_days"),
+        F.max(F.lit(n_boot)).cast("long").alias("n_boot"),
+        (
+            F.max("total").cast("double")
+            / F.max("n").cast("double")
+        ).alias("mean_obs"),
+        F.min(F.when(F.col("rn") == k_lo, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("m"))).alias("ci_hi"),
+    )

@@ -1624,3 +1624,100 @@ def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return haar_energy(ev, window_days=64)
+
+
+@query(
+    "events_dow_type_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT dayofweek(CAST(ts AS DATE)) + 1 AS r, event_type AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT r, c, n,
+             CAST(SUM(n) OVER (PARTITION BY r) AS BIGINT) AS rt,
+             CAST(SUM(n) OVER (PARTITION BY c) AS BIGINT) AS ct,
+             CAST(SUM(n) OVER () AS BIGINT) AS gt
+      FROM cells)
+    SELECT CAST(r AS INTEGER) AS dow, c AS event_type, n,
+           CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)
+             AS expected,
+           (CAST(n AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(gt AS DOUBLE))
+           * (CAST(n AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(gt AS DOUBLE))
+           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+              / CAST(gt AS DOUBLE)) AS chi2_contrib
+    FROM tot
+    """,
+    tags=("analytics", "chi-square", "seasonality", "contingency"),
+)
+def events_dow_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the event-type mix independent of weekday? Per-cell
+    chi-square contingency (operators/profile.py:contingency_chi2) of
+    day-of-week x event_type — the computed-categorical variant of the
+    status-priority audit (Spark dayofweek is 1=Sunday, matched by
+    DuckDB dayofweek+1, the dim_date convention). Same single-scan,
+    window-totals-over-reduced-cells plan."""
+    from ..operators.profile import contingency_chi2
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.dayofweek(F.to_date("ts")).alias("dow"), "event_type"
+    )
+    return contingency_chi2(ev, "dow", "event_type")
+
+
+@query(
+    "events_bootstrap_ci",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS i, x FROM daily),
+    nrow AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS total FROM daily),
+    grid AS (
+      SELECT b.b,
+             (CAST('0x' || substr(md5('bs|' || CAST(b.b AS VARCHAR)
+                    || '|' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+              % n.n) AS i
+      FROM nrow n,
+           unnest(generate_series(0, 199)) AS b(b),
+           unnest(generate_series(0, n.n - 1)) AS j(j)),
+    means AS (
+      SELECT g.b, CAST(SUM(s.x) AS BIGINT) AS s
+      FROM grid g JOIN series s USING (i) GROUP BY 1),
+    m2 AS (
+      SELECT b, CAST(s AS DOUBLE) / CAST(n.n AS DOUBLE) AS m,
+             n.n AS n, n.total AS total
+      FROM means, nrow n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM m2)
+    SELECT MAX(n) AS n_days,
+           CAST(200 AS BIGINT) AS n_boot,
+           CAST(MAX(total) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+             AS mean_obs,
+           MIN(CASE WHEN rn = 5 THEN m END) AS ci_lo,
+           MIN(CASE WHEN rn = 196 THEN m END) AS ci_hi
+    FROM ranked
+    """,
+    tags=("analytics", "bootstrap", "confidence-interval", "resampling"),
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for the mean daily event volume
+    (operators/analytics.py:bootstrap_mean_ci, B=200): a DETERMINISTIC
+    bootstrap — resample draws pick day indexes via the md5 hash idiom
+    instead of an RNG, so plans, means and CI bounds are bit-identical
+    across engines and runs. The draw grid explodes off the 1-row day
+    count (B·n_days rows, calendar-bounded); each mean is one exact
+    BIGINT sum + one division; the CI is exact rank selection over the
+    200-row means frame."""
+    from ..operators.analytics import bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(ev, n_boot=200)

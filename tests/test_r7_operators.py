@@ -529,3 +529,42 @@ def test_haar_energy_hand_values(spark):
     assert out[1]["energy"] == Decimal(4)
     assert out[2]["n_coeffs"] == 1
     assert out[2]["energy"] == Decimal(0)
+
+
+def test_bootstrap_mean_ci_matches_python_reference(spark):
+    import hashlib
+
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        bootstrap_mean_ci,
+    )
+
+    # 8 days with counts 1..8 (one event per count unit)
+    rows = []
+    eid = 0
+    counts = [1, 2, 3, 4, 5, 6, 7, 8]
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day} 00:00:00", 1, "e"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    B = 40
+    r = bootstrap_mean_ci(ev, n_boot=B).collect()[0]
+
+    def idx(b, j, n):
+        d = hashlib.md5(f"bs|{b}|{j}".encode()).hexdigest()[:8]
+        return int(d, 16) % n
+
+    n = len(counts)
+    means = sorted(
+        (sum(counts[idx(b, j, n)] for j in range(n)) / n, b)
+        for b in range(B)
+    )
+    k_lo = max(1, (25 * B) // 1000)          # = 1
+    k_hi = B + 1 - k_lo                      # = 40
+    assert r["n_days"] == n and r["n_boot"] == B
+    assert r["mean_obs"] == sum(counts) / n
+    assert r["ci_lo"] == means[k_lo - 1][0]
+    assert r["ci_hi"] == means[k_hi - 1][0]
+    assert r["ci_lo"] <= r["mean_obs"] <= r["ci_hi"]

@@ -40,6 +40,7 @@ CROSS_OK = {
     "doc_tfidf_keywords",  # 1-row doc-count (N) broadcast cross
     "corpus_rank_fusion",  # 1-row corpus-totals cross via bm25 composition
     "customer_second_order_hazard",  # 1-row observation-horizon cross
+    "events_bootstrap_ci",  # 1-row day-count/total broadcast cross
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

@@ -243,3 +243,54 @@ def attach_metadata(
     is forced: AQE picks broadcast when the sidecar is actually small and
     a shuffled hash join (co-partitioned on the key) when it is not."""
     return media.join(metadata, on, "left")
+
+
+MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),      # wav / avi / webp containers
+    ("25504446", "pdf"),
+    ("1F8B", "gzip"),
+    ("504B0304", "zip"),
+    ("664C6143", "flac"),
+    ("4F676753", "ogg"),
+)
+
+
+def sniff_media_types(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Magic-byte container sniffing over an opaque ``binary`` payload
+    column — the first gate of any multimodal ingest: NEVER trust the
+    file extension or the upstream content-type header; classify by
+    the leading signature bytes and quarantine the ``unknown`` bucket.
+    Returns the per-container inventory (media_type, n_payloads
+    BIGINT, total_bytes BIGINT) a crawl-triage dashboard reads.
+
+    The classifier is a first-match CASE over well-known signatures
+    (PNG/JPEG/GIF/RIFF/PDF/gzip/zip/FLAC/Ogg) applied to the hex of
+    the FIRST 8 BYTES only — one in-codegen expression per row, no
+    UDF, no decode; real decoding stays behind the codec seam
+    (``extract_features``). Exact integer aggregate; bit-portable
+    (hex renders uppercase in both engines).
+    """
+    sig = F.hex(F.expr(f"substring({content_col}, 1, 8)"))
+    media = None
+    for prefix, name in MAGIC_SIGNATURES:
+        cond = sig.startswith(prefix)
+        media = (
+            F.when(cond, name) if media is None else media.when(cond, name)
+        )
+    media = media.otherwise("unknown")
+    return (
+        df.select(
+            media.alias("media_type"),
+            F.octet_length(F.col(content_col)).cast("long").alias("_b"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.sum("_b").cast("long").alias("total_bytes"),
+        )
+    )

@@ -1383,3 +1383,61 @@ def doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simpson_diversity(docs, "source", "lang")
+
+
+@query(
+    "doc_media_magic_sniff",
+    oracle="""
+    WITH payloads AS (
+      SELECT unhex(CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN '89504E470D0A1A0A'
+               WHEN 1 THEN 'FFD8FFE0'
+               WHEN 2 THEN '52494646'
+               WHEN 3 THEN '25504446'
+               ELSE '1F8B08' END) || encode(text) AS content
+      FROM documents),
+    sniffed AS (
+      SELECT CASE
+               WHEN substr(hex(content), 1, 8) = '89504E47' THEN 'png'
+               WHEN substr(hex(content), 1, 6) = 'FFD8FF' THEN 'jpeg'
+               WHEN substr(hex(content), 1, 8) = '47494638' THEN 'gif'
+               WHEN substr(hex(content), 1, 8) = '52494646' THEN 'riff'
+               WHEN substr(hex(content), 1, 8) = '25504446' THEN 'pdf'
+               WHEN substr(hex(content), 1, 4) = '1F8B' THEN 'gzip'
+               WHEN substr(hex(content), 1, 8) = '504B0304' THEN 'zip'
+               WHEN substr(hex(content), 1, 8) = '664C6143' THEN 'flac'
+               WHEN substr(hex(content), 1, 8) = '4F676753' THEN 'ogg'
+               ELSE 'unknown' END AS media_type,
+             CAST(octet_length(content) AS BIGINT) AS b
+      FROM payloads)
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(b) AS BIGINT) AS total_bytes
+    FROM sniffed GROUP BY 1
+    """,
+    tags=("multimodal", "binary", "magic-bytes", "triage"),
+)
+def doc_media_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container triage over opaque binary payloads
+    (operators/multimodal.py:sniff_media_types): deterministic fake
+    payloads (a real magic header chosen by doc_id % 5, prepended to
+    the utf-8 body — the documented stub convention for media columns
+    in this container-less sandbox) classified by their FIRST 8 BYTES
+    into the per-container inventory. The sniff is one in-codegen
+    CASE over hex(leading bytes) — no UDF, no decode, no trust in
+    extensions — followed by one exact integer aggregate."""
+    doc = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(bytes.fromhex("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 5 == 1, F.lit(bytes.fromhex("FFD8FFE0")))
+        .when(F.col("doc_id") % 5 == 2, F.lit(bytes.fromhex("52494646")))
+        .when(F.col("doc_id") % 5 == 3, F.lit(bytes.fromhex("25504446")))
+        .otherwise(F.lit(bytes.fromhex("1F8B08")))
+    )
+    payloads = doc.select(
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("content")
+    )
+    from ..operators.multimodal import sniff_media_types
+
+    return sniff_media_types(payloads)

@@ -568,3 +568,22 @@ def test_bootstrap_mean_ci_matches_python_reference(spark):
     assert r["ci_lo"] == means[k_lo - 1][0]
     assert r["ci_hi"] == means[k_hi - 1][0]
     assert r["ci_lo"] <= r["mean_obs"] <= r["ci_hi"]
+
+
+def test_sniff_media_types_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.multimodal import (
+        sniff_media_types,
+    )
+
+    rows = [
+        (bytes.fromhex("89504E470D0A1A0A") + b"png-body",),
+        (bytes.fromhex("FFD8FFE0") + b"jpeg-body",),
+        (bytes.fromhex("FFD8FFE1") + b"jpeg-exif-body",),  # FFD8FF prefix
+        (b"plain text, no signature",),
+    ]
+    df = spark.createDataFrame(rows, "content binary")
+    out = {r["media_type"]: r for r in sniff_media_types(df).collect()}
+    assert out["png"]["n_payloads"] == 1
+    assert out["png"]["total_bytes"] == 8 + len(b"png-body")
+    assert out["jpeg"]["n_payloads"] == 2  # both FFD8FF variants
+    assert out["unknown"]["n_payloads"] == 1

@@ -1196,6 +1196,7 @@ def part_copurchase_assortativity(
 
 @query(
     "part_link_prediction",
+    bench=True,
     oracle="""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -1721,3 +1722,44 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return bootstrap_mean_ci(ev, n_boot=200)
+
+
+@query(
+    "events_type_user_simpson",
+    oracle="""
+    WITH cc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    sums AS (
+      SELECT event_type,
+             CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS num
+      FROM cc GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           k AS n_categories,
+           CASE WHEN n < 2 THEN NULL
+                ELSE CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)
+           END AS simpson,
+           CASE WHEN n < 2 THEN NULL
+                ELSE CAST(1 AS DOUBLE)
+                     - CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(n * (n - 1) AS VARCHAR) AS DOUBLE)
+           END AS gini_simpson
+    FROM sums
+    """,
+    tags=("analytics", "diversity", "simpson", "concentration"),
+)
+def events_type_user_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration per event type
+    (operators/profile.py:simpson_diversity over (event_type,
+    user_id)): the exact probability two random events of a type come
+    from the SAME user — λ near 1 means a type is one bot/power-user's
+    traffic, λ near 1/users means broad adoption; the log-free
+    concentration scalar an abuse triage reads per event class."""
+    from ..operators.profile import simpson_diversity
+
+    ev = load_table(spark, sf_dir, "events")
+    return simpson_diversity(ev, "event_type", "user_id")

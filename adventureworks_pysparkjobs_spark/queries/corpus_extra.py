@@ -1579,6 +1579,7 @@ def doc_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_classifier_conformal",
+    bench=True,
     oracle="""
     WITH tok AS (
       SELECT doc_id, t.tk FROM

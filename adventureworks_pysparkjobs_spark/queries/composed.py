@@ -93,3 +93,32 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["stream_anomaly_zscore"].oracle = CATALOG[
     "events_anomaly_zscore"
 ].oracle
+
+
+_ORDERS_AUDIT_ORACLE = "\nUNION ALL BY NAME\n".join(
+    [
+        _section("orders_duplicate_payments", "duplicate_payments"),
+        _section("orders_id_gap_islands", "id_gaps"),
+        _section("orders_benford_audit", "benford"),
+        _section("orders_status_priority_chi2", "status_priority_chi2"),
+    ]
+)
+
+
+@query(
+    "orders_audit_pipeline",
+    oracle=_ORDERS_AUDIT_ORACLE,
+    tags=("composed", "pipeline", "governance", "audit", "union"),
+)
+def orders_audit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole order-integrity audit job
+    (jobs/order_audit_pipeline.py) as one section-tagged frame:
+    duplicate-payment pairs + key gap islands + Benford first-digit
+    audit + status x priority chi-square, unioned at the plan level
+    (union_evolved NULL backfill) over one orders scan definition. The
+    oracle is the composed UNION ALL BY NAME of the four section
+    oracles — the end-to-end controls job carries the same correctness
+    gate as each piece."""
+    from ..jobs.order_audit_pipeline import build_order_audit
+
+    return build_order_audit(spark, sf_dir)

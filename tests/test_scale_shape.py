@@ -29,6 +29,7 @@ CROSS_OK = {
     "corpus_vocab_growth",  # two 1-row bucket-width broadcast crosses
     "customer_rfm_segments",  # three 1-row quartile-total broadcast crosses
     "orders_benford_audit",  # 1-row total-count broadcast cross
+    "orders_audit_pipeline",  # same benford 1-row total cross via composition
     "corpus_bm25_topk",  # 1-row corpus-totals broadcast cross
     "lang_temperature_mixture",  # 1-row normalizer broadcast cross
     "doc_multilingual_resample",  # same normalizer cross via composition

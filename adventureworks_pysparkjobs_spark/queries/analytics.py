@@ -1763,3 +1763,104 @@ def events_type_user_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return simpson_diversity(ev, "event_type", "user_id")
+
+
+@query(
+    "events_funnel_by_variant",
+    oracle="""SELECT * FROM (
+    WITH s0 AS (
+      SELECT user_id AS u, MIN(ts) AS entry_ts FROM events
+      WHERE event_type = 'signup' AND user_id % 2 = 0 GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.entry_ts
+      WHERE e.event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.entry_ts
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.entry_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    stages AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS users FROM s0
+      UNION ALL SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM s1
+      UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT 0 AS variant, stage_idx, stage, users,
+           CAST(users AS DOUBLE)
+             / LAG(users) OVER (ORDER BY stage_idx) AS conv_from_prev,
+           CAST(users AS DOUBLE)
+             / FIRST_VALUE(users) OVER (ORDER BY stage_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS conv_from_first
+    FROM stages)
+    UNION ALL BY NAME
+    SELECT * FROM (
+    WITH s0 AS (
+      SELECT user_id AS u, MIN(ts) AS entry_ts FROM events
+      WHERE event_type = 'signup' AND user_id % 2 = 1 GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.entry_ts
+      WHERE e.event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.entry_ts
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.entry_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    stages AS (
+      SELECT 0 AS stage_idx, 'signup' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS users FROM s0
+      UNION ALL SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM s1
+      UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT 1 AS variant, stage_idx, stage, users,
+           CAST(users AS DOUBLE)
+             / LAG(users) OVER (ORDER BY stage_idx) AS conv_from_prev,
+           CAST(users AS DOUBLE)
+             / FIRST_VALUE(users) OVER (ORDER BY stage_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS conv_from_first
+    FROM stages)
+    """,
+    tags=("analytics", "funnel", "ab-test", "experiment"),
+)
+def events_funnel_by_variant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ordered product funnel split by the A/B parity arm (the
+    events_ab_lift assignment): per variant, users reaching each stage
+    in order plus step/overall conversion — the stage-level view the
+    one-row lift readout cannot give (WHICH step the treatment moved).
+    Two shrinking per-arm funnel DAGs (each one keyed MIN agg + user
+    equi-join per stage) unioned at the plan level; the arm filter
+    composes with the stage-0 aggregate so later stages inherit
+    membership through the user join. Non-negative user ids by the
+    events contract (parity on negatives is engine-divergent)."""
+    from ..operators.relational import union_evolved
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = []
+    for arm in (0, 1):
+        f = funnel(
+            ev.filter(F.col("user_id") % 2 == arm),
+            "user_id", "ts", "event_type", _FUNNEL_STAGES,
+        ).select(F.lit(arm).alias("variant"), "*")
+        arms.append(f)
+    return union_evolved(arms)

@@ -1441,3 +1441,54 @@ def doc_media_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sniff_media_types
 
     return sniff_media_types(payloads)
+
+
+# Captured AFTER doc_dup_clusters registers: the histogram entry wraps
+# the SAME oracle text, so the two can never drift apart.
+from .catalog import CATALOG as _CATALOG  # noqa: E402
+
+_DUP_CLUSTERS_ORACLE = _CATALOG["doc_dup_clusters"].oracle
+
+
+@query(
+    "doc_dup_cluster_histogram",
+    oracle=f"""
+    SELECT cluster_size,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(DISTINCT cluster_id) AS BIGINT)
+             AS n_docs
+    FROM ({_DUP_CLUSTERS_ORACLE})
+    GROUP BY 1
+    """,
+    tags=("dedup", "clusters", "histogram", "observability"),
+)
+def doc_dup_cluster_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster SIZE distribution — the dedup-observability
+    table read before choosing a keep-one-per-cluster policy (a corpus
+    of pairs behaves very differently from one 10k-doc mega-cluster,
+    and this is where you see which you have). One distinct + one
+    bounded aggregate over the dup_clusters output; the oracle wraps
+    the cluster entry's own recursive-CTE oracle verbatim, so the two
+    entries cannot drift."""
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=5,
+        threshold=0.5,
+        max_shingle_df=1000,
+    )
+    clusters = D.dedup_clusters(pairs)
+    return (
+        clusters.select("cluster_id", "cluster_size")
+        .distinct()
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

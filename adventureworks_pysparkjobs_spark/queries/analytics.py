@@ -1864,3 +1864,71 @@ def events_funnel_by_variant(
         ).select(F.lit(arm).alias("variant"), "*")
         arms.append(f)
     return union_evolved(arms)
+
+
+@query(
+    "events_user_lifespan_deciles",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)),
+                       MAX(CAST(ts AS DATE))) + 1 AS span
+      FROM events GROUP BY 1),
+    v AS (
+      SELECT span, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM spans GROUP BY 1),
+    c AS (
+      SELECT span, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY span) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM v),
+    deciles AS (SELECT unnest(generate_series(1, 10)) AS d)
+    SELECT CAST(d.d AS INTEGER) AS decile,
+           MIN(c.span) AS span_days
+    FROM deciles d
+    JOIN c ON c.cum * 10 >= c.n * d.d
+    GROUP BY 1
+    """,
+    tags=("analytics", "lifespan", "deciles", "distribution"),
+)
+def events_user_lifespan_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact deciles of the per-user active lifespan (days between
+    first and last event, inclusive) — the engagement-duration
+    distribution a retention team reads next to the cohort matrix.
+    Decile d = the smallest span whose cumulative user count reaches
+    d/10 of users, tested as the EXACT integer cross-multiplication
+    cum·10 >= n·d (no float at the boundary). Raw users reduce to
+    span-VALUE grain before the cumsum window (the Lorenz pattern);
+    the decile probe explodes a 10-literal array and equi-reduces by
+    decile."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+            + 1
+        ).alias("span")
+    )
+    v = spans.groupBy("span").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = Window.orderBy("span").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        "span",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    probed = c.select(
+        "span", "cum", "n",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, 11)])
+        ).alias("decile"),
+    ).filter(F.col("cum") * 10 >= F.col("n") * F.col("decile"))
+    return probed.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.min("span").alias("span_days")
+    )

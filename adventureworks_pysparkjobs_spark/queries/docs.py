@@ -1492,3 +1492,58 @@ def doc_dup_cluster_histogram(
             .alias("n_docs"),
         )
     )
+
+
+@query(
+    "corpus_zipf_check",
+    oracle=r"""
+    WITH tf AS (
+      SELECT lower(t.x) AS term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM documents, unnest(list_filter(
+        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t(x)
+      GROUP BY 1),
+    top AS (
+      SELECT term, freq FROM tf
+      ORDER BY freq DESC, term LIMIT 50),
+    ranked AS (
+      SELECT term, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term)
+                  AS BIGINT) AS rnk
+      FROM top)
+    SELECT rnk AS rank, term, freq,
+           CAST(rnk * freq AS BIGINT) AS rank_freq_product
+    FROM ranked
+    """,
+    tags=("text", "zipf", "frequency", "diagnostics"),
+)
+def corpus_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic without logarithms: the top-50 corpus
+    terms with rank, frequency, and the EXACT integer rank x frequency
+    product — Zipf predicts the product is roughly constant, and the
+    log-log slope fit every textbook shows needs ln (not correctly
+    rounded cross-engine) while this integer table carries the same
+    signal bit-exactly. Natural corpora bow at both ends; hash-salted
+    or boilerplate-heavy corpora go flat or sawtooth — the shape is
+    the pretraining-mix fingerprint. One term-grain aggregate, top-50
+    via TakeOrderedAndProject, rank window over the 50-row limited
+    frame only."""
+    from pyspark.sql import Window
+
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(TX.tokens("text")).alias("t"))
+        .select(F.lower(F.col("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(50)
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        "freq",
+    ).select(
+        "rank", "term", "freq",
+        (F.col("rank") * F.col("freq")).cast("long")
+        .alias("rank_freq_product"),
+    )

@@ -131,3 +131,161 @@ def resample_interpolate(
     frac = (b - pb).cast("double") / (nb - pb).cast("double")
     li = F.when(v.isNotNull(), v).otherwise(pv + (nv - pv) * frac)
     return j.select(key, "bucket_s", "total_value", li.alias("total_value_li"))
+
+
+def ewma_daily_counts(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average of the per-key daily count
+    series with a ONE-DAY HALF-LIFE over a trailing ``window_days``
+    window — the smoothed-volume feature behind alerting baselines and
+    trend dashboards (yesterday counts half as much as today, the day
+    before a quarter, ...).
+
+    Semantics: the series is zero-densified over each key's observed
+    [min, max] day span; for day d,
+    ``ewma = sum_{k=0..W-1} x_{d-k} * 2^{W-1-k} / (2^W - 1)`` — the
+    truncated half-life kernel with an exact power-of-two weight table.
+    Only days with a FULL trailing window (d >= d0 + W - 1) are
+    emitted, so every output row uses the same 2^W - 1 normalizer.
+
+    Exactness: counts are integers, weights are integer powers of two,
+    so the weighted sum is one exact BIGINT; the final ewma is a single
+    IEEE division of two exactly-representable operands — bit-identical
+    in any engine (no float accumulation order anywhere).
+
+    Scale shape: raw rows reduce to (key, day) grain map-side FIRST;
+    the dense spine explodes off a per-key 1-row bounds aggregate; the
+    kernel is a W-literal array explode on DAY-GRAIN rows re-aggregated
+    by target day — day-grain × W intermediate, thousands of rows per
+    key per decade at ANY corpus scale. Two keyed day-grain shuffles
+    beyond the initial reduction; no window sort over raw rows.
+    """
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = daily.groupBy("k").agg(
+        F.min("d").alias("_d0"), F.max("d").alias("_d1")
+    )
+    spine = bounds.select(
+        "k", F.explode(F.sequence("_d0", "_d1")).alias("d")
+    )
+    dense = spine.join(daily, ["k", "d"], "left").select(
+        "k", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    # kernel: a (lag k, weight 2^{W-1-k}) literal table exploded onto
+    # day-grain rows — each observation contributes to W target days.
+    kernel = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.lit(1 << (window_days - 1 - k)).cast("long").alias("w"),
+            )
+            for k in range(window_days)
+        ]
+    )
+    contrib = dense.select(
+        "k",
+        "d",
+        "x",
+        F.explode(kernel).alias("ker"),
+    ).select(
+        "k",
+        (F.col("d") + F.col("ker.lag")).alias("td"),
+        (F.col("x") * F.col("ker.w")).cast("long").alias("wx"),
+        F.when(F.col("ker.lag") == 0, F.col("x")).alias("x0"),
+    )
+    norm = float((1 << window_days) - 1)
+    out = (
+        contrib.groupBy("k", "td")
+        .agg(
+            F.sum("wx").cast("long").alias("ewma_scaled"),
+            F.sum("x0").cast("long").alias("cnt"),
+        )
+        .join(bounds, "k")
+        .filter(
+            (F.col("td") >= F.col("_d0") + (window_days - 1))
+            & (F.col("td") <= F.col("_d1"))
+        )
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("td").alias("d"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        "ewma_scaled",
+        (F.col("ewma_scaled").cast("double") / F.lit(norm)).alias("ewma"),
+    )
+
+
+def rolling_trend_slope(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 28,
+) -> DataFrame:
+    """Per-key trailing ``window_days``-day OLS trend of the daily
+    count series — the local slope feature ("is this event type
+    accelerating?") computed at every observed day, on the SPARSE
+    series (only days with activity enter the regression; gaps carry
+    no fabricated zeros, so the slope reads through outage days).
+
+    For each (key, day) the regression is over the (epoch_day, count)
+    points in ``RANGE BETWEEN window_days-1 PRECEDING AND CURRENT
+    ROW``:  ``slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)`` — NULL when
+    the frame holds a single day (zero x-variance).
+
+    Exactness: epoch-day x and count y are integers; all frame sums
+    are exact BIGINTs (bounded: |frame| ≤ window_days day-grain rows,
+    epoch days < 2^16, so every product stays far below 2^63); the
+    slope is one IEEE division of two exact BIGINT→DOUBLE conversions
+    — bit-identical in any engine.
+
+    Scale shape: raw rows reduce to (key, day) grain map-side FIRST;
+    the RANGE frame runs over day-grain rows (one sort per key of
+    ~365 rows/year regardless of corpus size). One reduction shuffle +
+    one day-grain window exchange.
+    """
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        df.select(F.col(key_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("d")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    x = F.col("d").cast("long")
+    y = F.col("y")
+    framed = daily.select(
+        "k",
+        "d",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_obs"),
+        F.sum(x).over(w).cast("long").alias("sx"),
+        F.sum(y).over(w).cast("long").alias("sy"),
+        F.sum(x * y).over(w).cast("long").alias("sxy"),
+        F.sum(x * x).over(w).cast("long").alias("sxx"),
+    )
+    num = (
+        F.col("n_obs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("long")
+    den = (
+        F.col("n_obs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("long")
+    return framed.select(
+        F.col("k").alias(key_col),
+        "d",
+        "y",
+        "n_obs",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope"),
+    )

@@ -1932,3 +1932,95 @@ def events_user_lifespan_deciles(
     return probed.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.min("span").alias("span_days")
     )
+
+
+@query(
+    "events_ewma_halflife",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT k, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT b.k, g.d
+      FROM bounds b, unnest(generate_series(b.d0, b.d1)) AS g(d)),
+    dense AS (
+      SELECT s.k, s.d, COALESCE(dy.x, 0) AS x
+      FROM spine s LEFT JOIN daily dy ON dy.k = s.k AND dy.d = s.d),
+    contrib AS (
+      SELECT c.k, c.d + g.lag AS td,
+             c.x * (1 << (7 - g.lag)) AS wx,
+             CASE WHEN g.lag = 0 THEN c.x END AS x0
+      FROM dense c, unnest(generate_series(0, 7)) AS g(lag)),
+    agg AS (
+      SELECT k, td,
+             CAST(SUM(wx) AS BIGINT) AS ewma_scaled,
+             CAST(SUM(x0) AS BIGINT) AS cnt
+      FROM contrib GROUP BY 1, 2)
+    SELECT a.k AS event_type, CAST(a.td AS INTEGER) AS d,
+           COALESCE(a.cnt, 0) AS cnt, a.ewma_scaled,
+           CAST(a.ewma_scaled AS DOUBLE) / CAST(255 AS DOUBLE) AS ewma
+    FROM agg a JOIN bounds b ON b.k = a.k
+    WHERE a.td >= b.d0 + 7 AND a.td <= b.d1
+    """,
+    tags=("analytics", "timeseries", "ewma", "smoothing"),
+)
+def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-day-half-life EWMA of each event type's daily count series
+    (operators/timeseries.py:ewma_daily_counts): the smoothed-volume
+    baseline behind alerting and trend dashboards, computed with an
+    exact power-of-two weight kernel (weights 128..1 over a trailing
+    8-day window, normalizer 255) so the weighted sum is one exact
+    BIGINT and the EWMA is a single IEEE division — no float
+    accumulation order anywhere. Day-grain throughout: raw events
+    reduce map-side first; the kernel is an 8-literal array explode on
+    day-grain rows."""
+    from ..operators.timeseries import ewma_daily_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_daily_counts(ev, "event_type", "ts", window_days=8)
+
+
+@query(
+    "events_rolling_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    framed AS (
+      SELECT k, d, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+             CAST(SUM(d) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(d * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(d * d) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY k ORDER BY d
+                   RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT k AS event_type, CAST(d AS INTEGER) AS d, y, n_obs,
+           CASE WHEN n_obs * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_obs * sxx - sx * sx AS DOUBLE)
+           END AS slope
+    FROM framed
+    """,
+    tags=("analytics", "timeseries", "regression", "trend"),
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day OLS trend of each event type's daily counts at
+    every observed day (operators/timeseries.py:rolling_trend_slope) —
+    the "is this accelerating?" local-slope feature, regressed over
+    the SPARSE series via a RANGE frame (outage days contribute no
+    fabricated zeros). All five frame moments are exact BIGINTs over
+    day-grain rows; the slope is one IEEE division, NULL on
+    single-day frames. One reduction shuffle + one day-grain window
+    exchange."""
+    from ..operators.timeseries import rolling_trend_slope
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_trend_slope(ev, "event_type", "ts", window_days=28)

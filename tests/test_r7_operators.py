@@ -587,3 +587,72 @@ def test_sniff_media_types_hand_values(spark):
     assert out["png"]["total_bytes"] == 8 + len(b"png-body")
     assert out["jpeg"]["n_payloads"] == 2  # both FFD8FF variants
     assert out["unknown"]["n_payloads"] == 1
+
+
+def test_ewma_daily_counts_matches_python_reference(spark):
+    from adventureworks_pysparkjobs_spark.operators.timeseries import (
+        ewma_daily_counts,
+    )
+
+    # type "a": days 0,2,3 active (gap at 1); type "b": single day.
+    rows, eid = [], 0
+    day_counts = {"a": {0: 2, 2: 1, 3: 3}, "b": {5: 4}}
+    for k, dc in day_counts.items():
+        for d, c in dc.items():
+            for _ in range(c):
+                eid += 1
+                rows.append((eid, f"2024-01-{d + 1:02d} 06:00:00", 1, k))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    W = 4
+    out = {
+        (r["event_type"], r["d"]): r
+        for r in ewma_daily_counts(ev, window_days=W).collect()
+    }
+    base = 19723  # epoch day of 2024-01-01
+    # python reference: zero-densified convolution with weights 2^(W-1-k)
+    for k, dc in day_counts.items():
+        lo, hi = min(dc), max(dc)
+        for td in range(lo + W - 1, hi + 1):
+            scaled = sum(
+                dc.get(td - lag, 0) * (1 << (W - 1 - lag))
+                for lag in range(W)
+            )
+            r = out[(k, base + td)]
+            assert r["ewma_scaled"] == scaled
+            assert r["ewma"] == scaled / float((1 << W) - 1)
+            assert r["cnt"] == dc.get(td, 0)
+    # full-window-only: type a emits days 3..3 (lo=0 -> first full at 3),
+    # type b (single day, lo=hi=5) emits nothing.
+    assert set(out) == {("a", base + 3)}
+    # hand value: day 3 of "a" sees [d3=3, d2=1, d1=0, d0=2] -> 3*8+1*4+0+2*1
+    assert out[("a", base + 3)]["ewma_scaled"] == 30
+
+
+def test_rolling_trend_slope_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.timeseries import (
+        rolling_trend_slope,
+    )
+
+    # days 0, 1, 4 (gap): counts 1, 3, 2 — sparse regression, no zeros.
+    rows, eid = [], 0
+    for d, c in {0: 1, 1: 3, 4: 2}.items():
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-{d + 1:02d} 06:00:00", 1, "a"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["d"]: r
+        for r in rolling_trend_slope(ev, window_days=3).collect()
+    }
+    base = 19723
+    # day 0: single-point frame -> NULL slope
+    assert out[base + 0]["n_obs"] == 1 and out[base + 0]["slope"] is None
+    # day 1: frame {(0,1),(1,3)} -> slope 2
+    assert out[base + 1]["n_obs"] == 2 and out[base + 1]["slope"] == 2.0
+    # day 4: frame RANGE [2,4] holds only (4,2) -> NULL again
+    assert out[base + 4]["n_obs"] == 1 and out[base + 4]["slope"] is None
+    assert set(out) == {base + 0, base + 1, base + 4}

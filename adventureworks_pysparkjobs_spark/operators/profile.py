@@ -1043,3 +1043,79 @@ def simpson_diversity(
         .otherwise(F.lit(1.0) - lam)
         .alias("gini_simpson"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two columns — the
+    monotone-association companion to :func:`feature_correlations`'s
+    Pearson r (robust to outliers and nonlinear-but-monotone
+    relationships, the right first question for "does balance predict
+    spend?").
+
+    Ties use AVERAGE ranks via the doubled-rank identity
+    ``2·avgrank = RANK() + |{rows ≤ value}|`` — RANK() gives the tie
+    block's min rank and the default RANGE frame's running count gives
+    its max rank, so both integer terms come off the SAME sort (no
+    second exchange per axis, no fractional ranks). Spearman rho is
+    then Pearson r over the doubled ranks (scaling both axes by 2
+    cancels exactly: the numerator picks up 4, each sqrt factor 2).
+
+    Exactness: doubled ranks are integers; all six moments accumulate
+    in DECIMAL(38,0); rho is one closed-form IEEE tree over
+    string-cast-rendered operands (the assortativity idiom). NULL on
+    zero variance (a constant axis). Rows with a NULL in either column
+    are dropped pairwise-complete.
+
+    Scale shape: two window sorts (one per axis) over the INPUT grain —
+    intended for dimension-sized frames (entity grain, SF-bounded),
+    not raw fact rows; reduce to entity grain first. The moment
+    aggregate is one keyed hash agg; output is one row per group.
+    """
+    rows = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    wx = Window.partitionBy("g").orderBy("x")
+    wy = Window.partitionBy("g").orderBy("y")
+    ranked = rows.select(
+        "g",
+        (F.rank().over(wx) + F.count(F.lit(1)).over(wx))
+        .cast("long")
+        .alias("rx"),
+        (F.rank().over(wy) + F.count(F.lit(1)).over(wy))
+        .cast("long")
+        .alias("ry"),
+    )
+    d38 = "decimal(38,0)"
+    rx, ry = F.col("rx"), F.col("ry")
+    sums = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(rx.cast(d38)).alias("sx"),
+        F.sum(ry.cast(d38)).alias("sy"),
+        F.sum((rx * ry).cast(d38)).alias("sxy"),
+        F.sum((rx * rx).cast(d38)).alias("sxx"),
+        F.sum((ry * ry).cast(d38)).alias("syy"),
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    num = _dbl(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    var_x = _dbl(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    var_y = _dbl(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    den = F.sqrt(var_x) * F.sqrt(var_y)
+    return sums.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(num / den)
+        .alias("spearman_rho"),
+    )

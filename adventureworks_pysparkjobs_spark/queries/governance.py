@@ -1461,3 +1461,73 @@ def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_bits=4096,
         n_hashes=2,
     )
+
+
+@query(
+    "customer_spend_spearman",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS y
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT c.c_mktsegment AS g, c.c_acctbal AS x, s.y AS y
+      FROM customer c JOIN spend s ON s.k = c.c_custkey
+      WHERE c.c_acctbal IS NOT NULL AND s.y IS NOT NULL),
+    r AS (
+      SELECT g,
+             RANK() OVER (PARTITION BY g ORDER BY x)
+             + COUNT(*) OVER (PARTITION BY g ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rx,
+             RANK() OVER (PARTITION BY g ORDER BY y)
+             + COUNT(*) OVER (PARTITION BY g ORDER BY y
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ry
+      FROM j),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy
+      FROM r GROUP BY 1)
+    SELECT g AS c_mktsegment, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR)
+                               AS DOUBLE))
+                     * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR)
+                                 AS DOUBLE)) = 0
+                THEN NULL
+                ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR)
+                                  AS DOUBLE))
+                        * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR)
+                                    AS DOUBLE)))
+           END AS spearman_rho
+    FROM m
+    """,
+    tags=("profile", "correlation", "spearman", "rank"),
+)
+def customer_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Spearman rank correlation between a
+    customer's account balance and their decimal-exact total order
+    spend (operators/profile.py:spearman_correlation) — the
+    outlier-robust "does balance predict spend?" readout next to the
+    Pearson feature_correlations entry. Average-rank ties via the
+    doubled-rank identity (RANK + running count off ONE sort per
+    axis); DECIMAL(38,0) moments; one IEEE closed form per rho.
+    Customer-dimension grain: spend reduces orders per customer before
+    any window."""
+    from ..operators.profile import spearman_correlation
+    from ..operators.relational import dec
+
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(dec("o_totalprice", 12, 2)).alias("spend")
+    )
+    j = cust.join(spend, "c_custkey").select(
+        "c_mktsegment", "c_acctbal", "spend"
+    )
+    return spearman_correlation(j, "c_acctbal", "spend", "c_mktsegment")

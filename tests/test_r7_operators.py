@@ -656,3 +656,38 @@ def test_rolling_trend_slope_hand_values(spark):
     # day 4: frame RANGE [2,4] holds only (4,2) -> NULL again
     assert out[base + 4]["n_obs"] == 1 and out[base + 4]["slope"] is None
     assert set(out) == {base + 0, base + 1, base + 4}
+
+
+def test_spearman_correlation_ties_and_degenerate(spark):
+    import math
+
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    rows = [
+        # group A: x tie at 2 -> avg ranks (1, 2.5, 2.5, 4);
+        # y ranks (2, 1, 3, 4) -> rho = 3 / sqrt(4.5 * 5.0)
+        ("A", 1.0, 2.0),
+        ("A", 2.0, 1.0),
+        ("A", 2.0, 5.0),
+        ("A", 3.0, 7.0),
+        # group B: constant y -> zero variance -> NULL
+        ("B", 1.0, 9.0),
+        ("B", 2.0, 9.0),
+        # group C: a NULL x row is dropped pairwise-complete
+        ("C", None, 1.0),
+        ("C", 1.0, 1.0),
+        ("C", 2.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r for r in spearman_correlation(df, "x", "y", "g").collect()
+    }
+    assert out["A"]["n_rows"] == 4
+    assert abs(
+        out["A"]["spearman_rho"] - 3.0 / (math.sqrt(4.5) * math.sqrt(5.0))
+    ) < 1e-12
+    assert out["B"]["spearman_rho"] is None
+    assert out["C"]["n_rows"] == 2  # NULL row dropped
+    assert out["C"]["spearman_rho"] == 1.0  # perfectly monotone

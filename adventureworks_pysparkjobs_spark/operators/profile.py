@@ -1119,3 +1119,62 @@ def spearman_correlation(
         .otherwise(num / den)
         .alias("spearman_rho"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value: Column,
+) -> DataFrame:
+    """ABC inventory/revenue classification — the per-class companion
+    to :func:`pareto_concentration`: rank members by exact-decimal
+    value descending and split at the classic cumulative thresholds
+    (A ≤ 80%, B ≤ 95%, C the tail), reporting each class's member
+    count, value, and share.
+
+    Boundary semantics (declared, oracle-mirrored): a member belongs
+    to the FIRST class whose threshold its INCLUSIVE cumulative value
+    still satisfies — the member that crosses 80% starts class B, so
+    under extreme concentration class A can be empty. Threshold tests
+    are exact integer-decimal cross-multiplications (cum·5 ≤ total·4,
+    cum·20 ≤ total·19); ordering is the deterministic (value DESC,
+    key) total order; each reported double is one IEEE expression
+    over string-rendered decimal sums.
+
+    Scale shape: the fact reduces to key grain map-side first; the
+    cumulative window and the global total run over the REDUCED
+    member frame (dimension-sized), and the output is ≤ 3 rows.
+    """
+    members = df.groupBy(F.col(key_col).alias("m")).agg(
+        F.sum(value).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("m")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = members.select(
+        "m",
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    cum, total = F.col("cum"), F.col("total")
+    cls = (
+        F.when(cum * 5 <= total * 4, F.lit("A"))
+        .when(cum * 20 <= total * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    agg = scored.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("rev").alias("_rev"),
+        F.max("total").alias("_total"),
+    )
+    return agg.select(
+        "abc_class",
+        "n_members",
+        _dbl(F.col("_rev")).alias("class_value"),
+        (_dbl(F.col("_rev")) / _dbl(F.col("_total"))).alias("value_share"),
+    )

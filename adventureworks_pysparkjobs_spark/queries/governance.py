@@ -1531,3 +1531,48 @@ def customer_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "c_acctbal", "spend"
     )
     return spearman_correlation(j, "c_acctbal", "spend", "c_mktsegment")
+
+
+@query(
+    "lineitem_abc_classes",
+    oracle="""
+    WITH members AS (
+      SELECT l_partkey AS m,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem GROUP BY 1),
+    scored AS (
+      SELECT m, rev,
+        SUM(rev) OVER (ORDER BY rev DESC, m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(rev) OVER () AS total
+      FROM members),
+    cls AS (
+      SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev, total
+      FROM scored)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS class_value,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(MAX(total) AS VARCHAR) AS DOUBLE)
+             AS value_share
+    FROM cls GROUP BY 1
+    """,
+    tags=("governance", "concentration", "abc", "revenue"),
+)
+def lineitem_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification of parts
+    (operators/profile.py:abc_classification): the per-class split at
+    the classic 80%/95% cumulative thresholds that the Pareto scalar
+    summarizes — which parts an inventory team counts cycle-daily (A)
+    vs annually (C). Exact integer-decimal threshold tests over the
+    deterministic (revenue DESC, partkey) order; fact reduces to part
+    grain map-side before the single reduced-frame window pass;
+    ≤ 3 output rows."""
+    from ..operators.profile import abc_classification
+    from ..operators.relational import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return abc_classification(li, "l_partkey", dec("l_extendedprice", 12, 2))

@@ -691,3 +691,33 @@ def test_spearman_correlation_ties_and_degenerate(spark):
     assert out["B"]["spearman_rho"] is None
     assert out["C"]["n_rows"] == 2  # NULL row dropped
     assert out["C"]["spearman_rho"] == 1.0  # perfectly monotone
+
+
+def test_abc_classification_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        abc_classification,
+    )
+    from adventureworks_pysparkjobs_spark.operators.relational import dec
+
+    # values: 50, 30, 15, 4, 1 (total 100). Inclusive-cum classes:
+    # 50 (cum 50 <= 80) A, 30 (cum 80 <= 80) A, 15 (cum 95 <= 95) B,
+    # 4 (cum 99 > 95) C, 1 (cum 100) C.
+    rows = [(1, 50.0), (2, 30.0), (3, 15.0), (4, 4.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = {
+        r["abc_class"]: r
+        for r in abc_classification(df, "k", dec("v", 12, 2)).collect()
+    }
+    assert out["A"]["n_members"] == 2 and out["A"]["class_value"] == 80.0
+    assert out["B"]["n_members"] == 1 and out["B"]["class_value"] == 15.0
+    assert out["C"]["n_members"] == 2 and out["C"]["class_value"] == 5.0
+    assert out["A"]["value_share"] == 0.8
+    # extreme concentration: first member alone crosses 80% -> no A
+    df2 = spark.createDataFrame([(1, 90.0), (2, 10.0)], "k long, v double")
+    out2 = {
+        r["abc_class"]: r
+        for r in abc_classification(df2, "k", dec("v", 12, 2)).collect()
+    }
+    assert "A" not in out2
+    assert out2["B"]["n_members"] == 1  # 90 <= 95%
+    assert out2["C"]["n_members"] == 1

@@ -495,3 +495,70 @@ def degree_assortativity(
             .alias("assortativity"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    k: int = 3,
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling over an undirected
+    edge list (one row per edge, ``a < b``): repeatedly delete nodes
+    with degree < ``k`` (and their edges) for a FIXED ``rounds``
+    passes, reporting the shrink trajectory — the standard "dense
+    cohesive subgraph" extraction (spam/fraud rings, community cores)
+    whose fixpoint a bounded unrollable iteration reaches when the
+    last round removes nothing.
+
+    Declared semantics: exactly ``rounds`` synchronous peel rounds
+    (every round removes ALL currently-under-k nodes at once). The
+    output row of the final round equals the true k-core iff the
+    trajectory has converged (``edges`` unchanged in the last step) —
+    emit enough rounds for your graph's peel depth; convergence is
+    visible in the output itself. Deterministic: pure set operations
+    on integer keys, no floats, no ordering sensitivity.
+
+    Scale shape: per round ONE endpoint-grain degree aggregation
+    (map-side partials over 2|E| rows) + two keyed semi-equi-joins of
+    the edge list against the surviving-node set, then an eager
+    ``localCheckpoint`` so lineage stays linear in rounds (the
+    degree+filter pass reads each edge generation twice). The
+    per-round stats are single-row aggregates over the SAME endpoint
+    frame (edges = rows/2 — no second scan, no 1-row cross join).
+    Returns (round, nodes, edges) — round 0 is the input graph.
+    """
+    e = edges.select(
+        F.col(a).alias("a"), F.col(b).alias("b")
+    ).localCheckpoint()
+
+    def _stat(rnd: int, ef: DataFrame) -> DataFrame:
+        ends = ef.select(F.col("a").alias("node")).unionAll(
+            ef.select(F.col("b").alias("node"))
+        )
+        return ends.agg(
+            F.countDistinct("node").cast("long").alias("nodes"),
+            F.expr("count(1) div 2").cast("long").alias("edges"),
+        ).select(F.lit(rnd).cast("int").alias("round"), "nodes", "edges")
+
+    stats = [_stat(0, e)]
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        surv = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(surv.select(F.col("node").alias("a")), "a", "semi")
+            .join(surv.select(F.col("node").alias("b")), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        stats.append(_stat(r, e))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

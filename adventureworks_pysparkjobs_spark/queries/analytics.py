@@ -2024,3 +2024,76 @@ def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_trend_slope(ev, "event_type", "ts", window_days=28)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled-CTE replay of the synchronous k-core peel: e0 is the
+    same co-purchase pair CTE as the pagerank/triangles oracles; each
+    round r filters e{r-1} to endpoints with degree >= k; the stats
+    block unions one (round, nodes, edges) aggregate per generation."""
+    head = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200),
+    e0 AS MATERIALIZED (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""",
+    s{r} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT a AS node FROM e{r - 1}
+        UNION ALL SELECT b FROM e{r - 1})
+      GROUP BY 1 HAVING COUNT(*) >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN s{r} x ON x.node = e.a
+      JOIN s{r} y ON y.node = e.b)""")
+    stats = "\n    UNION ALL\n    ".join(
+        f"""SELECT {r} AS round,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS nodes,
+           CAST(COUNT(*) // 2 AS BIGINT) AS edges
+    FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})"""
+        for r in range(rounds + 1)
+    )
+    return head + "".join(steps) + "\n    " + stats
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 12
+
+
+@query(
+    "part_copurchase_kcore",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph", "kcore", "iterative", "dense-subgraph"),
+)
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous 3-core peel trajectory of the part co-purchase
+    graph (operators/graph.py:kcore_peel): per round, delete every
+    part with fewer than 3 strong co-purchase partners and report
+    (round, nodes, edges) — the dense-cohesive-core extraction whose
+    convergence (last two rows equal) is visible in the output. Per
+    round one endpoint-grain degree agg + two keyed semi-joins, eager
+    checkpoint to keep lineage linear; the oracle replays all rounds
+    as unrolled CTEs."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    return kcore_peel(
+        pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b")),
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+    )

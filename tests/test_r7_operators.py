@@ -721,3 +721,23 @@ def test_abc_classification_hand_values(spark):
     assert "A" not in out2
     assert out2["B"]["n_members"] == 1  # 90 <= 95%
     assert out2["C"]["n_members"] == 1
+
+
+def test_kcore_peel_hand_graph(spark):
+    from adventureworks_pysparkjobs_spark.operators.graph import kcore_peel
+
+    # K4 on {1,2,3,4} (a true 3-core) + a pendant chain 4-5-6 and a
+    # triangle {7,8,9} (each node degree 2 -> dissolves under k=3).
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5), (5, 6),                                   # chain
+        (7, 8), (7, 9), (8, 9),                           # triangle
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["round"]: r for r in kcore_peel(df, k=3, rounds=3).collect()}
+    assert out[0]["nodes"] == 9 and out[0]["edges"] == 11
+    # round 1: degree<3 removes 5,6,7,8,9; node 4 keeps degree 3.
+    assert out[1]["nodes"] == 4 and out[1]["edges"] == 6
+    # converged: K4 survives unchanged.
+    assert out[2]["nodes"] == 4 and out[2]["edges"] == 6
+    assert out[3]["nodes"] == 4 and out[3]["edges"] == 6

@@ -579,3 +579,80 @@ def temperature_mixture_rates(
             F.col("weight_scaled").cast("double") / tot.cast("double")
         ).alias("rate"),
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: Column,
+    budget_num: int = 3,
+    budget_den: int = 2,
+    max_epochs: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Epoch-capped token-budget allocation across corpus groups — the
+    planning step of LLM data mixing: given each group's available
+    token mass, a training budget of ``budget_num/budget_den × total
+    tokens``, and square-root temperature target shares, how many
+    tokens does each group contribute, how many epochs (repeats) does
+    that imply, and how much of the target is unrealizable under the
+    ``max_epochs`` repetition cap (the "repeating data beyond ~4
+    epochs stops helping" rule)?
+
+    Exactness: available-token sums are exact BIGINTs; temperature
+    weights are ``floor(sqrt(avail)·scale)`` integers (IEEE sqrt is
+    correctly rounded); the budget and each target are DECIMAL(38,0)
+    multiply + ``div`` — exact integer arithmetic that mirrors HUGEINT
+    ``//`` — so every allocation column is integer-exact and the only
+    doubles are one division each (epochs). NULL epochs for an empty
+    group.
+
+    Scale shape: ONE corpus scan reducing to group grain map-side;
+    the two normalizers are global-window sums over the #groups frame
+    (bounded by contract — languages/sources); everything after is
+    per-group scalar math. Returns one row per group.
+    """
+    avail = df.groupBy(group_col).agg(
+        F.sum(tokens_col.cast("long")).cast("long").alias("avail_tokens")
+    )
+    weighted = avail.withColumn(
+        "weight_scaled",
+        F.floor(
+            F.sqrt(F.col("avail_tokens").cast("double"))
+            * F.lit(float(scale))
+        ).cast("long"),
+    )
+    win = Window.partitionBy()
+    framed = weighted.withColumn(
+        "_wtot", F.sum("weight_scaled").over(win).cast("long")
+    ).withColumn("_btot", F.sum("avail_tokens").over(win).cast("long"))
+    framed = framed.withColumn(
+        "_budget",
+        F.expr(
+            f"(CAST(_btot AS DECIMAL(38,0)) * {int(budget_num)})"
+            f" div {int(budget_den)}"
+        ).cast("long"),
+    )
+    target = F.expr(
+        "(CAST(_budget AS DECIMAL(38,0))"
+        " * CAST(weight_scaled AS DECIMAL(38,0)))"
+        " div CAST(_wtot AS DECIMAL(38,0))"
+    ).cast("long")
+    framed = framed.withColumn("target_tokens", target)
+    cap = (F.col("avail_tokens") * F.lit(int(max_epochs))).cast("long")
+    alloc = F.least(F.col("target_tokens"), cap)
+    return framed.select(
+        group_col,
+        "avail_tokens",
+        "weight_scaled",
+        "target_tokens",
+        alloc.alias("alloc_tokens"),
+        F.when(F.col("avail_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            alloc.cast("double") / F.col("avail_tokens").cast("double")
+        )
+        .alias("epochs"),
+        (F.col("target_tokens") - alloc).cast("long").alias(
+            "shortfall_tokens"
+        ),
+    )

@@ -1790,3 +1790,56 @@ def corpus_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return rrf_fusion(doc, ["hash", "join", "scan"])
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY 1),
+    weighted AS (
+      SELECT lang, avail_tokens,
+             CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS weight_scaled
+      FROM avail),
+    tot AS (
+      SELECT CAST(SUM(weight_scaled) AS BIGINT) AS wtot,
+             CAST(SUM(avail_tokens) AS BIGINT) AS btot
+      FROM weighted),
+    t AS (
+      SELECT lang, avail_tokens, weight_scaled,
+             CAST((((CAST(btot AS HUGEINT) * 3) // 2) * weight_scaled)
+                  // wtot AS BIGINT) AS target_tokens
+      FROM weighted, tot)
+    SELECT lang, avail_tokens, weight_scaled, target_tokens,
+           LEAST(target_tokens, avail_tokens * 4) AS alloc_tokens,
+           CASE WHEN avail_tokens = 0 THEN NULL
+                ELSE CAST(LEAST(target_tokens, avail_tokens * 4) AS DOUBLE)
+                     / CAST(avail_tokens AS DOUBLE) END AS epochs,
+           target_tokens - LEAST(target_tokens, avail_tokens * 4)
+             AS shortfall_tokens
+    FROM t
+    """,
+    tags=("sampling", "mixture", "budget", "llm-pipeline"),
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped token-budget plan for a 1.5×-corpus training run
+    (operators/sampling.py:token_budget_allocation): per language, the
+    sqrt-temperature target token mass, the allocation after the
+    4-epoch repetition cap, implied epochs, and the unrealizable
+    shortfall — the data-mixing planning table LLM teams read before
+    launching a run (low-resource languages hit the epoch cap; the
+    shortfall column shows exactly how much up-weighting the cap
+    forfeits). Integer-exact: BIGINT token sums, floor(sqrt·scale)
+    weights, DECIMAL(38,0)·div targets mirroring HUGEINT //; one
+    corpus scan reducing to lang grain map-side."""
+    from ..operators.sampling import token_budget_allocation
+    from ..operators.text import token_count
+
+    doc = load_table(spark, sf_dir, "documents")
+    return token_budget_allocation(
+        doc, "lang", token_count("text"),
+        budget_num=3, budget_den=2, max_epochs=4,
+    )

@@ -741,3 +741,31 @@ def test_kcore_peel_hand_graph(spark):
     # converged: K4 survives unchanged.
     assert out[2]["nodes"] == 4 and out[2]["edges"] == 6
     assert out[3]["nodes"] == 4 and out[3]["edges"] == 6
+
+
+def test_token_budget_allocation_cap_and_shortfall(spark):
+    from adventureworks_pysparkjobs_spark.operators.sampling import (
+        token_budget_allocation,
+    )
+
+    # group A: 10000 tokens, B: 100. budget = 1.5 * 10100 = 15150;
+    # weights 100e6 / 10e6 -> targets 13772 / 1377 (floor); B's 4-epoch
+    # cap (400) binds -> shortfall 977, epochs exactly 4.0.
+    df = spark.createDataFrame(
+        [("A", 10000), ("B", 100)], "g string, ntok long"
+    )
+    out = {
+        r["g"]: r
+        for r in token_budget_allocation(
+            df, "g", F.col("ntok"), budget_num=3, budget_den=2,
+            max_epochs=4,
+        ).collect()
+    }
+    assert out["A"]["avail_tokens"] == 10000
+    assert out["A"]["target_tokens"] == 15150 * 100 // 110
+    assert out["A"]["alloc_tokens"] == out["A"]["target_tokens"]
+    assert out["A"]["shortfall_tokens"] == 0
+    assert out["B"]["target_tokens"] == 15150 * 10 // 110
+    assert out["B"]["alloc_tokens"] == 400
+    assert out["B"]["epochs"] == 4.0
+    assert out["B"]["shortfall_tokens"] == 15150 * 10 // 110 - 400

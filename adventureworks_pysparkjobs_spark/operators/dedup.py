@@ -1230,3 +1230,65 @@ def containment_pairs(
             / F.col("n_small").cast("double")
         ).alias("containment"),
     )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level overlap matrix between sources via group-level
+    MinHash: for each source, sig[j] = min over the UNION of its
+    documents' shingles of md5(j || shingle), and for each source pair
+    the matching-seed fraction estimates the Jaccard similarity of the
+    two sources' shingle sets — the "how much of crawl B is already in
+    crawl A" audit a dedup team reads BEFORE paying for pairwise
+    near-dup, at sketch cost.
+
+    Min-of-mins: each document's per-seed minhash is computed per-row
+    with array_min (zero shuffles, the ``_signatures_from_arrays``
+    path), then one keyed aggregate takes the min per (source, seed) —
+    identical to hashing the source's unioned shingle set directly,
+    which is what the oracle replays. Documents too short to shingle
+    contribute nothing (NULL doc minhashes are filtered, both engines
+    drop them identically).
+
+    Scale shape: corpus scanned once (the cached shingle frame);
+    doc-grain signature rows (|docs| × num_hashes) reduce map-side to
+    (source, seed) grain; the pair join runs on a #sources×num_hashes
+    frame (bounded by contract). Estimator std err is
+    sqrt(J(1-J)/num_hashes) — documented sketch semantics.
+    Returns (source_a, source_b, n_seeds, n_match, jaccard_est).
+    """
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    dsig = _signatures_from_arrays(arrs, num_hashes)
+    src = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("g"))
+    ssig = (
+        dsig.filter(F.col("minhash").isNotNull())
+        .join(src, "id")
+        .groupBy("g", "seed")
+        .agg(F.min("minhash").alias("minhash"))
+    )
+    a = ssig.select(
+        F.col("g").alias("source_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    b = ssig.select(
+        F.col("g").alias("source_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    pairs = a.join(b, "seed").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count_if(F.col("mh_a") == F.col("mh_b"))
+        .cast("long")
+        .alias("n_match"),
+    ).select(
+        "source_a",
+        "source_b",
+        F.lit(num_hashes).cast("int").alias("n_seeds"),
+        "n_match",
+        (
+            F.col("n_match").cast("double") / F.lit(float(num_hashes))
+        ).alias("jaccard_est"),
+    )

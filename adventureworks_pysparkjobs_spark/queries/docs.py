@@ -1547,3 +1547,49 @@ def corpus_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rank") * F.col("freq")).cast("long")
         .alias("rank_freq_product"),
     )
+
+
+@query(
+    "doc_source_minhash_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, source,
+             list_aggregate(w[i:i+2], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    ssig AS MATERIALIZED (
+      SELECT source, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh, unnest(range(0, 16)) AS u(seed)
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(16 AS INTEGER) AS n_seeds,
+           CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(16 AS DOUBLE) AS jaccard_est
+    FROM ssig a JOIN ssig b ON b.seed = a.seed AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "minhash", "source-overlap", "audit"),
+)
+def doc_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair overlap matrix from group-level MinHash
+    (operators/dedup.py:source_minhash_overlap): the matching-seed
+    fraction over 16 seeds estimates the Jaccard similarity between
+    each pair of sources' unioned 3-gram shingle sets — the sketch-
+    cost "how much of crawl B is already in crawl A" audit run before
+    any pairwise near-dup pass. Per-row array_min doc signatures
+    reduce map-side to (source, seed) grain; the pair join touches a
+    #sources×16 frame. The oracle hashes each source's unioned
+    shingle set directly — min-of-mins equals the union min."""
+    from ..operators.dedup import source_minhash_overlap
+
+    doc = load_table(spark, sf_dir, "documents")
+    return source_minhash_overlap(
+        doc, "doc_id", "text", "source", num_hashes=16, n=3
+    )

@@ -769,3 +769,30 @@ def test_token_budget_allocation_cap_and_shortfall(spark):
     assert out["B"]["alloc_tokens"] == 400
     assert out["B"]["epochs"] == 4.0
     assert out["B"]["shortfall_tokens"] == 15150 * 10 // 110 - 400
+
+
+def test_source_minhash_overlap_identical_and_disjoint(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        source_minhash_overlap,
+    )
+
+    # sources A and B share the exact same text (union shingle sets
+    # equal -> every seed matches); C is disjoint (expected ~0 matches;
+    # md5 collisions on 3-gram sets this small are effectively
+    # impossible). The short doc (< 3 tokens) contributes nothing.
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "A"),
+        (2, "alpha beta gamma delta epsilon", "B"),
+        (3, "zeta eta theta iota kappa", "C"),
+        (4, "tiny", "A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_minhash_overlap(df, num_hashes=8).collect()
+    }
+    assert out[("A", "B")]["n_match"] == 8
+    assert out[("A", "B")]["jaccard_est"] == 1.0
+    assert out[("A", "C")]["n_match"] == 0
+    assert out[("B", "C")]["n_match"] == 0
+    assert all(r["n_seeds"] == 8 for r in out.values())

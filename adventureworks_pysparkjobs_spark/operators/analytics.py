@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .relational import dec
+
 
 def pair_counts(
     items: DataFrame,
@@ -1534,4 +1536,71 @@ def bootstrap_mean_ci(
         ).alias("mean_obs"),
         F.min(F.when(F.col("rn") == k_lo, F.col("m"))).alias("ci_lo"),
         F.min(F.when(F.col("rn") == k_hi, F.col("m"))).alias("ci_hi"),
+    )
+
+
+def substitution_candidates(
+    parts: DataFrame,
+    copurchase: DataFrame,
+    key_col: str = "p_partkey",
+    type_col: str = "p_type",
+    size_col: str = "p_size",
+    price_col: str = "p_retailprice",
+    band_den: int = 20,
+) -> DataFrame:
+    """Substitute-product candidates: pairs of parts interchangeable on
+    catalog attributes (same type AND size, prices within 1/``band_den``
+    of the cheaper one) that customers NEVER bought together — the
+    assortment-rationalization / recommend-when-out-of-stock list,
+    where actual co-purchase is evidence of complementarity, not
+    substitution, and excludes the pair.
+
+    ``copurchase`` is any observed co-occurrence pair frame with
+    ``item_a < item_b`` (e.g. ``pair_counts(min_pair_count=1)``).
+
+    Exactness: prices become integer cents via an exact DECIMAL(12,2)
+    scale-up, and the price band is the integer cross-multiplication
+    ``band_den·|a−b| ≤ min(a,b)`` — no float ratios.
+
+    Scale shape: the candidate join is EQUI on the (type, size) block,
+    so a part only meets its own block (bounded by catalog density per
+    block, never all-pairs); the exclusion is one keyed LEFT ANTI join
+    against the co-purchase frame. Both sides are part/pair grain —
+    dimension-scaled, not fact-scaled.
+    """
+    p = parts.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("t"),
+        F.col(size_col).alias("s"),
+        (dec(price_col, 12, 2) * 100).cast("long").alias("cents"),
+    )
+    a = p.select(
+        F.col("k").alias("part_a"), "t", "s",
+        F.col("cents").alias("cents_a"),
+    )
+    b = p.select(
+        F.col("k").alias("part_b"), "t", "s",
+        F.col("cents").alias("cents_b"),
+    )
+    ca, cb = F.col("cents_a"), F.col("cents_b")
+    cand = (
+        a.join(b, ["t", "s"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(
+            F.lit(int(band_den)) * F.abs(ca - cb) <= F.least(ca, cb)
+        )
+    )
+    out = cand.join(
+        copurchase,
+        (cand["part_a"] == copurchase["item_a"])
+        & (cand["part_b"] == copurchase["item_b"]),
+        "left_anti",
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        F.col("t").alias(type_col),
+        F.col("s").alias(size_col),
+        "cents_a",
+        "cents_b",
     )

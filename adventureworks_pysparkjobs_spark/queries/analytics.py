@@ -2097,3 +2097,59 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KCORE_K,
         rounds=_KCORE_ROUNDS,
     )
+
+
+@query(
+    "part_substitution_candidates",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey AS k, p_type, p_size,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM part),
+    cand AS (
+      SELECT a.k AS part_a, b.k AS part_b, a.p_type, a.p_size,
+             a.cents AS cents_a, b.cents AS cents_b
+      FROM p a JOIN p b ON b.p_type = a.p_type AND b.p_size = a.p_size
+           AND a.k < b.k
+      WHERE 20 * abs(a.cents - b.cents) <= LEAST(a.cents, b.cents)),
+    items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2)
+    SELECT c.part_a, c.part_b, c.p_type, c.p_size, c.cents_a, c.cents_b
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM pairs pr
+                      WHERE pr.a = c.part_a AND pr.b = c.part_b)
+    """,
+    tags=("analytics", "retail", "substitution", "anti-join"),
+)
+def part_substitution_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substitute-product candidates
+    (operators/analytics.py:substitution_candidates): parts of the
+    same type and size within 5% price of each other that were NEVER
+    bought together — catalog-attribute interchangeability minus
+    observed complementarity, the out-of-stock recommendation and
+    assortment-rationalization list. Equi-blocked on (type, size) so
+    no all-pairs, integer-cents price band, one keyed LEFT ANTI join
+    against the co-occurrence pair frame."""
+    from ..operators.analytics import pair_counts, substitution_candidates
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    cop = pair_counts(items, min_pair_count=1, max_basket_size=200)
+    return substitution_candidates(part, cop, band_den=20)

@@ -796,3 +796,32 @@ def test_source_minhash_overlap_identical_and_disjoint(spark):
     assert out[("A", "C")]["n_match"] == 0
     assert out[("B", "C")]["n_match"] == 0
     assert all(r["n_seeds"] == 8 for r in out.values())
+
+
+def test_substitution_candidates_band_and_anti_join(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        substitution_candidates,
+    )
+
+    parts = spark.createDataFrame(
+        [
+            # same block (widget, 5): 100.00 / 104.00 within 5%;
+            # 100.00 / 120.00 outside; 104.00/120.00 outside (20*1600>10400)
+            (1, "widget", 5, 100.00),
+            (2, "widget", 5, 104.00),
+            (3, "widget", 5, 120.00),
+            # different size -> never a candidate even at equal price
+            (4, "widget", 6, 100.00),
+            # same block as 1/2, in band with 2 but co-purchased with 2
+            (5, "widget", 5, 105.00),
+        ],
+        "p_partkey long, p_type string, p_size int, p_retailprice double",
+    )
+    cop = spark.createDataFrame([(2, 5)], "item_a long, item_b long")
+    out = {
+        (r["part_a"], r["part_b"])
+        for r in substitution_candidates(parts, cop, band_den=20).collect()
+    }
+    # (1,2) in band & never co-bought; (1,5) 20*500=10000 <= 10000 in band;
+    # (2,5) excluded by co-purchase; (x,3) and (x,4) out of band/block.
+    assert out == {(1, 2), (1, 5)}

@@ -1283,3 +1283,151 @@ def matryoshka_audit(
         .otherwise(quarter / full)
         .alias("quarter_cos"),
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    cov_scale: int = 10**12,
+    iterations: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding column by distributed
+    covariance accumulation + quantized power iteration — the
+    dominant-variance direction behind whitening, drift monitoring,
+    and "is one feature axis eating the space" embedding audits.
+
+    Pipeline (every step engine-portable, no float accumulation):
+
+    1. QUANTIZE per row: ``q_i = floor(double(x_i)·scale)`` — integer
+       micro-units (documented quantization, error 1/scale per coord).
+    2. COVARIANCE exactly in integers: one pass accumulates the upper
+       triangle ``G_ij = Σ q_i q_j``, the column sums ``s_i`` and the
+       count n as DECIMAL(38,0); the (n-scaled) covariance is
+       ``C_ij = n·G_ij − s_i·s_j`` — exact, centering included without
+       a second pass or a mean broadcast.
+    3. RENORMALIZE C to ``cov_scale`` micro-units of its max |cell|
+       (floor of one IEEE division — identical in any engine) so the
+       iteration's integer products stay far inside DECIMAL(38,0).
+    4. POWER ITERATION from the all-ones vector: ``w = C'·v`` is an
+       equi-join + keyed sum over the d²-cell matrix frame (d² ≤ 4096
+       rows); v renormalizes to ``scale`` micro-units of max |w_i|
+       each step. ``iterations`` fixed steps — unrollable, and the
+       oracle replays them exactly.
+
+    Scale shape: the corpus is scanned ONCE; the d²-bounded partial
+    aggregation means every executor emits ≤ d(d+1)/2 cells regardless
+    of row count; everything after runs on d- or d²-row frames. The
+    d²-per-row pair explosion is CPU-linear in rows·d² — the classic
+    Gram trade, bounded by d=64 here. Returns one row per dimension:
+    (i, v_scaled, loading = v/scale ∈ [−1, 1]).
+    """
+    d38 = "decimal(38,0)"
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    rows = df.select(qarr.alias("q"))
+    # upper-triangle (i, j, q_i*q_j) structs generated per row, 0-based
+    tri = F.flatten(
+        F.transform(
+            F.col("q"),
+            lambda x, i: F.transform(
+                F.slice(F.col("q"), i + 1, F.size(F.col("q"))),
+                lambda y, k: F.struct(
+                    i.alias("i"),
+                    (i + k).alias("j"),
+                    (x * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    # fold the column sums into the SAME explode via sentinel j = -1
+    # rows (value q_i, count = n) so the corpus is scanned exactly once
+    single = F.transform(
+        F.col("q"),
+        lambda x, i: F.struct(
+            i.alias("i"), F.lit(-1).alias("j"), x.alias("p")
+        ),
+    )
+    cells = (
+        rows.select(
+            F.explode(F.concat(tri, single)).alias("c")
+        )
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(
+            F.sum(F.col("c.p").cast(d38)).alias("g"),
+            F.count(F.lit(1)).cast(d38).alias("cnt"),
+        )
+        .localCheckpoint()
+    )
+    gram = cells.filter(F.col("j") >= 0).select("i", "j", "g")
+    sums = cells.filter(F.col("j") == -1).select(
+        "i", F.col("g").alias("s"), F.col("cnt").alias("n")
+    )
+    si = sums.select(F.col("i").alias("_i"), F.col("s").alias("s_i"), "n")
+    sj = sums.select(F.col("i").alias("_j"), F.col("s").alias("s_j"))
+    cov_ut = (
+        gram.join(si, gram["i"] == si["_i"])
+        .join(sj, gram["j"] == sj["_j"])
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("g") - F.col("s_i") * F.col("s_j")).alias(
+                "c"
+            ),
+        )
+    )
+    cov = cov_ut.unionByName(
+        cov_ut.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    wmax = Window.partitionBy()
+    cmax = F.max(F.abs(F.col("c"))).over(wmax)
+    cnorm = cov.select(
+        "i",
+        "j",
+        F.when(cmax == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                _dbl(F.col("c")) / _dbl(cmax) * F.lit(float(cov_scale))
+            ).cast("long")
+        )
+        .alias("cq"),
+    ).localCheckpoint()
+    dims = cnorm.select(F.col("i").alias("dim")).distinct()
+    v = dims.select("dim", F.lit(int(scale)).cast("long").alias("v"))
+    for _ in range(iterations):
+        w = (
+            cnorm.join(v, cnorm["j"] == v["dim"])
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("cq").cast(d38) * F.col("v").cast(d38)).alias(
+                    "w"
+                )
+            )
+        )
+        vmax = F.max(F.abs(F.col("w"))).over(wmax)
+        v = w.select(
+            F.col("i").alias("dim"),
+            F.when(vmax == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    _dbl(F.col("w")) / _dbl(vmax) * F.lit(float(scale))
+                ).cast("long")
+            )
+            .alias("v"),
+        )
+    return v.select(
+        F.col("dim").cast("int").alias("i"),
+        F.col("v").alias("v_scaled"),
+        (F.col("v").cast("double") / F.lit(float(scale))).alias("loading"),
+    )

@@ -367,3 +367,88 @@ def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     would cost real recall. Pure per-row map stage, fold-idiom
     oracle-exact."""
     return S.matryoshka_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pca_oracle(scale: int, cov_scale: int, iterations: int) -> str:
+    """Unrolled replay of pca_top_component: quantize, exact integer
+    covariance (n·G − s·sᵀ over HUGEINT), max-|cell| renormalization,
+    then ``iterations`` MATERIALIZED power-iteration generations."""
+    head = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, u.i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {float(scale)})
+                  AS BIGINT) AS qv
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS u(i)),
+    g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS g
+      FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+      GROUP BY 1, 2),
+    s AS (
+      SELECT i, CAST(SUM(CAST(qv AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS HUGEINT) AS n
+      FROM q GROUP BY 1),
+    cut AS (
+      SELECT g.i, g.j, si.n * g.g - si.s * sj.s AS c
+      FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j),
+    cov AS (
+      SELECT i, j, c FROM cut
+      UNION ALL SELECT j, i, c FROM cut WHERE i <> j),
+    cm AS (SELECT MAX(abs(c)) AS m FROM cov),
+    cn AS MATERIALIZED (
+      SELECT i, j,
+             CASE WHEN cm.m = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(CAST(c AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(cm.m AS VARCHAR) AS DOUBLE)
+                       * {float(cov_scale)}) AS BIGINT) END AS cq
+      FROM cov, cm),
+    v0 AS (SELECT DISTINCT i AS dim, CAST({scale} AS BIGINT) AS v
+           FROM cn)"""
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(f""",
+    w{t} AS MATERIALIZED (
+      SELECT cn.i AS dim,
+             CAST(SUM(CAST(cn.cq AS HUGEINT) * v.v) AS HUGEINT) AS w
+      FROM cn JOIN v{t - 1} v ON v.dim = cn.j GROUP BY 1),
+    m{t} AS (SELECT MAX(abs(w)) AS m FROM w{t}),
+    v{t} AS (
+      SELECT w.dim,
+             CASE WHEN m.m = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(CAST(w.w AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(m.m AS VARCHAR) AS DOUBLE)
+                       * {float(scale)}) AS BIGINT) END AS v
+      FROM w{t} w, m{t} m)""")
+    tail = f"""
+    SELECT CAST(dim AS INTEGER) AS i, v AS v_scaled,
+           CAST(v AS DOUBLE) / {float(scale)} AS loading
+    FROM v{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+_PCA_SCALE, _PCA_CSCALE, _PCA_ITERS = 10**6, 10**12, 8
+
+
+@query(
+    "emb_pca_top_component",
+    oracle=_pca_oracle(_PCA_SCALE, _PCA_CSCALE, _PCA_ITERS),
+    tags=("vectors", "pca", "iterative", "integer-exact"),
+)
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (operators/similarity.py:pca_top_component): micro-unit
+    quantization, ONE-pass exact integer covariance (n·G − s·sᵀ in
+    DECIMAL(38,0), centering folded in — no mean broadcast, no second
+    scan), then 8 quantized power-iteration steps on the d²-cell
+    matrix frame. Like the integer PageRank, the whole iteration is
+    floating-point-accumulation-free, so the oracle replays it
+    bit-for-bit in unrolled SQL. Executor output is d²-bounded
+    (≤ 2080 cells) regardless of corpus size."""
+    return S.pca_top_component(
+        load_table(spark, sf_dir, "embeddings"),
+        scale=_PCA_SCALE,
+        cov_scale=_PCA_CSCALE,
+        iterations=_PCA_ITERS,
+    )

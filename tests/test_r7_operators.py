@@ -825,3 +825,38 @@ def test_substitution_candidates_band_and_anti_join(spark):
     # (1,2) in band & never co-bought; (1,5) 20*500=10000 <= 10000 in band;
     # (2,5) excluded by co-purchase; (x,3) and (x,4) out of band/block.
     assert out == {(1, 2), (1, 5)}
+
+
+def test_pca_top_component_matches_numpy(spark):
+    import numpy as np
+
+    from adventureworks_pysparkjobs_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    # strong direction u + small isotropic noise, uncentered (mean off 0)
+    u = np.array([0.6, -0.8, 0.0, 0.0])
+    X = (
+        rng.normal(0, 2.0, (200, 1))[:, 0:1] * u[None, :]
+        + rng.normal(0, 0.05, (200, 4))
+        + 0.3
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        pca_top_component(df, iterations=12)
+        .orderBy("i")
+        .collect()
+    )
+    v = np.array([r["loading"] for r in out])
+    # numpy reference on the float32-rounded data the operator saw
+    Xf = X.astype(np.float32).astype(np.float64)
+    C = np.cov(Xf, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    cos = abs(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999  # direction match up to sign & quantization
+    assert max(abs(r["loading"]) for r in out) == 1.0  # normalized

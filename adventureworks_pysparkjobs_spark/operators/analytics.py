@@ -1604,3 +1604,66 @@ def substitution_candidates(
         "cents_a",
         "cents_b",
     )
+
+
+def user_gap_regularity(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 3,
+) -> DataFrame:
+    """Per-entity cadence-regularity classification: for every user
+    with at least ``min_gaps`` inter-event gaps, the squared
+    coefficient of variation of their gap series buckets them as
+    ``regular`` (CV² ≤ 1/4 — metronome-like, automation/bot
+    suspects), ``poisson`` (CV² ≤ 2 — memoryless human cadence) or
+    ``bursty`` (heavy-tailed sessions), and the output is the
+    class-level census — the behavioral-mix readout behind bot
+    screens and engagement models (the entity-grain companion to the
+    type-grain ``inter_event_gaps`` and the window-count Fano factor).
+
+    Exactness: gaps are BIGINT epoch-microsecond diffs under the
+    (ts, id) total order; per-user moments Σg, Σg² accumulate in
+    DECIMAL(38,0); CV² = (n·Σg² − (Σg)²)/(Σg)² is classified by exact
+    integer cross-multiplication (4·num ≤ den and num ≤ 2·den) — no
+    float ever decides a class; the only doubles are the final share
+    divisions.
+
+    Scale shape: one user-keyed exchange for the lead() window, one
+    user-grain reduction, one |classes|-grain census with a global
+    window over the 3-row frame. Users with all-identical timestamps
+    (zero mean gap) are ``regular`` by declaration (zero variance
+    dominates). Returns (regularity_class, n_users, share).
+    """
+    wu = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    seq = df.select(
+        F.col(user_col).alias("u"),
+        (F.lead(us).over(wu) - us).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    d38 = "decimal(38,0)"
+    per_user = seq.groupBy("u").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("g").cast(d38)).alias("sg"),
+        F.sum(F.col("g").cast(d38) * F.col("g").cast(d38)).alias("sgg"),
+    ).filter(F.col("n") >= min_gaps)
+    num = F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")
+    den = F.col("sg") * F.col("sg")
+    cls = (
+        F.when(den == 0, F.lit("regular"))
+        .when(num * 4 <= den, F.lit("regular"))
+        .when(num <= den * 2, F.lit("poisson"))
+        .otherwise(F.lit("bursty"))
+    )
+    census = per_user.groupBy(cls.alias("regularity_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = F.sum("n_users").over(Window.partitionBy()).cast("long")
+    return census.select(
+        "regularity_class",
+        "n_users",
+        (F.col("n_users").cast("double") / tot.cast("double")).alias(
+            "share"
+        ),
+    )

@@ -2153,3 +2153,51 @@ def part_substitution_candidates(
     )
     cop = pair_counts(items, min_pair_count=1, max_basket_size=200)
     return substitution_candidates(part, cop, band_den=20)
+
+
+@query(
+    "events_user_regularity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id AS u,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_us(ts) AS g
+      FROM events),
+    pu AS (
+      SELECT u, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+             CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+      FROM seq WHERE g IS NOT NULL GROUP BY 1
+      HAVING COUNT(*) >= 3),
+    cls AS (
+      SELECT CASE WHEN sg * sg = 0 THEN 'regular'
+                  WHEN (n * sgg - sg * sg) * 4 <= sg * sg
+                    THEN 'regular'
+                  WHEN (n * sgg - sg * sg) <= sg * sg * 2
+                    THEN 'poisson'
+                  ELSE 'bursty' END AS regularity_class
+      FROM pu),
+    census AS (
+      SELECT regularity_class, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM cls GROUP BY 1)
+    SELECT regularity_class, n_users,
+           CAST(n_users AS DOUBLE)
+             / CAST(CAST(SUM(n_users) OVER () AS BIGINT) AS DOUBLE)
+             AS share
+    FROM census
+    """,
+    tags=("analytics", "cadence", "regularity", "bot-detection"),
+)
+def events_user_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of users by inter-event cadence regularity
+    (operators/analytics.py:user_gap_regularity): squared coefficient
+    of variation of each user's gap series classifies metronome-like
+    automation (CV² ≤ 1/4), memoryless human cadence (≤ 2) and bursty
+    sessioning — classes decided by exact integer
+    cross-multiplication over DECIMAL(38,0) moments, never a float.
+    One user-keyed window exchange + user-grain reduction +
+    3-row census."""
+    from ..operators.analytics import user_gap_regularity
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_gap_regularity(ev, min_gaps=3)

@@ -860,3 +860,35 @@ def test_pca_top_component_matches_numpy(spark):
     cos = abs(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.999  # direction match up to sign & quantization
     assert max(abs(r["loading"]) for r in out) == 1.0  # normalized
+
+
+def test_user_gap_regularity_hand_classes(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        user_gap_regularity,
+    )
+
+    def ev(uid, secs):
+        return [
+            (uid * 100 + i, f"2024-01-01 00:00:{s:02d}", uid, "x")
+            for i, s in enumerate(secs)
+        ]
+
+    rows = (
+        ev(1, [0, 10, 20, 30])       # gaps 10,10,10 -> CV2=0 regular
+        + ev(2, [0, 1, 2, 33])       # gaps 1,1,31: mean 11, CV2 = 600/3/121
+        + ev(3, [0, 5, 11, 18])      # gaps 5,6,7 -> CV2 small -> regular
+        + ev(4, [0, 1, 2])           # only 2 gaps -> excluded
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["regularity_class"]: r
+        for r in user_gap_regularity(df, min_gaps=3).collect()
+    }
+    # user2: n=3, sg=33, sgg=1+1+961=963; num=3*963-1089=1800, den=1089
+    # num > 2*den (2178)? 1800 <= 2178 -> poisson
+    assert out["regular"]["n_users"] == 2
+    assert out["poisson"]["n_users"] == 1
+    assert "bursty" not in out
+    assert abs(out["regular"]["share"] - 2 / 3) < 1e-15

@@ -1667,3 +1667,72 @@ def user_gap_regularity(
             "share"
         ),
     )
+
+
+def grouped_value_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: Sequence[int] = (50, 90, 99),
+    over_threshold: int | None = None,
+) -> DataFrame:
+    """EXACT per-group percentiles of an integer-valued column, plus an
+    optional threshold-breach rate — the SLA table (p50/p90/p99 delay,
+    % over contract) that approx sketches can't sign off on when the
+    number goes in a customer-facing report.
+
+    Percentile q = the smallest value whose inclusive cumulative count
+    reaches q% of the group, tested as the exact integer
+    cross-multiplication ``cum·100 ≥ n·q`` (no float at any boundary);
+    the breach rate is one IEEE division of exact longs.
+
+    Scale shape: the Lorenz pattern — raw rows reduce to (group,
+    VALUE) grain map-side first, the cumulative + total windows run
+    over value-grain rows (bounded by the value domain, e.g. days of
+    delay, regardless of fact cardinality), and the percentile pivot
+    is a conditional-MIN aggregate, not a join. One reduction shuffle
+    + one value-grain window exchange.
+    """
+    v = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.select(
+        "g",
+        "d",
+        "cnt",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("g")).cast("long").alias("n"),
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    for q in percentiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("n") * int(q), F.col("d")
+                )
+            ).alias(f"p{int(q)}")
+        )
+    if over_threshold is not None:
+        aggs.append(
+            F.sum(
+                F.when(F.col("d") > int(over_threshold), F.col("cnt"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("_n_over")
+        )
+    out = c.groupBy(F.col("g").alias(group_col)).agg(*aggs)
+    if over_threshold is not None:
+        out = out.select(
+            group_col,
+            "n_rows",
+            *[f"p{int(q)}" for q in percentiles],
+            (
+                F.col("_n_over").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias(f"pct_over_{int(over_threshold)}"),
+        )
+    return out

@@ -2201,3 +2201,60 @@ def events_user_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return user_gap_regularity(ev, min_gaps=3)
+
+
+@query(
+    "orders_ship_sla_quantiles",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderpriority AS g,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    v AS (
+      SELECT g, d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM j GROUP BY 1, 2),
+    c AS (
+      SELECT g, d, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY d)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM v)
+    SELECT g AS o_orderpriority, MAX(n) AS n_rows,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN d END)
+                AS INTEGER) AS p50,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN d END)
+                AS INTEGER) AS p90,
+           CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN d END)
+                AS INTEGER) AS p99,
+           CAST(CAST(SUM(CASE WHEN d > 60 THEN cnt ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE) AS pct_over_60
+    FROM c GROUP BY 1
+    """,
+    tags=("analytics", "sla", "percentiles", "exact-quantiles"),
+)
+def orders_ship_sla_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-to-ship SLA table per order priority
+    (operators/analytics.py:grouped_value_percentiles): p50/p90/p99
+    shipping delay in days plus the share of lines over a 60-day
+    contract — percentile boundaries decided by exact integer
+    cross-multiplication on the value-grain cumulative (the Lorenz
+    pattern: the fact reduces to (priority, delay-days) grain
+    map-side before any window), the kind of customer-facing number
+    an approx sketch can't sign off. One fact-fact equi-join + one
+    reduction shuffle + one value-grain window exchange."""
+    from ..operators.analytics import grouped_value_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("ship_delay_days"),
+    )
+    return grouped_value_percentiles(
+        j, "o_orderpriority", "ship_delay_days",
+        percentiles=(50, 90, 99), over_threshold=60,
+    )

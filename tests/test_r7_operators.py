@@ -892,3 +892,27 @@ def test_user_gap_regularity_hand_classes(spark):
     assert out["poisson"]["n_users"] == 1
     assert "bursty" not in out
     assert abs(out["regular"]["share"] - 2 / 3) < 1e-15
+
+
+def test_grouped_value_percentiles_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        grouped_value_percentiles,
+    )
+
+    # group A: values 1..10 once each. p50 = smallest v with cum>=5 -> 5;
+    # p90 -> 9; p99 -> 10. Over-threshold 8 -> 2 of 10.
+    rows = [("A", v) for v in range(1, 11)] + [("B", 7), ("B", 7), ("B", 9)]
+    df = spark.createDataFrame(rows, "g string, d int")
+    out = {
+        r["g"]: r
+        for r in grouped_value_percentiles(
+            df, "g", "d", percentiles=(50, 90, 99), over_threshold=8
+        ).collect()
+    }
+    a = out["A"]
+    assert (a["n_rows"], a["p50"], a["p90"], a["p99"]) == (10, 5, 9, 10)
+    assert a["pct_over_8"] == 0.2
+    # B: ties at 7 (cum 2 of 3 >= 1.5 -> p50=7), p90/p99 = 9
+    b = out["B"]
+    assert (b["p50"], b["p90"], b["p99"]) == (7, 9, 9)
+    assert abs(b["pct_over_8"] - 1 / 3) < 1e-15

@@ -598,3 +598,60 @@ def key_gap_islands(
         .orderBy(F.col("gap_len").desc(), "gap_start")
         .limit(top_k)
     )
+
+
+def functional_dependency_audit(
+    df: DataFrame,
+    dependencies: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Audit candidate functional dependencies LHS → RHS: for each
+    (lhs, rhs) pair, how many LHS values map to MORE than one distinct
+    RHS value — the schema-discovery / data-contract check behind
+    "brand determines manufacturer" style assumptions that silently
+    break joins and dimensional models when violated.
+
+    Per dependency: ``n_keys`` distinct LHS values, ``n_violating``
+    LHS values with ≥ 2 distinct RHS, ``max_rhs_distinct`` (the worst
+    fan-out), and ``violation_rate`` (one IEEE division of exact
+    longs). NULL LHS rows are excluded (a NULL key determines
+    nothing); NULL RHS counts as a value (a key mapping to both NULL
+    and non-NULL IS a violation) — the (lhs, rhs) pair-grain
+    reduction groups NULL as its own value identically in any engine.
+
+    Scale shape: per dependency one (lhs, rhs)-grain reduction then
+    one lhs-grain reduction — two keyed hash aggs with map-side
+    partials, output |dependencies| rows unioned at plan level.
+    """
+    outs = []
+    for lhs, rhs in dependencies:
+        per_pair = (
+            df.filter(F.col(lhs).isNotNull())
+            .groupBy(F.col(lhs).alias("k"), F.col(rhs).alias("v"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        per_key = per_pair.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rhs")
+        )
+        outs.append(
+            per_key.agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.count_if(F.col("n_rhs") > 1).cast("long").alias(
+                    "n_violating"
+                ),
+                F.max("n_rhs").cast("long").alias("max_rhs_distinct"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_keys",
+                "n_violating",
+                "max_rhs_distinct",
+                (
+                    F.col("n_violating").cast("double")
+                    / F.col("n_keys").cast("double")
+                ).alias("violation_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1576,3 +1576,48 @@ def lineitem_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return abc_classification(li, "l_partkey", dec("l_extendedprice", 12, 2))
+
+
+def _fd_oracle_block(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT_IF(n_rhs > 1) AS BIGINT) AS n_violating,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_distinct,
+           CAST(CAST(COUNT_IF(n_rhs > 1) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+    FROM (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rhs FROM (
+        SELECT {lhs} AS k, {rhs} AS v FROM {table}
+        WHERE {lhs} IS NOT NULL GROUP BY 1, 2)
+      GROUP BY 1)"""
+
+
+_PART_FDS = [
+    ("p_brand", "p_type"),
+    ("p_type", "p_brand"),
+    ("p_name", "p_brand"),
+]
+
+
+@query(
+    "part_functional_dependencies",
+    oracle="\n    UNION ALL".join(
+        _fd_oracle_block("part", lhs, rhs) for lhs, rhs in _PART_FDS
+    ),
+    tags=("governance", "profiling", "functional-dependency", "audit"),
+)
+def part_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit over the part dimension
+    (operators/quality.py:functional_dependency_audit): does brand
+    determine type, type determine brand, name determine brand — the
+    schema-discovery check behind dimensional-modeling assumptions,
+    reporting violating-key counts, worst fan-out, and violation
+    rate per candidate dependency. Two keyed reductions per
+    dependency, |deps| output rows."""
+    from ..operators.quality import functional_dependency_audit
+
+    part = load_table(spark, sf_dir, "part")
+    return functional_dependency_audit(part, _PART_FDS)

@@ -916,3 +916,25 @@ def test_grouped_value_percentiles_hand_values(spark):
     b = out["B"]
     assert (b["p50"], b["p90"], b["p99"]) == (7, 9, 9)
     assert abs(b["pct_over_8"] - 1 / 3) < 1e-15
+
+
+def test_functional_dependency_audit_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.quality import (
+        functional_dependency_audit,
+    )
+
+    rows = [
+        ("b1", "t1"), ("b1", "t1"),          # b1 -> one type: clean
+        ("b2", "t1"), ("b2", "t2"), ("b2", None),  # b2 -> 3 values (NULL counts)
+        (None, "t9"),                         # NULL lhs excluded
+    ]
+    df = spark.createDataFrame(rows, "b string, t string")
+    out = {
+        (r["lhs"], r["rhs"]): r
+        for r in functional_dependency_audit(df, [("b", "t")]).collect()
+    }
+    r = out[("b", "t")]
+    assert r["n_keys"] == 2
+    assert r["n_violating"] == 1
+    assert r["max_rhs_distinct"] == 3
+    assert r["violation_rate"] == 0.5

@@ -1736,3 +1736,94 @@ def grouped_value_percentiles(
             ).alias(f"pct_over_{int(over_threshold)}"),
         )
     return out
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    iterations: int = 12,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    — where the behavioral chain spends its time in the long run, the
+    one-vector summary read next to the transition matrix (a type with
+    small raw share but large stationary mass is a behavioral sink).
+
+    Declared semantics: states are the types OBSERVED AS TRANSITION
+    SOURCES; ``iterations`` synchronous steps of v' ← vᵀP from the
+    uniform vector, in integer arithmetic scaled by ``scale`` — each
+    term is ``(v_i·n_ij) div rowsum_i`` (exact floor), and each step
+    renormalizes v to sum ``scale`` with the same div rule, so
+    truncation error cannot compound (O(|types|/scale) per step,
+    documented quantization like the integer PageRank). Transitions
+    into never-a-source types lose their mass to the renormalizer.
+
+    Scale shape: one user-keyed lead() window exchange + one
+    |types|²-bounded count reduction (both SHARED with
+    transition_matrix), checkpointed once; each iteration is one
+    equi-join + keyed sum over the |types|²-cell frame — driver-free,
+    corpus scanned exactly once. Products run in DECIMAL(38,0) so
+    fact-scale counts (10¹²) times scaled ranks (10⁹) stay exact.
+    Returns (event_type, stationary_scaled, stationary).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    )
+    counts = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wm = Window.partitionBy("from_type")
+    cells = counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wm).cast("long").alias("rs"),
+    ).localCheckpoint()
+    d38 = "decimal(38,0)"
+    wall = Window.partitionBy()
+    v = (
+        cells.select(F.col("from_type").alias("t"))
+        .distinct()
+        .withColumn("_nt", F.count(F.lit(1)).over(wall))
+        .select(
+            "t",
+            F.expr(f"CAST({int(scale)} AS BIGINT) div _nt")
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    for _ in range(iterations):
+        stepped = (
+            cells.join(v, cells["from_type"] == v["t"])
+            .select(
+                F.col("to_type").alias("t2"),
+                F.expr(
+                    "(CAST(v AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"
+                    " div CAST(rs AS DECIMAL(38,0))"
+                ).cast(d38).alias("c"),
+            )
+            .groupBy("t2")
+            .agg(F.sum("c").alias("m"))
+            .withColumn("_tot", F.sum("m").over(wall).cast(d38))
+        )
+        v = stepped.select(
+            F.col("t2").alias("t"),
+            F.expr(
+                f"(CAST({int(scale)} AS DECIMAL(38,0)) * m)"
+                " div CAST(_tot AS DECIMAL(38,0))"
+            ).cast("long").alias("v"),
+        )
+    return v.select(
+        F.col("t").alias(type_col),
+        F.col("v").alias("stationary_scaled"),
+        (F.col("v").cast("double") / F.lit(float(scale))).alias(
+            "stationary"
+        ),
+    )

@@ -2258,3 +2258,70 @@ def orders_ship_sla_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         j, "o_orderpriority", "ship_delay_days",
         percentiles=(50, 90, 99), over_threshold=60,
     )
+
+
+def _stationary_oracle(scale: int, iters: int) -> str:
+    """Unrolled replay of markov_stationary: shared lead-window counts,
+    then ``iters`` integer v' = vP steps with div-floor renormalization."""
+    head = f"""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+      FROM events),
+    counts AS MATERIALIZED (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    cells AS MATERIALIZED (
+      SELECT from_type, to_type, n,
+             CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS rs
+      FROM counts),
+    nt AS (SELECT CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k
+           FROM cells),
+    v0 AS (SELECT DISTINCT from_type AS t,
+                  CAST(CAST({scale} AS BIGINT) // nt.k AS BIGINT) AS v
+           FROM cells, nt)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    s{i} AS MATERIALIZED (
+      SELECT c.to_type AS t2,
+             CAST(SUM((CAST(p.v AS HUGEINT) * c.n) // c.rs)
+                  AS HUGEINT) AS m
+      FROM cells c JOIN v{i - 1} p ON p.t = c.from_type GROUP BY 1),
+    tt{i} AS (SELECT CAST(SUM(m) AS HUGEINT) AS tot FROM s{i}),
+    v{i} AS (
+      SELECT s.t2 AS t,
+             CAST((CAST({scale} AS HUGEINT) * s.m) // tt.tot AS BIGINT)
+               AS v
+      FROM s{i} s, tt{i} tt)""")
+    tail = f"""
+    SELECT t AS event_type, v AS stationary_scaled,
+           CAST(v AS DOUBLE) / {float(scale)} AS stationary
+    FROM v{iters}
+    """
+    return head + "".join(steps) + tail
+
+
+_MS_SCALE, _MS_ITERS = 10**9, 12
+
+
+@query(
+    "events_markov_stationary",
+    oracle=_stationary_oracle(_MS_SCALE, _MS_ITERS),
+    tags=("analytics", "markov", "iterative", "integer-exact"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (operators/analytics.py:markov_stationary): 12 integer-scaled
+    v' ← vᵀP steps from uniform, with div-floor renormalization each
+    step so quantization cannot compound — the long-run "where does
+    behavior settle" vector next to the transition matrix. Corpus
+    scanned once (the transition-count reduction is shared with
+    events_transition_matrix and checkpointed); each step is one
+    equi-join + keyed sum over the |types|²-cell frame; the oracle
+    replays all 12 steps in unrolled SQL."""
+    from ..operators.analytics import markov_stationary
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_stationary(ev, iterations=_MS_ITERS, scale=_MS_SCALE)

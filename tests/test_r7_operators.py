@@ -938,3 +938,30 @@ def test_functional_dependency_audit_hand_values(spark):
     assert r["n_violating"] == 1
     assert r["max_rhs_distinct"] == 3
     assert r["violation_rate"] == 0.5
+
+
+def test_markov_stationary_two_state_chain(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        markov_stationary,
+    )
+
+    # One user cycling a->a->b->a->a->b... transition counts:
+    # a->a 1x per cycle? Build explicit sequence: a a b a a b a a b a
+    # transitions: (a,a),(a,b),(b,a) x3 ... counts: a->a 3, a->b 3, b->a 3
+    # P(a->a)=.5, P(a->b)=.5, P(b->a)=1 -> stationary (2/3, 1/3)
+    types = ["a", "a", "b", "a", "a", "b", "a", "a", "b", "a"]
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", 1, t) for i, t in enumerate(types)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["event_type"]: r
+        for r in markov_stationary(df, iterations=20).collect()
+    }
+    assert abs(out["a"]["stationary"] - 2 / 3) < 1e-6
+    assert abs(out["b"]["stationary"] - 1 / 3) < 1e-6
+    # renormalized each step: total stays ~scale
+    tot = out["a"]["stationary_scaled"] + out["b"]["stationary_scaled"]
+    assert abs(tot - 10**9) <= 2

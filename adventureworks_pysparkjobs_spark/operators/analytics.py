@@ -130,6 +130,40 @@ def basket_pairs(
     )
 
 
+def _funnel_entries(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> list[DataFrame]:
+    """Shared funnel chain: per stage, the (u, entry_ts) frame of users
+    who reached it in order (stage k counts only events strictly after
+    the user's stage-(k-1) entry). One keyed MIN agg + one user
+    equi-join per stage; survivor frames only shrink. Consumed by
+    ``funnel`` (stage counts) and ``funnel_stage_latency`` (gap
+    percentiles) so the ordering semantics can never diverge."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("k"),
+    )
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for stage in stages:
+        cur = ev.filter(F.col("k") == stage).select("u", "t")
+        if prev is not None:
+            cur = cur.join(
+                prev.select("u", F.col("entry_ts").alias("_prev_ts")), "u"
+            ).filter(F.col("t") > F.col("_prev_ts"))
+        cur = cur.groupBy("u").agg(F.min("t").alias("entry_ts"))
+        reached.append(cur)
+        prev = cur
+    return reached
+
+
 def funnel(
     df: DataFrame,
     user_col: str,
@@ -152,24 +186,7 @@ def funnel(
     Returns one row per stage: (stage_idx, stage, users, conv_from_prev,
     conv_from_first).
     """
-    if not stages:
-        raise ValueError("stages must be non-empty")
-    ev = df.select(
-        F.col(user_col).alias("u"),
-        F.col(ts_col).alias("t"),
-        F.col(type_col).alias("k"),
-    )
-    reached: list[DataFrame] = []
-    prev: DataFrame | None = None
-    for stage in stages:
-        cur = ev.filter(F.col("k") == stage).select("u", "t")
-        if prev is not None:
-            cur = cur.join(
-                prev.select("u", F.col("entry_ts").alias("_prev_ts")), "u"
-            ).filter(F.col("t") > F.col("_prev_ts"))
-        cur = cur.groupBy("u").agg(F.min("t").alias("entry_ts"))
-        reached.append(cur)
-        prev = cur
+    reached = _funnel_entries(df, user_col, ts_col, type_col, stages)
     counts = None
     for i, (stage, frame) in enumerate(zip(stages, reached)):
         c = frame.agg(F.count("*").alias("users")).select(
@@ -1826,4 +1843,50 @@ def markov_stationary(
         (F.col("v").cast("double") / F.lit(float(scale))).alias(
             "stationary"
         ),
+    )
+
+
+def funnel_stage_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    bucket_s: int = 60,
+    percentiles: Sequence[int] = (50, 90),
+) -> DataFrame:
+    """Stage-to-stage conversion latency: for every consecutive funnel
+    stage pair, EXACT percentiles of the time between a converted
+    user's two entry timestamps — the "where does the funnel stall"
+    readout that stage counts alone can't give (a 95% step that takes
+    a median of three days is still a stall).
+
+    Latencies are floored to ``bucket_s``-second buckets (integer
+    epoch-microsecond div — exact, non-negative) so the percentile
+    machinery runs on VALUE grain (:func:`grouped_value_percentiles`
+    — cum·100 ≥ n·q integer cross-multiplication, never a float
+    boundary). Entry times come from the SAME ordered chain as
+    :func:`funnel` via the shared ``_funnel_entries`` helper.
+
+    Scale shape: the funnel chain is per-stage keyed aggs + user
+    equi-joins on one uniform key; each transition adds one user
+    equi-join of two shrinking survivor frames; percentile windows run
+    on (transition, bucket)-grain rows. Returns one row per
+    transition: (transition, n_rows = converted users, p{q}...).
+    """
+    reached = _funnel_entries(df, user_col, ts_col, type_col, stages)
+    div_us = int(bucket_s) * 1_000_000
+    gaps = None
+    for k in range(len(stages) - 1):
+        a = reached[k].select("u", F.col("entry_ts").alias("t0"))
+        b = reached[k + 1].select("u", F.col("entry_ts").alias("t1"))
+        g = a.join(b, "u").select(
+            F.lit(f"{stages[k]}->{stages[k + 1]}").alias("transition"),
+            F.expr(
+                f"(unix_micros(t1) - unix_micros(t0)) div {div_us}"
+            ).cast("long").alias("bucket"),
+        )
+        gaps = g if gaps is None else gaps.unionByName(g)
+    return grouped_value_percentiles(
+        gaps, "transition", "bucket", percentiles=percentiles
     )

@@ -2325,3 +2325,66 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return markov_stationary(ev, iterations=_MS_ITERS, scale=_MS_SCALE)
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id AS u, MIN(ts) AS entry_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.entry_ts
+      WHERE e.event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.entry_ts
+      WHERE e.event_type = 'click' GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.entry_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1),
+    gaps AS (
+      SELECT 'signup->view' AS transition,
+             (epoch_us(b.entry_ts) - epoch_us(a.entry_ts)) // 60000000
+               AS d
+      FROM s0 a JOIN s1 b USING (u)
+      UNION ALL
+      SELECT 'view->click',
+             (epoch_us(b.entry_ts) - epoch_us(a.entry_ts)) // 60000000
+      FROM s1 a JOIN s2 b USING (u)
+      UNION ALL
+      SELECT 'click->purchase',
+             (epoch_us(b.entry_ts) - epoch_us(a.entry_ts)) // 60000000
+      FROM s2 a JOIN s3 b USING (u)),
+    v AS (
+      SELECT transition, d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM gaps GROUP BY 1, 2),
+    c AS (
+      SELECT transition, d, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY transition ORDER BY d)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY transition) AS BIGINT) AS n
+      FROM v)
+    SELECT transition, MAX(n) AS n_rows,
+           MIN(CASE WHEN cum * 100 >= n * 50 THEN d END) AS p50,
+           MIN(CASE WHEN cum * 100 >= n * 90 THEN d END) AS p90
+    FROM c GROUP BY 1
+    """,
+    tags=("analytics", "funnel", "latency", "exact-quantiles"),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-to-stage conversion latency of the product funnel
+    (operators/analytics.py:funnel_stage_latency): exact p50/p90
+    minutes between a converted user's consecutive stage entries —
+    the "where does the funnel stall" companion to the stage-count
+    funnel, sharing its ordered entry chain. Latencies floor to
+    minute buckets so percentiles run value-grain with integer
+    boundary tests."""
+    from ..operators.analytics import funnel_stage_latency
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stage_latency(
+        ev, "user_id", "ts", "event_type", _FUNNEL_STAGES, bucket_s=60
+    )

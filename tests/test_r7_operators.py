@@ -965,3 +965,37 @@ def test_markov_stationary_two_state_chain(spark):
     # renormalized each step: total stays ~scale
     tot = out["a"]["stationary_scaled"] + out["b"]["stationary_scaled"]
     assert abs(tot - 10**9) <= 2
+
+
+def test_funnel_stage_latency_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        funnel_stage_latency,
+    )
+
+    # user 1: signup 00:00, view 00:05 (5 min), click 01:05 (60 min)
+    # user 2: signup 00:00, view 00:25 (25 min), no click
+    # user 3: view only (never signed up) -> not in funnel
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        (2, "2024-01-01 00:05:00", 1, "view"),
+        (3, "2024-01-01 01:05:00", 1, "click"),
+        (4, "2024-01-01 00:00:00", 2, "signup"),
+        (5, "2024-01-01 00:25:00", 2, "view"),
+        (6, "2024-01-01 00:10:00", 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["transition"]: r
+        for r in funnel_stage_latency(
+            df, "user_id", "ts", "event_type",
+            ("signup", "view", "click"), bucket_s=60,
+        ).collect()
+    }
+    sv = out["signup->view"]
+    assert sv["n_rows"] == 2
+    # gaps 5 and 25 min -> p50 = 5 (cum 1*100 >= 2*50), p90 = 25
+    assert (sv["p50"], sv["p90"]) == (5, 25)
+    vc = out["view->click"]
+    assert vc["n_rows"] == 1 and (vc["p50"], vc["p90"]) == (60, 60)

@@ -1890,3 +1890,84 @@ def funnel_stage_latency(
     return grouped_value_percentiles(
         gaps, "transition", "bucket", percentiles=percentiles
     )
+
+
+def also_bought_topk(
+    items: DataFrame,
+    k: int = 3,
+    min_pair_count: int = 2,
+    max_basket_size: int = 200,
+) -> DataFrame:
+    """Item-item collaborative filtering over a ``(basket, item)``
+    frame: for every item, the top-``k`` co-purchased items by
+    cosine-normalized co-occurrence ``n_ab / (√n_a·√n_b)`` — the
+    "customers also bought" recommendation table, where the
+    normalization stops popular staples from dominating every list
+    (raw n_ab is maximal for whatever everyone buys anyway).
+
+    Exactness: basket counts are exact integers off the SAME
+    posting-list pair expansion as :func:`pair_counts`; the score is
+    one IEEE tree (sqrt is correctly rounded) over exact longs —
+    bit-identical in any engine; ranking ties break deterministically
+    (score DESC, neighbor key ASC).
+
+    Scale shape: pair expansion is basket-bounded (``max_basket_size``
+    caps the quadratic); item totals are one keyed reduction of the
+    distinct (basket, item) frame; the per-item top-k window runs over
+    each item's co-purchase NEIGHBOR list (bounded by observed
+    co-purchase degree, not catalog size). Returns
+    (item, rank, also_bought, pair_n, score).
+    """
+    pairs = pair_counts(
+        items, min_pair_count=min_pair_count,
+        max_basket_size=max_basket_size,
+    )
+    totals = (
+        items.select("basket", "item")
+        .distinct()
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("i"),
+        F.col("item_b").alias("j"),
+        "pair_n",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("i"),
+            F.col("item_a").alias("j"),
+            "pair_n",
+        )
+    )
+    scored = (
+        sym.join(totals.select(F.col("item").alias("i"),
+                               F.col("n_b").alias("n_i")), "i")
+        .join(totals.select(F.col("item").alias("j"),
+                            F.col("n_b").alias("n_j")), "j")
+        .select(
+            "i",
+            "j",
+            "pair_n",
+            (
+                F.col("pair_n").cast("double")
+                / (
+                    F.sqrt(F.col("n_i").cast("double"))
+                    * F.sqrt(F.col("n_j").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("score").desc(), F.col("j").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("i").alias("item"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("j").alias("also_bought"),
+            F.col("pair_n").cast("long").alias("pair_n"),
+            "score",
+        )
+    )

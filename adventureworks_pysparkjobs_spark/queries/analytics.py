@@ -2388,3 +2388,61 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stage_latency(
         ev, "user_id", "ts", "event_type", _FUNNEL_STAGES, bucket_s=60
     )
+
+
+@query(
+    "part_also_bought_topk",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b, CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    totals AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_b FROM items GROUP BY 1),
+    sym AS (
+      SELECT a AS i, b AS j, pair_n FROM pairs
+      UNION ALL SELECT b, a, pair_n FROM pairs),
+    scored AS (
+      SELECT s.i, s.j, s.pair_n,
+             CAST(s.pair_n AS DOUBLE)
+               / (sqrt(CAST(ti.n_b AS DOUBLE))
+                  * sqrt(CAST(tj.n_b AS DOUBLE))) AS score
+      FROM sym s
+      JOIN totals ti ON ti.item = s.i
+      JOIN totals tj ON tj.item = s.j),
+    r AS (
+      SELECT i, j, pair_n, score,
+             ROW_NUMBER() OVER (PARTITION BY i
+               ORDER BY score DESC, j ASC) AS rnk
+      FROM scored)
+    SELECT i AS item, CAST(rnk AS INTEGER) AS rank, j AS also_bought,
+           pair_n, score
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("analytics", "recommendation", "collaborative-filtering"),
+)
+def part_also_bought_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers also bought" top-3 per part
+    (operators/analytics.py:also_bought_topk): cosine-normalized
+    co-purchase scores n_ab/(√n_a·√n_b) over the basket-bounded pair
+    expansion, ranked per item with a deterministic (score DESC, key)
+    tie-break — the item-item collaborative-filtering table, where
+    normalization stops popular staples from topping every list. IEEE
+    sqrt tree over exact longs; per-item window bounded by co-purchase
+    degree."""
+    from ..operators.analytics import also_bought_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    return also_bought_topk(items, k=3)

@@ -999,3 +999,34 @@ def test_funnel_stage_latency_hand_values(spark):
     assert (sv["p50"], sv["p90"]) == (5, 25)
     vc = out["view->click"]
     assert vc["n_rows"] == 1 and (vc["p50"], vc["p90"]) == (60, 60)
+
+
+def test_also_bought_topk_normalization(spark):
+    import math
+
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        also_bought_topk,
+    )
+
+    # staple S appears in 4 baskets, niche N1/N2 in 2 each.
+    # (S,N1) together 2x, (S,N2) 2x, (N1,N2) 2x.
+    baskets = [
+        (1, "S"), (1, "N1"), (1, "N2"),
+        (2, "S"), (2, "N1"), (2, "N2"),
+        (3, "S"), (4, "S"),
+    ]
+    df = spark.createDataFrame(baskets, "basket long, item string")
+    out = {
+        (r["item"], r["rank"]): r
+        for r in also_bought_topk(df, k=2, min_pair_count=2).collect()
+    }
+    # For N1: score(N1,N2) = 2/(sqrt(2)*sqrt(2)) = 1.0 beats
+    # score(N1,S) = 2/(sqrt(2)*sqrt(4)) ~ 0.707 despite equal pair_n —
+    # the normalization at work.
+    assert out[("N1", 1)]["also_bought"] == "N2"
+    assert out[("N1", 1)]["score"] == 2 / (math.sqrt(2) * math.sqrt(2))
+    assert out[("N1", 2)]["also_bought"] == "S"
+    assert abs(out[("N1", 2)]["score"] - 2 / (math.sqrt(2) * 2)) < 1e-15
+    # S's list is rank-ordered by score then key: N1 before N2 (tie)
+    assert out[("S", 1)]["also_bought"] == "N1"
+    assert out[("S", 2)]["also_bought"] == "N2"

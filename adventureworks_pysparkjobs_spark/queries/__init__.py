@@ -29,6 +29,14 @@ from . import (  # noqa: E402,F401
 # events_dedup_first_per_key, emb_vector_stats (shape siblings whose
 # families stay attested by other window rows; all four remain
 # catalog + oracle-gated locally).
+# r7 second rotation (late-round representatives): in —
+# emb_pca_top_component, doc_source_minhash_overlap,
+# events_markov_stationary; out — q10_returned_revenue (join-agg
+# family stays via q1/q3/q5), doc_ngram_jaccard_pairs (jaccard family
+# stays via doc_jaccard_histogram + doc_minhash_lsh_pairs),
+# emb_near_dup_pairs (embedding near-dup stays via emb_cosine_topk +
+# emb_semdedup_kmeans_pipeline); all three remain oracle-gated
+# locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -39,7 +47,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_semdedup_kmeans_pipeline",
     "q3_unshipped_revenue",
     "q5_nation_revenue",
-    "q10_returned_revenue",
+    "events_markov_stationary",
     "semi_anti_customers",
     "outer_join_profiles",
     "corpus_bm25_topk",
@@ -64,7 +72,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_exact_dedup",
     "doc_text_profile",
     "doc_chunks",
-    "doc_ngram_jaccard_pairs",
+    "doc_source_minhash_overlap",
     "doc_minhash_lsh_pairs",
     "events_resample_gapfill",
     "doc_binary_payload",
@@ -72,7 +80,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_term_stats",
     "doc_dup_clusters",
     "emb_cosine_topk",
-    "emb_near_dup_pairs",
+    "emb_pca_top_component",
     "customer_second_order_hazard",
     "stream_tumbling_counts",
     "stream_dedup_keys",

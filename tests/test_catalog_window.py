@@ -24,7 +24,7 @@ EXPECTED_WINDOW = (
     "emb_semdedup_kmeans_pipeline",
     "q3_unshipped_revenue",
     "q5_nation_revenue",
-    "q10_returned_revenue",
+    "events_markov_stationary",
     "semi_anti_customers",
     "outer_join_profiles",
     "corpus_bm25_topk",
@@ -49,7 +49,7 @@ EXPECTED_WINDOW = (
     "doc_exact_dedup",
     "doc_text_profile",
     "doc_chunks",
-    "doc_ngram_jaccard_pairs",
+    "doc_source_minhash_overlap",
     "doc_minhash_lsh_pairs",
     "events_resample_gapfill",
     "doc_binary_payload",
@@ -57,7 +57,7 @@ EXPECTED_WINDOW = (
     "corpus_term_stats",
     "doc_dup_clusters",
     "emb_cosine_topk",
-    "emb_near_dup_pairs",
+    "emb_pca_top_component",
     "customer_second_order_hazard",
     "stream_tumbling_counts",
     "stream_dedup_keys",

@@ -1971,3 +1971,73 @@ def also_bought_topk(
             "score",
         )
     )
+
+
+def revenue_bridge(
+    li: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    year0: int,
+    year1: int,
+    group_col: str = "p_brand",
+) -> DataFrame:
+    """Year-over-year revenue bridge per group — the FP&A waterfall
+    decomposition "how much of the revenue change was volume vs
+    price": with group-level aggregates R (discounted revenue) and Q
+    (quantity) for each year,
+
+        ΔR = (Q1−Q0)·P0  +  Q1·(P1−P0),   P = R/Q
+
+    an exact algebraic identity (volume effect at old prices + price
+    effect at new volume). The decomposition uses AGGREGATE prices, so
+    every emitted effect is scalar IEEE math over exact decimal sums —
+    deterministic in any engine — and the two effects reconcile to ΔR
+    up to one rounding ulp each (they are separate IEEE expressions;
+    the identity is exact in the reals, not re-added here).
+
+    Groups missing a year zero-fill through the FULL OUTER join;
+    effects are NULL when the base year has no volume (P0 undefined).
+
+    Scale shape: one fact scan per year filter (partition-prunable on
+    the date), reduced to group grain map-side; the bridge is a
+    #groups-row full-outer equi-join + per-row scalar math.
+    Returns (group, r0, r1, delta, volume_effect, price_effect).
+    """
+    def year_agg(y: int, suffix: str) -> DataFrame:
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .filter(F.year("o_orderdate") == y)
+            .join(part, li["l_partkey"] == part["p_partkey"])
+        )
+        return j.groupBy(F.col(group_col).alias("g")).agg(
+            F.sum(
+                dec("l_extendedprice", 12, 2)
+                * dec(F.lit(1) - F.col("l_discount"), 12, 2)
+            ).alias(f"r{suffix}"),
+            F.sum(dec("l_quantity", 12, 2)).alias(f"q{suffix}"),
+        )
+    a0 = year_agg(year0, "0")
+    a1 = year_agg(year1, "1")
+    j = a0.join(a1, "g", "full")
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    r0 = _dbl(F.coalesce(F.col("r0"), F.lit(0)))
+    r1 = _dbl(F.coalesce(F.col("r1"), F.lit(0)))
+    q0 = _dbl(F.coalesce(F.col("q0"), F.lit(0)))
+    q1 = _dbl(F.coalesce(F.col("q1"), F.lit(0)))
+    p0 = r0 / q0
+    p1 = r1 / q1
+    return j.select(
+        F.col("g").alias(group_col),
+        r0.alias("r0"),
+        r1.alias("r1"),
+        (r1 - r0).alias("delta"),
+        F.when(q0 == 0.0, F.lit(None).cast("double"))
+        .otherwise((q1 - q0) * p0)
+        .alias("volume_effect"),
+        F.when((q0 == 0.0) | (q1 == 0.0), F.lit(None).cast("double"))
+        .otherwise(q1 * (p1 - p0))
+        .alias("price_effect"),
+    )

@@ -2446,3 +2446,56 @@ def part_also_bought_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("item"),
     )
     return also_bought_topk(items, k=3)
+
+
+@query(
+    "orders_revenue_bridge",
+    oracle="""
+    WITH y0 AS (
+      SELECT p.p_brand AS g,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(12,2))) AS r0,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q0
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(o.o_orderdate) = 1999 GROUP BY 1),
+    y1 AS (
+      SELECT p.p_brand AS g,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(12,2))) AS r1,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q1
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(o.o_orderdate) = 2000 GROUP BY 1),
+    j AS (
+      SELECT COALESCE(y0.g, y1.g) AS g,
+             CAST(CAST(COALESCE(y0.r0, 0) AS VARCHAR) AS DOUBLE) AS r0,
+             CAST(CAST(COALESCE(y1.r1, 0) AS VARCHAR) AS DOUBLE) AS r1,
+             CAST(CAST(COALESCE(y0.q0, 0) AS VARCHAR) AS DOUBLE) AS q0,
+             CAST(CAST(COALESCE(y1.q1, 0) AS VARCHAR) AS DOUBLE) AS q1
+      FROM y0 FULL JOIN y1 ON y1.g = y0.g)
+    SELECT g AS p_brand, r0, r1, r1 - r0 AS delta,
+           CASE WHEN q0 = 0.0 THEN NULL
+                ELSE (q1 - q0) * (r0 / q0) END AS volume_effect,
+           CASE WHEN q0 = 0.0 OR q1 = 0.0 THEN NULL
+                ELSE q1 * ((r1 / q1) - (r0 / q0)) END AS price_effect
+    FROM j
+    """,
+    tags=("analytics", "finance", "bridge", "decomposition"),
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand, 1999 → 2000
+    (operators/analytics.py:revenue_bridge): the FP&A waterfall
+    ΔR = (Q1−Q0)·P0 + Q1·(P1−P0) splitting each brand's revenue move
+    into volume-at-old-prices and price-at-new-volume effects —
+    aggregate-level prices so every effect is scalar IEEE math over
+    exact decimal sums. Two pruned fact scans reduced to brand grain
+    map-side, one #brands-row full-outer join."""
+    from ..operators.analytics import revenue_bridge
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return revenue_bridge(li, od, part, 1999, 2000, "p_brand")

@@ -1030,3 +1030,47 @@ def test_also_bought_topk_normalization(spark):
     # S's list is rank-ordered by score then key: N1 before N2 (tie)
     assert out[("S", 1)]["also_bought"] == "N1"
     assert out[("S", 2)]["also_bought"] == "N2"
+
+
+def test_revenue_bridge_identity_and_nulls(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        revenue_bridge,
+    )
+
+    li = spark.createDataFrame(
+        [
+            # brand B1: y0 sells 10 units for 100; y1 sells 20 for 300
+            (1, 101, 10.0, 100.0, 0.0),
+            (2, 102, 20.0, 300.0, 0.0),
+            # brand B2: appears only in y1 -> NULL effects, delta = rev
+            (3, 103, 5.0, 50.0, 0.0),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    od = spark.createDataFrame(
+        [
+            (1, "1999-06-01 00:00:00"),
+            (2, "2000-06-01 00:00:00"),
+            (3, "2000-07-01 00:00:00"),
+        ],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    part = spark.createDataFrame(
+        [(101, "B1"), (102, "B1"), (103, "B2")],
+        "p_partkey long, p_brand string",
+    )
+    out = {
+        r["p_brand"]: r
+        for r in revenue_bridge(li, od, part, 1999, 2000, "p_brand")
+            .collect()
+    }
+    b1 = out["B1"]
+    # P0 = 10/unit; volume = (20-10)*10 = 100; price = 20*(15-10) = 100
+    assert b1["delta"] == 200.0
+    assert b1["volume_effect"] == 100.0
+    assert b1["price_effect"] == 100.0
+    assert b1["volume_effect"] + b1["price_effect"] == b1["delta"]
+    b2 = out["B2"]
+    assert b2["delta"] == 50.0
+    assert b2["volume_effect"] is None and b2["price_effect"] is None

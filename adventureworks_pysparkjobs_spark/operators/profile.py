@@ -1178,3 +1178,95 @@ def abc_classification(
         _dbl(F.col("_rev")).alias("class_value"),
         (_dbl(F.col("_rev")) / _dbl(F.col("_total"))).alias("value_share"),
     )
+
+
+def mann_whitney_by_flag(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the flagged and unflagged
+    populations of an integer-valued column — the distribution-free
+    "is group A systematically larger?" test (the right tool when the
+    value is skewed and a t-test's mean is the wrong summary), with
+    full tie correction.
+
+    All rank machinery runs on VALUE grain (the Lorenz pattern — no
+    row-level sort): per value, total count t and flagged count d; the
+    doubled midrank is ``2·cum_before + t + 1``; the doubled flagged
+    rank sum ``2R = Σ d·midrank2`` is an exact DECIMAL(38,0), so
+    ``2U = 2R − n1(n1+1)`` is exact. The tie-corrected normal
+    approximation
+
+        z = (2U − n1·n2) / (2·sqrt(var)),
+        var = n1·n2/12 · ((N+1) − Σ(t³−t)/(N·(N−1)))
+
+    is one fixed IEEE tree over string-rendered exact integers —
+    bit-identical in any engine. Effect size is the rank-biserial
+    ``r = 2U/(n1·n2) − 1`` ∈ [−1, 1].
+
+    Scale shape: one reduction to value grain (map-side partials), one
+    value-grain cumulative window, one global aggregate. Returns ONE
+    row: (n_flagged, n_other, u2_flagged, rank_biserial, z). NULL
+    z/effect when either group is empty or variance is zero (all
+    values tied).
+    """
+    d38 = "decimal(38,0)"
+    flag = F.col(flag_col).cast("boolean")
+    v = df.select(
+        F.when(flag, F.lit(1)).otherwise(F.lit(0)).alias("f"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    grain = v.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("f").cast("long").alias("d"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = grain.select(
+        "v",
+        "t",
+        "d",
+        (F.sum("t").over(wc) - F.col("t")).cast("long").alias("cb"),
+    )
+    mid2 = (F.lit(2) * F.col("cb") + F.col("t") + 1).cast(d38)
+    sums = c.agg(
+        F.sum(F.col("d").cast(d38) * mid2).alias("r2"),
+        F.sum(F.col("d").cast(d38)).alias("n1"),
+        F.sum((F.col("t") - F.col("d")).cast(d38)).alias("n2"),
+        F.sum(
+            F.col("t").cast(d38) * F.col("t").cast(d38)
+            * F.col("t").cast(d38)
+            - F.col("t").cast(d38)
+        ).alias("ties"),
+    )
+
+    def _dbl(col):
+        return col.cast("string").cast("double")
+
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    u2 = (F.col("r2") - n1 * (n1 + 1)).alias("_u2")
+    sums = sums.select("n1", "n2", "ties", u2)
+    var = (
+        (_dbl(n1) * _dbl(n2) / F.lit(12.0))
+        * (
+            _dbl(nn + 1)
+            - _dbl(F.col("ties")) / (_dbl(nn) * _dbl(nn - 1))
+        )
+    )
+    ok = (n1 > 0) & (n2 > 0)
+    return sums.select(
+        n1.cast("long").alias("n_flagged"),
+        n2.cast("long").alias("n_other"),
+        F.col("_u2").cast("long").alias("u2_flagged"),
+        F.when(
+            ok, _dbl(F.col("_u2")) / (_dbl(n1) * _dbl(n2)) - F.lit(1.0)
+        ).alias("rank_biserial"),
+        F.when(
+            ok & (var > 0.0),
+            (_dbl(F.col("_u2")) - _dbl(n1) * _dbl(n2))
+            / (F.lit(2.0) * F.sqrt(var)),
+        ).alias("z"),
+    )

@@ -1593,3 +1593,84 @@ def doc_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_minhash_overlap(
         doc, "doc_id", "text", "source", num_hashes=16, n=3
     )
+
+
+@query(
+    "doc_dup_length_mwu",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY sha256(text)) AS grp
+      FROM documents),
+    lab AS (
+      SELECT CASE WHEN grp >= 2 THEN 1 ELSE 0 END AS f,
+             n_chars AS v
+      FROM g),
+    grain AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(f) AS BIGINT) AS d
+      FROM lab GROUP BY 1),
+    c AS (
+      SELECT v, t, d,
+             CAST(SUM(t) OVER (ORDER BY v) - t AS BIGINT) AS cb
+      FROM grain),
+    s AS (
+      SELECT CAST(SUM(CAST(d AS HUGEINT) * (2 * cb + t + 1))
+                  AS HUGEINT) AS r2,
+             CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) AS n1,
+             CAST(SUM(CAST(t - d AS HUGEINT)) AS HUGEINT) AS n2,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+               AS ties
+      FROM c),
+    s2 AS (
+      SELECT n1, n2, r2 - n1 * (n1 + 1) AS u2, ties,
+             (CAST(CAST(n1 AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(n2 AS VARCHAR) AS DOUBLE) / 12.0)
+             * (CAST(CAST(n1 + n2 + 1 AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+                  / (CAST(CAST(n1 + n2 AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(n1 + n2 - 1 AS VARCHAR) AS DOUBLE)))
+               AS var
+      FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n_flagged,
+           CAST(n2 AS BIGINT) AS n_other,
+           CAST(u2 AS BIGINT) AS u2_flagged,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
+               / (CAST(CAST(n1 AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(n2 AS VARCHAR) AS DOUBLE)) - 1.0
+           END AS rank_biserial,
+           CASE WHEN n1 > 0 AND n2 > 0 AND var > 0.0 THEN
+             (CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(n1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(n2 AS VARCHAR) AS DOUBLE))
+             / (2.0 * sqrt(var))
+           END AS z
+    FROM s2
+    """,
+    tags=("dedup", "statistics", "mann-whitney", "audit"),
+)
+def doc_dup_length_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are exact-duplicate documents systematically shorter (or
+    longer) than unique ones? Mann–Whitney U rank-sum test
+    (operators/profile.py:mann_whitney_by_flag) between
+    duplicated-content docs (sha256 group ≥ 2) and the rest on
+    n_chars, with full tie correction — the distribution-free
+    duplication-bias audit for a corpus where length is heavy-tailed.
+    All rank machinery runs on VALUE grain (no row sort); 2U and the
+    tie term are exact DECIMAL(38,0); z and the rank-biserial effect
+    are one fixed IEEE tree each. ONE output row."""
+    from ..operators.profile import mann_whitney_by_flag
+
+    doc = load_table(spark, sf_dir, "documents")
+    sizes = doc.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.count(F.lit(1)).alias("grp")
+    )
+    labeled = doc.select(
+        F.sha2(F.col("text"), 256).alias("h"), "n_chars"
+    ).join(sizes, "h")
+    return mann_whitney_by_flag(
+        labeled.select((F.col("grp") >= 2).alias("is_dup"), "n_chars"),
+        "is_dup",
+        "n_chars",
+    )

@@ -1074,3 +1074,44 @@ def test_revenue_bridge_identity_and_nulls(spark):
     b2 = out["B2"]
     assert b2["delta"] == 50.0
     assert b2["volume_effect"] is None and b2["price_effect"] is None
+
+
+def test_mann_whitney_by_flag_matches_python_reference(spark):
+    import math
+
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        mann_whitney_by_flag,
+    )
+
+    a = [1, 2, 2, 5]          # flagged
+    b = [2, 3, 4, 4, 7]       # other
+    rows = [(True, v) for v in a] + [(False, v) for v in b]
+    df = spark.createDataFrame(rows, "f boolean, v long")
+    r = mann_whitney_by_flag(df, "f", "v").collect()[0]
+
+    # python reference with midranks
+    allv = sorted(a + b)
+    def midrank(x):
+        lo = allv.index(x) + 1
+        hi = len(allv) - allv[::-1].index(x)
+        return (lo + hi) / 2
+    R1 = sum(midrank(x) for x in a)
+    n1, n2, N = len(a), len(b), len(a) + len(b)
+    U1 = R1 - n1 * (n1 + 1) / 2
+    assert r["n_flagged"] == n1 and r["n_other"] == n2
+    assert r["u2_flagged"] == int(2 * U1)
+    ties = sum(
+        t**3 - t for t in (allv.count(x) for x in set(allv))
+    )
+    var = n1 * n2 / 12 * ((N + 1) - ties / (N * (N - 1)))
+    z_ref = (2 * U1 - n1 * n2) / (2 * math.sqrt(var))
+    assert abs(r["z"] - z_ref) < 1e-12
+    assert abs(r["rank_biserial"] - (2 * U1 / (n1 * n2) - 1)) < 1e-12
+
+    # all-tied input -> zero variance -> NULL z, defined biserial
+    df2 = spark.createDataFrame(
+        [(True, 5), (False, 5), (False, 5)], "f boolean, v long"
+    )
+    r2 = mann_whitney_by_flag(df2, "f", "v").collect()[0]
+    assert r2["z"] is None
+    assert r2["rank_biserial"] == 0.0  # U = n1*n2/2 exactly on full tie

@@ -721,3 +721,153 @@ def test_peak_concurrency_matches_bruteforce(spark, intervals):
         d = str(t.date())
         brute[d] = max(brute.get(d, 0), live)
     assert got == brute
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(1, 50)),
+        min_size=2, max_size=10, unique_by=lambda t: t[0],
+    ),
+    scale=st.integers(2, 7),
+)
+def test_ewma_scaling_linearity(spark, counts, scale):
+    """EWMA is linear in the counts: replicating every event `scale`
+    times scales ewma_scaled exactly by `scale` (integer kernel —
+    no rounding anywhere)."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.timeseries import (
+        ewma_daily_counts,
+    )
+
+    def build(mult):
+        rows, eid = [], 0
+        for d, c in counts:
+            for _ in range(c * mult):
+                eid += 1
+                rows.append((eid, f"2024-01-{d + 1:02d} 06:00:00", 1, "a"))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    base = {
+        r["d"]: r["ewma_scaled"]
+        for r in ewma_daily_counts(build(1), window_days=4).collect()
+    }
+    scaled = {
+        r["d"]: r["ewma_scaled"]
+        for r in ewma_daily_counts(build(scale), window_days=4).collect()
+    }
+    assert set(base) == set(scaled)
+    for d, v in base.items():
+        assert scaled[d] == v * scale
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    xs=st.lists(
+        st.integers(-1000, 1000), min_size=3, max_size=30, unique=True
+    ),
+)
+def test_spearman_monotone_invariance(spark, xs):
+    """Spearman rho is invariant under strictly monotone transforms of
+    either axis: rho(x, x) == 1 and rho(x, x^3 + 7) == 1 (ranks are
+    all that matter)."""
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    rows = [("g", float(x), float(x**3 + 7)) for x in xs]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = spearman_correlation(df, "x", "y", "g").collect()[0]
+    # num == var_x == var_y on a perfect fit, but num/(sqrt(v)*sqrt(v))
+    # can land 1 ulp past 1.0 — tolerance is the IEEE tree, not noise
+    assert abs(r["spearman_rho"] - 1.0) < 5e-16
+    rows2 = [("g", float(x), float(-x)) for x in xs]
+    df2 = spark.createDataFrame(rows2, "g string, x double, y double")
+    r2 = spearman_correlation(df2, "x", "y", "g").collect()[0]
+    assert abs(r2["spearman_rho"] + 1.0) < 5e-16
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 100), min_size=1, max_size=60),
+)
+def test_grouped_percentiles_monotone_and_bracketed(spark, vals):
+    """p50 <= p90 <= p99, all three are observed values, and p99 is
+    reached by at least 99% of rows."""
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        grouped_value_percentiles,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, d int")
+    r = grouped_value_percentiles(df, "g", "d").collect()[0]
+    assert r["p50"] <= r["p90"] <= r["p99"]
+    assert all(r[p] in vals for p in ("p50", "p90", "p99"))
+    n = len(vals)
+    assert sum(1 for v in vals if v <= r["p99"]) * 100 >= 99 * n
+    assert sum(1 for v in vals if v <= r["p50"]) * 100 >= 50 * n
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 20), min_size=1, max_size=25),
+    b=st.lists(st.integers(0, 20), min_size=1, max_size=25),
+)
+def test_mann_whitney_flag_inversion_symmetry(spark, a, b):
+    """U1 + U2 = n1*n2 (so the doubled statistics sum to 2*n1*n2) and
+    z flips sign exactly when the flag is inverted."""
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        mann_whitney_by_flag,
+    )
+
+    rows = [(True, v) for v in a] + [(False, v) for v in b]
+    df = spark.createDataFrame(rows, "f boolean, v long")
+    r1 = mann_whitney_by_flag(df, "f", "v").collect()[0]
+    inv = df.selectExpr("NOT f AS f", "v")
+    r2 = mann_whitney_by_flag(inv, "f", "v").collect()[0]
+    n1, n2 = len(a), len(b)
+    assert r1["u2_flagged"] + r2["u2_flagged"] == 2 * n1 * n2
+    if r1["z"] is not None:
+        # z is exactly antisymmetric (numerators are exact-int doubles,
+        # the variance term is symmetric in n1/n2)
+        assert r2["z"] == -r1["z"]
+        # the biserial divisions round independently: 1-ulp tolerance
+        assert abs(r2["rank_biserial"] + r1["rank_biserial"]) < 1e-15
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1, max_size=40,
+    ).map(
+        lambda es: sorted(
+            {(min(a, b), max(a, b)) for a, b in es if a != b}
+        )
+    ),
+    k=st.integers(2, 4),
+)
+def test_kcore_peel_fixpoint_is_idempotent(spark, edges, k):
+    """Once the trajectory stabilizes (two equal consecutive rows),
+    every later round is identical, and the stable core (if any) has
+    min degree >= k by construction of the peel."""
+    from adventureworks_pysparkjobs_spark.operators.graph import kcore_peel
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = sorted(
+        (r["round"], r["nodes"], r["edges"])
+        for r in kcore_peel(df, k=k, rounds=6).collect()
+    )
+    stable_from = None
+    for i in range(1, len(rows)):
+        if rows[i][1:] == rows[i - 1][1:]:
+            stable_from = i
+            break
+    if stable_from is not None:
+        for j in range(stable_from, len(rows)):
+            assert rows[j][1:] == rows[stable_from][1:]

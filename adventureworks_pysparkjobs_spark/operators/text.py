@@ -972,3 +972,77 @@ def rrf_fusion(
         .limit(k_final)
         .withColumnRenamed("id", id_col)
     )
+
+
+# AFINN-style valence lexicon (small embedded sample; a production
+# deployment would broadcast-join a full lexicon TABLE — the per-row
+# map-fold mechanism below is the operator under test and is the right
+# shape for any contract-bounded lexicon).
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 2, "great": 3, "excellent": 3, "amazing": 4, "love": 3,
+    "happy": 3, "best": 3, "wonderful": 4, "fantastic": 4, "nice": 2,
+    "win": 2, "better": 2, "success": 2, "positive": 2, "perfect": 3,
+    "improved": 2, "strong": 2, "easy": 1, "fast": 1, "helpful": 2,
+    "bad": -3, "terrible": -3, "awful": -3, "hate": -3, "worst": -3,
+    "sad": -2, "poor": -2, "fail": -2, "failure": -2, "negative": -2,
+    "broken": -2, "slow": -1, "hard": -1, "problem": -2, "error": -2,
+    "wrong": -2, "worse": -3, "weak": -2, "angry": -3, "horrible": -3,
+}
+
+
+def sentiment_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lexicon: dict[str, int] | None = None,
+) -> DataFrame:
+    """Lexicon-based sentiment scoring (the AFINN pattern): per
+    document, the sum of valence weights of its matched tokens, the
+    match count, and a sign label — the classic pre-LLM sentiment
+    baseline, and at corpus scale still the cheapest first-pass
+    filter/feature.
+
+    Tokens normalize to lowercase alphabetic cores
+    (``regexp_replace(lower(t), '[^a-z]', '')``) before lookup, so
+    "Great!" matches "great". The whole computation is a PER-ROW fold
+    over a literal map (``element_at`` + ``aggregate``) — zero
+    shuffles, zero joins, whole-stage-codegen JVM expressions; the
+    lexicon is bounded by contract (swap in a broadcast join for an
+    unbounded one). Integer score sums are exact in any engine.
+
+    Returns (id, n_matched, sentiment_score, sentiment_label).
+    """
+    lex = SENTIMENT_LEXICON if lexicon is None else lexicon
+    pairs: list[Column] = []
+    for k, v in sorted(lex.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(v)))
+    lex_map = F.create_map(*pairs)
+    norm = F.transform(
+        tokens(text_col),
+        lambda t: F.regexp_replace(F.lower(t), "[^a-z]", ""),
+    )
+    weights = F.transform(
+        norm, lambda t: F.coalesce(F.element_at(lex_map, t), F.lit(0))
+    )
+    hits = F.transform(
+        norm,
+        lambda t: F.when(
+            F.element_at(lex_map, t).isNotNull(), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    score = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    matched = F.aggregate(
+        hits, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        matched.alias("n_matched"),
+        score.alias("sentiment_score"),
+        F.when(score > 0, F.lit("positive"))
+        .when(score < 0, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+        .alias("sentiment_label"),
+    )

@@ -1674,3 +1674,52 @@ def doc_dup_length_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_dup",
         "n_chars",
     )
+
+
+def _sentiment_oracle() -> str:
+    from ..operators.text import SENTIMENT_LEXICON
+
+    values = ", ".join(
+        f"('{k}', {v})" for k, v in sorted(SENTIMENT_LEXICON.items())
+    )
+    return f"""
+    WITH lex(w, val) AS (VALUES {values}),
+    toks AS (
+      SELECT d.doc_id,
+             regexp_replace(lower(u.t), '[^a-z]', '', 'g') AS t
+      FROM (SELECT doc_id, {_TOKS} AS w FROM documents) d,
+           unnest(d.w) AS u(t)),
+    m AS (
+      SELECT tk.doc_id,
+             CAST(COUNT(lex.w) AS BIGINT) AS n_matched,
+             CAST(COALESCE(SUM(lex.val), 0) AS BIGINT) AS score
+      FROM toks tk LEFT JOIN lex ON lex.w = tk.t
+      GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(m.n_matched, 0) AS n_matched,
+           COALESCE(m.score, 0) AS sentiment_score,
+           CASE WHEN COALESCE(m.score, 0) > 0 THEN 'positive'
+                WHEN COALESCE(m.score, 0) < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_label
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    """
+
+
+@query(
+    "doc_sentiment_scores",
+    oracle=_sentiment_oracle(),
+    tags=("text", "sentiment", "lexicon", "per-row"),
+)
+def doc_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFINN-style lexicon sentiment per document
+    (operators/text.py:sentiment_scores): valence-weight sum, match
+    count, and sign label from a literal-map PER-ROW fold — zero
+    shuffles, zero joins, whole-stage-codegen JVM expressions (the
+    SURVEY §2.10 "sentiment via lexicon" mapping; swap in a broadcast
+    join for an unbounded lexicon). Tokens normalize to lowercase
+    alphabetic cores before lookup; integer sums exact in any
+    engine."""
+    from ..operators.text import sentiment_scores
+
+    doc = load_table(spark, sf_dir, "documents")
+    return sentiment_scores(doc)

@@ -1115,3 +1115,29 @@ def test_mann_whitney_by_flag_matches_python_reference(spark):
     r2 = mann_whitney_by_flag(df2, "f", "v").collect()[0]
     assert r2["z"] is None
     assert r2["rank_biserial"] == 0.0  # U = n1*n2/2 exactly on full tie
+
+
+def test_sentiment_scores_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.text import (
+        sentiment_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Great! this is GOOD, really good."),   # 3+2+2 = 7
+            (2, "terrible and broken."),                # -3 + -2 = -5
+            (3, "the weather is rainy"),                # no matches
+            (4, "good but slow"),                       # 2 - 1 = 1
+            (5, ""),                                    # empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sentiment_scores(docs).collect()}
+    assert out[1]["sentiment_score"] == 7 and out[1]["n_matched"] == 3
+    assert out[1]["sentiment_label"] == "positive"
+    assert out[2]["sentiment_score"] == -5
+    assert out[2]["sentiment_label"] == "negative"
+    assert out[3]["sentiment_score"] == 0 and out[3]["n_matched"] == 0
+    assert out[3]["sentiment_label"] == "neutral"
+    assert out[4]["sentiment_score"] == 1
+    assert out[5]["sentiment_score"] == 0 and out[5]["n_matched"] == 0

@@ -16,7 +16,7 @@ scale) per node — documented semantics, not noise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -562,3 +562,79 @@ def kcore_peel(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def khop_reachability(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    hops: int = 4,
+) -> DataFrame:
+    """Hop-by-hop ego-network growth from a DETERMINISTIC hub seed:
+    BFS over an undirected edge list (one row per edge, ``a < b``)
+    from the maximum-degree node (ties broken by smallest key),
+    reporting how many nodes each additional hop reaches — the
+    "blast radius" readout behind influence estimation, recall
+    expansion, and contamination spread analysis.
+
+    Declared semantics: exactly ``hops`` synchronous frontier
+    expansions; ``n_reached`` is cumulative (seed included at hop 0),
+    ``n_new`` the freshly discovered nodes. Deterministic: the seed
+    is an integer argmax (max degree, min key), every step pure set
+    algebra on keys.
+
+    Scale shape: per hop ONE keyed equi-join of the frontier against
+    the symmetrized edge list + one distinct + one anti-join against
+    the visited set, each eagerly checkpointed so lineage stays
+    linear in hops. Frontier and visited frames are node-sized. The
+    degree argmax reduces edges to node grain map-side and keeps the
+    1-row seed via one reduced-frame window (no collect).
+    Returns (hop, n_reached, n_new).
+    """
+    sym = edges.select(
+        F.col(a).alias("s"), F.col(b).alias("d")
+    ).unionAll(
+        edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    ).localCheckpoint()
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    w = Window.partitionBy()
+    seed = (
+        deg.withColumn("_mx", F.max("dg").over(w))
+        .filter(F.col("dg") == F.col("_mx"))
+        .agg(F.min("s").alias("node"))
+        .select("node")
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    stats = [
+        visited.agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached")
+        ).select(F.lit(0).cast("int").alias("hop"), "n_reached")
+    ]
+    for h in range(1, hops + 1):
+        neigh = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        frontier = neigh.join(visited, "node", "anti").localCheckpoint()
+        visited = visited.unionAll(frontier).localCheckpoint()
+        stats.append(
+            visited.agg(
+                F.count(F.lit(1)).cast("long").alias("n_reached")
+            ).select(F.lit(h).cast("int").alias("hop"), "n_reached")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    # n_new derives from the cumulative via one lag over the <= hops+1
+    # row trajectory frame (no 1-row cross joins)
+    wl = Window.orderBy("hop")
+    return out.select(
+        "hop",
+        "n_reached",
+        (
+            F.col("n_reached")
+            - F.coalesce(F.lag("n_reached").over(wl), F.lit(0))
+        ).cast("long").alias("n_new"),
+    )

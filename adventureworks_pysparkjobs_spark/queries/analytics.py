@@ -2499,3 +2499,86 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
     return revenue_bridge(li, od, part, 1999, 2000, "p_brand")
+
+
+def _khop_oracle(hops: int) -> str:
+    """Unrolled replay of khop_reachability on the co-purchase graph:
+    deterministic max-degree/min-key seed, then ``hops`` frontier
+    expansions with NOT-IN visited exclusion; n_new via one lag."""
+    head = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200),
+    e0 AS (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sym AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM e0
+      UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+    mx AS (SELECT MAX(dg) AS m FROM deg),
+    v0 AS MATERIALIZED (
+      SELECT MIN(s) AS node FROM deg, mx WHERE deg.dg = mx.m),
+    f0 AS (SELECT node FROM v0)"""
+    steps = []
+    for h in range(1, hops + 1):
+        steps.append(f""",
+    n{h} AS (
+      SELECT DISTINCT sym.d AS node
+      FROM sym JOIN f{h - 1} f ON f.node = sym.s),
+    f{h} AS MATERIALIZED (
+      SELECT node FROM n{h}
+      WHERE node NOT IN (SELECT node FROM v{h - 1})),
+    v{h} AS MATERIALIZED (
+      SELECT node FROM v{h - 1} UNION ALL SELECT node FROM f{h})""")
+    traj = "\n      UNION ALL ".join(
+        f"SELECT {h} AS hop, (SELECT CAST(COUNT(*) AS BIGINT) "
+        f"FROM v{h}) AS n_reached"
+        for h in range(hops + 1)
+    )
+    tail = f""",
+    traj AS ({traj})
+    SELECT CAST(hop AS INTEGER) AS hop, n_reached,
+           CAST(n_reached
+                - COALESCE(lag(n_reached) OVER (ORDER BY hop), 0)
+                AS BIGINT) AS n_new
+    FROM traj
+    """
+    return head + "".join(steps) + tail
+
+
+_KHOP_HOPS = 4
+
+
+@query(
+    "part_copurchase_khop",
+    oracle=_khop_oracle(_KHOP_HOPS),
+    tags=("graph", "bfs", "reachability", "iterative"),
+)
+def part_copurchase_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ego-network growth from the co-purchase hub part
+    (operators/graph.py:khop_reachability): 4 synchronous BFS hops
+    from the max-degree node (min-key tie-break), reporting the
+    cumulative and per-hop reach — the blast-radius readout behind
+    influence and contamination-spread analysis. Per hop one keyed
+    frontier join + distinct + anti-join, eagerly checkpointed; the
+    oracle replays every hop as unrolled MATERIALIZED CTEs."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import khop_reachability
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    return khop_reachability(
+        pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b")),
+        hops=_KHOP_HOPS,
+    )

@@ -1141,3 +1141,21 @@ def test_sentiment_scores_hand_values(spark):
     assert out[3]["sentiment_label"] == "neutral"
     assert out[4]["sentiment_score"] == 1
     assert out[5]["sentiment_score"] == 0 and out[5]["n_matched"] == 0
+
+
+def test_khop_reachability_hand_graph(spark):
+    from adventureworks_pysparkjobs_spark.operators.graph import (
+        khop_reachability,
+    )
+
+    # star center 1 (degree 3: 2,3,4) + chain 4-5-6 + isolated edge 8-9.
+    # max degree = 1 (deg 3); hop1 reaches {2,3,4}, hop2 {5}, hop3 {6}.
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (8, 9)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["hop"]: r for r in khop_reachability(df, hops=4).collect()}
+    assert (out[0]["n_reached"], out[0]["n_new"]) == (1, 1)
+    assert (out[1]["n_reached"], out[1]["n_new"]) == (4, 3)
+    assert (out[2]["n_reached"], out[2]["n_new"]) == (5, 1)
+    assert (out[3]["n_reached"], out[3]["n_new"]) == (6, 1)
+    # converged: the 8-9 component is unreachable
+    assert (out[4]["n_reached"], out[4]["n_new"]) == (6, 0)

@@ -1270,3 +1270,62 @@ def mann_whitney_by_flag(
             / (F.lit(2.0) * F.sqrt(var)),
         ).alias("z"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    precision: int = 12,
+    scale: int = 2,
+    smoothing_n: int = 0,
+    prior_num: int = 0,
+    prior_den: int = 1,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Leave-one-out target encoding — the ML feature that replaces a
+    high-cardinality category with the mean target of its OTHER
+    members: ``enc = (sum_cat − own) / (n_cat − 1)`` — excluding the
+    row's own target so the feature cannot leak the label it will be
+    asked to predict (the classic target-leakage trap of naive mean
+    encoding). Optional additive smoothing toward a prior pulls rare
+    categories toward ``prior_num/prior_den``:
+    ``enc = (sum−own + m·prior) / (n−1+m)``.
+
+    Exactness: per-category sums accumulate in pinned DECIMAL; the
+    encoding is ONE IEEE division per row over string-rendered exact
+    operands — deterministic in any engine. Singleton categories
+    (n = 1, nothing to leave out) encode NULL unless smoothing is on.
+
+    Scale shape: one keyed reduction to category grain + one keyed
+    join back (broadcast-able when the category dimension is small;
+    AQE decides) — no window over raw rows, no per-row shuffle
+    beyond the join. Adds ``(category, target, n_cat, target_enc)``.
+    """
+    d = f"decimal({precision},{scale})"
+    stats = df.groupBy(F.col(category_col).alias("_c")).agg(
+        F.sum(F.col(target_col).cast(d)).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+    )
+    j = df.select(
+        *carry_cols,
+        F.col(category_col).alias("_c"),
+        F.col(target_col).alias("_t"),
+    ).join(stats, "_c")
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    num = _dbl(F.col("_s") - F.col("_t").cast(d)) + F.lit(
+        float(smoothing_n)
+    ) * (F.lit(float(prior_num)) / F.lit(float(prior_den)))
+    den = (F.col("n_cat") - 1 + F.lit(int(smoothing_n))).cast("double")
+    return j.select(
+        *carry_cols,
+        F.col("_c").alias(category_col),
+        F.col("_t").alias(target_col),
+        "n_cat",
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(num / den)
+        .alias("target_enc"),
+    )

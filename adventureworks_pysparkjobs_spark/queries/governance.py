@@ -1621,3 +1621,42 @@ def part_functional_dependencies(
 
     part = load_table(spark, sf_dir, "part")
     return functional_dependency_audit(part, _PART_FDS)
+
+
+@query(
+    "part_brand_target_encoding",
+    oracle="""
+    WITH stats AS (
+      SELECT p_brand AS c,
+             SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_cat
+      FROM part GROUP BY 1)
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice, st.n_cat,
+           CASE WHEN CAST(st.n_cat - 1 + 0 AS DOUBLE) = 0.0 THEN NULL
+                ELSE (CAST(CAST(st.s
+                           - CAST(p.p_retailprice AS DECIMAL(12,2))
+                           AS VARCHAR) AS DOUBLE)
+                      + 0.0 * (0.0 / 1.0))
+                     / CAST(st.n_cat - 1 + 0 AS DOUBLE)
+           END AS target_enc
+    FROM part p JOIN stats st ON st.c = p.p_brand
+    """,
+    tags=("profile", "ml-features", "target-encoding", "leakage"),
+)
+def part_brand_target_encoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out target encoding of brand by retail price
+    (operators/profile.py:target_encode_loo): each part's brand
+    feature becomes the mean price of the brand's OTHER parts —
+    excluding the row's own value so the feature cannot leak its own
+    label (the classic mean-encoding trap). Exact decimal category
+    sums, one IEEE division per row, NULL for singleton brands. One
+    keyed reduction + one join back; no window over raw rows."""
+    from ..operators.profile import target_encode_loo
+
+    part = load_table(spark, sf_dir, "part")
+    return target_encode_loo(
+        part, "p_brand", "p_retailprice",
+        carry_cols=("p_partkey",),
+    )

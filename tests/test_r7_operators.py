@@ -1159,3 +1159,38 @@ def test_khop_reachability_hand_graph(spark):
     assert (out[3]["n_reached"], out[3]["n_new"]) == (6, 1)
     # converged: the 8-9 component is unreachable
     assert (out[4]["n_reached"], out[4]["n_new"]) == (6, 0)
+
+
+def test_target_encode_loo_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0), (2, "A", 20.0), (3, "A", 30.0),
+            (4, "B", 5.0),                       # singleton -> NULL
+        ],
+        "id long, cat string, y double",
+    )
+    out = {
+        r["id"]: r
+        for r in target_encode_loo(
+            df, "cat", "y", carry_cols=("id",)
+        ).collect()
+    }
+    # row 1: (60-10)/2 = 25; row 2: (60-20)/2 = 20; row 3: 15
+    assert out[1]["target_enc"] == 25.0
+    assert out[2]["target_enc"] == 20.0
+    assert out[3]["target_enc"] == 15.0
+    assert out[4]["target_enc"] is None and out[4]["n_cat"] == 1
+    # smoothing toward prior 0 with m=2: row 4 -> (5-5 + 2*0)/(0+2) = 0
+    sm = {
+        r["id"]: r
+        for r in target_encode_loo(
+            df, "cat", "y", smoothing_n=2, prior_num=0, prior_den=1,
+            carry_cols=("id",),
+        ).collect()
+    }
+    assert sm[4]["target_enc"] == 0.0
+    assert sm[1]["target_enc"] == 50.0 / 4  # (60-10+0)/(2+2)

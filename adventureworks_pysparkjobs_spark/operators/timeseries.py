@@ -289,3 +289,84 @@ def rolling_trend_slope(
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope"),
     )
+
+
+def daily_cross_correlation(
+    df: DataFrame,
+    type_x: str,
+    type_y: str,
+    max_lag: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Lagged cross-correlation between two event types' daily count
+    series: for every lag L in [−max_lag, max_lag], the Pearson r of
+    (x_d, y_{d+L}) over the zero-densified common day span — "do
+    purchases follow clicks, and by how many days?" (the argmax lag is
+    the lead-lag readout behind attribution windows and forecasting
+    feature selection).
+
+    Exactness: both series densify over the SAME global [min, max] day
+    span (so lag L has exactly span−|L| pairs); the lag pairing is a
+    keyed EQUI join of the y series exploded over a (2·max_lag+1)-
+    literal lag table (no window, no sort); all five moment sums per
+    lag are exact DECIMAL(38,0); r is the assortativity-idiom closed
+    IEEE form, NULL on zero variance.
+
+    Scale shape: raw events reduce to (type, day) grain map-side
+    FIRST; everything after is day-grain × lags (hundreds of rows per
+    year at ANY corpus scale): one bounds aggregate, one dense-spine
+    left join per series, one lag-keyed equi join, one |lags|-row
+    moment aggregate. Returns (lag, n_pairs, xcorr).
+    """
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (
+        df.filter(F.col(type_col).isin([type_x, type_y]))
+        .select(F.col(type_col).alias("k"), day.alias("d"))
+        .groupBy("k", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    bounds = daily.agg(F.min("d").alias("_d0"), F.max("d").alias("_d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("_d0", "_d1")).alias("d")
+    )
+
+    def dense(t: str, out: str) -> DataFrame:
+        side = daily.filter(F.col("k") == t).select("d", "x")
+        return spine.join(side, "d", "left").select(
+            "d", F.coalesce("x", F.lit(0)).cast("long").alias(out)
+        )
+
+    dx = dense(type_x, "vx")
+    dy = dense(type_y, "vy")
+    lags = F.array(
+        *[F.lit(lag) for lag in range(-max_lag, max_lag + 1)]
+    )
+    shifted = dy.select(
+        F.explode(lags).alias("lag"), "d", "vy"
+    ).select("lag", (F.col("d") - F.col("lag")).alias("d"), "vy")
+    pairs = dx.join(shifted, "d").select("lag", "vx", "vy")
+    d38 = "decimal(38,0)"
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("m"),
+        F.sum(F.col("vx").cast(d38)).alias("sx"),
+        F.sum(F.col("vy").cast(d38)).alias("sy"),
+        F.sum((F.col("vx") * F.col("vy")).cast(d38)).alias("sxy"),
+        F.sum((F.col("vx") * F.col("vx")).cast(d38)).alias("sxx"),
+        F.sum((F.col("vy") * F.col("vy")).cast(d38)).alias("syy"),
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    num = _dbl(F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    var_x = _dbl(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    var_y = _dbl(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    den = F.sqrt(var_x) * F.sqrt(var_y)
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("m").cast("long").alias("n_pairs"),
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(num / den)
+        .alias("xcorr"),
+    )

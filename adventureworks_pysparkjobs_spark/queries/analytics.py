@@ -2582,3 +2582,72 @@ def part_copurchase_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b")),
         hops=_KHOP_HOPS,
     )
+
+
+@query(
+    "events_click_purchase_xcorr",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (
+      SELECT g.d
+      FROM bounds, unnest(generate_series(bounds.d0, bounds.d1))
+        AS g(d)),
+    dx AS (
+      SELECT s.d, COALESCE(a.x, 0) AS vx
+      FROM spine s LEFT JOIN daily a
+        ON a.k = 'click' AND a.d = s.d),
+    dyy AS (
+      SELECT s.d, COALESCE(b.x, 0) AS vy
+      FROM spine s LEFT JOIN daily b
+        ON b.k = 'purchase' AND b.d = s.d),
+    sh AS (
+      SELECT g.lag, dyy.d - g.lag AS d, dyy.vy
+      FROM dyy, unnest(generate_series(-7, 7)) AS g(lag)),
+    pairs AS (
+      SELECT sh.lag, dx.vx, sh.vy FROM dx JOIN sh ON sh.d = dx.d),
+    sums AS (
+      SELECT lag,
+             CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(CAST(vx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(vy AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(vx AS HUGEINT) * vy) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(vx AS HUGEINT) * vx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(vy AS HUGEINT) * vy) AS HUGEINT) AS syy
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                               AS DOUBLE))
+                     * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                 AS DOUBLE)) = 0
+                THEN NULL
+                ELSE CAST(CAST(m * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                                  AS DOUBLE))
+                        * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                    AS DOUBLE)))
+           END AS xcorr
+    FROM sums
+    """,
+    tags=("analytics", "timeseries", "cross-correlation", "lead-lag"),
+)
+def events_click_purchase_xcorr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase daily
+    series (operators/timeseries.py:daily_cross_correlation): Pearson
+    r of (clicks_d, purchases_{d+L}) for L in [−7, 7] over the
+    zero-densified common span — the lead-lag readout behind
+    attribution-window choice. The lag pairing is a keyed equi join
+    of the y series exploded over a 15-literal lag table; exact
+    DECIMAL(38,0) moments per lag; day-grain everywhere after the
+    map-side reduction."""
+    from ..operators.timeseries import daily_cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    return daily_cross_correlation(ev, "click", "purchase", max_lag=7)

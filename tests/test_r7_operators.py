@@ -1194,3 +1194,38 @@ def test_target_encode_loo_hand_values(spark):
     }
     assert sm[4]["target_enc"] == 0.0
     assert sm[1]["target_enc"] == 50.0 / 4  # (60-10+0)/(2+2)
+
+
+def test_daily_cross_correlation_shifted_series(spark):
+    from adventureworks_pysparkjobs_spark.operators.timeseries import (
+        daily_cross_correlation,
+    )
+
+    # y is exactly x shifted by +2 days: xcorr peaks at lag +2 with
+    # r == 1 (up to the closed form's 1-ulp), and pair counts shrink
+    # by |lag| off the densified span.
+    x_counts = {0: 1, 1: 4, 2: 2, 3: 5, 4: 1, 5: 3}
+    rows, eid = [], 0
+    for d, c in x_counts.items():
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-{d + 1:02d} 06:00:00", 1, "a"))
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-{d + 3:02d} 06:00:00", 1, "b"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["lag"]: r
+        for r in daily_cross_correlation(ev, "a", "b", max_lag=3)
+            .collect()
+    }
+    # common span: days 0..7 (8 days). lag L pairs = 8 - |L|
+    assert {r for r in out} == set(range(-3, 4))
+    for lag, r in out.items():
+        assert r["n_pairs"] == 8 - abs(lag)
+    assert abs(out[2]["xcorr"] - 1.0) < 5e-16
+    assert out[2]["xcorr"] == max(
+        r["xcorr"] for r in out.values() if r["xcorr"] is not None
+    )

@@ -1613,3 +1613,46 @@ def corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_bpe_tokens").cast("double")
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "stream_funnel_stages",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id AS u, MIN(ts) AS entry_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s1 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s0 ON e.user_id = s0.u AND e.ts > s0.entry_ts
+      WHERE e.event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.entry_ts
+      WHERE e.event_type = 'click' GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS entry_ts
+      FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.entry_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT u AS user_id, CAST(0 AS INTEGER) AS stage_idx,
+           'signup' AS stage, epoch_us(entry_ts) AS entry_us FROM s0
+    UNION ALL
+    SELECT u, 1, 'view', epoch_us(entry_ts) FROM s1
+    UNION ALL
+    SELECT u, 2, 'click', epoch_us(entry_ts) FROM s2
+    UNION ALL
+    SELECT u, 3, 'purchase', epoch_us(entry_ts) FROM s3
+    """,
+    tags=("streaming", "stateful", "funnel", "applyInPandasWithState"),
+)
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming funnel
+    (streaming/events.py:stateful_funnel) WITH a full SQL oracle:
+    O(1) state per user (furthest stage + its entry epoch-µs) lets
+    each micro-batch advance users through the ordered stage chain
+    live; the append-only stage-reached rows equal the batch funnel's
+    per-stage entry frames on any batch split — which is exactly what
+    the shared chain oracle asserts (the third applyInPandasWithState
+    showcase next to sessions and transition counts)."""
+    from ..streaming.events import stateful_funnel
+
+    return stateful_funnel(spark, sf_dir)

@@ -925,3 +925,83 @@ def read_bloom_snapshot(spark: SparkSession, path: str) -> DataFrame:
     return partials.groupBy("word_idx").agg(
         F.bit_or("word_val").alias("word_val")
     )
+
+
+def stateful_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stateful streaming twin of the ordered product funnel
+    (operators/analytics.py:_funnel_entries): per-user funnel progress
+    maintained LIVE via applyInPandasWithState — the "which stage is
+    this user on, right now" readout a batch funnel can only give
+    after the fact.
+
+    State per user is O(1): (furthest stage index, its entry epoch-µs).
+    Each micro-batch replays its rows in (ts, event_id) order; an event
+    advances the user exactly when it is the NEXT stage's type and
+    strictly later than the stored entry time — the same ordered
+    semantics as the batch chain, so the append-only stream of
+    stage-reached rows equals the batch entry frames on ANY batch
+    split of the input (first qualifying event in (ts, id) order IS
+    the MIN-ts qualifier). Arrival contract as the other stateful
+    operators: micro-batches time-ordered per key.
+
+    Returns (user_id, stage_idx, stage, entry_us) — one row per user
+    per stage reached; the full-oracle compare replays the batch
+    chain in SQL.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    stage_list = list(stages)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            idx, entry = state.get
+        else:
+            idx, entry = -1, -1
+        out_idx: list[int] = []
+        out_stage: list[str] = []
+        out_us: list[int] = []
+        frames = [pdf[["ts", "event_id", "event_type"]] for pdf in pdfs]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, et in zip(batch["ts"], batch["event_type"]):
+                if idx + 1 >= len(stage_list):
+                    break
+                us = int(pd.Timestamp(ts).value // 1000)
+                if et == stage_list[idx + 1] and (idx < 0 or us > entry):
+                    idx += 1
+                    entry = us
+                    out_idx.append(idx)
+                    out_stage.append(stage_list[idx])
+                    out_us.append(us)
+        if idx >= 0:
+            state.update((idx, entry))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_idx),
+                "stage_idx": out_idx,
+                "stage": out_stage,
+                "entry_us": out_us,
+            }
+        )
+
+    out = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, stage_idx int, stage string, entry_us long"
+            ),
+            stateStructType="stage_idx int, entry_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, "append", spark)

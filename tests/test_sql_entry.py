@@ -506,3 +506,55 @@ def test_stateful_transition_counts_multi_batch_boundary_pairs(
         for r in transition_matrix(ev).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_funnel_two_batch_split_equals_batch(spark, tmp_path):
+    """The streaming funnel's append-only stage rows equal the batch
+    funnel entry frames even when the input is split into time-ordered
+    micro-batches (the cross-batch advance the per-batch chain would
+    miss is carried in state)."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        _funnel_entries,
+    )
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stateful_funnel,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS BIGINT), 0.5) AS c"
+    ).collect()[0]["c"]
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (
+        ev.filter(F.col("ts").cast("bigint") <= cut),
+        ev.filter(F.col("ts").cast("bigint") > cut),
+    )
+    for i, half in enumerate(halves):
+        stage = tmp_path / f"h{i}"
+        half.coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(
+            src / f"events-{i:03d}.parquet"
+        )
+
+    stages = ("signup", "view", "click", "purchase")
+    streamed = {
+        (r["user_id"], r["stage_idx"], r["stage"], r["entry_us"])
+        for r in stateful_funnel(
+            spark, str(src), stages=stages, max_files_per_trigger=1
+        ).collect()
+    }
+    batch = set()
+    for idx, frame in enumerate(
+        _funnel_entries(ev, "user_id", "ts", "event_type", stages)
+    ):
+        for r in frame.select(
+            "u", F.unix_micros("entry_ts").alias("us")
+        ).collect():
+            batch.add((r["u"], idx, stages[idx], r["us"]))
+    assert streamed == batch

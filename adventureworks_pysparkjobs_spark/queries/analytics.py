@@ -2651,3 +2651,79 @@ def events_click_purchase_xcorr(
 
     ev = load_table(spark, sf_dir, "events")
     return daily_cross_correlation(ev, "click", "purchase", max_lag=7)
+
+
+@query(
+    "part_brand_modularity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200),
+    e0 AS (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tagged AS (
+      SELECT pa.p_brand AS ca, pb.p_brand AS cb
+      FROM e0
+      JOIN part pa ON pa.p_partkey = e0.a
+      JOIN part pb ON pb.p_partkey = e0.b),
+    deg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM (SELECT ca AS c FROM tagged
+            UNION ALL SELECT cb FROM tagged)
+      GROUP BY 1),
+    i AS (
+      SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM tagged WHERE ca = cb GROUP BY 1),
+    m2t AS (SELECT CAST(SUM(d_c) AS BIGINT) AS m2 FROM deg),
+    terms AS (
+      SELECT CAST(deg.c AS VARCHAR) AS community,
+             COALESCE(i.e_c, 0) AS e_c, deg.d_c,
+             CAST(2 AS HUGEINT) * m2t.m2 * COALESCE(i.e_c, 0)
+               - CAST(deg.d_c AS HUGEINT) * deg.d_c AS qn,
+             CAST(m2t.m2 AS HUGEINT) * m2t.m2 AS qd
+      FROM deg LEFT JOIN i ON i.c = deg.c, m2t)
+    SELECT community, e_c, d_c,
+           CAST(CAST(qn AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(qd AS VARCHAR) AS DOUBLE) AS q_term
+    FROM terms
+    UNION ALL
+    SELECT NULL, NULL, NULL,
+           CAST(CAST(SUM(qn) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(MAX(qd) AS VARCHAR) AS DOUBLE)
+    FROM terms
+    """,
+    tags=("graph", "modularity", "community", "integer-exact"),
+)
+def part_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition of the co-purchase
+    graph (operators/graph.py:partition_modularity): per brand the
+    within-brand edge share minus its degree-preserving random
+    expectation, plus the total Q rider (NULL community row) — "do
+    parts co-purchase within their own brand?" scored without any
+    community-detection iteration. Every term is the exact rational
+    (2·m2·e_c − d_c²)/m2²; Q is one DECIMAL(38,0) numerator sum and
+    ONE division — no float accumulation anywhere."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import partition_modularity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    return partition_modularity(
+        pairs.select(F.col("item_a").alias("a"), F.col("item_b").alias("b")),
+        part.select(
+            F.col("p_partkey").alias("node"),
+            F.col("p_brand").alias("community"),
+        ),
+    )

@@ -1229,3 +1229,32 @@ def test_daily_cross_correlation_shifted_series(spark):
     assert out[2]["xcorr"] == max(
         r["xcorr"] for r in out.values() if r["xcorr"] is not None
     )
+
+
+def test_partition_modularity_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.graph import (
+        partition_modularity,
+    )
+
+    # two triangles {1,2,3} and {4,5,6} joined by one bridge 3-4.
+    # communities = the triangles: m=7, m2=14.
+    # per community: e_c=3, d_c=7 -> term = (2*14*3 - 49)/196 = 35/196
+    # Q = 70/196 = 0.35714...
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    member = [(n, "L" if n <= 3 else "R") for n in range(1, 7)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    m = spark.createDataFrame(member, "node long, community string")
+    rows = partition_modularity(e, m).collect()
+    by_c = {r["community"]: r for r in rows}
+    for c in ("L", "R"):
+        assert by_c[c]["e_c"] == 3 and by_c[c]["d_c"] == 7
+        assert by_c[c]["q_term"] == 35.0 / 196.0
+    assert by_c[None]["q_term"] == 70.0 / 196.0
+
+    # degenerate: one community holding everything -> Q = 0 exactly
+    m_all = spark.createDataFrame(
+        [(n, "X") for n in range(1, 7)], "node long, community string"
+    )
+    rows2 = partition_modularity(e, m_all).collect()
+    q_all = {r["community"]: r["q_term"] for r in rows2}
+    assert q_all[None] == 0.0  # (2*m2*m - m2^2)/m2^2 with e=m

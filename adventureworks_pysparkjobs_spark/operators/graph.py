@@ -742,3 +742,69 @@ def partition_modularity(
         "d_c",
         (_dbl(F.col("_qn")) / _dbl(F.col("_qd"))).alias("q_term"),
     )
+
+
+def global_transitivity(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Global transitivity (clustering coefficient) of an undirected
+    graph: ``3·triangles / wedges`` — the fraction of open two-paths
+    that close. On a NEAR-DUP pair graph this is the dedup-QA scalar
+    that justifies (or indicts) cluster-level dedup: high transitivity
+    means near-dup similarity is effectively transitive and connected
+    components are safe dedup units; low transitivity means chains of
+    pairwise-similar-but-collectively-different docs and CC-level
+    dedup over-merges.
+
+    Exactness: wedges = Σ d(d−1)/2 and the triangle total come from
+    exact integer aggregates (the per-node triangle counts sum to 3T);
+    transitivity = 2·ΣnT / Σd(d−1) is ONE IEEE division of exact
+    DECIMAL(38,0) sums. NULL when the graph has no wedge.
+
+    Scale shape: one endpoint-grain degree reduction + the
+    degree-oriented triangle join (O(sqrt(E))-bounded wedge sets, see
+    :func:`triangle_counts`); the two 1-row aggregates combine via a
+    constant-key EQUI join (hash join, not a nested-loop cross).
+    Returns ONE row (n_nodes, n_edges, n_wedges, n_triangles,
+    transitivity).
+    """
+    d38 = "decimal(38,0)"
+    deg = (
+        edges.select(F.col(a).alias("node"))
+        .unionAll(edges.select(F.col(b).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d").cast(d38)).alias("_sd"),
+        F.sum(F.col("d").cast(d38) * (F.col("d") - 1).cast(d38)).alias(
+            "_sdd"
+        ),
+    ).select("*", F.lit(1).alias("_k"))
+    tri = (
+        triangle_counts(edges, a, b)
+        .agg(F.sum(F.col("n_triangles").cast(d38)).alias("_snt"))
+        .select(
+            F.coalesce(F.col("_snt"), F.lit(0).cast(d38)).alias("_snt"),
+            F.lit(1).alias("_k"),
+        )
+    )
+    j = base.join(tri, "_k")
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    return j.select(
+        "n_nodes",
+        F.expr("_sd div 2").cast("long").alias("n_edges"),
+        F.expr("_sdd div 2").cast("long").alias("n_wedges"),
+        F.expr("_snt div 3").cast("long").alias("n_triangles"),
+        F.when(F.col("_sdd") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            _dbl(F.lit(2).cast(d38) * F.col("_snt")) / _dbl(F.col("_sdd"))
+        )
+        .alias("transitivity"),
+    )

@@ -1723,3 +1723,66 @@ def doc_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return sentiment_scores(doc)
+
+
+@query(
+    "doc_neardup_transitivity",
+    oracle=f"""
+    WITH {_SHINGLES_CTE5},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pg AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM inter
+      JOIN sizes s1 ON inter.id1 = s1.id
+      JOIN sizes s2 ON inter.id2 = s2.id
+      WHERE CAST(n_inter AS DOUBLE)
+            / (s1.n_sh + s2.n_sh - n_inter) >= 0.5),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM pg UNION ALL SELECT b FROM pg)
+      GROUP BY 1),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) AS sd,
+             CAST(SUM(CAST(d AS HUGEINT) * (d - 1)) AS HUGEINT) AS sdd
+      FROM deg),
+    tri AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS t
+      FROM pg e1
+      JOIN pg e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN pg e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT base.n_nodes,
+           CAST(base.sd // 2 AS BIGINT) AS n_edges,
+           CAST(base.sdd // 2 AS BIGINT) AS n_wedges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CASE WHEN base.sdd = 0 THEN NULL
+                ELSE CAST(CAST(CAST(2 AS HUGEINT) * (tri.t * 3)
+                          AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(base.sdd AS VARCHAR) AS DOUBLE)
+           END AS transitivity
+    FROM base, tri
+    """,
+    tags=("dedup", "graph", "transitivity", "audit"),
+)
+def doc_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity of the 5-gram Jaccard near-dup graph
+    (operators/graph.py:global_transitivity over
+    operators/dedup.py:ngram_jaccard_pairs): the dedup-QA scalar that
+    says whether near-dup similarity behaves transitively here — high
+    means connected components are safe dedup units, low means
+    pairwise chains over-merge at CC level. Exact integer wedge and
+    triangle totals; transitivity is one IEEE division; the two
+    single-row aggregates combine via a constant-key equi join."""
+    from ..operators.graph import global_transitivity
+
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(doc, n=5, threshold=0.5)
+    return global_transitivity(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    )

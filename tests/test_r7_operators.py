@@ -1258,3 +1258,31 @@ def test_partition_modularity_hand_values(spark):
     rows2 = partition_modularity(e, m_all).collect()
     q_all = {r["community"]: r["q_term"] for r in rows2}
     assert q_all[None] == 0.0  # (2*m2*m - m2^2)/m2^2 with e=m
+
+
+def test_global_transitivity_hand_graphs(spark):
+    from adventureworks_pysparkjobs_spark.operators.graph import (
+        global_transitivity,
+    )
+
+    # triangle + pendant: nodes 1-2-3 closed, 3-4 open.
+    # degrees 2,2,3,1 -> wedges = (1+1+3+0) = 5; triangles = 1
+    # transitivity = 3*1/5 = 0.6
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    r = global_transitivity(e).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (4, 4)
+    assert (r["n_wedges"], r["n_triangles"]) == (5, 1)
+    assert r["transitivity"] == 6.0 / 10.0
+    # pure star: wedges but zero triangles -> 0.0
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a long, b long"
+    )
+    r2 = global_transitivity(star).collect()[0]
+    assert r2["n_triangles"] == 0 and r2["transitivity"] == 0.0
+    # single edge: no wedges -> NULL
+    r3 = global_transitivity(
+        spark.createDataFrame([(1, 2)], "a long, b long")
+    ).collect()[0]
+    assert r3["transitivity"] is None

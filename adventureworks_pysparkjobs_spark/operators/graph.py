@@ -765,8 +765,8 @@ def global_transitivity(
 
     Scale shape: one endpoint-grain degree reduction + the
     degree-oriented triangle join (O(sqrt(E))-bounded wedge sets, see
-    :func:`triangle_counts`); the two 1-row aggregates combine via a
-    constant-key EQUI join (hash join, not a nested-loop cross).
+    :func:`triangle_counts`); the two 1-row aggregates combine via
+    union + one max-aggregate — no join of any kind in the combine.
     Returns ONE row (n_nodes, n_edges, n_wedges, n_triangles,
     transitivity).
     """
@@ -783,16 +783,25 @@ def global_transitivity(
         F.sum(F.col("d").cast(d38) * (F.col("d") - 1).cast(d38)).alias(
             "_sdd"
         ),
-    ).select("*", F.lit(1).alias("_k"))
+    ).select("*", F.lit(None).cast(d38).alias("_snt"))
     tri = (
         triangle_counts(edges, a, b)
         .agg(F.sum(F.col("n_triangles").cast(d38)).alias("_snt"))
         .select(
+            F.lit(None).cast("long").alias("n_nodes"),
+            F.lit(None).cast(d38).alias("_sd"),
+            F.lit(None).cast(d38).alias("_sdd"),
             F.coalesce(F.col("_snt"), F.lit(0).cast(d38)).alias("_snt"),
-            F.lit(1).alias("_k"),
         )
     )
-    j = base.join(tri, "_k")
+    # combine the two single-row aggregates by union + one max-agg —
+    # no join of any kind (a lit-key equi join still plans a BNLJ)
+    j = base.unionByName(tri).agg(
+        F.max("n_nodes").alias("n_nodes"),
+        F.max("_sd").alias("_sd"),
+        F.max("_sdd").alias("_sdd"),
+        F.max("_snt").alias("_snt"),
+    )
 
     def _dbl(c):
         return c.cast("string").cast("double")

@@ -7,7 +7,9 @@ alignment, shared scan) is what the extra entry actually tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..sources.corpus import load_table
 from .catalog import CATALOG, query
 
 
@@ -122,3 +124,82 @@ def orders_audit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..jobs.order_audit_pipeline import build_order_audit
 
     return build_order_audit(spark, sf_dir)
+
+
+@query(
+    "customer_feature_store",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    o AS (
+      SELECT o_custkey AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+             MIN(CAST(o_orderdate AS DATE)) AS first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1)
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(CAST(COALESCE(o.spend, 0) AS VARCHAR) AS DOUBLE)
+             AS total_spend,
+           CASE WHEN o.k IS NULL THEN NULL
+                ELSE CAST(date_diff('day', o.last_d, mx.md) AS BIGINT)
+           END AS recency_days,
+           CASE WHEN o.k IS NULL THEN NULL
+                ELSE CAST(date_diff('day', o.first_d, o.last_d)
+                          AS BIGINT)
+           END AS span_days,
+           CASE WHEN COALESCE(o.n_orders, 0) < 2 THEN NULL
+                ELSE CAST(date_diff('day', o.first_d, o.last_d)
+                          AS DOUBLE)
+                     / CAST(o.n_orders - 1 AS DOUBLE)
+           END AS mean_interorder_days
+    FROM customer c
+    LEFT JOIN o ON o.k = c.c_custkey
+    CROSS JOIN mx
+    """,
+    tags=("composed", "feature-store", "ml-features", "rfm"),
+)
+def customer_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop churn/LTV feature assembly per customer — the
+    feature-store frame a modeling team trains on: order count,
+    decimal-exact total spend, recency vs the corpus as-of date,
+    active span, and mean inter-order gap (NULL below 2 orders),
+    joined onto the customer dimension (customers without orders keep
+    NULL temporal features, zero counts). One fact reduction to
+    customer grain + one keyed left join + a 1-row broadcast as-of
+    rider; every emitted double is one IEEE expression over exact
+    operands."""
+    ev = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    mx = ev.agg(F.max(F.to_date("o_orderdate")).alias("md"))
+    o = ev.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spend"),
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    j = cust.join(o, cust["c_custkey"] == o["k"], "left").crossJoin(
+        F.broadcast(mx)
+    )
+    n = F.col("n_orders")
+    span = F.datediff(F.col("last_d"), F.col("first_d"))
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("spend"), F.lit(0))
+        .cast("string")
+        .cast("double")
+        .alias("total_spend"),
+        F.when(F.col("k").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.datediff(F.col("md"), F.col("last_d")).cast("long"))
+        .alias("recency_days"),
+        F.when(F.col("k").isNull(), F.lit(None).cast("long"))
+        .otherwise(span.cast("long"))
+        .alias("span_days"),
+        F.when(F.coalesce(n, F.lit(0)) < 2, F.lit(None).cast("double"))
+        .otherwise(span.cast("double") / (n - 1).cast("double"))
+        .alias("mean_interorder_days"),
+    )

@@ -1286,3 +1286,35 @@ def test_global_transitivity_hand_graphs(spark):
         spark.createDataFrame([(1, 2)], "a long, b long")
     ).collect()[0]
     assert r3["transitivity"] is None
+
+
+def test_customer_feature_store_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    from .conftest import SF_SMOKE
+
+    out = CATALOG["customer_feature_store"].builder(spark, SF_SMOKE)
+    rows = out.collect()
+    by_k = {r["c_custkey"]: r for r in rows}
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    ref = con.execute(
+        """SELECT o_custkey, COUNT(*), MAX(CAST(o_orderdate AS DATE))
+           FROM orders GROUP BY 1 ORDER BY 2 DESC LIMIT 1"""
+    ).fetchone()
+    k, n_orders, _last = ref
+    assert by_k[k]["n_orders"] == n_orders
+    # n>=2 customers have consistent span/gap identity
+    for r in rows:
+        if r["n_orders"] >= 2:
+            assert r["mean_interorder_days"] == r["span_days"] / (
+                r["n_orders"] - 1
+            )
+            assert r["recency_days"] is not None and r["recency_days"] >= 0
+        elif r["n_orders"] == 0:
+            assert r["recency_days"] is None
+            assert r["total_spend"] == 0.0

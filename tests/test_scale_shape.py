@@ -42,6 +42,7 @@ CROSS_OK = {
     "corpus_rank_fusion",  # 1-row corpus-totals cross via bm25 composition
     "customer_second_order_hazard",  # 1-row observation-horizon cross
     "events_bootstrap_ci",  # 1-row day-count/total broadcast cross
+    "customer_feature_store",  # 1-row as-of-date broadcast cross
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

@@ -1046,3 +1046,72 @@ def sentiment_scores(
         .otherwise(F.lit("neutral"))
         .alias("sentiment_label"),
     )
+
+
+def script_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script composition per group: the share of Latin, CJK,
+    Cyrillic and digit characters in each language's text mass — the
+    multilingual-corpus audit that catches mislabeled languages and
+    transliteration/mojibake contamination where a token-marker
+    language-ID cannot (it sees tokens, not scripts).
+
+    Char counting is per-row and shuffle-free: each class count is
+    ``length(s) − length(regexp_replace(s, class, ''))`` — two
+    character-length evaluations per class, no explode. Class counts
+    sum exactly as BIGINTs per group; each share is one IEEE division
+    of exact longs. ``other`` (whitespace/punct/uncounted scripts) is
+    the integer remainder, so the four shares + other sum to 1 by
+    construction.
+
+    Scale shape: one corpus scan reducing to group grain map-side;
+    output is one row per group. Returns (group, n_docs, n_chars,
+    latin_share, cjk_share, cyrillic_share, digit_share,
+    other_share).
+    """
+    s = F.col(text_col)
+    total = F.length(s).cast("long")
+
+    def cnt(pattern: str) -> Column:
+        return (
+            F.length(s) - F.length(F.regexp_replace(s, pattern, ""))
+        ).cast("long")
+
+    classes = {
+        "latin": "[A-Za-z]",
+        "cjk": "[一-鿿]",
+        "cyrillic": "[Ѐ-ӿ]",
+        "digit": "[0-9]",
+    }
+    proj = df.select(
+        F.col(group_col).alias("g"),
+        total.alias("_n"),
+        *[cnt(p).alias(f"_c_{k}") for k, p in classes.items()],
+    )
+    agg = proj.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_chars"),
+        *[
+            F.sum(f"_c_{k}").cast("long").alias(f"_s_{k}")
+            for k in classes
+        ],
+    )
+    nch = F.col("n_chars")
+    out_cols = [F.col("g").alias(group_col), "n_docs", "n_chars"]
+    other = nch
+    for k in classes:
+        share = (
+            F.when(nch == 0, F.lit(None).cast("double"))
+            .otherwise(F.col(f"_s_{k}").cast("double") / nch.cast("double"))
+        )
+        out_cols.append(share.alias(f"{k}_share"))
+        other = other - F.col(f"_s_{k}")
+    out_cols.append(
+        F.when(nch == 0, F.lit(None).cast("double"))
+        .otherwise(other.cast("double") / nch.cast("double"))
+        .alias("other_share")
+    )
+    return agg.select(*out_cols)

@@ -1843,3 +1843,61 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc, "lang", token_count("text"),
         budget_num=3, budget_den=2, max_epochs=4,
     )
+
+
+@query(
+    "doc_script_mix",
+    oracle="""
+    WITH proj AS (
+      SELECT lang AS g, CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[A-Za-z]', '', 'g')) AS BIGINT) AS c_latin,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[一-鿿]', '', 'g')) AS BIGINT) AS c_cjk,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS c_cyr,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[0-9]', '', 'g')) AS BIGINT) AS c_dig
+      FROM documents),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_chars,
+             CAST(SUM(c_latin) AS BIGINT) AS s_latin,
+             CAST(SUM(c_cjk) AS BIGINT) AS s_cjk,
+             CAST(SUM(c_cyr) AS BIGINT) AS s_cyr,
+             CAST(SUM(c_dig) AS BIGINT) AS s_dig
+      FROM proj GROUP BY 1)
+    SELECT g AS lang, n_docs, n_chars,
+           CASE WHEN n_chars = 0 THEN NULL
+                ELSE CAST(s_latin AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           END AS latin_share,
+           CASE WHEN n_chars = 0 THEN NULL
+                ELSE CAST(s_cjk AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           END AS cjk_share,
+           CASE WHEN n_chars = 0 THEN NULL
+                ELSE CAST(s_cyr AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           END AS cyrillic_share,
+           CASE WHEN n_chars = 0 THEN NULL
+                ELSE CAST(s_dig AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           END AS digit_share,
+           CASE WHEN n_chars = 0 THEN NULL
+                ELSE CAST(n_chars - s_latin - s_cjk - s_cyr - s_dig
+                          AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           END AS other_share
+    FROM agg
+    """,
+    tags=("text", "multilingual", "script", "audit"),
+)
+def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per labeled language
+    (operators/text.py:script_mix): Latin / CJK / Cyrillic / digit
+    character shares of each language's text mass — the script-level
+    contamination audit that catches mislabeled languages and
+    mojibake where token-marker language-ID cannot. Per-row
+    regexp-difference char counts (no explode), exact BIGINT sums,
+    one IEEE division per share; shares + other sum to 1 by integer
+    construction."""
+    from ..operators.text import script_mix
+
+    doc = load_table(spark, sf_dir, "documents")
+    return script_mix(doc, "lang", "text")

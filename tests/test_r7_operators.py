@@ -1318,3 +1318,36 @@ def test_customer_feature_store_hand_values(spark):
         elif r["n_orders"] == 0:
             assert r["recency_days"] is None
             assert r["total_spend"] == 0.0
+
+
+def test_script_mix_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.text import script_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zh", "你好世界 hello 123"),   # 4 cjk, 5 latin, 3 digit, 2 sp
+            (2, "ru", "привет мир"),           # 9 cyrillic, 1 space
+            (3, "en", ""),                     # empty -> counts 0
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in script_mix(docs, "lang", "text").collect()}
+    zh = out["zh"]
+    assert zh["n_chars"] == 14
+    assert zh["cjk_share"] == 4 / 14
+    assert zh["latin_share"] == 5 / 14
+    assert zh["digit_share"] == 3 / 14
+    assert zh["other_share"] == 2 / 14
+    ru = out["ru"]
+    assert ru["cyrillic_share"] == 9 / 10 and ru["latin_share"] == 0.0
+    en = out["en"]
+    assert en["n_chars"] == 0 and en["latin_share"] is None
+    # shares + other == 1 exactly where defined (integer construction)
+    for r in (zh, ru):
+        assert (
+            abs(
+                r["latin_share"] + r["cjk_share"] + r["cyrillic_share"]
+                + r["digit_share"] + r["other_share"] - 1.0
+            )
+            < 1e-15
+        )

@@ -10,7 +10,7 @@ shuffles except where an operator aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker tokens per language for the heuristic language-ID scorer. A real
@@ -1115,3 +1115,89 @@ def script_mix(
         .alias("other_share")
     )
     return agg.select(*out_cols)
+
+
+def keyness_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distinctive vocabulary per group (corpus-linguistics keyness):
+    for each group, the ``top_k`` terms most over-represented vs the
+    REST of the corpus, scored by the smoothed rate ratio
+    ``(c_g·(N−n_g)) / ((c_rest+1)·n_g)`` — "what words make this
+    source sound like itself", the comparative companion to per-doc
+    tf-idf (which has no notion of a contrast corpus).
+
+    Log-free by design: the classic log-odds keyness needs ln (not
+    correctly rounded, engine-divergent); the rate ratio preserves
+    the SAME ranking for fixed smoothing and is one IEEE division of
+    exact integer cross-products. Ties break deterministically
+    (ratio DESC, term ASC). ``min_count`` floors c_g so one-off typos
+    can't top the list; +1 smoothing keeps terms absent from the
+    contrast corpus finite and comparable.
+
+    Scale shape: one corpus scan exploding to (group, term) grain
+    with map-side partial counts; term totals derive from the SAME
+    aggregate by a term-grain window (no second scan); the top-k
+    window runs per group over its min_count-filtered vocabulary.
+    Returns (group, rank, term, n_in_group, n_rest, rate_ratio).
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.transform(
+                tokens(text_col),
+                lambda t: F.regexp_replace(F.lower(t), "[^a-z]", ""),
+            )
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    gt = toks.groupBy("g", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_g")
+    )
+    wt = Window.partitionBy("t")
+    wg = Window.partitionBy("g")
+    framed = gt.select(
+        "g",
+        "t",
+        "c_g",
+        (F.sum("c_g").over(wt) - F.col("c_g")).cast("long").alias("c_rest"),
+        F.sum("c_g").over(wg).cast("long").alias("n_g"),
+    )
+    wall = Window.partitionBy()
+    framed = framed.withColumn(
+        "n_total", F.sum("c_g").over(wall).cast("long")
+    )
+    d38 = "decimal(38,0)"
+    num = F.col("c_g").cast(d38) * (
+        F.col("n_total") - F.col("n_g")
+    ).cast(d38)
+    den = (F.col("c_rest") + 1).cast(d38) * F.col("n_g").cast(d38)
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    scored = framed.filter(F.col("c_g") >= int(min_count)).select(
+        "g",
+        "t",
+        "c_g",
+        "c_rest",
+        (_dbl(num) / _dbl(den)).alias("rate_ratio"),
+    )
+    wr = Window.partitionBy("g").orderBy(
+        F.col("rate_ratio").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("t").alias("term"),
+            F.col("c_g").alias("n_in_group"),
+            F.col("c_rest").alias("n_rest"),
+            "rate_ratio",
+        )
+    )

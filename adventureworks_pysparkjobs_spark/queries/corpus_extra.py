@@ -1901,3 +1901,55 @@ def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return script_mix(doc, "lang", "text")
+
+
+@query(
+    "corpus_keyness_by_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.source AS g,
+             regexp_replace(lower(u.t), '[^a-z]', '', 'g') AS t
+      FROM (SELECT source, {_TOKS} AS w FROM documents) d,
+           unnest(d.w) AS u(t)),
+    tok2 AS (SELECT g, t FROM toks WHERE t <> ''),
+    gt AS (
+      SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c_g
+      FROM tok2 GROUP BY 1, 2),
+    framed AS (
+      SELECT g, t, c_g,
+             CAST(SUM(c_g) OVER (PARTITION BY t) - c_g AS BIGINT)
+               AS c_rest,
+             CAST(SUM(c_g) OVER (PARTITION BY g) AS BIGINT) AS n_g,
+             CAST(SUM(c_g) OVER () AS BIGINT) AS n_total
+      FROM gt),
+    scored AS (
+      SELECT g, t, c_g, c_rest,
+             CAST(CAST(CAST(c_g AS HUGEINT) * (n_total - n_g)
+                       AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(c_rest + 1 AS HUGEINT) * n_g
+                         AS VARCHAR) AS DOUBLE) AS rate_ratio
+      FROM framed WHERE c_g >= 5),
+    r AS (
+      SELECT g, t, c_g, c_rest, rate_ratio,
+             ROW_NUMBER() OVER (PARTITION BY g
+               ORDER BY rate_ratio DESC, t ASC) AS rnk
+      FROM scored)
+    SELECT g AS source, CAST(rnk AS INTEGER) AS rank, t AS term,
+           c_g AS n_in_group, c_rest AS n_rest, rate_ratio
+    FROM r WHERE rnk <= 5
+    """,
+    tags=("text", "keyness", "corpus-linguistics", "log-free"),
+)
+def corpus_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source
+    (operators/text.py:keyness_by_group): top-5 terms most
+    over-represented vs the rest of the corpus by the smoothed rate
+    ratio (c_g·(N−n_g))/((c_rest+1)·n_g) — log-odds keyness without
+    the engine-divergent ln, same ranking for fixed smoothing. One
+    corpus scan to (source, term) grain; term and group totals come
+    off the SAME aggregate via windows; exact integer
+    cross-products, one IEEE division, deterministic tie-break."""
+    from ..operators.text import keyness_by_group
+
+    doc = load_table(spark, sf_dir, "documents")
+    return keyness_by_group(doc, "source", "text", top_k=5, min_count=5)

@@ -1351,3 +1351,35 @@ def test_script_mix_hand_values(spark):
             )
             < 1e-15
         )
+
+
+def test_keyness_by_group_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.text import (
+        keyness_by_group,
+    )
+
+    # source A says "apple" a lot; B says "banana"; both share "the".
+    rows = [
+        (1, "A", "apple apple apple apple apple the the"),
+        (2, "A", "apple apple the"),
+        (3, "B", "banana banana banana banana banana the the"),
+        (4, "B", "banana the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["source"], r["rank"]): r
+        for r in keyness_by_group(
+            df, "source", "text", top_k=2, min_count=2
+        ).collect()
+    }
+    # A: 7 apple + 3 the -> n_g = 10; B: 6 banana + 3 the -> n_g = 9;
+    # N = 19. apple: c_g=7, c_rest=0 -> 7*(19-10)/(1*10) = 6.3;
+    # the(A): 3*9/(4*10) = 0.675; banana: 6*(19-9)/(1*9) = 60/9.
+    a1 = out[("A", 1)]
+    assert a1["term"] == "apple"
+    assert (a1["n_in_group"], a1["n_rest"]) == (7, 0)
+    assert a1["rate_ratio"] == 63.0 / 10.0
+    assert out[("A", 2)]["term"] == "the"
+    assert out[("A", 2)]["rate_ratio"] == 27.0 / 40.0
+    b1 = out[("B", 1)]
+    assert b1["term"] == "banana" and b1["rate_ratio"] == 60.0 / 9.0

@@ -1905,6 +1905,12 @@ def also_bought_topk(
     normalization stops popular staples from dominating every list
     (raw n_ab is maximal for whatever everyone buys anyway).
 
+    Declared semantics: per-item totals n_i count ALL baskets the item
+    appears in, while pair counts only accumulate inside size-eligible
+    baskets (2..``max_basket_size``) — so an item's score is slightly
+    deflated by its appearances in degenerate baskets, identically in
+    engine and oracle.
+
     Exactness: basket counts are exact integers off the SAME
     posting-list pair expansion as :func:`pair_counts`; the score is
     one IEEE tree (sqrt is correctly rounded) over exact longs —

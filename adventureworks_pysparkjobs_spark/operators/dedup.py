@@ -1292,3 +1292,131 @@ def source_minhash_overlap(
             F.col("n_match").cast("double") / F.lit(float(num_hashes))
         ).alias("jaccard_est"),
     )
+
+
+def lsh_band_tuning(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+    configs: tuple[tuple[int, int], ...] = ((8, 1), (4, 2), (2, 4)),
+    probe_sims: tuple[float, ...] = (0.5, 0.8),
+) -> DataFrame:
+    """LSH banding parameter sweep — the tuning table a dedup team
+    reads BEFORE running the real pass: for each (bands, rows) split
+    of the signature, the measured bucket-collision mass and distinct
+    candidate-pair count on THIS corpus, next to the theoretical
+    S-curve catch probability ``1−(1−s^r)^b`` at probe similarities —
+    recall/cost trade-off as data, not folklore.
+
+    Catch probabilities are computed once in the driver (python
+    floats, emitted as literals) — identical constants in any engine;
+    collision mass Σ C(bucket, 2) and the distinct pair count are
+    exact integers from the same banding construction (and the same
+    sorted-within-band signature) as :func:`minhash_lsh_pairs`, so
+    the sweep measures exactly what the real pass would do.
+
+    Scale shape: ONE cached shingle frame feeds per-row signature
+    construction for every config; per config one (band, sig)-grain
+    reduction plus the bucket self-join for the distinct pair count
+    (cost = Σ bucket², the quantity this table exists to expose).
+    Each config's two single-row aggregates combine via union +
+    max-agg (no join). Returns one row per config:
+    (bands, rows_per_band, n_bucket_collisions, n_candidate_pairs,
+    p_catch_at_*).
+    """
+    for b_, r_ in configs:
+        if b_ * r_ != num_hashes:
+            raise ValueError("each config must satisfy bands*rows == num_hashes")
+    arrs = shingle_arrays(df, id_col, text_col, n)
+
+    def _sig(j: int):
+        return F.array_min(
+            F.transform(
+                F.col("arr"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+            )
+        ).alias(f"_mh{j}")
+
+    wide = arrs.filter(F.size("arr") > 0).select(
+        "id", *[_sig(j) for j in range(num_hashes)]
+    )
+    d38 = "decimal(38,0)"
+    out = None
+    for bands, r in configs:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        F.array_sort(
+                            F.array(
+                                *[
+                                    F.col(f"_mh{b * r + i}")
+                                    for i in range(r)
+                                ]
+                            )
+                        ),
+                    ).alias("band_sig"),
+                )
+                for b in range(bands)
+            ]
+        )
+        bs = wide.select(
+            "id", F.explode(band_structs).alias("bb")
+        ).select("id", F.col("bb.band").alias("band"),
+                 F.col("bb.band_sig").alias("band_sig"))
+        buckets = bs.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        base = buckets.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr("(CAST(sz AS DECIMAL(38,0)) * (sz - 1)) div 2")
+                    .cast(d38)
+                ),
+                F.lit(0).cast(d38),
+            ).cast("long").alias("n_bucket_collisions")
+        ).select(
+            "n_bucket_collisions",
+            F.lit(None).cast("long").alias("n_candidate_pairs"),
+        )
+        a = bs.select(
+            F.col("id").alias("id1"), "band", "band_sig"
+        )
+        b2 = bs.select(
+            F.col("id").alias("id2"), "band", "band_sig"
+        )
+        pc = (
+            a.join(b2, ["band", "band_sig"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+            .select(
+                F.lit(None).cast("long").alias("n_bucket_collisions"),
+                "n_candidate_pairs",
+            )
+        )
+        row = base.unionByName(pc).agg(
+            F.max("n_bucket_collisions").alias("n_bucket_collisions"),
+            F.max("n_candidate_pairs").alias("n_candidate_pairs"),
+        )
+        lits = [
+            F.lit(int(bands)).cast("int").alias("bands"),
+            F.lit(int(r)).cast("int").alias("rows_per_band"),
+        ]
+        probes = []
+        for s in probe_sims:
+            p = 1.0 - (1.0 - s**r) ** bands
+            probes.append(
+                F.lit(float(p)).alias(
+                    f"p_catch_at_{str(s).replace('.', '')}"
+                )
+            )
+        row = row.select(
+            *lits, "n_bucket_collisions", "n_candidate_pairs", *probes
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

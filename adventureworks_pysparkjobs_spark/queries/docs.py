@@ -1786,3 +1786,80 @@ def doc_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_transitivity(
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     )
+
+
+def _lsh_tuning_oracle(
+    configs: tuple[tuple[int, int], ...],
+    probe_sims: tuple[float, ...],
+) -> str:
+    """Replay of lsh_band_tuning: shared sig CTE, per-config banding
+    (seed // r, sorted-within-band join), bucket mass + distinct
+    candidate pairs; catch probabilities are the SAME python floats
+    the operator emits, round-tripped through repr."""
+    head = f"""
+    WITH {_SHINGLES_CTE},
+    sig AS MATERIALIZED (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle))
+               AS minhash
+      FROM sh, unnest([0,1,2,3,4,5,6,7]) AS u(seed)
+      GROUP BY id, u.seed
+    )"""
+    ctes, blocks = [], []
+    for i, (bands, r) in enumerate(configs):
+        ctes.append(f""",
+    bsig{i} AS MATERIALIZED (
+      SELECT id, seed // {r} AS band,
+             list_aggregate(list_sort(list(minhash)), 'string_agg', '|')
+               AS band_sig
+      FROM sig GROUP BY id, seed // {r}),
+    bk{i} AS (
+      SELECT band, band_sig, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM bsig{i} GROUP BY 1, 2)""")
+        probes = ", ".join(
+            f"CAST('{(1.0 - (1.0 - s**r) ** bands)!r}' AS DOUBLE)"
+            f" AS p_catch_at_{str(s).replace('.', '')}"
+            for s in probe_sims
+        )
+        blocks.append(f"""
+    SELECT CAST({bands} AS INTEGER) AS bands,
+           CAST({r} AS INTEGER) AS rows_per_band,
+           (SELECT CAST(COALESCE(SUM((sz * (sz - 1)) // 2), 0)
+                        AS BIGINT) FROM bk{i})
+             AS n_bucket_collisions,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT DISTINCT a.id AS i1, b.id AS i2
+              FROM bsig{i} a JOIN bsig{i} b
+                ON b.band = a.band AND b.band_sig = a.band_sig
+                AND a.id < b.id)) AS n_candidate_pairs,
+           {probes}""")
+    return head + "".join(ctes) + "\n    UNION ALL".join(blocks)
+
+
+_LSH_CONFIGS = ((8, 1), (4, 2), (2, 4))
+_LSH_PROBES = (0.5, 0.8)
+
+
+@query(
+    "doc_lsh_band_tuning",
+    oracle=_lsh_tuning_oracle(_LSH_CONFIGS, _LSH_PROBES),
+    tags=("dedup", "minhash", "lsh", "tuning"),
+)
+def doc_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep (operators/dedup.py:
+    lsh_band_tuning): for every (bands × rows) split of the 8-hash
+    signature, the measured bucket-collision mass and distinct
+    candidate pairs on THIS corpus next to the theoretical S-curve
+    catch probability at Jaccard 0.5 / 0.8 — the recall/cost
+    trade-off as a table, using the exact sorted-within-band
+    signature construction of the real LSH pass. One cached shingle
+    frame feeds every config; per-config costs are exactly the
+    quantities the table exposes."""
+    from ..operators.dedup import lsh_band_tuning
+
+    doc = load_table(spark, sf_dir, "documents")
+    return lsh_band_tuning(
+        doc, "doc_id", "text",
+        num_hashes=8, n=3,
+        configs=_LSH_CONFIGS, probe_sims=_LSH_PROBES,
+    )

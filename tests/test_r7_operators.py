@@ -1383,3 +1383,43 @@ def test_keyness_by_group_hand_values(spark):
     assert out[("A", 2)]["rate_ratio"] == 27.0 / 40.0
     b1 = out[("B", 1)]
     assert b1["term"] == "banana" and b1["rate_ratio"] == 60.0 / 9.0
+
+
+def test_lsh_band_tuning_monotonicity_and_consistency(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        lsh_band_tuning,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+            (4, "one two three four five seven"),
+            (5, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in lsh_band_tuning(docs, num_hashes=8).collect()
+    }
+    assert set(rows) == {(8, 1), (4, 2), (2, 4)}
+    # more bands with shorter rows can only catch MORE candidates
+    c81 = rows[(8, 1)]["n_candidate_pairs"]
+    c42 = rows[(4, 2)]["n_candidate_pairs"]
+    c24 = rows[(2, 4)]["n_candidate_pairs"]
+    assert c81 >= c42 >= c24
+    # theoretical S-curve: same python formula
+    assert rows[(4, 2)]["p_catch_at_05"] == 1.0 - (1.0 - 0.5**2) ** 4
+    assert rows[(2, 4)]["p_catch_at_08"] == 1.0 - (1.0 - 0.8**4) ** 2
+    # collisions >= distinct pairs (a pair can collide in many bands)
+    for r in rows.values():
+        assert r["n_bucket_collisions"] >= r["n_candidate_pairs"]
+    # the (4,2) config is exactly what minhash_lsh_pairs bands — its
+    # candidate set must cover every verified pair it returns
+    verified = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.0
+    ).count()
+    assert c42 >= verified

@@ -2727,3 +2727,69 @@ def part_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("community"),
         ),
     )
+
+
+@query(
+    "events_autocorr_spectrum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('view', 'view')
+      GROUP BY 1, 2),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (
+      SELECT g.d
+      FROM bounds, unnest(generate_series(bounds.d0, bounds.d1))
+        AS g(d)),
+    dx AS (
+      SELECT s.d, COALESCE(a.x, 0) AS vx
+      FROM spine s LEFT JOIN daily a
+        ON a.k = 'view' AND a.d = s.d),
+    dyy AS (
+      SELECT s.d, COALESCE(b.x, 0) AS vy
+      FROM spine s LEFT JOIN daily b
+        ON b.k = 'view' AND b.d = s.d),
+    sh AS (
+      SELECT g.lag, dyy.d - g.lag AS d, dyy.vy
+      FROM dyy, unnest(generate_series(-14, 14)) AS g(lag)),
+    pairs AS (
+      SELECT sh.lag, dx.vx, sh.vy FROM dx JOIN sh ON sh.d = dx.d),
+    sums AS (
+      SELECT lag,
+             CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(CAST(vx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(vy AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(vx AS HUGEINT) * vy) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(vx AS HUGEINT) * vx) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(vy AS HUGEINT) * vy) AS HUGEINT) AS syy
+      FROM pairs GROUP BY 1)
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                               AS DOUBLE))
+                     * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                 AS DOUBLE)) = 0
+                THEN NULL
+                ELSE CAST(CAST(m * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(m * sxx - sx * sx AS VARCHAR)
+                                  AS DOUBLE))
+                        * sqrt(CAST(CAST(m * syy - sy * sy AS VARCHAR)
+                                    AS DOUBLE)))
+           END AS xcorr
+    FROM sums
+    """,
+    tags=("analytics", "timeseries", "autocorrelation", "periodicity"),
+)
+def events_autocorr_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation spectrum of the view-event daily series —
+    daily_cross_correlation with x = y over lags [−14, 14]: the
+    periodicity detector (a weekly cycle peaks at ±7) generalizing
+    the single-scalar lag-1 autocorr entry. Same day-grain lag-
+    explode equi-join machinery and exact DECIMAL(38,0) moments;
+    symmetric by construction (lag −L mirrors +L), which doubles as a
+    structural self-check in the output."""
+    from ..operators.timeseries import daily_cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    return daily_cross_correlation(ev, "view", "view", max_lag=14)

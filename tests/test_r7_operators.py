@@ -1423,3 +1423,28 @@ def test_lsh_band_tuning_monotonicity_and_consistency(spark):
         docs, num_hashes=8, bands=4, threshold=0.0
     ).count()
     assert c42 >= verified
+
+
+def test_autocorr_spectrum_symmetry_and_lag0(spark):
+    from adventureworks_pysparkjobs_spark.operators.timeseries import (
+        daily_cross_correlation,
+    )
+
+    rows, eid = [], 0
+    for d, c in {0: 1, 1: 5, 2: 2, 3: 4, 4: 1, 5: 5, 6: 2}.items():
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-{d + 1:02d} 06:00:00", 1, "v"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["lag"]: r
+        for r in daily_cross_correlation(ev, "v", "v", max_lag=3).collect()
+    }
+    # lag 0 of a self-correlation is exactly 1 (num == var terms)
+    assert abs(out[0]["xcorr"] - 1.0) < 5e-16
+    # symmetric: r(-L) == r(L) (identical pair sets, swapped roles)
+    for lag in (1, 2, 3):
+        assert out[lag]["n_pairs"] == out[-lag]["n_pairs"]
+        assert abs(out[lag]["xcorr"] - out[-lag]["xcorr"]) < 1e-15

@@ -1420,3 +1420,50 @@ def lsh_band_tuning(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Dedup aggressiveness curve: for each Jaccard threshold, how
+    many near-dup pairs survive and how many DOCUMENTS the
+    keep-smallest-id pairwise rule would remove — the "what does each
+    threshold cost me" planning table read before committing a corpus
+    to a dedup pass (pair histograms alone don't answer it: one hub
+    document can own a thousand pairs but only removes 999 docs).
+
+    Removal semantics (declared): pairwise greedy keep-min — a doc is
+    removed iff it is the LARGER id of at least one surviving pair
+    (the transitive-closure variant removes a superset; this count is
+    the floor any CC-level pass starts from). Threshold tests compare
+    the identically-computed IEEE jaccard (one division of exact
+    counts, the same expression the pair oracle replays) against
+    shared literals — engine-consistent at every boundary.
+
+    Scale shape: ONE pair computation (the same posting-list
+    expansion as :func:`ngram_jaccard_pairs` at the LOWEST
+    threshold) feeds every curve point via a |thresholds|-literal
+    explode on PAIR-grain rows; removed-doc counts are distinct
+    counts per threshold over the exploded pair frame. Returns one
+    row per threshold: (threshold, n_pairs, n_docs_removed).
+    """
+    lo = min(thresholds)
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=lo,
+        max_shingle_df=max_shingle_df,
+    )
+    tl = F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    exploded = pairs.select(
+        "id2",
+        "jaccard",
+        F.explode(tl).alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    return exploded.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("id2").cast("long").alias("n_docs_removed"),
+    )

@@ -1863,3 +1863,58 @@ def doc_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8, n=3,
         configs=_LSH_CONFIGS, probe_sims=_LSH_PROBES,
     )
+
+
+_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "doc_dedup_threshold_curve",
+    oracle=f"""
+    WITH {_SHINGLES_CTE5},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= 1000),
+    pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id2,
+             CAST(n_inter AS DOUBLE)
+               / (s1.n_sh + s2.n_sh - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON inter.id1 = s1.id
+      JOIN sizes s2 ON inter.id2 = s2.id
+      WHERE CAST(n_inter AS DOUBLE)
+            / (s1.n_sh + s2.n_sh - n_inter) >= 0.5),
+    exploded AS (
+      SELECT p.id2, p.jaccard, t.threshold
+      FROM pairs p,
+           unnest([{", ".join(f"CAST('{t!r}' AS DOUBLE)"
+                              for t in sorted(_CURVE_THRESHOLDS))}])
+             AS t(threshold)
+      WHERE p.jaccard >= t.threshold)
+    SELECT threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT id2) AS BIGINT) AS n_docs_removed
+    FROM exploded GROUP BY 1
+    """,
+    tags=("dedup", "tuning", "threshold-curve", "planning"),
+)
+def doc_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup aggressiveness curve
+    (operators/dedup.py:dedup_threshold_curve): surviving near-dup
+    pairs and keep-min removed-document counts at each Jaccard
+    threshold 0.5–0.9, all off ONE pair computation (the lowest
+    threshold's posting-list pass) with a 5-literal threshold explode
+    on pair-grain rows — the "what does each threshold cost me"
+    planning table a pair histogram can't answer (hub docs own many
+    pairs but remove once)."""
+    from ..operators.dedup import dedup_threshold_curve
+
+    doc = load_table(spark, sf_dir, "documents")
+    return dedup_threshold_curve(
+        doc, "doc_id", "text", n=5, thresholds=_CURVE_THRESHOLDS
+    )

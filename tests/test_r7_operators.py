@@ -1448,3 +1448,33 @@ def test_autocorr_spectrum_symmetry_and_lag0(spark):
     for lag in (1, 2, 3):
         assert out[lag]["n_pairs"] == out[-lag]["n_pairs"]
         assert abs(out[lag]["xcorr"] - out[-lag]["xcorr"]) < 1e-15
+
+
+def test_dedup_threshold_curve_monotone(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        dedup_threshold_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),        # identical to 1 (J = 1.0)
+            (3, "a b c d e f g x"),        # high-sim to 1/2
+            (4, "p q r s t u v w"),        # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["threshold"]: r
+        for r in dedup_threshold_curve(
+            docs, n=3, thresholds=(0.5, 0.9)
+        ).collect()
+    }
+    # identical pair always survives; curve is monotone non-increasing
+    assert out[0.5]["n_pairs"] >= out[0.9]["n_pairs"] >= 1
+    assert out[0.5]["n_docs_removed"] >= out[0.9]["n_docs_removed"] >= 1
+    # at 0.9 only the identical pair (1,2) survives -> doc 2 removed
+    assert out[0.9]["n_docs_removed"] == 1
+    # removed docs never exceed surviving pairs
+    for r in out.values():
+        assert r["n_docs_removed"] <= r["n_pairs"]

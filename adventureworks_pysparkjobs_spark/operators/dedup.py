@@ -1467,3 +1467,49 @@ def dedup_threshold_curve(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.countDistinct("id2").cast("long").alias("n_docs_removed"),
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware survivorship over near-dup clusters: per cluster,
+    keep the member with the HIGHEST score (ties to the smallest id)
+    and report what the policy costs — the upgrade over keep-min-id
+    dedup when near-dups differ in quality (a truncated scrape and
+    its full original share a cluster; keep-min keeps whichever id
+    sorted first, keep-best keeps the longer one).
+
+    ``clusters`` is any (id, cluster_id) frame (``dedup_clusters``);
+    ``docs`` supplies the score. Keeper choice is the deterministic
+    (score DESC, id ASC) total order; all outputs are exact integers.
+
+    Scale shape: one keyed join to attach scores, one per-cluster
+    window over cluster members (bounded by cluster size — the
+    histogram entry is the pre-check for megaclusters), one
+    cluster-grain reduction. Returns (cluster_id, n_members,
+    keeper_id, keeper_score, score_removed).
+    """
+    j = clusters.select(F.col(id_col).alias("_id"), "cluster_id").join(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(score_col).cast("long").alias("_score"),
+        ),
+        "_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col("_id").asc()
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("_id"))).alias("keeper_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("_score"))).alias(
+            "keeper_score"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.col("_score"))), F.lit(0)
+        ).cast("long").alias("score_removed"),
+    )

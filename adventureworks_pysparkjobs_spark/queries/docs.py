@@ -1918,3 +1918,41 @@ def doc_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_threshold_curve(
         doc, "doc_id", "text", n=5, thresholds=_CURVE_THRESHOLDS
     )
+
+
+@query(
+    "doc_dedup_keep_best",
+    oracle=f"""
+    WITH cl AS ({_DUP_CLUSTERS_ORACLE}),
+    j AS (
+      SELECT cl.cluster_id, cl.doc_id, d.n_chars
+      FROM cl JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM j)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+           MIN(CASE WHEN rn = 1 THEN n_chars END) AS keeper_score,
+           CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN n_chars END), 0)
+                AS BIGINT) AS score_removed
+    FROM r GROUP BY 1
+    """,
+    tags=("dedup", "survivorship", "keep-best", "clusters"),
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship per near-dup cluster
+    (operators/dedup.py:keep_best_per_cluster over the
+    doc_dup_clusters components): keep the longest member of each
+    cluster (tie → smallest id) and report the member count, keeper,
+    and discarded character mass — keep-best beats keep-min-id when
+    a truncated scrape shares a cluster with its full original. The
+    oracle wraps the cluster entry's own recursive-CTE oracle
+    verbatim so the two entries cannot drift."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        doc, n=5, threshold=0.5, max_shingle_df=1000
+    )
+    clusters = D.dedup_clusters(pairs)
+    return D.keep_best_per_cluster(clusters, doc, "doc_id", "n_chars")

@@ -1478,3 +1478,30 @@ def test_dedup_threshold_curve_monotone(spark):
     # removed docs never exceed surviving pairs
     for r in out.values():
         assert r["n_docs_removed"] <= r["n_pairs"]
+
+
+def test_keep_best_per_cluster_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (8, 10)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in keep_best_per_cluster(clusters, docs).collect()
+    }
+    # cluster 100: score tie 90 between 2 and 3 -> keeper = min id 2;
+    # removed mass = 90 (doc 3) + 50 (doc 1)
+    c1 = out[100]
+    assert (c1["n_members"], c1["keeper_id"], c1["keeper_score"]) == (3, 2, 90)
+    assert c1["score_removed"] == 140
+    # cluster 200: full tie -> keeper 7, removed 10
+    c2 = out[200]
+    assert (c2["keeper_id"], c2["score_removed"]) == (7, 10)

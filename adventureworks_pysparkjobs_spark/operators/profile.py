@@ -1329,3 +1329,92 @@ def target_encode_loo(
         .otherwise(num / den)
         .alias("target_enc"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    precision: int = 12,
+    scale: int = 2,
+) -> DataFrame:
+    """Winsorized mean — the robust location estimate that clips the
+    tails to exact percentile boundaries instead of dropping them
+    (outlier-resistant where the raw mean is one fat-finger order
+    away from garbage, and smoother than a median on lumpy data).
+
+    Boundaries are EXACT: percentile p = the smallest value whose
+    inclusive cumulative count reaches p% (integer cross-multiply,
+    the engine's quantile idiom); both boundaries, the total, and the
+    clipped sum all come off ONE value-grain frame via windows — no
+    join, no second scan. Values pin to DECIMAL so the clipped sum is
+    exact and partition-order-free; each reported mean is one IEEE
+    division via the string-render cast.
+
+    Scale shape: one map-side reduction to value grain, one
+    value-grain sort shared by the cumulative and global windows,
+    one 1-row aggregate. Returns (n_rows, mean, winsorized_mean,
+    lo_bound, hi_bound, n_clipped_lo, n_clipped_hi).
+    """
+    d = f"decimal({precision},{scale})"
+    v = df.select(F.col(value_col).cast(d).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    grain = v.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    c = grain.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+    )
+    lo = F.min(
+        F.when(F.col("cum") * 100 >= F.col("n") * int(lo_pct), F.col("v"))
+    ).over(wall)
+    hi = F.min(
+        F.when(F.col("cum") * 100 >= F.col("n") * int(hi_pct), F.col("v"))
+    ).over(wall)
+    framed = c.select(
+        "v", "cnt", "n", lo.alias("lo"), hi.alias("hi")
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+
+    def _dbl(col):
+        return col.cast("string").cast("double")
+
+    agg = framed.agg(
+        F.max("n").alias("n_rows"),
+        F.sum(F.col("v") * F.col("cnt")).alias("_sum"),
+        F.sum(clipped * F.col("cnt")).alias("_wsum"),
+        F.max("lo").alias("lo_b"),
+        F.max("hi").alias("hi_b"),
+        F.sum(
+            F.when(F.col("v") < F.col("lo"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("n_clipped_lo"),
+        F.sum(
+            F.when(F.col("v") > F.col("hi"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("n_clipped_hi"),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (_dbl(F.col("_sum")) / F.col("n_rows").cast("double")).alias(
+            "mean"
+        ),
+        (_dbl(F.col("_wsum")) / F.col("n_rows").cast("double")).alias(
+            "winsorized_mean"
+        ),
+        _dbl(F.col("lo_b")).alias("lo_bound"),
+        _dbl(F.col("hi_b")).alias("hi_bound"),
+        "n_clipped_lo",
+        "n_clipped_hi",
+    )

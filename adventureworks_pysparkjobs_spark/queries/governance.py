@@ -1660,3 +1660,57 @@ def part_brand_target_encoding(
         part, "p_brand", "p_retailprice",
         carry_cols=("p_partkey",),
     )
+
+
+@query(
+    "orders_winsorized_value",
+    oracle="""
+    WITH grain AS (
+      SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    c AS (
+      SELECT v, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM grain),
+    framed AS (
+      SELECT v, cnt, n,
+             MIN(CASE WHEN cum * 100 >= n * 5 THEN v END) OVER () AS lo,
+             MIN(CASE WHEN cum * 100 >= n * 95 THEN v END) OVER () AS hi
+      FROM c),
+    agg AS (
+      SELECT MAX(n) AS n_rows,
+             SUM(v * cnt) AS s,
+             SUM(CASE WHEN v < lo THEN lo
+                      WHEN v > hi THEN hi
+                      ELSE v END * cnt) AS ws,
+             MAX(lo) AS lo_b, MAX(hi) AS hi_b,
+             CAST(SUM(CASE WHEN v < lo THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+             CAST(SUM(CASE WHEN v > hi THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi
+      FROM framed)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             / CAST(n_rows AS DOUBLE) AS mean,
+           CAST(CAST(ws AS VARCHAR) AS DOUBLE)
+             / CAST(n_rows AS DOUBLE) AS winsorized_mean,
+           CAST(CAST(lo_b AS VARCHAR) AS DOUBLE) AS lo_bound,
+           CAST(CAST(hi_b AS VARCHAR) AS DOUBLE) AS hi_bound,
+           n_clipped_lo, n_clipped_hi
+    FROM agg
+    """,
+    tags=("profile", "robust-stats", "winsorized", "exact-quantiles"),
+)
+def orders_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-value mean at the exact [p5, p95] boundaries
+    (operators/profile.py:winsorized_stats): the robust location
+    readout next to the raw mean, with both clip boundaries, the
+    clipped-row counts, and everything derived from ONE value-grain
+    frame via windows (no join, no second scan). Decimal-exact
+    clipped sums; one IEEE division per reported double."""
+    from ..operators.profile import winsorized_stats
+
+    od = load_table(spark, sf_dir, "orders")
+    return winsorized_stats(od, "o_totalprice", 5, 95)

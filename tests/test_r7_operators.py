@@ -1505,3 +1505,29 @@ def test_keep_best_per_cluster_hand_values(spark):
     # cluster 200: full tie -> keeper 7, removed 10
     c2 = out[200]
     assert (c2["keeper_id"], c2["score_removed"]) == (7, 10)
+
+
+def test_winsorized_stats_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.profile import (
+        winsorized_stats,
+    )
+
+    # values 1..20: p5 boundary = 1 (cum 1*100 >= 20*5), p95 = 19.
+    # clipped sum = sum(1..19) + 19 = 190 + 19 = 209
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 21)], "x double"
+    )
+    r = winsorized_stats(df, "x", 5, 95).collect()[0]
+    assert r["n_rows"] == 20
+    assert r["lo_bound"] == 1.0 and r["hi_bound"] == 19.0
+    assert r["n_clipped_lo"] == 0 and r["n_clipped_hi"] == 1
+    assert r["mean"] == 210.0 / 20.0
+    assert r["winsorized_mean"] == 209.0 / 20.0
+    # heavy outlier barely moves the winsorized mean
+    df2 = spark.createDataFrame(
+        [(float(v),) for v in range(1, 20)] + [(10_000_000.0,)],
+        "x double",
+    )
+    r2 = winsorized_stats(df2, "x", 5, 95).collect()[0]
+    assert r2["winsorized_mean"] < 30
+    assert r2["mean"] > 500_000

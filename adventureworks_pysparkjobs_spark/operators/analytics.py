@@ -2047,3 +2047,44 @@ def revenue_bridge(
         .otherwise(q1 * (p1 - p0))
         .alias("price_effect"),
     )
+
+
+def resurrection_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    dormancy_days: int = 7,
+) -> DataFrame:
+    """Resurrected-user counts per week: events whose same-user
+    predecessor lies at least ``dormancy_days`` days back mark a
+    RETURN FROM DORMANCY, bucketed by epoch week — the growth-
+    accounting lane (new / retained / resurrected / churned) that
+    retention matrices and DAU curves don't isolate (a flat DAU can
+    hide churn exactly offset by resurrection).
+
+    Weeks are epoch-day ``div`` 7 integers (no engine week-start
+    convention in play); the predecessor comes from one per-user
+    lag() under the (ts, id) total order; a user resurrects at most
+    once per gap (the event closing the gap), counted once per week
+    per user in ``n_users``.
+
+    Scale shape: one user-keyed window exchange over the fact, then
+    a week-grain reduction. Returns (week, n_resurrections,
+    n_users).
+    """
+    wu = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    seq = df.select(
+        F.col(user_col).alias("u"),
+        day.alias("d"),
+        F.lag(day).over(wu).alias("pd"),
+    )
+    res = seq.filter(
+        F.col("pd").isNotNull()
+        & (F.col("d") - F.col("pd") >= int(dormancy_days))
+    ).select("u", F.expr("d div 7").cast("long").alias("week"))
+    return res.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resurrections"),
+        F.countDistinct("u").cast("long").alias("n_users"),
+    )

@@ -2793,3 +2793,37 @@ def events_autocorr_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return daily_cross_correlation(ev, "view", "view", max_lag=14)
+
+
+@query(
+    "events_resurrections",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id AS u,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             lag(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pd
+      FROM events),
+    res AS (
+      SELECT u, d // 7 AS week
+      FROM seq WHERE pd IS NOT NULL AND d - pd >= 3)
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_resurrections,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+    FROM res GROUP BY 1
+    """,
+    tags=("analytics", "growth-accounting", "resurrection", "retention"),
+)
+def events_resurrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly resurrected-user counts
+    (operators/analytics.py:resurrection_counts): events closing a
+    a same-user dormancy gap of ≥3 days (scaled to this fixture's
+    30-day event window; production would use 7–14), bucketed by
+    epoch week (day div 7 — no week-start convention) — the
+    growth-accounting lane a flat DAU curve hides (churn exactly
+    offset by resurrection). One user-keyed lag window + week-grain
+    reduction."""
+    from ..operators.analytics import resurrection_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return resurrection_counts(ev, dormancy_days=3)

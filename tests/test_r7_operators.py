@@ -1531,3 +1531,33 @@ def test_winsorized_stats_hand_values(spark):
     r2 = winsorized_stats(df2, "x", 5, 95).collect()[0]
     assert r2["winsorized_mean"] < 30
     assert r2["mean"] > 500_000
+
+
+def test_resurrection_counts_hand_values(spark):
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        resurrection_counts,
+    )
+
+    rows = [
+        # user 1: days 0, 1, 10 -> gap 9 >= 7 resurrects on day 10
+        (1, "2024-01-01 08:00:00", 1, "x"),
+        (2, "2024-01-02 08:00:00", 1, "x"),
+        (3, "2024-01-11 08:00:00", 1, "x"),
+        # user 2: days 0, 3 -> no dormancy
+        (4, "2024-01-01 08:00:00", 2, "x"),
+        (5, "2024-01-04 08:00:00", 2, "x"),
+        # user 3: two separate resurrections (days 0, 8, 20)
+        (6, "2024-01-01 08:00:00", 3, "x"),
+        (7, "2024-01-09 08:00:00", 3, "x"),
+        (8, "2024-01-21 08:00:00", 3, "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["week"]: r for r in resurrection_counts(ev).collect()}
+    # epoch day of 2024-01-11 = 19733 -> week 2819; 2024-01-09 = 19731
+    # -> week 2818; 2024-01-21 = 19743 -> week 2820
+    assert out[19733 // 7]["n_resurrections"] >= 1
+    total = sum(r["n_resurrections"] for r in out.values())
+    assert total == 3  # user1 once + user3 twice
+    assert all(r["n_users"] <= r["n_resurrections"] for r in out.values())

@@ -37,6 +37,16 @@ from . import (  # noqa: E402,F401
 # emb_near_dup_pairs (embedding near-dup stays via emb_cosine_topk +
 # emb_semdedup_kmeans_pipeline); all three remain oracle-gated
 # locally.
+# r8 rotation (third-wave representatives, verdict r7 task 1): in —
+# stream_funnel_stages (third applyInPandasWithState op deserves driver
+# attestation), doc_dedup_threshold_curve, part_brand_modularity,
+# events_resurrections; out — q3_unshipped_revenue (TPC-H join-agg
+# family stays via q1/q5), events_quantile_sketch (sketch family stays
+# via orders_bloom_prefilter; exact-percentile family oracle-gated
+# locally), doc_multilingual_resample (sampling family stays via
+# doc_sampling_pipeline), doc_line_clean (text-clean family stays via
+# doc_text_profile + corpus_training_pipeline which embeds the clean
+# stage); all four remain catalog + oracle-gated locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -45,7 +55,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rollup_cube_order_stats",
     "events_transition_matrix",
     "emb_semdedup_kmeans_pipeline",
-    "q3_unshipped_revenue",
+    "stream_funnel_stages",
     "q5_nation_revenue",
     "events_markov_stationary",
     "semi_anti_customers",
@@ -56,8 +66,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "top3_parts_per_brand",
     "part_link_prediction",
     "doc_jaccard_histogram",
-    "events_quantile_sketch",
-    "doc_multilingual_resample",
+    "doc_dedup_threshold_curve",
+    "part_brand_modularity",
     "orders_profile",
     "dim_customer_geo",
     "dim_part",
@@ -86,7 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_dedup_keys",
     "stream_session_windows",
     "stream_stateful_sessions",
-    "doc_line_clean",
+    "events_resurrections",
     "doc_incremental_dedup",
 )
 

@@ -22,7 +22,7 @@ EXPECTED_WINDOW = (
     "rollup_cube_order_stats",
     "events_transition_matrix",
     "emb_semdedup_kmeans_pipeline",
-    "q3_unshipped_revenue",
+    "stream_funnel_stages",
     "q5_nation_revenue",
     "events_markov_stationary",
     "semi_anti_customers",
@@ -33,8 +33,8 @@ EXPECTED_WINDOW = (
     "top3_parts_per_brand",
     "part_link_prediction",
     "doc_jaccard_histogram",
-    "events_quantile_sketch",
-    "doc_multilingual_resample",
+    "doc_dedup_threshold_curve",
+    "part_brand_modularity",
     "orders_profile",
     "dim_customer_geo",
     "dim_part",
@@ -63,7 +63,7 @@ EXPECTED_WINDOW = (
     "stream_dedup_keys",
     "stream_session_windows",
     "stream_stateful_sessions",
-    "doc_line_clean",
+    "events_resurrections",
     "doc_incremental_dedup",
 )
 
@@ -104,6 +104,11 @@ def test_beyond_window_entries_still_registered():
         "window_order_sequences",
         "events_dedup_first_per_key",
         "emb_vector_stats",
+        # r8 out-rotated shape siblings — still catalog + oracle-gated
+        "q3_unshipped_revenue",
+        "events_quantile_sketch",
+        "doc_multilingual_resample",
+        "doc_line_clean",
     ):
         assert name in beyond, f"{name} fell out of the catalog"
 

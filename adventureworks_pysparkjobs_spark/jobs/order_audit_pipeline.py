@@ -38,9 +38,12 @@ def build_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         od, "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
         band_width=1000.0, window_days=90,
     ).select(F.lit("duplicate_payments").alias("section"), "*")
-    gaps = key_gap_islands(od, "o_orderkey", top_k=10).select(
-        F.lit("id_gaps").alias("section"), "*"
-    )
+    # Fixture orderkeys are dense; audit the non-finalized partition of
+    # the key sequence so the section exercises real gaps (mirrors the
+    # orders_id_gap_islands catalog entry + its oracle).
+    gaps = key_gap_islands(
+        od.filter(F.col("o_orderstatus") != "F"), "o_orderkey", top_k=10
+    ).select(F.lit("id_gaps").alias("section"), "*")
     benford = benford_audit(od, "o_totalprice", tol=0.02).select(
         F.lit("benford").alias("section"), "*"
     )

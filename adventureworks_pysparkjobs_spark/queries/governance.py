@@ -1306,7 +1306,7 @@ def customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keys AS (
       SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
-      WHERE o_orderkey IS NOT NULL),
+      WHERE o_orderkey IS NOT NULL AND o_orderstatus <> 'F'),
     ends AS (
       SELECT a.k FROM keys a
       LEFT JOIN keys b ON b.k = a.k + 1 WHERE b.k IS NULL),
@@ -1329,17 +1329,22 @@ def customer_value_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("governance", "data-quality", "gaps-islands", "audit"),
 )
 def orders_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Surrogate-key continuity audit over o_orderkey
+    """Surrogate-key continuity audit
     (operators/quality.py:key_gap_islands): the 10 largest runs of
     missing keys between the observed min and max — the
-    dropped-batch / skipped-sequence sweep. TPC-H orderkeys are sparse
-    by construction, so the fixture exercises real gaps. Keys reduce
-    to DISTINCT before two keyed anti-joins extract island boundaries;
-    only the boundary frame (two rows per island) crosses the pairing
-    windows and the deterministic top-k."""
+    dropped-batch / skipped-sequence sweep. The fixture's orderkeys
+    are DENSE (0..N-1, zero gaps), so the audit runs over the keys of
+    non-finalized orders (o_orderstatus <> 'F'), whose key stream has
+    real gaps wherever a finalized order interleaves — mirroring the
+    production shape where one logical partition of a sequence is
+    audited. Keys reduce to DISTINCT before two keyed anti-joins
+    extract island boundaries; only the boundary frame (two rows per
+    island) crosses the pairing windows and the deterministic top-k."""
     from ..operators.quality import key_gap_islands
 
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    )
     return key_gap_islands(od, "o_orderkey", top_k=10)
 
 

@@ -204,7 +204,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
-      WHERE p.p_name LIKE '%1%'
+      WHERE p.p_name LIKE '%red%'
     ) profit
     GROUP BY nation, o_year
     """,
@@ -225,7 +225,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(
-            t["part"].filter(F.col("p_name").like("%1%")),
+            t["part"].filter(F.col("p_name").like("%red%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))

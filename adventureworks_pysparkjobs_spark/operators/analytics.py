@@ -1204,8 +1204,12 @@ def second_event_hazard(
     the observation horizon instead of silently dropped (dropping them
     inflates early hazards, the classic churn-analysis mistake).
 
-    Per key: t0/t1 = first/second event time under the (ts, id) total
-    order; event keys land in bucket (t1−t0) div bucket_days, censored
+    Per key: t0/t1 = first/second event DATE under the (event date, id)
+    total order — timestamps are truncated to calendar dates before
+    ranking, so same-day events tie-break by id (bucketing is day-grain,
+    so sub-day ordering cannot change any bucket; the declared order
+    makes the day-grain tie-break explicit). Event keys land in bucket
+    (t1−t0) div bucket_days, censored
     keys in (horizon−t0) div bucket_days where horizon = max ts
     overall. Life-table convention (declared): a key censored in
     bucket b still counts at risk in b. hazard_b = events_b /

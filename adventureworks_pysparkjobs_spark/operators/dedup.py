@@ -1483,8 +1483,12 @@ def keep_best_per_cluster(
     sorted first, keep-best keeps the longer one).
 
     ``clusters`` is any (id, cluster_id) frame (``dedup_clusters``);
-    ``docs`` supplies the score. Keeper choice is the deterministic
-    (score DESC, id ASC) total order; all outputs are exact integers.
+    ``docs`` supplies the score via a LEFT join — a cluster member
+    missing from ``docs`` (or carrying a NULL score) stays VISIBLE in
+    n_members and ranks last for keeper selection (score NULLS LAST,
+    then id ASC), rather than silently vanishing from the accounting.
+    Keeper choice is the deterministic (score DESC NULLS LAST, id ASC)
+    total order; all outputs are exact integers.
 
     Scale shape: one keyed join to attach scores, one per-cluster
     window over cluster members (bounded by cluster size — the
@@ -1498,9 +1502,10 @@ def keep_best_per_cluster(
             F.col(score_col).cast("long").alias("_score"),
         ),
         "_id",
+        "left",
     )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("_score").desc(), F.col("_id").asc()
+        F.col("_score").desc_nulls_last(), F.col("_id").asc()
     )
     ranked = j.withColumn("rn", F.row_number().over(w))
     return ranked.groupBy("cluster_id").agg(

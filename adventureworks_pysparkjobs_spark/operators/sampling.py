@@ -639,7 +639,12 @@ def token_budget_allocation(
         " div CAST(_wtot AS DECIMAL(38,0))"
     ).cast("long")
     framed = framed.withColumn("target_tokens", target)
-    cap = (F.col("avail_tokens") * F.lit(int(max_epochs))).cast("long")
+    # Same DECIMAL(38,0) multiply-then-cast idiom as _budget/target above:
+    # a BIGINT product would overflow silently for avail_tokens near
+    # 2^63/max_epochs, unlike the decimal-carried siblings.
+    cap = F.expr(
+        f"CAST(avail_tokens AS DECIMAL(38,0)) * {int(max_epochs)}"
+    ).cast("long")
     alloc = F.least(F.col("target_tokens"), cap)
     return framed.select(
         group_col,

@@ -217,7 +217,10 @@ def ewma_daily_counts(
     return out.select(
         F.col("k").alias(key_col),
         F.col("td").alias("d"),
-        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        # cnt is never NULL here: every emitted td lies inside the dense
+        # span, so the lag-0 contribution always exists (the filter above
+        # guarantees td >= _d0 + window_days - 1 >= the first dense day).
+        F.col("cnt").cast("long").alias("cnt"),
         "ewma_scaled",
         (F.col("ewma_scaled").cast("double") / F.lit(norm)).alias("ewma"),
     )

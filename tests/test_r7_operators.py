@@ -1507,6 +1507,36 @@ def test_keep_best_per_cluster_hand_values(spark):
     assert (c2["keeper_id"], c2["score_removed"]) == (7, 10)
 
 
+def test_keep_best_per_cluster_missing_scores_stay_visible(spark):
+    """r7 ADVICE: a cluster member absent from `docs` (or with a NULL
+    score) must stay in n_members and rank LAST for keeper selection,
+    not silently vanish from the accounting."""
+    from adventureworks_pysparkjobs_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        "doc_id long, cluster_id long",
+    )
+    # doc 3 missing entirely; cluster 200 has NO scores at all
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90)], "doc_id long, n_chars long"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in keep_best_per_cluster(clusters, docs).collect()
+    }
+    c1 = out[100]
+    # all 3 members visible; scoreless doc 3 ranks last, keeper = doc 2
+    assert (c1["n_members"], c1["keeper_id"], c1["keeper_score"]) == (3, 2, 90)
+    assert c1["score_removed"] == 50  # NULL scores don't add to the sum
+    c2 = out[200]
+    # fully scoreless cluster: keeper = smallest id, NULL keeper_score
+    assert (c2["n_members"], c2["keeper_id"]) == (2, 7)
+    assert c2["keeper_score"] is None and c2["score_removed"] == 0
+
+
 def test_winsorized_stats_hand_values(spark):
     from adventureworks_pysparkjobs_spark.operators.profile import (
         winsorized_stats,

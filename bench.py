@@ -18,8 +18,10 @@ The headline "value" sums fully-healthy ("ok") queries only; a query
 whose repetition 2/3 failed after a good rep 1 keeps its timing in
 "queries" but is marked "partial" and excluded from totals, so a
 partially-failed measurement is never mistaken for a healthy one.
-"core13_sec" re-reports the round-3 13-query headline subtotal so BENCH
-artifacts stay comparable across rounds as the bench set grows.
+"core13_sec" and "core_llm10_sec" re-report the two FROZEN subtotals
+(R3_CORE_13 and CORE_LLM_10 below) so BENCH artifacts stay comparable
+across rounds as the headline set grows; the headline "value" tracks
+the growing set and is only comparable within a round.
 
 The ≤2x-vs-single-node gate is MACHINE-CHECKED in the same artifact:
 after the Spark loop, each bench entry's own DuckDB oracle runs in a
@@ -97,13 +99,31 @@ def _reset_session_state(spark) -> None:
 # guard warns when a run exceeds this by >20% — see main().
 CORE13_BEST_SEC = 8.25
 
-# The round-3 headline set, frozen for cross-round comparability.
+# FROZEN BENCH CONTRACT (r7 verdict task 5). The headline set grows as
+# the catalog grows, which makes round-over-round headline totals
+# incomparable by construction. These two subtotals are the cross-round
+# contract: their MEMBERSHIP NEVER CHANGES (adding/removing a name here
+# is a contract break and must be called out in BENCH_NOTES.md, never
+# done silently — tests/test_bench_contract.py pins both lists).
+#
+# R3_CORE_13: the round-3 headline set — relational + window + dedup +
+# similarity representatives, frozen since r3.
 R3_CORE_13 = frozenset({
     "q1_pricing_summary", "q3_unshipped_revenue", "q5_nation_revenue",
     "q10_returned_revenue", "top3_parts_per_brand", "fact_order_line",
     "fact_daily_part_agg", "events_sessionize", "doc_chunks",
     "doc_ngram_jaccard_pairs", "doc_minhash_lsh_pairs", "emb_cosine_topk",
     "emb_cosine_topk_vectorized",
+})
+
+# CORE_LLM_10: ten LLM-training-data-pipeline flagships (dedup at every
+# granularity, semantic dedup, similarity, tokenization, quality gate,
+# and the end-to-end corpus job), frozen at r8 membership.
+CORE_LLM_10 = frozenset({
+    "corpus_training_pipeline", "doc_chunks", "doc_minhash_lsh_pairs",
+    "doc_ngram_jaccard_pairs", "doc_dup_clusters", "doc_span_dedup",
+    "emb_cosine_topk", "emb_semdedup_kmeans_pipeline",
+    "corpus_bpe_encode_stats", "doc_classifier_conformal",
 })
 
 
@@ -254,6 +274,9 @@ def main() -> None:
     core13 = round(
         sum(t for n, t in timings.items() if n in ok & R3_CORE_13), 3
     )
+    core_llm10 = round(
+        sum(t for n, t in timings.items() if n in ok & CORE_LLM_10), 3
+    )
 
     # Stop Spark BEFORE the oracle pass so the JVM's 32 threads and heap
     # aren't loading the box while DuckDB is being timed (fairness).
@@ -314,6 +337,7 @@ def main() -> None:
         "queries": timings,
         "status": status,
         "core13_sec": core13,
+        "core_llm10_sec": core_llm10,
         "sf": sf,
         "oracle_sec": oracle_sec,
         "oracle_sec_raw": oracle_sec_raw,
@@ -356,6 +380,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "core13_sec": core13,
+        "core_llm10_sec": core_llm10,
         "sf": sf,
         "n_ok": len(ok),
         "n_partial": sum(1 for s in status.values() if s == "partial"),

@@ -95,6 +95,24 @@ def render(payload: dict) -> str:
         ">20% over the 8.25 s best so the drift stays visible in "
         "every artifact.",
         "",
+        "## Frozen subtotal contract (r8 policy)",
+        "",
+        "The headline set grows with the catalog, so the headline "
+        "'value' is only comparable within a round. Two FROZEN "
+        "subtotals are the cross-round contract, emitted in every "
+        "artifact: core13_sec (R3_CORE_13 — the round-3 headline set, "
+        "relational/window/dedup/similarity representatives) and "
+        "core_llm10_sec (CORE_LLM_10 — ten LLM-data-pipeline "
+        "flagships, frozen at r8 membership: training pipeline, "
+        "chunking, minhash-LSH + n-gram-jaccard + span dedup, dup "
+        "clusters, cosine top-k, SemDeDup k-means, BPE encode, "
+        "conformal quality gate). Membership NEVER changes; "
+        "tests/test_bench_contract.py pins both lists verbatim, and "
+        "any deliberate change must be recorded here as a contract "
+        "break. This run: core13 "
+        f"{payload.get('core13_sec', '—')} s, core-LLM-10 "
+        f"{payload.get('core_llm10_sec', '— (pre-r8 artifact)')} s.",
+        "",
     ]
     return "\n".join(lines)
 

@@ -156,12 +156,25 @@ def _aqe_skew_probe(skew_dir: str) -> dict:
 
 
 def sf1_compare(
-    sf1_dir: str, top: int, out: str | None, skew_dir: str | None = None
+    sf1_dir: str, top: int, out: str | None, skew_dir: str | None = None,
+    factor: int = 10, extra_names: list[str] | None = None,
 ) -> int:
+    """Compare the heavy set between sf0.1 and an amplified dir.
+
+    ``factor`` is the row amplification of sf1_dir relative to sf0.1
+    (make_sf.py --k): the linear wall extrapolation and the rows-cliff
+    threshold both scale with it. ``extra_names`` appends specific
+    catalog entries (e.g. the iterative flagships, which the bench
+    headline set deliberately excludes) to the costliest list."""
     import bench
 
     base_dir = "/root/testdata/sf0.1"
     names = _costliest(top)
+    for n in (extra_names or []):
+        if n not in CATALOG:
+            raise SystemExit(f"--names entry {n!r} not in catalog")
+        if n not in names:
+            names.append(n)
     spark = get_spark(app_name="scale-smoke-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
@@ -181,11 +194,13 @@ def sf1_compare(
                 }
                 bench._reset_session_state(spark)
             rows_ratio = row["sf1"]["rows"] / max(row["sf0.1"]["rows"], 1)
-            extrap = max(row["sf0.1"]["sec"] * 10, 2.0)
+            extrap = max(row["sf0.1"]["sec"] * factor, 2.0)
             wall_ratio = row["sf1"]["sec"] / extrap
             row["rows_ratio"] = round(rows_ratio, 1)
             row["wall_vs_linear_extrapolation"] = round(wall_ratio, 2)
-            row["cliff"] = bool(rows_ratio > 100 or wall_ratio > 10)
+            row["cliff"] = bool(
+                rows_ratio > 10 * factor or wall_ratio > 10
+            )
             if skew_dir:
                 # skew must not melt the operator: allow 5x the
                 # uniform-sf1 wall (2 s floor for sub-second entries)
@@ -205,6 +220,7 @@ def sf1_compare(
     spark.stop()
     payload = {
         "mode": "sf1_compare", "sf1_dir": sf1_dir, "top": top,
+        "factor_vs_sf0.1": factor,
         "entries": report, "cliffs": bad,
     }
     if skew_dir:
@@ -237,9 +253,20 @@ def main() -> int:
     )
     ap.add_argument("--top", type=int, default=10)
     ap.add_argument("--out", help="write the sf1 JSON artifact here")
+    ap.add_argument(
+        "--factor", type=int, default=10,
+        help="row amplification of --sf1 dir vs sf0.1 (make_sf.py --k)",
+    )
+    ap.add_argument(
+        "--names",
+        help="comma-separated catalog entries to append to the heavy set",
+    )
     a = ap.parse_args()
     if a.sf1:
-        return sf1_compare(a.sf1, a.top, a.out, skew_dir=a.skew)
+        return sf1_compare(
+            a.sf1, a.top, a.out, skew_dir=a.skew, factor=a.factor,
+            extra_names=a.names.split(",") if a.names else None,
+        )
     return sweep(a.sf_dir)
 
 

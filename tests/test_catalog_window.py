@@ -124,6 +124,32 @@ ROWS_ONLY_ALLOWED = {
 }
 
 
+def test_oracle_independence_inventory_consistent():
+    """r7 verdict task 6: the declared oracle-independence registry must
+    (1) name only real catalog entries, (2) cover every rows-only entry
+    and nothing oracle-backed under the rows-only class, and (3) keep
+    the self-confirming class-(a) set to a handful."""
+    from adventureworks_pysparkjobs_spark.queries.catalog import (
+        ORACLE_INDEPENDENCE,
+    )
+
+    valid = {"embeds-builder-literals", "wraps-entry-oracle", "rows-only"}
+    assert set(ORACLE_INDEPENDENCE) <= set(CATALOG)
+    for name, (cls, why) in ORACLE_INDEPENDENCE.items():
+        assert cls in valid, f"{name}: unknown class {cls}"
+        assert len(why) > 20, f"{name}: justification too thin"
+    declared_rows_only = {
+        n for n, (c, _) in ORACLE_INDEPENDENCE.items() if c == "rows-only"
+    }
+    actual_rows_only = {n for n, q in CATALOG.items() if q.oracle is None}
+    assert declared_rows_only == actual_rows_only
+    n_literal = sum(
+        1 for c, _ in ORACLE_INDEPENDENCE.values()
+        if c == "embeds-builder-literals"
+    )
+    assert n_literal <= 3, "self-confirming oracle class must stay rare"
+
+
 def test_whole_catalog_names_unique_and_oracle_backed():
     """Window-eviction insurance: every catalog name is unique (the
     registry raises on duplicates, but this also catches rebuild-time

@@ -80,6 +80,14 @@ TABLES = (
 # the amplifier, not new data); a cipher changes most tokens, hence
 # most shingles, while staying deterministic and length-preserving.
 CIPHER_SRC = "etaoinshrdlu"
+# Second independent cipher stage over the next-most-frequent letters:
+# the rotation of CIPHER_SRC alone repeats every 12 replicas, so K > 12
+# would hand replicas 12 apart IDENTICAL text and the dedup operators
+# would (correctly) report the fixture artifact as duplicate clusters —
+# observed as a 314x rows_ratio in the first r8 sf3 (K=30) probe.
+# Composing two coprime-period rotations (12 x 7 = 84 distinct
+# ciphers) keeps every replica's text distinct up to K=84.
+CIPHER_SRC2 = "bcfgmpw"
 SALTED = {
     "documents": ["text"],
     "events": ["props"],
@@ -88,6 +96,11 @@ SALTED = {
 
 def _cipher(r: int) -> str:
     return CIPHER_SRC[r % 12:] + CIPHER_SRC[: r % 12]
+
+
+def _cipher2(r: int) -> str:
+    k = (r // 12) % 7
+    return CIPHER_SRC2[k:] + CIPHER_SRC2[:k]
 
 
 # Skew mode (r5 verdict task 6): redirect ~20% of the FK traffic of the
@@ -158,8 +171,9 @@ def amplify(src: str, dst: str, k: int, skew: bool = False) -> None:
                     parts.append(sk or f"{shifted} AS {c}")
                 elif c in SALTED.get(t, []) and r:
                     parts.append(
-                        f"translate({c}, '{CIPHER_SRC}', "
-                        f"'{_cipher(r)}') AS {c}"
+                        f"translate({c}, "
+                        f"'{CIPHER_SRC}{CIPHER_SRC2}', "
+                        f"'{_cipher(r)}{_cipher2(r)}') AS {c}"
                     )
                 else:
                     parts.append(c)

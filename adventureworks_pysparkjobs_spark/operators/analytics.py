@@ -2092,3 +2092,149 @@ def resurrection_counts(
         F.count(F.lit(1)).cast("long").alias("n_resurrections"),
         F.countDistinct("u").cast("long").alias("n_users"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): the rows not DOMINATED in the
+    maximize-both sense — row A dominates row B iff x_A >= x_B and
+    y_A >= y_B with at least one strict. The multi-criteria shortlist
+    operator ("no other order is both bigger AND more recent").
+
+    Window formulation instead of the naive O(n^2) dominance anti-join:
+    reduce to x-grain (per distinct x, the max y = the only candidate
+    y), take the running max of y over STRICTLY greater x (x-grain
+    frame, one lag), and a row survives iff its y equals its x-level's
+    max y and beats every higher-x level's best y. Rows tying on both
+    coordinates co-survive (neither strictly dominates).
+
+    Exactness: comparisons only — no arithmetic at all, so any ordered
+    column types (decimal, date, integer) cross-check bit-for-bit.
+
+    Scale shape: one x-grain aggregation, one x-grain window (bounded
+    by distinct x values, not rows), one semi-join back to the input.
+    Returns the surviving input rows (id, x, y).
+    """
+    xg = df.groupBy(F.col(x_col).alias("_x")).agg(
+        F.max(F.col(y_col)).alias("_my")
+    )
+    w = Window.orderBy(F.col("_x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        xg.withColumn("_best_above", F.max("_my").over(w))
+        .filter(
+            F.col("_best_above").isNull()
+            | (F.col("_my") > F.col("_best_above"))
+        )
+        .select("_x", "_my")
+    )
+    return df.join(
+        frontier,
+        (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_my")),
+        "inner",
+    ).select(
+        F.col(id_col), F.col(x_col), F.col(y_col)
+    )
+
+
+def backlog_timeline(
+    opened: DataFrame,
+    closed: DataFrame,
+    day_col: str = "d",
+) -> DataFrame:
+    """Daily open-item backlog: how many items have been opened but not
+    yet closed as of each day — the queue-depth series behind ops
+    dashboards (open orders, unresolved tickets, in-flight shipments).
+
+    ``opened`` / ``closed`` are (day) frames with one row per item
+    event (an item missing from ``closed`` stays in the backlog
+    forever — the honest semantics for never-completed items). The
+    timeline runs over the union of observed days; backlog_d =
+    cumulative opens through d minus cumulative closes through d,
+    exact BIGINT running sums over the day-grain frame.
+
+    Scale shape: two day-grain aggregations, one day-grain outer
+    merge, one ordered day-grain window (calendar-bounded rows — the
+    global window sorts days, not items). Returns
+    (d, n_opened, n_closed, backlog).
+    """
+    o = opened.groupBy(F.col(day_col).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_opened")
+    )
+    c = closed.groupBy(F.col(day_col).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_closed")
+    )
+    merged = o.join(c, "d", "full").select(
+        "d",
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        "d",
+        "n_opened",
+        "n_closed",
+        (F.sum("n_opened").over(w) - F.sum("n_closed").over(w))
+        .cast("long")
+        .alias("backlog"),
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    key_col: str = "event_type",
+    member_col: str = "user_id",
+) -> DataFrame:
+    """Pairwise audience Jaccard between keys: for every key pair, how
+    much their member sets overlap — the segmentation / cannibalization
+    audit ("do purchasers and reviewers come from the same users?").
+
+    Posting-list formulation: reduce to the DISTINCT (member, key)
+    frame, self-join on member with key_a < key_b for intersection
+    sizes, join per-key set sizes, jaccard = inter / (na + nb - inter)
+    — exact integers and one IEEE division.
+
+    Scale shape: one distinct reduction (member-keyed shuffle), the
+    intersection self-join fans out per member by its key count
+    (bounded by the key cardinality, e.g. 5 event types -> <= 10 pair
+    rows per member), two broadcast-sized per-key count joins. Never
+    materializes member sets as arrays. Returns
+    (key_a, key_b, n_a, n_b, n_common, jaccard).
+    """
+    mk = df.select(
+        F.col(member_col).alias("m"), F.col(key_col).alias("k")
+    ).distinct()
+    sizes = mk.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = mk.select("m", F.col("k").alias("key_a"))
+    b = mk.select("m", F.col("k").alias("key_b"))
+    inter = (
+        a.join(b, "m")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("k").alias("key_a"),
+                                     F.col("n").alias("n_a"))),
+            "key_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("k").alias("key_b"),
+                                     F.col("n").alias("n_b"))),
+            "key_b",
+        )
+        .select(
+            "key_a", "key_b", "n_a", "n_b", "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                .cast("double")
+            ).alias("jaccard"),
+        )
+    )

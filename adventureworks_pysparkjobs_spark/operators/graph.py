@@ -108,6 +108,103 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 8,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart to a SEED set —
+    the "related to THESE items" ranking behind item-to-item
+    recommendation and local community scoring, vs global importance
+    from :func:`pagerank`.
+
+    Identical integer-scaled recurrence, two differences: the initial
+    mass and the per-step restart mass ((1-d)/|S|) land only on seed
+    nodes (0 elsewhere) instead of uniformly. Same exactness argument:
+    integer multiply -> floor division -> associative integer sums, so
+    the result is bit-identical across engines and partitionings and
+    the oracle replays the iterations in unrolled SQL.
+
+    ``seeds`` is a 1-column (node) frame; it must be SMALL (a seed set,
+    broadcast to the node frame) and non-empty. Scale shape per
+    iteration: one edge equi-join + one keyed sum, O(edges) shuffle —
+    the node frame carries one extra broadcast-joined seed flag.
+
+    Returns (node, rank_scaled BIGINT, rank DOUBLE = scaled/scale).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_flag = F.broadcast(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    ).withColumn("is_seed", F.lit(True))
+    n_seeds = seed_flag.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    outw = edges.groupBy(src).agg(
+        F.sum(F.col(weight).cast("long")).alias("ow")
+    )
+    e = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            F.col(weight).cast("long").alias("w"),
+            F.col("ow"),
+        )
+        .localCheckpoint()
+    )
+    flagged = nodes.join(seed_flag, "node", "left").select(
+        "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    ).localCheckpoint()
+    base = ((damping_den - damping_num) * scale) // (damping_den * n_seeds)
+    seed_base = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+    r = flagged.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e["e_src"] == r["node"])
+            .select(
+                F.col("e_dst").alias("c_node"),
+                F.expr("(r * w) div ow").alias("c"),
+            )
+            .groupBy("c_node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = flagged.join(
+            contrib, flagged["node"] == contrib["c_node"], "left"
+        ).select(
+            "node",
+            "is_seed",
+            (
+                seed_base
+                + F.expr(
+                    f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                )
+            ).cast("long").alias("r"),
+        )
+    return r.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     a: str = "a",
@@ -816,4 +913,57 @@ def global_transitivity(
             _dbl(F.lit(2).cast(d38) * F.col("_snt")) / _dbl(F.col("_sdd"))
         )
         .alias("transitivity"),
+    )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Degree histogram of a (symmetrized) edge list in power-of-two
+    buckets, plus each bucket's share of total incident weight — the
+    hub-structure audit that PRECEDES every other graph operator here:
+    a heavy tail at high buckets is exactly where a per-node join will
+    skew, so this is the "do I need salting / witness caps?" planning
+    table (the graph analogue of events_key_skew).
+
+    Bucket = number of binary digits of the degree (1 for degree 1,
+    2 for 2-3, 3 for 4-7, ...) — an integer log2 computed PORTABLY as
+    ``length(bin(degree))``: no floating log in either engine, so the
+    bucketing is bit-exact. All counts/sums exact BIGINTs; shares are
+    one division each.
+
+    Scale shape: one node-grain degree aggregation, one bucket-grain
+    reduction, a 1-row total window over the BUCKET-grain frame.
+    Returns (bucket, min_degree, max_degree, n_nodes, node_share,
+    weight_sum, weight_share).
+    """
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum(F.col(weight).cast("long")).alias("wsum"),
+    )
+    b = deg.select(
+        F.length(F.bin(F.col("degree"))).cast("int").alias("bucket"),
+        "degree",
+        "wsum",
+    ).groupBy("bucket").agg(
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("wsum").cast("long").alias("weight_sum"),
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "bucket", "min_degree", "max_degree", "n_nodes",
+        (
+            F.col("n_nodes").cast("double")
+            / F.sum("n_nodes").over(w).cast("double")
+        ).alias("node_share"),
+        "weight_sum",
+        (
+            F.col("weight_sum").cast("double")
+            / F.sum("weight_sum").over(w).cast("double")
+        ).alias("weight_share"),
     )

@@ -1201,3 +1201,55 @@ def keyness_by_group(
             "rate_ratio",
         )
     )
+
+
+def unicode_sanity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Mojibake / encoding-damage audit per group: how much of each
+    slice's text is U+FFFD replacement characters (the scar a lossy
+    decode leaves), C0 control characters outside whitespace (binary
+    bleed-through), or raw non-ASCII — the first gate a web-scale
+    scrape runs before any tokenizer sees the bytes.
+
+    Counts via the length-difference idiom (len(text) minus len(text
+    with the class removed)) — portable: Spark and DuckDB both count
+    regexp_replace over the same RE2-compatible character classes, and
+    character (not byte) lengths are used on both sides. All counts
+    exact BIGINTs; shares are one division each.
+
+    Scale shape: one per-row JVM expression pass, one group-grain
+    aggregation — zero joins, zero windows. Returns (group, n_docs,
+    n_chars, n_replacement, n_control, n_non_ascii, docs_with_damage,
+    damage_char_share).
+    """
+    t = F.col(text_col)
+    ln = F.length(t)
+    n_repl = ln - F.length(F.regexp_replace(t, "�", ""))
+    n_ctrl = ln - F.length(
+        F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    )
+    n_nonascii = ln - F.length(F.regexp_replace(t, "[^\\x00-\\x7f]", ""))
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        ln.alias("_n"),
+        n_repl.alias("_r"),
+        n_ctrl.alias("_c"),
+        n_nonascii.alias("_na"),
+    )
+    return per.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_chars"),
+        F.sum("_r").cast("long").alias("n_replacement"),
+        F.sum("_c").cast("long").alias("n_control"),
+        F.sum("_na").cast("long").alias("n_non_ascii"),
+        F.sum(
+            F.when((F.col("_r") > 0) | (F.col("_c") > 0), 1).otherwise(0)
+        ).cast("long").alias("docs_with_damage"),
+        (
+            (F.sum("_r") + F.sum("_c")).cast("double")
+            / F.sum("_n").cast("double")
+        ).alias("damage_char_share"),
+    ).withColumnRenamed("grp", group_col)

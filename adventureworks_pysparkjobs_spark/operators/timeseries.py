@@ -373,3 +373,179 @@ def daily_cross_correlation(
         .otherwise(num / den)
         .alias("xcorr"),
     )
+
+
+def kendall_tau_daily(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between the DAILY COUNT series
+    of every pair of keys — the robust "do these two activities move
+    together?" statistic (rank-based, so a single spike day cannot
+    dominate it the way it dominates Pearson).
+
+    Counting formulation (exact, no ranks needed): over all day pairs
+    d1 < d2 within the pair's dense day span, classify the joint move
+    (concordant / discordant / tied on x / tied on y / tied on both);
+    tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)) with n0 = the number of
+    day pairs, tx/ty = pairs tied on each axis. Missing days count as
+    ZERO activity (they carry rank information), via a dense
+    day x key grid.
+
+    Exactness: all five pair counts are exact BIGINTs from integer
+    comparisons; tau is sqrt of one product of two exact-int-valued
+    doubles and one division — +,-,*,/ and sqrt are IEEE correctly
+    rounded in both engines, so the identical expression tree is
+    bit-exact (the supplier_return_rate_wilson rule). n0 is bounded by
+    the calendar (span_days^2 / 2), so the counts stay far below 2^53.
+
+    Scale shape: one (day, key) count aggregation over the fact, a
+    calendar-bounded dense grid (distinct-days x distinct-keys — both
+    aggregate-reduced), then a day-grain self-join per key pair:
+    O(keys^2 * span^2) rows, independent of fact size. Returns
+    (key_a, key_b, n_days, n_pairs, concordant, discordant, tau_b).
+    """
+    daily = df.select(
+        F.to_date(F.col(ts_col)).alias("d"),
+        F.col(key_col).alias("k"),
+    ).groupBy("d", "k").agg(F.count(F.lit(1)).alias("c"))
+    days = daily.select("d").distinct()
+    keys = daily.select("k").distinct()
+    # CROSS_OK: dense day x key grid — both sides aggregate-reduced
+    # (calendar-bounded distinct days, enum-bounded distinct keys).
+    grid = days.crossJoin(keys)
+    dense = grid.join(daily, ["d", "k"], "left").select(
+        "d", "k", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    a = dense.select(
+        F.col("k").alias("k_a"), F.col("d").alias("d_a"),
+        F.col("c").alias("x"),
+    )
+    b = dense.select(
+        F.col("k").alias("k_b"), F.col("d").alias("d_b"),
+        F.col("c").alias("y"),
+    )
+    # per key pair: all day pairs d_a < d_b of the two series
+    xa = a.select("k_a", F.col("d_a").alias("d"), "x")
+    yb = b.select("k_b", F.col("d_b").alias("d"), "y")
+    joined = xa.join(yb, "d").filter(F.col("k_a") < F.col("k_b")).select(
+        "k_a", "k_b", "d", "x", "y"
+    )
+    p1 = joined.select(
+        "k_a", "k_b", F.col("d").alias("d1"),
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+    )
+    p2 = joined.select(
+        "k_a", "k_b", F.col("d").alias("d2"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    pairs = p1.join(p2, ["k_a", "k_b"]).filter(F.col("d1") < F.col("d2"))
+    sx = F.col("x2") - F.col("x1")
+    sy = F.col("y2") - F.col("y1")
+    agg = pairs.groupBy("k_a", "k_b").agg(
+        F.countDistinct("d1").alias("_nd1"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(((sx > 0) & (sy > 0)) | ((sx < 0) & (sy < 0)), 1)
+            .otherwise(0)
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(((sx > 0) & (sy < 0)) | ((sx < 0) & (sy > 0)), 1)
+            .otherwise(0)
+        ).cast("long").alias("discordant"),
+        F.sum(F.when(sx == 0, 1).otherwise(0)).cast("long").alias("_tx"),
+        F.sum(F.when(sy == 0, 1).otherwise(0)).cast("long").alias("_ty"),
+    )
+    nx = (F.col("n_pairs") - F.col("_tx")).cast("double")
+    ny = (F.col("n_pairs") - F.col("_ty")).cast("double")
+    den = F.sqrt(nx * ny)
+    return agg.select(
+        "k_a", "k_b",
+        (F.col("_nd1") + F.lit(1)).cast("long").alias("n_days"),
+        "n_pairs", "concordant", "discordant",
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("concordant") - F.col("discordant")).cast("double") / den
+        )
+        .alias("tau_b"),
+    )
+
+
+def theilsen_daily_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil–Sen trend estimate per key: the MEDIAN of all pairwise
+    slopes of the daily count series — the robust alternative to the
+    OLS slope (a 29% contamination breakdown point vs OLS's zero; one
+    corrupted day cannot move it).
+
+    Missing days count as zero activity via the per-key dense day span
+    (gaps carry trend information). Each pairwise slope is ONE IEEE
+    division of exact integers ((c2-c1)/(d2-d1)) — identical in both
+    engines — and the median is exact rank selection over the slope
+    multiset: lower+upper median averaged with one (a+b)/2, so every
+    emitted float is a composition of portable operations.
+
+    Scale shape: one (day, key) aggregation over the fact, a per-key
+    dense spine (explode of the calendar-bounded span), then a per-key
+    day self-join: O(keys * span^2) slope rows — calendar-bounded,
+    independent of fact size — ranked by one per-key window. Returns
+    (key, n_days, n_slopes, slope_per_day).
+    """
+    daily = df.select(
+        F.to_date(F.col(ts_col)).alias("d"),
+        F.col(key_col).alias("k"),
+    ).groupBy("k", "d").agg(F.count(F.lit(1)).alias("c"))
+    span = daily.groupBy("k").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "k",
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("off"),
+        F.col("d0"),
+    ).select("k", F.date_add("d0", F.col("off")).alias("d"))
+    dense = spine.join(daily, ["k", "d"], "left").select(
+        "k", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    p1 = dense.select("k", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    p2 = dense.select("k", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    slopes = (
+        p1.join(p2, "k")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "k",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("s")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    counts = slopes.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_slopes")
+    )
+    med = (
+        ranked.join(counts, "k")
+        .filter(
+            # lower median rank (n+1) div 2 and upper median rank
+            # n div 2 + 1 — equal for odd n (integer div, not float /)
+            (F.col("rn") == F.expr("(n_slopes + 1) div 2"))
+            | (F.col("rn") == F.expr("n_slopes div 2 + 1"))
+        )
+        .groupBy("k", "n_slopes")
+        .agg(
+            ((F.min("s") + F.max("s")) / F.lit(2.0)).alias("slope_per_day")
+        )
+    )
+    ndays = dense.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return ndays.join(med, "k").select(
+        F.col("k").alias(key_col), "n_days", "n_slopes", "slope_per_day"
+    )

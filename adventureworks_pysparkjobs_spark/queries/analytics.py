@@ -314,6 +314,131 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_SEEDS = 3
+
+
+def _ppr_oracle(iters: int, scale: int, n_seeds: int) -> str:
+    """Unrolled personalized PageRank: the pagerank oracle's graph CTEs
+    plus a deterministic seed set (top weighted degree, node asc
+    tie-break); restart mass lands only on seeds."""
+    head = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, w FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM pairs
+    ),
+    ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+    e AS (SELECT edges.src, edges.dst, edges.w, ow.ow
+          FROM edges JOIN ow ON ow.src = edges.src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (SELECT src AS node FROM ow
+              ORDER BY ow DESC, src LIMIT {n_seeds}),
+    flagged AS (
+      SELECT n.node, (s.node IS NOT NULL) AS is_seed
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ),
+    r0 AS (
+      SELECT node, is_seed,
+             CAST(CASE WHEN is_seed THEN {scale} // {n_seeds}
+                  ELSE 0 END AS BIGINT) AS r
+      FROM flagged)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT f.node, f.is_seed,
+             CAST(CASE WHEN f.is_seed
+                   THEN (CAST(15 AS BIGINT) * {scale}) // (100 * {n_seeds})
+                   ELSE 0 END
+                  + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM flagged f
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM((p.r * e.w) // e.ow) AS s
+        FROM e JOIN r{i - 1} p ON p.node = e.src
+        GROUP BY 1
+      ) c ON c.node = f.node
+    )""")
+    tail = f"""
+    SELECT node AS part_key, r AS rank_scaled,
+           CAST(r AS DOUBLE) / {float(scale)} AS ppr
+    FROM r{iters}
+    WHERE r > 0
+    """
+    return head + "".join(steps) + tail
+
+
+@query(
+    "part_personalized_pagerank",
+    oracle=_ppr_oracle(_PR_ITERS, _PR_SCALE, _PPR_SEEDS),
+    tags=("graph", "pagerank", "personalized", "recommendation",
+          "iterative", "integer-exact"),
+)
+def part_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 3 highest-degree parts of the
+    co-purchase graph (operators/graph.py:personalized_pagerank) — the
+    "customers who buy THESE also gravitate to..." local ranking, vs
+    the global importance of part_copurchase_pagerank. Restart mass
+    lands only on the seed set (deterministic: weighted degree DESC,
+    part key ASC), so rank decays with graph distance from the seeds;
+    nodes never reached in 6 hops stay exactly 0 and are filtered.
+    Same integer-scaled exactness contract as pagerank: the oracle
+    replays all iterations in unrolled SQL, bit-identical. Per
+    iteration one edge equi-join + one keyed sum; the seed flag is a
+    broadcast join onto the node frame."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "pair_n"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            "pair_n",
+        )
+    )
+    ow = edges.groupBy("src").agg(
+        F.sum(F.col("pair_n").cast("long")).alias("ow")
+    )
+    seeds = (
+        ow.orderBy(F.col("ow").desc(), F.col("src"))
+        .limit(_PPR_SEEDS)
+        .select(F.col("src").alias("node"))
+    )
+    return (
+        personalized_pagerank(
+            edges, seeds, "src", "dst", "pair_n",
+            iterations=_PR_ITERS, scale=_PR_SCALE,
+        )
+        .filter(F.col("rank_scaled") > 0)
+        .select(
+            F.col("node").alias("part_key"),
+            "rank_scaled",
+            F.col("rank").alias("ppr"),
+        )
+    )
+
+
 @query(
     "part_copurchase_triangles",
     bench=True,
@@ -2827,3 +2952,442 @@ def events_resurrections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resurrection_counts(ev, dormancy_days=3)
+
+
+@query(
+    "events_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type AS k,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM daily),
+    keys AS (SELECT DISTINCT k FROM daily),
+    dense AS (
+      SELECT days.d, keys.k, COALESCE(daily.c, 0) AS c
+      FROM days CROSS JOIN keys
+      LEFT JOIN daily ON daily.d = days.d AND daily.k = keys.k
+    ),
+    joined AS (
+      SELECT a.k AS k_a, b.k AS k_b, a.d, a.c AS x, b.c AS y
+      FROM dense a JOIN dense b ON a.d = b.d AND a.k < b.k
+    ),
+    pairs AS (
+      SELECT p1.k_a, p1.k_b, p1.d AS d1,
+             p2.x - p1.x AS sx, p2.y - p1.y AS sy
+      FROM joined p1 JOIN joined p2
+        ON p1.k_a = p2.k_a AND p1.k_b = p2.k_b AND p1.d < p2.d
+    ),
+    agg AS (
+      SELECT k_a, k_b,
+             CAST(COUNT(DISTINCT d1) + 1 AS BIGINT) AS n_days,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN (sx > 0 AND sy > 0)
+                            OR (sx < 0 AND sy < 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             CAST(SUM(CASE WHEN (sx > 0 AND sy < 0)
+                            OR (sx < 0 AND sy > 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ty
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT k_a, k_b, n_days, n_pairs, concordant, discordant,
+           CASE WHEN sqrt(CAST(n_pairs - tx AS DOUBLE)
+                          * CAST(n_pairs - ty AS DOUBLE)) = 0 THEN NULL
+                ELSE CAST(concordant - discordant AS DOUBLE)
+                     / sqrt(CAST(n_pairs - tx AS DOUBLE)
+                            * CAST(n_pairs - ty AS DOUBLE))
+           END AS tau_b
+    FROM agg
+    """,
+    tags=("analytics", "timeseries", "kendall", "rank-correlation",
+          "robust"),
+)
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the daily-count series
+    of every event-type pair (operators/timeseries.py:
+    kendall_tau_daily) — the robust co-movement statistic next to the
+    Spearman/Pearson family entries (rank-based via exact pair
+    counting, so spike days cannot dominate). Missing days are zero
+    activity via the dense calendar x type grid; all five pair
+    classifications are exact BIGINTs; tau is one sqrt + one division
+    of identical operands in both engines. Day-grain self-join:
+    O(types^2 x span^2) pair rows regardless of fact size."""
+    from ..operators.timeseries import kendall_tau_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return kendall_tau_daily(ev, "event_type", "ts")
+
+
+@query(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT k, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+      SELECT span.k, CAST(gs.g AS DATE) AS d
+      FROM span, LATERAL unnest(generate_series(
+        CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        INTERVAL 1 DAY)) AS gs(g)
+    ),
+    dense AS (
+      SELECT spine.k, spine.d, COALESCE(daily.c, 0) AS c
+      FROM spine LEFT JOIN daily
+        ON daily.k = spine.k AND daily.d = spine.d
+    ),
+    slopes AS (
+      SELECT p1.k,
+             CAST(p2.c - p1.c AS DOUBLE)
+               / CAST(date_diff('day', p1.d, p2.d) AS DOUBLE) AS s
+      FROM dense p1 JOIN dense p2
+        ON p1.k = p2.k AND p1.d < p2.d
+    ),
+    ranked AS (
+      SELECT k, s, ROW_NUMBER() OVER (PARTITION BY k ORDER BY s) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_slopes
+      FROM slopes
+    ),
+    med AS (
+      SELECT k, n_slopes, (MIN(s) + MAX(s)) / 2.0 AS slope_per_day
+      FROM ranked
+      WHERE rn = (n_slopes + 1) // 2
+         OR rn = n_slopes // 2 + 1
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM dense GROUP BY 1)
+    SELECT nd.k AS event_type, nd.n_days, med.n_slopes, med.slope_per_day
+    FROM nd JOIN med ON med.k = nd.k
+    """,
+    tags=("analytics", "timeseries", "theil-sen", "trend", "robust"),
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type (operators/timeseries.py:
+    theilsen_daily_trend): the exact median of all pairwise
+    daily-count slopes over the zero-densified day span — the
+    29%-breakdown-point alternative to the rolling OLS slope entry.
+    Every slope is one IEEE division of exact integers; the median is
+    rank selection (lower+upper averaged), so each emitted float is a
+    composition of portable operations. Day-grain pair join bounded by
+    the calendar, not the fact."""
+    from ..operators.timeseries import theilsen_daily_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return theilsen_daily_trend(ev, "event_type", "ts")
+
+
+@query(
+    "orders_backlog_timeline",
+    oracle="""
+    WITH opened AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_opened
+      FROM orders GROUP BY 1
+    ),
+    closes AS (
+      SELECT MAX(CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    closed AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_closed
+               FROM closes GROUP BY 1),
+    merged AS (
+      SELECT COALESCE(o.d, c.d) AS d,
+             COALESCE(o.n_opened, 0) AS n_opened,
+             COALESCE(c.n_closed, 0) AS n_closed
+      FROM opened o FULL OUTER JOIN closed c ON o.d = c.d
+    )
+    SELECT d, n_opened, n_closed,
+           CAST(SUM(n_opened) OVER w - SUM(n_closed) OVER w
+                AS BIGINT) AS backlog
+    FROM merged
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+    tags=("analytics", "backlog", "queue-depth", "timeline"),
+)
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog (operators/analytics.py:
+    backlog_timeline): orders open as of each day, where an order
+    opens on o_orderdate and closes when its LAST lineitem ships
+    (max l_shipdate per order; an order with no lineitems never
+    closes). Exact BIGINT running sums over the day-grain merged
+    timeline — the queue-depth series behind fulfillment dashboards.
+    Two day-grain aggregations + one calendar-bounded ordered
+    window."""
+    from ..operators.analytics import backlog_timeline
+
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = od.select(F.to_date("o_orderdate").alias("d"))
+    closed = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("d")
+    ).select("d")
+    return backlog_timeline(opened, closed, "d")
+
+
+@query(
+    "part_degree_distribution",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst, w FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM pairs
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+             CAST(SUM(w) AS BIGINT) AS wsum
+      FROM edges GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(LENGTH(bin(degree)) AS INTEGER) AS bucket,
+             MIN(degree) AS min_degree, MAX(degree) AS max_degree,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(wsum) AS BIGINT) AS weight_sum
+      FROM deg GROUP BY 1
+    )
+    SELECT bucket, min_degree, max_degree, n_nodes,
+           CAST(n_nodes AS DOUBLE)
+             / CAST(SUM(n_nodes) OVER () AS DOUBLE) AS node_share,
+           weight_sum,
+           CAST(weight_sum AS DOUBLE)
+             / CAST(SUM(weight_sum) OVER () AS DOUBLE) AS weight_share
+    FROM b
+    """,
+    tags=("graph", "degree", "histogram", "skew-audit", "planning"),
+)
+def part_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part co-purchase graph in power-of-two
+    buckets (operators/graph.py:degree_distribution) — the
+    hub-structure audit run BEFORE pagerank/triangles/link-prediction:
+    mass in high buckets is exactly where per-node joins skew, so this
+    is the graph analogue of events_key_skew. Bucketing is the
+    portable integer log2 (length of the binary string — no floating
+    log in either engine); counts exact; shares one division each over
+    the bucket-grain frame."""
+    from ..operators.analytics import pair_counts
+    from ..operators.graph import degree_distribution
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "pair_n"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("dst"),
+            "pair_n",
+        )
+    )
+    return degree_distribution(edges, "src", "dst", "pair_n")
+
+
+@query(
+    "part_price_elasticity",
+    oracle="""
+    WITH sides AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS qty,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(12,2)))
+                  AS DECIMAL(38,4)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT lo.brand,
+             lo.n_lines AS n_lo, hi.n_lines AS n_hi,
+             CAST(CAST(lo.qty AS VARCHAR) AS DOUBLE)
+               / CAST(lo.n_lines AS DOUBLE) AS qty_lo,
+             CAST(CAST(hi.qty AS VARCHAR) AS DOUBLE)
+               / CAST(hi.n_lines AS DOUBLE) AS qty_hi,
+             CAST(CAST(lo.rev AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(lo.qty AS VARCHAR) AS DOUBLE) AS price_lo,
+             CAST(CAST(hi.rev AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(hi.qty AS VARCHAR) AS DOUBLE) AS price_hi
+      FROM sides lo JOIN sides hi
+        ON lo.brand = hi.brand AND lo.hi = 0 AND hi.hi = 1
+    )
+    SELECT brand, n_lo, n_hi, qty_lo, qty_hi, price_lo, price_hi,
+           CASE WHEN (price_hi - price_lo) = 0 THEN NULL
+                ELSE ((qty_hi - qty_lo) / (qty_hi + qty_lo))
+                     / ((price_hi - price_lo) / (price_hi + price_lo))
+           END AS arc_elasticity
+    FROM wide
+    """,
+    tags=("analytics", "commerce", "elasticity", "pricing"),
+)
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc price elasticity of demand per brand, estimated from the
+    discount variation the fixture actually has: lineitems split into
+    a low-discount (< 5%) and high-discount (>= 5%) side; per side the
+    average line quantity and the average EFFECTIVE unit price
+    (discounted revenue / quantity, exact decimal sums divided once);
+    elasticity = midpoint %-change in quantity over midpoint %-change
+    in price. Every float is a fixed composition of portable IEEE
+    divisions of string-cast decimal-exact sums, so the whole chain
+    cross-checks bit-for-bit. One grouped aggregation + one brand-grain
+    self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    from ..operators.relational import dec
+
+    vol = dec("l_extendedprice", 12, 2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    sides = (
+        # no broadcast hint: part is SF-scaling (AQE picks the strategy;
+        # at fixture scale it broadcasts on its own)
+        li.join(pt.select("p_partkey", "p_brand"),
+                li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("l_discount") >= 0.05, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(dec("l_quantity", 12, 2))
+            .cast("decimal(38,2)")
+            .alias("qty"),
+            F.sum(vol).cast("decimal(38,4)").alias("rev"),
+        )
+    )
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    lo = sides.filter(F.col("hi") == 0).select(
+        "brand",
+        F.col("n_lines").alias("n_lo"),
+        (_dbl(F.col("qty")) / F.col("n_lines").cast("double"))
+        .alias("qty_lo"),
+        (_dbl(F.col("rev")) / _dbl(F.col("qty"))).alias("price_lo"),
+    )
+    hi = sides.filter(F.col("hi") == 1).select(
+        "brand",
+        F.col("n_lines").alias("n_hi"),
+        (_dbl(F.col("qty")) / F.col("n_lines").cast("double"))
+        .alias("qty_hi"),
+        (_dbl(F.col("rev")) / _dbl(F.col("qty"))).alias("price_hi"),
+    )
+    dp = F.col("price_hi") - F.col("price_lo")
+    elast = F.when(dp == 0.0, F.lit(None).cast("double")).otherwise(
+        (
+            (F.col("qty_hi") - F.col("qty_lo"))
+            / (F.col("qty_hi") + F.col("qty_lo"))
+        )
+        / (dp / (F.col("price_hi") + F.col("price_lo")))
+    )
+    return lo.join(hi, "brand").select(
+        "brand", "n_lo", "n_hi", "qty_lo", "qty_hi",
+        "price_lo", "price_hi", elast.alias("arc_elasticity"),
+    )
+
+
+@query(
+    "orders_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    xg AS (SELECT price, MAX(d) AS my FROM pts GROUP BY 1),
+    frontier AS (
+      SELECT price, my FROM (
+        SELECT price, my,
+               MAX(my) OVER (ORDER BY price DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_above
+        FROM xg)
+      WHERE best_above IS NULL OR my > best_above
+    )
+    SELECT p.o_orderkey, p.price, p.d AS order_date
+    FROM pts p JOIN frontier f
+      ON p.price = f.price AND p.d = f.my
+    """,
+    tags=("analytics", "skyline", "pareto-frontier", "dominance"),
+)
+def orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier of orders in (totalprice,
+    recency) — the orders no other order beats on BOTH value and
+    freshness (operators/analytics.py:skyline_2d), the multi-criteria
+    shortlist operator. Window formulation: x-grain reduction, one
+    running-max lag over strictly-higher prices, semi-join back —
+    O(distinct prices) window rows instead of the naive O(n^2)
+    dominance anti-join. Pure comparisons, no arithmetic: bit-exact in
+    any engine."""
+    from ..operators.analytics import skyline_2d
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    return skyline_2d(od, "price", "order_date", "o_orderkey")
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH mk AS (
+      SELECT DISTINCT user_id AS m, event_type AS k FROM events
+    ),
+    sizes AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM mk GROUP BY 1),
+    inter AS (
+      SELECT a.k AS key_a, b.k AS key_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM mk a JOIN mk b ON a.m = b.m AND a.k < b.k
+      GROUP BY 1, 2
+    )
+    SELECT i.key_a, i.key_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.k = i.key_a
+    JOIN sizes sb ON sb.k = i.key_b
+    """,
+    tags=("analytics", "jaccard", "audience", "segmentation"),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience Jaccard between event types (operators/
+    analytics.py:audience_overlap) — how much any two activities share
+    their user base, the segmentation/cannibalization audit. Posting-
+    list formulation: distinct (user, type) reduction, a per-user
+    self-join whose fan-out is bounded by the type cardinality (never
+    materializes user sets), exact intersection/set-size integers, one
+    division. The set-similarity sibling of doc_source_minhash_overlap
+    at exact (non-sketched) cardinalities."""
+    from ..operators.analytics import audience_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return audience_overlap(ev, "event_type", "user_id")

@@ -1956,3 +1956,46 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = D.dedup_clusters(pairs)
     return D.keep_best_per_cluster(clusters, doc, "doc_id", "n_chars")
+
+
+@query(
+    "doc_unicode_sanity",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             LENGTH(text) AS n,
+             LENGTH(text) - LENGTH(regexp_replace(
+               text, '\\x{FFFD}', '', 'g')) AS r,
+             LENGTH(text) - LENGTH(regexp_replace(
+               text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS c,
+             LENGTH(text) - LENGTH(regexp_replace(
+               text, '[^\\x00-\\x7f]', '', 'g')) AS na
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_chars,
+           CAST(SUM(r) AS BIGINT) AS n_replacement,
+           CAST(SUM(c) AS BIGINT) AS n_control,
+           CAST(SUM(na) AS BIGINT) AS n_non_ascii,
+           CAST(SUM(CASE WHEN r > 0 OR c > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_damage,
+           CAST(SUM(r) + SUM(c) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             AS damage_char_share
+    FROM per GROUP BY source
+    """,
+    tags=("text", "quality", "unicode", "mojibake", "encoding"),
+)
+def doc_unicode_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage audit per source (operators/text.py:
+    unicode_sanity): U+FFFD replacement-character mass, C0 control
+    characters outside whitespace, and raw non-ASCII share — the
+    decode-health gate a web-scale scrape runs before any tokenizer.
+    Length-difference counting over identical RE2-compatible character
+    classes in both engines (character, not byte, lengths on both
+    sides); exact integers; one division. One per-row expression pass
+    + one group-grain aggregate — zero joins."""
+    from ..operators.text import unicode_sanity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unicode_sanity(docs, "text", "source")

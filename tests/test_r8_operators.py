@@ -1,0 +1,227 @@
+"""Hand-value and property tests for the round-8 operator wave:
+Kendall tau-b, Theil–Sen trend, backlog timeline, 2-D skyline,
+audience overlap, unicode sanity, degree distribution, personalized
+PageRank."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, counts: dict[str, list[int]], d0="2024-01-01"):
+    """Build an events-like frame where day i has counts[k][i] rows of
+    type k (one row per count unit)."""
+    base = dt.date.fromisoformat(d0)
+    rows = []
+    for k, series in counts.items():
+        for i, c in enumerate(series):
+            for j in range(c):
+                rows.append(
+                    (
+                        dt.datetime.combine(
+                            base + dt.timedelta(days=i),
+                            dt.time(1, 0, j % 60),
+                        ),
+                        k,
+                    )
+                )
+    return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+
+class TestKendallTau:
+    def test_perfectly_discordant(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.timeseries import (
+            kendall_tau_daily,
+        )
+
+        ev = _events(spark, {"a": [1, 2, 3, 4], "b": [4, 3, 2, 1]})
+        r = kendall_tau_daily(ev).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert (row["k_a"], row["k_b"]) == ("a", "b")
+        assert row["n_days"] == 4 and row["n_pairs"] == 6
+        assert (row["concordant"], row["discordant"]) == (0, 6)
+        assert row["tau_b"] == -1.0
+
+    def test_ties_use_tau_b_correction(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.timeseries import (
+            kendall_tau_daily,
+        )
+
+        # x strictly increasing, y = [1,1,2,2]: C=4, D=0, ty=2 ->
+        # tau_b = 4 / sqrt(6 * 4)
+        ev = _events(spark, {"a": [1, 2, 3, 4], "b": [1, 1, 2, 2]})
+        row = kendall_tau_daily(ev).collect()[0]
+        assert (row["concordant"], row["discordant"]) == (4, 0)
+        assert row["tau_b"] == 4.0 / (6.0 * 4.0) ** 0.5
+
+    def test_missing_day_counts_as_zero(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.timeseries import (
+            kendall_tau_daily,
+        )
+
+        # type b absent on days 2-3 (zero), so its series is [2,0,0,1]
+        ev = _events(spark, {"a": [1, 2, 3, 4], "b": [2, 0, 0, 1]})
+        row = kendall_tau_daily(ev).collect()[0]
+        assert row["n_days"] == 4 and row["n_pairs"] == 6
+
+
+class TestTheilSen:
+    def test_exact_linear_series(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.timeseries import (
+            theilsen_daily_trend,
+        )
+
+        ev = _events(spark, {"a": [0, 2, 4, 6]})
+        # day 1 has 0 events -> spine starts at the first OBSERVED day
+        # (day 2): series [2,4,6], every pairwise slope exactly 2
+        row = theilsen_daily_trend(ev).collect()[0]
+        assert row["n_days"] == 3 and row["n_slopes"] == 3
+        assert row["slope_per_day"] == 2.0
+
+    def test_outlier_robustness_even_n(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.timeseries import (
+            theilsen_daily_trend,
+        )
+
+        # observed span days 0..3 with counts [1,3,5,100]:
+        # slopes: 2, 2, 33, 2, 48.5, 95 -> sorted
+        # [2, 2, 2, 33, 48.5, 95]; n=6 even -> (2 + 33) / 2
+        ev = _events(spark, {"a": [1, 3, 5, 100]})
+        row = theilsen_daily_trend(ev).collect()[0]
+        assert row["n_slopes"] == 6
+        assert row["slope_per_day"] == (2.0 + 33.0) / 2.0
+
+
+class TestBacklogTimeline:
+    def test_hand_values(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            backlog_timeline,
+        )
+
+        opened = spark.createDataFrame(
+            [("2024-01-01",), ("2024-01-01",), ("2024-01-02",)],
+            "d string",
+        ).select(F.to_date("d").alias("d"))
+        closed = spark.createDataFrame(
+            [("2024-01-02",), ("2024-01-04",)], "d string"
+        ).select(F.to_date("d").alias("d"))
+        out = {str(r["d"]): r for r in backlog_timeline(opened, closed).collect()}
+        assert out["2024-01-01"]["backlog"] == 2
+        assert out["2024-01-02"]["backlog"] == 2  # +1 open, -1 close
+        assert out["2024-01-04"]["backlog"] == 1
+        # one item never closes: final backlog stays positive
+        assert out["2024-01-04"]["n_closed"] == 1
+
+
+class TestSkyline2D:
+    def test_dominance_and_tie_cosurvival(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            skyline_2d,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 10, 5),   # dominated by 3 (11 > 10, 5 = 5 strict on x)
+                (2, 10, 9),   # skyline (best y at x=10, no higher x beats 9)
+                (3, 11, 5),   # skyline
+                (4, 11, 5),   # ties 3 on both -> co-survives
+                (5, 9, 9),    # dominated by 2 (10 > 9, 9 = 9)
+                (6, 12, 1),   # skyline (max x)
+            ],
+            "id long, x long, y long",
+        )
+        ids = {r["id"] for r in skyline_2d(df, "x", "y", "id").collect()}
+        assert ids == {2, 3, 4, 6}
+
+
+class TestAudienceOverlap:
+    def test_hand_values(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            audience_overlap,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (4, "b"),
+             (1, "a")],  # duplicate membership must not double-count
+            "user_id long, event_type string",
+        )
+        row = audience_overlap(df).collect()[0]
+        assert (row["key_a"], row["key_b"]) == ("a", "b")
+        assert (row["n_a"], row["n_b"], row["n_common"]) == (3, 3, 2)
+        assert row["jaccard"] == 2.0 / 4.0
+
+
+class TestUnicodeSanity:
+    def test_counts(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.text import (
+            unicode_sanity,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "clean ascii", "s1"),
+                (2, "bad �� here", "s1"),
+                (3, "ctrl\x01\x02 and café", "s1"),
+                (4, "tab\tand\nnewline ok", "s2"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {r["source"]: r for r in unicode_sanity(df).collect()}
+        s1 = out["s1"]
+        assert s1["n_docs"] == 3
+        assert s1["n_replacement"] == 2
+        assert s1["n_control"] == 2
+        assert s1["n_non_ascii"] == 3  # 2 replacement chars + e-acute
+        assert s1["docs_with_damage"] == 2
+        s2 = out["s2"]
+        assert s2["n_control"] == 0  # \t and \n are whitespace, not damage
+        assert s2["docs_with_damage"] == 0
+
+
+class TestDegreeDistribution:
+    def test_power_of_two_buckets(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.graph import (
+            degree_distribution,
+        )
+
+        # node degrees: a->3 edges, b..d->1 each, e->4
+        edges = []
+        for dstn in ("b", "c", "d"):
+            edges += [("a", dstn, 1), (dstn, "a", 1)]
+        for dstn in ("a", "b", "c", "d"):
+            edges += [("e", dstn, 2), (dstn, "e", 2)]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        out = {r["bucket"]: r for r in degree_distribution(df).collect()}
+        # degree(a)=4 -> bucket 3; degree(e)=4 -> bucket 3;
+        # degree(b,c,d)=2 -> bucket 2
+        assert out[2]["n_nodes"] == 3
+        assert out[2]["min_degree"] == 2 and out[2]["max_degree"] == 2
+        assert out[3]["n_nodes"] == 2
+        assert abs(sum(r["node_share"] for r in out.values()) - 1.0) < 1e-15
+
+
+class TestPersonalizedPagerank:
+    def test_seed_locality_and_determinism(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        # two disconnected 2-cliques; seed in the first one only
+        pairs = [(1, 2, 1), (2, 1, 1), (10, 11, 1), (11, 10, 1)]
+        edges = spark.createDataFrame(pairs, "src long, dst long, w long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        r1 = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+        }
+        # restart mass never reaches the disconnected component
+        assert r1[10] == 0 and r1[11] == 0
+        assert r1[1] > r1[2] > 0  # seed holds the restart mass
+        r2 = {
+            r["node"]: r["rank_scaled"]
+            for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+        }
+        assert r1 == r2  # integer arithmetic: bit-identical reruns

@@ -43,6 +43,10 @@ CROSS_OK = {
     "customer_second_order_hazard",  # 1-row observation-horizon cross
     "events_bootstrap_ci",  # 1-row day-count/total broadcast cross
     "customer_feature_store",  # 1-row as-of-date broadcast cross
+    # dense day x type grid: BOTH sides aggregate-reduced (calendar-
+    # bounded distinct days x enum-bounded distinct types) before the
+    # cross — grid size is span x |types|, independent of fact rows
+    "events_kendall_tau",
 
     "emb_cosine_topk",
     "emb_contrastive_pairs",  # broadcast-anchor scoring + negative candidates

@@ -1518,3 +1518,52 @@ def keep_best_per_cluster(
             F.sum(F.when(F.col("rn") > 1, F.col("_score"))), F.lit(0)
         ).cast("long").alias("score_removed"),
     )
+
+
+def dedup_provenance(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    slice_col: str = "source",
+) -> DataFrame:
+    """Cross-slice duplicate PROVENANCE matrix: for every dup group
+    (``clusters`` is any (id, group) frame — near-dup connected
+    components from :func:`dedup_clusters`, or exact-digest groups),
+    keep-first dedup keeps the smallest id — this reports, per
+    (keeper's slice, dropped doc's slice), how many documents the
+    policy drops. The audit behind "is source B mostly a mirror of
+    source A?" and "which feed pays the dedup bill?" — the DIRECTIONAL
+    upgrade over symmetric overlap scores
+    (doc_source_minhash_overlap): a mirror LOSES docs to the original
+    under keep-min-id, and the matrix shows it. Diagonal rows
+    (slice drops to itself) are the within-feed dedup bill.
+
+    Scale shape: the member frame carries (id, group) only; one
+    group-grain window for the keeper id, one group-keyed self-join to
+    attach the keeper's slice, two id-keyed joins to ``docs`` for the
+    slices, one matrix-grain aggregation (|slices|^2 rows). Returns
+    (source_keep, source_drop, n_dropped, n_groups).
+    """
+    src = docs.select(
+        F.col(id_col).alias("_id"), F.col(slice_col).alias("_src")
+    )
+    m = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_grp")
+    ).join(src, "_id")
+    w = Window.partitionBy("_grp")
+    flagged = m.withColumn("_keeper", F.min("_id").over(w))
+    keepers = flagged.filter(F.col("_id") == F.col("_keeper")).select(
+        F.col("_grp"), F.col("_src").alias("source_keep")
+    )
+    dropped = flagged.filter(F.col("_id") != F.col("_keeper")).select(
+        "_grp", F.col("_src").alias("source_drop")
+    )
+    return (
+        dropped.join(keepers, "_grp")
+        .groupBy("source_keep", "source_drop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dropped"),
+            F.countDistinct("_grp").cast("long").alias("n_groups"),
+        )
+    )

@@ -1438,3 +1438,73 @@ def pca_top_component(
         F.col("v").alias("v_scaled"),
         (F.col("v").cast("double") / F.lit(float(scale))).alias("loading"),
     )
+
+
+def fisher_dims(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant_scale: int = 1_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-dimension Fisher discriminability of an embedding column
+    between two classes (labels binarized as ``label % 2 = 0``): which
+    coordinates actually separate the classes — the feature-quality
+    audit run before anyone trains a probe on pooled embeddings, and
+    the principled way to pick dimensions for a cheap blocking key.
+
+    fisher(d) = (m1 - m2)^2 / (v1 + v2) over per-class mean/variance of
+    the dimension's values, computed on QUANTIZED values
+    (floor(v * quant_scale) — floor(double) and the multiply are
+    identical IEEE ops in any engine) so every moment is an exact
+    integer: counts and sums BIGINT, squared sums DECIMAL(38,0)
+    (overflow-safe at corpus scale), and the final score is one fixed
+    composition of IEEE divisions — bit-identical cross-engine.
+
+    Scale shape: one posexplode pass (rows x dim), one dim-grain
+    aggregation with map-side partials, one window over the d-row
+    frame for the deterministic top-k (score DESC, dim ASC). Returns
+    (dim, n_a, n_b, mean_a, mean_b, var_a, var_b, fisher, rnk).
+    """
+    ex = emb.select(
+        (F.col(label_col) % 2 == 0).alias("cls"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "cls",
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(float(quant_scale)))
+        .cast("long")
+        .alias("q"),
+    )
+    qq = F.expr("CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))")
+    per = ex.groupBy("dim").agg(
+        F.sum(F.when(F.col("cls"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("cls"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("cls"), F.col("q"))).cast("decimal(38,0)")
+        .alias("_sa"),
+        F.sum(F.when(~F.col("cls"), F.col("q"))).cast("decimal(38,0)")
+        .alias("_sb"),
+        F.sum(F.when(F.col("cls"), qq)).cast("decimal(38,0)").alias("_qa"),
+        F.sum(F.when(~F.col("cls"), qq)).cast("decimal(38,0)").alias("_qb"),
+    )
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    ma = _dbl(F.col("_sa")) / F.col("n_a").cast("double")
+    mb = _dbl(F.col("_sb")) / F.col("n_b").cast("double")
+    va = _dbl(F.col("_qa")) / F.col("n_a").cast("double") - ma * ma
+    vb = _dbl(F.col("_qb")) / F.col("n_b").cast("double") - mb * mb
+    scored = per.select(
+        "dim", "n_a", "n_b",
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        va.alias("var_a"), vb.alias("var_b"),
+        F.when(va + vb == 0.0, F.lit(None).cast("double"))
+        .otherwise((ma - mb) * (ma - mb) / (va + vb))
+        .alias("fisher"),
+    )
+    w = Window.orderBy(F.col("fisher").desc_nulls_last(), F.col("dim"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+    )

@@ -3391,3 +3391,175 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return audience_overlap(ev, "event_type", "user_id")
+
+
+@query(
+    "events_hourly_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hr, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+             AS share,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY n DESC, hr) AS INTEGER) AS rnk
+    FROM h
+    """,
+    tags=("analytics", "seasonality", "hour-of-day", "load-shape"),
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile per event type: volume, share of the
+    type's traffic, and the deterministic peak ranking (count DESC,
+    hour ASC) — the intra-day sibling of orders_seasonality_index
+    (day-of-week) and the capacity-planning shape behind autoscaling
+    schedules. One hour-grain aggregation; shares and ranks from
+    windows over the 24 x |types| reduced frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("hr")
+    )
+    return h.select(
+        "event_type",
+        "hr",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double"))
+        .alias("share"),
+        F.row_number().over(wr).cast("int").alias("rnk"),
+    )
+
+
+def _dow_anova_oracle() -> str:
+    """One-way ANOVA effect size with a FIXED-ORDER 7-term SSW sum:
+    cross-row float addition is order-dependent, so the per-dow terms
+    are pivoted into columns and summed in one literal expression —
+    identical parse tree in both engines."""
+    cases = []
+    for g in range(1, 8):
+        cases.append(
+            f"CAST(SUM(CASE WHEN dw = {g} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n{g},\n"
+            f"         SUM(CASE WHEN dw = {g} THEN x END) AS s{g},\n"
+            f"         SUM(CASE WHEN dw = {g} THEN CAST(x AS HUGEINT) * x"
+            f" END) AS q{g}"
+        )
+    ssw_terms = " + ".join(
+        f"(CASE WHEN n{g} = 0 THEN 0.0 ELSE "
+        f"CAST(CAST(q{g} AS VARCHAR) AS DOUBLE) - "
+        f"CAST(CAST(s{g} AS VARCHAR) AS DOUBLE) "
+        f"* CAST(CAST(s{g} AS VARCHAR) AS DOUBLE) "
+        f"/ CAST(n{g} AS DOUBLE) END)"
+        for g in range(1, 8)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tagged AS (
+      SELECT k, x, CAST(dayofweek(d) + 1 AS INTEGER) AS dw FROM daily
+    ),
+    piv AS (
+      SELECT k,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(x) AS s_all,
+         SUM(CAST(x AS HUGEINT) * x) AS q_all,
+         {", ".join(cases)}
+      FROM tagged GROUP BY 1
+    ),
+    e AS (
+      SELECT k, n_days,
+        CAST(CAST(q_all AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(s_all AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(s_all AS VARCHAR) AS DOUBLE)
+            / CAST(n_days AS DOUBLE) AS sst,
+        {ssw_terms} AS ssw
+      FROM piv
+    )
+    SELECT k AS event_type, n_days, sst, ssw,
+           CASE WHEN sst = 0 THEN NULL ELSE 1.0 - ssw / sst END
+             AS eta_squared
+    FROM e
+    """
+
+
+@query(
+    "events_dow_anova",
+    oracle=_dow_anova_oracle(),
+    tags=("analytics", "anova", "seasonality", "effect-size",
+          "integer-exact"),
+)
+def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size (eta-squared) of day-of-week on the
+    daily count series per event type: how much of the volume variance
+    the weekly cycle explains — the scalar that says whether the
+    dow_seasonality profile is signal or noise. Exactness: all moments
+    are exact integers (squared sums in DECIMAL(38,0)/HUGEINT); SSW is
+    a FIXED-ORDER 7-term expression (per-dow terms pivoted to columns
+    — a cross-row float sum would be order-dependent, the
+    chi2-contribution lesson); sst/ssw/eta are fixed IEEE trees.
+    Day-grain everywhere after one daily aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tagged = daily.select(
+        F.col("event_type").alias("k"),
+        "x",
+        F.dayofweek("d").cast("int").alias("dw"),
+    )
+    xx = F.expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("decimal(38,0)").alias("s_all"),
+        F.sum(xx).cast("decimal(38,0)").alias("q_all"),
+    ]
+    for g in range(1, 8):
+        cond = F.col("dw") == g
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{g}"),
+            F.sum(F.when(cond, F.col("x"))).cast("decimal(38,0)")
+            .alias(f"s{g}"),
+            F.sum(F.when(cond, xx)).cast("decimal(38,0)").alias(f"q{g}"),
+        ]
+    piv = tagged.groupBy("k").agg(*aggs)
+
+    def _dbl(name):
+        return F.col(name).cast("string").cast("double")
+
+    sst = _dbl("q_all") - _dbl("s_all") * _dbl("s_all") / F.col(
+        "n_days"
+    ).cast("double")
+    ssw = None
+    for g in range(1, 8):
+        term = F.when(F.col(f"n{g}") == 0, F.lit(0.0)).otherwise(
+            _dbl(f"q{g}")
+            - _dbl(f"s{g}") * _dbl(f"s{g}") / F.col(f"n{g}").cast("double")
+        )
+        ssw = term if ssw is None else ssw + term
+    out = piv.select(
+        F.col("k").alias("event_type"),
+        "n_days",
+        sst.alias("sst"),
+        ssw.alias("ssw"),
+    )
+    return out.select(
+        "event_type", "n_days", "sst", "ssw",
+        F.when(F.col("sst") == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0) - F.col("ssw") / F.col("sst"))
+        .alias("eta_squared"),
+    )

@@ -116,6 +116,12 @@ ORACLE_INDEPENDENCE: dict[str, tuple[str, str]] = {
         "cluster assignment CTE reuses doc_dup_clusters' oracle; the "
         "survivorship selection/accounting on top is cross-checked",
     ),
+    "corpus_dedup_provenance": (
+        "wraps-entry-oracle",
+        "cluster assignment CTE reuses doc_dup_clusters' oracle (same "
+        "anti-drift rationale as keep_best); the keeper selection and "
+        "cross-source drop matrix on top are cross-checked",
+    ),
     "stream_anomaly_zscore": (
         "wraps-entry-oracle",
         "batch/stream twin: shares events_anomaly_zscore's oracle, "

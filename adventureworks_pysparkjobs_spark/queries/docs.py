@@ -1999,3 +1999,111 @@ def doc_unicode_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unicode_sanity(docs, "text", "source")
+
+
+@query(
+    "corpus_dedup_provenance",
+    # Oracle wraps doc_dup_clusters' oracle (declared anti-drift choice,
+    # tagged in ORACLE_INDEPENDENCE): both entries must describe the SAME
+    # clustering; the provenance matrix on top is cross-checked. Exact
+    # digest groups would be the cheaper grouping, but the fixture has
+    # zero exact-dup texts at sf<=0.01 (the non-vacuity guard caught the
+    # first draft), while the near-dup clusters are populated at every SF.
+    oracle=f"""
+    WITH cl AS ({_DUP_CLUSTERS_ORACLE}),
+    m AS (
+      SELECT cl.doc_id AS id, cl.cluster_id AS grp, d.source AS src
+      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+    ),
+    k AS (SELECT grp, MIN(id) AS keeper FROM m GROUP BY 1),
+    keep AS (
+      SELECT k.grp, m.src AS source_keep
+      FROM k JOIN m ON m.id = k.keeper
+    ),
+    dropped AS (
+      SELECT m.grp, m.src AS source_drop
+      FROM m JOIN k ON k.grp = m.grp AND m.id <> k.keeper
+    )
+    SELECT kp.source_keep, dr.source_drop,
+           CAST(COUNT(*) AS BIGINT) AS n_dropped,
+           CAST(COUNT(DISTINCT dr.grp) AS BIGINT) AS n_groups
+    FROM dropped dr JOIN keep kp ON kp.grp = dr.grp
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "provenance", "cross-source", "audit"),
+)
+def corpus_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate provenance matrix (operators/dedup.py:
+    dedup_provenance): per (keeper source, dropped source), how many
+    documents keep-first dedup over the near-dup clusters removes —
+    the DIRECTIONAL mirror audit ("source B loses its copies to
+    source A") that symmetric overlap scores can't express; diagonal
+    rows are each feed's within-feed dedup bill. Cluster frame =
+    doc_dup_clusters' connected components (same construction, same
+    oracle text — declared anti-drift wrap). Member-id shuffles only;
+    one group window + two keyed joins + a |sources|^2 aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, n=5, threshold=0.5, max_shingle_df=1000
+    )
+    clusters = D.dedup_clusters(pairs)
+    return D.dedup_provenance(clusters, docs, "doc_id", "cluster_id",
+                              "source")
+
+
+@query(
+    "doc_pii_cooccurrence",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+        (len(regexp_extract_all(text, 'https?://[^\\s]+')) > 0) AS u,
+        (len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0) AS e,
+        (len(regexp_extract_all(text,
+          '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) > 0) AS i
+      FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_url_docs,
+      CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+      CAST(SUM(CASE WHEN i THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+      CAST(SUM(CASE WHEN u AND e THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_url_email,
+      CAST(SUM(CASE WHEN u AND i THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_url_ip,
+      CAST(SUM(CASE WHEN e AND i THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_email_ip,
+      CAST(SUM(CASE WHEN u AND e AND i THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_all3
+    FROM f GROUP BY source
+    """,
+    tags=("text", "pii", "cooccurrence", "governance"),
+)
+def doc_pii_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-kind co-occurrence per source: documents carrying a URL, an
+    email, an IPv4, and every combination — the risk-tiering audit on
+    top of the flat pii counts (a doc with email AND ip is a
+    different re-identification risk class than either alone). Same
+    PII_PATTERNS as the redaction operator (operators/text.py:360), so
+    the audit and the scrubber can never disagree on what counts.
+    One per-row regexp pass + one source-grain aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    u = F.regexp_count(t, F.lit(TX.PII_PATTERNS["url"][0])) > 0
+    e = F.regexp_count(t, F.lit(TX.PII_PATTERNS["email"][0])) > 0
+    i = F.regexp_count(t, F.lit(TX.PII_PATTERNS["ipv4"][0])) > 0
+    def _n(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    return docs.select("source", u.alias("u"), e.alias("e"),
+                       i.alias("i")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        _n(F.col("u")).alias("n_url_docs"),
+        _n(F.col("e")).alias("n_email_docs"),
+        _n(F.col("i")).alias("n_ip_docs"),
+        _n(F.col("u") & F.col("e")).alias("n_url_email"),
+        _n(F.col("u") & F.col("i")).alias("n_url_ip"),
+        _n(F.col("e") & F.col("i")).alias("n_email_ip"),
+        _n(F.col("u") & F.col("e") & F.col("i")).alias("n_all3"),
+    )

@@ -462,3 +462,70 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov_scale=_PCA_CSCALE,
         iterations=_PCA_ITERS,
     )
+
+
+@query(
+    "emb_fisher_dims",
+    oracle="""
+    WITH ex AS (
+      SELECT (label % 2 = 0) AS cls,
+             CAST(gs - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[gs] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS t(gs)
+    ),
+    per AS (
+      SELECT dim,
+        CAST(SUM(CASE WHEN cls THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN NOT cls THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        SUM(CASE WHEN cls THEN q END) AS sa,
+        SUM(CASE WHEN NOT cls THEN q END) AS sb,
+        SUM(CASE WHEN cls THEN CAST(q AS HUGEINT) * q END) AS qa,
+        SUM(CASE WHEN NOT cls THEN CAST(q AS HUGEINT) * q END) AS qb
+      FROM ex GROUP BY 1
+    ),
+    scored AS (
+      SELECT dim, n_a, n_b,
+        CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+          AS mean_a,
+        CAST(CAST(sb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+          AS mean_b,
+        CAST(CAST(qa AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - (CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE))
+            * (CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE))
+          AS var_a,
+        CAST(CAST(qb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+          - (CAST(CAST(sb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE))
+            * (CAST(CAST(sb AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE))
+          AS var_b
+      FROM per
+    ),
+    fs AS (
+      SELECT dim, n_a, n_b, mean_a, mean_b, var_a, var_b,
+        CASE WHEN var_a + var_b = 0 THEN NULL
+             ELSE (mean_a - mean_b) * (mean_a - mean_b)
+                  / (var_a + var_b) END AS fisher
+      FROM scored
+    )
+    SELECT * FROM (
+      SELECT fs.*, CAST(ROW_NUMBER() OVER (
+        ORDER BY fisher DESC NULLS LAST, dim) AS INTEGER) AS rnk
+      FROM fs)
+    WHERE rnk <= 10
+    """,
+    tags=("similarity", "fisher", "feature-quality", "discriminability"),
+)
+def emb_fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most class-discriminative embedding dimensions by Fisher
+    ratio (operators/similarity.py:fisher_dims): (mean gap)^2 over
+    summed within-class variance per coordinate, classes = label
+    parity — the feature-quality audit before training a probe on
+    pooled embeddings, and the principled basis for a cheap blocking
+    key. Values quantized (floor(v * 1e6) — identical IEEE ops both
+    engines) so every moment is an exact integer; squared sums carried
+    in DECIMAL(38,0)/HUGEINT; the score is one fixed composition of
+    divisions. One explode pass, one dim-grain aggregate, one window
+    over the 64-row frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.fisher_dims(emb, "embedding", "label", top_k=10)

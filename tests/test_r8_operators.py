@@ -225,3 +225,60 @@ class TestPersonalizedPagerank:
             for r in personalized_pagerank(edges, seeds, iterations=4).collect()
         }
         assert r1 == r2  # integer arithmetic: bit-identical reruns
+
+
+class TestDedupProvenance:
+    def test_directional_matrix(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.dedup import (
+            dedup_provenance,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "A"),  # keeper of group 1
+                (5, "B"),  # mirror copy dropped FROM B
+                (9, "B"),  # second copy dropped from B
+                (2, "B"),  # keeper of group 2
+                (7, "A"),  # dropped from A
+                (3, "A"),  # unique: not clustered, no provenance row
+            ],
+            "doc_id long, source string",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (5, 1), (9, 1), (2, 2), (7, 2)],
+            "doc_id long, cluster_id long",
+        )
+        out = {
+            (r["source_keep"], r["source_drop"]): r
+            for r in dedup_provenance(clusters, docs).collect()
+        }
+        assert out[("A", "B")]["n_dropped"] == 2
+        assert out[("A", "B")]["n_groups"] == 1
+        assert out[("B", "A")]["n_dropped"] == 1
+        assert ("A", "A") not in out  # no within-source dup here
+
+
+class TestFisherDims:
+    def test_guard_and_ordering_contract(self, spark):
+        """Zero summed within-class variance -> fisher NULL -> ranked
+        LAST (nulls last), so a finite separator outranks a degenerate
+        one."""
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            fisher_dims,
+        )
+
+        rows = []
+        for i in range(8):
+            lab = i % 2
+            v0 = 1.0 if lab == 0 else -1.0  # perfect, zero variance -> NULL
+            v1 = (1.0 if lab == 0 else -1.0) + 0.25 * (i % 4)  # separating,
+            # finite variance
+            v2 = 0.25 * (i % 4)  # no separation
+            rows.append((i, [v0, v1, v2], lab))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r["rnk"]: r for r in fisher_dims(emb, top_k=3).collect()}
+        assert out[1]["dim"] == 1  # finite separator first
+        assert out[1]["fisher"] > out[2]["fisher"] or out[2]["fisher"] is None
+        assert out[3]["fisher"] is None and out[3]["dim"] == 0

@@ -3563,3 +3563,75 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1.0) - F.col("ssw") / F.col("sst"))
         .alias("eta_squared"),
     )
+
+
+@query(
+    "part_supplier_price_spread",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(12,2)))
+                  AS DECIMAL(38,4)) AS rev,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    priced AS (
+      SELECT part_key, supp_key,
+             CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(qty AS VARCHAR) AS DOUBLE) AS unit_price
+      FROM per WHERE qty <> 0
+    )
+    SELECT part_key,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           MIN(unit_price) AS price_min,
+           MAX(unit_price) AS price_max,
+           MAX(unit_price) - MIN(unit_price) AS spread
+    FROM priced
+    GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+    tags=("analytics", "procurement", "price-spread", "dual-sourcing"),
+)
+def part_supplier_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-sourcing price audit: per part supplied by >= 2 suppliers,
+    the spread between the cheapest and dearest supplier's effective
+    unit price (discounted revenue / quantity, decimal-exact sums
+    divided once per (part, supplier)) — the procurement table behind
+    'consolidate on the cheap supplier' decisions. MIN/MAX over the
+    per-supplier doubles are order-independent, so the whole chain
+    cross-checks bit-for-bit. One (part, supplier) aggregation + one
+    part-grain reduction."""
+    from ..operators.relational import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = dec("l_extendedprice", 12, 2) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    per = (
+        li.groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.col("l_suppkey").alias("supp_key"),
+        )
+        .agg(
+            F.sum(vol).cast("decimal(38,4)").alias("rev"),
+            F.sum(dec("l_quantity", 12, 2)).cast("decimal(38,2)")
+            .alias("qty"),
+        )
+        .filter(F.col("qty") != 0)
+    )
+    unit = (
+        F.col("rev").cast("string").cast("double")
+        / F.col("qty").cast("string").cast("double")
+    )
+    return (
+        per.select("part_key", unit.alias("unit_price"))
+        .groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.min("unit_price").alias("price_min"),
+            F.max("unit_price").alias("price_max"),
+            (F.max("unit_price") - F.min("unit_price")).alias("spread"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )

@@ -2107,3 +2107,48 @@ def doc_pii_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n(F.col("e") & F.col("i")).alias("n_email_ip"),
         _n(F.col("u") & F.col("e") & F.col("i")).alias("n_all3"),
     )
+
+
+@query(
+    "doc_template_families",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+    pfx AS (
+      SELECT doc_id, source,
+             list_aggregate(w[1:5], 'string_agg', ' ') AS prefix
+      FROM toks WHERE len(w) >= 5
+    )
+    SELECT MIN(doc_id) AS family_id, prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM pfx
+    GROUP BY prefix HAVING COUNT(*) >= 2
+    """,
+    tags=("text", "template", "boilerplate", "dedup-adjacent"),
+)
+def doc_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate family detection: documents sharing their
+    first 5 tokens verbatim are one family (min doc_id names it) —
+    the cheap screen for generated-page spam and mirrored templates
+    that near-dup thresholds under-catch when bodies diverge after a
+    shared header. The prefix key is tiny (5 tokens), so the shuffle
+    carries prefixes, not documents; one prefix-grain aggregation.
+    Families spanning several sources (n_sources > 1) are the
+    cross-feed template signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    pfx = docs.select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(t, 1, 5), " ").alias("prefix"),
+    ).filter(F.size(t) >= 5)
+    return (
+        pfx.groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("family_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("family_id", "prefix", "n_docs", "n_sources")
+    )

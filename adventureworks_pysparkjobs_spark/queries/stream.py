@@ -358,3 +358,34 @@ def stream_bloom_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(words.collect(), words.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_user_state_changes",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id, ts_us, prev_type, event_type AS new_type
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    """,
+    tags=("streaming", "stateful", "cdc", "debounce",
+          "applyInPandasWithState"),
+)
+def stream_user_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth custom stateful streaming operator
+    (streaming/events.py:stateful_value_changes) WITH a full SQL
+    oracle: per-user changed-value detection (emit only event_type
+    TRANSITIONS under the (ts, event_id) order, first event = a
+    transition from NULL) — the streaming compaction that turns a
+    chatty upstream into a state-transition log. O(1) state (last
+    type); the append-only output equals the batch LAG formulation on
+    any micro-batch split, which is exactly what the oracle
+    asserts."""
+    from ..streaming.events import stateful_value_changes
+
+    return stateful_value_changes(spark, sf_dir)

@@ -1005,3 +1005,77 @@ def stateful_funnel(
         )
     )
     return run_to_memory(out, "append", spark)
+
+
+def stateful_value_changes(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Fourth applyInPandasWithState showcase: per-user CHANGED-VALUE
+    detector (debounce) — emit a row only when a user's event_type
+    differs from their previous event under the (ts, event_id) total
+    order, carrying the previous type. The streaming form of CDC-style
+    "state transitions only" compaction: a 100x-chattier upstream
+    costs 100x less downstream when only transitions flow on.
+
+    State per user is O(1): (last event_type, last epoch-µs, last id).
+    Each micro-batch replays its rows in (ts, event_id) order and
+    compares against the carried last value, so the emitted transition
+    stream equals the batch LAG formulation on ANY batch split of the
+    input (same arrival contract as the other stateful operators:
+    micro-batches time-ordered per key). A user's very first event is
+    a transition from NULL — emitted with prev_type NULL, exactly like
+    LAG's leading NULL.
+
+    Returns (user_id, ts_us, prev_type, new_type) append-only rows;
+    the FULL oracle replays the LAG chain in SQL.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_type = state.get[0]
+        else:
+            last_type = None
+        out_us: list[int] = []
+        out_prev: list[str | None] = []
+        out_new: list[str] = []
+        frames = [pdf[["ts", "event_id", "event_type"]] for pdf in pdfs]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, et in zip(batch["ts"], batch["event_type"]):
+                if et != last_type:
+                    out_us.append(int(pd.Timestamp(ts).value // 1000))
+                    out_prev.append(last_type)
+                    out_new.append(et)
+                    last_type = et
+        if last_type is not None:
+            state.update((last_type,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_new),
+                "ts_us": out_us,
+                "prev_type": out_prev,
+                "new_type": out_new,
+            }
+        )
+
+    out = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, ts_us long, prev_type string, "
+                "new_type string"
+            ),
+            stateStructType="last_type string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, "append", spark)

@@ -558,3 +558,59 @@ def test_stateful_funnel_two_batch_split_equals_batch(spark, tmp_path):
         ).collect():
             batch.add((r["u"], idx, stages[idx], r["us"]))
     assert streamed == batch
+
+
+def test_stateful_value_changes_two_batch_split_equals_lag(spark, tmp_path):
+    """The streaming changed-value detector's transition rows equal the
+    batch LAG formulation even when the input is split into
+    time-ordered micro-batches: the cross-batch comparison the
+    per-batch sort would miss is carried in the (last_type) state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stateful_value_changes,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS BIGINT), 0.5) AS c"
+    ).collect()[0]["c"]
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (
+        ev.filter(F.col("ts").cast("bigint") <= cut),
+        ev.filter(F.col("ts").cast("bigint") > cut),
+    )
+    for i, half in enumerate(halves):
+        stage = tmp_path / f"h{i}"
+        half.coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(
+            src / f"events-{i:03d}.parquet"
+        )
+
+    streamed = {
+        (r["user_id"], r["ts_us"], r["prev_type"], r["new_type"])
+        for r in stateful_value_changes(
+            spark, str(src), max_files_per_trigger=1
+        ).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {
+        (r["user_id"], r["ts_us"], r["prev_type"], r["new_type"])
+        for r in ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("new_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("new_type"))
+        )
+        .collect()
+    }
+    assert streamed == batch

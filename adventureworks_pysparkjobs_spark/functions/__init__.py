@@ -6,6 +6,7 @@ public 'expression library' counterpart to the operator library.
 """
 
 from ..operators.relational import dec
+from .fiscal import fiscal_cols, fiscal_sql
 from ..operators.similarity import cosine, dot_fold, norm_fold, srp_bucket
 from ..operators.text import (
     bpe_tokens,
@@ -17,6 +18,8 @@ from ..operators.text import (
 
 __all__ = [
     "dec",
+    "fiscal_cols",
+    "fiscal_sql",
     "cosine",
     "dot_fold",
     "norm_fold",

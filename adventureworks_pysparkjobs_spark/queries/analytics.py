@@ -3635,3 +3635,129 @@ def part_supplier_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_suppliers") >= 2)
     )
+
+
+def _fiscal_rollup_oracle() -> str:
+    from ..functions.fiscal import fiscal_sql
+
+    fc = fiscal_sql("o_orderdate")
+    return f"""
+    SELECT {fc['fiscal_year']} AS fiscal_year,
+           {fc['fiscal_quarter']} AS fiscal_quarter,
+           {fc['fiscal_period']} AS fiscal_period,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    """
+
+
+@query(
+    "orders_fiscal_rollup",
+    oracle=_fiscal_rollup_oracle(),
+    tags=("analytics", "fiscal-calendar", "445", "rollup",
+          "integer-exact"),
+)
+def orders_fiscal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup on the 4-4-5 retail fiscal calendar
+    (functions/fiscal.py): every period holds whole weeks (4+4+5 per
+    13-week quarter), so period-over-period comparisons aren't skewed
+    by weekday mix — the merchandising-report calendar, derived with
+    pure non-negative integer arithmetic from the fiscal epoch
+    (bit-exact cross-engine, SARGable once materialized). Decimal-
+    exact revenue, one grouped aggregation."""
+    from ..functions.fiscal import fiscal_cols
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    fc = fiscal_cols(F.to_date("o_orderdate"))
+    return (
+        od.select(
+            fc["fiscal_year"].alias("fiscal_year"),
+            fc["fiscal_quarter"].alias("fiscal_quarter"),
+            fc["fiscal_period"].alias("fiscal_period"),
+            dec("o_totalprice", 12, 2).alias("p"),
+        )
+        .groupBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("p").cast("string").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "orders_total_reconciliation",
+    oracle="""
+    WITH line AS (
+      SELECT l_orderkey,
+             CAST(SUM(
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))
+                    AS DECIMAL(24,4))
+               * CAST(1 + l_tax AS DECIMAL(12,2))
+             ) AS DECIMAL(38,6)) AS computed
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS header_total,
+             line.computed,
+             CAST(line.computed
+                  - CAST(o.o_totalprice AS DECIMAL(12,2))
+                  AS DECIMAL(38,6)) AS delta
+      FROM orders o JOIN line ON line.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN delta > 0 THEN 'over'
+                WHEN delta < 0 THEN 'under'
+                ELSE 'exact' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(ABS(delta)) AS VARCHAR) AS DOUBLE)
+             AS total_abs_delta,
+           CAST(CAST(MAX(ABS(delta)) AS VARCHAR) AS DOUBLE)
+             AS max_abs_delta
+    FROM j GROUP BY 1
+    """,
+    tags=("governance", "reconciliation", "double-entry", "audit"),
+)
+def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines double-entry reconciliation: per order, the
+    header o_totalprice against the decimal-exact recomputed line
+    total sum(extendedprice x (1-discount) x (1+tax)), bucketed by
+    delta sign with exact decimal delta mass — the books-balance audit
+    every finance pipeline runs before trusting revenue rollups.
+    Every intermediate is a pinned-precision DECIMAL (no float until
+    the final reporting casts), so the buckets are bit-exact. One
+    order-grain line aggregation + one keyed join + one 3-row
+    reduction."""
+    from ..operators.relational import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    term = (
+        (dec("l_extendedprice", 12, 2)
+         * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)"))
+        .cast("decimal(24,4)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
+    )
+    line = li.groupBy("l_orderkey").agg(
+        F.sum(term).cast("decimal(38,6)").alias("computed")
+    )
+    j = od.join(line, od["o_orderkey"] == line["l_orderkey"]).select(
+        (
+            F.col("computed") - dec("o_totalprice", 12, 2)
+        ).cast("decimal(38,6)").alias("delta")
+    )
+    bucket = (
+        F.when(F.col("delta") > 0, F.lit("over"))
+        .when(F.col("delta") < 0, F.lit("under"))
+        .otherwise(F.lit("exact"))
+    )
+    return j.select(bucket.alias("bucket"), "delta").groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.abs(F.col("delta"))).cast("string").cast("double")
+        .alias("total_abs_delta"),
+        F.max(F.abs(F.col("delta"))).cast("string").cast("double")
+        .alias("max_abs_delta"),
+    )

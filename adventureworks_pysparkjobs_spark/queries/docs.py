@@ -2152,3 +2152,51 @@ def doc_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("family_id", "prefix", "n_docs", "n_sources")
     )
+
+
+@query(
+    "corpus_shingle_df_profile",
+    oracle=f"""
+    WITH {_shingles_cte(5)},
+    dfs AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+      FROM sh GROUP BY 1
+    )
+    SELECT CAST(LENGTH(bin(df)) AS INTEGER) AS bucket,
+           MIN(df) AS min_df, MAX(df) AS max_df,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+    FROM dfs GROUP BY 1
+    """,
+    tags=("dedup", "tuning", "document-frequency", "planning"),
+)
+def corpus_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile in power-of-two buckets with
+    each bucket's CANDIDATE-PAIR MASS (sum of df-choose-2) — the table
+    that prices a ``max_shingle_df`` stop-shingle cutoff before
+    running n-gram dedup: pair mass above the cutoff bucket is exactly
+    the quadratic work the filter deletes (the dedup-family sibling of
+    part_degree_distribution's hub audit). Distinct (doc, 5-gram)
+    index -> one shingle-grain count -> one bucket-grain reduction;
+    bucketing is the portable integer log2."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = D.shingle_arrays(docs, "doc_id", "text", 5)
+    dfs = (
+        arrs.select("id", F.explode("arr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        dfs.select(
+            F.length(F.bin(F.col("df"))).cast("int").alias("bucket"),
+            "df",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.expr("df * (df - 1) div 2")).cast("long")
+            .alias("pair_mass"),
+        )
+    )

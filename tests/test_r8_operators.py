@@ -282,3 +282,65 @@ class TestFisherDims:
         assert out[1]["dim"] == 1  # finite separator first
         assert out[1]["fisher"] > out[2]["fisher"] or out[2]["fisher"] is None
         assert out[3]["fisher"] is None and out[3]["dim"] == 0
+
+
+class TestFiscalCalendar:
+    def test_445_boundaries(self, spark):
+        from adventureworks_pysparkjobs_spark.functions.fiscal import (
+            FISCAL_EPOCH,
+            fiscal_cols,
+        )
+
+        # epoch day = FY1992 Q1 P1 W1; week 4 (days 21-27) -> P2;
+        # week 9 -> P3; week 13 -> Q2 P4; week 52 -> FY1993 W1
+        df = spark.createDataFrame(
+            [
+                ("1992-01-06",),   # epoch -> W1 P1 Q1
+                ("1992-01-12",),   # still W1
+                ("1992-02-03",),   # day 28 -> W5 -> P2
+                ("1992-03-02",),   # day 56 -> W9 -> P3
+                ("1992-04-06",),   # day 91 = W14 -> Q2 P4
+                ("1993-01-04",),   # day 364 -> FY1993 W1
+            ],
+            "d string",
+        ).select(F.to_date("d").alias("d"))
+        fc = fiscal_cols(F.col("d"))
+        rows = df.select(
+            "d", *(fc[k].alias(k) for k in sorted(fc))
+        ).orderBy("d").collect()
+        assert FISCAL_EPOCH == "1992-01-06"
+        got = [
+            (r["fiscal_year"], r["fiscal_quarter"], r["fiscal_period"],
+             r["fiscal_week"])
+            for r in rows
+        ]
+        assert got == [
+            (1992, 1, 1, 1),
+            (1992, 1, 1, 1),
+            (1992, 1, 2, 5),
+            (1992, 1, 3, 9),
+            (1992, 2, 4, 14),
+            (1993, 1, 1, 1),
+        ]
+
+    def test_period_week_counts_are_445(self, spark):
+        """Over one full fiscal year of days, periods must hold exactly
+        4/4/5 weeks each (28/28/35 days)."""
+        from adventureworks_pysparkjobs_spark.functions.fiscal import (
+            fiscal_cols,
+        )
+
+        days = spark.createDataFrame(
+            [(i,) for i in range(364)], "off int"
+        ).select(F.date_add(F.lit("1992-01-06"), F.col("off")).alias("d"))
+        fc = fiscal_cols(F.col("d"))
+        per = {
+            r["fiscal_period"]: r["n"]
+            for r in days.select(fc["fiscal_period"].alias("fiscal_period"))
+            .groupBy("fiscal_period")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sorted(per) == list(range(1, 13))
+        for p, n in per.items():
+            assert n == (35 if p % 3 == 0 else 28), (p, n)

@@ -2206,9 +2206,13 @@ def audience_overlap(
     materializes member sets as arrays. Returns
     (key_a, key_b, n_a, n_b, n_common, jaccard).
     """
+    # cache: mk feeds the per-key sizes AND both self-join sides; without
+    # reuse the fact would be scanned and distinct-shuffled three times.
+    # (cache, not checkpoint: member-grain can be large; let Spark spill
+    # or recompute under pressure.)
     mk = df.select(
         F.col(member_col).alias("m"), F.col(key_col).alias("k")
-    ).distinct()
+    ).distinct().cache()
     sizes = mk.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = mk.select("m", F.col("k").alias("key_a"))
     b = mk.select("m", F.col("k").alias("key_b"))

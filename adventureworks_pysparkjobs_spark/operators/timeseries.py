@@ -429,9 +429,14 @@ def kendall_tau_daily(
     # per key pair: all day pairs d_a < d_b of the two series
     xa = a.select("k_a", F.col("d_a").alias("d"), "x")
     yb = b.select("k_b", F.col("d_b").alias("d"), "y")
+    # localCheckpoint: `joined` is referenced by BOTH sides of the pair
+    # self-join below, and Catalyst re-derives a reused lineage from the
+    # source (the temperature_mixture lesson) — without the cut the fact
+    # would be scanned ~12x. The checkpointed frame is day x pair grain
+    # (calendar x keys^2 bounded), trivially small at any corpus scale.
     joined = xa.join(yb, "d").filter(F.col("k_a") < F.col("k_b")).select(
         "k_a", "k_b", "d", "x", "y"
-    )
+    ).localCheckpoint()
     p1 = joined.select(
         "k_a", "k_b", F.col("d").alias("d1"),
         F.col("x").alias("x1"), F.col("y").alias("y1"),
@@ -509,9 +514,12 @@ def theilsen_daily_trend(
         ).alias("off"),
         F.col("d0"),
     ).select("k", F.date_add("d0", F.col("off")).alias("d"))
+    # localCheckpoint: dense is referenced three times (both slope sides
+    # + n_days) — cut the lineage so the fact is aggregated once; the
+    # frame is day x key grain, calendar-bounded.
     dense = spine.join(daily, ["k", "d"], "left").select(
         "k", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    ).localCheckpoint()
     p1 = dense.select("k", F.col("d").alias("d1"), F.col("c").alias("c1"))
     p2 = dense.select("k", F.col("d").alias("d2"), F.col("c").alias("c2"))
     slopes = (

@@ -2242,3 +2242,79 @@ def audience_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def bot_score_heuristic(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    min_events: int = 5,
+    flag_min_events: int = 20,
+    flag_modal_share: float = 0.5,
+) -> DataFrame:
+    """Bot-traffic heuristic per user: humans emit irregular inter-event
+    gaps, schedulers emit the SAME gap over and over — so the share of
+    a user's gaps equal to their single most common (modal) gap is the
+    cheap mechanical-traffic screen a training-data events pipeline
+    runs before any engagement metric (bots pollute funnels, DAU, and
+    behavioral corpora alike). Complements the CV^2 regularity census:
+    modal share catches the exact-period scheduler that a low-variance
+    test also flags, but stays meaningful for bimodal bots (cron +
+    jitter) where variance lies.
+
+    Per user with >= ``min_events`` events: event count, distinct
+    types, modal gap (microseconds, deterministic tie-break to the
+    SMALLEST gap), modal share of all gaps, and the flag
+    (n_events >= flag_min_events AND modal_share > flag_modal_share).
+    All counts exact; the share is one division.
+
+    Scale shape: one user-keyed window for the gaps (ordered by
+    (ts, id) — unique total order), one (user, gap)-grain count, one
+    per-user window for the modal pick, one user-grain join. Returns
+    (user, n_events, n_types, modal_gap_us, modal_share, is_bot_like).
+    """
+    w = Window.partitionBy("u").orderBy("t", "i")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("et"),
+    )
+    per_user = ev.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("et").cast("long").alias("n_types"),
+    ).filter(F.col("n_events") >= min_events)
+    gaps = (
+        ev.withColumn("prev_t", F.lag("t").over(w))
+        .filter(F.col("prev_t").isNotNull())
+        .select("u", (F.col("t") - F.col("prev_t")).alias("gap_us"))
+    )
+    gap_counts = gaps.groupBy("u", "gap_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gap")
+    )
+    wm = Window.partitionBy("u").orderBy(
+        F.col("n_gap").desc(), F.col("gap_us").asc()
+    )
+    modal = (
+        gap_counts.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("u", F.col("gap_us").alias("modal_gap_us"),
+                F.col("n_gap").alias("_modal_n"))
+    )
+    out = per_user.join(modal, "u")
+    share = F.col("_modal_n").cast("double") / (
+        F.col("n_events") - 1
+    ).cast("double")
+    return out.select(
+        F.col("u").alias(user_col),
+        "n_events",
+        "n_types",
+        "modal_gap_us",
+        share.alias("modal_share"),
+        (
+            (F.col("n_events") >= flag_min_events)
+            & (share > F.lit(flag_modal_share))
+        ).alias("is_bot_like"),
+    )

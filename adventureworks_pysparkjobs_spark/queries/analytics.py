@@ -3761,3 +3761,56 @@ def orders_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("delta"))).cast("string").cast("double")
         .alias("max_abs_delta"),
     )
+
+
+@query(
+    "events_bot_heuristic",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, epoch_us(ts) AS t, event_id AS i,
+             event_type AS et
+      FROM events
+    ),
+    per_user AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT et) AS BIGINT) AS n_types
+      FROM ev GROUP BY 1 HAVING COUNT(*) >= 5
+    ),
+    gaps AS (
+      SELECT u, t - LAG(t) OVER (PARTITION BY u ORDER BY t, i) AS gap_us
+      FROM ev
+    ),
+    gap_counts AS (
+      SELECT u, gap_us, CAST(COUNT(*) AS BIGINT) AS n_gap
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1, 2
+    ),
+    modal AS (
+      SELECT u, gap_us AS modal_gap_us, n_gap FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY u ORDER BY n_gap DESC, gap_us ASC) AS rn
+        FROM gap_counts) WHERE rn = 1
+    )
+    SELECT p.u AS user_id, p.n_events, p.n_types, m.modal_gap_us,
+           CAST(m.n_gap AS DOUBLE) / CAST(p.n_events - 1 AS DOUBLE)
+             AS modal_share,
+           (p.n_events >= 20 AND
+            CAST(m.n_gap AS DOUBLE) / CAST(p.n_events - 1 AS DOUBLE)
+              > 0.5) AS is_bot_like
+    FROM per_user p JOIN modal m ON m.u = p.u
+    """,
+    tags=("analytics", "bot-detection", "data-quality", "regularity"),
+)
+def events_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mechanical-traffic screen (operators/analytics.py:
+    bot_score_heuristic): per user, the share of inter-event gaps equal
+    to the user's modal gap — schedulers repeat one gap, humans don't.
+    The pre-metric hygiene filter for behavioral corpora and funnels;
+    complements the CV^2 regularity census (modal share stays
+    meaningful for bimodal cron+jitter bots where variance lies).
+    Exact integer gap arithmetic under the unique (ts, id) order;
+    deterministic modal tie-break; one user-keyed window + one
+    (user, gap) count + one modal pick."""
+    from ..operators.analytics import bot_score_heuristic
+
+    ev = load_table(spark, sf_dir, "events")
+    return bot_score_heuristic(ev)

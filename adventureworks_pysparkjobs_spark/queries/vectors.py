@@ -529,3 +529,84 @@ def emb_fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 64-row frame."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.fisher_dims(emb, "embedding", "label", top_k=10)
+
+
+@query(
+    "emb_knn_label_agreement",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, q.ql, c.label AS nl,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos('q.qv', 'c.embedding')} DESC, c.vec_id)
+               AS rnk
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    votes AS (
+      SELECT query_id, ql, nl, CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored WHERE rnk <= 5 GROUP BY 1, 2, 3
+    ),
+    majority AS (
+      SELECT query_id, ql, nl AS pred FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY n DESC, nl ASC) AS vr
+        FROM votes) WHERE vr = 1
+    )
+    SELECT ql AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred = ql THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred = ql THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS knn_accuracy
+    FROM majority GROUP BY 1
+    """,
+    tags=("similarity", "knn", "label-quality", "evaluation"),
+)
+def emb_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label agreement per class: does an
+    embedding's neighborhood vote for its own label — the label-noise
+    / embedding-quality audit (low agreement for one class means its
+    labels or its embeddings are bad) run before anyone trusts the
+    space for classification or semantic dedup. Majority vote with a
+    deterministic (count DESC, label ASC) tie-break over the exact
+    cosine top-5 (same broadcast-bounded query-sample contract as
+    emb_cosine_topk); counts exact, accuracy one division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    top = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    lbl = emb.select("vec_id", "label")
+    votes = (
+        top.join(
+            lbl.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("nl").asc()
+    )
+    majority = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nl").alias("pred"))
+    )
+    own = lbl.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    j = majority.join(own, "query_id")
+    correct = F.when(F.col("pred") == F.col("ql"), 1).otherwise(0)
+    return j.groupBy(F.col("ql").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        (
+            F.sum(correct).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("knn_accuracy"),
+    )

@@ -344,3 +344,50 @@ class TestFiscalCalendar:
         assert sorted(per) == list(range(1, 13))
         for p, n in per.items():
             assert n == (35 if p % 3 == 0 else 28), (p, n)
+
+
+class TestBotHeuristic:
+    def test_scheduler_flagged_human_not(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            bot_score_heuristic,
+        )
+
+        rows = []
+        # bot: 25 events exactly 60s apart, one type
+        for i in range(25):
+            rows.append((1, 1_000_000 + i * 60_000_000, i, "click"))
+        # human: 25 events with all-distinct gaps, three types
+        t = 0
+        for i in range(25):
+            t += (i + 1) * 1_000_000  # strictly growing gaps
+            rows.append((2, t, 100 + i, ["view", "click", "purchase"][i % 3]))
+        df = spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, event_type string"
+        ).select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id",
+            "event_type",
+        )
+        out = {r["user_id"]: r for r in bot_score_heuristic(df).collect()}
+        bot, human = out[1], out[2]
+        assert bot["is_bot_like"] and bot["modal_share"] == 1.0
+        assert bot["modal_gap_us"] == 60_000_000 and bot["n_types"] == 1
+        assert not human["is_bot_like"]
+        assert human["modal_share"] == 1.0 / 24.0  # all gaps distinct
+
+    def test_min_events_floor(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.analytics import (
+            bot_score_heuristic,
+        )
+
+        rows = [(1, i * 1_000_000, i, "click") for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, event_type string"
+        ).select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id",
+            "event_type",
+        )
+        assert bot_score_heuristic(df).count() == 0  # below min_events

@@ -55,6 +55,9 @@ CROSS_OK = {
     # corpus by design (brute force with 4x/32x less scan width); the
     # LSH/IVF methods in the same union stay bucketed equi-joins.
     "emb_ann_topk",
+    # same broadcast-query-sample contract as emb_cosine_topk (it IS
+    # cosine_topk + a label-vote reduction)
+    "emb_knn_label_agreement",
 }
 
 BATCH_QUERIES = sorted(
@@ -456,6 +459,7 @@ _CONTRACT_BOUNDED = {
     "emb_contrastive_pairs",
     "emb_int8_topk",
     "emb_pq_topk",
+    "emb_knn_label_agreement",  # cosine_topk composition, same contract
 }
 
 

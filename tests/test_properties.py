@@ -871,3 +871,121 @@ def test_kcore_peel_fixpoint_is_idempotent(spark, edges, k):
     if stable_from is not None:
         for j in range(stable_from, len(rows)):
             assert rows[j][1:] == rows[stable_from][1:]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ys=st.lists(st.integers(0, 5), min_size=3, max_size=10),
+)
+def test_kendall_tau_negation_antisymmetry(spark, ys):
+    """Reversing one series in time negates the concordant/discordant
+    classification of every pair, so tau_b(x, reversed_y) == -tau_b(x, y)
+    exactly (the denominator is invariant: pair tie counts are preserved
+    under reversal, and x is strictly increasing so tx = 0)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.operators.timeseries import (
+        kendall_tau_daily,
+    )
+
+    from hypothesis import assume
+
+    assume(any(ys))  # type b must exist somewhere or there is no pair row
+
+    def build(series_b):
+        rows, eid = [], 0
+        base = _dt.datetime(2024, 1, 1, 6, 0, 0)
+        for i in range(len(series_b)):
+            # type a strictly increasing: i+1 events on day i
+            for _ in range(i + 1):
+                eid += 1
+                rows.append((base + _dt.timedelta(days=i), "a"))
+            for _ in range(series_b[i]):
+                eid += 1
+                rows.append((base + _dt.timedelta(days=i), "b"))
+        return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    fwd = kendall_tau_daily(build(ys)).collect()[0]
+    rev = kendall_tau_daily(build(ys[::-1])).collect()[0]
+    assert fwd["n_pairs"] == rev["n_pairs"]
+    assert (fwd["concordant"], fwd["discordant"]) == (
+        rev["discordant"], rev["concordant"],
+    )
+    if fwd["tau_b"] is not None:
+        assert fwd["tau_b"] == -rev["tau_b"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1, max_size=40,
+    ),
+)
+def test_skyline_idempotent_and_correct_vs_bruteforce(spark, pts):
+    """skyline(skyline(X)) == skyline(X), and the window formulation
+    matches the O(n^2) dominance definition exactly."""
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {(r["id"]) for r in skyline_2d(df, "x", "y", "id").collect()}
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] >= a[1] and b[2] >= a[2]
+            and (b[1] > a[1] or b[2] > a[2])
+        )
+
+    brute = {
+        a[0] for a in rows
+        if not any(dominated(a, b) for b in rows if b[0] != a[0])
+    }
+    assert got == brute
+    sky = spark.createDataFrame(
+        [r for r in rows if r[0] in got], "id long, x long, y long"
+    )
+    again = {r["id"] for r in skyline_2d(sky, "x", "y", "id").collect()}
+    assert again == got
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    members=st.lists(
+        st.tuples(st.integers(1, 12), st.sampled_from(["a", "b", "c"])),
+        min_size=2, max_size=40,
+    ),
+)
+def test_audience_overlap_jaccard_bounds_and_exactness(spark, members):
+    """Jaccard from the posting-list formulation matches Python set
+    arithmetic exactly for every key pair, and sits in [0, 1]."""
+    from adventureworks_pysparkjobs_spark.operators.analytics import (
+        audience_overlap,
+    )
+
+    df = spark.createDataFrame(
+        members, "user_id long, event_type string"
+    )
+    sets: dict[str, set[int]] = {}
+    for u, k in members:
+        sets.setdefault(k, set()).add(u)
+    got = {
+        (r["key_a"], r["key_b"]): r
+        for r in audience_overlap(df).collect()
+    }
+    keys = sorted(sets)
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            inter = len(sets[ka] & sets[kb])
+            if inter == 0:
+                assert (ka, kb) not in got  # no row without overlap
+                continue
+            r = got[(ka, kb)]
+            union = len(sets[ka] | sets[kb])
+            assert r["n_common"] == inter
+            assert r["jaccard"] == inter / union
+            assert 0.0 < r["jaccard"] <= 1.0

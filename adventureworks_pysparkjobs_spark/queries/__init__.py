@@ -47,6 +47,17 @@ from . import (  # noqa: E402,F401
 # doc_sampling_pipeline), doc_line_clean (text-clean family stays via
 # doc_text_profile + corpus_training_pipeline which embeds the clean
 # stage); all four remain catalog + oracle-gated locally.
+# r8 second rotation (round-8 representatives, same two-rotation policy
+# as r7): in — stream_user_state_changes (the FOURTH
+# applyInPandasWithState operator deserves driver attestation),
+# part_personalized_pagerank, events_kendall_tau, orders_fiscal_rollup;
+# out — events_tumbling_5min (windowed-agg family stays via
+# stream_tumbling_counts + rollup_cube), corpus_term_stats (term-stats
+# family stays via corpus_bm25_topk + doc_text_profile),
+# semi_anti_customers (join family stays via outer_join_profiles + q5),
+# doc_jaccard_histogram (dedup-observability family stays via
+# doc_dedup_threshold_curve + doc_minhash_lsh_pairs); all four remain
+# catalog + oracle-gated locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -58,14 +69,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_funnel_stages",
     "q5_nation_revenue",
     "events_markov_stationary",
-    "semi_anti_customers",
+    "events_kendall_tau",
     "outer_join_profiles",
     "corpus_bm25_topk",
     "orders_bloom_prefilter",
     "supplier_return_rate_wilson",
     "top3_parts_per_brand",
     "part_link_prediction",
-    "doc_jaccard_histogram",
+    "orders_fiscal_rollup",
     "doc_dedup_threshold_curve",
     "part_brand_modularity",
     "orders_profile",
@@ -75,7 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fact_order_line",
     "fact_daily_part_agg",
     "events_semistructured",
-    "events_tumbling_5min",
+    "stream_user_state_changes",
     "events_sessionize",
     "events_asof_attribution",
     "doc_classifier_conformal",
@@ -87,7 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_resample_gapfill",
     "doc_binary_payload",
     "doc_sampling_pipeline",
-    "corpus_term_stats",
+    "part_personalized_pagerank",
     "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_pca_top_component",

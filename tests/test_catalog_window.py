@@ -25,14 +25,14 @@ EXPECTED_WINDOW = (
     "stream_funnel_stages",
     "q5_nation_revenue",
     "events_markov_stationary",
-    "semi_anti_customers",
+    "events_kendall_tau",
     "outer_join_profiles",
     "corpus_bm25_topk",
     "orders_bloom_prefilter",
     "supplier_return_rate_wilson",
     "top3_parts_per_brand",
     "part_link_prediction",
-    "doc_jaccard_histogram",
+    "orders_fiscal_rollup",
     "doc_dedup_threshold_curve",
     "part_brand_modularity",
     "orders_profile",
@@ -42,7 +42,7 @@ EXPECTED_WINDOW = (
     "fact_order_line",
     "fact_daily_part_agg",
     "events_semistructured",
-    "events_tumbling_5min",
+    "stream_user_state_changes",
     "events_sessionize",
     "events_asof_attribution",
     "doc_classifier_conformal",
@@ -54,7 +54,7 @@ EXPECTED_WINDOW = (
     "events_resample_gapfill",
     "doc_binary_payload",
     "doc_sampling_pipeline",
-    "corpus_term_stats",
+    "part_personalized_pagerank",
     "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_pca_top_component",
@@ -109,6 +109,11 @@ def test_beyond_window_entries_still_registered():
         "events_quantile_sketch",
         "doc_multilingual_resample",
         "doc_line_clean",
+        # r8 second rotation — still catalog + oracle-gated
+        "events_tumbling_5min",
+        "corpus_term_stats",
+        "semi_anti_customers",
+        "doc_jaccard_histogram",
     ):
         assert name in beyond, f"{name} fell out of the catalog"
 

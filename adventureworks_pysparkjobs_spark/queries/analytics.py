@@ -3814,3 +3814,80 @@ def events_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return bot_score_heuristic(ev)
+
+
+def _fiscal_yoy_oracle() -> str:
+    from ..functions.fiscal import fiscal_sql
+
+    fc = fiscal_sql("o_orderdate")
+    return f"""
+    WITH per AS (
+      SELECT {fc['fiscal_year']} AS fy,
+             {fc['fiscal_quarter']} AS fiscal_quarter,
+             {fc['fiscal_period']} AS fiscal_period,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT cur.fy AS fiscal_year, cur.fiscal_quarter, cur.fiscal_period,
+           CAST(CAST(cur.rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(prev.rev AS VARCHAR) AS DOUBLE) AS revenue_prior,
+           (CAST(CAST(cur.rev AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(prev.rev AS VARCHAR) AS DOUBLE))
+             / CAST(CAST(prev.rev AS VARCHAR) AS DOUBLE) AS yoy_growth
+    FROM per cur JOIN per prev
+      ON prev.fy = cur.fy - 1
+     AND prev.fiscal_quarter = cur.fiscal_quarter
+     AND prev.fiscal_period = cur.fiscal_period
+    """
+
+
+@query(
+    "orders_fiscal_yoy_growth",
+    oracle=_fiscal_yoy_oracle(),
+    tags=("analytics", "fiscal-calendar", "yoy", "growth"),
+)
+def orders_fiscal_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per 4-4-5 fiscal period — the
+    report the fiscal calendar exists FOR: because every period holds
+    the same whole weeks, period-vs-prior-year-period compares like
+    with like (no weekday-mix or month-length skew). One fiscal-grain
+    aggregation + one self-join on (quarter, period) at year-1; exact
+    decimal revenue; growth is a fixed composition of portable
+    divisions; periods without a prior-year twin are (honestly)
+    absent."""
+    from ..functions.fiscal import fiscal_cols
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    fc = fiscal_cols(F.to_date("o_orderdate"))
+    per = (
+        od.select(
+            fc["fiscal_year"].alias("fy"),
+            fc["fiscal_quarter"].alias("fiscal_quarter"),
+            fc["fiscal_period"].alias("fiscal_period"),
+            dec("o_totalprice", 12, 2).alias("p"),
+        )
+        .groupBy("fy", "fiscal_quarter", "fiscal_period")
+        .agg(F.sum("p").cast("decimal(38,2)").alias("rev"))
+    )
+    rev_d = F.col("rev").cast("string").cast("double")
+    cur = per.select(
+        "fy", "fiscal_quarter", "fiscal_period", rev_d.alias("revenue")
+    )
+    prev = per.select(
+        (F.col("fy") + 1).alias("fy"),
+        "fiscal_quarter",
+        "fiscal_period",
+        rev_d.alias("revenue_prior"),
+    )
+    j = cur.join(prev, ["fy", "fiscal_quarter", "fiscal_period"])
+    return j.select(
+        F.col("fy").alias("fiscal_year"),
+        "fiscal_quarter",
+        "fiscal_period",
+        "revenue",
+        "revenue_prior",
+        ((F.col("revenue") - F.col("revenue_prior"))
+         / F.col("revenue_prior")).alias("yoy_growth"),
+    )

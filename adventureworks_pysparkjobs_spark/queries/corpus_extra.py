@@ -1953,3 +1953,48 @@ def corpus_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     return keyness_by_group(doc, "source", "text", top_k=5, min_count=5)
+
+
+@query(
+    "emb_ivf_cell_balance",
+    oracle=_kmeans_cte(_KM_K, _KM_ITERS) + f"""
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share,
+           CAST(COUNT(*) AS DOUBLE) * {_KM_K}
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS load_factor
+    FROM a{_KM_ITERS}
+    GROUP BY cluster
+    """,
+    tags=("similarity", "ivf", "balance", "skew-audit", "planning"),
+)
+def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit: per coarse-quantizer cell, its
+    vector count, corpus share, and load factor (share x k; 1.0 =
+    perfectly balanced) — the planning table read before trusting an
+    IVF n_probe cost model, because probing a hot cell costs its
+    actual list length, not N/k (the embedding-space sibling of
+    part_degree_distribution and corpus_shingle_df_profile). Same
+    integer-exact k-means state as emb_kmeans_clusters (shared
+    oracle-CTE generator, every assignment engine-identical); one
+    cell-grain reduction + windows over the k-row frame."""
+    from ..operators.similarity import kmeans_assign
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS
+    )
+    w = Window.partitionBy()
+    cells = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = F.sum("n_vectors").over(w).cast("double")
+    return cells.select(
+        "cluster",
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / tot).alias("share"),
+        (F.col("n_vectors").cast("double") * F.lit(float(_KM_K)) / tot)
+        .alias("load_factor"),
+    )

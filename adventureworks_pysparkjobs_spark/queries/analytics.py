@@ -3891,3 +3891,96 @@ def orders_fiscal_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("revenue") - F.col("revenue_prior"))
          / F.col("revenue_prior")).alias("yoy_growth"),
     )
+
+
+@query(
+    "customer_value_quadrants",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0)
+                  AS DECIMAL(38,2)) AS spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spend),
+    med_bal AS (
+      SELECT bal AS m FROM (
+        SELECT bal, ROW_NUMBER() OVER (ORDER BY bal, c_custkey) AS rn
+        FROM spend), n
+      WHERE rn = (n.n + 1) // 2
+    ),
+    med_spend AS (
+      SELECT spend AS m FROM (
+        SELECT spend, ROW_NUMBER() OVER (ORDER BY spend, c_custkey) AS rn
+        FROM spend), n
+      WHERE rn = (n.n + 1) // 2
+    )
+    SELECT CASE WHEN bal >= mb.m THEN 'hi_bal' ELSE 'lo_bal' END
+             || '/' ||
+           CASE WHEN spend >= ms.m THEN 'hi_spend' ELSE 'lo_spend' END
+             AS quadrant,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(spend) AS VARCHAR) AS DOUBLE) AS total_spend
+    FROM spend, med_bal mb, med_spend ms
+    GROUP BY 1
+    """,
+    tags=("analytics", "segmentation", "quadrant", "median"),
+)
+def customer_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-split customer quadrants: account balance vs lifetime
+    spend, each customer placed above/below the EXACT lower median of
+    each axis (deterministic rank selection under a (value, custkey)
+    total order; a zero-order customer spends exactly 0, not NULL) —
+    the 2x2 segmentation behind "high-potential / under-monetized"
+    plays, robust where mean-split segmentation is dragged by whales.
+    Two 1-row median riders broadcast-crossed onto the customer-grain
+    frame (allowlisted, the rfm/quartile pattern); exact decimal
+    spend; one 4-row reduction."""
+    from ..operators.relational import dec
+
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    spend = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy(cu["c_custkey"].alias("ck"),
+                 dec("c_acctbal", 12, 2).alias("bal"))
+        .agg(
+            F.coalesce(
+                F.sum(dec("o_totalprice", 12, 2)), F.lit(0)
+            ).cast("decimal(38,2)").alias("spend")
+        )
+    ).cache()  # referenced by both median riders + the quadrant scan
+    # (cache, not localCheckpoint: the checkpoint would erase the
+    # Aggregate lineage the plan advisor uses to see the global median
+    # windows run over a REDUCED customer-grain frame)
+    from pyspark.sql import Window
+
+    def _median(col):
+        w = Window.orderBy(F.col(col), F.col("ck"))
+        ranked = spend.select(
+            F.col(col), F.col("ck"), F.row_number().over(w).alias("rn")
+        )
+        n1 = spend.groupBy().agg(
+            F.expr("(count(1) + 1) div 2").alias("mrn")
+        )
+        return (
+            ranked.join(F.broadcast(n1), ranked["rn"] == n1["mrn"])
+            .select(F.col(col).alias("m"))
+        )
+    mb = _median("bal").select(F.col("m").alias("mb"))
+    ms = _median("spend").select(F.col("m").alias("ms"))
+    # 1-row median riders (CROSS_OK: the rfm/quartile pattern)
+    j = spend.crossJoin(F.broadcast(mb)).crossJoin(F.broadcast(ms))
+    quadrant = F.concat(
+        F.when(F.col("bal") >= F.col("mb"), F.lit("hi_bal"))
+        .otherwise(F.lit("lo_bal")),
+        F.lit("/"),
+        F.when(F.col("spend") >= F.col("ms"), F.lit("hi_spend"))
+        .otherwise(F.lit("lo_spend")),
+    )
+    return j.groupBy(quadrant.alias("quadrant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").cast("string").cast("double").alias("total_spend"),
+    )

@@ -426,3 +426,76 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
     )
     return peak_concurrency(sess)
+
+
+@query(
+    "events_session_depth_profile",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR {_FLOOR_S.format(c='ts')}
+                          - {_FLOOR_S.format(c='prev_ts')} > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_seq
+      FROM marked
+    ),
+    depth AS (
+      SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT CAST(LENGTH(bin(n_events)) AS INTEGER) AS bucket,
+           MIN(n_events) AS min_depth, MAX(n_events) AS max_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS session_share,
+           CAST(SUM(n_events) AS BIGINT) AS event_mass
+    FROM depth GROUP BY 1
+    """,
+    tags=("sessionize", "histogram", "engagement", "observability"),
+)
+def events_session_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram in power-of-two buckets: how many
+    sessions are 1-event bounces vs 2-3, 4-7, ... event engagements,
+    with each bucket's share and total event mass — the engagement-
+    shape observability table next to the raw sessionize rollup (a
+    product where bucket 1 dominates has a bounce problem; a fat tail
+    is power-user concentration). Same session construction as
+    events_sessionize (shared CTE shape); one session-grain reduction
+    + one bucket-grain rollup; portable integer log2 bucketing."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, id_col="event_id")
+    depth = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    b = depth.select(
+        F.length(F.bin(F.col("n_events"))).cast("int").alias("bucket"),
+        "n_events",
+    ).groupBy("bucket").agg(
+        F.min("n_events").alias("min_depth"),
+        F.max("n_events").alias("max_depth"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("event_mass"),
+    )
+    return b.select(
+        "bucket", "min_depth", "max_depth", "n_sessions",
+        (
+            F.col("n_sessions").cast("double")
+            / F.sum("n_sessions").over(w).cast("double")
+        ).alias("session_share"),
+        "event_mass",
+    )

@@ -28,6 +28,7 @@ CROSS_OK = {
     "doc_quality_quartiles",  # 1-row total-count broadcast cross
     "corpus_vocab_growth",  # two 1-row bucket-width broadcast crosses
     "customer_rfm_segments",  # three 1-row quartile-total broadcast crosses
+    "customer_value_quadrants",  # two 1-row exact-median broadcast riders
     "orders_benford_audit",  # 1-row total-count broadcast cross
     "orders_audit_pipeline",  # same benford 1-row total cross via composition
     "corpus_bm25_topk",  # 1-row corpus-totals broadcast cross

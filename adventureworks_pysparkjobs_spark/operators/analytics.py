@@ -2318,3 +2318,115 @@ def bot_score_heuristic(
             & (share > F.lit(flag_modal_share))
         ).alias("is_bot_like"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    bin_col: Column,
+) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H test across k groups — the
+    rank-based "do these k populations differ in location?" test that
+    generalizes the two-group Mann-Whitney U (dup_length_mwu) and is
+    robust where the mean-based ANOVA entry is whale-dragged.
+
+    ``bin_col`` must map values onto a BOUNDED ordinal grid — the
+    ks_drift binning contract: ranking a continuous column at value
+    grain is data-sized, so production rank tests bin first, and the
+    H of the binned data (midranks over bins) is then EXACT. All rank
+    arithmetic is integer: the doubled midrank of bin b is
+    2*cum(b) - c(b) + 1 (an integer — no .5 decimals needed), group
+    rank sums accumulate cnt * rank2 in DECIMAL(38,0), and the tie
+    term sums c^3 - c per bin. The k per-group H terms
+    (R_g^2 / n_g = R2_g^2 / (4 n_g)) are each ONE string-parse double
+    division of exact decimals, then folded in GROUP-NAME order with
+    F.aggregate (the ordered-fold idiom: both engines add the same
+    IEEE doubles in the same order — a plain float SUM over groups
+    would be partition-order-dependent).
+
+    Scale shape: one (bin, group)-keyed count aggregate is the only
+    corpus-sized shuffle; the midrank window runs over the REDUCED
+    bin-grain frame; the group frame is k rows; the tie rider is a
+    1-row broadcast cross (CROSS_OK pattern).
+
+    Returns ONE row: (n BIGINT, k_groups BIGINT, n_tied_bins BIGINT,
+    h DOUBLE, tie_correction DOUBLE, h_corrected DOUBLE,
+    epsilon_sq DOUBLE).
+    """
+    d38 = "decimal(38,0)"
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    vt = (
+        df.select(
+            F.col(group_col).alias("g"), bin_col.cast("long").alias("b")
+        )
+        .groupBy("b", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    v = vt.groupBy("b").agg(F.sum("cnt").cast("long").alias("c"))
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = v.select(
+        "b",
+        "c",
+        (
+            F.lit(2) * F.sum("c").over(wcum) - F.col("c") + F.lit(1)
+        )
+        .cast("long")
+        .alias("rank2"),  # doubled midrank: 2*cum - c + 1, exact integer
+    )
+    groups = (
+        vt.join(ranked.select("b", "rank2"), "b")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(F.col("cnt").cast(d38) * F.col("rank2").cast(d38))
+            .cast(d38)
+            .alias("r2"),
+        )
+    )
+    term = _dbl((F.col("r2") * F.col("r2")).cast(d38)) / _dbl(
+        (F.lit(4).cast(d38) * F.col("n_g").cast(d38)).cast(d38)
+    )
+    folded = groups.select("g", "n_g", term.alias("t")).agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("g", "t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("s_terms"),
+    )
+    ties = v.agg(
+        F.sum(
+            F.col("c").cast(d38) * F.col("c").cast(d38) * F.col("c").cast(d38)
+            - F.col("c").cast(d38)
+        )
+        .cast(d38)
+        .alias("tie3"),
+        F.sum((F.col("c") > 1).cast("int")).cast("long").alias("n_tied_bins"),
+    )
+    # 1-row tie rider (CROSS_OK: the grand-total rider pattern)
+    j = folded.crossJoin(F.broadcast(ties))
+    nn1 = (F.col("n").cast(d38) * (F.col("n") + 1).cast(d38)).cast(d38)
+    n3n = (
+        F.col("n").cast(d38) * F.col("n").cast(d38) * F.col("n").cast(d38)
+        - F.col("n").cast(d38)
+    ).cast(d38)
+    h = (
+        F.lit(12.0) * F.col("s_terms") / _dbl(nn1)
+        - F.lit(3.0) * (F.col("n") + 1).cast("double")
+    )
+    tie_corr = F.lit(1.0) - _dbl(F.col("tie3")) / _dbl(n3n)
+    return j.select(
+        "n",
+        "k_groups",
+        "n_tied_bins",
+        h.alias("h"),
+        tie_corr.alias("tie_correction"),
+        F.when(tie_corr > 0, h / tie_corr).alias("h_corrected"),
+        (h / (F.col("n") - 1).cast("double")).alias("epsilon_sq"),
+    )

@@ -1418,3 +1418,206 @@ def winsorized_stats(
         "n_clipped_lo",
         "n_clipped_hi",
     )
+
+
+def mix_tv_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Week-over-week total-variation distance of a categorical mix —
+    the drift metric for COMPOSITION where ks_drift tracks a value
+    distribution's shape: TV(p, q) = max over event subsets of
+    |p(S) - q(S)| = half the L1 gap between consecutive weekly
+    category shares. A TV of 0.08 reads directly as "8% of this
+    week's traffic is differently typed than last week's" — the
+    population-mix alarm (new client version, bot wave, logging
+    regression) that per-type z-scores fire late on because each type
+    is tested alone.
+
+    Exactness: the L1 numerator cross-multiplies integer counts
+    (|n_cur*N_prev - n_prev*N_cur| accumulated in DECIMAL(38,0) —
+    order-independent), and ONE string-parse double division by
+    2*N_cur*N_prev renders the statistic, so the value is
+    bit-identical across engines and partition orders (the log-free
+    discipline: PSI's ln() is NOT reproducible across JVM/libm,
+    TV needs no transcendental and bounds the same drift).
+
+    Scale shape: one (week, category)-keyed count aggregate is the
+    only corpus-sized shuffle; everything after runs at week- and
+    (week x category)-grain (calendar x enum bounded). The
+    consecutive-week pairing is a full-outer self-join of the REDUCED
+    frame on (week+7d, category) — absent categories count as 0 on
+    either side. Weeks with zero events produce no pair row at all
+    (nothing observed, nothing to compare — documented, not silent).
+
+    Returns (week DATE — the LATER week of each pair, n_prev BIGINT,
+    n_cur BIGINT, n_types BIGINT — categories in the union,
+    tv_distance DOUBLE).
+    """
+    d38 = "decimal(38,0)"
+    wt = (
+        df.select(
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+            F.col(cat_col).alias("cat"),
+        )
+        .groupBy("wk", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = wt.groupBy("wk").agg(F.sum("n").cast("long").alias("nt"))
+    cur = wt.select(
+        F.col("wk").alias("c_wk"), "cat", F.col("n").alias("n_cur")
+    )
+    prev = wt.select(
+        F.date_add(F.col("wk"), 7).alias("c_wk"),
+        "cat",
+        F.col("n").alias("n_prev"),
+    )
+    # full outer at (week, category) grain: a category seen in only one
+    # of the two weeks contributes its whole share to the gap
+    pairs = cur.join(prev, ["c_wk", "cat"], "full_outer").select(
+        "c_wk",
+        "cat",
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+    )
+    # keep only weeks where BOTH endpoints saw traffic (inner joins to
+    # the week totals drop the boundary weeks of the observed span)
+    tc = totals.select(F.col("wk").alias("c_wk"), F.col("nt").alias("n_cur_t"))
+    tp = totals.select(
+        F.date_add(F.col("wk"), 7).alias("c_wk"), F.col("nt").alias("n_prev_t")
+    )
+    framed = pairs.join(tc, "c_wk").join(tp, "c_wk")
+    gap = F.abs(
+        F.col("n_cur").cast(d38) * F.col("n_prev_t").cast(d38)
+        - F.col("n_prev").cast(d38) * F.col("n_cur_t").cast(d38)
+    ).cast(d38)
+    agg = framed.groupBy(F.col("c_wk").alias("week")).agg(
+        F.max("n_prev_t").cast("long").alias("n_prev"),
+        F.max("n_cur_t").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(gap).cast(d38).alias("_l1_num"),
+    )
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    den = (
+        F.lit(2).cast(d38)
+        * F.col("n_cur").cast(d38)
+        * F.col("n_prev").cast(d38)
+    ).cast(d38)
+    return agg.select(
+        "week",
+        "n_prev",
+        "n_cur",
+        "n_types",
+        (_dbl(F.col("_l1_num")) / _dbl(den)).alias("tv_distance"),
+    )
+
+
+def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Cramér's V association matrix over categorical columns
+    — the feature-association screen (which columns carry the same
+    signal?) that contingency_chi2 answers for ONE pair, per cell.
+    This operator reduces every unordered column pair to the SCALAR
+    chi-square and V = sqrt(chi2 / (N * min(r-1, c-1))), the
+    normalized 0..1 association strength feature selection and leakage
+    hunts rank by.
+
+    Determinism (the ordered-fold idiom): a chi-square SCALAR sums
+    per-cell float contributions, and a floating sum is
+    order-dependent — contingency_chi2 therefore stays per-cell. Here
+    the per-pair cell set is ENUM-BOUNDED (r*c cells), so the cells
+    are collected into an array sorted by (a, b) and folded
+    left-to-right with F.aggregate: both engines add the SAME
+    IEEE doubles in the SAME order, making the scalar bit-identical
+    (the DuckDB twin folds list(... ORDER BY a, b) with list_reduce).
+    The fold list is bounded by the category-cardinality product —
+    never data-sized; pairs whose cardinality is data-scaled (ids,
+    timestamps) are contract-excluded.
+
+    Scale shape: ONE scan of the input explodes each row into its
+    column pairs (pairs * rows, pairs = C(k,2) a small constant), one
+    (pair, a, b)-keyed count aggregate is the only corpus-sized
+    shuffle; windows and the fold run at cell grain. V guards the
+    degenerate single-level column with NULL rather than a division
+    by zero.
+
+    Returns (col_pair STRING, n BIGINT, r_levels BIGINT,
+    c_levels BIGINT, dof BIGINT, chi2 DOUBLE, cramers_v DOUBLE).
+    """
+    structs = []
+    names = list(cols)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            structs.append(
+                F.struct(
+                    F.lit(f"{a}|{b}").alias("pair"),
+                    F.col(a).cast("string").alias("a"),
+                    F.col(b).cast("string").alias("b"),
+                )
+            )
+    long = df.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.pair", "s.a", "s.b"
+    )
+    cells = long.groupBy("pair", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_r = Window.partitionBy("pair", "a")
+    w_c = Window.partitionBy("pair", "b")
+    w_g = Window.partitionBy("pair")
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("gt").cast("double")
+    )
+    term = (
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    )
+    tot = cells.select(
+        "pair",
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(w_r).cast("long").alias("rt"),
+        F.sum("n").over(w_c).cast("long").alias("ct"),
+        F.sum("n").over(w_g).cast("long").alias("gt"),
+    ).select("pair", "a", "b", term.alias("t"))
+    agg = (
+        cells.groupBy("pair")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.countDistinct("a").cast("long").alias("r_levels"),
+            F.countDistinct("b").cast("long").alias("c_levels"),
+        )
+        .join(
+            tot.groupBy("pair").agg(
+                F.array_sort(
+                    F.collect_list(F.struct("a", "b", "t"))
+                ).alias("xs")
+            ),
+            "pair",
+        )
+    )
+    chi2 = F.aggregate(
+        "xs", F.lit(0.0), lambda acc, s: acc + s["t"]
+    )
+    mind = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    return agg.select(
+        F.col("pair").alias("col_pair"),
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1))
+        .cast("long")
+        .alias("dof"),
+        chi2.alias("chi2"),
+        F.when(
+            mind > 0,
+            F.sqrt(
+                chi2 / (F.col("n") * mind).cast("double")
+            ),
+        ).alias("cramers_v"),
+    )

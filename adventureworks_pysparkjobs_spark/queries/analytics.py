@@ -3984,3 +3984,136 @@ def customer_value_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("spend").cast("string").cast("double").alias("total_spend"),
     )
+
+
+@query(
+    "events_type_tv_drift",
+    oracle="""
+    WITH wt AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             event_type AS cat, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    totals AS (
+      SELECT wk, CAST(SUM(n) AS BIGINT) AS nt FROM wt GROUP BY 1),
+    pairs AS (
+      SELECT COALESCE(c.wk, CAST(p.wk + INTERVAL 7 DAY AS DATE)) AS c_wk,
+             COALESCE(c.cat, p.cat) AS cat,
+             COALESCE(c.n, 0) AS n_cur,
+             COALESCE(p.n, 0) AS n_prev
+      FROM wt c FULL OUTER JOIN wt p
+        ON c.wk = CAST(p.wk + INTERVAL 7 DAY AS DATE) AND c.cat = p.cat),
+    framed AS (
+      SELECT pr.c_wk, pr.cat, pr.n_cur, pr.n_prev,
+             tc.nt AS n_cur_t, tp.nt AS n_prev_t
+      FROM pairs pr
+      JOIN totals tc ON tc.wk = pr.c_wk
+      JOIN totals tp ON CAST(tp.wk + INTERVAL 7 DAY AS DATE) = pr.c_wk)
+    SELECT c_wk AS week,
+           CAST(MAX(n_prev_t) AS BIGINT) AS n_prev,
+           CAST(MAX(n_cur_t) AS BIGINT) AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(CAST(SUM(ABS(CAST(n_cur AS DECIMAL(38,0)) * n_prev_t
+                             - CAST(n_prev AS DECIMAL(38,0)) * n_cur_t))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(2 AS DECIMAL(38,0)) * MAX(n_cur_t)
+                         * MAX(n_prev_t) AS VARCHAR) AS DOUBLE)
+             AS tv_distance
+    FROM framed GROUP BY 1
+    """,
+    tags=("analytics", "drift", "total-variation", "mix"),
+)
+def events_type_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week total-variation drift of the event-type mix
+    (operators/profile.py:mix_tv_drift): half the L1 gap between
+    consecutive weekly type-share vectors — the COMPOSITION-drift
+    alarm next to events_ks_drift (value-shape) and
+    orders_profile_drift (summary stats). TV reads directly as "x% of
+    this week's traffic is differently typed than last week's" and
+    needs no transcendental (PSI's ln() is not bit-reproducible
+    across JVM/libm): integer cross-multiplied L1 numerator in
+    DECIMAL(38,0), one string-parse double division. One (week, type)
+    count aggregate is the only corpus-sized shuffle; the pairing is
+    a full-outer self-join of the reduced frame on (week+7d, type)."""
+    from ..operators.profile import mix_tv_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return mix_tv_drift(ev, "ts", "event_type")
+
+
+@query(
+    "events_value_kruskal_wallis",
+    oracle="""
+    WITH vt AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS b, event_type AS g,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    v AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS c FROM vt GROUP BY 1),
+    ranked AS (
+      SELECT b, c,
+             CAST(2 * SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  - c + 1 AS BIGINT) AS rank2
+      FROM v),
+    groups AS (
+      SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * rank2)
+                  AS DECIMAL(38,0)) AS r2
+      FROM vt JOIN ranked USING (b) GROUP BY 1),
+    terms AS (
+      SELECT g, n_g,
+             CAST(CAST(CAST(r2 * r2 AS DECIMAL(38,0)) AS VARCHAR)
+                  AS DOUBLE)
+             / CAST(CAST(CAST(CAST(4 AS DECIMAL(38,0)) * n_g
+                              AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+               AS t
+      FROM groups),
+    folded AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k_groups,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list(struct_pack(g := g, t := t)
+                                   ORDER BY g), s -> s.t)),
+               (acc, x) -> acc + x) AS s_terms
+      FROM terms),
+    ties AS (
+      SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c - c)
+                  AS DECIMAL(38,0)) AS tie3,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tied_bins
+      FROM v),
+    expr AS (
+      SELECT n, k_groups, n_tied_bins,
+             CAST(12 AS DOUBLE) * s_terms
+               / CAST(CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n + 1)
+                                AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+               - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE) AS h,
+             CAST(1 AS DOUBLE)
+               - CAST(CAST(tie3 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(CAST(CAST(n AS DECIMAL(38,0)) * n * n - n
+                                  AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+               AS tie_correction
+      FROM folded, ties)
+    SELECT n, k_groups, n_tied_bins, h, tie_correction,
+           CASE WHEN tie_correction > 0 THEN h / tie_correction END
+             AS h_corrected,
+           h / CAST(n - 1 AS DOUBLE) AS epsilon_sq
+    FROM expr
+    """,
+    tags=("analytics", "kruskal-wallis", "rank-test", "robust"),
+)
+def events_value_kruskal_wallis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across the five event types on
+    the integer-binned value column (operators/analytics.py:
+    kruskal_wallis) — the k-group rank test completing the family:
+    MWU (two groups, doc_dup_length_mwu), ANOVA (mean-based,
+    events_dow_anova), now the k-group location test that is robust
+    to heavy tails. Binning follows the ks_drift bounded-grid
+    contract (rank tests at raw value grain are data-sized); doubled
+    midranks keep every rank integer; the k per-group H terms fold
+    in type order (the ordered-fold idiom), and the tie term rides a
+    1-row broadcast cross."""
+    from ..operators.analytics import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "event_type", F.floor(F.col("value")))

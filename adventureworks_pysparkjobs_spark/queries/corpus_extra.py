@@ -1998,3 +1998,166 @@ def emb_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_vectors").cast("double") * F.lit(float(_KM_K)) / tot)
         .alias("load_factor"),
     )
+
+
+@query(
+    "doc_isotonic_calibration",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '') AS toks
+         FROM documents), unnest(toks) AS t(tk)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('qc:' || tk), 1, 4) AS INTEGER)
+               % 4096 AS feature
+      FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM feat GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT DISTINCT feature,
+             CAST(CAST('0x' || substr(md5('w:' || feature), 1, 4)
+                       AS BIGINT) % 2001 - 1000 AS BIGINT) AS w_scaled
+      FROM feat
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf * w.w_scaled) AS BIGINT) AS logit_scaled
+      FROM tf JOIN w ON w.feature = tf.feature
+      GROUP BY 1
+    ),
+    binned AS (
+      SELECT CAST(FLOOR((CAST(s.logit_scaled AS DOUBLE)
+                         / CAST(s.n_tokens AS DOUBLE)) / 25.0) AS BIGINT)
+               AS score_bin,
+             CAST(d.lang = 'en' AS INTEGER) AS label
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    bins AS (
+      SELECT score_bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS s
+      FROM binned GROUP BY 1
+    ),
+    seq AS (
+      SELECT score_bin, n, s,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_bin) AS BIGINT) AS i,
+             CAST(SUM(n) OVER (ORDER BY score_bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+             CAST(SUM(s) OVER (ORDER BY score_bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+      FROM bins
+    ),
+    intervals AS (
+      SELECT j.i AS ji, k.i AS ki,
+             CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS iavg
+      FROM seq j JOIN seq k ON j.i <= k.i
+    ),
+    minimax AS (
+      SELECT b.i, v.ji, MIN(v.iavg) AS m
+      FROM seq b JOIN intervals v ON v.ji <= b.i AND v.ki >= b.i
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, MAX(m) AS iso_rate FROM minimax GROUP BY 1)
+    SELECT q.score_bin, q.n AS n_docs, q.s AS n_label_pos,
+           CAST(q.s AS DOUBLE) / CAST(q.n AS DOUBLE) AS emp_rate,
+           iso.iso_rate
+    FROM seq q JOIN iso ON iso.i = q.i
+    """,
+    tags=("text", "classifier", "calibration", "isotonic", "ml-ops"),
+)
+def doc_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the hashed quality classifier:
+    where doc_classifier_calibration reports RAW per-bin label rates
+    (a reliability table that may be non-monotone), this fits the
+    monotone non-decreasing rate curve — the standard score->
+    probability map for gating corpora by classifier score (a raw
+    bin table can tell two thresholds in the wrong order; the
+    isotonic fit cannot). Fitted via the PAVA-equivalent minimax
+    identity iso_i = max_{j<=i} min_{k>=i} avg(j..k) at BIN grain:
+    every interval average is ONE IEEE division of exact integer
+    cumulative sums (bit-identical cross-engine), and min/max are
+    order-independent — no float accumulation anywhere. The bin
+    frame is enum-bounded (~tens of bins regardless of corpus size),
+    so the B^2 interval expansion and B^3 minimax join are
+    constant-sized; the only corpus-sized work is the classifier's
+    own keyed aggregates (shared shape with the calibration entry).
+    The B^2/B^3 expansions plan as broadcast nested-loop joins over
+    the bin-grain frames by design (CROSS_OK)."""
+    from ..operators.lm import hashed_linear_scores, pseudo_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(
+        docs, pseudo_weights(spark, 4096, "w", 1000)
+    )
+    binned = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.floor(
+            (
+                F.col("logit_scaled").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            / F.lit(25.0)
+        )
+        .cast("long")
+        .alias("score_bin"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    bins = binned.groupBy("score_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("s"),
+    )
+    w = Window.orderBy("score_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = bins.select(
+        "score_bin",
+        "n",
+        "s",
+        F.row_number().over(Window.orderBy("score_bin"))
+        .cast("long")
+        .alias("i"),
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+    ).cache()  # bin-grain (tiny); reused by intervals, minimax, output
+    j = seq.select(
+        F.col("i").alias("ji"),
+        (F.col("cs") - F.col("s")).alias("ps"),
+        (F.col("cn") - F.col("n")).alias("pn"),
+    )
+    k = seq.select(
+        F.col("i").alias("ki"), F.col("cs").alias("kcs"),
+        F.col("cn").alias("kcn"),
+    )
+    intervals = j.join(k, F.col("ji") <= F.col("ki")).select(
+        "ji",
+        "ki",
+        (
+            (F.col("kcs") - F.col("ps")).cast("double")
+            / (F.col("kcn") - F.col("pn")).cast("double")
+        ).alias("iavg"),
+    )
+    b = seq.select(F.col("i").alias("bi"))
+    minimax = (
+        intervals.join(
+            b, (F.col("ji") <= F.col("bi")) & (F.col("ki") >= F.col("bi"))
+        )
+        .groupBy("bi", "ji")
+        .agg(F.min("iavg").alias("m"))
+    )
+    iso = minimax.groupBy("bi").agg(F.max("m").alias("iso_rate"))
+    return seq.join(iso, seq["i"] == iso["bi"]).select(
+        "score_bin",
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("n_label_pos"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "emp_rate"
+        ),
+        "iso_rate",
+    )

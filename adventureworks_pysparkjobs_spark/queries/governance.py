@@ -1719,3 +1719,96 @@ def orders_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     od = load_table(spark, sf_dir, "orders")
     return winsorized_stats(od, "o_totalprice", 5, 95)
+
+
+@query(
+    "orders_cramers_v_matrix",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS VARCHAR)
+               AS odow,
+             CAST(CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT)
+                  AS VARCHAR) AS pband
+      FROM orders),
+    long AS (
+      SELECT u.p AS pair, u.a AS a, u.b AS b FROM base, UNNEST([
+        struct_pack(p := 'status|priority', a := status, b := priority),
+        struct_pack(p := 'status|odow', a := status, b := odow),
+        struct_pack(p := 'status|pband', a := status, b := pband),
+        struct_pack(p := 'priority|odow', a := priority, b := odow),
+        struct_pack(p := 'priority|pband', a := priority, b := pband),
+        struct_pack(p := 'odow|pband', a := odow, b := pband)
+      ]) AS t(u)),
+    cells AS (
+      SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM long GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT pair, a, b, n,
+             CAST(SUM(n) OVER (PARTITION BY pair, a) AS BIGINT) AS rt,
+             CAST(SUM(n) OVER (PARTITION BY pair, b) AS BIGINT) AS ct,
+             CAST(SUM(n) OVER (PARTITION BY pair) AS BIGINT) AS gt
+      FROM cells),
+    terms AS (
+      SELECT pair, a, b,
+             (CAST(n AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(gt AS DOUBLE))
+             * (CAST(n AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(gt AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(gt AS DOUBLE)) AS t
+      FROM tot),
+    folded AS (
+      SELECT pair,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(a := a, b := b, t := t) ORDER BY a, b),
+                 s -> s.t)),
+               (acc, x) -> acc + x) AS chi2
+      FROM terms GROUP BY 1),
+    stats AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels
+      FROM cells GROUP BY 1)
+    SELECT s.pair AS col_pair, s.n, s.r_levels, s.c_levels,
+           CAST((s.r_levels - 1) * (s.c_levels - 1) AS BIGINT) AS dof,
+           f.chi2 AS chi2,
+           CASE WHEN LEAST(s.r_levels - 1, s.c_levels - 1) > 0 THEN
+             sqrt(f.chi2 / CAST(s.n * LEAST(s.r_levels - 1,
+                                            s.c_levels - 1) AS DOUBLE))
+           END AS cramers_v
+    FROM stats s JOIN folded f USING (pair)
+    """,
+    tags=("governance", "association", "cramers-v", "feature-selection"),
+)
+def orders_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cramér's V association matrix over four order
+    categoricals — status, priority, order weekday, total-price band
+    (operators/profile.py:cramers_v_matrix): the normalized 0..1
+    association strength that ranks which columns duplicate each
+    other's signal, for feature selection and leakage hunts, where
+    orders_status_priority_chi2 reads ONE pair cell-by-cell. The
+    chi-square SCALAR is made engine-deterministic by the
+    ordered-fold idiom: per-pair cells are enum-bounded, so both
+    engines fold the SAME per-cell IEEE terms in the SAME (a, b)
+    order (F.aggregate over array_sort(collect_list) ≡ DuckDB
+    list_reduce over list(... ORDER BY a, b)) — lifting the
+    per-cell-only restriction the chi2 entry documents. One scan
+    explodes rows into C(4,2)=6 pairs; one (pair, a, b) count
+    aggregate is the only corpus-sized shuffle."""
+    from ..operators.profile import cramers_v_matrix
+
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.dayofweek(F.to_date("o_orderdate")).cast("string").alias("odow"),
+        F.floor(F.col("o_totalprice") / F.lit(100000.0))
+        .cast("long")
+        .cast("string")
+        .alias("pband"),
+    )
+    return cramers_v_matrix(base, ["status", "priority", "odow", "pband"])

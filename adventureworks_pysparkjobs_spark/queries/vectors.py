@@ -610,3 +610,83 @@ def emb_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("knn_accuracy"),
     )
+
+
+@query(
+    "emb_hubness_audit",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {_cos('q.embedding', 'c.embedding')} DESC,
+                        c.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+    occ AS (
+      SELECT neighbor_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+      FROM scored WHERE rnk <= 5 GROUP BY 1),
+    pv AS (
+      SELECT e.vec_id, COALESCE(o.k_occ, 0) AS k_occ
+      FROM embeddings e LEFT JOIN occ o USING (vec_id)),
+    hist AS (
+      SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM pv GROUP BY 1)
+    SELECT k_occ, n_vectors,
+           CAST(n_vectors AS DOUBLE)
+             / CAST(SUM(n_vectors) OVER () AS DOUBLE) AS share,
+           CAST(SUM(n_vectors) OVER (ORDER BY k_occ
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(SUM(n_vectors) OVER () AS DOUBLE) AS cum_share
+    FROM hist
+    """,
+    tags=("similarity", "hubness", "ann-quality", "audit"),
+)
+def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-occurrence (hubness) audit of the exact cosine 5-NN graph:
+    for every vector, how many OTHER vectors' top-5 lists it appears
+    in, reported as the k-occurrence histogram with shares and the
+    cumulative curve. Hubness is the classic high-dimensional ANN
+    pathology — a few "hub" points dominate neighbor lists while
+    antihubs (k_occ = 0) never get retrieved — and this distribution
+    is the accepted way to detect it before trusting kNN-based
+    dedup/labeling (a long tail here says cosine kNN needs local
+    scaling or the embedder needs work). Same broadcast-query
+    contract as emb_cosine_topk with queries = the AUDIT SAMPLE
+    (here the whole fixture corpus; at 100 TB a bounded uniform
+    sample or one IVF cell at a time — the query side must fit a
+    broadcast by contract). Scoring is shuffle-free; the only
+    exchanges are the per-query top-k window and two enum-bounded
+    histogram aggregates; zeros come from a left join back to the
+    corpus ids, never a dense grid."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.cosine_topk(emb, emb, k=5)
+    occ = topk.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("k_occ")
+    )
+    pv = (
+        emb.select("vec_id")
+        .join(occ, "vec_id", "left")
+        .select(F.coalesce("k_occ", F.lit(0)).cast("long").alias("k_occ"))
+    )
+    hist = pv.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("k_occ").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "k_occ",
+        "n_vectors",
+        (
+            F.col("n_vectors").cast("double")
+            / F.sum("n_vectors").over(w_all).cast("double")
+        ).alias("share"),
+        (
+            F.sum("n_vectors").over(w_cum).cast("double")
+            / F.sum("n_vectors").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )

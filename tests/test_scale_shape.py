@@ -59,6 +59,14 @@ CROSS_OK = {
     # same broadcast-query-sample contract as emb_cosine_topk (it IS
     # cosine_topk + a label-vote reduction)
     "emb_knn_label_agreement",
+    # B^2 interval expansion + B^3 minimax join over the BIN-GRAIN
+    # frame (enum-bounded ~tens of rows regardless of corpus size);
+    # the inequality joins plan as broadcast nested loops by design
+    "doc_isotonic_calibration",
+    "events_value_kruskal_wallis",  # 1-row tie-term broadcast cross
+    # same broadcast-query-sample contract as emb_cosine_topk with
+    # queries = the audit sample (bounded by contract at scale)
+    "emb_hubness_audit",
 }
 
 BATCH_QUERIES = sorted(

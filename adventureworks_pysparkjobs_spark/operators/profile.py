@@ -1621,3 +1621,78 @@ def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             ),
         ).alias("cramers_v"),
     )
+
+
+def mahalanobis_outliers_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N bivariate Mahalanobis outliers — the CORRELATION-aware
+    outlier score the univariate family (MAD, z-score, Tukey fences)
+    cannot produce: a point can be unremarkable on each axis yet far
+    off the joint distribution's ellipse (high balance + near-zero
+    spend), and Mahalanobis distance is the classic detector. The 2x2
+    case needs no matrix library: the inverse is closed-form adjugate
+    over determinant.
+
+    Exactness: ``x_col``/``y_col`` must be INTEGER-VALUED decimals
+    (scale the inputs to cents first — the caller's contract): every
+    moment (n, Sx, Sy, Sxx, Syy, Sxy) and every scaled deviation
+    (z_x = n*x - Sx) then accumulates in DECIMAL(38,0) with no
+    rounding anywhere (integer decimal arithmetic never triggers
+    Spark's scale-truncation rules), and the final
+    d^2 = (n-1)/n * (zx^2*Cyy - 2*zx*zy*Cxy + zy^2*Cxx) / det(C)
+    is ONE fixed closed-form IEEE tree over string-parsed doubles —
+    bit-identical cross-engine. The unit scaling cancels in d^2.
+
+    Scale shape: one reducing aggregate to a 1-row moment rider
+    (CROSS_OK broadcast), one per-row scoring pass, and a global
+    top-N that plans as TakeOrderedAndProject under the
+    (d^2 desc, id) total order. Degenerate inputs (det(C) = 0 —
+    a constant or perfectly collinear column) return NULL scores
+    rather than a division blow-up.
+
+    Returns (id, x, y, maha_sq DOUBLE, rnk INT) — top_n rows.
+    """
+    d38 = "decimal(38,0)"
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast(d38).alias("x"),
+        F.col(y_col).cast(d38).alias("y"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast(d38).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+    )
+    # 1-row moment rider (CROSS_OK: the grand-total rider pattern)
+    j = base.crossJoin(F.broadcast(m))
+    zx = _dbl((F.col("n") * F.col("x") - F.col("sx")).cast(d38))
+    zy = _dbl((F.col("n") * F.col("y") - F.col("sy")).cast(d38))
+    cxx = _dbl((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38))
+    cyy = _dbl((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(d38))
+    cxy = _dbl((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38))
+    det = cxx * cyy - cxy * cxy
+    quad = zx * zx * cyy - F.lit(2.0) * zx * zy * cxy + zy * zy * cxx
+    nn = F.col("n").cast("string").cast("double")
+    d2 = F.when(
+        det != F.lit(0.0),
+        (nn - F.lit(1.0)) / nn * quad / det,
+    )
+    scored = j.select(
+        "id", "x", "y", d2.alias("maha_sq")
+    ).orderBy(F.col("maha_sq").desc_nulls_last(), F.col("id")).limit(top_n)
+    w = Window.orderBy(F.col("maha_sq").desc_nulls_last(), F.col("id"))
+    return scored.select(
+        "id", "x", "y", "maha_sq", F.row_number().over(w).cast("int").alias("rnk")
+    )

@@ -4117,3 +4117,124 @@ def events_value_kruskal_wallis(
 
     ev = load_table(spark, sf_dir, "events")
     return kruskal_wallis(ev, "event_type", F.floor(F.col("value")))
+
+
+@query(
+    "customer_mahalanobis_outliers",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey AS id,
+             CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                  AS DECIMAL(38,0)) AS x,
+             CAST(COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+                                    * 100 AS DECIMAL(38,0))), 0)
+                  AS DECIMAL(38,0)) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sxy
+      FROM spend),
+    scored AS (
+      SELECT id, x, y,
+             CASE WHEN
+               (CAST(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                          AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0))
+                            AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                            AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)) <> CAST(0 AS DOUBLE)
+             THEN
+               (CAST(CAST(n AS VARCHAR) AS DOUBLE) - CAST(1 AS DOUBLE))
+               / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+               * (CAST(CAST(CAST(n * x - sx AS DECIMAL(38,0)) AS VARCHAR)
+                       AS DOUBLE)
+                  * CAST(CAST(CAST(n * x - sx AS DECIMAL(38,0)) AS VARCHAR)
+                         AS DOUBLE)
+                  * CAST(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)
+                  - CAST(2 AS DOUBLE)
+                    * CAST(CAST(CAST(n * x - sx AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * y - sy AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE)
+                  + CAST(CAST(CAST(n * y - sy AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * y - sy AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE))
+               / (CAST(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                            AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE))
+             END AS maha_sq
+      FROM spend, m),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY maha_sq DESC NULLS LAST,
+                                        id) AS INTEGER) AS rnk
+      FROM scored)
+    SELECT id AS c_custkey, x AS bal_cents, y AS spend_cents,
+           maha_sq, rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+    tags=("analytics", "outliers", "mahalanobis", "bivariate"),
+)
+def customer_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 customers by bivariate Mahalanobis distance on (account
+    balance, lifetime spend) — the correlation-aware outlier screen
+    (operators/profile.py:mahalanobis_outliers_2d) next to the
+    univariate MAD/z-score/fence entries and the quadrant
+    segmentation: a high-balance-zero-spend account sits inside both
+    marginal distributions but far off the joint ellipse. Inputs are
+    scaled to integer cents so every moment and deviation is exact
+    DECIMAL(38,0) (the scaling cancels in d^2); the score is one
+    fixed closed-form IEEE tree; the top-20 plans as
+    TakeOrderedAndProject under a (d^2 desc, custkey) total order
+    with a 1-row moment rider broadcast cross."""
+    from ..operators.profile import mahalanobis_outliers_2d
+    from ..operators.relational import dec
+
+    d38 = "decimal(38,0)"
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    spend = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy(
+            cu["c_custkey"].alias("id"),
+            (dec("c_acctbal", 12, 2) * 100).cast(d38).alias("x"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum((dec("o_totalprice", 12, 2) * 100).cast(d38)),
+                F.lit(0),
+            )
+            .cast(d38)
+            .alias("y")
+        )
+    )
+    out = mahalanobis_outliers_2d(spend, "id", "x", "y", top_n=20)
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("x").alias("bal_cents"),
+        F.col("y").alias("spend_cents"),
+        "maha_sq",
+        "rnk",
+    )

@@ -67,6 +67,7 @@ CROSS_OK = {
     # same broadcast-query-sample contract as emb_cosine_topk with
     # queries = the audit sample (bounded by contract at scale)
     "emb_hubness_audit",
+    "customer_mahalanobis_outliers",  # 1-row moment rider broadcast cross
 }
 
 BATCH_QUERIES = sorted(

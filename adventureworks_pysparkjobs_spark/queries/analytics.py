@@ -4238,3 +4238,140 @@ def customer_mahalanobis_outliers(
         "maha_sq",
         "rnk",
     )
+
+
+@query(
+    "orders_revenue_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    med AS (
+      SELECT rev AS m FROM (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, d) AS rn
+        FROM daily), n
+      WHERE rn = (n.n + 1) // 2),
+    signed AS (
+      SELECT d, CASE WHEN rev >= med.m THEN 1 ELSE 0 END AS s
+      FROM daily, med),
+    flips AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS NOT NULL
+                   AND LAG(s) OVER (ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS flip
+      FROM signed),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(s) AS BIGINT) AS n_above,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_below,
+             CAST(1 + SUM(flip) AS BIGINT) AS runs
+      FROM flips),
+    ex AS (
+      SELECT n_days, n_above, n_below, runs,
+             CAST(2 * n_above * n_below AS BIGINT) AS m2
+      FROM agg)
+    SELECT n_days, n_above, n_below, runs,
+           CAST(1 AS DOUBLE)
+             + CAST(m2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+             AS expected_runs,
+           CASE WHEN CAST(m2 AS DOUBLE)
+                     * (CAST(m2 AS DOUBLE) - CAST(n_days AS DOUBLE))
+                     / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                        * (CAST(n_days AS DOUBLE) - CAST(1 AS DOUBLE)))
+                     > CAST(0 AS DOUBLE)
+           THEN (CAST(runs AS DOUBLE)
+                 - (CAST(1 AS DOUBLE)
+                    + CAST(m2 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                / sqrt(CAST(m2 AS DOUBLE)
+                       * (CAST(m2 AS DOUBLE) - CAST(n_days AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                          * (CAST(n_days AS DOUBLE)
+                             - CAST(1 AS DOUBLE))))
+           END AS z_score
+    FROM ex
+    """,
+    tags=("analytics", "runs-test", "randomness", "timeseries"),
+)
+def orders_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue series: is the
+    above/below-median sign sequence RANDOM, or does it cluster
+    (momentum / regime persistence) or alternate (overcorrection)?
+    The nonparametric randomness audit next to the autocorrelation
+    entries (which measure linear co-movement; the runs test catches
+    any sign-pattern deviation). Day-grain exact decimal revenue, the
+    quadrant entries' exact lower-median rank selection (1-row
+    broadcast rider), one lag window over the day-grain frame, and
+    the z-score is one fixed closed-form IEEE tree over exact counts
+    — sqrt is correctly rounded, so the statistic is bit-identical
+    cross-engine. Variance degenerates (all days on one side) to a
+    NULL z rather than a division blow-up."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(dec("o_totalprice", 12, 2))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    ).cache()  # day-grain (tiny); reused by the median rider + scan
+    n1 = daily.groupBy().agg(
+        F.expr("(count(1) + 1) div 2").alias("mrn"),
+    )
+    wmed = Window.orderBy(F.col("rev"), F.col("d"))
+    med = (
+        daily.select("rev", "d", F.row_number().over(wmed).alias("rn"))
+        .join(F.broadcast(n1), F.col("rn") == F.col("mrn"))
+        .select(F.col("rev").alias("m"))
+    )
+    # 1-row exact-median rider (CROSS_OK: the quadrant pattern)
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "d", F.when(F.col("rev") >= F.col("m"), 1).otherwise(0).alias("s")
+    )
+    wd = Window.orderBy("d")
+    flips = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNotNull()
+            & (F.lag("s").over(wd) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_below"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("runs"),
+    )
+    ex = agg.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        (F.lit(2) * F.col("n_above") * F.col("n_below"))
+        .cast("long")
+        .alias("m2"),
+    )
+    nd = F.col("n_days").cast("double")
+    m2 = F.col("m2").cast("double")
+    mu = F.lit(1.0) + m2 / nd
+    var = m2 * (m2 - nd) / (nd * nd * (nd - F.lit(1.0)))
+    return ex.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        mu.alias("expected_runs"),
+        F.when(
+            var > F.lit(0.0),
+            (F.col("runs").cast("double") - mu) / F.sqrt(var),
+        ).alias("z_score"),
+    )

@@ -2161,3 +2161,251 @@ def doc_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "iso_rate",
     )
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.tk FROM
+        (SELECT {_TOKS} AS toks FROM documents), unnest(toks) AS t(tk)
+    ),
+    tf AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tk) AS BIGINT)
+               AS rn,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tk
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      FROM tf),
+    hits AS (
+      SELECT g.t AS target_pct, r.rn, r.cum, r.tot
+      FROM ranked r, unnest([50, 80, 90, 95, 99, 100]) AS g(t)
+      WHERE 100 * r.cum >= CAST(g.t AS BIGINT) * r.tot),
+    firsts AS (
+      SELECT target_pct, CAST(MIN(rn) AS BIGINT) AS n_terms
+      FROM hits GROUP BY 1)
+    SELECT CAST(f.target_pct AS INTEGER) AS target_pct, f.n_terms,
+           r.cum AS covered_tokens, r.tot AS total_tokens,
+           CAST(r.cum AS DOUBLE) / CAST(r.tot AS DOUBLE)
+             AS attained_coverage
+    FROM firsts f JOIN ranked r ON r.rn = f.n_terms
+    """,
+    tags=("text", "vocab", "coverage", "tokenizer-budget"),
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the minimum number of top-frequency
+    terms whose cumulative token mass reaches 50/80/90/95/99/100% of
+    the corpus — the tokenizer/vocab budget planner (how small can a
+    vocab be before OOV mass explodes?) next to corpus_zipf_check
+    (fit shape) and corpus_vocab_growth (types over time). Threshold
+    hits are EXACT integer comparisons (100*cum >= pct*total — never
+    a float share), so the curve is engine-identical; the one double
+    division per output row renders the attained coverage. One
+    token-count aggregate is the only corpus-sized shuffle; the rank
+    window runs over the term-grain reduced frame (the corpus_term
+    _stats precedent), and the checkpoint expansion is 6x that frame
+    filtered to first hits."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("tk"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = tf.select(
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("tot"),
+    )
+    hits = (
+        ranked.select(
+            "rn",
+            "cum",
+            "tot",
+            F.explode(
+                F.array(*[F.lit(t) for t in (50, 80, 90, 95, 99, 100)])
+            ).alias("target_pct"),
+        )
+        .filter(
+            F.lit(100) * F.col("cum")
+            >= F.col("target_pct").cast("long") * F.col("tot")
+        )
+    )
+    firsts = hits.groupBy("target_pct").agg(
+        F.min("rn").cast("long").alias("n_terms")
+    )
+    return firsts.join(ranked, firsts["n_terms"] == ranked["rn"]).select(
+        F.col("target_pct").cast("int").alias("target_pct"),
+        "n_terms",
+        F.col("cum").alias("covered_tokens"),
+        F.col("tot").alias("total_tokens"),
+        (F.col("cum").cast("double") / F.col("tot").cast("double")).alias(
+            "attained_coverage"
+        ),
+    )
+
+
+@query(
+    "corpus_source_hellinger",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t.tk FROM
+        (SELECT source, {_TOKS} AS toks FROM documents),
+        unnest(toks) AS t(tk)
+    ),
+    st AS (
+      SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2),
+    totals AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+      FROM st GROUP BY 1),
+    topk AS (
+      SELECT tk, CAST(ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, tk)
+                      AS BIGINT) AS i
+      FROM st GROUP BY tk
+      QUALIFY i <= 300),
+    dense AS (
+      SELECT st.source, topk.i, st.cnt
+      FROM st JOIN topk USING (tk)
+      UNION ALL
+      SELECT t.source, CAST(0 AS BIGINT) AS i,
+             CAST(t.n_tokens - COALESCE(SUM(st.cnt), 0) AS BIGINT) AS cnt
+      FROM totals t
+      LEFT JOIN (SELECT st.source, st.cnt FROM st JOIN topk USING (tk)) st
+        ON st.source = t.source
+      GROUP BY t.source, t.n_tokens),
+    prods AS (
+      SELECT a.source AS sa, b.source AS sb, a.i,
+             CAST(a.cnt * b.cnt AS BIGINT) AS p
+      FROM dense a JOIN dense b ON a.i = b.i AND a.source < b.source),
+    folded AS (
+      SELECT sa, sb,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list(struct_pack(i := i, p := p)
+                                   ORDER BY i),
+                              s -> sqrt(CAST(s.p AS DOUBLE)))),
+               (acc, x) -> acc + x) AS bsum
+      FROM prods GROUP BY 1, 2)
+    SELECT f.sa AS source_a, f.sb AS source_b,
+           ta.n_tokens AS n_tokens_a, tb.n_tokens AS n_tokens_b,
+           f.bsum / sqrt(CAST(ta.n_tokens AS DOUBLE)
+                         * CAST(tb.n_tokens AS DOUBLE)) AS bc_affinity,
+           sqrt(GREATEST(CAST(0 AS DOUBLE),
+                CAST(1 AS DOUBLE)
+                  - f.bsum / sqrt(CAST(ta.n_tokens AS DOUBLE)
+                                  * CAST(tb.n_tokens AS DOUBLE))))
+             AS hellinger
+    FROM folded f
+    JOIN totals ta ON ta.source = f.sa
+    JOIN totals tb ON tb.source = f.sb
+    """,
+    tags=("text", "hellinger", "data-mixing", "source-distance"),
+)
+def corpus_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Hellinger distance between source unigram
+    distributions over the global top-300 vocabulary plus an OTHER
+    rest-mass bucket — the distributional source-distance matrix the
+    data-mixing literature weights corpora by, next to
+    doc_source_minhash_overlap (set overlap) and
+    corpus_keyness_by_source (per-term divergence). Hellinger is the
+    log-free f-divergence: BC = sum sqrt(p_i*q_i) needs only sqrt
+    (correctly rounded everywhere), where the KL/JSD family's ln()
+    is not bit-reproducible across JVM/libm. The cross-source sum of
+    sqrt terms IS float accumulation, so it runs as an ordered fold
+    over the (term-index)-sorted product list — identical IEEE adds
+    in identical order in both engines; truncating to top-K + rest
+    keeps the fold ENUM-BOUNDED (301 elements) at any corpus size
+    (the truncated distribution is itself the documented statistic;
+    integer count products under 2^53 by contract). One (source,
+    term) aggregate is the only corpus-sized shuffle; pairing joins
+    the K-term frame at term grain (source-pair x K rows, never
+    doc-grain)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tk"))
+        .groupBy("source", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ).cache()  # (source, term)-grain; reused by totals/topk/dense
+    totals = st.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens")
+    )
+    w_rank = Window.orderBy(F.col("_g").desc(), F.col("tk"))
+    topk = (
+        st.groupBy("tk")
+        .agg(F.sum("cnt").alias("_g"))
+        .select("tk", F.row_number().over(w_rank).cast("long").alias("i"))
+        .filter(F.col("i") <= 300)
+        .select("tk", "i")
+    )
+    in_top = st.join(topk, "tk").select("source", "i", "cnt")
+    rest = (
+        totals.join(
+            in_top.groupBy("source").agg(
+                F.sum("cnt").cast("long").alias("_t")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            F.lit(0).cast("long").alias("i"),
+            (F.col("n_tokens") - F.coalesce("_t", F.lit(0)))
+            .cast("long")
+            .alias("cnt"),
+        )
+    )
+    dense = in_top.unionByName(rest)
+    a = dense.select(
+        F.col("source").alias("sa"), "i", F.col("cnt").alias("ca")
+    )
+    b = dense.select(
+        F.col("source").alias("sb"), "i", F.col("cnt").alias("cb")
+    )
+    prods = a.join(b, "i").filter(F.col("sa") < F.col("sb")).select(
+        "sa", "sb", "i", (F.col("ca") * F.col("cb")).cast("long").alias("p")
+    )
+    folded = prods.groupBy("sa", "sb").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["p"].cast("double")),
+        ).alias("bsum")
+    )
+    ta = totals.select(
+        F.col("source").alias("sa"), F.col("n_tokens").alias("n_tokens_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("sb"), F.col("n_tokens").alias("n_tokens_b")
+    )
+    bc = F.col("bsum") / F.sqrt(
+        F.col("n_tokens_a").cast("double") * F.col("n_tokens_b").cast("double")
+    )
+    return (
+        folded.join(ta, "sa")
+        .join(tb, "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_tokens_a",
+            "n_tokens_b",
+            bc.alias("bc_affinity"),
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)).alias(
+                "hellinger"
+            ),
+        )
+    )

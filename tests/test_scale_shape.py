@@ -68,6 +68,7 @@ CROSS_OK = {
     # queries = the audit sample (bounded by contract at scale)
     "emb_hubness_audit",
     "customer_mahalanobis_outliers",  # 1-row moment rider broadcast cross
+    "orders_revenue_runs_test",  # 1-row exact-median broadcast rider
 }
 
 BATCH_QUERIES = sorted(

@@ -4375,3 +4375,299 @@ def orders_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("runs").cast("double") - mu) / F.sqrt(var),
         ).alias("z_score"),
     )
+
+
+@query(
+    "lineitem_simpson_audit",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_brand AS brand,
+             CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
+                  AS DECIMAL(38,0)) AS x,
+             CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100
+                  AS DECIMAL(38,0)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    g AS (
+      SELECT brand,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sxy
+      FROM base GROUP BY 1),
+    pool AS (
+      SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS pn,
+             CAST(SUM(sx) AS DECIMAL(38,0)) AS psx,
+             CAST(SUM(sy) AS DECIMAL(38,0)) AS psy,
+             CAST(SUM(sxx) AS DECIMAL(38,0)) AS psxx,
+             CAST(SUM(sxy) AS DECIMAL(38,0)) AS psxy
+      FROM g),
+    nums AS (
+      SELECT g.brand, g.n,
+             CAST(g.n * g.sxy - g.sx * g.sy AS DECIMAL(38,0)) AS wnum,
+             CAST(g.n * g.sxx - g.sx * g.sx AS DECIMAL(38,0)) AS wden,
+             CAST(p.pn * p.psxy - p.psx * p.psy AS DECIMAL(38,0)) AS pnum,
+             CAST(p.pn * p.psxx - p.psx * p.psx AS DECIMAL(38,0)) AS pden
+      FROM g, pool p)
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           CASE WHEN wden > 0 THEN
+             CAST(CAST(wnum AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(wden AS VARCHAR) AS DOUBLE) END AS slope_within,
+           CASE WHEN pden > 0 THEN
+             CAST(CAST(pnum AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(pden AS VARCHAR) AS DOUBLE) END AS slope_pooled,
+           (wden > 0 AND ((wnum > 0 AND pnum < 0)
+                          OR (wnum < 0 AND pnum > 0)))
+             AS sign_reversed
+    FROM nums
+    """,
+    tags=("analytics", "simpson-paradox", "aggregation-audit", "ols"),
+)
+def lineitem_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the discount->quantity relationship:
+    the pooled OLS slope vs each brand's within-group slope, flagging
+    brands whose association REVERSES sign against the pooled story —
+    the aggregation-reversal trap that makes a daily-rollup dashboard
+    lie when group composition confounds the trend (the reason to
+    distrust fact_daily_part_agg-style rollups for causal reads).
+    Inputs scale to integer hundredths, so every moment and every
+    slope NUMERATOR is exact DECIMAL(38,0); the reversal flag
+    compares exact decimal signs (never rounded doubles), and each
+    reported slope is one string-parse double division. One
+    brand-grain moment aggregate after the part join is the only
+    corpus-sized shuffle; the pooled moments are a 1-row rider
+    broadcast cross re-aggregated from the brand frame (no second
+    scan)."""
+    from ..operators.relational import dec
+
+    d38 = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    base = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        (dec("l_discount", 4, 2) * 100).cast(d38).alias("x"),
+        (dec("l_quantity", 12, 2) * 100).cast(d38).alias("y"),
+    )
+    g = base.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+    ).cache()  # brand-grain (tiny); reused by the pooled rider
+    pool = g.agg(
+        F.sum("n").cast(d38).alias("pn"),
+        F.sum("sx").cast(d38).alias("psx"),
+        F.sum("sy").cast(d38).alias("psy"),
+        F.sum("sxx").cast(d38).alias("psxx"),
+        F.sum("sxy").cast(d38).alias("psxy"),
+    )
+    # 1-row pooled-moment rider (CROSS_OK: the grand-total pattern)
+    nums = g.crossJoin(F.broadcast(pool)).select(
+        "brand",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast(d38)
+        .alias("wnum"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast(d38)
+        .alias("wden"),
+        (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
+        .cast(d38)
+        .alias("pnum"),
+        (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx"))
+        .cast(d38)
+        .alias("pden"),
+    )
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    return nums.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.when(F.col("wden") > 0, _dbl(F.col("wnum")) / _dbl(F.col("wden")))
+        .alias("slope_within"),
+        F.when(F.col("pden") > 0, _dbl(F.col("pnum")) / _dbl(F.col("pden")))
+        .alias("slope_pooled"),
+        (
+            (F.col("wden") > 0)
+            & (
+                ((F.col("wnum") > 0) & (F.col("pnum") < 0))
+                | ((F.col("wnum") < 0) & (F.col("pnum") > 0))
+            )
+        ).alias("sign_reversed"),
+    )
+
+
+@query(
+    "events_did_estimator",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS t,
+             CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                  THEN 1 ELSE 0 END AS p,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(38,0)) AS x
+      FROM events),
+    cells AS (
+      SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS ss
+      FROM base GROUP BY 1, 2),
+    one AS (
+      SELECT
+        MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS n00,
+        MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS n01,
+        MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS n10,
+        MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS n11,
+        MAX(CASE WHEN t = 0 AND p = 0 THEN s END) AS s00,
+        MAX(CASE WHEN t = 0 AND p = 1 THEN s END) AS s01,
+        MAX(CASE WHEN t = 1 AND p = 0 THEN s END) AS s10,
+        MAX(CASE WHEN t = 1 AND p = 1 THEN s END) AS s11,
+        MAX(CASE WHEN t = 0 AND p = 0 THEN ss END) AS ss00,
+        MAX(CASE WHEN t = 0 AND p = 1 THEN ss END) AS ss01,
+        MAX(CASE WHEN t = 1 AND p = 0 THEN ss END) AS ss10,
+        MAX(CASE WHEN t = 1 AND p = 1 THEN ss END) AS ss11
+      FROM cells),
+    m AS (
+      SELECT n00, n01, n10, n11,
+        CAST(CAST(s00 AS VARCHAR) AS DOUBLE) / CAST(n00 AS DOUBLE) AS m00,
+        CAST(CAST(s01 AS VARCHAR) AS DOUBLE) / CAST(n01 AS DOUBLE) AS m01,
+        CAST(CAST(s10 AS VARCHAR) AS DOUBLE) / CAST(n10 AS DOUBLE) AS m10,
+        CAST(CAST(s11 AS VARCHAR) AS DOUBLE) / CAST(n11 AS DOUBLE) AS m11,
+        CASE WHEN n00 > 1 THEN
+          CAST(CAST(CAST(n00 * ss00 - s00 * s00 AS DECIMAL(38,0))
+               AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(CAST(n00 AS DECIMAL(38,0)) * n00 * (n00 - 1)
+               AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) END AS t00,
+        CASE WHEN n01 > 1 THEN
+          CAST(CAST(CAST(n01 * ss01 - s01 * s01 AS DECIMAL(38,0))
+               AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(CAST(n01 AS DECIMAL(38,0)) * n01 * (n01 - 1)
+               AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) END AS t01,
+        CASE WHEN n10 > 1 THEN
+          CAST(CAST(CAST(n10 * ss10 - s10 * s10 AS DECIMAL(38,0))
+               AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(CAST(n10 AS DECIMAL(38,0)) * n10 * (n10 - 1)
+               AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) END AS t10,
+        CASE WHEN n11 > 1 THEN
+          CAST(CAST(CAST(n11 * ss11 - s11 * s11 AS DECIMAL(38,0))
+               AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(CAST(n11 AS DECIMAL(38,0)) * n11 * (n11 - 1)
+               AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) END AS t11
+      FROM one)
+    SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+           n10 AS n_treat_pre, n11 AS n_treat_post,
+           m00 AS mean_ctrl_pre, m01 AS mean_ctrl_post,
+           m10 AS mean_treat_pre, m11 AS mean_treat_post,
+           (m11 - m10) - (m01 - m00) AS did,
+           CASE WHEN t00 IS NOT NULL AND t01 IS NOT NULL
+                 AND t10 IS NOT NULL AND t11 IS NOT NULL
+                 AND ((t00 + t01) + t10) + t11 > CAST(0 AS DOUBLE)
+           THEN sqrt(((t00 + t01) + t10) + t11) END AS se,
+           CASE WHEN t00 IS NOT NULL AND t01 IS NOT NULL
+                 AND t10 IS NOT NULL AND t11 IS NOT NULL
+                 AND ((t00 + t01) + t10) + t11 > CAST(0 AS DOUBLE)
+           THEN ((m11 - m10) - (m01 - m00))
+                / sqrt(((t00 + t01) + t10) + t11) END AS z_score
+    FROM m
+    """,
+    tags=("analytics", "causal", "diff-in-diff", "experiment"),
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator on event value: treatment =
+    the deterministic user-parity split (the ab_lift convention),
+    periods = first vs second half of the observed month. DiD is the
+    causal-inference workhorse when treatment wasn't randomized over
+    TIME — it nets out both the group baseline and the common time
+    trend that a naive post-period comparison (events_ab_lift's
+    shape) confounds. All four cell moments are exact integer-cents
+    DECIMAL(38,0); means, per-cell variance terms, the estimate and
+    its large-sample SE (sqrt of the explicitly-associated 4-term
+    sum — a FIXED IEEE tree, not a fold) are deterministic
+    cross-engine. One (treat, period) aggregate over the events scan,
+    then a 4-cell pivot into a single row."""
+    from ..operators.relational import dec
+
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.when(
+            F.to_date("ts") >= F.lit("2024-01-16").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("p"),
+        (dec("value", 18, 2) * 100).cast(d38).alias("x"),
+    )
+    cells = base.groupBy("t", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("ss"),
+    )
+
+    def cell(col: str, t: int, p: int) -> Column:
+        return F.max(
+            F.when((F.col("t") == t) & (F.col("p") == p), F.col(col))
+        )
+
+    one = cells.agg(
+        *[
+            cell("n", t, p).alias(f"n{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            cell("s", t, p).alias(f"s{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            cell("ss", t, p).alias(f"ss{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    def mean(t: int, p: int) -> Column:
+        return _dbl(F.col(f"s{t}{p}")) / F.col(f"n{t}{p}").cast("double")
+
+    def term(t: int, p: int) -> Column:
+        n, s, ss = F.col(f"n{t}{p}"), F.col(f"s{t}{p}"), F.col(f"ss{t}{p}")
+        return F.when(
+            n > 1,
+            _dbl((n * ss - s * s).cast(d38))
+            / _dbl((n.cast(d38) * n * (n - 1)).cast(d38)),
+        )
+
+    m00, m01, m10, m11 = mean(0, 0), mean(0, 1), mean(1, 0), mean(1, 1)
+    t00, t01, t10, t11 = term(0, 0), term(0, 1), term(1, 0), term(1, 1)
+    tsum = ((t00 + t01) + t10) + t11
+    did = (m11 - m10) - (m01 - m00)
+    ok = (
+        t00.isNotNull()
+        & t01.isNotNull()
+        & t10.isNotNull()
+        & t11.isNotNull()
+        & (tsum > F.lit(0.0))
+    )
+    return one.select(
+        F.col("n00").alias("n_ctrl_pre"),
+        F.col("n01").alias("n_ctrl_post"),
+        F.col("n10").alias("n_treat_pre"),
+        F.col("n11").alias("n_treat_post"),
+        m00.alias("mean_ctrl_pre"),
+        m01.alias("mean_ctrl_post"),
+        m10.alias("mean_treat_pre"),
+        m11.alias("mean_treat_post"),
+        did.alias("did"),
+        F.when(ok, F.sqrt(tsum)).alias("se"),
+        F.when(ok, did / F.sqrt(tsum)).alias("z_score"),
+    )

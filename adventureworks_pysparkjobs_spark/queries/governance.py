@@ -1812,3 +1812,72 @@ def orders_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pband"),
     )
     return cramers_v_matrix(base, ["status", "priority", "odow", "pband"])
+
+
+@query(
+    "lineitem_digit_heaping",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                       AS DECIMAL(38,0)) % 1000 AS BIGINT) // 100
+               AS digit
+      FROM lineitem),
+    cells AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    tot AS (
+      SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS gt FROM cells)
+    SELECT CAST(digit AS INTEGER) AS terminal_digit, n,
+           CAST(n AS DOUBLE) / CAST(gt AS DOUBLE) AS share,
+           CAST(gt AS DOUBLE) / CAST(10 AS DOUBLE) AS expected,
+           (CAST(n AS DOUBLE) - CAST(gt AS DOUBLE) / CAST(10 AS DOUBLE))
+           * (CAST(n AS DOUBLE) - CAST(gt AS DOUBLE) / CAST(10 AS DOUBLE))
+           / (CAST(gt AS DOUBLE) / CAST(10 AS DOUBLE)) AS chi2_contrib
+    FROM tot
+    """,
+    tags=("governance", "heaping", "digit-preference", "data-quality"),
+)
+def lineitem_digit_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-digit heaping audit of order quantities — the
+    data-entry-quality sibling of orders_benford_audit (Benford reads
+    FIRST digits of organic magnitudes; heaping reads LAST digits,
+    where human-entered or system-defaulted values pile onto 0 and 5).
+    Each of the 10 terminal digits reports its count, share, uniform
+    expectation and per-cell chi-square contribution (the per-cell
+    shape of the chi2 entries; exact integer counts, single IEEE
+    divisions). The digit is extracted in exact integer-cents
+    arithmetic on NON-NEGATIVE values (quantities — Spark % and
+    DuckDB % agree there), never by double rounding. One count
+    aggregate, one window over the 10-row frame."""
+    from ..operators.relational import dec
+
+    d38 = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.select(
+        (
+            ((dec("l_quantity", 12, 2) * 100).cast(d38) % 1000).cast("long")
+            / F.lit(100)
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    from pyspark.sql import Window
+
+    cells = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gt = F.sum("n").over(w_all).cast("long")
+    e = gt.cast("double") / F.lit(10).cast("double")
+    return cells.select(
+        F.col("digit").cast("int").alias("terminal_digit"),
+        "n",
+        (F.col("n").cast("double") / gt.cast("double")).alias("share"),
+        e.alias("expected"),
+        (
+            (F.col("n").cast("double") - e)
+            * (F.col("n").cast("double") - e)
+            / e
+        ).alias("chi2_contrib"),
+    )

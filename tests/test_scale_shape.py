@@ -69,6 +69,7 @@ CROSS_OK = {
     "emb_hubness_audit",
     "customer_mahalanobis_outliers",  # 1-row moment rider broadcast cross
     "orders_revenue_runs_test",  # 1-row exact-median broadcast rider
+    "lineitem_simpson_audit",  # 1-row pooled-moment broadcast rider
 }
 
 BATCH_QUERIES = sorted(

@@ -1565,9 +1565,30 @@ def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     cells = long.groupBy("pair", "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    w_r = Window.partitionBy("pair", "a")
-    w_c = Window.partitionBy("pair", "b")
-    w_g = Window.partitionBy("pair")
+    # DENSE r x c grid per pair: chi-square owes mass for STRUCTURAL
+    # ZEROS too (a never-observed (a, b) combination under strong
+    # association contributes its full expectation) — folding observed
+    # cells only understates chi2 and caps V below 1 even for a
+    # perfect association. The grid is marginal x marginal within each
+    # pair (enum-bounded), built by equi-joins on pair — never a
+    # row-level expansion.
+    ra = cells.groupBy("pair", "a").agg(F.sum("n").cast("long").alias("rt"))
+    cb = cells.groupBy("pair", "b").agg(F.sum("n").cast("long").alias("ct"))
+    gtot = cells.groupBy("pair").agg(F.sum("n").cast("long").alias("gt"))
+    dense = (
+        ra.join(cb, "pair")
+        .join(gtot, "pair")
+        .join(cells, ["pair", "a", "b"], "left")
+        .select(
+            "pair",
+            "a",
+            "b",
+            "rt",
+            "ct",
+            "gt",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
     e = (
         F.col("rt").cast("double")
         * F.col("ct").cast("double")
@@ -1576,15 +1597,7 @@ def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     term = (
         (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
     )
-    tot = cells.select(
-        "pair",
-        "a",
-        "b",
-        "n",
-        F.sum("n").over(w_r).cast("long").alias("rt"),
-        F.sum("n").over(w_c).cast("long").alias("ct"),
-        F.sum("n").over(w_g).cast("long").alias("gt"),
-    ).select("pair", "a", "b", term.alias("t"))
+    tot = dense.select("pair", "a", "b", term.alias("t"))
     agg = (
         cells.groupBy("pair")
         .agg(

@@ -1743,12 +1743,22 @@ def orders_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
       SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS n
       FROM long GROUP BY 1, 2, 3),
+    ra AS (
+      SELECT pair, a, CAST(SUM(n) AS BIGINT) AS rt
+      FROM cells GROUP BY 1, 2),
+    cb AS (
+      SELECT pair, b, CAST(SUM(n) AS BIGINT) AS ct
+      FROM cells GROUP BY 1, 2),
+    gtot AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS gt FROM cells GROUP BY 1),
     tot AS (
-      SELECT pair, a, b, n,
-             CAST(SUM(n) OVER (PARTITION BY pair, a) AS BIGINT) AS rt,
-             CAST(SUM(n) OVER (PARTITION BY pair, b) AS BIGINT) AS ct,
-             CAST(SUM(n) OVER (PARTITION BY pair) AS BIGINT) AS gt
-      FROM cells),
+      SELECT ra.pair, ra.a, cb.b, ra.rt, cb.ct, g.gt,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM ra
+      JOIN cb USING (pair)
+      JOIN gtot g USING (pair)
+      LEFT JOIN cells c
+        ON c.pair = ra.pair AND c.a = ra.a AND c.b = cb.b),
     terms AS (
       SELECT pair, a, b,
              (CAST(n AS DOUBLE)
@@ -1796,9 +1806,13 @@ def orders_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines fold the SAME per-cell IEEE terms in the SAME (a, b)
     order (F.aggregate over array_sort(collect_list) ≡ DuckDB
     list_reduce over list(... ORDER BY a, b)) — lifting the
-    per-cell-only restriction the chi2 entry documents. One scan
-    explodes rows into C(4,2)=6 pairs; one (pair, a, b) count
-    aggregate is the only corpus-sized shuffle."""
+    per-cell-only restriction the chi2 entry documents. The fold runs
+    over the DENSE marginal x marginal grid, so structural zeros
+    (never-observed combinations) contribute their full expectation —
+    folding observed cells only would cap V below 1 for a perfect
+    association (pinned by TestCramersVMatrix). One scan explodes
+    rows into C(4,2)=6 pairs; one (pair, a, b) count aggregate is the
+    only corpus-sized shuffle."""
     from ..operators.profile import cramers_v_matrix
 
     od = load_table(spark, sf_dir, "orders")

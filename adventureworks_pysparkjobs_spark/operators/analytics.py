@@ -2364,6 +2364,9 @@ def kruskal_wallis(
         )
         .groupBy("b", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # lineage cut: vt feeds the bin totals AND the group rank sums —
+        # the frame is (bin x group) grain, grid-bounded by contract
+        .localCheckpoint()
     )
     v = vt.groupBy("b").agg(F.sum("cnt").cast("long").alias("c"))
     wcum = Window.orderBy("b").rowsBetween(

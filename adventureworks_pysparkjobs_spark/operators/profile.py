@@ -1463,6 +1463,10 @@ def mix_tv_drift(
         )
         .groupBy("wk", "cat")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # lineage cut: wt feeds totals + both pairing sides — without it
+        # Catalyst re-derives each use from the raw scan (4x the fact);
+        # the frame is (week x category) grain, calendar x enum bounded
+        .localCheckpoint()
     )
     totals = wt.groupBy("wk").agg(F.sum("n").cast("long").alias("nt"))
     cur = wt.select(
@@ -1564,7 +1568,10 @@ def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
     cells = long.groupBy("pair", "a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+        # lineage cut: cells feeds the marginals, the grid and the stats
+        # frame — without it each use re-scans and re-explodes the input
+        # (5x the fact); the frame is cell grain, enum-bounded
+    ).localCheckpoint()
     # DENSE r x c grid per pair: chi-square owes mass for STRUCTURAL
     # ZEROS too (a never-observed (a, b) combination under strong
     # association contributes its full expectation) — folding observed
@@ -1679,7 +1686,13 @@ def mahalanobis_outliers_2d(
         F.col(id_col).alias("id"),
         F.col(x_col).cast(d38).alias("x"),
         F.col(y_col).cast(d38).alias("y"),
-    )
+        # lineage cut: base feeds the moment rider AND the scoring pass —
+        # without it the caller's upstream join/aggregate runs twice.
+        # This one is ENTITY-grain (data-sized): the materialization is
+        # the deliberate persist-vs-recompute call every two-pass
+        # algorithm makes; the score pass cannot start before the
+        # moments exist anyway.
+    ).localCheckpoint()
     m = base.agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum("x").cast(d38).alias("sx"),

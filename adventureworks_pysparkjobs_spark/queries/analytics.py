@@ -4320,7 +4320,9 @@ def orders_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,2)")
             .alias("rev")
         )
-    ).cache()  # day-grain (tiny); reused by the median rider + scan
+    ).localCheckpoint()  # day-grain (calendar-bounded); reused by
+    # the median rider + the sign scan — lineage cut so orders is
+    # aggregated once
     n1 = daily.groupBy().agg(
         F.expr("(count(1) + 1) div 2").alias("mrn"),
     )
@@ -4456,7 +4458,9 @@ def lineitem_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast(d38).alias("sy"),
         F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
-    ).cache()  # brand-grain (tiny); reused by the pooled rider
+    ).localCheckpoint()  # brand-grain (enum-bounded); reused by the
+    # pooled rider + the per-brand scan — lineage cut so the
+    # lineitem-part join runs once
     pool = g.agg(
         F.sum("n").cast(d38).alias("pn"),
         F.sum("sx").cast(d38).alias("psx"),

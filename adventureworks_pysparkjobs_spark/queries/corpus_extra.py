@@ -2125,7 +2125,11 @@ def doc_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i"),
         F.sum("n").over(w).cast("long").alias("cn"),
         F.sum("s").over(w).cast("long").alias("cs"),
-    ).cache()  # bin-grain (tiny); reused by intervals, minimax, output
+    ).localCheckpoint()  # bin-grain (tiny); reused by intervals,
+    # minimax and the output join — the lineage cut keeps the
+    # classifier's keyed aggregates computed ONCE (cache alone lets
+    # Catalyst re-derive reused lineage from source, the kendall
+    # lesson: 3 corpus scans -> 1)
     j = seq.select(
         F.col("i").alias("ji"),
         (F.col("cs") - F.col("s")).alias("ps"),
@@ -2135,7 +2139,10 @@ def doc_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("ki"), F.col("cs").alias("kcs"),
         F.col("cn").alias("kcn"),
     )
-    intervals = j.join(k, F.col("ji") <= F.col("ki")).select(
+    # explicit broadcasts: the checkpointed bin frame carries no size
+    # stats, and without them the inequality joins degrade to
+    # CartesianProduct instead of broadcast nested loop
+    intervals = j.join(F.broadcast(k), F.col("ji") <= F.col("ki")).select(
         "ji",
         "ki",
         (
@@ -2146,7 +2153,8 @@ def doc_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = seq.select(F.col("i").alias("bi"))
     minimax = (
         intervals.join(
-            b, (F.col("ji") <= F.col("bi")) & (F.col("ki") >= F.col("bi"))
+            F.broadcast(b),
+            (F.col("ji") <= F.col("bi")) & (F.col("ki") >= F.col("bi")),
         )
         .groupBy("bi", "ji")
         .agg(F.min("iavg").alias("m"))
@@ -2227,7 +2235,9 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).cast("long").alias("rn"),
         F.sum("cnt").over(w_cum).cast("long").alias("cum"),
         F.sum("cnt").over(w_all).cast("long").alias("tot"),
-    )
+        # lineage cut: ranked feeds the checkpoint expansion AND the
+        # final join-back — term-grain, tokenized once
+    ).localCheckpoint()
     hits = (
         ranked.select(
             "rn",
@@ -2340,7 +2350,9 @@ def corpus_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(tokens("text")).alias("tk"))
         .groupBy("source", "tk")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    ).cache()  # (source, term)-grain; reused by totals/topk/dense
+    ).localCheckpoint()  # (source, term)-grain (vocab-bounded);
+    # reused by totals/topk/dense — the cut keeps the corpus
+    # tokenized once (was 3 scans with cache only)
     totals = st.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("n_tokens")
     )
@@ -2352,7 +2364,11 @@ def corpus_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i") <= 300)
         .select("tk", "i")
     )
-    in_top = st.join(topk, "tk").select("source", "i", "cnt")
+    in_top = st.join(topk, "tk").select(
+        "source", "i", "cnt"
+        # lineage cut: in_top feeds the rest-mass rollup AND the dense
+        # union — (source x <=300)-grain
+    ).localCheckpoint()
     rest = (
         totals.join(
             in_top.groupBy("source").agg(

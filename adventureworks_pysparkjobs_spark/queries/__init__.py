@@ -58,6 +58,19 @@ from . import (  # noqa: E402,F401
 # doc_jaccard_histogram (dedup-observability family stays via
 # doc_dedup_threshold_curve + doc_minhash_lsh_pairs); all four remain
 # catalog + oracle-gated locally.
+# r8 third rotation (continuation-wave representatives): in —
+# orders_cramers_v_matrix (the ordered-fold determinism idiom deserves
+# driver attestation), corpus_source_hellinger (data-mixing source
+# distance, ordered sqrt-fold), doc_isotonic_calibration (PAVA
+# calibration, the new ML-ops classifier gate); out —
+# supplier_return_rate_wilson (closed-form-stat family stays via
+# customer_second_order_hazard + events_markov_stationary),
+# doc_source_minhash_overlap (source-similarity family succeeded by
+# corpus_source_hellinger; minhash family stays via
+# doc_minhash_lsh_pairs + doc_dup_clusters), events_sessionize
+# (session construction stays attested via stream_session_windows +
+# stream_stateful_sessions, which share its CTE shape); all three
+# remain catalog + oracle-gated locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -73,7 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "outer_join_profiles",
     "corpus_bm25_topk",
     "orders_bloom_prefilter",
-    "supplier_return_rate_wilson",
+    "orders_cramers_v_matrix",
     "top3_parts_per_brand",
     "part_link_prediction",
     "orders_fiscal_rollup",
@@ -87,13 +100,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fact_daily_part_agg",
     "events_semistructured",
     "stream_user_state_changes",
-    "events_sessionize",
+    "doc_isotonic_calibration",
     "events_asof_attribution",
     "doc_classifier_conformal",
     "doc_exact_dedup",
     "doc_text_profile",
     "doc_chunks",
-    "doc_source_minhash_overlap",
+    "corpus_source_hellinger",
     "doc_minhash_lsh_pairs",
     "events_resample_gapfill",
     "doc_binary_payload",

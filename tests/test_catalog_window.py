@@ -29,7 +29,7 @@ EXPECTED_WINDOW = (
     "outer_join_profiles",
     "corpus_bm25_topk",
     "orders_bloom_prefilter",
-    "supplier_return_rate_wilson",
+    "orders_cramers_v_matrix",
     "top3_parts_per_brand",
     "part_link_prediction",
     "orders_fiscal_rollup",
@@ -43,13 +43,13 @@ EXPECTED_WINDOW = (
     "fact_daily_part_agg",
     "events_semistructured",
     "stream_user_state_changes",
-    "events_sessionize",
+    "doc_isotonic_calibration",
     "events_asof_attribution",
     "doc_classifier_conformal",
     "doc_exact_dedup",
     "doc_text_profile",
     "doc_chunks",
-    "doc_source_minhash_overlap",
+    "corpus_source_hellinger",
     "doc_minhash_lsh_pairs",
     "events_resample_gapfill",
     "doc_binary_payload",

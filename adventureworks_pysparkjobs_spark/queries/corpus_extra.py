@@ -2425,3 +2425,157 @@ def corpus_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "doc_length_partial_corr",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tk FROM
+        (SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t <> '') AS toks
+         FROM documents), unnest(toks) AS t(tk)
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('qc:' || tk), 1, 4) AS INTEGER)
+               % 4096 AS feature
+      FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM feat GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT DISTINCT feature,
+             CAST(CAST('0x' || substr(md5('w:' || feature), 1, 4)
+                       AS BIGINT) % 2001 - 1000 AS BIGINT) AS w_scaled
+      FROM feat
+    ),
+    scores AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf * w.w_scaled) AS BIGINT) AS logit_scaled
+      FROM tf JOIN w ON w.feature = tf.feature
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(s.logit_scaled AS DECIMAL(38,0)) AS x,
+             CAST(d.n_chars AS DECIMAL(38,0)) AS y,
+             CAST(s.n_tokens AS DECIMAL(38,0)) AS z
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(z) AS DECIMAL(38,0)) AS sz,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(z * z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x * z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxz,
+             CAST(SUM(CAST(y * z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syz
+      FROM base
+    ),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n_docs,
+             CAST(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR)
+                  AS DOUBLE)
+             / sqrt(CAST(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE)) AS r_xy,
+             CAST(CAST(CAST(n * sxz - sx * sz AS DECIMAL(38,0)) AS VARCHAR)
+                  AS DOUBLE)
+             / sqrt(CAST(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * szz - sz * sz AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE)) AS r_xz,
+             CAST(CAST(CAST(n * syz - sy * sz AS DECIMAL(38,0)) AS VARCHAR)
+                  AS DOUBLE)
+             / sqrt(CAST(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0))
+                              AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(CAST(n * szz - sz * sz AS DECIMAL(38,0))
+                                AS VARCHAR) AS DOUBLE)) AS r_yz
+      FROM m
+    )
+    SELECT n_docs, r_xy, r_xz, r_yz,
+           CASE WHEN (CAST(1 AS DOUBLE) - r_xz * r_xz)
+                     * (CAST(1 AS DOUBLE) - r_yz * r_yz)
+                     > CAST(0 AS DOUBLE)
+           THEN (r_xy - r_xz * r_yz)
+                / sqrt((CAST(1 AS DOUBLE) - r_xz * r_xz)
+                       * (CAST(1 AS DOUBLE) - r_yz * r_yz))
+           END AS partial_r_xy_given_z
+    FROM r
+    """,
+    tags=("text", "partial-correlation", "feature-redundancy", "ml-ops"),
+)
+def doc_length_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of raw classifier mass (logit_scaled) vs
+    character length, CONTROLLING for token count — the
+    feature-redundancy diagnostic: a high raw r_xy that collapses when
+    z is partialed out says the classifier's unnormalized signal is
+    just length, which is exactly why doc_quality_classifier gates on
+    the per-token-NORMALIZED logit. All three variables are integers
+    (the hashed classifier's scaled logit, n_chars, n_tokens), so
+    every moment is exact DECIMAL(38,0); the three Pearson r's and
+    the partial r are one fixed closed-form IEEE tree (divisions +
+    correctly-rounded sqrt). Degenerate control (|r| = 1) guards to
+    NULL. One keyed classifier aggregate + one 1-row moment
+    reduction; nothing wider than the scores frame."""
+    from ..operators.lm import hashed_linear_scores, pseudo_weights
+
+    d38 = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    scores = hashed_linear_scores(
+        docs, pseudo_weights(spark, 4096, "w", 1000)
+    )
+    base = scores.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        F.col("logit_scaled").cast(d38).alias("x"),
+        F.col("n_chars").cast(d38).alias("y"),
+        F.col("n_tokens").cast(d38).alias("z"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum("z").cast(d38).alias("sz"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast(d38).alias("syy"),
+        F.sum((F.col("z") * F.col("z")).cast(d38)).cast(d38).alias("szz"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast(d38)).cast(d38).alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast(d38)).cast(d38).alias("syz"),
+    )
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    def corr(sab: str, saa: str, sa: str, sbb: str, sb: str) -> Column:
+        num = _dbl(
+            (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(d38)
+        )
+        da = _dbl(
+            (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast(d38)
+        )
+        db = _dbl(
+            (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast(d38)
+        )
+        return num / F.sqrt(da * db)
+
+    r_xy = corr("sxy", "sxx", "sx", "syy", "sy")
+    r_xz = corr("sxz", "sxx", "sx", "szz", "sz")
+    r_yz = corr("syz", "syy", "sy", "szz", "sz")
+    den = (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        r_xy.alias("r_xy"),
+        r_xz.alias("r_xz"),
+        r_yz.alias("r_yz"),
+        F.when(den > F.lit(0.0), (r_xy - r_xz * r_yz) / F.sqrt(den)).alias(
+            "partial_r_xy_given_z"
+        ),
+    )

@@ -2200,3 +2200,108 @@ def corpus_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pair_mass"),
         )
     )
+
+
+@query(
+    "doc_winnowing_pairs",
+    oracle="""
+    WITH wg AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) >= 8
+                  THEN list_transform(range(1, LENGTH(text) - 6),
+                                      i -> md5(text[i:i+7]))
+                  ELSE CAST([] AS VARCHAR[]) END AS g
+      FROM documents
+    ),
+    wfp AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               CASE WHEN len(g) >= 4
+                    THEN list_transform(range(1, len(g) - 2),
+                                        i -> list_min(g[i:i+3]))
+                    ELSE g END)) AS fp
+      FROM wg
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp FROM wfp),
+    posting AS (
+      SELECT t.f AS f, doc_id FROM wfp, unnest(fp) AS t(f)),
+    kept AS (
+      SELECT f, doc_id FROM posting
+      QUALIFY COUNT(*) OVER (PARTITION BY f) <= 50),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3)
+    SELECT p.id1, p.id2, p.n_shared,
+           sa.n_fp AS n_fp_1, sb.n_fp AS n_fp_2,
+           CAST(p.n_shared AS DOUBLE)
+             / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE)
+             AS overlap_coefficient
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id1
+    JOIN sizes sb ON sb.doc_id = p.id2
+    """,
+    tags=("dedup", "winnowing", "fingerprint", "plagiarism"),
+)
+def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing-fingerprint pairs (Schleimer et al.
+    SIGMOD'03 — the MOSS algorithm): documents sharing >= 3 selected
+    k-gram hashes, with the overlap coefficient n_shared/min(|f|) —
+    the guarantee-backed local-similarity detector next to the
+    MinHash (global Jaccard) and SimHash (global cosine-ish)
+    entries: winnowing PROVES any shared run longer than k+window-1
+    chars shares a fingerprint, which is what plagiarism and
+    license-contamination hunts need. Fingerprint selection is the
+    existing per-row winnow_fingerprints operator (zero shuffles);
+    the pair step is a posting-list join with a df <= 50
+    stop-fingerprint cap (boilerplate fingerprints prune from the
+    candidate mass exactly like dedup's stop shingles — never an
+    all-pairs join), then two doc-grain size joins. Counts exact;
+    the coefficient is one IEEE division."""
+    from ..operators.text import winnow_fingerprints
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", k=8, window=4).localCheckpoint()
+    # (doc, fingerprint) posting list with a ubiquity cap
+    posting = fps.select(
+        "doc_id", F.explode("fingerprints").alias("f")
+    )
+    kept = (
+        posting.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("f"))
+        )
+        .filter(F.col("_df") <= 50)
+        .select("f", "doc_id")
+    )
+    a = kept.select("f", F.col("doc_id").alias("id1"))
+    b = kept.select("f", F.col("doc_id").alias("id2"))
+    pairs = (
+        a.join(b, "f")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    sizes = fps.select("doc_id", F.col("n_fingerprints").cast("long").alias("n_fp"))
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n_fp_1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n_fp_2"))
+    return (
+        pairs.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            "n_shared",
+            "n_fp_1",
+            "n_fp_2",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_1", "n_fp_2").cast("double")
+            ).alias("overlap_coefficient"),
+        )
+    )

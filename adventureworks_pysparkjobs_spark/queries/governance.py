@@ -1895,3 +1895,111 @@ def lineitem_digit_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
             / e
         ).alias("chi2_contrib"),
     )
+
+
+@query(
+    "lineitem_abc_migration",
+    oracle="""
+    WITH members AS (
+      SELECT l_partkey AS m,
+             SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS rev1,
+             SUM(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS rev2
+      FROM lineitem GROUP BY 1),
+    c1 AS (
+      SELECT m, CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                     WHEN cum * 20 <= total * 19 THEN 'B'
+                     ELSE 'C' END AS cls
+      FROM (
+        SELECT m, SUM(rev1) OVER (ORDER BY rev1 DESC, m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(rev1) OVER () AS total
+        FROM members WHERE rev1 IS NOT NULL)),
+    c2 AS (
+      SELECT m, CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                     WHEN cum * 20 <= total * 19 THEN 'B'
+                     ELSE 'C' END AS cls
+      FROM (
+        SELECT m, SUM(rev2) OVER (ORDER BY rev2 DESC, m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(rev2) OVER () AS total
+        FROM members WHERE rev2 IS NOT NULL))
+    SELECT COALESCE(c1.cls, 'none') AS class_from,
+           COALESCE(c2.cls, 'none') AS class_to,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM members mm
+    LEFT JOIN c1 ON c1.m = mm.m
+    LEFT JOIN c2 ON c2.m = mm.m
+    GROUP BY 1, 2
+    """,
+    tags=("governance", "abc", "migration", "concentration"),
+)
+def lineitem_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-class migration matrix across the 1996 boundary: every part
+    classified A/B/C by cumulative revenue share (the
+    lineitem_abc_classes thresholds — exact integer-cross-multiplied
+    cum*5 <= total*4 cuts, never float shares) in EACH period, plus
+    'none' for parts with no period revenue, then the from->to
+    transition counts — the assortment-drift report (how much of last
+    period's A-class fell out?) that a static ABC snapshot can't
+    answer. ONE lineitem scan builds both periods' part revenues via
+    conditional aggregation; the class windows run over the
+    part-grain frame; the matrix is a (<=4x4)-cell rollup."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1996-01-01").cast("date")
+    members = (
+        li.groupBy(F.col("l_partkey").alias("m"))
+        .agg(
+            F.sum(
+                F.when(F.to_date("l_shipdate") < cutoff,
+                       dec("l_extendedprice", 12, 2))
+            ).alias("rev1"),
+            F.sum(
+                F.when(F.to_date("l_shipdate") >= cutoff,
+                       dec("l_extendedprice", 12, 2))
+            ).alias("rev2"),
+        )
+        # part-grain; reused by both class windows + the matrix join
+        .localCheckpoint()
+    )
+
+    def classify(rev_col: str):
+        f = members.filter(F.col(rev_col).isNotNull()).select(
+            "m", F.col(rev_col).alias("rev")
+        )
+        w_cum = Window.orderBy(F.col("rev").desc(), F.col("m")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        scored = f.select(
+            "m",
+            F.sum("rev").over(w_cum).alias("cum"),
+            F.sum("rev").over(w_all).alias("total"),
+        )
+        return scored.select(
+            "m",
+            F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+            .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+
+    c1 = classify("rev1").withColumnRenamed("cls", "cls1")
+    c2 = classify("rev2").withColumnRenamed("cls", "cls2")
+    return (
+        members.select("m")
+        .join(c1, "m", "left")
+        .join(c2, "m", "left")
+        .groupBy(
+            F.coalesce("cls1", F.lit("none")).alias("class_from"),
+            F.coalesce("cls2", F.lit("none")).alias("class_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )

@@ -690,3 +690,84 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_vectors").over(w_all).cast("double")
         ).alias("cum_share"),
     )
+
+
+@query(
+    "emb_cosine_histogram",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT CAST(FLOOR({_cos('a.embedding', 'b.embedding')} / 0.05
+                  ) AS BIGINT) AS bucket
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+    hist AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1)
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) * 0.05 AS bucket_lo,
+           n_pairs,
+           CAST(n_pairs AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER () AS DOUBLE) AS share,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER () AS DOUBLE) AS cum_share
+    FROM hist
+    """,
+    tags=("similarity", "histogram", "threshold-planning", "audit"),
+)
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution histogram (0.05-wide buckets with
+    shares and the cumulative curve) — the empirical curve that PRICES
+    a semantic-dedup threshold before running it (the dense-embedding
+    sibling of doc_jaccard_histogram: pick the threshold at the
+    distribution's antimode, and read how many pairs a 0.05 shift
+    adds). Same audit-sample contract as emb_cosine_topk / the
+    hubness audit: the pair scoring is a broadcast loop over the
+    BOUNDED sample (the fixture corpus here; a uniform sample or one
+    IVF cell at 100 TB). Bucket ids floor a bit-identical IEEE score
+    (floor, never integer div — scores go negative); everything after
+    the scoring pass is a bounded histogram with exact counts and
+    single divisions."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ida"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"),
+                   F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.floor(
+                (
+                    S.dot_fold(F.col("va"), F.col("vb"))
+                    / (S.norm_fold(F.col("va")) * S.norm_fold(F.col("vb")))
+                )
+                / F.lit(0.05)
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    )
+    hist = pairs.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "bucket",
+        (F.col("bucket").cast("double") * F.lit(0.05)).alias("bucket_lo"),
+        "n_pairs",
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_all).cast("double")
+        ).alias("share"),
+        (
+            F.sum("n_pairs").over(w_cum).cast("double")
+            / F.sum("n_pairs").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )

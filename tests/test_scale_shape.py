@@ -70,6 +70,8 @@ CROSS_OK = {
     "customer_mahalanobis_outliers",  # 1-row moment rider broadcast cross
     "orders_revenue_runs_test",  # 1-row exact-median broadcast rider
     "lineitem_simpson_audit",  # 1-row pooled-moment broadcast rider
+    # same audit-sample broadcast contract as emb_hubness_audit
+    "emb_cosine_histogram",
 }
 
 BATCH_QUERIES = sorted(

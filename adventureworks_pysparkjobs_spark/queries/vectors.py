@@ -730,10 +730,18 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("ida"),
-                   F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("idb"),
-                   F.col("embedding").alias("vb"))
+    # norms once per VECTOR, not per pair (the cosine_topk staging):
+    # the pair loop then runs one fold instead of three
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        S.norm_fold(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        S.norm_fold(F.col("embedding")).alias("nb"),
+    )
     pairs = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("ida") < F.col("idb"))
@@ -741,7 +749,7 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 (
                     S.dot_fold(F.col("va"), F.col("vb"))
-                    / (S.norm_fold(F.col("va")) * S.norm_fold(F.col("vb")))
+                    / (F.col("na") * F.col("nb"))
                 )
                 / F.lit(0.05)
             )

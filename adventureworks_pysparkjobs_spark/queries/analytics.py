@@ -4675,3 +4675,183 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.sqrt(tsum)).alias("se"),
         F.when(ok, did / F.sqrt(tsum)).alias("z_score"),
     )
+
+
+@query(
+    "events_seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT d, x,
+             LAG(x, 1) OVER (ORDER BY d) AS x1,
+             LAG(x, 7) OVER (ORDER BY d) AS x7
+      FROM daily),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(COUNT(x7) AS BIGINT) AS n_scored,
+             CAST(SUM(CASE WHEN x7 IS NOT NULL
+                           THEN ABS(x - x7) END) AS BIGINT) AS ae_seasonal,
+             CAST(SUM(CASE WHEN x7 IS NOT NULL
+                           THEN ABS(x - x1) END) AS BIGINT) AS ae_naive
+      FROM lagged)
+    SELECT n_days, n_scored,
+           CAST(ae_seasonal AS DOUBLE) / CAST(n_scored AS DOUBLE)
+             AS mae_seasonal,
+           CAST(ae_naive AS DOUBLE) / CAST(n_scored AS DOUBLE) AS mae_naive,
+           CASE WHEN ae_naive > 0 THEN
+             CAST(ae_seasonal AS DOUBLE) / CAST(ae_naive AS DOUBLE)
+           END AS mase
+    FROM agg
+    """,
+    tags=("analytics", "forecast-eval", "mase", "timeseries"),
+)
+def events_seasonal_naive_mase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest on daily event volume, scored
+    with MASE (mean absolute scaled error — the M-competition metric):
+    predict each day with the same weekday last week, scale by the
+    one-day-naive error over the SAME scored days, so mase < 1 reads
+    "weekly seasonality beats persistence" — the go/no-go check before
+    shipping any fancier forecaster, next to the seasonality-index and
+    EWMA entries (which describe the pattern; this SCORES whether it
+    predicts). Integer daily counts make both error sums exact BIGINTs;
+    the two MAEs and the ratio are single IEEE divisions. One day-grain
+    aggregate, two lag windows over the reduced frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count("x7").cast("long").alias("n_scored"),
+        F.sum(
+            F.when(
+                F.col("x7").isNotNull(), F.abs(F.col("x") - F.col("x7"))
+            )
+        )
+        .cast("long")
+        .alias("ae_seasonal"),
+        F.sum(
+            F.when(
+                F.col("x7").isNotNull(), F.abs(F.col("x") - F.col("x1"))
+            )
+        )
+        .cast("long")
+        .alias("ae_naive"),
+    )
+    return agg.select(
+        "n_days",
+        "n_scored",
+        (
+            F.col("ae_seasonal").cast("double")
+            / F.col("n_scored").cast("double")
+        ).alias("mae_seasonal"),
+        (
+            F.col("ae_naive").cast("double")
+            / F.col("n_scored").cast("double")
+        ).alias("mae_naive"),
+        F.when(
+            F.col("ae_naive") > 0,
+            F.col("ae_seasonal").cast("double")
+            / F.col("ae_naive").cast("double"),
+        ).alias("mase"),
+    )
+
+
+@query(
+    "orders_revenue_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1),
+    runpeak AS (
+      SELECT d, rev,
+             MAX(rev) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM daily),
+    dd AS (
+      SELECT d, rev, peak, CAST(peak - rev AS DECIMAL(38,2)) AS drawdown
+      FROM runpeak),
+    worst AS (SELECT MAX(drawdown) AS mdd FROM dd)
+    SELECT dd.d AS trough_date,
+           CAST(CAST(dd.rev AS VARCHAR) AS DOUBLE) AS trough_revenue,
+           CAST(CAST(dd.peak AS VARCHAR) AS DOUBLE) AS peak_revenue,
+           CAST(CAST(dd.drawdown AS VARCHAR) AS DOUBLE) AS max_drawdown,
+           CAST(CAST(dd.drawdown AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(dd.peak AS VARCHAR) AS DOUBLE)
+             AS drawdown_frac
+    FROM dd, worst
+    WHERE dd.drawdown = worst.mdd
+    ORDER BY dd.d
+    LIMIT 1
+    """,
+    tags=("analytics", "drawdown", "timeseries", "risk"),
+)
+def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series: the largest gap
+    between a running peak and a later day, with the trough date and
+    the fractional fall — the risk/volatility summary (finance's
+    classic) that mean/stddev profiles and z-scores miss because it
+    measures the worst SEQUENCE, not the worst day. Exact decimal
+    daily revenue, an exact decimal running max and gap, exact-decimal
+    argmax with the EARLIEST trough as tie-break; doubles appear only
+    in the rendered output columns. One day-grain aggregate, one
+    running-max window over the reduced frame, a 1-row worst rider
+    (CROSS_OK pattern)."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.select(
+        "d",
+        "rev",
+        F.max("rev").over(w).alias("peak"),
+    ).select(
+        "d",
+        "rev",
+        "peak",
+        (F.col("peak") - F.col("rev")).cast("decimal(38,2)").alias(
+            "drawdown"
+        ),
+    ).localCheckpoint()  # day-grain; reused by the worst rider + argmax
+    worst = dd.agg(F.max("drawdown").alias("mdd"))
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    # 1-row worst-drawdown rider (CROSS_OK pattern)
+    return (
+        dd.crossJoin(F.broadcast(worst))
+        .filter(F.col("drawdown") == F.col("mdd"))
+        .orderBy("d")
+        .limit(1)
+        .select(
+            F.col("d").alias("trough_date"),
+            _dbl(F.col("rev")).alias("trough_revenue"),
+            _dbl(F.col("peak")).alias("peak_revenue"),
+            _dbl(F.col("drawdown")).alias("max_drawdown"),
+            (_dbl(F.col("drawdown")) / _dbl(F.col("peak"))).alias(
+                "drawdown_frac"
+            ),
+        )
+    )

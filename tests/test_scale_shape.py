@@ -72,6 +72,7 @@ CROSS_OK = {
     "lineitem_simpson_audit",  # 1-row pooled-moment broadcast rider
     # same audit-sample broadcast contract as emb_hubness_audit
     "emb_cosine_histogram",
+    "orders_revenue_drawdown",  # 1-row worst-drawdown broadcast rider
 }
 
 BATCH_QUERIES = sorted(

@@ -377,3 +377,120 @@ class TestHubnessEntry:
         assert sum(r["k_occ"] * r["n_vectors"] for r in rows) == 5 * n_vec
         cum = max(r["cum_share"] for r in rows)
         assert math.isclose(cum, 1.0, rel_tol=1e-12)
+
+
+class TestWinnowingPairs:
+    def test_shared_run_is_detected(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.text import (
+            winnow_fingerprints,
+        )
+
+        # two docs sharing a 60-char run MUST share fingerprints
+        # (the winnowing guarantee: any run >= k + window - 1 chars
+        # shares a selected hash)
+        shared = "the quick brown fox jumps over the lazy dog again and"
+        df = spark.createDataFrame(
+            [
+                (1, "AAAA " + shared + " XXXX"),
+                (2, "BBBB " + shared + " YYYY"),
+                (3, "completely unrelated content zzz qqq www"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df, "text", k=8, window=4)
+        rows = {r["doc_id"]: set(r["fingerprints"]) for r in fps.collect()}
+        assert rows[1] & rows[2]  # guarantee holds
+        assert len(rows[1] & rows[3]) < len(rows[1] & rows[2])
+
+    def test_entry_overlap_bounds(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        rows = (
+            CATALOG["doc_winnowing_pairs"].builder(spark, SF_SMOKE)
+        ).collect()
+        for r in rows:
+            assert r["id1"] < r["id2"]
+            assert r["n_shared"] >= 3
+            assert 0.0 < r["overlap_coefficient"] <= 1.0
+            assert r["n_shared"] <= min(r["n_fp_1"], r["n_fp_2"])
+
+
+class TestAbcMigrationEntry:
+    def test_partition_of_parts(self, spark):
+        import duckdb
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        rows = (
+            CATALOG["lineitem_abc_migration"].builder(spark, SF_SMOKE)
+        ).collect()
+        n_parts_with_sales = duckdb.sql(
+            f"SELECT COUNT(DISTINCT l_partkey) FROM "
+            f"'{SF_SMOKE}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert sum(r["n_parts"] for r in rows) == n_parts_with_sales
+        classes = {"A", "B", "C", "none"}
+        for r in rows:
+            assert r["class_from"] in classes and r["class_to"] in classes
+        # 'none' -> 'none' cannot appear: membership requires revenue in
+        # at least one period
+        assert not any(
+            r["class_from"] == "none" and r["class_to"] == "none"
+            for r in rows
+        )
+
+
+class TestMaseEntry:
+    def test_hand_series(self, spark):
+        from adventureworks_pysparkjobs_spark.operators import analytics  # noqa: F401
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        r = CATALOG["events_seasonal_naive_mase"].builder(
+            spark, SF_SMOKE
+        ).collect()[0]
+        assert r["n_scored"] == r["n_days"] - 7  # dense fixture calendar
+        assert r["mase"] == r["mae_seasonal"] / r["mae_naive"]
+
+
+class TestDrawdownEntry:
+    def test_invariants(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        r = CATALOG["orders_revenue_drawdown"].builder(
+            spark, SF_SMOKE
+        ).collect()[0]
+        assert r["max_drawdown"] == r["peak_revenue"] - r["trough_revenue"]
+        assert r["max_drawdown"] >= 0.0
+        assert 0.0 <= r["drawdown_frac"] < 1.0
+
+
+class TestPartialCorrEntry:
+    def test_bounds_and_identity(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        r = CATALOG["doc_length_partial_corr"].builder(
+            spark, SF_SMOKE
+        ).collect()[0]
+        for k in ("r_xy", "r_xz", "r_yz", "partial_r_xy_given_z"):
+            assert -1.0 - 1e-12 <= r[k] <= 1.0 + 1e-12
+        den = (1.0 - r["r_xz"] ** 2) * (1.0 - r["r_yz"] ** 2)
+        assert r["partial_r_xy_given_z"] == (
+            r["r_xy"] - r["r_xz"] * r["r_yz"]
+        ) / den ** 0.5
+
+
+class TestCosineHistogramEntry:
+    def test_pair_mass(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+        from adventureworks_pysparkjobs_spark.sources.corpus import (
+            load_table,
+        )
+
+        rows = (
+            CATALOG["emb_cosine_histogram"].builder(spark, SF_SMOKE)
+        ).collect()
+        n = load_table(spark, SF_SMOKE, "embeddings").count()
+        assert sum(r["n_pairs"] for r in rows) == n * (n - 1) // 2
+        assert max(r["cum_share"] for r in rows) == 1.0
+        for r in rows:
+            assert r["bucket_lo"] == r["bucket"] * 0.05

@@ -4855,3 +4855,124 @@ def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_ab_sample_size",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(38,0)) AS x
+      FROM events),
+    cells AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS ss
+      FROM base GROUP BY 1),
+    one AS (
+      SELECT MAX(CASE WHEN t = 0 THEN n END) AS n0,
+             MAX(CASE WHEN t = 1 THEN n END) AS n1,
+             MAX(CASE WHEN t = 0 THEN s END) AS s0,
+             MAX(CASE WHEN t = 1 THEN s END) AS s1,
+             MAX(CASE WHEN t = 0 THEN ss END) AS ss0,
+             MAX(CASE WHEN t = 1 THEN ss END) AS ss1
+      FROM cells),
+    m AS (
+      SELECT n0, n1,
+             CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE)
+               AS m0,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+               AS m1,
+             CAST(CAST(CAST(n0 * ss0 - s0 * s0 AS DECIMAL(38,0))
+                  AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(CAST(n0 AS DECIMAL(38,0)) * n0 * (n0 - 1)
+                  AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS v0,
+             CAST(CAST(CAST(n1 * ss1 - s1 * s1 AS DECIMAL(38,0))
+                  AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1)
+                  AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS v1
+      FROM one)
+    SELECT n0 AS n_ctrl, n1 AS n_treat, m0 AS mean_ctrl, m1 AS mean_treat,
+           m1 - m0 AS observed_delta,
+           (v0 + v1) / CAST(2 AS DOUBLE) AS pooled_var,
+           CASE WHEN (m1 - m0) * (m1 - m0) > CAST(0 AS DOUBLE) THEN
+             CAST(2 AS DOUBLE) * ((v0 + v1) / CAST(2 AS DOUBLE))
+             * (CAST('1.959963984540054' AS DOUBLE)
+                + CAST('0.8416212335729143' AS DOUBLE))
+             * (CAST('1.959963984540054' AS DOUBLE)
+                + CAST('0.8416212335729143' AS DOUBLE))
+             / ((m1 - m0) * (m1 - m0))
+           END AS required_n_per_arm
+    FROM m
+    """,
+    tags=("analytics", "power-analysis", "experiment", "planning"),
+)
+def events_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planner: the per-arm n required to detect the
+    OBSERVED treatment-control mean gap at alpha = 0.05 / power = 0.80
+    (n = 2*sigma^2*(z_alpha/2 + z_beta)^2 / delta^2 — the two-sample
+    normal-approximation formula every experimentation platform
+    ships). Reading required_n against the observed arm sizes answers
+    "was this test even powered?" BEFORE trusting events_ab_lift's
+    verdict. The z constants are UNIVERSAL quantiles (1.96, 0.8416 —
+    mathematical constants like pi, pinned as string-parsed double
+    literals in both engines, not data-derived); everything else is
+    exact integer-cents moments and one fixed IEEE tree. One
+    (arm)-keyed aggregate, a 2-cell pivot."""
+    from ..operators.relational import dec
+
+    d38 = "decimal(38,0)"
+    Z = F.lit("1.959963984540054").cast("double") + F.lit(
+        "0.8416212335729143"
+    ).cast("double")
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        (dec("value", 18, 2) * 100).cast(d38).alias("x"),
+    )
+    cells = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("ss"),
+    )
+
+    def cell(col: str, t: int) -> Column:
+        return F.max(F.when(F.col("t") == t, F.col(col)))
+
+    one = cells.agg(
+        cell("n", 0).alias("n0"),
+        cell("n", 1).alias("n1"),
+        cell("s", 0).alias("s0"),
+        cell("s", 1).alias("s1"),
+        cell("ss", 0).alias("ss0"),
+        cell("ss", 1).alias("ss1"),
+    )
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    def mean(i: int) -> Column:
+        return _dbl(F.col(f"s{i}")) / F.col(f"n{i}").cast("double")
+
+    def var(i: int) -> Column:
+        n, s, ss = F.col(f"n{i}"), F.col(f"s{i}"), F.col(f"ss{i}")
+        return _dbl((n * ss - s * s).cast(d38)) / _dbl(
+            (n.cast(d38) * n * (n - 1)).cast(d38)
+        )
+
+    delta = mean(1) - mean(0)
+    pooled = (var(0) + var(1)) / F.lit(2.0)
+    return one.select(
+        F.col("n0").alias("n_ctrl"),
+        F.col("n1").alias("n_treat"),
+        mean(0).alias("mean_ctrl"),
+        mean(1).alias("mean_treat"),
+        delta.alias("observed_delta"),
+        pooled.alias("pooled_var"),
+        F.when(
+            delta * delta > F.lit(0.0),
+            F.lit(2.0) * pooled * Z * Z / (delta * delta),
+        ).alias("required_n_per_arm"),
+    )

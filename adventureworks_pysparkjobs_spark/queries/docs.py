@@ -2305,3 +2305,120 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coefficient"),
         )
     )
+
+
+@query(
+    "doc_dup_quality_odds",
+    oracle="""
+    WITH marked AS (
+      SELECT d.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY d.text) > 1 AS is_dup
+      FROM documents d),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM marked),
+    med AS (
+      SELECT n_chars AS m FROM (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM marked), n
+      WHERE rn = (n.n + 1) // 2),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT_IF(is_dup) AS BIGINT) AS n_dup,
+             CAST(COUNT_IF(n_chars < med.m) AS BIGINT) AS n_short,
+             CAST(COUNT_IF(is_dup AND n_chars < med.m) AS BIGINT) AS a,
+             CAST(COUNT_IF(is_dup AND n_chars >= med.m) AS BIGINT) AS b,
+             CAST(COUNT_IF(NOT is_dup AND n_chars < med.m) AS BIGINT)
+               AS c,
+             CAST(COUNT_IF(NOT is_dup AND n_chars >= med.m) AS BIGINT)
+               AS d
+      FROM marked, med)
+    SELECT n_docs, n_dup, n_short, a AS dup_short, b AS dup_long,
+           c AS uniq_short, d AS uniq_long,
+           CASE WHEN a + b > 0 THEN
+             CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) END
+             AS dup_short_rate,
+           CASE WHEN c + d > 0 THEN
+             CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE) END
+             AS uniq_short_rate,
+           CASE WHEN b * c > 0 THEN
+             CAST(CAST(CAST(a AS DECIMAL(38,0)) * d AS DECIMAL(38,0))
+                  AS VARCHAR)::DOUBLE
+             / CAST(CAST(CAST(b AS DECIMAL(38,0)) * c AS DECIMAL(38,0))
+                    AS VARCHAR)::DOUBLE
+           END AS odds_ratio
+    FROM cells
+    """,
+    tags=("dedup", "quality", "odds-ratio", "audit"),
+)
+def doc_dup_quality_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are exact duplicates disproportionately SHORT documents? The
+    2x2 odds ratio linking the dedup and quality families: duplicated
+    text (verbatim-repeated across doc ids) x below-median length,
+    with per-group short rates — the audit that tells a pipeline
+    owner whether dedup is quietly also a quality filter (OR >> 1:
+    dups concentrate in short boilerplate; OR ~ 1: dedup and length
+    filtering are independent knobs). Duplicate marking is a window
+    count over the text key (one corpus shuffle); the median split is
+    the exact lower-median rank selection (1-row rider); the odds
+    ratio is an exact integer cross-product with ONE string-parse
+    double division, zero-denominator guarded."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.count(F.lit(1)).over(Window.partitionBy("text")) > 1).alias(
+            "is_dup"
+        ),
+    ).localCheckpoint()  # doc-grain; reused by the median rider + cells
+    n1 = marked.groupBy().agg(F.expr("(count(1) + 1) div 2").alias("mrn"))
+    wmed = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    med = (
+        marked.select(
+            "n_chars", "doc_id", F.row_number().over(wmed).alias("rn")
+        )
+        .join(F.broadcast(n1), F.col("rn") == F.col("mrn"))
+        .select(F.col("n_chars").alias("m"))
+    )
+    # 1-row exact-median rider (CROSS_OK: the quadrant pattern)
+    j = marked.crossJoin(F.broadcast(med))
+    short = F.col("n_chars") < F.col("m")
+    cells = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("is_dup")).cast("long").alias("n_dup"),
+        F.count_if(short).cast("long").alias("n_short"),
+        F.count_if(F.col("is_dup") & short).cast("long").alias("a"),
+        F.count_if(F.col("is_dup") & ~short).cast("long").alias("b"),
+        F.count_if(~F.col("is_dup") & short).cast("long").alias("c"),
+        F.count_if(~F.col("is_dup") & ~short).cast("long").alias("d"),
+    )
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    d38 = "decimal(38,0)"
+    return cells.select(
+        "n_docs",
+        "n_dup",
+        "n_short",
+        F.col("a").alias("dup_short"),
+        F.col("b").alias("dup_long"),
+        F.col("c").alias("uniq_short"),
+        F.col("d").alias("uniq_long"),
+        F.when(
+            F.col("a") + F.col("b") > 0,
+            F.col("a").cast("double")
+            / (F.col("a") + F.col("b")).cast("double"),
+        ).alias("dup_short_rate"),
+        F.when(
+            F.col("c") + F.col("d") > 0,
+            F.col("c").cast("double")
+            / (F.col("c") + F.col("d")).cast("double"),
+        ).alias("uniq_short_rate"),
+        F.when(
+            F.col("b") * F.col("c") > 0,
+            _dbl((F.col("a").cast(d38) * F.col("d")).cast(d38))
+            / _dbl((F.col("b").cast(d38) * F.col("c")).cast(d38)),
+        ).alias("odds_ratio"),
+    )

@@ -73,6 +73,7 @@ CROSS_OK = {
     # same audit-sample broadcast contract as emb_hubness_audit
     "emb_cosine_histogram",
     "orders_revenue_drawdown",  # 1-row worst-drawdown broadcast rider
+    "doc_dup_quality_odds",  # 1-row exact-median broadcast rider
 }
 
 BATCH_QUERIES = sorted(

@@ -4976,3 +4976,181 @@ def events_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * pooled * Z * Z / (delta * delta),
         ).alias("required_n_per_arm"),
     )
+
+
+@query(
+    "nation_shift_share",
+    oracle="""
+    WITH cells AS (
+      SELECT n.n_name AS nation, p.p_type AS ptype,
+             CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE)
+                                < DATE '1996-01-01'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END)
+                  AS DECIMAL(38,2)) AS r0,
+             CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE)
+                                >= DATE '1996-01-01'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END)
+                  AS DECIMAL(38,2)) AS r1
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    jt AS (
+      SELECT ptype,
+             CAST(SUM(r0) AS DECIMAL(38,2)) AS c0,
+             CAST(SUM(r1) AS DECIMAL(38,2)) AS c1
+      FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c0) AS DECIMAL(38,2)) AS t0,
+             CAST(SUM(c1) AS DECIMAL(38,2)) AS t1
+      FROM jt),
+    gj AS (
+      SELECT ptype,
+             CASE WHEN c0 > 0 THEN
+               (CAST(CAST(c1 AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(c0 AS VARCHAR) AS DOUBLE))
+               / CAST(CAST(c0 AS VARCHAR) AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS g_j
+      FROM jt),
+    folded AS (
+      SELECT c.nation,
+             CAST(SUM(c.r0) AS DECIMAL(38,2)) AS rev_pre,
+             CAST(SUM(c.r1) AS DECIMAL(38,2)) AS rev_post,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(p := c.ptype,
+                                  t := CAST(CAST(c.r0 AS VARCHAR)
+                                            AS DOUBLE) * g.g_j)
+                      ORDER BY c.ptype),
+                 s -> s.t)),
+               (acc, x) -> acc + x) AS im_raw
+      FROM cells c JOIN gj g USING (ptype)
+      GROUP BY 1)
+    SELECT f.nation,
+           CAST(CAST(f.rev_pre AS VARCHAR) AS DOUBLE) AS rev_pre,
+           CAST(CAST(f.rev_post AS VARCHAR) AS DOUBLE) AS rev_post,
+           CAST(CAST(f.rev_post AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(f.rev_pre AS VARCHAR) AS DOUBLE) AS delta,
+           CAST(CAST(f.rev_pre AS VARCHAR) AS DOUBLE)
+             * ((CAST(CAST(t.t1 AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(t.t0 AS VARCHAR) AS DOUBLE))
+                / CAST(CAST(t.t0 AS VARCHAR) AS DOUBLE))
+             AS national_effect,
+           f.im_raw
+             - CAST(CAST(f.rev_pre AS VARCHAR) AS DOUBLE)
+               * ((CAST(CAST(t.t1 AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(t.t0 AS VARCHAR) AS DOUBLE))
+                  / CAST(CAST(t.t0 AS VARCHAR) AS DOUBLE))
+             AS mix_effect,
+           (CAST(CAST(f.rev_post AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(f.rev_pre AS VARCHAR) AS DOUBLE)) - f.im_raw
+             AS competitive_effect
+    FROM folded f, tot t
+    """,
+    tags=("analytics", "shift-share", "decomposition", "bi"),
+)
+def nation_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of each nation's revenue growth across
+    the 1996 boundary — the regional-economics classic that splits
+    delta into a NATIONAL effect (what growing with the whole market
+    would have given), an INDUSTRY-MIX effect (being weighted toward
+    fast/slow product types), and the residual COMPETITIVE effect
+    (out/under-performing within types) — the geographic sibling of
+    orders_revenue_bridge's price/quantity split. Effects are defined
+    additively (RS = delta - NS - IM), so the identity holds by
+    construction and no division by sparse cells is needed; per-type
+    growth rates divide exact decimals, and the per-nation mix sum
+    folds (ptype-bounded) in type order — the ordered-fold idiom. One
+    (nation, ptype, period) aggregate over the 4-way join is the only
+    corpus-sized work; type and nation frames are enum-bounded."""
+    from ..operators.relational import dec
+
+    d382 = "decimal(38,2)"
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    pt = load_table(spark, sf_dir, "part")
+    cutoff = F.lit("1996-01-01").cast("date")
+    zero = F.lit(0).cast("decimal(12,2)")
+    cells = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu, cu["c_custkey"] == od["o_custkey"])
+        .join(na, na["n_nationkey"] == cu["c_nationkey"])
+        .join(pt, pt["p_partkey"] == li["l_partkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("p_type").alias("ptype")
+        )
+        .agg(
+            F.sum(
+                F.when(F.to_date("o_orderdate") < cutoff,
+                       dec("l_extendedprice", 12, 2)).otherwise(zero)
+            ).cast(d382).alias("r0"),
+            F.sum(
+                F.when(F.to_date("o_orderdate") >= cutoff,
+                       dec("l_extendedprice", 12, 2)).otherwise(zero)
+            ).cast(d382).alias("r1"),
+        )
+        # (nation x ptype)-grain, enum-bounded; reused by the type
+        # totals and the per-nation fold — lineage cut
+        .localCheckpoint()
+    )
+    jt = cells.groupBy("ptype").agg(
+        F.sum("r0").cast(d382).alias("c0"),
+        F.sum("r1").cast(d382).alias("c1"),
+    )
+    tot = jt.agg(
+        F.sum("c0").cast(d382).alias("t0"),
+        F.sum("c1").cast(d382).alias("t1"),
+    )
+
+    def _dbl(c: Column) -> Column:
+        return c.cast("string").cast("double")
+
+    gj = jt.select(
+        "ptype",
+        F.when(
+            F.col("c0") > 0,
+            (_dbl(F.col("c1")) - _dbl(F.col("c0"))) / _dbl(F.col("c0")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("g_j"),
+    )
+    folded = (
+        cells.join(gj, "ptype")
+        .groupBy("nation")
+        .agg(
+            F.sum("r0").cast(d382).alias("rev_pre"),
+            F.sum("r1").cast(d382).alias("rev_post"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ptype").alias("p"),
+                            (_dbl(F.col("r0")) * F.col("g_j")).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("im_raw"),
+        )
+    )
+    # 1-row grand-total rider (CROSS_OK pattern)
+    j = folded.crossJoin(F.broadcast(tot))
+    g = (_dbl(F.col("t1")) - _dbl(F.col("t0"))) / _dbl(F.col("t0"))
+    ns = _dbl(F.col("rev_pre")) * g
+    delta = _dbl(F.col("rev_post")) - _dbl(F.col("rev_pre"))
+    return j.select(
+        "nation",
+        _dbl(F.col("rev_pre")).alias("rev_pre"),
+        _dbl(F.col("rev_post")).alias("rev_post"),
+        delta.alias("delta"),
+        ns.alias("national_effect"),
+        (F.col("im_raw") - ns).alias("mix_effect"),
+        (delta - F.col("im_raw")).alias("competitive_effect"),
+    )

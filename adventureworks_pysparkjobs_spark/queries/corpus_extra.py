@@ -2579,3 +2579,53 @@ def doc_length_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partial_r_xy_given_z"
         ),
     )
+
+
+@query(
+    "corpus_csv_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("connector", "csv", "source", "sink", "roundtrip"),
+)
+def corpus_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus round trip — the interchange format every upstream
+    team still ships — exported with full quoting and read back
+    LOSSLESSLY, which is exactly where naive CSV pipelines corrupt
+    text corpora: free text carries commas, quotes and newlines, so
+    the writer quotes/escapes ("" doubling) and the reader runs in
+    multiLine mode with the SAME quote/escape contract plus a pinned
+    schema (inference is an extra full pass that silently widens
+    types — the jsonl entry's 100 TB rule). gzip per shard, one shard
+    per partition. multiLine CSV makes a gzip shard one task on read
+    (not line-splittable) — the shard count IS the read parallelism,
+    the same model as the WARC and JSONL connectors."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("compression", "gzip")
+        .csv(tmp)
+    )
+    return (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(tmp)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

@@ -74,6 +74,7 @@ CROSS_OK = {
     "emb_cosine_histogram",
     "orders_revenue_drawdown",  # 1-row worst-drawdown broadcast rider
     "doc_dup_quality_odds",  # 1-row exact-median broadcast rider
+    "nation_shift_share",  # 1-row grand-total broadcast rider
 }
 
 BATCH_QUERIES = sorted(

@@ -494,3 +494,88 @@ class TestCosineHistogramEntry:
         assert max(r["cum_share"] for r in rows) == 1.0
         for r in rows:
             assert r["bucket_lo"] == r["bucket"] * 0.05
+
+
+class TestShiftShareEntry:
+    def test_decomposition_identity(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        rows = (
+            CATALOG["nation_shift_share"].builder(spark, SF_SMOKE)
+        ).collect()
+        for r in rows:
+            # additive identity holds by construction
+            assert math.isclose(
+                r["national_effect"]
+                + r["mix_effect"]
+                + r["competitive_effect"],
+                r["delta"],
+                rel_tol=1e-9,
+                abs_tol=1e-6,
+            )
+            assert r["delta"] == r["rev_post"] - r["rev_pre"]
+        # national effects share one growth rate: effect/rev_pre constant
+        gs = {
+            round(r["national_effect"] / r["rev_pre"], 9)
+            for r in rows
+            if r["rev_pre"] > 0
+        }
+        assert len(gs) == 1
+
+
+class TestAbSampleSizeEntry:
+    def test_formula_reconstruction(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        r = CATALOG["events_ab_sample_size"].builder(
+            spark, SF_SMOKE
+        ).collect()[0]
+        z = 1.959963984540054 + 0.8416212335729143
+        want = 2.0 * r["pooled_var"] * z * z / (
+            r["observed_delta"] * r["observed_delta"]
+        )
+        assert r["required_n_per_arm"] == want
+
+
+class TestDupQualityOddsEntry:
+    def test_cell_partition(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        r = CATALOG["doc_dup_quality_odds"].builder(
+            spark, SF_SMOKE
+        ).collect()[0]
+        assert (
+            r["dup_short"] + r["dup_long"] + r["uniq_short"] + r["uniq_long"]
+            == r["n_docs"]
+        )
+        assert r["dup_short"] + r["dup_long"] == r["n_dup"]
+        assert r["dup_short"] + r["uniq_short"] == r["n_short"]
+
+
+class TestCsvRoundtripEntry:
+    def test_adversarial_text_roundtrips(self, spark, tmp_path):
+        # direct adversarial check beyond the fixture: commas, quotes,
+        # embedded newlines, unicode
+        rows = [
+            (1, 'a,b,"c"\nnext line', "en", "s1", 18),
+            (2, "plain", "fr", "s2", 5),
+            (3, '""', "es", "s3", 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        p = str(tmp_path / "csv_rt")
+        (
+            df.write.mode("overwrite").option("header", "true")
+            .option("quote", '"').option("escape", '"').csv(p)
+        )
+        back = (
+            spark.read.schema(
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long"
+            )
+            .option("header", "true").option("multiLine", "true")
+            .option("quote", '"').option("escape", '"').csv(p)
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(rows)

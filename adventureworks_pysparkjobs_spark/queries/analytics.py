@@ -4320,9 +4320,12 @@ def orders_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,2)")
             .alias("rev")
         )
-    ).localCheckpoint()  # day-grain (calendar-bounded); reused by
-    # the median rider + the sign scan — lineage cut so orders is
-    # aggregated once
+    ).cache()  # day-grain (calendar-bounded); reused by the median
+    # rider + the sign scan. cache, NOT localCheckpoint: the global
+    # median/lag windows run downstream, and the advisor needs the
+    # Aggregate lineage to see they run over a REDUCED frame (the
+    # quadrants lesson); InMemoryRelation still computes the day
+    # aggregate once.
     n1 = daily.groupBy().agg(
         F.expr("(count(1) + 1) div 2").alias("mrn"),
     )

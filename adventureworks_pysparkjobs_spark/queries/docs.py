@@ -2315,12 +2315,16 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY d.text) > 1 AS is_dup
       FROM documents d),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM marked),
+    vals AS (
+      SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM marked
+      GROUP BY 1),
     med AS (
-      SELECT n_chars AS m FROM (
+      SELECT MIN(n_chars) AS m FROM (
         SELECT n_chars,
-               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
-        FROM marked), n
-      WHERE rn = (n.n + 1) // 2),
+               SUM(c) OVER (ORDER BY n_chars
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vals), n
+      WHERE cum >= (n.n + 1) // 2),
     cells AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COUNT_IF(is_dup) AS BIGINT) AS n_dup,
@@ -2371,15 +2375,22 @@ def doc_dup_quality_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).over(Window.partitionBy("text")) > 1).alias(
             "is_dup"
         ),
-    ).localCheckpoint()  # doc-grain; reused by the median rider + cells
+    ).cache()  # doc-grain; reused by the median rider + the cell scan
     n1 = marked.groupBy().agg(F.expr("(count(1) + 1) div 2").alias("mrn"))
-    wmed = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    # exact lower median via VALUE-grain reduction: ranking the raw
+    # doc frame would funnel the corpus through one task; the lower
+    # median equals the smallest length whose cumulative count reaches
+    # (n+1)//2, computed on the (distinct lengths)-sized frame
+    vals = marked.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     med = (
-        marked.select(
-            "n_chars", "doc_id", F.row_number().over(wmed).alias("rn")
-        )
-        .join(F.broadcast(n1), F.col("rn") == F.col("mrn"))
-        .select(F.col("n_chars").alias("m"))
+        vals.select("n_chars", F.sum("c").over(wcum).alias("cum"))
+        .join(F.broadcast(n1), F.col("cum") >= F.col("mrn"))
+        .agg(F.min("n_chars").alias("m"))
     )
     # 1-row exact-median rider (CROSS_OK: the quadrant pattern)
     j = marked.crossJoin(F.broadcast(med))

@@ -1964,8 +1964,11 @@ def lineitem_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                        dec("l_extendedprice", 12, 2))
             ).alias("rev2"),
         )
-        # part-grain; reused by both class windows + the matrix join
-        .localCheckpoint()
+        # part-grain; reused by both class windows + the matrix join.
+        # cache, NOT localCheckpoint: the class windows downstream are
+        # global, and the advisor needs the Aggregate lineage to see
+        # they run over the REDUCED part frame (the quadrants lesson)
+        .cache()
     )
 
     def classify(rev_col: str):

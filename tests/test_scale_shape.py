@@ -475,6 +475,11 @@ _CONTRACT_BOUNDED = {
     "emb_ann_topk",
     "emb_contrastive_pairs",
     "emb_int8_topk",
+    # audit-sample contract: the hinted query side IS the bounded audit
+    # sample (docstrings: whole fixture corpus here; a uniform sample
+    # or one IVF cell at 100 TB) — the corpus side is never hinted
+    "emb_hubness_audit",
+    "emb_cosine_histogram",
     "emb_pq_topk",
     "emb_knn_label_agreement",  # cosine_topk composition, same contract
 }

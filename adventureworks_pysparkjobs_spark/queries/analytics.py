@@ -5157,3 +5157,86 @@ def nation_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("im_raw") - ns).alias("mix_effect"),
         (delta - F.col("im_raw")).alias("competitive_effect"),
     )
+
+
+@query(
+    "events_conversion_window_curve",
+    oracle="""
+    WITH sign AS (
+      SELECT user_id, MIN(ts) AS sts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    firstp AS (
+      SELECT s.user_id, s.sts, MIN(e.ts) AS pts
+      FROM sign s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+           AND e.ts >= s.sts
+      GROUP BY 1, 2),
+    pu AS (
+      SELECT s.user_id, s.sts, f.pts
+      FROM sign s LEFT JOIN firstp f ON f.user_id = s.user_id),
+    grid AS (
+      SELECT pu.*, w.w FROM pu, unnest([1, 3, 7, 14]) AS w(w))
+    SELECT CAST(w AS INTEGER) AS window_days,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT_IF(pts IS NOT NULL) AS BIGINT) AS n_converted_ever,
+           CAST(COUNT_IF(pts IS NOT NULL
+                         AND pts <= sts + INTERVAL (w) DAY) AS BIGINT)
+             AS n_converted,
+           CAST(COUNT_IF(pts IS NOT NULL
+                         AND pts <= sts + INTERVAL (w) DAY) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+    FROM grid GROUP BY 1
+    """,
+    tags=("analytics", "attribution-window", "conversion", "planning"),
+)
+def events_conversion_window_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-rate sensitivity to the attribution window: first
+    signup -> first subsequent purchase within 1/3/7/14 days — the
+    planning curve that PRICES an attribution-window choice before
+    funnel metrics are locked in (a rate that keeps climbing at 14
+    days says the window is truncating real conversions; a flat curve
+    past day 3 says 7-day reporting is safe), next to
+    events_funnel_latency (which distributes the lag; this reads the
+    cumulative curve at policy-relevant cuts). Timestamp comparisons
+    use exact interval arithmetic (never epoch-float math); counts
+    are exact with one division per row. Two keyed reductions to the
+    user grain, a 4x bounded window expansion, one 4-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("sts"))
+    )
+    firstp = (
+        sign.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("pu") == F.col("user_id")) & (F.col("p_ts") >= F.col("sts")),
+        )
+        .groupBy("user_id", "sts")
+        .agg(F.min("p_ts").alias("pts"))
+        .select("user_id", "pts")
+    )
+    pu = sign.join(firstp, "user_id", "left")
+    grid = pu.select(
+        "sts",
+        "pts",
+        F.explode(F.array(*[F.lit(w) for w in (1, 3, 7, 14)])).alias("w"),
+    )
+    conv = F.col("pts").isNotNull() & (
+        F.col("pts") <= F.expr("timestampadd(DAY, w, sts)")
+    )
+    return grid.groupBy(F.col("w").cast("int").alias("window_days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.count_if(F.col("pts").isNotNull())
+        .cast("long")
+        .alias("n_converted_ever"),
+        F.count_if(conv).cast("long").alias("n_converted"),
+        (
+            F.count_if(conv).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+    )

@@ -579,3 +579,24 @@ class TestCsvRoundtripEntry:
             .option("quote", '"').option("escape", '"').csv(p)
         )
         assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+class TestConversionWindowCurveEntry:
+    def test_curve_is_monotone_and_bounded(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        rows = (
+            CATALOG["events_conversion_window_curve"]
+            .builder(spark, SF_SMOKE)
+            .orderBy("window_days")
+            .collect()
+        )
+        assert [r["window_days"] for r in rows] == [1, 3, 7, 14]
+        # one signup population shared by every window
+        assert len({r["n_signups"] for r in rows}) == 1
+        assert len({r["n_converted_ever"] for r in rows}) == 1
+        conv = [r["n_converted"] for r in rows]
+        assert conv == sorted(conv)  # wider window, never fewer
+        for r in rows:
+            assert r["n_converted"] <= r["n_converted_ever"] <= r["n_signups"]
+            assert r["conversion_rate"] == r["n_converted"] / r["n_signups"]

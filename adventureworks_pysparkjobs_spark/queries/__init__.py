@@ -71,18 +71,36 @@ from . import (  # noqa: E402,F401
 # (session construction stays attested via stream_session_windows +
 # stream_stateful_sessions, which share its CTE shape); all three
 # remain catalog + oracle-gated locally.
+# r9 rotation (fourth wave, verdict r8 task 1 — attest the
+# continuation-wave representatives that have never carried a driver
+# row): in — nation_shift_share (ordered-fold decomposition flagship),
+# corpus_csv_roundtrip (adversarial CSV ingest),
+# events_conversion_window_curve (attribution-window planning, landed
+# post-gate in r8), lineitem_simpson_audit (aggregation-grain audit),
+# events_did_estimator (causal diff-in-diff); out —
+# events_transition_matrix (Markov family stays via
+# events_markov_stationary + stream_user_state_changes, its stateful
+# twin), events_kendall_tau (association family stays via
+# orders_cramers_v_matrix; attested r8), customer_second_order_hazard
+# (closed-form-stat family stays via doc_isotonic_calibration +
+# orders_cramers_v_matrix; attested r7+r8), doc_incremental_dedup
+# (dedup family stays via doc_exact_dedup + doc_dedup_threshold_curve +
+# doc_minhash_lsh_pairs + doc_dup_clusters; attested r5–r8),
+# orders_profile (profiling family stays via doc_text_profile +
+# lineitem_flag_stats; attested r2–r8); all five remain catalog +
+# oracle-gated locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
     "lineitem_flag_stats",
     "corpus_training_pipeline",
     "rollup_cube_order_stats",
-    "events_transition_matrix",
+    "nation_shift_share",
     "emb_semdedup_kmeans_pipeline",
     "stream_funnel_stages",
     "q5_nation_revenue",
     "events_markov_stationary",
-    "events_kendall_tau",
+    "corpus_csv_roundtrip",
     "outer_join_profiles",
     "corpus_bm25_topk",
     "orders_bloom_prefilter",
@@ -92,7 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_fiscal_rollup",
     "doc_dedup_threshold_curve",
     "part_brand_modularity",
-    "orders_profile",
+    "events_did_estimator",
     "dim_customer_geo",
     "dim_part",
     "dim_date",
@@ -115,13 +133,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_dup_clusters",
     "emb_cosine_topk",
     "emb_pca_top_component",
-    "customer_second_order_hazard",
+    "events_conversion_window_curve",
     "stream_tumbling_counts",
     "stream_dedup_keys",
     "stream_session_windows",
     "stream_stateful_sessions",
     "events_resurrections",
-    "doc_incremental_dedup",
+    "lineitem_simpson_audit",
 )
 
 _missing = [n for n in DRIVER_WINDOW if n not in CATALOG]

@@ -48,12 +48,158 @@ def read_binary_dir(
     return reader.load(path)
 
 
-def default_codec(payload: bytes) -> dict:
-    """Placeholder codec — media libraries are not available in this
-    environment. Production injects a real decoder with the same contract:
-    bytes -> {'width', 'height', 'n_channels', 'feature': list[float]}."""
+# PNG color_type byte -> sample channels (spec: grayscale, RGB, palette,
+# gray+alpha, RGBA). Palette decodes to RGB, but header-grain channel
+# count is 1 index sample per pixel.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG SOFn markers that carry frame dimensions (C4=DHT, C8=JPG, CC=DAC
+# are NOT frame headers and are excluded per the JPEG marker assignments).
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def parse_image_header(payload: bytes) -> dict:
+    """Pure-Python (struct-only, zero-dependency) image header parse:
+    PNG IHDR, JPEG SOFn marker scan, GIF logical screen descriptor.
+
+    This is the dimension-sniffing path a crawl-triage pipeline runs on
+    100 TB of payloads BEFORE any pixel decode: it reads tens of header
+    bytes per file, never the image data, and works on truncated files.
+    Returns ``{'width', 'height', 'n_channels', 'feature': None}`` (the
+    extract_features contract; feature stays None — pixel-grade features
+    need an injected full decoder). Raises ValueError on a malformed
+    stream of a known container and NotImplementedError on an unknown
+    container (the injection seam's remaining surface).
+    """
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("malformed PNG: first chunk is not IHDR")
+        width, height = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        if color_type not in _PNG_CHANNELS:
+            raise ValueError(f"malformed PNG: color_type {color_type}")
+        return {
+            "width": width,
+            "height": height,
+            "n_channels": _PNG_CHANNELS[color_type],
+            "feature": None,
+        }
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("malformed JPEG: lost marker sync")
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1  # fill bytes before a marker are legal
+            marker = payload[i + 1]
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            if marker in _JPEG_SOF:
+                if i + 10 > len(payload):
+                    raise ValueError("malformed JPEG: truncated SOF")
+                height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {
+                    "width": width,
+                    "height": height,
+                    "n_channels": payload[i + 9],
+                    "feature": None,
+                }
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            i += 2 + seg_len
+        raise ValueError("malformed JPEG: no SOF marker before EOI")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("malformed GIF: truncated screen descriptor")
+        width, height = struct.unpack("<HH", payload[6:10])
+        return {"width": width, "height": height, "n_channels": 3, "feature": None}
     raise NotImplementedError(
-        "no media codec available in this environment; inject one"
+        "unknown media container; inject a codec for this format"
+    )
+
+
+def default_codec(payload: bytes) -> dict:
+    """Default decode: the pure-Python header parse above — runnable with
+    zero media dependencies, so the multimodal dataflow works end-to-end
+    out of the box. Production injects a full pixel decoder
+    (Pillow/librosa/pyav) with the same contract when actual features
+    are needed: bytes -> {'width', 'height', 'n_channels', 'feature'}.
+    NotImplementedError is reached only for containers the header parser
+    does not know."""
+    return parse_image_header(payload)
+
+
+def encode_png(
+    width: int, height: int, n_channels: int = 1, seed: int = 0
+) -> bytes:
+    """Minimal valid PNG encoder (signature + IHDR + zlib IDAT + IEND,
+    CRC-correct) from stdlib struct/zlib only — the fixture/synthetic
+    side of the multimodal path: it lets the binary-payload dataflow be
+    exercised end-to-end (encode -> sniff -> header parse) in an
+    environment with no media libraries, and doubles as a deterministic
+    raw-array writer. Pixel bytes are (x + y + seed) % 256 with filter
+    type None per scanline."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_channels]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter: None
+        row_bytes = width * n_channels
+        raw.extend((x + y + seed) % 256 for x in range(row_bytes))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg_header(width: int, height: int, n_components: int = 3) -> bytes:
+    """Structurally valid JPEG marker stream (SOI + APP0/JFIF + SOF0 +
+    EOI) carrying real frame dimensions — NOT an entropy-coded image (a
+    pure-Python Huffman encoder is out of scope); exactly the byte
+    surface the dimension-sniffing path reads, which also makes it the
+    truncated-file robustness fixture."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = struct.pack(">BHHB", 8, height, width, n_components)
+    for c in range(n_components):
+        sof += bytes((c + 1, 0x11, 0))
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+
+
+def encode_gif_header(width: int, height: int) -> bytes:
+    """Valid GIF89a header + logical screen descriptor + trailer (no
+    image blocks) — dimensions are little-endian, the cross-endianness
+    case for the header parser."""
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"
+        + b"\x3b"
     )
 
 
@@ -256,6 +402,69 @@ MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
     ("664C6143", "flac"),
     ("4F676753", "ogg"),
 )
+
+
+def media_type_col(content_col: str = "content") -> F.Column:
+    """First-match CASE over the magic signatures applied to the hex of
+    the first 8 payload bytes — one in-codegen expression, no UDF, no
+    decode. Reused by sniff_media_types and any per-row classifier."""
+    sig = F.hex(F.expr(f"substring({content_col}, 1, 8)"))
+    media = None
+    for prefix, name in MAGIC_SIGNATURES:
+        cond = sig.startswith(prefix)
+        media = (
+            F.when(cond, name) if media is None else media.when(cond, name)
+        )
+    return media.otherwise("unknown")
+
+
+def synthesize_images(
+    df: DataFrame,
+    id_col: str = "path",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels_col: str = "n_channels",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Deterministic image-payload synthesis via mapInPandas: one
+    (id, width, height, n_channels, fmt∈{png,jpeg,gif}) row in -> one
+    (path string, content binary) row out, using the stdlib encoders
+    above. This is the fixture side of the multimodal dataflow — it
+    stands in for read_binary_dir when no media files exist, with the
+    same output shape, so every downstream stage (sniff, header parse,
+    feature extraction) runs unchanged. Arrow-batched; payload bytes are
+    materialized only inside the worker, per batch, exactly like a real
+    decode — the plan shape is identical at 100 TB where the encode
+    stage is replaced by the lake's binaryFile scan."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, w, h, ch, fmt in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col],
+                pdf[channels_col], pdf[fmt_col],
+            ):
+                w, h, ch = int(w), int(h), int(ch)
+                if fmt == "png":
+                    # crc32, not hash(): str hash is salted per process
+                    content = encode_png(
+                        w, h, ch, seed=zlib.crc32(str(rid).encode()) % 251
+                    )
+                elif fmt == "jpeg":
+                    content = encode_jpeg_header(w, h, ch)
+                elif fmt == "gif":
+                    content = encode_gif_header(w, h)
+                else:
+                    raise ValueError(f"unknown synthetic format {fmt!r}")
+                rows.append({"path": str(rid), "content": content})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, width_col, height_col, channels_col, fmt_col
+    ).mapInPandas(run, schema="path string, content binary")
 
 
 def sniff_media_types(

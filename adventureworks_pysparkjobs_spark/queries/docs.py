@@ -2433,3 +2433,69 @@ def doc_dup_quality_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _dbl((F.col("b").cast(d38) * F.col("c")).cast(d38)),
         ).alias("odds_ratio"),
     )
+
+
+@query(
+    "doc_image_dimensions",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
+           END AS media_type,
+           CAST(8 + doc_id % 57 AS INTEGER) AS width,
+           CAST(8 + (doc_id * 7) % 43 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                     THEN 1 ELSE 3 END AS INTEGER) AS n_channels
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal", "image", "codec", "roundtrip"),
+)
+def doc_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path end-to-end with ZERO injected code (r8
+    verdict task 3): synthesize real image payloads (stdlib PNG encoder /
+    JPEG SOF stream / GIF descriptor) at dimensions derived from doc_id,
+    classify the container by magic bytes (in-codegen CASE, no UDF),
+    then parse width/height/channels back out of the BYTES with the
+    pure-Python default codec via extract_features (mapInPandas).
+
+    Roundtrip-fixture oracle: DuckDB recomputes the expected dimensions
+    from doc_id arithmetic directly — any bug in the encoder, the magic
+    sniff, or the header parser (endianness, marker scan, channel map)
+    breaks the match. At 100 TB the synthesize stage is replaced by the
+    lake's binaryFile scan (file-grain parallelism); the sniff + parse
+    plan is unchanged. The meta->payload->meta join is 1:1 on path,
+    AQE-planned (both sides same cardinality — no forced broadcast).
+    """
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 5 == 0).select(
+        did.cast("string").alias("path"),
+        (F.lit(8) + did % 57).cast("int").alias("width"),
+        (F.lit(8) + (did * 7) % 43).cast("int").alias("height"),
+        F.when((did % 3 == 0) & (did % 2 == 0), 1)
+        .otherwise(3)
+        .cast("int")
+        .alias("n_channels"),
+        F.when(did % 3 == 0, "png")
+        .when(did % 3 == 1, "jpeg")
+        .otherwise("gif")
+        .alias("fmt"),
+    )
+    payloads = MM.synthesize_images(spec)
+    sniffed = payloads.select(
+        "path", MM.media_type_col("content").alias("media_type"), "content"
+    )
+    parsed = MM.extract_features(sniffed)  # default codec: header parse
+    return (
+        parsed.join(sniffed.select("path", "media_type"), "path")
+        .select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            "media_type",
+            "width",
+            "height",
+            "n_channels",
+        )
+    )

@@ -164,9 +164,36 @@ class TestMultimodal:
         assert row["width"] == 5 and row["n_channels"] == 3
         assert row["feature"] == [104.0, 101.0, 108.0, 108.0]
 
-    def test_default_codec_is_stubbed(self, spark):
+    def test_default_codec_raises_only_for_unknown_containers(self, spark):
+        # r9: the default codec is the pure-Python header parser; the
+        # NotImplementedError seam remains only for unknown containers
+        # (b"hello" is not a known magic signature).
         with pytest.raises(Exception, match="NotImplementedError|codec"):
             extract_features(self._media(spark)).collect()
+
+    def test_default_codec_parses_real_headers(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_gif_header,
+            encode_jpeg_header,
+            encode_png,
+        )
+
+        media = spark.createDataFrame(
+            [
+                ("a.png", bytearray(encode_png(13, 7, 3, seed=5))),
+                ("b.jpg", bytearray(encode_jpeg_header(640, 480, 3))),
+                ("c.gif", bytearray(encode_gif_header(320, 200))),
+                ("d.png", bytearray(encode_png(8, 9, 1))),
+            ],
+            "path string, content binary",
+        )
+        out = {r["path"]: r for r in extract_features(media).collect()}
+        assert (out["a.png"]["width"], out["a.png"]["height"]) == (13, 7)
+        assert out["a.png"]["n_channels"] == 3
+        assert (out["b.jpg"]["width"], out["b.jpg"]["height"]) == (640, 480)
+        assert (out["c.gif"]["width"], out["c.gif"]["height"]) == (320, 200)
+        assert out["c.gif"]["n_channels"] == 3
+        assert out["d.png"]["n_channels"] == 1
 
     def test_resize_images_with_injected_codec(self, spark):
         from adventureworks_pysparkjobs_spark.operators.multimodal import (

@@ -1,0 +1,85 @@
+"""Round-9 operator tests: the pure-Python image header codec (the r8
+verdict task-3 default for the multimodal seam) and its encoders."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from adventureworks_pysparkjobs_spark.operators.multimodal import (
+    default_codec,
+    encode_gif_header,
+    encode_jpeg_header,
+    encode_png,
+    parse_image_header,
+)
+
+
+class TestImageHeaderCodec:
+    def test_png_roundtrip_all_channel_counts(self):
+        for ch in (1, 2, 3, 4):
+            p = encode_png(17, 11, ch, seed=3)
+            m = parse_image_header(p)
+            assert (m["width"], m["height"], m["n_channels"]) == (17, 11, ch)
+            assert m["feature"] is None
+
+    def test_png_is_structurally_valid(self):
+        """Signature, CRC-correct chunks, IDAT inflates to the exact raw
+        scanline size — a real PNG reader would accept this file."""
+        w, h, ch = 13, 7, 3
+        p = encode_png(w, h, ch, seed=5)
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        i, chunks = 8, {}
+        while i < len(p):
+            (ln,) = struct.unpack(">I", p[i : i + 4])
+            tag, data = p[i + 4 : i + 8], p[i + 8 : i + 8 + ln]
+            (crc,) = struct.unpack(">I", p[i + 8 + ln : i + 12 + ln])
+            assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF
+            chunks[tag] = data
+            i += 12 + ln
+        assert set(chunks) == {b"IHDR", b"IDAT", b"IEND"}
+        assert len(zlib.decompress(chunks[b"IDAT"])) == h * (1 + w * ch)
+
+    def test_png_deterministic(self):
+        assert encode_png(9, 5, 3, seed=7) == encode_png(9, 5, 3, seed=7)
+        assert encode_png(9, 5, 3, seed=7) != encode_png(9, 5, 3, seed=8)
+
+    def test_jpeg_sof_scan_skips_app_segments(self):
+        j = encode_jpeg_header(640, 480, 3)
+        m = parse_image_header(j)
+        assert (m["width"], m["height"], m["n_channels"]) == (640, 480, 3)
+
+    def test_jpeg_grayscale_component_count(self):
+        m = parse_image_header(encode_jpeg_header(100, 60, 1))
+        assert m["n_channels"] == 1
+
+    def test_gif_little_endian_dimensions(self):
+        m = parse_image_header(encode_gif_header(320, 200))
+        assert (m["width"], m["height"], m["n_channels"]) == (320, 200, 3)
+        # 320 = 0x0140 LE: a big-endian misread would give 0x4001 = 16385
+        assert m["width"] != 16385
+
+    def test_unknown_container_hits_the_seam(self):
+        with pytest.raises(NotImplementedError):
+            default_codec(b"hello world, not an image")
+        with pytest.raises(NotImplementedError):
+            default_codec(b"")
+
+    def test_malformed_known_containers_fail_loud(self):
+        # JPEG with no SOF before EOI
+        with pytest.raises(ValueError):
+            parse_image_header(b"\xff\xd8\xff\xe0\x00\x04ab\xff\xd9")
+        # PNG signature but IHDR missing
+        with pytest.raises(ValueError):
+            parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+        # GIF truncated before the screen descriptor
+        with pytest.raises(ValueError):
+            parse_image_header(b"GIF89a\x01")
+
+    def test_jpeg_truncated_sof_fails_loud(self):
+        j = encode_jpeg_header(640, 480, 3)
+        sof_at = j.index(b"\xff\xc0")
+        with pytest.raises(ValueError):
+            parse_image_header(j[: sof_at + 4])

@@ -695,13 +695,75 @@ def ivf_topk(
     )
 
 
+def hashing_text_encoder(
+    texts: list, dim: int = 256, n: int = 3
+) -> object:
+    """Runnable default encoder (r8 verdict task 4): HashingTF over
+    character n-grams — bucket = first 8 hex digits of md5(ngram) mod
+    ``dim``, term-frequency weights, float32 ``[len(texts), dim]``.
+
+    Deterministic across processes and engines (md5, never Python's
+    salted ``hash``), zero model runtime. Quality is LEXICAL: hashed
+    n-gram cosine captures surface similarity (near-dup text, shared
+    phrasing), not semantics — production still injects a sentence
+    encoder through the same seam when meaning-grade similarity is
+    needed. embed_texts L2-normalizes downstream, so the raw counts
+    here are the right output."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        s = "" if t is None else str(t)
+        if not s:
+            continue
+        for j in range(max(len(s) - n + 1, 1)):
+            gram = s[j : j + n]
+            bucket = (
+                int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:8], 16)
+                % dim
+            )
+            out[i, bucket] += 1.0
+    return out
+
+
 def default_text_encoder(texts: list) -> object:
-    """Injection seam for a real sentence-embedding model (the container
-    has no model runtime). Tests and callers inject an
-    ``encoder(list[str]) -> np.ndarray[n, dim] (float32)``."""
-    raise NotImplementedError(
-        "no embedding model runtime in this environment — inject an "
-        "encoder(texts) -> float32 ndarray [len(texts), dim]"
+    """Default encoder for embed_texts: the hashing n-gram encoder above
+    (runnable, dependency-free). A real sentence-embedding model is
+    still injected through the same ``encoder(list[str]) ->
+    np.ndarray[n, dim] (float32)`` contract when semantic similarity is
+    needed."""
+    return hashing_text_encoder(texts)
+
+
+def hashed_ngram_tf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    n: int = 2,
+) -> DataFrame:
+    """HashingTF in the SPARSE posting-list shape: one (id, bucket, w)
+    row per distinct hash bucket a document's word n-grams touch, w =
+    term frequency (BIGINT — exact).
+
+    This is the column-ops twin of hashing_text_encoder, and the shape
+    that scales: cosine between hashed-TF docs is a bucket-grain
+    equi-join + integer dot (see doc_hashed_cosine_topk), never a dense
+    dim-wide array per row. All hashing is md5-based and mirrors
+    byte-for-byte in DuckDB (same idiom as sampling.md5_bucket)."""
+    from . import text as TX
+
+    bucket = (
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+        % dim
+    )
+    return (
+        df.select(id_col, F.explode(TX.shingles(text_col, n)).alias("gram"))
+        .select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
 
 

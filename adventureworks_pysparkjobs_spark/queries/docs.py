@@ -18,7 +18,7 @@ Shared SQL fragments:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -2498,4 +2498,101 @@ def doc_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height",
             "n_channels",
         )
+    )
+
+
+@query(
+    "doc_hashed_cosine_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, """ + _TOKS + """ AS w FROM documents),
+    grams AS (
+      SELECT doc_id, list_aggregate(w[i:i+1], 'string_agg', ' ') AS gram
+      FROM toks, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 4096 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM grams GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(CAST(SUM(w * w) AS BIGINT) AS DOUBLE)) AS nrm
+      FROM tf GROUP BY 1
+    ),
+    dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+      FROM tf q JOIN tf c USING (bucket)
+      WHERE q.doc_id % 50 = 0 AND c.doc_id <> q.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cosine_sim
+      FROM dots
+      JOIN norms nq ON nq.doc_id = query_id
+      JOIN norms nc ON nc.doc_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("similarity", "hashing-tf", "cosine", "text-embedding"),
+)
+def doc_hashed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> hashed vectors -> cosine top-k with ZERO injected code (r8
+    verdict task 4): word-bigram HashingTF (md5 buckets, dim 4096) in the
+    sparse posting-list shape, then cosine as a bucket-grain equi-join +
+    exact integer dot, normalized by sqrt of exact integer norms — every
+    float op is one IEEE instruction over identical operands, so the
+    scores are bit-identical across engines.
+
+    Scale: the query side is a bounded subset (doc_id % 50 — the ANN
+    usage contract: few queries vs the corpus) and is broadcast; the
+    corpus side stays at posting-list grain, so cost is
+    O(sum per bucket |q_bucket| x |c_bucket|), never all-pairs dense.
+    The dense twin (hashing_text_encoder -> embed_texts ->
+    cosine_topk) shares the md5 bucket rule and is equality-tested in
+    tests/test_r9_operators.py."""
+    from ..operators.similarity import hashed_ngram_tf
+
+    doc = load_table(spark, sf_dir, "documents")
+    tf = hashed_ngram_tf(doc, dim=4096, n=2)
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    q_tf = tf.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "bucket", F.col("w").alias("qw")
+    )
+    dots = (
+        tf.join(F.broadcast(q_tf), "bucket")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qw") * F.col("w")).cast("bigint").alias("dot"))
+    )
+    q_norms = norms.select(
+        F.col("doc_id").alias("query_id"), F.col("nrm").alias("q_nrm")
+    )
+    scored = (
+        dots.join(F.broadcast(q_norms), "query_id")
+        .join(norms.withColumnRenamed("doc_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("dot").cast("double")
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
     )

@@ -1152,16 +1152,27 @@ class TestEmbedTexts:
             nid, sim = got[a]
             assert nid == b and math.isclose(sim, 1.0, rel_tol=1e-6)
 
-    def test_default_encoder_raises(self, spark):
-        import pytest as _pytest
+    def test_default_encoder_is_runnable_hashing_tf(self, spark):
+        # r9: the default encoder is the md5 hashing n-gram encoder —
+        # embed_texts runs end-to-end with zero injected code, and the
+        # output is L2-normalized float32 of the default dim.
+        import math
 
         from adventureworks_pysparkjobs_spark.operators.similarity import (
             embed_texts,
         )
 
-        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-        with _pytest.raises(Exception, match="inject an"):
-            embed_texts(df).collect()
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["embedding"] for r in embed_texts(df).collect()}
+        assert len(out[1]) == 256
+        assert out[1] == out[2]  # deterministic: same text, same vector
+        assert math.isclose(
+            sum(v * v for v in out[1]), 1.0, rel_tol=1e-5
+        )  # unit norm
+        assert all(v == 0.0 for v in out[3])  # empty text -> zero vector
 
 
 def test_profile_diff_flags_drift(spark):

@@ -83,3 +83,99 @@ class TestImageHeaderCodec:
         sof_at = j.index(b"\xff\xc0")
         with pytest.raises(ValueError):
             parse_image_header(j[: sof_at + 4])
+
+
+class TestHashingEncoder:
+    """The r8 verdict task-4 default: md5 hashing n-gram encoder + its
+    sparse posting-list twin."""
+
+    def test_encoder_deterministic_across_calls(self):
+        import numpy as np
+
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            hashing_text_encoder,
+        )
+
+        a = hashing_text_encoder(["hello world", "abc"], dim=64)
+        b = hashing_text_encoder(["hello world", "abc"], dim=64)
+        assert np.array_equal(a, b)
+        assert a.shape == (2, 64) and a.dtype == np.float32
+
+    def test_encoder_known_bucket_rule(self):
+        """The bucket rule is pinned: md5 first-8-hex mod dim — the same
+        rule hashed_ngram_tf and the DuckDB oracles use."""
+        import hashlib
+
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            hashing_text_encoder,
+        )
+
+        v = hashing_text_encoder(["abc"], dim=64, n=3)[0]
+        bucket = int(hashlib.md5(b"abc").hexdigest()[:8], 16) % 64
+        assert v[bucket] == 1.0 and v.sum() == 1.0
+
+    def test_short_text_still_produces_a_gram(self):
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            hashing_text_encoder,
+        )
+
+        v = hashing_text_encoder(["ab"], dim=64, n=3)[0]  # shorter than n
+        assert v.sum() == 1.0
+
+    def test_sparse_tf_matches_dense_reference(self, spark):
+        """hashed_ngram_tf (Spark column ops) == a local dense
+        reimplementation of the same word-bigram/md5/dim rule."""
+        import hashlib
+        from collections import Counter
+
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            hashed_ngram_tf,
+        )
+
+        rows = [
+            (1, "a b c a b"),
+            (2, "a b"),
+            (3, "solo"),          # fewer than 2 tokens -> no grams
+            (4, "x  y\tz"),       # multi-whitespace splits
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["bucket"]): r["w"]
+            for r in hashed_ngram_tf(df, dim=64, n=2).collect()
+        }
+        want = {}
+        for did, text in rows:
+            toks = text.split()
+            grams = Counter(
+                " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+            )
+            agg = Counter()
+            for g, c in grams.items():
+                b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 64
+                agg[(did, b)] += c
+            want.update(agg)
+        assert got == dict(want)
+
+    def test_entry_cosine_matches_numpy_dense(self, spark):
+        """doc_hashed_cosine_topk's bucket-join cosine == numpy cosine of
+        the densified TF vectors (the dense-twin cross-check the entry
+        docstring promises)."""
+        import numpy as np
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            hashed_ngram_tf,
+        )
+        from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+
+        sf = "/root/testdata/sf0.001"
+        out = CATALOG["doc_hashed_cosine_topk"].builder(spark, sf).collect()
+        assert out, "entry returned no rows at sf0.001"
+        tf = hashed_ngram_tf(load_table(spark, sf, "documents"), dim=4096, n=2)
+        dense = {}
+        for r in tf.collect():
+            dense.setdefault(r["doc_id"], np.zeros(4096))[r["bucket"]] = r["w"]
+        for r in out:
+            q, c = dense[r["query_id"]], dense[r["neighbor_id"]]
+            ref = float(q @ c) / (np.linalg.norm(q) * np.linalg.norm(c))
+            assert abs(r["cosine_sim"] - ref) < 1e-12, (r, ref)

@@ -930,6 +930,82 @@ def centroid_outliers(
     )
 
 
+def centroid_silhouette(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-vector simplified (centroid) silhouette: a = distance to the
+    own-label centroid, b = min distance to any other label's centroid,
+    s = (b - a) / max(a, b) in [-1, 1] — the cluster-quality score that
+    asks of every labeled embedding "is it closer to its own prototype
+    than to the nearest competing one?". The mean-per-label rollup is a
+    trivial rider on this frame; the per-vector grain is the actionable
+    output (s < 0 rows are relabel/inspect candidates).
+
+    Same integer-exact distance arithmetic as ``centroid_outliers``
+    (Σ_pos (xi·n − S_pos)² in DECIMAL, one sqrt + one division at the
+    end), extended to EVERY candidate label: the scaled distances are
+    exact, so a, b, and s oracle-check bitwise. No full silhouette
+    O(n²) pair scan anywhere — prototypes stand in for clusters.
+
+    Scale shape: posexplode map stage → one (label,pos) shuffle for the
+    centroid sums (labels×dim rows, broadcast back) → the score join
+    fans each vector element out by |labels| (enum-bounded) → per
+    (vector, candidate) re-sum → one per-vector reduction. Linear in
+    vectors with a |labels| constant."""
+    q = F.lit(int(quant)).cast("double")
+    exploded = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("own"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid",
+        "own",
+        "pos",
+        F.round(F.col("x").cast("double") * q).cast("bigint").alias("xi"),
+    )
+    sums = exploded.groupBy(F.col("own").alias("cand"), F.col("pos")).agg(
+        F.sum("xi").alias("s"), F.count("*").alias("n")
+    )
+    term = (F.col("xi") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    dists = (
+        exploded.join(F.broadcast(sums), "pos")
+        .select("vid", "own", "cand", "n", (term * term).alias("sq"))
+        .groupBy("vid", "own", "cand", "n")
+        .agg(F.sum("sq").alias("d2i"))
+        .select(
+            "vid",
+            "own",
+            "cand",
+            (
+                F.sqrt(F.col("d2i").cast("double"))
+                / (F.col("n").cast("double") * q)
+            ).alias("dist"),
+        )
+    )
+    per_vec = dists.groupBy("vid", "own").agg(
+        F.max(F.when(F.col("cand") == F.col("own"), F.col("dist"))).alias(
+            "a_dist"
+        ),
+        F.min(F.when(F.col("cand") != F.col("own"), F.col("dist"))).alias(
+            "b_dist"
+        ),
+    )
+    g = F.greatest(F.col("a_dist"), F.col("b_dist"))
+    return per_vec.select(
+        F.col("vid").alias(id_col),
+        F.col("own").alias("label"),
+        "a_dist",
+        "b_dist",
+        F.when(g > 0, (F.col("b_dist") - F.col("a_dist")) / g)
+        .otherwise(F.lit(0.0))
+        .alias("silhouette"),
+    )
+
+
 def nearest_centroid_confusion(
     df: DataFrame,
     label_col: str = "label",

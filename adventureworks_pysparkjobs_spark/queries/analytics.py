@@ -5240,3 +5240,444 @@ def events_conversion_window_curve(
             / F.count(F.lit(1)).cast("double")
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "customer_kaplan_meier",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+             o_orderkey AS k
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cust, d,
+             ROW_NUMBER() OVER (PARTITION BY cust ORDER BY d, k) AS rn
+      FROM o
+    ),
+    subj AS (
+      SELECT cust, MIN(d) AS first_d,
+             MAX(CASE WHEN rn = 2 THEN d END) AS second_d
+      FROM ranked WHERE rn <= 2 GROUP BY cust
+    ),
+    hor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS horizon FROM orders),
+    tm AS (
+      SELECT CAST(date_diff('day', first_d, COALESCE(second_d, horizon))
+                  AS INTEGER) AS t,
+             CASE WHEN second_d IS NULL THEN 0 ELSE 1 END AS ev
+      FROM subj, hor
+    ),
+    grain AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tm GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(c) OVER ()
+                  - COALESCE(SUM(c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n
+      FROM grain
+    ),
+    curve AS (SELECT t, d, n FROM risk WHERE d > 0),
+    arr AS (
+      SELECT list(struct_pack(t := t, d := d, n := n) ORDER BY t) AS a
+      FROM curve
+    )
+    SELECT c.t AS t_days, c.n AS n_risk, c.d AS n_events,
+           list_reduce(list_prepend(CAST(1 AS DOUBLE),
+             list_transform(list_filter(a.a, s -> s.t <= c.t),
+               s -> CAST(1 AS DOUBLE)
+                    - CAST(s.d AS DOUBLE) / CAST(s.n AS DOUBLE))),
+             (acc, x) -> acc * x) AS survival
+    FROM curve c, arr a
+    """,
+    tags=("analytics", "survival", "kaplan-meier", "bi"),
+)
+def customer_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve for the first→second
+    order gap, WITH right-censoring — the estimator
+    customer_second_order_hazard deliberately omits (it conditions on
+    converters only; KM uses every customer, censoring one-order
+    customers at the corpus horizon, so the curve is unbiased for
+    "P(still not reordered by day t)").
+
+    Determinism: d_t/n_t divides exact integer counts (one IEEE op),
+    and the cumulative product folds the event days IN t ORDER on both
+    engines (list_reduce / F.aggregate over the t-sorted struct array)
+    — the ordered-fold idiom; no logs anywhere. Scale: one per-customer
+    two-row window + one day-grain aggregate are the only corpus-sized
+    stages; the curve frame is gap-day-bounded (calendar-bounded), so
+    the global risk window and the O(D^2) per-row prefix folds run on
+    ~thousands of rows regardless of fact size. Two 1-row broadcast
+    riders (horizon date, curve array) — CROSS_OK."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("cust").orderBy("d", "k")
+    ranked = od.select(
+        F.col("o_custkey").alias("cust"),
+        d.alias("d"),
+        F.col("o_orderkey").alias("k"),
+    ).withColumn("rn", F.row_number().over(w))
+    subj = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("cust")
+        .agg(
+            F.min("d").alias("first_d"),
+            F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("second_d"),
+        )
+    )
+    hor = od.agg(F.max(d).alias("horizon"))  # 1-row horizon rider
+    tm = subj.crossJoin(F.broadcast(hor)).select(
+        F.datediff(F.coalesce("second_d", "horizon"), F.col("first_d"))
+        .cast("int")
+        .alias("t"),
+        F.when(F.col("second_d").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    grain = tm.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    # gap-day-grain frame (calendar-bounded) — global windows are safe
+    wfull = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = grain.select(
+        F.col("t").alias("t_days"),
+        F.col("d"),
+        (
+            F.sum("c").over(wfull)
+            - F.coalesce(F.sum("c").over(wprev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
+    ).filter(F.col("d") > 0)
+    arr = curve.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("t_days").alias("t"),
+                    F.col("d").alias("d"),
+                    F.col("n").alias("n"),
+                )
+            )
+        ).alias("a")
+    )  # 1-row curve-array rider
+    surv = F.aggregate(
+        F.filter(F.col("a"), lambda s: s["t"] <= F.col("t_days")),
+        F.lit(1.0),
+        lambda acc, s: acc
+        * (F.lit(1.0) - s["d"].cast("double") / s["n"].cast("double")),
+    )
+    return curve.crossJoin(F.broadcast(arr)).select(
+        "t_days",
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        surv.alias("survival"),
+    )
+
+
+@query(
+    "part_brand_price_index",
+    oracle="""
+    WITH cells AS (
+      SELECT p.p_brand AS brand,
+             strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS month,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS qty,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    b0 AS (SELECT MIN(month) AS base_month FROM cells),
+    base AS (
+      SELECT brand, qty AS qty0, rev AS rev0
+      FROM cells, b0 WHERE month = base_month
+    ),
+    joined AS (
+      SELECT c.month, c.brand, c.qty, c.rev, b.qty0, b.rev0
+      FROM cells c JOIN base b USING (brand)
+    ),
+    feats AS (
+      SELECT month,
+        CAST(SUM(rev) AS DECIMAL(38,2)) AS rev_t,
+        CAST(SUM(rev0) AS DECIMAL(38,2)) AS rev0_t,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list(struct_pack(b := brand,
+            v := (CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(qty AS VARCHAR) AS DOUBLE))
+                 * CAST(CAST(qty0 AS VARCHAR) AS DOUBLE)) ORDER BY brand),
+            s -> s.v)),
+          (acc, x) -> acc + x) AS lasp_num,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list(struct_pack(b := brand,
+            v := (CAST(CAST(rev0 AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(qty0 AS VARCHAR) AS DOUBLE))
+                 * CAST(CAST(qty AS VARCHAR) AS DOUBLE)) ORDER BY brand),
+            s -> s.v)),
+          (acc, x) -> acc + x) AS paasche_den
+      FROM joined GROUP BY month
+    )
+    SELECT month,
+      lasp_num / CAST(CAST(rev0_t AS VARCHAR) AS DOUBLE) AS laspeyres,
+      CAST(CAST(rev_t AS VARCHAR) AS DOUBLE) / paasche_den AS paasche,
+      sqrt((lasp_num / CAST(CAST(rev0_t AS VARCHAR) AS DOUBLE))
+           * (CAST(CAST(rev_t AS VARCHAR) AS DOUBLE) / paasche_den))
+        AS fisher
+    FROM feats
+    """,
+    tags=("analytics", "price-index", "laspeyres", "paasche", "fisher", "bi"),
+)
+def part_brand_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres / Paasche / Fisher price indices at brand grain
+    vs the first shipping month — the national-accounts classic that
+    separates price movement from volume mix (the index-number sibling
+    of orders_revenue_bridge's one-step price/qty split and
+    nation_shift_share's decomposition).
+
+    Brand unit price p_{b,t} = rev/qty of exact decimal sums; Laspeyres
+    numerator sum_b p_t*q_0 and Paasche denominator sum_b p_0*q_t are
+    float sums over the 25-brand enum, so both fold IN BRAND ORDER (the
+    ordered-fold idiom); the Laspeyres denominator (sum p_0 q_0) and
+    Paasche numerator (sum p_t q_t) are exact decimal revenue sums by
+    identity. Fisher = sqrt(L*P) — sqrt is always safe cross-engine.
+    Scale: ONE (brand x month) aggregate over the fact join is the only
+    corpus-sized stage; everything after runs on the enum x calendar
+    grid (~25 x months rows), where the global base-month window and
+    the 25-element folds are free."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    d382 = "decimal(38,2)"
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    cells = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(dec("l_quantity", 12, 2)).cast(d382).alias("qty"),
+            F.sum(dec("l_extendedprice", 12, 2)).cast(d382).alias("rev"),
+        )
+        # brand x month grain (enum x calendar bounded); reused by the
+        # base frame and the join — lineage cut
+        .localCheckpoint()
+    )
+    wfull = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = (
+        cells.withColumn("base_month", F.min("month").over(wfull))
+        .filter(F.col("month") == F.col("base_month"))
+        .select(
+            "brand", F.col("qty").alias("qty0"), F.col("rev").alias("rev0")
+        )
+    )
+    joined = cells.join(F.broadcast(base), "brand")
+
+    def _fold(term):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("brand").alias("b"), term.alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    feats = joined.groupBy("month").agg(
+        F.sum("rev").cast(d382).alias("rev_t"),
+        F.sum("rev0").cast(d382).alias("rev0_t"),
+        _fold(
+            (_dbl(F.col("rev")) / _dbl(F.col("qty"))) * _dbl(F.col("qty0"))
+        ).alias("lasp_num"),
+        _fold(
+            (_dbl(F.col("rev0")) / _dbl(F.col("qty0"))) * _dbl(F.col("qty"))
+        ).alias("paasche_den"),
+    )
+    lasp = F.col("lasp_num") / _dbl(F.col("rev0_t"))
+    paasche = _dbl(F.col("rev_t")) / F.col("paasche_den")
+    return feats.select(
+        "month",
+        lasp.alias("laspeyres"),
+        paasche.alias("paasche"),
+        F.sqrt(lasp * paasche).alias("fisher"),
+    )
+
+
+@query(
+    "orders_xmr_control_chart",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    mr AS (
+      SELECT day, rev,
+             abs(rev - lag(rev) OVER (ORDER BY day)) AS mrange
+      FROM day
+    ),
+    lim AS (
+      SELECT day, rev, mrange,
+             CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE)
+               / COUNT(*) OVER () AS xbar,
+             CAST(CAST(SUM(mrange) OVER () AS VARCHAR) AS DOUBLE)
+               / COUNT(mrange) OVER () AS mrbar
+      FROM mr
+    )
+    SELECT day,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(mrange AS VARCHAR) AS DOUBLE) AS moving_range,
+           xbar + CAST('2.66' AS DOUBLE) * mrbar AS ucl,
+           xbar - CAST('2.66' AS DOUBLE) * mrbar AS lcl,
+           (CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+              > xbar + CAST('2.66' AS DOUBLE) * mrbar
+            OR CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+              < xbar - CAST('2.66' AS DOUBLE) * mrbar) AS out_of_control
+    FROM lim
+    """,
+    tags=("analytics", "control-chart", "xmr", "spc", "ops"),
+)
+def orders_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals + moving range) process-control chart over daily
+    order revenue — the Shewhart SPC workhorse for "is today's number
+    just noise?": natural process limits at xbar ± 2.66·MRbar (2.66 =
+    3/d2 for n=2 subgroups), flagging out-of-control days.
+
+    Exactness: daily revenue and the moving ranges |x_t - x_{t-1}| stay
+    in DECIMAL end-to-end (decimal subtraction/abs are exact), so xbar
+    and MRbar are exact-sum / count divisions — no float accumulation
+    anywhere, hence no fold needed; the 2.66 constant is pinned via a
+    string parse in both engines. Scale: one day-grain aggregate over
+    orders is the only corpus-sized stage; the lag and the global
+    limit windows run on the calendar-bounded day frame."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    od = load_table(spark, sf_dir, "orders")
+    day = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("rev")
+    )
+    wlag = Window.orderBy("day")
+    wfull = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mr = day.withColumn(
+        "mrange", F.abs(F.col("rev") - F.lag("rev").over(wlag))
+    )
+    lim = mr.select(
+        "day",
+        "rev",
+        "mrange",
+        (_dbl(F.sum("rev").over(wfull)) / F.count(F.lit(1)).over(wfull))
+        .alias("xbar"),
+        (_dbl(F.sum("mrange").over(wfull)) / F.count("mrange").over(wfull))
+        .alias("mrbar"),
+    )
+    c266 = F.lit(2.66)
+    ucl = F.col("xbar") + c266 * F.col("mrbar")
+    lcl = F.col("xbar") - c266 * F.col("mrbar")
+    rev_d = _dbl(F.col("rev"))
+    return lim.select(
+        "day",
+        rev_d.alias("revenue"),
+        _dbl(F.col("mrange")).alias("moving_range"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((rev_d > ucl) | (rev_d < lcl)).alias("out_of_control"),
+    )
+
+
+@query(
+    "events_pettitt_changepoint",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    v AS (
+      SELECT a.d,
+             CAST(SUM(CASE WHEN a.x > b.x THEN 1
+                           WHEN a.x < b.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS v
+      FROM days a JOIN days b ON a.d <> b.d
+      GROUP BY a.d
+    ),
+    u AS (
+      SELECT d, v,
+             CAST(-SUM(v) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS u
+      FROM v
+    )
+    SELECT d AS day, v, u,
+           (abs(u) = MAX(abs(u)) OVER ()) AS is_changepoint
+    FROM u
+    """,
+    tags=("analytics", "changepoint", "pettitt", "nonparametric"),
+)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test over the daily event-count
+    series — the nonparametric single-changepoint locator (Pettitt
+    1979): U_t = sum_{i<=t, j>t} sgn(x_j - x_i); the change sits where
+    |U_t| peaks. Complements events_cusum_changepoint (mean-shift CUSUM
+    is variance-sensitive; Pettitt is rank-based, so one spike day
+    cannot drag the split point).
+
+    Computed via the O(n) recursion U_t = -cumsum(V_t) with V_t =
+    sum_j sgn(x_t - x_j), and V from ONE day x day sign join — exact
+    BIGINTs end to end, zero float ops, so the oracle is hash-exact by
+    construction. Scale: the only corpus-sized stage is the day-grain
+    count; the sign join is span^2 day pairs (calendar-bounded, same
+    contract as events_kendall_tau), and the cumsum window runs on the
+    day frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    a = days.alias("a")
+    b = days.alias("b")
+    sgn = (
+        F.when(F.col("a.x") > F.col("b.x"), 1)
+        .when(F.col("a.x") < F.col("b.x"), -1)
+        .otherwise(0)
+    )
+    v = (
+        a.join(b, F.col("a.d") != F.col("b.d"))
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.sum(sgn).cast("bigint").alias("v"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wfull = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    u = v.withColumn("u", (-F.sum("v").over(wcum)).cast("bigint"))
+    return u.select(
+        F.col("d").alias("day"),
+        "v",
+        "u",
+        (F.abs("u") == F.max(F.abs("u")).over(wfull)).alias(
+            "is_changepoint"
+        ),
+    )

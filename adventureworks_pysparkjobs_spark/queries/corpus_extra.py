@@ -2629,3 +2629,180 @@ def corpus_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(tmp)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "corpus_unimax_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
+      FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, toks, CAST(2 * toks AS BIGINT) AS cap,
+             ROW_NUMBER() OVER (ORDER BY 2 * toks, lang) AS i,
+             COUNT(*) OVER () AS n,
+             CAST(COALESCE(SUM(2 * toks) OVER (ORDER BY 2 * toks, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev,
+             CAST((3 * CAST(SUM(toks) OVER () AS BIGINT)) // 2
+                  AS BIGINT) AS b
+      FROM t
+    ),
+    flags AS (
+      SELECT *, (cap * (n - i + 1) + cum_prev <= b) AS capped
+      FROM ranked
+    ),
+    fin AS (
+      SELECT *,
+        CAST(COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (), 0)
+             AS BIGINT) AS capped_sum,
+        CAST(COUNT(*) OVER ()
+             - COALESCE(SUM(CASE WHEN capped THEN 1 END) OVER (), 0)
+             AS BIGINT) AS n_unc
+      FROM flags
+    )
+    SELECT lang, toks, cap, capped,
+      CASE WHEN capped THEN CAST(cap AS DOUBLE)
+           ELSE CAST(b - capped_sum AS DOUBLE) / n_unc END AS allocation,
+      CASE WHEN capped THEN CAST(cap AS DOUBLE) / toks
+           ELSE (CAST(b - capped_sum AS DOUBLE) / n_unc) / toks
+      END AS epochs
+    FROM fin
+    """,
+    tags=("corpus", "mixture", "unimax", "sampling", "llm-pipeline"),
+)
+def corpus_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation across languages (Chung et al. 2023):
+    spread the token budget UNIFORMLY over languages, capping each at
+    E=2 epochs of its corpus — the principled alternative to
+    lang_temperature_mixture's temperature weights (which over-sample
+    head languages and have a free parameter). Budget = 1.5x total
+    corpus tokens, so small languages hit their epoch cap and the
+    surplus waterfills into the big ones.
+
+    The waterfilling has a closed form on the cap-sorted language list:
+    language i (ascending caps) is capped iff even granting every
+    not-yet-capped language cap_i each still fits the budget
+    (cap_i*(n-i+1) + cum_{i-1} <= B); uncapped languages split the
+    remainder evenly. All comparisons are exact BIGINT arithmetic; the
+    only float ops are the final two divisions (one IEEE op each).
+    Scale: one lang-grain token count over the corpus is the only
+    corpus-sized stage; the waterfill runs on the enum-bounded language
+    frame via global windows."""
+    from pyspark.sql import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    t = doc.groupBy("lang").agg(
+        F.sum(F.size(TX.tokens("text"))).cast("bigint").alias("toks")
+    )
+    cap = (F.lit(2) * F.col("toks")).cast("bigint")
+    worder = W.orderBy(cap, "lang")
+    wprev = worder.rowsBetween(W.unboundedPreceding, -1)
+    wfull = W.orderBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = t.select(
+        "lang",
+        "toks",
+        cap.alias("cap"),
+        F.row_number().over(worder).alias("i"),
+        F.count(F.lit(1)).over(wfull).alias("n"),
+        F.coalesce(F.sum(cap).over(wprev), F.lit(0))
+        .cast("bigint")
+        .alias("cum_prev"),
+        (F.lit(3) * F.sum("toks").over(wfull))
+        .cast("bigint")
+        .alias("b3"),
+    ).withColumn("b", F.expr("b3 div 2").cast("bigint"))
+    flags = ranked.withColumn(
+        "capped",
+        F.col("cap") * (F.col("n") - F.col("i") + 1) + F.col("cum_prev")
+        <= F.col("b"),
+    )
+    fin = flags.select(
+        "*",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))).over(wfull),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("capped_sum"),
+        (
+            F.count(F.lit(1)).over(wfull)
+            - F.coalesce(
+                F.sum(F.when(F.col("capped"), 1)).over(wfull), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_unc"),
+    )
+    alloc_unc = (F.col("b") - F.col("capped_sum")).cast("double") / F.col(
+        "n_unc"
+    )
+    return fin.select(
+        "lang",
+        "toks",
+        "cap",
+        "capped",
+        F.when(F.col("capped"), F.col("cap").cast("double"))
+        .otherwise(alloc_unc)
+        .alias("allocation"),
+        F.when(
+            F.col("capped"), F.col("cap").cast("double") / F.col("toks")
+        )
+        .otherwise(alloc_unc / F.col("toks"))
+        .alias("epochs"),
+    )
+
+
+@query(
+    "emb_centroid_silhouette",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id AS vid, label AS own, i - 1 AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    sums AS (
+      SELECT own AS cand, pos, CAST(SUM(xi) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY own, pos
+    ),
+    d AS (
+      SELECT e.vid, e.own, sums.cand,
+             sqrt(CAST(SUM(CAST(e.xi * sums.n - sums.s AS DECIMAL(19,0))
+                           * CAST(e.xi * sums.n - sums.s AS DECIMAL(19,0)))
+                       AS DOUBLE))
+               / (CAST(sums.n AS DOUBLE) * 1000000.0) AS dist
+      FROM e JOIN sums ON sums.pos = e.pos
+      GROUP BY e.vid, e.own, sums.cand, sums.n
+    ),
+    pv AS (
+      SELECT vid, own,
+             MAX(CASE WHEN cand = own THEN dist END) AS a_dist,
+             MIN(CASE WHEN cand <> own THEN dist END) AS b_dist
+      FROM d GROUP BY vid, own
+    )
+    SELECT vid AS vec_id, own AS label, a_dist, b_dist,
+           CASE WHEN greatest(a_dist, b_dist) > 0
+                THEN (b_dist - a_dist) / greatest(a_dist, b_dist)
+                ELSE CAST(0 AS DOUBLE) END AS silhouette
+    FROM pv
+    """,
+    tags=("similarity", "silhouette", "cluster-quality", "integer-exact"),
+)
+def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette audit of the labeled embedding table
+    (operators/similarity.py centroid_silhouette): per-vector
+    (b - a)/max(a, b) against label prototypes — the cluster-quality
+    gate next to emb_centroid_outliers (farthest-in-own-cluster) and
+    emb_nearest_centroid_confusion (hard assignments): silhouette < 0
+    rows are the vectors a re-label pass should inspect first. Exact
+    scaled integer distances -> bitwise oracle; linear in vectors with
+    an enum-bounded |labels| fan-out constant."""
+    from ..operators.similarity import centroid_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_silhouette(emb, "label", "embedding", "vec_id")

@@ -75,6 +75,12 @@ CROSS_OK = {
     "orders_revenue_drawdown",  # 1-row worst-drawdown broadcast rider
     "doc_dup_quality_odds",  # 1-row exact-median broadcast rider
     "nation_shift_share",  # 1-row grand-total broadcast rider
+    # two 1-row riders (horizon date, gap-day-bounded curve array)
+    "customer_kaplan_meier",
+    # day x day sign grid: BOTH sides aggregate-reduced to the
+    # calendar-bounded day frame before the non-equi join (same
+    # contract as events_kendall_tau)
+    "events_pettitt_changepoint",
 }
 
 BATCH_QUERIES = sorted(

@@ -189,6 +189,82 @@ def encode_jpeg_header(width: int, height: int, n_components: int = 3) -> bytes:
     )
 
 
+def parse_wav_header(payload: bytes) -> dict:
+    """Pure-Python WAV (RIFF/WAVE) metadata parse: walks the chunk list
+    for ``fmt `` (PCM format, channels, sample rate, bits) and ``data``
+    (sample count via block align) — the audio twin of
+    parse_image_header, reading tens of bytes regardless of payload
+    size. Raises ValueError on malformed RIFF/WAVE streams and
+    NotImplementedError on non-WAVE containers."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload; inject a codec for this format"
+        )
+    meta: dict = {}
+    i = 12
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV: truncated fmt chunk")
+            (fmt_code, n_ch, rate, _brate, balign, bits) = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            meta.update(
+                audio_format=fmt_code,
+                n_channels=n_ch,
+                sample_rate=rate,
+                block_align=balign,
+                bits_per_sample=bits,
+            )
+        elif tag == b"data":
+            meta["data_bytes"] = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if "sample_rate" not in meta:
+        raise ValueError("malformed WAV: no fmt chunk")
+    if "data_bytes" in meta and meta.get("block_align"):
+        meta["n_samples"] = meta["data_bytes"] // meta["block_align"]
+        meta["duration_ms"] = (
+            meta["n_samples"] * 1000 // meta["sample_rate"]
+        )
+    return meta
+
+
+def encode_wav(
+    sample_rate: int,
+    n_channels: int = 1,
+    n_samples: int = 0,
+    bits_per_sample: int = 16,
+    seed: int = 0,
+) -> bytes:
+    """Minimal valid PCM WAV encoder (RIFF + fmt + data, stdlib struct
+    only) with deterministic samples — the audio fixture generator, same
+    role as encode_png. Sample i of channel c is
+    ((i * 31 + c * 7 + seed) % 65536) - 32768 for 16-bit PCM."""
+    import struct
+
+    assert bits_per_sample == 16, "fixture encoder emits 16-bit PCM only"
+    block_align = n_channels * 2
+    byte_rate = sample_rate * block_align
+    frames = bytearray()
+    for i in range(n_samples):
+        for c in range(n_channels):
+            frames += struct.pack(
+                "<h", ((i * 31 + c * 7 + seed) % 65536) - 32768
+            )
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, 16
+    )
+    data = bytes(frames)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_gif_header(width: int, height: int) -> bytes:
     """Valid GIF89a header + logical screen descriptor + trailer (no
     image blocks) — dimensions are little-endian, the cross-endianness
@@ -253,6 +329,160 @@ def extract_features(
     )
 
 
+def _decode_png_filter0(payload: bytes) -> tuple:
+    """Decode a filter-0 (None) PNG — the subset our stdlib encoder
+    emits — into (width, height, n_channels, scanlines). Raises
+    ValueError on non-None filters (real-world PNGs need an injected
+    decoder) and NotImplementedError off-format, mirroring the
+    parse/decode split everywhere in this module."""
+    import struct
+    import zlib
+
+    meta = parse_image_header(payload)  # NotImplementedError off-format
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "default resize supports PNG only; inject a codec"
+        )
+    w, h, ch = meta["width"], meta["height"], meta["n_channels"]
+    idat = bytearray()
+    i = 8
+    while i < len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += payload[i + 8 : i + 8 + ln]
+        i += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * ch
+    rows = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        if line[0] != 0:
+            raise ValueError(
+                "default resize decodes filter-0 PNGs only; "
+                f"scanline {y} uses filter {line[0]} — inject a codec"
+            )
+        rows.append(line[1:])
+    return w, h, ch, rows
+
+
+def default_resize_codec(payload: bytes, tw: int, th: int) -> dict:
+    """Runnable default for resize_images: nearest-neighbor resample of
+    a filter-0 PNG (decode via stdlib zlib, index-map pixels, re-encode
+    with encode-side chunk writing). Real-world images (JPEG, filtered
+    PNG) still take an injected Pillow codec through the same seam."""
+    import struct
+    import zlib
+
+    w, h, ch, rows = _decode_png_filter0(payload)
+    raw = bytearray()
+    for ty in range(th):
+        sy = min(ty * h // th, h - 1)
+        raw.append(0)
+        src = rows[sy]
+        for tx in range(tw):
+            sx = min(tx * w // tw, w - 1)
+            raw += src[sx * ch : (sx + 1) * ch]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", tw, th, 8, color_type, 0, 0, 0)
+    content = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+    return {"content": content, "width": tw, "height": th}
+
+
+AUDIO_SCHEMA = (
+    "path string, payload_bytes bigint, sample_rate int, n_channels int, "
+    "bits_per_sample int, n_samples bigint, duration_ms bigint"
+)
+
+
+def extract_audio_metadata(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = parse_wav_header,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Audio metadata extraction via mapInPandas — the audio sibling of
+    extract_features, runnable by default (parse_wav_header); a real
+    decoder (librosa/pyav: resample, loudness, features) injects through
+    the same ``codec(bytes) -> dict`` seam."""
+    import pandas as pd
+
+    out_cols = [
+        "path", "payload_bytes", "sample_rate", "n_channels",
+        "bits_per_sample", "n_samples", "duration_ms",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "sample_rate": meta.get("sample_rate"),
+                        "n_channels": meta.get("n_channels"),
+                        "bits_per_sample": meta.get("bits_per_sample"),
+                        "n_samples": meta.get("n_samples"),
+                        "duration_ms": meta.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=AUDIO_SCHEMA
+    )
+
+
+def synthesize_audio(
+    df: DataFrame,
+    id_col: str = "path",
+    rate_col: str = "sample_rate",
+    channels_col: str = "n_channels",
+    samples_col: str = "n_samples",
+) -> DataFrame:
+    """Deterministic WAV-payload synthesis via mapInPandas — the audio
+    twin of synthesize_images: one spec row in, one (path, content) PCM
+    WAV out, standing in for a binaryFile scan of real audio."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, rate, ch, ns in zip(
+                pdf[id_col], pdf[rate_col], pdf[channels_col],
+                pdf[samples_col],
+            ):
+                content = encode_wav(
+                    int(rate), int(ch), int(ns),
+                    seed=zlib.crc32(str(rid).encode()) % 251,
+                )
+                rows.append({"path": str(rid), "content": content})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, rate_col, channels_col, samples_col
+    ).mapInPandas(run, schema="path string, content binary")
+
+
 RESIZE_SCHEMA = "path string, content binary, width int, height int"
 
 FRAME_SCHEMA = (
@@ -274,17 +504,16 @@ def resize_images(
     bytes replace the payload, so downstream stages see the same
     (path, content) shape and compose freely with extract_features.
 
-    ``codec(payload, w, h) -> {'content': bytes, 'width', 'height'}`` is
-    injected (Pillow in production; deterministic fake in tests — no
-    media libraries in this container, same seam as default_codec).
+    ``codec(payload, w, h) -> {'content': bytes, 'width', 'height'}``.
+    The default (r9) is default_resize_codec — a stdlib nearest-neighbor
+    resample of filter-0 PNGs, so the path runs end-to-end with zero
+    injected code; Pillow injects through the same seam for real-world
+    formats (it raises loudly for them).
     """
     import pandas as pd
 
     if codec is None:
-        def codec(payload: bytes, w: int, h: int) -> dict:  # pragma: no cover
-            raise NotImplementedError(
-                "no image codec available in this environment; inject one"
-            )
+        codec = default_resize_codec
 
     out_cols = ["path", "content", "width", "height"]
 

@@ -2596,3 +2596,116 @@ def doc_hashed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "doc_audio_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100
+           END AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+           CAST((100 + doc_id % 400) * 1000
+                // (CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+                AS BIGINT) AS duration_ms
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+    tags=("multimodal", "audio", "codec", "roundtrip"),
+)
+def doc_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata path end-to-end with ZERO injected code: synthesize
+    real PCM WAV payloads (stdlib RIFF encoder) at rates/channels/sample
+    counts derived from doc_id, then parse sample_rate / channels / bit
+    depth / duration back out of the BYTES with parse_wav_header via
+    extract_audio_metadata (mapInPandas) — the audio leg of SURVEY §2.10
+    next to doc_image_dimensions' image leg. Roundtrip-fixture oracle:
+    DuckDB recomputes the expected metadata from doc_id arithmetic; any
+    bug in the RIFF chunk walk (little-endian fields, word alignment,
+    fmt/data split) breaks the match. At 100 TB the synthesize stage is
+    the lake's binaryFile scan; the parse plan is unchanged."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 7 == 0).select(
+        did.cast("string").alias("path"),
+        F.when(did % 3 == 0, 8000)
+        .when(did % 3 == 1, 16000)
+        .otherwise(44100)
+        .alias("sample_rate"),
+        (F.lit(1) + did % 2).cast("int").alias("n_channels"),
+        (F.lit(100) + did % 400).cast("bigint").alias("n_samples"),
+    )
+    parsed = MM.extract_audio_metadata(MM.synthesize_audio(spec))
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+    )
+
+
+@query(
+    "doc_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 57 AS INTEGER) AS orig_width,
+           CAST(8 + (doc_id * 7) % 43 AS INTEGER) AS orig_height,
+           CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+                AS INTEGER) AS n_channels
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal", "image", "resize", "roundtrip"),
+)
+def doc_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image normalize-before-training path end-to-end with ZERO
+    injected code: synthesize real PNGs at doc_id-derived dimensions,
+    parse the ORIGINAL header, nearest-neighbor resize every payload to
+    16x12 with the stdlib default_resize_codec (zlib decode -> index-map
+    -> re-encode), and parse the RESIZED header back out of the new
+    bytes — both parses via the default header codec. The 1:1 join of
+    the two parsed frames is on path (AQE-planned, equal cardinality).
+    Channel preservation through the resample is part of the check
+    (grayscale vs RGB varies by doc). Pixel-level resample correctness
+    is pinned by the identity-resize equality test in
+    tests/test_r9_operators.py; the oracle certifies the structural
+    roundtrip from doc_id arithmetic."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 5 == 0).select(
+        did.cast("string").alias("path"),
+        (F.lit(8) + did % 57).cast("int").alias("width"),
+        (F.lit(8) + (did * 7) % 43).cast("int").alias("height"),
+        F.when(did % 2 == 0, 1).otherwise(3).cast("int").alias("n_channels"),
+        F.lit("png").alias("fmt"),
+    )
+    payloads = MM.synthesize_images(spec)
+    orig = MM.extract_features(payloads).select(
+        "path",
+        F.col("width").alias("orig_width"),
+        F.col("height").alias("orig_height"),
+    )
+    resized = MM.resize_images(payloads, target_width=16, target_height=12)
+    parsed = MM.extract_features(resized).select(
+        "path", "width", "height", "n_channels"
+    )
+    return orig.join(parsed, "path").select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "orig_width",
+        "orig_height",
+        "width",
+        "height",
+        "n_channels",
+    )

@@ -179,3 +179,134 @@ class TestHashingEncoder:
             q, c = dense[r["query_id"]], dense[r["neighbor_id"]]
             ref = float(q @ c) / (np.linalg.norm(q) * np.linalg.norm(c))
             assert abs(r["cosine_sim"] - ref) < 1e-12, (r, ref)
+
+
+class TestWavCodec:
+    def test_roundtrip(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_wav,
+            parse_wav_header,
+        )
+
+        m = parse_wav_header(encode_wav(44100, 2, 441, seed=3))
+        assert m["sample_rate"] == 44100 and m["n_channels"] == 2
+        assert m["bits_per_sample"] == 16 and m["audio_format"] == 1
+        assert m["n_samples"] == 441
+        assert m["duration_ms"] == 441 * 1000 // 44100  # == 10
+
+    def test_zero_samples(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_wav,
+            parse_wav_header,
+        )
+
+        m = parse_wav_header(encode_wav(8000, 1, 0))
+        assert m["n_samples"] == 0 and m["duration_ms"] == 0
+
+    def test_non_wave_hits_seam(self):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            parse_wav_header,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            parse_wav_header(b"RIFF\x00\x00\x00\x00AVI ")  # RIFF, not WAVE
+        with _pytest.raises(NotImplementedError):
+            parse_wav_header(b"hello")
+
+    def test_truncated_fmt_fails_loud(self):
+        import struct
+
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            parse_wav_header,
+        )
+
+        bad = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+        with _pytest.raises(ValueError):
+            parse_wav_header(bad)
+
+
+class TestDefaultResizeCodec:
+    def test_identity_resize_preserves_pixels(self):
+        import struct
+        import zlib
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            default_resize_codec,
+            encode_png,
+        )
+
+        def idat(b):
+            i, out = 8, bytearray()
+            while i < len(b):
+                (ln,) = struct.unpack(">I", b[i : i + 4])
+                if b[i + 4 : i + 8] == b"IDAT":
+                    out += b[i + 8 : i + 8 + ln]
+                i += 12 + ln
+            return zlib.decompress(bytes(out))
+
+        p = encode_png(20, 12, 3, seed=4)
+        same = default_resize_codec(p, 20, 12)
+        assert idat(same["content"]) == idat(p)
+
+    def test_downsample_nearest_neighbor_values(self):
+        """2x2 downsample of a 4x4 grayscale picks pixels (0,0),(0,2),
+        (2,0),(2,2) — values (x+y+seed)%256."""
+        import struct
+        import zlib
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            default_resize_codec,
+            encode_png,
+        )
+
+        p = encode_png(4, 4, 1, seed=10)
+        out = default_resize_codec(p, 2, 2)["content"]
+        i, idat = 8, bytearray()
+        while i < len(out):
+            (ln,) = struct.unpack(">I", out[i : i + 4])
+            if out[i + 4 : i + 8] == b"IDAT":
+                idat += out[i + 8 : i + 8 + ln]
+            i += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        # rows: filter byte + 2 pixels each
+        assert list(raw) == [
+            0, (0 + 0 + 10) % 256, (2 + 0 + 10) % 256,
+            0, (0 + 2 + 10) % 256, (2 + 2 + 10) % 256,
+        ]
+
+    def test_non_png_hits_seam(self):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            default_resize_codec,
+            encode_jpeg_header,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            default_resize_codec(encode_jpeg_header(8, 8), 2, 2)
+
+    def test_resize_images_runs_with_default_codec(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_png,
+            extract_features,
+            resize_images,
+        )
+
+        media = spark.createDataFrame(
+            [("a", bytearray(encode_png(10, 8, 3))),
+             ("b", bytearray(encode_png(5, 5, 1)))],
+            "path string, content binary",
+        )
+        out = {
+            r["path"]: r
+            for r in extract_features(
+                resize_images(media, target_width=4, target_height=3)
+            ).collect()
+        }
+        assert (out["a"]["width"], out["a"]["height"]) == (4, 3)
+        assert out["a"]["n_channels"] == 3
+        assert out["b"]["n_channels"] == 1

@@ -5470,8 +5470,11 @@ def part_brand_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice", 12, 2)).cast(d382).alias("rev"),
         )
         # brand x month grain (enum x calendar bounded); reused by the
-        # base frame and the join — lineage cut
-        .localCheckpoint()
+        # base frame and the join. cache(), NOT localCheckpoint(): the
+        # base-month global window downstream needs the Aggregate
+        # lineage visible (advisor single-partition rule), and the
+        # cached frame still cuts the second fact scan
+        .cache()
     )
     wfull = Window.orderBy("month").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -5680,4 +5683,173 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs("u") == F.max(F.abs("u")).over(wfull)).alias(
             "is_changepoint"
         ),
+    )
+
+
+@query(
+    "part_demand_classification",
+    oracle="""
+    WITH dem AS (
+      SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT part_key,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS ss
+      FROM dem GROUP BY 1
+    ),
+    m AS (
+      SELECT part_key, n_events,
+             CAST(span_days AS DOUBLE) / (n_events - 1) AS adi,
+             CAST(n_events * ss - s * s AS DOUBLE)
+               / CAST(s * s AS DOUBLE) AS cv2
+      FROM st WHERE n_events >= 2
+    )
+    SELECT part_key, n_events, adi, cv2,
+           CASE WHEN adi < CAST('1.32' AS DOUBLE)
+                     AND cv2 < CAST('0.49' AS DOUBLE) THEN 'smooth'
+                WHEN adi >= CAST('1.32' AS DOUBLE)
+                     AND cv2 < CAST('0.49' AS DOUBLE) THEN 'intermittent'
+                WHEN adi < CAST('1.32' AS DOUBLE) THEN 'erratic'
+                ELSE 'lumpy' END AS demand_class
+    FROM m
+    """,
+    tags=("analytics", "supply-chain", "intermittent-demand",
+          "syntetos-boylan"),
+)
+def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan intermittent-demand classification per part:
+    ADI (average inter-demand interval, days) x CV^2 (squared
+    coefficient of variation of demand sizes) quadrants at the
+    canonical 1.32 / 0.49 cutoffs — smooth / intermittent / erratic /
+    lumpy, the routing table that decides which forecasting method
+    (SES vs Croston vs SBA) each SKU gets.
+
+    Exactness: demand events are (part, ship-day) integer quantity
+    sums; ADI = span/(n-1) and CV^2 = (n*Σq² - (Σq)²)/(Σq)² are single
+    divisions of exact BIGINTs; the cutoffs are string-pinned. Scale:
+    one (part, day) aggregate then one part-grain aggregate — two keyed
+    shuffles, output bounded by the part dimension."""
+    dem = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+    st = dem.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span_days"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    m = st.filter(F.col("n_events") >= 2).select(
+        "part_key",
+        "n_events",
+        (F.col("span_days").cast("double") / (F.col("n_events") - 1)).alias(
+            "adi"
+        ),
+        (
+            (F.col("n_events") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.col("s") * F.col("s")).cast("double")
+        ).alias("cv2"),
+    )
+    adi_cut, cv2_cut = F.lit(1.32), F.lit(0.49)
+    return m.select(
+        "part_key",
+        "n_events",
+        "adi",
+        "cv2",
+        F.when((F.col("adi") < adi_cut) & (F.col("cv2") < cv2_cut), "smooth")
+        .when(
+            (F.col("adi") >= adi_cut) & (F.col("cv2") < cv2_cut),
+            "intermittent",
+        )
+        .when(F.col("adi") < adi_cut, "erratic")
+        .otherwise("lumpy")
+        .alias("demand_class"),
+    )
+
+
+@query(
+    "part_newsvendor_stock",
+    oracle="""
+    WITH dem AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT brand, q, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM dem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT brand, q, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY brand ORDER BY q)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY brand) AS BIGINT) AS n
+      FROM v
+    )
+    SELECT brand, MAX(n) AS n_days,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN q END)
+                AS BIGINT) AS q_star,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN cum END) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE) AS achieved_fill_rate
+    FROM c GROUP BY brand
+    """,
+    tags=("analytics", "supply-chain", "newsvendor", "quantile"),
+)
+def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per brand at critical fractile
+    cu/(cu+co) = 0.9: the smallest daily-demand quantity q* whose
+    empirical CDF reaches 90% — the single-period inventory rule, next
+    to part_demand_classification's method router. Percentile decided
+    by the exact integer rule cum*10 >= n*9 on the value-grain
+    cumulative histogram (the orders_ship_sla_quantiles idiom — never a
+    float percentile), so q* and the achieved fill rate (one division
+    of exact integers) oracle-check bitwise. Scale: one (brand, day)
+    aggregate then value-grain windows partitioned by brand — the
+    per-brand value frame is bounded by distinct demand levels."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    dem = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    v = dem.groupBy("brand", "q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = Window.partitionBy("brand").orderBy("q")
+    wall = Window.partitionBy("brand")
+    c = v.select(
+        "brand",
+        "q",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+    )
+    hit = F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("q"))
+    hit_cum = F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("cum"))
+    return c.groupBy("brand").agg(
+        F.max("n").alias("n_days"),
+        F.min(hit).cast("bigint").alias("q_star"),
+        (
+            F.min(hit_cum).cast("double") / F.max("n").cast("double")
+        ).alias("achieved_fill_rate"),
     )

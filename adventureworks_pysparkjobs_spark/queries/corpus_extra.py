@@ -2806,3 +2806,94 @@ def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_silhouette(emb, "label", "embedding", "vec_id")
+
+
+@query(
+    "doc_neyman_allocation",
+    oracle="""
+    WITH st AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY source
+    ),
+    m AS (
+      SELECT source, n_docs,
+             sqrt(CAST(n_docs * ss - s * s AS DOUBLE)
+                  / CAST(n_docs * (n_docs - 1) AS DOUBLE)) AS sd
+      FROM st WHERE n_docs >= 2
+    ),
+    tot AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(k := source,
+                                  v := CAST(n_docs AS DOUBLE) * sd)
+                      ORDER BY source),
+                 s -> s.v)),
+               (acc, x) -> acc + x) AS wsum,
+             CAST(SUM(n_docs) AS BIGINT) AS n_total
+      FROM m
+    )
+    SELECT source, n_docs, sd,
+           CAST(n_docs AS DOUBLE) * sd / wsum AS neyman_share,
+           CAST(n_docs AS DOUBLE) / n_total AS proportional_share,
+           CAST(100 AS DOUBLE)
+             * (CAST(n_docs AS DOUBLE) * sd / wsum) AS n_alloc
+    FROM m, tot
+    """,
+    tags=("corpus", "sampling-design", "neyman", "stratified"),
+)
+def doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 100-doc audit sample across
+    sources: n_h ∝ N_h·S_h (stratum size x stddev of doc length), the
+    textbook refinement of proportional stratified sampling
+    (doc_stratified_sample) that over-samples high-variance sources —
+    the sample-design layer for human quality audits of a crawl.
+
+    S_h = sqrt((n·Σx² − (Σx)²)/(n(n−1))) over exact BIGINT n_chars
+    sums (sqrt is always safe); the normalizer Σ N_h·S_h is a float
+    sum over the enum-bounded source list, folded IN SOURCE ORDER on
+    both engines (ordered-fold idiom) on a 1-row normalizer rider. One source-grain aggregate is the only corpus-sized stage."""
+    from pyspark.sql import Window as W
+
+    doc = load_table(spark, sf_dir, "documents")
+    st = doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("ss"),
+    )
+    m = st.filter(F.col("n_docs") >= 2).select(
+        "source",
+        "n_docs",
+        F.sqrt(
+            (F.col("n_docs") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
+        ).alias("sd"),
+    )
+    w_col = F.col("n_docs").cast("double") * F.col("sd")
+    # 1-row normalizer rider (ordered fold + exact total) — CROSS_OK
+    tot = m.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("source").alias("k"), w_col.alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("wsum"),
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+    )
+    share = w_col / F.col("wsum")
+    return m.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sd",
+        share.alias("neyman_share"),
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+            "proportional_share"
+        ),
+        (F.lit(100.0) * share).alias("n_alloc"),
+    )

@@ -2709,3 +2709,87 @@ def doc_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_channels",
     )
+
+
+@query(
+    "doc_quality_threshold_curve",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM t WHERE len(toks) > 0
+    ),
+    grid AS (SELECT unnest([10, 30, 50, 70, 90]) AS thr_pct),
+    kept AS (
+      SELECT g.thr_pct,
+             CAST(COUNT(CASE WHEN s.n_distinct * 100
+                                  >= s.n_tokens * g.thr_pct
+                             THEN 1 END) AS BIGINT) AS n_docs_kept,
+             CAST(COALESCE(SUM(CASE WHEN s.n_distinct * 100
+                                        >= s.n_tokens * g.thr_pct
+                                    THEN s.n_tokens END), 0)
+                  AS BIGINT) AS tokens_kept,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(s.n_tokens) AS BIGINT) AS tokens_total
+      FROM sc s CROSS JOIN grid g
+      GROUP BY g.thr_pct
+    )
+    SELECT CAST(thr_pct AS INTEGER) AS thr_pct, n_docs_kept, tokens_kept,
+           CAST(n_docs_kept AS DOUBLE) / n_docs AS doc_share_kept,
+           CAST(tokens_kept AS DOUBLE) / tokens_total AS token_share_kept
+    FROM kept
+    """,
+    tags=("text", "quality", "threshold-curve", "planning", "llm-pipeline"),
+)
+def doc_quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter sensitivity curve: docs/tokens retained at each
+    distinct-token-ratio threshold (10..90%) — the filter-calibration
+    planning tool, the quality sibling of doc_dedup_threshold_curve
+    (same shape: enum threshold grid x corpus aggregate, answering
+    "how much corpus does each cut cost?" BEFORE committing a filter).
+
+    The keep decision is the exact integer rule n_distinct*100 >=
+    n_tokens*thr (never a float ratio compare); shares are single
+    divisions of exact BIGINTs. Scale: ONE tokenize pass feeds a
+    5-row enum grid cross (bounded fan-out), then one 5-group
+    aggregate — no second corpus scan per threshold."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    sc = doc.select(
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (10, 30, 50, 70, 90)])).alias(
+            "thr_pct"
+        )
+    )
+    keep = F.col("n_distinct") * 100 >= F.col("n_tokens") * F.col("thr_pct")
+    kept = (
+        sc.crossJoin(F.broadcast(grid))
+        .groupBy("thr_pct")
+        .agg(
+            F.count(F.when(keep, 1)).cast("bigint").alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        )
+    )
+    return kept.select(
+        F.col("thr_pct").cast("int").alias("thr_pct"),
+        "n_docs_kept",
+        "tokens_kept",
+        (F.col("n_docs_kept").cast("double") / F.col("n_docs")).alias(
+            "doc_share_kept"
+        ),
+        (
+            F.col("tokens_kept").cast("double") / F.col("tokens_total")
+        ).alias("token_share_kept"),
+    )

@@ -310,3 +310,141 @@ class TestDefaultResizeCodec:
         assert (out["a"]["width"], out["a"]["height"]) == (4, 3)
         assert out["a"]["n_channels"] == 3
         assert out["b"]["n_channels"] == 1
+
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestR9EntryProperties:
+    """Structural invariants of the r9 analytics wave, beyond the
+    hash-exact oracle gates (tests/test_oracle.py covers equality)."""
+
+    def _rows(self, spark, name, sf=SF):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        return CATALOG[name].builder(spark, sf).collect()
+
+    def test_kaplan_meier_curve_shape(self, spark):
+        rows = sorted(
+            self._rows(spark, "customer_kaplan_meier"),
+            key=lambda r: r["t_days"],
+        )
+        assert rows, "empty KM curve"
+        # survival starts at 1 - d1/n1 and is strictly within (0, 1]
+        r0 = rows[0]
+        assert abs(
+            r0["survival"] - (1.0 - r0["n_events"] / r0["n_risk"])
+        ) < 1e-15
+        surv = [r["survival"] for r in rows]
+        assert all(0.0 <= s <= 1.0 for s in surv)
+        assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+        risk = [r["n_risk"] for r in rows]
+        assert all(a >= b for a, b in zip(risk, risk[1:]))
+        assert all(r["n_events"] >= 1 for r in rows)
+
+    def test_price_index_base_month_is_unity(self, spark):
+        rows = self._rows(spark, "part_brand_price_index")
+        base = min(r["month"] for r in rows)
+        b = next(r for r in rows if r["month"] == base)
+        for k in ("laspeyres", "paasche", "fisher"):
+            assert abs(b[k] - 1.0) < 1e-12, (k, b[k])
+        for r in rows:
+            lo, hi = sorted((r["laspeyres"], r["paasche"]))
+            assert lo - 1e-12 <= r["fisher"] <= hi + 1e-12
+
+    def test_unimax_waterfill_invariants(self, spark):
+        rows = self._rows(spark, "corpus_unimax_mixture")
+        total = sum(r["toks"] for r in rows)
+        budget = (3 * total) // 2
+        assert abs(sum(r["allocation"] for r in rows) - budget) < 1e-6
+        capped = [r for r in rows if r["capped"]]
+        unc = [r for r in rows if not r["capped"]]
+        for r in capped:
+            assert r["allocation"] == float(r["cap"])
+            assert abs(r["epochs"] - 2.0) < 1e-12
+        # waterfill: every uncapped allocation >= every capped cap
+        if capped and unc:
+            assert min(r["allocation"] for r in unc) >= max(
+                r["cap"] for r in capped
+            ) - 1e-9
+
+    def test_pettitt_antisymmetry(self, spark):
+        rows = sorted(
+            self._rows(spark, "events_pettitt_changepoint"),
+            key=lambda r: r["day"],
+        )
+        assert sum(r["v"] for r in rows) == 0  # sgn antisymmetry
+        assert rows[-1]["u"] == 0  # U_n = 0 by construction
+        kmax = max(abs(r["u"]) for r in rows)
+        flagged = [r for r in rows if r["is_changepoint"]]
+        assert flagged and all(abs(r["u"]) == kmax for r in flagged)
+
+    def test_newsvendor_fill_rate_and_realizability(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+        from adventureworks_pysparkjobs_spark.sources.corpus import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        rows = self._rows(spark, "part_newsvendor_stock")
+        assert rows
+        for r in rows:
+            assert r["achieved_fill_rate"] >= 0.9
+        # q_star is an actually-realized daily demand level
+        li = load_table(spark, SF, "lineitem")
+        pt = load_table(spark, SF, "part")
+        realized = {
+            (x["brand"], x["q"])
+            for x in li.join(pt, li["l_partkey"] == pt["p_partkey"])
+            .groupBy(
+                F.col("p_brand").alias("brand"),
+                F.to_date("l_shipdate").alias("d"),
+            )
+            .agg(
+                F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+            )
+            .select("brand", "q")
+            .distinct()
+            .collect()
+        }
+        for r in rows:
+            assert (r["brand"], r["q_star"]) in realized
+
+    def test_demand_classification_consistency(self, spark):
+        rows = self._rows(spark, "part_demand_classification")
+        assert rows
+        for r in rows:
+            want = (
+                "smooth" if r["adi"] < 1.32 and r["cv2"] < 0.49
+                else "intermittent" if r["adi"] >= 1.32 and r["cv2"] < 0.49
+                else "erratic" if r["adi"] < 1.32
+                else "lumpy"
+            )
+            assert r["demand_class"] == want
+
+    def test_neyman_shares_sum_to_one(self, spark):
+        rows = self._rows(spark, "doc_neyman_allocation")
+        assert rows
+        assert abs(sum(r["neyman_share"] for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r["proportional_share"] for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r["n_alloc"] for r in rows) - 100.0) < 1e-6
+
+    def test_quality_curve_monotone(self, spark):
+        rows = sorted(
+            self._rows(spark, "doc_quality_threshold_curve"),
+            key=lambda r: r["thr_pct"],
+        )
+        assert [r["thr_pct"] for r in rows] == [10, 30, 50, 70, 90]
+        kept = [r["n_docs_kept"] for r in rows]
+        assert all(a >= b for a, b in zip(kept, kept[1:]))
+        for r in rows:
+            assert 0.0 <= r["token_share_kept"] <= 1.0
+
+    def test_silhouette_bounds_and_ab(self, spark):
+        rows = self._rows(spark, "emb_centroid_silhouette")
+        assert rows
+        for r in rows:
+            assert -1.0 <= r["silhouette"] <= 1.0
+            assert r["a_dist"] >= 0 and r["b_dist"] >= 0
+            if r["b_dist"] > r["a_dist"]:
+                assert r["silhouette"] > 0

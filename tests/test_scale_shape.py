@@ -81,6 +81,11 @@ CROSS_OK = {
     # calendar-bounded day frame before the non-equi join (same
     # contract as events_kendall_tau)
     "events_pettitt_changepoint",
+    # 1-row normalizer rider (ordered-fold Σ N_h·S_h + exact total)
+    "doc_neyman_allocation",
+    # 5-row enum threshold-grid broadcast cross (bounded fan-out, same
+    # contract as doc_dedup_threshold_curve's grid)
+    "doc_quality_threshold_curve",
 }
 
 BATCH_QUERIES = sorted(

@@ -2561,7 +2561,12 @@ def doc_hashed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hashed_ngram_tf
 
     doc = load_table(spark, sf_dir, "documents")
-    tf = hashed_ngram_tf(doc, dim=4096, n=2)
+    # tf is reused by the corpus side, the query side, and both norm
+    # frames (4 lineage uses = 4 source scans otherwise). Checkpoint is
+    # safe here: every downstream join is keyed, and the two broadcast
+    # sides are explicitly hinted, so the stat-loss caveat
+    # (memory: localCheckpoint-vs-cache) does not apply.
+    tf = hashed_ngram_tf(doc, dim=4096, n=2).localCheckpoint()
     norms = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )

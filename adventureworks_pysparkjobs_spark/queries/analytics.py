@@ -5853,3 +5853,128 @@ def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(hit_cum).cast("double") / F.max("n").cast("double")
         ).alias("achieved_fill_rate"),
     )
+
+
+@query(
+    "part_copurchase_rich_club",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    eligible AS (
+      SELECT basket FROM items GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 200
+    ),
+    pairs AS (
+      SELECT i1.item AS a, i2.item AS b
+      FROM items i1
+      JOIN items i2 ON i1.basket = i2.basket AND i1.item < i2.item
+      JOIN eligible el ON el.basket = i1.basket
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs
+      ) GROUP BY 1
+    ),
+    grid AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+    jd AS (
+      SELECT p.a, p.b, da.degree AS deg_a, db.degree AS deg_b
+      FROM pairs p
+      JOIN deg da ON da.node = p.a
+      JOIN deg db ON db.node = p.b
+    ),
+    ek AS (
+      SELECT g.k, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM jd CROSS JOIN grid g
+      WHERE jd.deg_a > g.k AND jd.deg_b > g.k
+      GROUP BY g.k
+    ),
+    nk AS (
+      SELECT g.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg CROSS JOIN grid g
+      WHERE deg.degree > g.k
+      GROUP BY g.k
+    )
+    SELECT CAST(nk.k AS INTEGER) AS k, nk.n_nodes,
+           COALESCE(ek.n_edges, 0) AS n_edges,
+           CAST(2 * COALESCE(ek.n_edges, 0) AS DOUBLE)
+             / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE) AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    WHERE nk.n_nodes >= 2
+    """,
+    tags=("graph", "rich-club", "topology", "co-purchase"),
+)
+def part_copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve of the part co-purchase graph:
+    phi(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes with
+    degree > k, for k in the power-of-two grid — "do the hubs buy
+    together?", the topology audit that complements
+    part_copurchase_assortativity (a correlation) with the actual
+    hub-subgraph density curve (phi -> 1 means a hub clique, which is
+    where pagerank/triangle plans skew).
+
+    Exact integer edge/node counts per threshold (6-row enum grid
+    cross, bounded fan-out); phi is one division of exact BIGINTs.
+    Scale: the basket pair join is the banded co-purchase construction
+    every part_copurchase_* entry shares (witness-capped baskets); the
+    degree join and grid cross run at edge grain with a 6x constant."""
+    from ..operators.analytics import pair_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    pairs = pair_counts(items, min_pair_count=2, max_basket_size=200).select(
+        F.col("item_a").alias("a"), F.col("item_b").alias("b")
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 4, 8, 16, 32)])).alias(
+            "k"
+        )
+    )
+    jd = (
+        pairs.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("degree", "deg_a")
+        .join(
+            deg.select(
+                F.col("node").alias("b"), F.col("degree").alias("deg_b")
+            ),
+            "b",
+        )
+    )
+    ek = (
+        jd.crossJoin(F.broadcast(grid))
+        .filter((F.col("deg_a") > F.col("k")) & (F.col("deg_b") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(grid))
+        .filter(F.col("degree") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0))
+            .cast("bigint")
+            .alias("n_edges"),
+            (
+                (F.lit(2) * F.coalesce(F.col("n_edges"), F.lit(0)))
+                .cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double")
+            ).alias("phi"),
+        )
+    )

@@ -448,3 +448,16 @@ class TestR9EntryProperties:
             assert r["a_dist"] >= 0 and r["b_dist"] >= 0
             if r["b_dist"] > r["a_dist"]:
                 assert r["silhouette"] > 0
+
+    def test_rich_club_monotone_in_k(self, spark):
+        rows = sorted(
+            self._rows(spark, "part_copurchase_rich_club"),
+            key=lambda r: r["k"],
+        )
+        assert rows
+        nodes = [r["n_nodes"] for r in rows]
+        edges = [r["n_edges"] for r in rows]
+        assert all(a >= b for a, b in zip(nodes, nodes[1:]))
+        assert all(a >= b for a, b in zip(edges, edges[1:]))
+        for r in rows:
+            assert 0.0 <= r["phi"] <= 1.0

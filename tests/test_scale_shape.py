@@ -86,6 +86,8 @@ CROSS_OK = {
     # 5-row enum threshold-grid broadcast cross (bounded fan-out, same
     # contract as doc_dedup_threshold_curve's grid)
     "doc_quality_threshold_curve",
+    # two 6-row enum degree-grid broadcast crosses (bounded fan-out)
+    "part_copurchase_rich_club",
 }
 
 BATCH_QUERIES = sorted(

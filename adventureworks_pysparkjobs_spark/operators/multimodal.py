@@ -265,6 +265,109 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def parse_gif_frames(payload: bytes) -> list:
+    """Pure-Python animated-GIF frame walk — the video leg's runnable
+    default: per frame returns {'frame_idx', 'frame_ts_ms' (cumulative
+    delay), 'frame' (the raw image-descriptor block, opaque bytes),
+    'feature': None}. Block-grain only (Graphics Control Extension
+    delays + Image Descriptor spans) — pixel decode (LZW) stays behind
+    the injection seam, exactly like the image/audio legs. Raises
+    ValueError on malformed block streams, NotImplementedError on
+    non-GIF containers."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError(
+            "not a GIF payload; inject a video codec for this format"
+        )
+    # logical screen descriptor + optional global color table
+    packed = payload[10]
+    i = 13
+    if packed & 0x80:
+        i += 3 * (2 << (packed & 0x07))
+    frames: list = []
+    ts_ms = 0
+    pending_delay_ms = 0
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if payload[i + 1] == 0xF9:  # graphics control: delay
+                (delay_cs,) = struct.unpack("<H", payload[i + 4 : i + 6])
+                pending_delay_ms = delay_cs * 10
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]  # skip data sub-blocks
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            start = i
+            ipacked = payload[i + 9]
+            i += 10
+            if ipacked & 0x80:
+                i += 3 * (2 << (ipacked & 0x07))
+            i += 1  # LZW minimum code size
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            ts_ms += pending_delay_ms
+            frames.append(
+                {
+                    "frame_idx": len(frames),
+                    "frame_ts_ms": ts_ms,
+                    "frame": payload[start:i],
+                    "feature": None,
+                }
+            )
+            pending_delay_ms = 0
+        else:
+            raise ValueError(f"malformed GIF: unknown block 0x{b:02x}")
+    return frames
+
+
+def encode_animated_gif(
+    width: int, height: int, n_frames: int, delay_cs: int = 5
+) -> bytes:
+    """Minimal VALID animated GIF89a (stdlib only): 2-color global
+    palette, a Graphics Control Extension carrying ``delay_cs`` before
+    every frame, and per-frame LZW data encoded with the clear-before-
+    every-code trick (spec-legal, keeps all codes at 3 bits) — the
+    video fixture generator, same role as encode_png / encode_wav.
+    Frame f's pixels alternate colors with phase f."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80, 0, 0))  # GCT flag, 2-entry table, bg 0, no aspect
+    out += b"\x00\x00\x00\xff\xff\xff"  # palette: black, white
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += b"\x02"  # LZW minimum code size (2 for a 2-color palette)
+        # codes: clear=4, end=5, 3 bits each after a clear
+        codes = []
+        for p in range(width * height):
+            codes += [4, (p + f) % 2]
+        codes.append(5)
+        bits = bytearray()
+        acc = bit_n = 0
+        for c in [4] + codes:
+            acc |= c << bit_n
+            bit_n += 3
+            while bit_n >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                bit_n -= 8
+        if bit_n:
+            bits.append(acc & 0xFF)
+        for j in range(0, len(bits), 255):
+            chunk = bits[j : j + 255]
+            out += bytes((len(chunk),)) + chunk
+        out += b"\x00"  # block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
 def encode_gif_header(width: int, height: int) -> bytes:
     """Valid GIF89a header + logical screen descriptor + trailer (no
     image blocks) — dimensions are little-endian, the cross-endianness
@@ -483,6 +586,40 @@ def synthesize_audio(
     ).mapInPandas(run, schema="path string, content binary")
 
 
+def synthesize_videos(
+    df: DataFrame,
+    id_col: str = "path",
+    frames_col: str = "n_frames",
+    delay_col: str = "delay_cs",
+    width: int = 4,
+    height: int = 3,
+) -> DataFrame:
+    """Deterministic animated-GIF synthesis via mapInPandas — the video
+    twin of synthesize_images/synthesize_audio: one spec row in, one
+    (path, content) multi-frame GIF out."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, nf, dc in zip(
+                pdf[id_col], pdf[frames_col], pdf[delay_col]
+            ):
+                rows.append(
+                    {
+                        "path": str(rid),
+                        "content": encode_animated_gif(
+                            width, height, int(nf), int(dc)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(id_col, frames_col, delay_col).mapInPandas(
+        run, schema="path string, content binary"
+    )
+
+
 RESIZE_SCHEMA = "path string, content binary, width int, height int"
 
 FRAME_SCHEMA = (
@@ -554,16 +691,15 @@ def sample_frames(
     'feature': list[float]}, ...]`` yields decoded frames in order;
     ``every_n`` keeps every n-th frame and ``max_frames`` caps the output
     per video — both applied AFTER the codec's iterator so a real pyav
-    codec can stop decoding early. Injected seam as everywhere in this
-    module (no media libs in this container).
+    codec can stop decoding early. The default (r9) is parse_gif_frames
+    — a stdlib animated-GIF block walk, so the path runs end-to-end with
+    zero injected code; pyav injects through the same seam for real
+    video containers (the default raises loudly for them).
     """
     import pandas as pd
 
     if codec is None:
-        def codec(payload: bytes) -> list:  # pragma: no cover
-            raise NotImplementedError(
-                "no video codec available in this environment; inject one"
-            )
+        codec = parse_gif_frames
 
     out_cols = ["path", "frame_idx", "frame_ts_ms", "frame", "feature"]
 

@@ -2798,3 +2798,45 @@ def doc_quality_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_kept").cast("double") / F.col("tokens_total")
         ).alias("token_share_kept"),
     )
+
+
+@query(
+    "doc_video_frames",
+    oracle="""
+    SELECT d.doc_id, CAST(g.k AS INTEGER) AS frame_idx,
+           CAST((g.k + 1) * (4 + d.doc_id % 7) * 10 AS BIGINT)
+             AS frame_ts_ms
+    FROM documents d CROSS JOIN (SELECT unnest([0, 2]) AS k) g
+    WHERE d.doc_id % 11 = 0 AND g.k < 1 + d.doc_id % 5
+    """,
+    tags=("multimodal", "video", "frame-sample", "roundtrip"),
+)
+def doc_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling path end-to-end with ZERO injected code —
+    the last §2.10 seam with a runnable default: synthesize real
+    animated GIFs (stdlib encoder with spec-valid LZW, frame count and
+    per-frame delay derived from doc_id), then sample every 2nd frame
+    capped at 2 via sample_frames with the default parse_gif_frames
+    block walk (1 video row -> N frame rows, the mapInPandas 1-to-many
+    shape). Roundtrip-fixture oracle: DuckDB recomputes kept frame
+    indices and cumulative timestamps ((idx+1)·delay·10 ms) from doc_id
+    arithmetic; any bug in the GCE delay parse, the block walk, or the
+    every_n/max_frames logic breaks the match. pyav injects through the
+    same seam for real containers."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 11 == 0).select(
+        did.cast("string").alias("path"),
+        (F.lit(1) + did % 5).cast("int").alias("n_frames"),
+        (F.lit(4) + did % 7).cast("int").alias("delay_cs"),
+    )
+    frames = MM.sample_frames(
+        MM.synthesize_videos(spec), every_n=2, max_frames=2
+    )
+    return frames.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "frame_idx",
+        "frame_ts_ms",
+    )

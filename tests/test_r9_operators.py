@@ -461,3 +461,85 @@ class TestR9EntryProperties:
         assert all(a >= b for a, b in zip(edges, edges[1:]))
         for r in rows:
             assert 0.0 <= r["phi"] <= 1.0
+
+
+class TestGifVideoCodec:
+    def test_frame_walk_and_timestamps(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_animated_gif,
+            parse_gif_frames,
+        )
+
+        frames = parse_gif_frames(encode_animated_gif(4, 3, 3, delay_cs=7))
+        assert [f["frame_idx"] for f in frames] == [0, 1, 2]
+        assert [f["frame_ts_ms"] for f in frames] == [70, 140, 210]
+        assert all(f["frame"][0] == 0x2C for f in frames)
+
+    def test_lzw_stream_is_spec_valid(self):
+        """Independently LZW-decode frame 0's data: the clear-before-
+        every-code stream must reproduce the alternating pixel
+        pattern."""
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_animated_gif,
+            parse_gif_frames,
+        )
+
+        fr = parse_gif_frames(encode_animated_gif(4, 3, 2))[0]["frame"]
+        min_code = fr[10]
+        assert min_code == 2
+        i, data = 11, bytearray()
+        while fr[i] != 0:
+            data += fr[i + 1 : i + 1 + fr[i]]
+            i += 1 + fr[i]
+        clear, end, size = 1 << min_code, (1 << min_code) + 1, min_code + 1
+        acc = nbits = 0
+        out = []
+        done = False
+        for byte in bytes(data):
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= size and not done:
+                c = acc & ((1 << size) - 1)
+                acc >>= size
+                nbits -= size
+                if c == clear:
+                    continue
+                if c == end:
+                    done = True
+                    break
+                out.append(c)
+        assert out == [p % 2 for p in range(12)]
+
+    def test_header_only_gif_has_no_frames(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_gif_header,
+            parse_gif_frames,
+        )
+
+        assert parse_gif_frames(encode_gif_header(5, 5)) == []
+
+    def test_non_gif_hits_seam(self):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            parse_gif_frames,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            parse_gif_frames(b"\x89PNG\r\n\x1a\nrest")
+
+    def test_sample_frames_default_codec_end_to_end(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_animated_gif,
+            sample_frames,
+        )
+
+        media = spark.createDataFrame(
+            [("v1", bytearray(encode_animated_gif(4, 3, 5, delay_cs=3)))],
+            "path string, content binary",
+        )
+        out = sorted(
+            (r["frame_idx"], r["frame_ts_ms"])
+            for r in sample_frames(media, every_n=2, max_frames=2).collect()
+        )
+        assert out == [(0, 30), (2, 90)]

@@ -89,6 +89,19 @@ from . import (  # noqa: E402,F401
 # orders_profile (profiling family stays via doc_text_profile +
 # lineitem_flag_stats; attested r2–r8); all five remain catalog +
 # oracle-gated locally.
+# r9 second rotation (round-9 representatives, same multi-rotation
+# policy as r7/r8): in — doc_image_dimensions (the new multimodal
+# default-codec roundtrip, §2.10 image leg), customer_kaplan_meier
+# (censoring-aware survival, the ordered-fold product-limit flagship),
+# doc_hashed_cosine_topk (text->hashed-vector->cosine with zero
+# injected code, the similarity-seam default's checked surface); out —
+# doc_binary_payload (binary-payload family strictly superseded in
+# coverage by doc_image_dimensions: same shape + magic sniff + header
+# parse; attested r4–r8), doc_exact_dedup (dedup family stays via
+# doc_dedup_threshold_curve + doc_minhash_lsh_pairs + doc_dup_clusters;
+# attested r1–r8), orders_fiscal_rollup (attested r8; calendar/date
+# family stays via dim_date + events_conversion_window_curve); all
+# three remain catalog + oracle-gated locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -107,7 +120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_cramers_v_matrix",
     "top3_parts_per_brand",
     "part_link_prediction",
-    "orders_fiscal_rollup",
+    "doc_hashed_cosine_topk",
     "doc_dedup_threshold_curve",
     "part_brand_modularity",
     "events_did_estimator",
@@ -121,13 +134,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_isotonic_calibration",
     "events_asof_attribution",
     "doc_classifier_conformal",
-    "doc_exact_dedup",
+    "customer_kaplan_meier",
     "doc_text_profile",
     "doc_chunks",
     "corpus_source_hellinger",
     "doc_minhash_lsh_pairs",
     "events_resample_gapfill",
-    "doc_binary_payload",
+    "doc_image_dimensions",
     "doc_sampling_pipeline",
     "part_personalized_pagerank",
     "doc_dup_clusters",

@@ -32,7 +32,7 @@ EXPECTED_WINDOW = (
     "orders_cramers_v_matrix",
     "top3_parts_per_brand",
     "part_link_prediction",
-    "orders_fiscal_rollup",
+    "doc_hashed_cosine_topk",
     "doc_dedup_threshold_curve",
     "part_brand_modularity",
     "events_did_estimator",
@@ -46,13 +46,13 @@ EXPECTED_WINDOW = (
     "doc_isotonic_calibration",
     "events_asof_attribution",
     "doc_classifier_conformal",
-    "doc_exact_dedup",
+    "customer_kaplan_meier",
     "doc_text_profile",
     "doc_chunks",
     "corpus_source_hellinger",
     "doc_minhash_lsh_pairs",
     "events_resample_gapfill",
-    "doc_binary_payload",
+    "doc_image_dimensions",
     "doc_sampling_pipeline",
     "part_personalized_pagerank",
     "doc_dup_clusters",
@@ -120,6 +120,10 @@ def test_beyond_window_entries_still_registered():
         "customer_second_order_hazard",
         "doc_incremental_dedup",
         "orders_profile",
+        # r9 second rotation — still catalog + oracle-gated
+        "doc_binary_payload",
+        "doc_exact_dedup",
+        "orders_fiscal_rollup",
     ):
         assert name in beyond, f"{name} fell out of the catalog"
 

@@ -5978,3 +5978,169 @@ def part_copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+@query(
+    "part_dual_sourcing_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l.l_partkey AS part_key, l.l_suppkey AS supp,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l GROUP BY 1, 2
+    ),
+    pp AS (
+      SELECT part_key,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS ss
+      FROM ps GROUP BY 1
+    ),
+    b AS (
+      SELECT p.p_brand AS brand, pp.n_suppliers, pp.s, pp.ss
+      FROM pp JOIN part p ON p.p_partkey = pp.part_key
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT_IF(n_suppliers = 1) AS BIGINT) AS n_single_source,
+           CAST(COUNT_IF(n_suppliers = 1) AS DOUBLE) / COUNT(*)
+             AS single_source_share,
+           CAST(COUNT_IF(2 * ss >= s * s) AS BIGINT) AS n_concentrated,
+           CAST(COUNT_IF(2 * ss >= s * s) AS DOUBLE) / COUNT(*)
+             AS concentrated_share
+    FROM b GROUP BY brand
+    """,
+    tags=("analytics", "supply-chain", "hhi", "sourcing-risk"),
+)
+def part_dual_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration risk per brand: the share of parts that
+    are single-sourced and the share whose supplier HHI >= 0.5 — the
+    procurement-resilience audit (nation_supplier_hhi's part-grain
+    sibling: that entry measures market concentration per nation; this
+    one flags the SKUs a single supplier failure would stop).
+
+    The HHI >= 0.5 test never materializes a float HHI: with per-part
+    quantity sums q_s, HHI = Σq_s²/(Σq_s)², so the threshold is the
+    exact BIGINT comparison 2·Σq_s² >= (Σq_s)². Two keyed aggregates
+    ((part, supplier) then part) + one dim join; brand-grain output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_suppkey").alias("supp"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    pp = ps.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    b = pp.join(pt, pp["part_key"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("brand"), "n_suppliers", "s", "ss"
+    )
+    single = F.when(F.col("n_suppliers") == 1, 1)
+    conc = F.when(F.lit(2) * F.col("ss") >= F.col("s") * F.col("s"), 1)
+    return b.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.count(single).cast("bigint").alias("n_single_source"),
+        (F.count(single).cast("double") / F.count(F.lit(1))).alias(
+            "single_source_share"
+        ),
+        F.count(conc).cast("bigint").alias("n_concentrated"),
+        (F.count(conc).cast("double") / F.count(F.lit(1))).alias(
+            "concentrated_share"
+        ),
+    )
+
+
+@query(
+    "orders_quantile_ci",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderpriority AS g,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    v AS (SELECT g, d, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY 1, 2),
+    c AS (
+      SELECT g, d, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM v
+    ),
+    r AS (
+      SELECT *,
+             ceil(n * CAST('0.9' AS DOUBLE)
+                  - CAST('1.959963984540054' AS DOUBLE)
+                    * sqrt(n * CAST('0.9' AS DOUBLE)
+                           * CAST('0.1' AS DOUBLE))) AS rank_lo,
+             ceil(n * CAST('0.9' AS DOUBLE)) AS rank_mid,
+             ceil(n * CAST('0.9' AS DOUBLE)
+                  + CAST('1.959963984540054' AS DOUBLE)
+                    * sqrt(n * CAST('0.9' AS DOUBLE)
+                           * CAST('0.1' AS DOUBLE))) AS rank_hi
+      FROM c
+    )
+    SELECT g AS o_orderpriority, MAX(n) AS n_rows,
+           CAST(MIN(CASE WHEN cum >= rank_lo THEN d END) AS INTEGER)
+             AS p90_lo,
+           CAST(MIN(CASE WHEN cum >= rank_mid THEN d END) AS INTEGER)
+             AS p90,
+           CAST(MIN(CASE WHEN cum >= rank_hi THEN d END) AS INTEGER)
+             AS p90_hi
+    FROM r GROUP BY g
+    """,
+    tags=("analytics", "quantile-ci", "order-statistics", "sla"),
+)
+def orders_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the p90 shipping
+    delay per order priority, via exact order statistics: the CI
+    bounds are the values at ranks n·p ± z·sqrt(n·p·(1−p)) (normal
+    approximation to the binomial rank distribution, z pinned as the
+    string-parsed universal constant — events_ab_sample_size
+    precedent). Upgrades orders_ship_sla_quantiles' point estimates
+    with sampling uncertainty — an SLA whose CI straddles the contract
+    threshold is not attested either way.
+
+    Rank selection is the exact value-grain rule (smallest value whose
+    cumulative count reaches the rank); the only float math is the
+    rank computation itself — identical double expressions of exact
+    integer inputs in both engines, then exact integer comparisons.
+    Same two-aggregate + per-group value-grain window shape as the SLA
+    entry; no new corpus-sized work."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    j = li.join(od, od["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("g"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "d"
+        ),
+    )
+    v = j.groupBy("g", "d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wcum = Window.partitionBy("g").orderBy("d")
+    wall = Window.partitionBy("g")
+    c = v.select(
+        "g",
+        "d",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+    )
+    z = F.lit(1.959963984540054)
+    p, q = F.lit(0.9), F.lit(0.1)
+    half = z * F.sqrt(F.col("n") * p * q)
+    r = c.select(
+        "*",
+        F.ceil(F.col("n") * p - half).alias("rank_lo"),
+        F.ceil(F.col("n") * p).alias("rank_mid"),
+        F.ceil(F.col("n") * p + half).alias("rank_hi"),
+    )
+    pick = lambda rk: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.col(rk), F.col("d"))
+    ).cast("int")
+    return r.groupBy(F.col("g").alias("o_orderpriority")).agg(
+        F.max("n").alias("n_rows"),
+        pick("rank_lo").alias("p90_lo"),
+        pick("rank_mid").alias("p90"),
+        pick("rank_hi").alias("p90_hi"),
+    )

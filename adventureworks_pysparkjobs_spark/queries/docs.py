@@ -2840,3 +2840,93 @@ def doc_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "frame_ts_ms",
     )
+
+
+@query(
+    "doc_bloom_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(w[i:i+4], 'string_agg', ' ') AS shingle
+      FROM toks, unnest(range(1, len(w) - 3)) AS u(i)
+      WHERE len(w) >= 5
+    ),
+    members AS (
+      SELECT DISTINCT shingle AS k FROM sh WHERE doc_id % 17 = 0),
+    pos AS (
+      SELECT (CAST('0x' || substr(md5('bl0|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 262144) AS p FROM members
+      UNION ALL
+      SELECT (CAST('0x' || substr(md5('bl1|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 262144) FROM members),
+    words AS (
+      SELECT p // 62 AS w,
+             CAST(bit_or(CAST(1 AS BIGINT)
+                         << CAST(p % 62 AS INTEGER)) AS BIGINT) AS v
+      FROM pos GROUP BY 1),
+    probe AS (
+      SELECT DISTINCT shingle AS k FROM sh WHERE doc_id % 17 <> 0),
+    hashed AS (
+      SELECT k,
+             (CAST('0x' || substr(md5('bl0|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 262144) AS p0,
+             (CAST('0x' || substr(md5('bl1|' || CAST(k AS VARCHAR)),
+                   1, 8) AS BIGINT) % 262144) AS p1
+      FROM probe),
+    checked AS (
+      SELECT h.k,
+             COALESCE((w0.v & (CAST(1 AS BIGINT)
+                << CAST(h.p0 % 62 AS INTEGER))) <> 0, FALSE) AS hit0,
+             COALESCE((w1.v & (CAST(1 AS BIGINT)
+                << CAST(h.p1 % 62 AS INTEGER))) <> 0, FALSE) AS hit1,
+             m.k IS NOT NULL AS member
+      FROM hashed h
+      LEFT JOIN words w0 ON w0.w = h.p0 // 62
+      LEFT JOIN words w1 ON w1.w = h.p1 // 62
+      LEFT JOIN members m ON m.k = h.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(COUNT_IF(member) AS BIGINT) AS n_member,
+           CAST(COUNT_IF(hit0 AND hit1) AS BIGINT) AS n_pass_bloom,
+           CAST(COUNT_IF(hit0 AND hit1 AND NOT member) AS BIGINT)
+             AS n_false_pos,
+           CASE WHEN COUNT(*) = COUNT_IF(member) THEN NULL
+                ELSE CAST(COUNT_IF(hit0 AND hit1 AND NOT member)
+                          AS DOUBLE)
+                     / CAST(COUNT(*) - COUNT_IF(member) AS DOUBLE)
+           END AS fp_rate
+    FROM checked
+    """,
+    tags=("dedup", "decontamination", "bloom", "sketch", "llm-pipeline"),
+)
+def doc_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination at the shingle grain — the
+    100 TB-shaped variant of doc_decontamination's exact join: build a
+    2^18-bit / 2-hash filter from the benchmark split's distinct
+    5-gram shingles (doc_id % 17 — the held-out eval stand-in), probe
+    the training corpus's shingles through it, and report pass counts,
+    true contamination, and the OBSERVED false-positive rate. At scale
+    the filter is the only thing shipped to the corpus scan (the word
+    table is m/62 rows — broadcast-sized by construction); the exact
+    join runs only on the prefiltered survivors. Same deterministic
+    md5 bloom arithmetic as orders_bloom_prefilter
+    (operators/sketches.py:bloom_prefilter_audit), so the audit is
+    hash-exact cross-engine."""
+    from ..operators.sketches import bloom_prefilter_audit
+
+    doc = load_table(spark, sf_dir, "documents")
+    sh = doc.select(
+        "doc_id", F.explode_outer(TX.shingles("text", 5)).alias("shingle")
+    ).filter(F.col("shingle").isNotNull()).distinct()
+    members = sh.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("shingle").alias("k")
+    ).distinct()
+    probe = sh.filter(F.col("doc_id") % 17 != 0).select(
+        F.col("shingle").alias("k")
+    ).distinct()
+    return bloom_prefilter_audit(members, probe, "k", m_bits=262144, n_hashes=2)

@@ -543,3 +543,37 @@ class TestGifVideoCodec:
             for r in sample_frames(media, every_n=2, max_frames=2).collect()
         )
         assert out == [(0, 30), (2, 90)]
+
+
+
+def _catalog_rows(spark, name, sf=SF):
+    from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+    return CATALOG[name].builder(spark, sf).collect()
+
+
+class TestR9ContinuationProperties:
+    def test_bloom_decontamination_no_false_negatives(self, spark):
+        rows = _catalog_rows(spark, "doc_bloom_decontamination")
+        assert len(rows) == 1
+        r = rows[0]
+        # Bloom filters never false-negative: every true member passes
+        assert r["n_pass_bloom"] >= r["n_member"]
+        assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_member"]
+        if r["fp_rate"] is not None:
+            assert 0.0 <= r["fp_rate"] <= 1.0
+
+    def test_dual_sourcing_single_implies_concentrated(self, spark):
+        rows = _catalog_rows(spark, "part_dual_sourcing_risk")
+        assert rows
+        for r in rows:
+            # single-sourced part has HHI = 1 >= 0.5
+            assert r["n_concentrated"] >= r["n_single_source"]
+            assert 0.0 <= r["single_source_share"] <= 1.0
+            assert r["n_parts"] >= r["n_concentrated"]
+
+    def test_quantile_ci_brackets_point_estimate(self, spark):
+        rows = _catalog_rows(spark, "orders_quantile_ci")
+        assert rows
+        for r in rows:
+            assert r["p90_lo"] <= r["p90"] <= r["p90_hi"]

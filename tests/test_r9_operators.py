@@ -577,3 +577,70 @@ class TestR9ContinuationProperties:
         assert rows
         for r in rows:
             assert r["p90_lo"] <= r["p90"] <= r["p90_hi"]
+
+
+class TestMultimodalIntegration:
+    """Cross-leg checks: the magic-byte classifier and the synthesize
+    stages agree with the codecs they feed."""
+
+    def test_sniff_classifies_all_synthetic_containers(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_animated_gif,
+            encode_jpeg_header,
+            encode_png,
+            encode_wav,
+            sniff_media_types,
+        )
+
+        media = spark.createDataFrame(
+            [
+                ("p", bytearray(encode_png(4, 4, 1))),
+                ("j", bytearray(encode_jpeg_header(4, 4))),
+                ("g", bytearray(encode_animated_gif(4, 3, 2))),
+                ("w", bytearray(encode_wav(8000, 1, 4))),
+                ("u", bytearray(b"not media")),
+            ],
+            "path string, content binary",
+        )
+        got = {
+            r["media_type"]: r["n_payloads"]
+            for r in sniff_media_types(media).collect()
+        }
+        assert got == {"png": 1, "jpeg": 1, "gif": 1, "riff": 1, "unknown": 1}
+
+    def test_synthesize_images_deterministic_across_runs(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            synthesize_images,
+        )
+
+        spec = spark.createDataFrame(
+            [("7", 9, 5, 3, "png"), ("8", 6, 4, 1, "png")],
+            "path string, width int, height int, n_channels int, fmt string",
+        )
+        a = {r["path"]: bytes(r["content"])
+             for r in synthesize_images(spec).collect()}
+        b = {r["path"]: bytes(r["content"])
+             for r in synthesize_images(spec).collect()}
+        assert a == b  # crc32-seeded, never Python hash()
+
+    def test_media_type_col_matches_sniff_grain(self, spark):
+        from pyspark.sql import functions as F
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_png,
+            encode_wav,
+            media_type_col,
+        )
+
+        media = spark.createDataFrame(
+            [("a", bytearray(encode_png(2, 2, 1))),
+             ("b", bytearray(encode_wav(8000, 1, 2)))],
+            "path string, content binary",
+        )
+        got = {
+            r["path"]: r["mt"]
+            for r in media.select(
+                "path", media_type_col("content").alias("mt")
+            ).collect()
+        }
+        assert got == {"a": "png", "b": "riff"}

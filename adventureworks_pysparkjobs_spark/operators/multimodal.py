@@ -6,12 +6,18 @@ parquet lake — payload bytes stay columnar-compressed and are only
 materialized inside Arrow batches in the worker Python processes.
 
 The Spark-side plumbing here (binaryFile source, schema, mapInPandas batch
-shape, partitioning) is real and tested. The codec step itself (JPEG
-decode, audio resample, video frame-sample) needs media libraries that are
-not in this container, so the codec is injected: ``decode_batch`` takes a
-``codec`` callable; the default codec raises NotImplementedError and tests
-inject a deterministic fake. Swapping in Pillow/librosa/pyav in production
-changes one argument, not the dataflow.
+shape, partitioning) is real and tested, and — since r9 — every media leg
+also RUNS end-to-end with zero injected code via pure-Python header-grade
+defaults: image dimensions (PNG IHDR / JPEG SOFn / GIF LSD), filter-0 PNG
+nearest-neighbor resize, WAV metadata (RIFF chunk walk), and animated-GIF
+frame sampling. Pixel/sample-grade work (full JPEG decode, resampling,
+real video) still needs media libraries that are not in this container, so
+each stage keeps its ``codec`` injection seam: the defaults raise
+NotImplementedError only for containers/encodings they cannot read, and
+swapping in Pillow/librosa/pyav in production changes one argument, not
+the dataflow. Stdlib fixture encoders (encode_png / encode_jpeg_header /
+encode_wav / encode_animated_gif) stand in for a binaryFile scan when no
+media files exist.
 """
 
 from __future__ import annotations

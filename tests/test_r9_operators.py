@@ -644,3 +644,167 @@ class TestMultimodalIntegration:
             ).collect()
         }
         assert got == {"a": "png", "b": "riff"}
+
+
+class TestR9HandValueReferences:
+    """Independent pure-Python reference implementations computed from
+    the raw parquet (via duckdb, no Spark, no shared code) — the
+    strongest cross-check class: a shared-spec bug in builder+oracle
+    cannot survive a third formulation."""
+
+    def _duck(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("orders", "lineitem", "part", "events", "documents"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+            )
+        return con.sql(sql).fetchall()
+
+    def test_kaplan_meier_vs_pure_python(self, spark):
+        from collections import Counter
+
+        rows = self._duck(
+            "SELECT o_custkey, CAST(o_orderdate AS DATE), o_orderkey "
+            "FROM orders"
+        )
+        by_cust = {}
+        for cust, d, k in rows:
+            by_cust.setdefault(cust, []).append((d, k))
+        horizon = max(d for _, d, _ in rows)
+        times = []
+        for cust, lst in by_cust.items():
+            lst.sort()
+            first = lst[0][0]
+            if len(lst) >= 2:
+                times.append(((lst[1][0] - first).days, 1))
+            else:
+                times.append(((horizon - first).days, 0))
+        d_at = Counter(t for t, ev in times if ev)
+        c_at = Counter(t for t, _ in times)
+        surv, ref = 1.0, {}
+        n_at_risk = len(times)
+        for t in sorted(c_at):
+            if t in d_at:
+                surv *= 1.0 - d_at[t] / n_at_risk
+                ref[t] = (n_at_risk, d_at[t], surv)
+            n_at_risk -= c_at[t]
+        got = {
+            r["t_days"]: (r["n_risk"], r["n_events"], r["survival"])
+            for r in _catalog_rows(spark, "customer_kaplan_meier")
+        }
+        assert set(got) == set(ref)
+        for t in ref:
+            assert got[t][0] == ref[t][0] and got[t][1] == ref[t][1]
+            assert abs(got[t][2] - ref[t][2]) < 1e-12, (t, got[t], ref[t])
+
+    def test_pettitt_vs_brute_force(self, spark):
+        rows = self._duck(
+            "SELECT CAST(ts AS DATE) AS d, COUNT(*) FROM events "
+            "GROUP BY 1 ORDER BY 1"
+        )
+        xs = [int(c) for _, c in rows]
+        n = len(xs)
+
+        def sgn(v):
+            return (v > 0) - (v < 0)
+
+        ref_u = []
+        for t in range(1, n + 1):
+            ref_u.append(
+                sum(
+                    sgn(xs[j] - xs[i])
+                    for i in range(t)
+                    for j in range(t, n)
+                )
+            )
+        got = sorted(
+            _catalog_rows(spark, "events_pettitt_changepoint"),
+            key=lambda r: r["day"],
+        )
+        assert [r["u"] for r in got] == ref_u
+
+    def test_unimax_closed_form_vs_iterative_waterfill(self, spark):
+        """The closed-form prefix rule must equal the DEFINITIONAL
+        iterative waterfill (repeatedly grant equal shares, cap, and
+        redistribute)."""
+        rows = self._duck(
+            "SELECT lang, SUM(len(list_filter(regexp_split_to_array("
+            "trim(text), '\\s+'), t -> t <> ''))) FROM documents GROUP BY 1"
+        )
+        toks = {lang: int(t) for lang, t in rows}
+        caps = {lang: 2 * t for lang, t in toks.items()}
+        budget = (3 * sum(toks.values())) // 2
+        alloc, remaining, active = {}, float(budget), set(caps)
+        while True:
+            share = remaining / len(active)
+            newly = {s for s in active if caps[s] <= share}
+            if not newly:
+                for s in active:
+                    alloc[s] = share
+                break
+            for s in newly:
+                alloc[s] = float(caps[s])
+                remaining -= caps[s]
+            active -= newly
+            if not active:
+                break
+        got = {
+            r["lang"]: (r["capped"], r["allocation"])
+            for r in _catalog_rows(spark, "corpus_unimax_mixture")
+        }
+        for lang in toks:
+            assert abs(got[lang][1] - alloc[lang]) < 1e-6, (
+                lang, got[lang], alloc[lang],
+            )
+
+    def test_newsvendor_vs_numpy_quantile(self, spark):
+        import numpy as np
+
+        rows = self._duck(
+            "SELECT p.p_brand, CAST(l.l_shipdate AS DATE), "
+            "SUM(CAST(l.l_quantity AS BIGINT)) "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY 1, 2"
+        )
+        by_brand = {}
+        for b, _, q in rows:
+            by_brand.setdefault(b, []).append(int(q))
+        got = {r["brand"]: r["q_star"]
+               for r in _catalog_rows(spark, "part_newsvendor_stock")}
+        for b, qs in by_brand.items():
+            ref = int(
+                np.quantile(np.array(qs), 0.9, method="inverted_cdf")
+            )
+            assert got[b] == ref, (b, got[b], ref)
+
+    def test_price_index_vs_pandas(self, spark):
+        import math
+
+        rows = self._duck(
+            "SELECT p.p_brand, strftime(CAST(l.l_shipdate AS DATE), "
+            "'%Y-%m'), SUM(CAST(l.l_quantity AS DECIMAL(12,2))), "
+            "SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY 1, 2"
+        )
+        cells = {(b, m): (float(q), float(r)) for b, m, q, r in rows}
+        base = min(m for _, m in cells)
+        base_c = {b: v for (b, m), v in cells.items() if m == base}
+        got = {r["month"]: r for r in
+               _catalog_rows(spark, "part_brand_price_index")}
+        for m in sorted({m for _, m in cells}):
+            num = den = rev_t = rev0 = 0.0
+            for b, (q0, r0) in base_c.items():
+                if (b, m) not in cells:
+                    continue
+                q, r = cells[(b, m)]
+                num += (r / q) * q0
+                den += (r0 / q0) * q
+                rev_t += r
+                rev0 += r0
+            lasp, paasche = num / rev0, rev_t / den
+            assert abs(got[m]["laspeyres"] - lasp) < 1e-9
+            assert abs(got[m]["paasche"] - paasche) < 1e-9
+            assert abs(got[m]["fisher"] - math.sqrt(lasp * paasche)) < 1e-9

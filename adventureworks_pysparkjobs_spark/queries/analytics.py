@@ -5731,7 +5731,11 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: demand events are (part, ship-day) integer quantity
     sums; ADI = span/(n-1) and CV^2 = (n*Σq² - (Σq)²)/(Σq)² are single
-    divisions of exact BIGINTs; the cutoffs are string-pinned. Scale:
+    divisions of exact BIGINTs; the cutoffs are string-pinned.
+    l_quantity is integral by TPC-H spec (verified at every fixture
+    SF), so CAST to BIGINT is exact in both engines — on data with
+    fractional quantities, floor first (Spark truncates, DuckDB
+    rounds). Scale:
     one (part, day) aggregate then one part-grain aggregate — two keyed
     shuffles, output bounded by the part dimension."""
     dem = (
@@ -6020,7 +6024,8 @@ def part_dual_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The HHI >= 0.5 test never materializes a float HHI: with per-part
     quantity sums q_s, HHI = Σq_s²/(Σq_s)², so the threshold is the
-    exact BIGINT comparison 2·Σq_s² >= (Σq_s)². Two keyed aggregates
+    exact BIGINT comparison 2·Σq_s² >= (Σq_s)² (q_s exact: l_quantity
+    is integral by TPC-H spec; floor first on data where it is not). Two keyed aggregates
     ((part, supplier) then part) + one dim join; brand-grain output."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")

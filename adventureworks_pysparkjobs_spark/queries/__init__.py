@@ -102,6 +102,34 @@ from . import (  # noqa: E402,F401
 # attested r1–r8), orders_fiscal_rollup (attested r8; calendar/date
 # family stays via dim_date + events_conversion_window_curve); all
 # three remain catalog + oracle-gated locally.
+# r10 rotation (fifth wave, verdict r9 task 1 — driver-attest the r9
+# additions that have never carried a driver row): in —
+# doc_bloom_decontamination (sketch-grain benchmark decontamination),
+# corpus_unimax_mixture (epoch-capped mixture allocation),
+# part_newsvendor_stock (critical-fractile stocking),
+# orders_xmr_control_chart (Shewhart individuals+MR),
+# doc_audio_metadata (WAV RIFF walk, §2.10 audio leg),
+# doc_video_frames (GIF frame sampling, §2.10 video leg),
+# emb_centroid_silhouette (cluster-quality gate), orders_quantile_ci
+# (order-statistic CI); out — orders_bloom_prefilter (bloom family
+# stays via doc_bloom_decontamination; attested r7–r9),
+# top3_parts_per_brand (ranking-window family stays via
+# customer_kaplan_meier + doc_hashed_cosine_topk row_number stages and
+# the cumulative windows in part_newsvendor_stock/orders_quantile_ci;
+# attested r1–r9), events_markov_stationary (Markov family stays via
+# stream_user_state_changes, its stateful twin; attested r7–r9),
+# doc_text_profile (text-profile family stays via doc_chunks +
+# corpus_training_pipeline which embeds the clean/profile stages;
+# attested r1–r9), doc_minhash_lsh_pairs (dedup family stays via
+# doc_dedup_threshold_curve + doc_dup_clusters; attested r2–r9),
+# events_resample_gapfill (timeseries family stays via
+# events_conversion_window_curve + orders_xmr_control_chart incoming;
+# attested r4–r9), doc_sampling_pipeline (sampling/mixture family
+# stays via corpus_unimax_mixture incoming; attested r3–r9),
+# emb_cosine_topk (embedding-similarity family stays via
+# doc_hashed_cosine_topk + emb_semdedup_kmeans_pipeline +
+# emb_centroid_silhouette incoming; attested r1–r9); all eight remain
+# catalog + oracle-gated locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -112,13 +140,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_semdedup_kmeans_pipeline",
     "stream_funnel_stages",
     "q5_nation_revenue",
-    "events_markov_stationary",
+    "orders_xmr_control_chart",
     "corpus_csv_roundtrip",
     "outer_join_profiles",
     "corpus_bm25_topk",
-    "orders_bloom_prefilter",
+    "doc_bloom_decontamination",
     "orders_cramers_v_matrix",
-    "top3_parts_per_brand",
+    "orders_quantile_ci",
     "part_link_prediction",
     "doc_hashed_cosine_topk",
     "doc_dedup_threshold_curve",
@@ -135,16 +163,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_attribution",
     "doc_classifier_conformal",
     "customer_kaplan_meier",
-    "doc_text_profile",
+    "doc_audio_metadata",
     "doc_chunks",
     "corpus_source_hellinger",
-    "doc_minhash_lsh_pairs",
-    "events_resample_gapfill",
+    "doc_video_frames",
+    "part_newsvendor_stock",
     "doc_image_dimensions",
-    "doc_sampling_pipeline",
+    "corpus_unimax_mixture",
     "part_personalized_pagerank",
     "doc_dup_clusters",
-    "emb_cosine_topk",
+    "emb_centroid_silhouette",
     "emb_pca_top_component",
     "events_conversion_window_curve",
     "stream_tumbling_counts",

@@ -24,13 +24,13 @@ EXPECTED_WINDOW = (
     "emb_semdedup_kmeans_pipeline",
     "stream_funnel_stages",
     "q5_nation_revenue",
-    "events_markov_stationary",
+    "orders_xmr_control_chart",
     "corpus_csv_roundtrip",
     "outer_join_profiles",
     "corpus_bm25_topk",
-    "orders_bloom_prefilter",
+    "doc_bloom_decontamination",
     "orders_cramers_v_matrix",
-    "top3_parts_per_brand",
+    "orders_quantile_ci",
     "part_link_prediction",
     "doc_hashed_cosine_topk",
     "doc_dedup_threshold_curve",
@@ -47,16 +47,16 @@ EXPECTED_WINDOW = (
     "events_asof_attribution",
     "doc_classifier_conformal",
     "customer_kaplan_meier",
-    "doc_text_profile",
+    "doc_audio_metadata",
     "doc_chunks",
     "corpus_source_hellinger",
-    "doc_minhash_lsh_pairs",
-    "events_resample_gapfill",
+    "doc_video_frames",
+    "part_newsvendor_stock",
     "doc_image_dimensions",
-    "doc_sampling_pipeline",
+    "corpus_unimax_mixture",
     "part_personalized_pagerank",
     "doc_dup_clusters",
-    "emb_cosine_topk",
+    "emb_centroid_silhouette",
     "emb_pca_top_component",
     "events_conversion_window_curve",
     "stream_tumbling_counts",

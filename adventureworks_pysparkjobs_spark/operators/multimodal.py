@@ -101,6 +101,8 @@ def parse_image_header(payload: bytes) -> dict:
                 raise ValueError("malformed JPEG: lost marker sync")
             while i + 1 < len(payload) and payload[i + 1] == 0xFF:
                 i += 1  # fill bytes before a marker are legal
+            if i + 2 > len(payload):  # stream ends inside a fill run
+                raise ValueError("malformed JPEG: truncated marker stream")
             marker = payload[i + 1]
             if marker == 0xD9:  # EOI before any SOF
                 break
@@ -114,6 +116,8 @@ def parse_image_header(payload: bytes) -> dict:
                     "n_channels": payload[i + 9],
                     "feature": None,
                 }
+            if i + 4 > len(payload):  # fill run ate the length bytes
+                raise ValueError("malformed JPEG: truncated segment length")
             (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
             i += 2 + seg_len
         raise ValueError("malformed JPEG: no SOF marker before EOI")
@@ -286,6 +290,8 @@ def parse_gif_frames(payload: bytes) -> list:
         raise NotImplementedError(
             "not a GIF payload; inject a video codec for this format"
         )
+    if len(payload) < 13:
+        raise ValueError("malformed GIF: truncated logical screen descriptor")
     # logical screen descriptor + optional global color table
     packed = payload[10]
     i = 13
@@ -299,7 +305,13 @@ def parse_gif_frames(payload: bytes) -> list:
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension
+            if i + 2 > len(payload):
+                raise ValueError("malformed GIF: truncated extension header")
             if payload[i + 1] == 0xF9:  # graphics control: delay
+                if i + 6 > len(payload):
+                    raise ValueError(
+                        "malformed GIF: truncated graphics control block"
+                    )
                 (delay_cs,) = struct.unpack("<H", payload[i + 4 : i + 6])
                 pending_delay_ms = delay_cs * 10
             i += 2
@@ -307,6 +319,8 @@ def parse_gif_frames(payload: bytes) -> list:
                 i += 1 + payload[i]  # skip data sub-blocks
             i += 1
         elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                raise ValueError("malformed GIF: truncated image descriptor")
             start = i
             ipacked = payload[i + 9]
             i += 10
@@ -386,6 +400,250 @@ def encode_gif_header(width: int, height: int) -> bytes:
         + b"\x00\x00\x00"
         + b"\x3b"
     )
+
+
+def parse_mp4_header(payload: bytes) -> dict:
+    """Pure-Python ISO-BMFF (MP4) metadata walk — the video-container
+    default for the dominant real-world format (GIF covers the animated
+    fixture path; real multimodal corpora are MP4-first). Walks the
+    top-level box list for ``ftyp`` (major brand) and ``moov``, then
+    inside moov reads ``mvhd`` (movie timescale + duration, version 0
+    and 1 layouts) and every ``trak``'s ``tkhd`` (16.16 fixed-point
+    presentation width/height; the first track with nonzero dims is
+    the reported video track). Header-only: reads tens of bytes per
+    box and SKIPS ``mdat`` payload entirely, O(boxes) not O(bytes) —
+    the same crawl-triage contract as parse_image_header /
+    parse_wav_header. Sample decode stays behind the injection seam.
+
+    Returns {'major_brand', 'timescale', 'duration', 'duration_ms',
+    'n_tracks', 'width', 'height'}. Raises ValueError on malformed or
+    truncated box structures of an ISO-BMFF stream and
+    NotImplementedError on non-ISO-BMFF containers."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError(
+            "not an ISO-BMFF payload; inject a video codec for this format"
+        )
+
+    def walk(buf: bytes, lo: int, hi: int):
+        """Yield (box_type, body_lo, body_hi) over [lo, hi)."""
+        i = lo
+        while i < hi:
+            if i + 8 > hi:
+                raise ValueError("malformed MP4: truncated box header")
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            btype = buf[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > hi:
+                    raise ValueError("malformed MP4: truncated largesize")
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                body = i + 16
+            elif size == 0:  # box runs to end of enclosing scope
+                size = hi - i
+            if size < body - i or i + size > hi:
+                raise ValueError("malformed MP4: box size out of bounds")
+            yield btype, body, i + size
+            i += size
+
+    meta: dict = {
+        "major_brand": None, "timescale": None, "duration": None,
+        "duration_ms": None, "n_tracks": 0, "width": None, "height": None,
+    }
+    for btype, lo, hi in walk(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            if hi - lo < 4:
+                raise ValueError("malformed MP4: truncated ftyp")
+            meta["major_brand"] = payload[lo : lo + 4].decode(
+                "ascii", "replace"
+            )
+        elif btype == b"moov":
+            for ctype, clo, chi in walk(payload, lo, hi):
+                if ctype == b"mvhd":
+                    if chi - clo < 1:
+                        raise ValueError("malformed MP4: truncated mvhd")
+                    ver = payload[clo]
+                    if ver == 1:
+                        if chi - clo < 32:
+                            raise ValueError("malformed MP4: truncated mvhd")
+                        ts, dur = struct.unpack(
+                            ">IQ", payload[clo + 20 : clo + 32]
+                        )
+                    else:
+                        if chi - clo < 20:
+                            raise ValueError("malformed MP4: truncated mvhd")
+                        ts, dur = struct.unpack(
+                            ">II", payload[clo + 12 : clo + 20]
+                        )
+                    if ts == 0:
+                        raise ValueError("malformed MP4: zero timescale")
+                    meta["timescale"], meta["duration"] = ts, dur
+                    meta["duration_ms"] = dur * 1000 // ts
+                elif ctype == b"trak":
+                    meta["n_tracks"] += 1
+                    for ttype, tlo, thi in walk(payload, clo, chi):
+                        if ttype != b"tkhd":
+                            continue
+                        ver = payload[tlo] if thi > tlo else None
+                        need = 96 if ver == 1 else 84
+                        if ver is None or thi - tlo < need:
+                            raise ValueError("malformed MP4: truncated tkhd")
+                        w_at = tlo + (need - 8)
+                        w16, h16 = struct.unpack(
+                            ">II", payload[w_at : w_at + 8]
+                        )
+                        if meta["width"] is None and (w16 or h16):
+                            meta["width"] = w16 >> 16
+                            meta["height"] = h16 >> 16
+    if meta["major_brand"] is None or meta["timescale"] is None:
+        raise ValueError("malformed MP4: missing ftyp or mvhd")
+    return meta
+
+
+def encode_mp4(
+    major_brand: str = "isom",
+    timescale: int = 1000,
+    duration: int = 0,
+    width: int = 0,
+    height: int = 0,
+    n_audio_tracks: int = 0,
+    mdat_bytes: int = 16,
+) -> bytes:
+    """Minimal structurally-valid ISO-BMFF fixture encoder (stdlib
+    struct only): ftyp + moov{mvhd + video trak{tkhd} [+ zero-dim audio
+    traks]} + free + mdat — the video-container fixture generator, same
+    role as encode_png / encode_wav / encode_animated_gif. The mdat box
+    carries deterministic filler so the parser's skip path (the
+    header-only scale contract) is actually exercised."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(
+        b"ftyp", major_brand.encode("ascii") + struct.pack(">I", 0) + b"isom"
+    )
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2 + n_audio_tracks),  # next_track_ID
+    )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"  # version 0; enabled|in_movie|in_preview
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", track_id, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0x0100 if w == 0 else 0, 0)
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    traks = box(b"trak", tkhd(1, width, height))
+    for a in range(n_audio_tracks):
+        traks += box(b"trak", tkhd(2 + a, 0, 0))
+    moov = box(b"moov", mvhd + traks)
+    free = box(b"free", b"\x00" * 4)
+    mdat = box(
+        b"mdat", bytes((i * 37 + duration) % 256 for i in range(mdat_bytes))
+    )
+    return ftyp + moov + free + mdat
+
+
+def extract_video_metadata(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = parse_mp4_header,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Video container metadata via mapInPandas — the MP4 sibling of
+    extract_audio_metadata, runnable by default (parse_mp4_header); a
+    real demuxer (pyav/ffprobe) injects through the same
+    ``codec(bytes) -> dict`` seam."""
+    import pandas as pd
+
+    out_cols = [
+        "path", "payload_bytes", "major_brand", "timescale", "duration",
+        "duration_ms", "n_tracks", "width", "height",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "major_brand": meta.get("major_brand"),
+                        "timescale": meta.get("timescale"),
+                        "duration": meta.get("duration"),
+                        "duration_ms": meta.get("duration_ms"),
+                        "n_tracks": meta.get("n_tracks"),
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=VIDEO_META_SCHEMA
+    )
+
+
+def synthesize_videos_mp4(
+    df: DataFrame,
+    id_col: str = "path",
+    brand_col: str = "major_brand",
+    timescale_col: str = "timescale",
+    duration_col: str = "duration",
+    width_col: str = "width",
+    height_col: str = "height",
+    audio_tracks_col: str = "n_audio_tracks",
+) -> DataFrame:
+    """Deterministic MP4 synthesis via mapInPandas — one spec row in,
+    one (path, content) ISO-BMFF payload out, standing in for a
+    binaryFile scan of real video."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, brand, ts, dur, w, h, na in zip(
+                pdf[id_col], pdf[brand_col], pdf[timescale_col],
+                pdf[duration_col], pdf[width_col], pdf[height_col],
+                pdf[audio_tracks_col],
+            ):
+                rows.append(
+                    {
+                        "path": str(rid),
+                        "content": encode_mp4(
+                            str(brand), int(ts), int(dur), int(w), int(h),
+                            n_audio_tracks=int(na),
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, brand_col, timescale_col, duration_col, width_col,
+        height_col, audio_tracks_col,
+    ).mapInPandas(run, schema="path string, content binary")
 
 
 def extract_features(
@@ -515,6 +773,12 @@ def default_resize_codec(payload: bytes, tw: int, th: int) -> dict:
 AUDIO_SCHEMA = (
     "path string, payload_bytes bigint, sample_rate int, n_channels int, "
     "bits_per_sample int, n_samples bigint, duration_ms bigint"
+)
+
+VIDEO_META_SCHEMA = (
+    "path string, payload_bytes bigint, major_brand string, timescale int, "
+    "duration bigint, duration_ms bigint, n_tracks int, width int, "
+    "height int"
 )
 
 
@@ -778,7 +1042,10 @@ MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
 def media_type_col(content_col: str = "content") -> F.Column:
     """First-match CASE over the magic signatures applied to the hex of
     the first 8 payload bytes — one in-codegen expression, no UDF, no
-    decode. Reused by sniff_media_types and any per-row classifier."""
+    decode. Reused by sniff_media_types and any per-row classifier.
+    ISO-BMFF (mp4) is the one offset signature: 'ftyp' lives at byte 5
+    (the first 4 bytes are the box size), so it gets its own
+    equality test on that substring rather than a prefix rule."""
     sig = F.hex(F.expr(f"substring({content_col}, 1, 8)"))
     media = None
     for prefix, name in MAGIC_SIGNATURES:
@@ -786,7 +1053,8 @@ def media_type_col(content_col: str = "content") -> F.Column:
         media = (
             F.when(cond, name) if media is None else media.when(cond, name)
         )
-    return media.otherwise("unknown")
+    ftyp = F.hex(F.expr(f"substring({content_col}, 5, 4)")) == "66747970"
+    return media.when(ftyp, "mp4").otherwise("unknown")
 
 
 def synthesize_images(
@@ -855,17 +1123,9 @@ def sniff_media_types(
     (``extract_features``). Exact integer aggregate; bit-portable
     (hex renders uppercase in both engines).
     """
-    sig = F.hex(F.expr(f"substring({content_col}, 1, 8)"))
-    media = None
-    for prefix, name in MAGIC_SIGNATURES:
-        cond = sig.startswith(prefix)
-        media = (
-            F.when(cond, name) if media is None else media.when(cond, name)
-        )
-    media = media.otherwise("unknown")
     return (
         df.select(
-            media.alias("media_type"),
+            media_type_col(content_col).alias("media_type"),
             F.octet_length(F.col(content_col)).cast("long").alias("_b"),
         )
         .groupBy("media_type")

@@ -5691,7 +5691,7 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dem AS (
       SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS d,
-             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
       FROM lineitem GROUP BY 1, 2
     ),
     st AS (
@@ -5732,10 +5732,11 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: demand events are (part, ship-day) integer quantity
     sums; ADI = span/(n-1) and CV^2 = (n*Σq² - (Σq)²)/(Σq)² are single
     divisions of exact BIGINTs; the cutoffs are string-pinned.
-    l_quantity is integral by TPC-H spec (verified at every fixture
-    SF), so CAST to BIGINT is exact in both engines — on data with
-    fractional quantities, floor first (Spark truncates, DuckDB
-    rounds). Scale:
+    Quantities go through FLOOR before the BIGINT cast on BOTH sides —
+    identical semantics in both engines even on fractional data (a
+    bare double->BIGINT cast would diverge: Spark truncates, DuckDB
+    rounds; l_quantity is integral by TPC-H spec so either works on
+    the fixtures, but floor makes the entry data-robust). Scale:
     one (part, day) aggregate then one part-grain aggregate — two keyed
     shuffles, output bounded by the part dimension."""
     dem = (
@@ -5744,7 +5745,11 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("part_key"),
             F.to_date("l_shipdate").alias("d"),
         )
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
     )
     st = dem.groupBy("part_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -5786,7 +5791,7 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dem AS (
       SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
-             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+             CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1, 2
     ),
@@ -5832,7 +5837,7 @@ def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("d"),
         )
         .agg(
-            F.sum(F.col("l_quantity").cast("bigint"))
+            F.sum(F.floor("l_quantity").cast("bigint"))
             .cast("bigint")
             .alias("q")
         )
@@ -5989,7 +5994,7 @@ def part_copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
       SELECT l.l_partkey AS part_key, l.l_suppkey AS supp,
-             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+             CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
       FROM lineitem l GROUP BY 1, 2
     ),
     pp AS (
@@ -6024,15 +6029,19 @@ def part_dual_sourcing_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The HHI >= 0.5 test never materializes a float HHI: with per-part
     quantity sums q_s, HHI = Σq_s²/(Σq_s)², so the threshold is the
-    exact BIGINT comparison 2·Σq_s² >= (Σq_s)² (q_s exact: l_quantity
-    is integral by TPC-H spec; floor first on data where it is not). Two keyed aggregates
+    exact BIGINT comparison 2·Σq_s² >= (Σq_s)² (q_s exact: FLOOR
+    before the BIGINT cast on both sides, so the rule holds even on
+    fractional quantities — l_quantity is integral by TPC-H spec, but
+    a bare cast would diverge cross-engine). Two keyed aggregates
     ((part, supplier) then part) + one dim join; brand-grain output."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     ps = li.groupBy(
         F.col("l_partkey").alias("part_key"),
         F.col("l_suppkey").alias("supp"),
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    ).agg(
+        F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("q")
+    )
     pp = ps.groupBy("part_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
         F.sum("q").cast("bigint").alias("s"),
@@ -6148,4 +6157,184 @@ def orders_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("rank_lo").alias("p90_lo"),
         pick("rank_mid").alias("p90"),
         pick("rank_hi").alias("p90_hi"),
+    )
+
+
+@query(
+    "part_croston_forecast",
+    oracle="""
+    WITH dem AS (
+      SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT part_key, d, q,
+             date_diff('day',
+                       LAG(d) OVER (PARTITION BY part_key ORDER BY d),
+                       d) AS iv
+      FROM dem
+    ),
+    arr AS (
+      SELECT part_key,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS ss,
+             list({'z': CAST(q AS DOUBLE),
+                   'p': CAST(COALESCE(iv, 0) AS DOUBLE)}
+                  ORDER BY d) AS evs
+      FROM ev GROUP BY 1
+    ),
+    f AS (
+      SELECT part_key, n_events,
+             CAST(span_days AS DOUBLE) / (n_events - 1) AS adi,
+             CAST(n_events * ss - s * s AS DOUBLE)
+               / CAST(s * s AS DOUBLE) AS cv2,
+             list_reduce(
+               list_concat([{'z': evs[1].z, 'p': evs[2].p}], evs[2:]),
+               (acc, x) -> {
+                 'z': CAST('0.1' AS DOUBLE) * x.z
+                      + CAST('0.9' AS DOUBLE) * acc.z,
+                 'p': CAST('0.1' AS DOUBLE) * x.p
+                      + CAST('0.9' AS DOUBLE) * acc.p}
+             ) AS st
+      FROM arr WHERE n_events >= 2
+    ),
+    g AS (
+      SELECT part_key, n_events, st.z AS z_hat, st.p AS p_hat,
+             st.z / st.p AS croston_forecast,
+             CAST('0.95' AS DOUBLE) * (st.z / st.p) AS sba_forecast,
+             CASE WHEN adi < CAST('1.32' AS DOUBLE)
+                       AND cv2 < CAST('0.49' AS DOUBLE) THEN 'smooth'
+                  WHEN adi >= CAST('1.32' AS DOUBLE)
+                       AND cv2 < CAST('0.49' AS DOUBLE) THEN 'intermittent'
+                  WHEN adi < CAST('1.32' AS DOUBLE) THEN 'erratic'
+                  ELSE 'lumpy' END AS demand_class
+      FROM f
+    )
+    SELECT part_key, n_events, z_hat, p_hat, croston_forecast,
+           sba_forecast, demand_class,
+           CASE WHEN demand_class = 'smooth' THEN croston_forecast
+                ELSE sba_forecast END AS routed_forecast
+    FROM g
+    """,
+    tags=("analytics", "supply-chain", "croston", "sba",
+          "intermittent-demand", "forecast"),
+)
+def part_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston / SBA intermittent-demand forecast per part — the
+    forecaster part_demand_classification exists to route to. Croston
+    (1972): keep separate exponential smoothers for demand SIZE z and
+    inter-demand INTERVAL p, updated only on demand occurrences; the
+    per-period demand-rate forecast is z/p. SBA (Syntetos-Boylan
+    approximation) multiplies by (1 - alpha/2) to correct Croston's
+    positive bias. Routing follows the SBC categorization (Syntetos,
+    Boylan & Croston 2005): Croston in the smooth quadrant
+    (ADI < 1.32 and CV^2 < 0.49), SBA everywhere else.
+
+    Pinned fold convention (documented, both engines identical):
+    events are the (part, ship-day) integer demand sums ordered by
+    day; z starts at the first demand size, p at the first interval;
+    both are then EWMA-updated over events 2..n (the first p update
+    re-smooths the first interval into itself — a fixed point, so the
+    convention is self-consistent). alpha = 0.1 and 1-alpha = 0.9 are
+    INDEPENDENTLY string-pinned doubles — never computed as 1-alpha,
+    whose IEEE result is the double below parse('0.9').
+
+    Determinism: the ordered fold uses only double * and + in
+    identical sequence on both engines (the ordered-fold idiom —
+    bit-identical; no libm calls anywhere), inputs are exact BIGINTs
+    cast to double, and the forecasts are one division (+ one pinned
+    multiply for SBA) of identical operands. Scale: one (part, day)
+    keyed aggregate, one keyed lag window, one part-grain
+    collect_list fold — the per-part array is bounded by that part's
+    demand days, never corpus-sized; no global state, no driver
+    loops, output one row per part."""
+    from pyspark.sql import Window
+
+    dem = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    w = Window.partitionBy("part_key").orderBy("d")
+    ev = dem.select(
+        "part_key",
+        "d",
+        "q",
+        F.datediff("d", F.lag("d").over(w)).alias("iv"),
+    )
+    arr = ev.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span_days"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("d"),
+                    F.col("q").cast("double").alias("z"),
+                    F.coalesce(F.col("iv"), F.lit(0))
+                    .cast("double")
+                    .alias("p"),
+                )
+            )
+        ).alias("evs"),
+    )
+    f = arr.filter(F.col("n_events") >= 2).select(
+        "part_key",
+        "n_events",
+        (F.col("span_days").cast("double") / (F.col("n_events") - 1)).alias(
+            "adi"
+        ),
+        (
+            (F.col("n_events") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.col("s") * F.col("s")).cast("double")
+        ).alias("cv2"),
+        F.expr(
+            """
+            aggregate(
+              slice(evs, 2, size(evs) - 1),
+              named_struct('z', element_at(evs, 1).z,
+                           'p', element_at(evs, 2).p),
+              (acc, x) -> named_struct(
+                'z', CAST('0.1' AS DOUBLE) * x.z
+                     + CAST('0.9' AS DOUBLE) * acc.z,
+                'p', CAST('0.1' AS DOUBLE) * x.p
+                     + CAST('0.9' AS DOUBLE) * acc.p)
+            )"""
+        ).alias("st"),
+    )
+    adi_cut, cv2_cut = F.lit(1.32), F.lit(0.49)
+    croston = F.col("st.z") / F.col("st.p")
+    g = f.select(
+        "part_key",
+        "n_events",
+        F.col("st.z").alias("z_hat"),
+        F.col("st.p").alias("p_hat"),
+        croston.alias("croston_forecast"),
+        (F.expr("CAST('0.95' AS DOUBLE)") * croston).alias("sba_forecast"),
+        F.when((F.col("adi") < adi_cut) & (F.col("cv2") < cv2_cut), "smooth")
+        .when(
+            (F.col("adi") >= adi_cut) & (F.col("cv2") < cv2_cut),
+            "intermittent",
+        )
+        .when(F.col("adi") < adi_cut, "erratic")
+        .otherwise("lumpy")
+        .alias("demand_class"),
+    )
+    return g.select(
+        "*",
+        F.when(F.col("demand_class") == "smooth", F.col("croston_forecast"))
+        .otherwise(F.col("sba_forecast"))
+        .alias("routed_forecast"),
     )

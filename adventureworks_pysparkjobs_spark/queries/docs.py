@@ -1407,6 +1407,7 @@ def doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN substr(hex(content), 1, 8) = '504B0304' THEN 'zip'
                WHEN substr(hex(content), 1, 8) = '664C6143' THEN 'flac'
                WHEN substr(hex(content), 1, 8) = '4F676753' THEN 'ogg'
+               WHEN substr(hex(content), 9, 8) = '66747970' THEN 'mp4'
                ELSE 'unknown' END AS media_type,
              CAST(octet_length(content) AS BIGINT) AS b
       FROM payloads)
@@ -1423,7 +1424,8 @@ def doc_media_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (a real magic header chosen by doc_id % 5, prepended to
     the utf-8 body — the documented stub convention for media columns
     in this container-less sandbox) classified by their FIRST 8 BYTES
-    into the per-container inventory. The sniff is one in-codegen
+    (plus the one offset rule: ISO-BMFF's 'ftyp' at byte 5) into the
+    per-container inventory. The sniff is one in-codegen
     CASE over hex(leading bytes) — no UDF, no decode, no trust in
     extensions — followed by one exact integer aggregate."""
     doc = load_table(spark, sf_dir, "documents")
@@ -2839,6 +2841,79 @@ def doc_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").cast("bigint").alias("doc_id"),
         "frame_idx",
         "frame_ts_ms",
+    )
+
+
+@query(
+    "doc_video_mp4_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+             AS major_brand,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 1000 WHEN 1 THEN 2000 ELSE 90000
+           END AS INTEGER) AS timescale,
+           CAST((CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 90 END)
+                * (100 * (1 + doc_id % 600)) AS BIGINT) AS duration,
+           CAST(100 * (1 + doc_id % 600) AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+           CAST(16 * (1 + doc_id % 120) AS INTEGER) AS width,
+           CAST(16 * (1 + (doc_id * 3) % 68) AS INTEGER) AS height
+    FROM documents
+    WHERE doc_id % 13 = 0
+    """,
+    tags=("multimodal", "video", "mp4", "iso-bmff", "roundtrip"),
+)
+def doc_video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container metadata end-to-end with ZERO injected
+    code — the video leg's coverage of the DOMINANT real container
+    (the GIF entry covers frame sampling; real multimodal corpora are
+    MP4-first): synthesize structurally valid ISO-BMFF payloads (ftyp +
+    moov{mvhd + trak(s)} + free + mdat, brand/timescale/duration/dims/
+    track-count all derived from doc_id), then walk the BOX STRUCTURE
+    back out with parse_mp4_header via extract_video_metadata
+    (mapInPandas) — header-only, mdat skipped by size, the same
+    tens-of-bytes-per-blob scale contract as the WAV RIFF walk.
+    Roundtrip-fixture oracle: DuckDB recomputes brand, timescale, mvhd
+    duration units, exact duration_ms (timescales are all ms-exact
+    multiples of 1000 by construction), track count, and the 16.16
+    fixed-point width/height from doc_id arithmetic; any bug in the box
+    walk (largesize, nesting, version layouts, fixed-point shift)
+    breaks the match. pyav/ffprobe inject through the same codec seam
+    for entropy-coded work."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 13 == 0).select(
+        did.cast("string").alias("path"),
+        F.when(did % 2 == 0, "isom").otherwise("mp42").alias("major_brand"),
+        F.when(did % 3 == 0, 1000)
+        .when(did % 3 == 1, 2000)
+        .otherwise(90000)
+        .cast("int")
+        .alias("timescale"),
+        (
+            F.when(did % 3 == 0, 1).when(did % 3 == 1, 2).otherwise(90)
+            * (F.lit(100) * (F.lit(1) + did % 600))
+        )
+        .cast("bigint")
+        .alias("duration"),
+        (F.lit(16) * (F.lit(1) + did % 120)).cast("int").alias("width"),
+        (F.lit(16) * (F.lit(1) + (did * 3) % 68)).cast("int").alias("height"),
+        (did % 2).cast("int").alias("n_audio_tracks"),
+    )
+    parsed = MM.extract_video_metadata(MM.synthesize_videos_mp4(spec))
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "major_brand",
+        "timescale",
+        "duration",
+        "duration_ms",
+        "n_tracks",
+        "width",
+        "height",
     )
 
 

@@ -84,6 +84,49 @@ class TestImageHeaderCodec:
         with pytest.raises(ValueError):
             parse_image_header(j[: sof_at + 4])
 
+    def test_jpeg_every_truncation_point_raises_valueerror(self):
+        """r10 ADVICE fix: ANY truncation of a known-container stream must
+        raise ValueError (never IndexError / struct.error), including a
+        stream ending inside a 0xFF fill run or mid segment length."""
+        j = encode_jpeg_header(64, 48, 3)
+        for cut in range(2, len(j)):
+            trunc = j[:cut]
+            try:
+                parse_image_header(trunc)
+            except ValueError:
+                pass  # the documented contract
+        # ends inside a fill-byte run (payload[-1] == 0xFF)
+        with pytest.raises(ValueError):
+            parse_image_header(b"\xff\xd8\xff\xff\xff")
+        # fill run eats the segment-length bytes
+        with pytest.raises(ValueError):
+            parse_image_header(b"\xff\xd8\xff\xff\xe0")
+
+    def test_gif_frame_walk_truncation_points_raise_valueerror(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_animated_gif,
+            parse_gif_frames,
+        )
+
+        g = encode_animated_gif(4, 3, 2, delay_cs=7)
+        ext_at = g.index(b"\x21\xf9")
+        img_at = g.index(b"\x2c", ext_at)
+        # mid graphics-control extension (short delay slice)
+        with pytest.raises(ValueError):
+            parse_gif_frames(g[: ext_at + 3])
+        # extension introducer with no label byte
+        with pytest.raises(ValueError):
+            parse_gif_frames(g[: ext_at + 1])
+        # mid image descriptor
+        with pytest.raises(ValueError):
+            parse_gif_frames(g[: img_at + 5])
+        # no truncation point may leak a non-ValueError
+        for cut in range(7, len(g)):
+            try:
+                parse_gif_frames(g[:cut])
+            except ValueError:
+                pass
+
 
 class TestHashingEncoder:
     """The r8 verdict task-4 default: md5 hashing n-gram encoder + its

@@ -389,3 +389,68 @@ def stream_user_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stateful_value_changes
 
     return stateful_value_changes(spark, sf_dir)
+
+
+@query(
+    "stream_xmr_control_chart",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, ts, c,
+             ROW_NUMBER() OVER w AS seq,
+             CAST(SUM(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS BIGINT) AS sum_prior,
+             COUNT(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS n_prior,
+             abs(c - LAG(c) OVER w) AS mr
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT event_type, ts, c, seq, sum_prior, n_prior,
+             CAST(SUM(mr) OVER (w2 ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS BIGINT)
+               AS sum_mr_prior,
+             COUNT(mr) OVER (w2 ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS n_mr_prior
+      FROM s
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY seq)
+    ),
+    lim AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             CAST(seq AS BIGINT) AS seq,
+             CAST(c AS DOUBLE) / 100 AS value,
+             CAST(sum_prior AS DOUBLE) / n_prior / 100
+               + CAST('2.66' AS DOUBLE)
+                 * (CAST(sum_mr_prior AS DOUBLE) / n_mr_prior / 100)
+               AS ucl,
+             CAST(sum_prior AS DOUBLE) / n_prior / 100
+               - CAST('2.66' AS DOUBLE)
+                 * (CAST(sum_mr_prior AS DOUBLE) / n_mr_prior / 100)
+               AS lcl
+      FROM m WHERE seq >= 3
+    )
+    SELECT event_type, ts_us, seq, value, ucl, lcl,
+           (value > ucl OR value < lcl) AS out_of_control
+    FROM lim
+    """,
+    tags=("streaming", "stateful", "xmr", "spc", "control-chart",
+          "applyInPandasWithState"),
+)
+def stream_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth custom stateful streaming operator
+    (streaming/events.py:stateful_xmr_chart) WITH a full independent
+    SQL oracle: the LIVE prequential twin of orders_xmr_control_chart —
+    per-event_type XmR individuals chart where every point is judged
+    against xbar ± 2.66·MRbar limits from the PRIOR points only, state
+    held in exact integer cents. Prequential limits (unlike the batch
+    entry's global ones) are prefix-window-expressible, so the oracle
+    is a hand-derived DuckDB formulation rather than a wraps-twin —
+    the append-only output equals it on any micro-batch split."""
+    from ..streaming.events import stateful_xmr_chart
+
+    return stateful_xmr_chart(spark, sf_dir)

@@ -1079,3 +1079,107 @@ def stateful_value_changes(
         )
     )
     return run_to_memory(out, "append", spark)
+
+
+def stateful_xmr_chart(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Fifth applyInPandasWithState showcase: a LIVE prequential XmR
+    (individuals + moving range) control chart per event_type — the
+    streaming form of orders_xmr_control_chart (queries/analytics.py).
+    The batch entry draws GLOBAL limits over the whole series; a live
+    SPC monitor cannot (future points are unknown), so the streaming
+    convention is PREQUENTIAL: point t is judged against natural
+    process limits xbar ± 2.66·MRbar derived from the prior t-1 points
+    only — today's number never moves the limits that judge it. Points
+    are emitted from t = 3 on (two priors = first defined MRbar).
+
+    State per key is O(1) and EXACT: (n points, cent sum, n moving
+    ranges, cent MR sum, last cents) — the DECIMAL(12,2)->cents cast
+    happens Spark-side BEFORE the stateful op, so state arithmetic is
+    pure integer. Each micro-batch replays its rows in (ts, event_id)
+    order against the carried state, so the emitted rows equal the
+    batch prefix-window formulation on ANY micro-batch split (same
+    arrival contract as the other stateful operators). The only float
+    work is at emission: two int->double divisions, one string-pinned
+    2.66 multiply, one add/sub per limit — single IEEE ops in the same
+    order as the oracle SQL, hence bit-identical (cent sums stay far
+    below 2^53 at any realistic SF; the int->double conversions are
+    exact).
+
+    Returns (event_type, ts_us, seq, value, ucl, lcl, out_of_control)
+    append-only rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    pts = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, sum_c, n_mr, sum_mr, last_c = state.get
+        else:
+            n, sum_c, n_mr, sum_mr, last_c = 0, 0, 0, 0, 0
+        cols: dict = {
+            "ts_us": [], "seq": [], "value": [],
+            "ucl": [], "lcl": [], "out_of_control": [],
+        }
+        frames = [pdf[["ts", "event_id", "cents"]] for pdf in pdfs]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, c in zip(batch["ts"], batch["cents"]):
+                c = int(c)
+                if n >= 2:  # limits defined by >= 2 priors / >= 1 MR
+                    xbar = sum_c / n / 100.0
+                    mrbar = sum_mr / n_mr / 100.0
+                    ucl = xbar + 2.66 * mrbar
+                    lcl = xbar - 2.66 * mrbar
+                    v = c / 100.0
+                    cols["ts_us"].append(
+                        int(pd.Timestamp(ts).value // 1000)
+                    )
+                    cols["seq"].append(n + 1)
+                    cols["value"].append(v)
+                    cols["ucl"].append(ucl)
+                    cols["lcl"].append(lcl)
+                    cols["out_of_control"].append(
+                        bool(v > ucl or v < lcl)
+                    )
+                if n >= 1:
+                    sum_mr += abs(c - last_c)
+                    n_mr += 1
+                sum_c += c
+                n += 1
+                last_c = c
+        if n > 0:
+            state.update((n, sum_c, n_mr, sum_mr, last_c))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(cols["seq"]),
+                **cols,
+            }
+        )
+
+    out = pts.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, ts_us long, seq long, value double, "
+            "ucl double, lcl double, out_of_control boolean"
+        ),
+        stateStructType=(
+            "n long, sum_c long, n_mr long, sum_mr long, last_c long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "append", spark)

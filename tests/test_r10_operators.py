@@ -1,0 +1,187 @@
+"""Round-10 operator tests: the Croston/SBA intermittent-demand
+forecaster (hand-computed fold references, floor semantics, SBC
+routing) and the ISO-BMFF (MP4) header codec."""
+
+from __future__ import annotations
+
+import datetime
+import struct
+
+import pytest
+
+from adventureworks_pysparkjobs_spark.operators.multimodal import (
+    encode_mp4,
+    parse_mp4_header,
+)
+
+
+class TestMp4Codec:
+    def test_roundtrip_all_fields(self):
+        p = encode_mp4("mp42", 90000, 90 * 5400, 640, 360, n_audio_tracks=1)
+        m = parse_mp4_header(p)
+        assert m == {
+            "major_brand": "mp42",
+            "timescale": 90000,
+            "duration": 486000,
+            "duration_ms": 5400,
+            "n_tracks": 2,
+            "width": 640,
+            "height": 360,
+        }
+
+    def test_audio_only_has_no_dims(self):
+        m = parse_mp4_header(encode_mp4("isom", 1000, 2500, 0, 0))
+        assert m["width"] is None and m["height"] is None
+        assert m["duration_ms"] == 2500 and m["n_tracks"] == 1
+
+    def test_mdat_is_skipped_not_read(self):
+        """Header-only contract: metadata identical whatever mdat holds."""
+        a = encode_mp4("isom", 1000, 777, 32, 16, mdat_bytes=8)
+        b = encode_mp4("isom", 1000, 777, 32, 16, mdat_bytes=4096)
+        assert parse_mp4_header(a) == parse_mp4_header(b)
+        assert len(b) - len(a) == 4096 - 8
+
+    def test_largesize_box_walks_correctly(self):
+        """A size==1 box carries a 64-bit largesize after the type."""
+        base = encode_mp4("isom", 1000, 100, 8, 8)
+        body = b"\x00" * 6
+        large = (
+            struct.pack(">I", 1)
+            + b"free"
+            + struct.pack(">Q", 16 + len(body))
+            + body
+        )
+        assert parse_mp4_header(base + large) == parse_mp4_header(base)
+
+    def test_mvhd_version1_layout(self):
+        """64-bit creation/modification/duration variant of mvhd."""
+        def box(t, b):
+            return struct.pack(">I", 8 + len(b)) + t + b
+
+        mvhd = box(
+            b"mvhd",
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 48000)
+            + struct.pack(">Q", 48 * 12345)
+            + b"\x00" * 80,
+        )
+        p = box(b"ftyp", b"isom" + b"\x00" * 4) + box(b"moov", mvhd)
+        m = parse_mp4_header(p)
+        assert (m["timescale"], m["duration_ms"]) == (48000, 12345)
+
+    def test_truncation_sweep_never_leaks(self):
+        """Every prefix either raises ValueError/NotImplementedError or
+        (when the cut lands on a box boundary past moov — a complete
+        file minus trailing boxes, which IS valid ISO-BMFF) parses to
+        exactly the full-file metadata. Never IndexError/struct.error."""
+        p = encode_mp4("mp42", 2000, 2 * 700, 48, 32, n_audio_tracks=1)
+        full = parse_mp4_header(p)
+        clean_cuts = 0
+        for cut in range(0, len(p)):
+            try:
+                m = parse_mp4_header(p[:cut])
+            except (ValueError, NotImplementedError):
+                continue
+            assert m == full, f"cut {cut} parsed but differs"
+            clean_cuts += 1
+        # only whole-box boundaries after moov may parse (free, mdat)
+        assert clean_cuts <= 3
+
+    def test_non_bmff_hits_the_seam(self):
+        with pytest.raises(NotImplementedError):
+            parse_mp4_header(b"RIFFxxxxWAVEfmt ")
+        with pytest.raises(NotImplementedError):
+            parse_mp4_header(b"")
+
+    def test_zero_timescale_is_malformed(self):
+        def box(t, b):
+            return struct.pack(">I", 8 + len(b)) + t + b
+
+        mvhd = box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 0, 50))
+        p = box(b"ftyp", b"isom" + b"\x00" * 4) + box(b"moov", mvhd)
+        with pytest.raises(ValueError):
+            parse_mp4_header(p)
+
+
+ALPHA, BETA = 0.1, 0.9  # string-pinned twins of the entry's constants
+
+
+def _croston_fold(events):
+    """Pure-Python reference: events = [(q, iv)] ordered; iv[0] unused."""
+    z, p = float(events[0][0]), float(events[1][1])
+    for q, iv in events[1:]:
+        z = ALPHA * q + BETA * z
+        p = ALPHA * iv + BETA * p
+    return z, p
+
+
+class TestCrostonForecast:
+    def _run(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(
+            rows, "l_partkey long, l_shipdate date, l_quantity double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        return {
+            r["part_key"]: r
+            for r in CATALOG["part_croston_forecast"]
+            .builder(spark, str(tmp_path))
+            .collect()
+        }
+
+    def test_hand_computed_fold_exact(self, spark, tmp_path):
+        d = datetime.date(1995, 3, 1)
+
+        def day(k):
+            return d + datetime.timedelta(days=k)
+
+        rows = [
+            # part 1: demand days 0, 3, 5, 12 with qtys 4, 6, 2, 10
+            (1, day(0), 2.0), (1, day(0), 2.0),
+            (1, day(3), 6.0),
+            (1, day(5), 2.0),
+            (1, day(12), 10.0),
+            # part 2: single demand day -> excluded (n_events < 2)
+            (2, day(4), 9.0),
+        ]
+        out = self._run(spark, tmp_path, rows)
+        assert set(out) == {1}
+        r = out[1]
+        z, p = _croston_fold([(4, 0), (6, 3), (2, 2), (10, 7)])
+        assert (r["z_hat"], r["p_hat"]) == (z, p)  # bit-exact
+        assert r["croston_forecast"] == z / p
+        assert r["sba_forecast"] == 0.95 * (z / p)
+        # adi = 12/3 = 4 >= 1.32, cv2 = (4*156 - 484)/484 < 0.49
+        assert r["demand_class"] == "intermittent"
+        assert r["routed_forecast"] == r["sba_forecast"]
+
+    def test_floor_is_per_item_before_the_sum(self, spark, tmp_path):
+        """FLOOR applies to each quantity, then the day sums: 2.5 + 2.5
+        floors to 4, never floor(5.0) = 5."""
+        d = datetime.date(1995, 3, 1)
+        rows = [
+            (1, d, 2.5), (1, d, 2.5),
+            (1, d + datetime.timedelta(days=2), 3.9),
+        ]
+        r = self._run(spark, tmp_path, rows)[1]
+        z, p = _croston_fold([(4, 0), (3, 2)])
+        assert (r["z_hat"], r["p_hat"]) == (z, p)
+
+    def test_smooth_quadrant_routes_to_croston(self, spark, tmp_path):
+        """Daily equal-size demand: adi = 1 < 1.32, cv2 = 0 < 0.49 ->
+        smooth -> routed forecast is plain Croston (SBC 2005)."""
+        d = datetime.date(1995, 3, 1)
+        rows = [
+            (1, d + datetime.timedelta(days=k), 5.0) for k in range(6)
+        ]
+        r = self._run(spark, tmp_path, rows)[1]
+        assert r["demand_class"] == "smooth"
+        assert r["routed_forecast"] == r["croston_forecast"]
+        # constant series: both smoothers sit at their fixed points
+        assert abs(r["z_hat"] - 5.0) < 1e-12
+        assert abs(r["p_hat"] - 1.0) < 1e-12
+        assert r["sba_forecast"] < r["croston_forecast"]

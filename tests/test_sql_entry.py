@@ -614,3 +614,101 @@ def test_stateful_value_changes_two_batch_split_equals_lag(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stateful_xmr_two_batch_split_equals_prefix_windows(
+    spark, tmp_path
+):
+    """The streaming prequential XmR chart's rows equal the batch
+    prefix-window formulation even when the input is split into
+    time-ordered micro-batches: the cross-batch carry (point count,
+    exact cent sums, last value) lives in GroupState. Floats compare
+    EXACTLY — both sides perform the same single IEEE ops on the same
+    exact integer state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stateful_xmr_chart,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS BIGINT), 0.5) AS c"
+    ).collect()[0]["c"]
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (
+        ev.filter(F.col("ts").cast("bigint") <= cut),
+        ev.filter(F.col("ts").cast("bigint") > cut),
+    )
+    for i, half in enumerate(halves):
+        stage = tmp_path / f"h{i}"
+        half.coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(
+            src / f"events-{i:03d}.parquet"
+        )
+
+    streamed = {
+        tuple(r)
+        for r in stateful_xmr_chart(
+            spark, str(src), max_files_per_trigger=1
+        ).collect()
+    }
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wprior = w.rowsBetween(Window.unboundedPreceding, -1)
+    v = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    s = v.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "c",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.sum("c").over(wprior).cast("long").alias("sum_prior"),
+        F.count("c").over(wprior).alias("n_prior"),
+        F.abs(F.col("c") - F.lag("c").over(w)).alias("mr"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("seq")
+    w2prior = w2.rowsBetween(Window.unboundedPreceding, -1)
+    m = s.select(
+        "event_type",
+        "ts_us",
+        "c",
+        "seq",
+        "sum_prior",
+        "n_prior",
+        F.sum("mr").over(w2prior).cast("long").alias("sum_mr_prior"),
+        F.count("mr").over(w2prior).alias("n_mr_prior"),
+    ).filter(F.col("seq") >= 3)
+    xbar = F.col("sum_prior").cast("double") / F.col("n_prior") / F.lit(100)
+    mrbar = (
+        F.col("sum_mr_prior").cast("double")
+        / F.col("n_mr_prior")
+        / F.lit(100)
+    )
+    val = F.col("c").cast("double") / F.lit(100)
+    ucl = xbar + F.lit(2.66) * mrbar
+    lcl = xbar - F.lit(2.66) * mrbar
+    batch = {
+        tuple(r)
+        for r in m.select(
+            "event_type",
+            "ts_us",
+            "seq",
+            val.alias("value"),
+            ucl.alias("ucl"),
+            lcl.alias("lcl"),
+            ((val > ucl) | (val < lcl)).alias("out_of_control"),
+        ).collect()
+    }
+    assert streamed == batch

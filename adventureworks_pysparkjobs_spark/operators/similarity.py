@@ -1646,3 +1646,273 @@ def fisher_dims(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+def ivf_nprobe_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    probes: tuple = (1, 2, 4, 8),
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.5,
+) -> DataFrame:
+    """IVF recall-vs-n_probe sensitivity sweep — the tuning artifact a
+    100 TB ANN deployment reads BEFORE committing to a probe count:
+    per probe depth, the recall@k of ivf_topk's index against the
+    in-plan exact top-k.
+
+    One index, one scan, every depth: the k-means quantizer is fit
+    ONCE, the corpus is cell-assigned ONCE, and each query explodes its
+    max(probes) nearest cells WITH their probe rank r, so a candidate
+    pair carries the depth at which its cell enters the probe set; a
+    depth-p result is the candidates with r <= p. The whole sweep costs
+    one corpus-cells join at the DEEPEST setting (plus the |probes|-way
+    fan-out of that joined frame) instead of |probes| separate index
+    runs — at 8 cells / max probe 8 that deepest setting IS brute
+    force, which also makes the last curve point an exact-recall==1
+    anchor (probing every cell must reproduce the exact top-k, ties
+    broken identically by neighbor_id).
+
+    Returns (n_probe int, query_id, neighbor_id, hit boolean) at the
+    (depth, pair) grain; callers aggregate recall per depth.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .sampling import deterministic_sample
+
+    fit_src = _spread(corpus)
+    if fit_fraction < 1.0:
+        fit_src = deterministic_sample(
+            fit_src, id_col, fit_fraction, salt="ivf"
+        )
+    fitdf = fit_src.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(fitdf)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centroids
+            ]
+        )
+        idx = F.array_sort(
+            F.transform(
+                dists, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+            )
+        )
+        return F.transform(F.slice(idx, 1, n), lambda s: s.getField("cell"))
+
+    max_p = max(probes)
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_fold(F.col(vec_col)).alias("c_norm"),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_fold(F.col(vec_col)).alias("q_norm"),
+        F.posexplode(nearest_cells(F.col(vec_col), max_p)).alias(
+            "pos", "cell"
+        ),
+    )
+    # each corpus vector lives in exactly one cell and a query's probed
+    # cells are distinct, so a (query, neighbor) candidate appears once,
+    # carrying r = the probe depth at which its cell enters.
+    probes_arr = F.array(*[F.lit(int(p)) for p in sorted(probes)])
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_fold(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
+            (F.col("pos") + 1).alias("r"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.explode(
+                F.filter(probes_arr, lambda p: p >= F.col("r"))
+            ).alias("n_probe"),
+        )
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    topk = cand.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )
+    exact = cosine_topk(corpus, queries, k=k).select(
+        "query_id", F.col("neighbor_id").alias("_exact_nid")
+    )
+    return topk.join(
+        exact,
+        (topk["query_id"] == exact["query_id"])
+        & (topk["neighbor_id"] == exact["_exact_nid"]),
+        "left",
+    ).select(
+        topk["n_probe"],
+        topk["query_id"],
+        topk["neighbor_id"],
+        exact["_exact_nid"].isNotNull().alias("hit"),
+    )
+
+
+def pq_retrain_int_exact(
+    corpus: DataFrame,
+    m: int = 8,
+    d: int = 8,
+    k_init: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact PQ distortion audit: quantize the corpus to int8
+    (the bit-portable quantize_int8 rule), take the ``k_init`` vectors
+    with smallest ids as deterministic per-subspace seed codebooks,
+    assign every subvector to its nearest seed centroid by EXACT
+    integer squared-L2 (ties to the lower centroid index), then run one
+    Lloyd mean-update under that assignment with FLOORED integer means
+    — so the reconstruction error before and after the retrain is exact
+    BIGINT arithmetic end to end, fully SQL-derivable, unlike pq_train
+    whose float k-means lives driver-side (its oracle class would have
+    to bake codebook literals).
+
+    This is the codebook-quality gate a PQ deployment reads: how much
+    distortion the seed codebook carries and how much one exact
+    refinement step removes, per subspace. The floored mean shifts each
+    coordinate by < 1 from the true cell mean (which is the exact
+    minimizer), so the after-retrain error is within n_vectors*d of
+    optimal for the assignment — and both numbers are exact, so the
+    comparison is deterministic.
+
+    Floored mean portability: computed as (s - pmod(s, n)) div n — the
+    numerator is exactly divisible by n, so truncating and flooring
+    division agree and the oracle can use either engine's operator.
+
+    Scale: one corpus scan -> per-(vector, subspace) broadcast
+    assignment against m*k_init centroid rows -> dim-grain keyed
+    aggregates ((j, c, pos) cells, then (j, vec) errors, then j) —
+    linear in corpus size with constant m*d fan-out, no driver-side
+    training data pull. Returns one row per subspace: (subspace,
+    n_vectors, sq_err_init, sq_err_retrained, distortion_init,
+    distortion_retrained, improved).
+    """
+    qz = quantize_int8(corpus, vec_col=vec_col).select(
+        F.col(id_col),
+        F.transform(F.col("q8"), lambda y: y.cast("long")).alias("q"),
+    )
+    subs_expr = (
+        f"explode(transform(sequence(0, {m - 1}), "
+        f"j -> struct(j AS j, slice({{col}}, j*{d}+1, {d}) AS sv)))"
+    )
+    sub = qz.select(
+        F.col(id_col), F.expr(subs_expr.format(col="q")).alias("e")
+    ).select(
+        F.col(id_col),
+        F.col("e.j").cast("int").alias("j"),
+        F.col("e.sv").alias("sv"),
+    )
+    wseed = Window.orderBy(id_col)
+    init = (
+        qz.orderBy(id_col)
+        .limit(k_init)
+        .select(
+            (F.row_number().over(wseed) - 1).alias("c"),
+            F.col("q").alias("cq"),
+        )
+    )
+    isub = init.select(
+        "c", F.expr(subs_expr.format(col="cq")).alias("e")
+    ).select(
+        "c",
+        F.col("e.j").cast("int").alias("j"),
+        F.col("e.sv").alias("csv"),
+    )
+    d2 = sub.join(F.broadcast(isub), "j").select(
+        F.col(id_col),
+        "j",
+        "c",
+        "sv",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("csv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    wmin = Window.partitionBy(id_col, "j").orderBy("dist2", "c")
+    a = (
+        d2.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    dims = a.select(
+        F.col(id_col),
+        "j",
+        "c",
+        "dist2",
+        F.posexplode("sv").alias("pos0", "val"),
+    ).select(
+        F.col(id_col),
+        "j",
+        "c",
+        "dist2",
+        (F.col("pos0") + 1).alias("pos"),
+        "val",
+    )
+    cent = dims.groupBy("j", "c", "pos").agg(
+        F.sum("val").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "j", "c", "pos", F.expr("(s - pmod(s, n)) div n").alias("fd")
+    )
+    err = (
+        dims.join(cent, ["j", "c", "pos"])
+        .groupBy("j", id_col)
+        .agg(
+            F.sum((F.col("val") - F.col("fd")) * (F.col("val") - F.col("fd")))
+            .cast("long")
+            .alias("e2"),
+            F.max("dist2").alias("d2i"),  # constant per (vec, j)
+        )
+    )
+    return err.groupBy(F.col("j").cast("int").alias("subspace")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("d2i").cast("bigint").alias("sq_err_init"),
+        F.sum("e2").cast("bigint").alias("sq_err_retrained"),
+    ).select(
+        "subspace",
+        "n_vectors",
+        "sq_err_init",
+        "sq_err_retrained",
+        (F.col("sq_err_init").cast("double") / F.col("n_vectors")).alias(
+            "distortion_init"
+        ),
+        (
+            F.col("sq_err_retrained").cast("double") / F.col("n_vectors")
+        ).alias("distortion_retrained"),
+        (F.col("sq_err_retrained") <= F.col("sq_err_init")).alias(
+            "improved"
+        ),
+    )

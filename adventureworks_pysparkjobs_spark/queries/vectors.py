@@ -779,3 +779,180 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_pairs").over(w_all).cast("double")
         ).alias("cum_share"),
     )
+
+
+# Per-depth recall floors for emb_ivf_nprobe_curve, pinned at ~60% of
+# the recall observed on the synthetic fixtures (sf0.001/sf0.01:
+# n_probe=1 .38-.50, =2 .64, =4 .88-.90, =8 exactly 1.0 — probing all
+# 8 cells IS brute force, so the last point is an exact anchor, not a
+# statistical floor).
+_IVF_CURVE_FLOORS = ((1, 0.20), (2, 0.40), (4, 0.50), (8, 0.999))
+
+
+@query(
+    "emb_ivf_nprobe_curve",
+    oracle="""
+    WITH nq AS (SELECT COUNT(*) AS n_queries FROM embeddings
+                WHERE vec_id % 50 = 0)
+    SELECT CAST(p.n_probe AS INTEGER) AS n_probe, nq.n_queries,
+           CAST(5 AS INTEGER) AS k,
+           (p.n_probe = 8) AS exhaustive,
+           TRUE AS recall_ok, TRUE AS monotone_ok
+    FROM (VALUES (1), (2), (4), (8)) AS p(n_probe), nq
+    """,
+    tags=("similarity", "ann", "ivf", "recall", "tuning"),
+)
+def emb_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-n_probe sensitivity curve
+    (operators/similarity.py:ivf_nprobe_curve) — the probe-count tuning
+    table an ANN deployment reads before spending 100 TB of scan budget:
+    recall@5 against the in-plan exact top-5 at probe depths 1/2/4/8
+    from ONE index fit and ONE corpus-cells join (each candidate pair
+    carries the depth at which its cell enters, so depth-p results are
+    a filter, not a re-run). Depth 8 probes all 8 cells — brute force —
+    so its recall is exactly 1.0 by construction, an anchor the floor
+    pins at 0.999; the curve's monotonicity (deeper probing can only
+    add candidates, hence hits) is emitted as a checked boolean.
+    Approximate recall values are engine-specific (the emb_ann_topk /
+    approx_parts_ok pattern), so the oracle-checked contract is the
+    boolean columns plus the deterministic enum grid; observed-recall
+    floors and the exact exhaustive anchor are additionally asserted in
+    tests/test_r10_operators.py."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 5
+    pairs = S.ivf_nprobe_curve(emb, queries, k=k, n_cells=8, seed=42)
+    hits = pairs.groupBy("n_probe").agg(
+        F.sum(F.col("hit").cast("bigint")).alias("_hits")
+    )
+    floors = spark.createDataFrame(
+        [(int(p), float(f)) for p, f in _IVF_CURVE_FLOORS],
+        "n_probe int, _floor double",
+    )
+    nq = queries.agg(F.count("*").alias("n_queries"))
+    w = Window.orderBy("n_probe")
+    scored = (
+        floors.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "n_probe",
+            "n_queries",
+            F.lit(k).cast("int").alias("k"),
+            (F.col("n_probe") == 8).alias("exhaustive"),
+            (
+                F.coalesce(F.col("_hits"), F.lit(0))
+                / (F.col("n_queries") * float(k))
+            ).alias("_recall"),
+            F.col("_floor"),
+        )
+    )
+    return scored.select(
+        "n_probe",
+        "n_queries",
+        "k",
+        "exhaustive",
+        (F.col("_recall") >= F.col("_floor")).alias("recall_ok"),
+        F.coalesce(
+            F.col("_recall") >= F.lag("_recall").over(w), F.lit(True)
+        ).alias("monotone_ok"),
+    )
+
+
+@query(
+    "emb_pq_distortion_audit",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN sc = 0 THEN
+               list_transform(embedding, x -> CAST(0 AS BIGINT))
+             ELSE
+               list_transform(embedding, x -> CAST(GREATEST(-127.0,
+                 LEAST(127.0, FLOOR(CAST(x AS DOUBLE) / sc + 0.5)))
+                 AS BIGINT))
+             END AS q
+      FROM s
+    ),
+    init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+      FROM (SELECT * FROM qz ORDER BY vec_id LIMIT 16)
+    ),
+    g AS (SELECT unnest(range(0, 8)) AS j),
+    sub AS (
+      SELECT vec_id, j, q[j*8+1 : j*8+8] AS sv FROM qz CROSS JOIN g
+    ),
+    isub AS (
+      SELECT c, j, cq[j*8+1 : j*8+8] AS csv FROM init CROSS JOIN g
+    ),
+    d2 AS (
+      SELECT sub.vec_id, sub.j, isub.c, sub.sv,
+             CAST(list_sum(list_transform(range(1, 9),
+               i -> (sub.sv[i] - isub.csv[i])
+                    * (sub.sv[i] - isub.csv[i]))) AS BIGINT) AS dist2
+      FROM sub JOIN isub ON sub.j = isub.j
+    ),
+    a AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY dist2, c) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT vec_id, j, c, dist2, i AS pos, sv[i] AS val
+      FROM a CROSS JOIN (SELECT unnest(range(1, 9)) AS i) p
+    ),
+    cent AS (
+      SELECT j, c, pos,
+             (CAST(SUM(val) AS BIGINT)
+              - ((CAST(SUM(val) AS BIGINT) % COUNT(*)) + COUNT(*))
+                % COUNT(*))
+             // COUNT(*) AS fd
+      FROM dims GROUP BY 1, 2, 3
+    ),
+    err AS (
+      SELECT d.j, d.vec_id,
+             CAST(SUM((d.val - cent.fd) * (d.val - cent.fd))
+                  AS BIGINT) AS e2,
+             MAX(d.dist2) AS d2i
+      FROM dims d JOIN cent ON d.j = cent.j AND d.c = cent.c
+                           AND d.pos = cent.pos
+      GROUP BY 1, 2
+    )
+    SELECT CAST(j AS INTEGER) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(d2i) AS BIGINT) AS sq_err_init,
+           CAST(SUM(e2) AS BIGINT) AS sq_err_retrained,
+           CAST(CAST(SUM(d2i) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS distortion_init,
+           CAST(CAST(SUM(e2) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS distortion_retrained,
+           (CAST(SUM(e2) AS BIGINT) <= CAST(SUM(d2i) AS BIGINT))
+             AS improved
+    FROM err GROUP BY j
+    """,
+    tags=("similarity", "pq", "quantization", "distortion", "audit"),
+)
+def emb_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook distortion audit under an INTEGER-EXACT retrain
+    (operators/similarity.py:pq_retrain_int_exact) — per subspace, the
+    exact squared reconstruction error of the deterministic seed
+    codebook (the 16 smallest-id vectors' int8 subvectors) and of one
+    floored-integer-mean Lloyd refinement under the same assignment.
+    The float pq_train codebooks are driver-side numpy (their oracle
+    class would need baked literals — capped at 1 and not grown);
+    making every training quantity an exact BIGINT instead makes the
+    WHOLE audit independently SQL-derivable: the DuckDB oracle
+    re-derives the int8 quantization, seed pick, integer-distance
+    assignment (ties to the lower centroid index), floored means
+    ((s - pmod) so truncating and flooring division agree), and both
+    error sums from the raw parquet — every column hash-checked, no
+    recall booleans needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_retrain_int_exact(emb, m=8, d=8, k_init=16)

@@ -185,3 +185,64 @@ class TestCrostonForecast:
         assert abs(r["z_hat"] - 5.0) < 1e-12
         assert abs(r["p_hat"] - 1.0) < 1e-12
         assert r["sba_forecast"] < r["croston_forecast"]
+
+
+class TestIvfNprobeCurve:
+    def _pairs(self, spark):
+        from pyspark.sql import functions as F
+
+        from adventureworks_pysparkjobs_spark.operators import (
+            similarity as S,
+        )
+        from adventureworks_pysparkjobs_spark.sources.corpus import (
+            load_table,
+        )
+
+        from .conftest import SF_SMOKE
+
+        emb = load_table(spark, SF_SMOKE, "embeddings")
+        q = emb.filter(F.col("vec_id") % 50 == 0)
+        return S.ivf_nprobe_curve(emb, q, k=5), q.count()
+
+    def test_observed_recall_floors_and_exact_anchor(self, spark):
+        from pyspark.sql import functions as F
+
+        pairs, nq = self._pairs(spark)
+        rec = {
+            r["n_probe"]: (
+                r["hits"] / (nq * 5.0),
+                r["n_pairs"],
+            )
+            for r in pairs.groupBy("n_probe")
+            .agg(
+                F.sum(F.col("hit").cast("int")).alias("hits"),
+                F.count("*").alias("n_pairs"),
+            )
+            .collect()
+        }
+        assert set(rec) == {1, 2, 4, 8}
+        floors = {1: 0.20, 2: 0.40, 4: 0.50, 8: 0.999}
+        for p, floor in floors.items():
+            assert rec[p][0] >= floor, (p, rec[p][0])
+        # probing every cell IS brute force: exact recall, full top-k
+        assert rec[8][0] == 1.0
+        assert rec[8][1] == nq * 5
+        # recall non-decreasing in probe depth
+        vals = [rec[p][0] for p in (1, 2, 4, 8)]
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    def test_catalog_entry_booleans_all_true(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        from .conftest import SF_SMOKE
+
+        rows = (
+            CATALOG["emb_ivf_nprobe_curve"]
+            .builder(spark, SF_SMOKE)
+            .collect()
+        )
+        assert {r["n_probe"] for r in rows} == {1, 2, 4, 8}
+        assert all(r["recall_ok"] and r["monotone_ok"] for r in rows)
+        assert [r["exhaustive"] for r in sorted(rows, key=lambda r: r["n_probe"])] == [
+            False, False, False, True,
+        ]

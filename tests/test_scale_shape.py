@@ -56,6 +56,9 @@ CROSS_OK = {
     # corpus by design (brute force with 4x/32x less scan width); the
     # LSH/IVF methods in the same union stay bucketed equi-joins.
     "emb_ann_topk",
+    # 1-row n_queries broadcast rider + the exact-anchor comparison
+    # joining the contract-bounded query sample (emb_ann_topk's shape)
+    "emb_ivf_nprobe_curve",
     # same broadcast-query-sample contract as emb_cosine_topk (it IS
     # cosine_topk + a label-vote reduction)
     "emb_knn_label_agreement",
@@ -495,6 +498,11 @@ _CONTRACT_BOUNDED = {
     "emb_cosine_histogram",
     "emb_pq_topk",
     "emb_knn_label_agreement",  # cosine_topk composition, same contract
+    # probe-depth sweep over the SAME bounded query sample: the hinted
+    # side is the exploded (query x probed-cell) frame, |Q| x max_probe
+    # rows by contract (similarity.py:ivf_nprobe_curve docstring); the
+    # corpus side is never hinted
+    "emb_ivf_nprobe_curve",
 }
 
 

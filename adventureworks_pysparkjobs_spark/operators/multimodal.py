@@ -1036,6 +1036,10 @@ MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
     ("504B0304", "zip"),
     ("664C6143", "flac"),
     ("4F676753", "ogg"),
+    ("494433", "mp3"),      # ID3v2-tagged MPEG audio
+    ("FFFB", "mp3"),        # bare MPEG-1 L3 frame sync (no protection)
+    ("FFF3", "mp3"),        # MPEG-2 LSF frame sync
+    ("FFF2", "mp3"),        # MPEG-2 LSF frame sync, protected
 )
 
 
@@ -1134,3 +1138,296 @@ def sniff_media_types(
             F.sum("_b").cast("long").alias("total_bytes"),
         )
     )
+
+
+def parse_flac_header(payload: bytes) -> dict:
+    """Pure-Python FLAC STREAMINFO parse — exact audio metadata for the
+    dominant lossless container, the same dict contract as
+    parse_wav_header (extract_audio_metadata consumes either codec
+    unchanged): sample_rate, n_channels, bits_per_sample, n_samples
+    (total samples, EXACT from the 36-bit field — unlike MP3's frame
+    estimate), duration_ms. Walks the metadata block list only
+    (STREAMINFO is block type 0, mandatory first) — header-only,
+    O(blocks) not O(payload). Raises ValueError on malformed FLAC,
+    NotImplementedError on non-FLAC containers."""
+    import struct
+
+    if payload[:4] != b"fLaC":
+        raise NotImplementedError(
+            "not a FLAC payload; inject a codec for this format"
+        )
+    if len(payload) < 8:
+        raise ValueError("malformed FLAC: truncated block header")
+    btype = payload[4] & 0x7F
+    (blen,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if btype != 0 or blen < 34:
+        raise ValueError("malformed FLAC: first block is not STREAMINFO")
+    if len(payload) < 8 + 34:
+        raise ValueError("malformed FLAC: truncated STREAMINFO")
+    si = payload[8 : 8 + 34]
+    # 64-bit field: sample rate (20) | channels-1 (3) | bps-1 (5) |
+    # total samples (36), big-endian starting at byte 10
+    (packed,) = struct.unpack(">Q", si[10:18])
+    sample_rate = packed >> 44
+    n_channels = ((packed >> 41) & 0x7) + 1
+    bits_per_sample = ((packed >> 36) & 0x1F) + 1
+    n_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("malformed FLAC: zero sample rate")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits_per_sample,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+    }
+
+
+def encode_flac_header(
+    sample_rate: int,
+    n_channels: int = 1,
+    n_samples: int = 0,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """Minimal structurally valid FLAC stream head (fLaC magic +
+    last-flag STREAMINFO block, stdlib struct only) — the FLAC fixture
+    generator; frame data is out of scope exactly like
+    encode_jpeg_header's entropy coding."""
+    import struct
+
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | (n_samples & ((1 << 36) - 1))
+    )
+    si = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + b"\x00\x00\x00" * 2  # min/max framesize (unknown)
+        + struct.pack(">Q", packed)
+        + b"\x00" * 16  # MD5 of unencoded audio (unknown)
+    )
+    return b"fLaC" + bytes((0x80,)) + struct.pack(">I", len(si))[1:] + si
+
+
+# MPEG-1 Layer III tables (the only profile the fixture encoder emits;
+# the parser rejects everything else loudly rather than mis-decoding).
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp3_frames(payload: bytes) -> dict:
+    """Pure-Python MPEG-1 Layer III frame walk — the lossy-audio twin
+    of parse_gif_frames' block walk: skip an optional ID3v2 tag
+    (synchsafe length), parse the first frame header (bitrate, sample
+    rate, channel mode), then hop frame to frame by the computed frame
+    length (144 * bitrate / sample_rate + padding) counting frames —
+    header-only per frame, payload skipped by size. duration_ms is the
+    exact frame count x 1152 samples at the stream's rate. Raises
+    ValueError on malformed/truncated streams of an MPEG audio payload,
+    NotImplementedError on other containers."""
+    import struct
+
+    i = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("malformed MP3: truncated ID3v2 header")
+        ss = payload[6:10]  # synchsafe 28-bit size
+        if any(b & 0x80 for b in ss):
+            raise ValueError("malformed MP3: non-synchsafe ID3v2 size")
+        i = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    if i + 4 > len(payload) or payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+        raise NotImplementedError(
+            "not an MPEG audio payload; inject a codec for this format"
+        )
+    h1, h2, h3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    if (h1 >> 3) & 0x3 != 0x3 or (h1 >> 1) & 0x3 != 0x1:
+        raise ValueError(
+            "malformed MP3: only MPEG-1 Layer III streams supported"
+        )
+    br_idx, sr_idx = (h2 >> 4) & 0xF, (h2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("malformed MP3: reserved bitrate/rate index")
+    bitrate_kbps = _MP3_BITRATES[br_idx]
+    sample_rate = _MP3_RATES[sr_idx]
+    n_channels = 1 if (h3 >> 6) & 0x3 == 0x3 else 2
+    n_frames = 0
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+            raise ValueError("malformed MP3: lost frame sync")
+        f2 = payload[i + 2]
+        fbr, fsr = (f2 >> 4) & 0xF, (f2 >> 2) & 0x3
+        if fbr in (0, 15) or fsr == 3:
+            raise ValueError("malformed MP3: reserved index mid-stream")
+        flen = 144 * _MP3_BITRATES[fbr] * 1000 // _MP3_RATES[fsr] + (
+            (f2 >> 1) & 0x1
+        )
+        if i + flen > len(payload):
+            raise ValueError("malformed MP3: truncated final frame")
+        n_frames += 1
+        i += flen
+    if i != len(payload):
+        raise ValueError("malformed MP3: trailing bytes after last frame")
+    return {
+        "bitrate_kbps": bitrate_kbps,
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1152 * 1000 // sample_rate,
+    }
+
+
+def encode_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    n_channels: int = 2,
+    id3_bytes: int = 0,
+    seed: int = 0,
+) -> bytes:
+    """Minimal structurally valid MPEG-1 Layer III stream (stdlib only):
+    optional ID3v2 tag + ``n_frames`` frames with correct headers and
+    deterministic filler payloads of the exact computed frame length —
+    the MP3 fixture generator (real entropy-coded granules are out of
+    scope, same contract as encode_jpeg_header)."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    out = bytearray()
+    if id3_bytes:
+        body = bytes((i * 7 + seed) % 128 for i in range(id3_bytes))
+        ss = bytes(
+            (
+                (id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
+                (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F,
+            )
+        )
+        out += b"ID3\x04\x00\x00" + ss + body
+    mode = 0xC0 if n_channels == 1 else 0x00
+    flen = 144 * bitrate_kbps * 1000 // sample_rate  # no padding bit
+    for f in range(n_frames):
+        hdr = bytes(
+            (0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode)
+        )
+        fill = bytes((j * 31 + f + seed) % 256 for j in range(flen - 4))
+        out += hdr + fill
+    return bytes(out)
+
+
+def synthesize_flac(
+    df: DataFrame,
+    id_col: str = "path",
+    rate_col: str = "sample_rate",
+    channels_col: str = "n_channels",
+    samples_col: str = "n_samples",
+    bits_col: str = "bits_per_sample",
+) -> DataFrame:
+    """Deterministic FLAC stream-head synthesis via mapInPandas — the
+    lossless-audio fixture twin of synthesize_audio (WAV)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "path": str(rid),
+                    "content": encode_flac_header(
+                        int(rate), int(ch), int(ns), int(bits)
+                    ),
+                }
+                for rid, rate, ch, ns, bits in zip(
+                    pdf[id_col], pdf[rate_col], pdf[channels_col],
+                    pdf[samples_col], pdf[bits_col],
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, rate_col, channels_col, samples_col, bits_col
+    ).mapInPandas(run, schema="path string, content binary")
+
+
+MP3_META_SCHEMA = (
+    "path string, payload_bytes bigint, bitrate_kbps int, "
+    "sample_rate int, n_channels int, n_frames bigint, duration_ms bigint"
+)
+
+
+def extract_mp3_metadata(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = parse_mp3_frames,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """MPEG-audio metadata via mapInPandas — the lossy-audio sibling of
+    extract_audio_metadata; a real demuxer injects through the same
+    ``codec(bytes) -> dict`` seam."""
+    import pandas as pd
+
+    out_cols = [
+        "path", "payload_bytes", "bitrate_kbps", "sample_rate",
+        "n_channels", "n_frames", "duration_ms",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "bitrate_kbps": meta.get("bitrate_kbps"),
+                        "sample_rate": meta.get("sample_rate"),
+                        "n_channels": meta.get("n_channels"),
+                        "n_frames": meta.get("n_frames"),
+                        "duration_ms": meta.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=MP3_META_SCHEMA
+    )
+
+
+def synthesize_mp3(
+    df: DataFrame,
+    id_col: str = "path",
+    frames_col: str = "n_frames",
+    bitrate_col: str = "bitrate_kbps",
+    rate_col: str = "sample_rate",
+    channels_col: str = "n_channels",
+    id3_col: str = "id3_bytes",
+) -> DataFrame:
+    """Deterministic MPEG-1 Layer III synthesis via mapInPandas — one
+    spec row in, one (path, content) frame stream out (optional ID3v2
+    tag exercises the tag-skip path)."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "path": str(rid),
+                    "content": encode_mp3(
+                        int(nf), int(br), int(rate), int(ch),
+                        id3_bytes=int(i3),
+                        seed=zlib.crc32(str(rid).encode()) % 251,
+                    ),
+                }
+                for rid, nf, br, rate, ch, i3 in zip(
+                    pdf[id_col], pdf[frames_col], pdf[bitrate_col],
+                    pdf[rate_col], pdf[channels_col], pdf[id3_col],
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, frames_col, bitrate_col, rate_col, channels_col, id3_col
+    ).mapInPandas(run, schema="path string, content binary")

@@ -1407,6 +1407,10 @@ def doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN substr(hex(content), 1, 8) = '504B0304' THEN 'zip'
                WHEN substr(hex(content), 1, 8) = '664C6143' THEN 'flac'
                WHEN substr(hex(content), 1, 8) = '4F676753' THEN 'ogg'
+               WHEN substr(hex(content), 1, 6) = '494433' THEN 'mp3'
+               WHEN substr(hex(content), 1, 4) = 'FFFB' THEN 'mp3'
+               WHEN substr(hex(content), 1, 4) = 'FFF3' THEN 'mp3'
+               WHEN substr(hex(content), 1, 4) = 'FFF2' THEN 'mp3'
                WHEN substr(hex(content), 9, 8) = '66747970' THEN 'mp4'
                ELSE 'unknown' END AS media_type,
              CAST(octet_length(content) AS BIGINT) AS b
@@ -3005,3 +3009,134 @@ def doc_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingle").alias("k")
     ).distinct()
     return bloom_prefilter_audit(members, probe, "k", m_bits=262144, n_hashes=2)
+
+
+@query(
+    "doc_audio_flac_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 8000 WHEN 1 THEN 44100 ELSE 48000
+           END AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END
+                AS INTEGER) AS bits_per_sample,
+           CAST(1000 * (1 + doc_id % 100) AS BIGINT) AS n_samples,
+           CAST((1000 * (1 + doc_id % 100)) * 1000
+                // (CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 8000 WHEN 1 THEN 44100 ELSE 48000 END)
+                AS BIGINT) AS duration_ms
+    FROM documents
+    WHERE doc_id % 19 = 0
+    """,
+    tags=("multimodal", "audio", "flac", "codec", "roundtrip"),
+)
+def doc_audio_flac_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO metadata end-to-end with ZERO injected code —
+    lossless-audio container breadth next to the WAV RIFF walk (real
+    audio corpora are FLAC/MP3-first; WAV covers the PCM fixture
+    path): synthesize valid FLAC stream heads (fLaC magic + STREAMINFO
+    block, rate/channels/bit-depth/total-samples packed into the
+    spec's 64-bit bitfield, all derived from doc_id), then parse them
+    back out of the BYTES with parse_flac_header via the SAME
+    extract_audio_metadata stage the WAV leg uses — one codec argument
+    swaps the container, the dataflow is unchanged (the injection-seam
+    contract, demonstrated rather than claimed). Roundtrip-fixture
+    oracle: DuckDB recomputes every field from doc_id arithmetic; any
+    bug in the bitfield unpack (20/3/5/36-bit splits) breaks the
+    match."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 19 == 0).select(
+        did.cast("string").alias("path"),
+        F.when(did % 3 == 0, 8000)
+        .when(did % 3 == 1, 44100)
+        .otherwise(48000)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.lit(1) + did % 2).cast("int").alias("n_channels"),
+        (F.lit(1000) * (F.lit(1) + did % 100))
+        .cast("bigint")
+        .alias("n_samples"),
+        F.when(did % 2 == 0, 16).otherwise(24).cast("int").alias(
+            "bits_per_sample"
+        ),
+    )
+    parsed = MM.extract_audio_metadata(
+        MM.synthesize_flac(spec), codec=MM.parse_flac_header
+    )
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+    )
+
+
+@query(
+    "doc_audio_mp3_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 192
+           END AS INTEGER) AS bitrate_kbps,
+           CAST(CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN 48000 WHEN 1 THEN 32000 ELSE 44100
+           END AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(1 + doc_id % 200 AS BIGINT) AS n_frames,
+           CAST((1 + doc_id % 200) * 1152 * 1000
+                // (CASE CAST(doc_id % 5 AS INTEGER)
+                    WHEN 0 THEN 48000 WHEN 1 THEN 32000 ELSE 44100 END)
+                AS BIGINT) AS duration_ms
+    FROM documents
+    WHERE doc_id % 23 = 0
+    """,
+    tags=("multimodal", "audio", "mp3", "frame-walk", "roundtrip"),
+)
+def doc_audio_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer III frame-walk metadata end-to-end with ZERO
+    injected code — the lossy-audio leg (MP3 is the dominant crawl
+    audio container): synthesize valid MP3 frame streams (doc_id-derived
+    frame count / bitrate / rate / channel mode, an ID3v2 tag on 4 of
+    every 5 docs to exercise the synchsafe tag skip), then walk the
+    frames back out of the BYTES with parse_mp3_frames via
+    extract_mp3_metadata — per-frame header hops by the computed frame
+    length, payload skipped by size, the GIF-block-walk pattern on
+    audio. Roundtrip-fixture oracle: DuckDB recomputes bitrate, rate,
+    channels, the exact frame count, and the frames x 1152-sample
+    duration from doc_id arithmetic; any bug in the header bit splits,
+    the frame-length formula, or the tag skip breaks the match."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 23 == 0).select(
+        did.cast("string").alias("path"),
+        (F.lit(1) + did % 200).cast("bigint").alias("n_frames"),
+        F.when(did % 3 == 0, 64)
+        .when(did % 3 == 1, 128)
+        .otherwise(192)
+        .cast("int")
+        .alias("bitrate_kbps"),
+        F.when(did % 5 == 0, 48000)
+        .when(did % 5 == 1, 32000)
+        .otherwise(44100)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.lit(1) + did % 2).cast("int").alias("n_channels"),
+        ((did % 5) * 17).cast("int").alias("id3_bytes"),
+    )
+    parsed = MM.extract_mp3_metadata(MM.synthesize_mp3(spec))
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "bitrate_kbps",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        "duration_ms",
+    )

@@ -246,3 +246,112 @@ class TestIvfNprobeCurve:
         assert [r["exhaustive"] for r in sorted(rows, key=lambda r: r["n_probe"])] == [
             False, False, False, True,
         ]
+
+
+class TestFlacMp3Codecs:
+    def test_flac_roundtrip_and_exact_duration(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_flac_header,
+            parse_flac_header,
+        )
+
+        m = parse_flac_header(encode_flac_header(48000, 2, 480000, 24))
+        assert m == {
+            "sample_rate": 48000,
+            "n_channels": 2,
+            "bits_per_sample": 24,
+            "n_samples": 480000,
+            "duration_ms": 10000,
+        }
+        # 36-bit total-samples field boundary
+        big = parse_flac_header(
+            encode_flac_header(44100, 1, (1 << 36) - 1, 16)
+        )
+        assert big["n_samples"] == (1 << 36) - 1
+
+    def test_mp3_frame_walk_with_and_without_id3(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_mp3,
+            parse_mp3_frames,
+        )
+
+        m = parse_mp3_frames(encode_mp3(5, 128, 44100, 2, id3_bytes=33))
+        assert (m["n_frames"], m["bitrate_kbps"], m["n_channels"]) == (
+            5, 128, 2,
+        )
+        assert m["duration_ms"] == 5 * 1152 * 1000 // 44100
+        bare = parse_mp3_frames(encode_mp3(3, 64, 32000, 1))
+        assert (bare["n_frames"], bare["sample_rate"]) == (3, 32000)
+
+    def test_truncation_sweeps_never_leak(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_flac_header,
+            encode_mp3,
+            parse_flac_header,
+            parse_mp3_frames,
+        )
+
+        # FLAC: every strict prefix is malformed (one mandatory block)
+        flac = encode_flac_header(44100, 1, 1000)
+        for cut in range(len(flac)):
+            try:
+                parse_flac_header(flac[:cut])
+            except (ValueError, NotImplementedError):
+                continue
+            raise AssertionError(f"parse_flac_header cut {cut}")
+        # MP3: a cut on a frame boundary IS a valid shorter stream —
+        # it must parse to the same header fields with fewer frames;
+        # every other cut must raise, never leak IndexError.
+        mp3 = encode_mp3(4, 128, 44100, 2, id3_bytes=17)
+        full = parse_mp3_frames(mp3)
+        boundary_cuts = 0
+        for cut in range(len(mp3)):
+            try:
+                m = parse_mp3_frames(mp3[:cut])
+            except (ValueError, NotImplementedError):
+                continue
+            assert m["n_frames"] < full["n_frames"]
+            assert {
+                k: m[k] for k in ("bitrate_kbps", "sample_rate", "n_channels")
+            } == {
+                k: full[k]
+                for k in ("bitrate_kbps", "sample_rate", "n_channels")
+            }
+            boundary_cuts += 1
+        assert boundary_cuts == full["n_frames"] - 1
+
+    def test_unknown_containers_hit_the_seam(self):
+        import pytest as _pytest
+
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            parse_flac_header,
+            parse_mp3_frames,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            parse_flac_header(b"RIFFxxxxWAVE")
+        with _pytest.raises(NotImplementedError):
+            parse_mp3_frames(b"\x89PNG\r\n\x1a\nrest")
+
+    def test_sniffer_classifies_new_containers(self, spark):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_flac_header,
+            encode_mp3,
+            encode_mp4,
+            sniff_media_types,
+        )
+
+        rows = [
+            (encode_mp3(2, 128, 44100, 2, id3_bytes=9),),
+            (encode_mp3(2, 64, 32000, 1),),  # bare 0xFFFB sync
+            (encode_mp4("isom", 1000, 500, 16, 16),),
+            (encode_flac_header(44100, 1, 100),),
+        ]
+        df = spark.createDataFrame(
+            [(bytearray(r[0]),) for r in rows], "content binary"
+        )
+        out = {
+            r["media_type"]: r["n_payloads"]
+            for r in sniff_media_types(df).collect()
+        }
+        assert out == {"mp3": 2, "mp4": 1, "flac": 1}

@@ -6338,3 +6338,371 @@ def part_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("sba_forecast"))
         .alias("routed_forecast"),
     )
+
+
+@query(
+    "part_forecast_backtest",
+    oracle="""
+    WITH dem AS (
+      SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT part_key, d, q,
+             date_diff('day',
+                       LAG(d) OVER (PARTITION BY part_key ORDER BY d),
+                       d) AS iv
+      FROM dem
+    ),
+    arr AS (
+      SELECT part_key,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS ss,
+             list({'ec': CAST(0 AS DOUBLE), 'es': CAST(0 AS DOUBLE),
+                   'z': CAST(q AS DOUBLE),
+                   'p': CAST(COALESCE(iv, 0) AS DOUBLE),
+                   'm': CAST(0 AS BIGINT), 'j': CAST(0 AS BIGINT)}
+                  ORDER BY d) AS evs
+      FROM ev GROUP BY 1
+    ),
+    f AS (
+      SELECT part_key, n_events,
+             CAST(span_days AS DOUBLE) / (n_events - 1) AS adi,
+             CAST(n_events * ss - s * s AS DOUBLE)
+               / CAST(s * s AS DOUBLE) AS cv2,
+             /* DuckDB list_reduce evaluates the result-struct fields
+                SEQUENTIALLY INTO the accumulator: a field expression
+                sees the NEW value of any field declared before it.
+                Field order is therefore load-bearing — every field
+                must read only acc fields declared at-or-after itself
+                (errors first: they read z/p/j; then z, p; m before j
+                because m reads acc.j). Spark's named_struct has no
+                such aliasing; only the DuckDB side needs the order. */
+             list_reduce(
+               list_concat([{'ec': CAST(0 AS DOUBLE),
+                             'es': CAST(0 AS DOUBLE),
+                             'z': evs[1].z, 'p': evs[2].p,
+                             'm': CAST(0 AS BIGINT),
+                             'j': CAST(1 AS BIGINT)}], evs[2:]),
+               (acc, x) -> {
+                 'ec': acc.ec + (CASE WHEN acc.j >= 2
+                       THEN abs(x.z / x.p - acc.z / acc.p)
+                       ELSE CAST(0 AS DOUBLE) END),
+                 'es': acc.es + (CASE WHEN acc.j >= 2
+                       THEN abs(x.z / x.p
+                            - CAST('0.95' AS DOUBLE) * (acc.z / acc.p))
+                       ELSE CAST(0 AS DOUBLE) END),
+                 'z': CAST('0.1' AS DOUBLE) * x.z
+                      + CAST('0.9' AS DOUBLE) * acc.z,
+                 'p': CAST('0.1' AS DOUBLE) * x.p
+                      + CAST('0.9' AS DOUBLE) * acc.p,
+                 'm': acc.m + (CASE WHEN acc.j >= 2 THEN 1 ELSE 0 END),
+                 'j': acc.j + 1}
+             ) AS st
+      FROM arr WHERE n_events >= 3
+    ),
+    cls AS (
+      SELECT part_key, st.m AS n_evals,
+             st.ec AS ec, st.es AS es,
+             CASE WHEN adi < CAST('1.32' AS DOUBLE)
+                       AND cv2 < CAST('0.49' AS DOUBLE) THEN 'smooth'
+                  WHEN adi >= CAST('1.32' AS DOUBLE)
+                       AND cv2 < CAST('0.49' AS DOUBLE) THEN 'intermittent'
+                  WHEN adi < CAST('1.32' AS DOUBLE) THEN 'erratic'
+                  ELSE 'lumpy' END AS demand_class
+      FROM f
+    )
+    SELECT demand_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT_IF(es < ec) AS BIGINT) AS n_sba_wins,
+           CAST(COUNT_IF(ec < es) AS BIGINT) AS n_croston_wins,
+           CAST(COUNT_IF(es = ec) AS BIGINT) AS n_ties,
+           CAST(COUNT_IF(es < ec) AS DOUBLE) / COUNT(*) AS sba_win_share
+    FROM cls GROUP BY demand_class
+    """,
+    tags=("analytics", "supply-chain", "forecast", "backtest",
+          "prequential"),
+)
+def part_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (prequential) backtest of Croston vs SBA — the
+    empirical check behind part_croston_forecast's SBC routing: at
+    every demand event from the third on, both methods forecast the
+    next demand RATE from the PRIOR state only (the stream_xmr
+    convention: the point never moves the state that judges it), the
+    realized rate is q_t/I_t, and absolute errors accumulate inside
+    the same ordered fold that updates the smoothers. Per quadrant the
+    output counts which method won each part (lower total absolute
+    error) — the table that validates, on this corpus, the
+    Syntetos-Boylan claim that SBA wins outside the smooth quadrant.
+
+    Determinism: the fold extends part_croston_forecast's accumulator
+    with error/count fields — every term is a single IEEE op on
+    identical operands in identical order in both engines (divisions
+    of exact-int-derived doubles, one pinned 0.95 multiply, abs, add);
+    the per-part winner is an exact comparison of two such doubles,
+    and the quadrant table is pure integer counting on top (never a
+    cross-part float sum, whose order would be engine-dependent).
+    Scale: identical shape to part_croston_forecast — one (part, day)
+    aggregate, one keyed lag window, one part-grain fold, then a
+    4-row quadrant aggregate."""
+    from pyspark.sql import Window
+
+    dem = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    w = Window.partitionBy("part_key").orderBy("d")
+    ev = dem.select(
+        "part_key",
+        "d",
+        "q",
+        F.datediff("d", F.lag("d").over(w)).alias("iv"),
+    )
+    arr = ev.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span_days"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("d"),
+                    F.col("q").cast("double").alias("z"),
+                    F.coalesce(F.col("iv"), F.lit(0))
+                    .cast("double")
+                    .alias("p"),
+                )
+            )
+        ).alias("evs"),
+    )
+    f = arr.filter(F.col("n_events") >= 3).select(
+        "part_key",
+        (F.col("span_days").cast("double") / (F.col("n_events") - 1)).alias(
+            "adi"
+        ),
+        (
+            (F.col("n_events") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.col("s") * F.col("s")).cast("double")
+        ).alias("cv2"),
+        F.expr(
+            """
+            aggregate(
+              slice(evs, 2, size(evs) - 1),
+              named_struct(
+                'z', element_at(evs, 1).z, 'p', element_at(evs, 2).p,
+                'ec', CAST(0 AS DOUBLE), 'es', CAST(0 AS DOUBLE),
+                'j', CAST(1 AS BIGINT), 'm', CAST(0 AS BIGINT)),
+              (acc, x) -> named_struct(
+                'z', CAST('0.1' AS DOUBLE) * x.z
+                     + CAST('0.9' AS DOUBLE) * acc.z,
+                'p', CAST('0.1' AS DOUBLE) * x.p
+                     + CAST('0.9' AS DOUBLE) * acc.p,
+                'ec', acc.ec + (CASE WHEN acc.j >= 2
+                      THEN abs(x.z / x.p - acc.z / acc.p)
+                      ELSE CAST(0 AS DOUBLE) END),
+                'es', acc.es + (CASE WHEN acc.j >= 2
+                      THEN abs(x.z / x.p
+                           - CAST('0.95' AS DOUBLE) * (acc.z / acc.p))
+                      ELSE CAST(0 AS DOUBLE) END),
+                'j', acc.j + 1,
+                'm', acc.m + (CASE WHEN acc.j >= 2 THEN 1 ELSE 0 END))
+            )"""
+        ).alias("st"),
+    )
+    adi_cut, cv2_cut = F.lit(1.32), F.lit(0.49)
+    cls = f.select(
+        F.col("st.ec").alias("ec"),
+        F.col("st.es").alias("es"),
+        F.when((F.col("adi") < adi_cut) & (F.col("cv2") < cv2_cut), "smooth")
+        .when(
+            (F.col("adi") >= adi_cut) & (F.col("cv2") < cv2_cut),
+            "intermittent",
+        )
+        .when(F.col("adi") < adi_cut, "erratic")
+        .otherwise("lumpy")
+        .alias("demand_class"),
+    )
+    sba_win = F.when(F.col("es") < F.col("ec"), 1)
+    cro_win = F.when(F.col("ec") < F.col("es"), 1)
+    tie = F.when(F.col("ec") == F.col("es"), 1)
+    return cls.groupBy("demand_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.count(sba_win).cast("bigint").alias("n_sba_wins"),
+        F.count(cro_win).cast("bigint").alias("n_croston_wins"),
+        F.count(tie).cast("bigint").alias("n_ties"),
+        (F.count(sba_win).cast("double") / F.count(F.lit(1))).alias(
+            "sba_win_share"
+        ),
+    )
+
+
+@query(
+    "orders_ewma_control_chart",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    mr AS (
+      SELECT day, rev,
+             abs(rev - lag(rev) OVER (ORDER BY day)) AS mrange
+      FROM day
+    ),
+    stats AS (
+      SELECT CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) / COUNT(*) AS xbar,
+             CAST(CAST(SUM(mrange) AS VARCHAR) AS DOUBLE)
+               / COUNT(mrange) / CAST('1.128' AS DOUBLE) AS sigma
+      FROM mr
+    ),
+    arr AS (
+      SELECT list({'d': day, 'z': CAST(CAST(rev AS VARCHAR) AS DOUBLE),
+                   'w': CAST(0 AS DOUBLE)} ORDER BY day) AS a
+      FROM day
+    ),
+    folded AS (
+      SELECT day.day,
+             CAST(CAST(day.rev AS VARCHAR) AS DOUBLE) AS revenue,
+             stats.xbar, stats.sigma,
+             list_reduce(
+               list_concat(
+                 [{'d': DATE '1900-01-01', 'z': stats.xbar,
+                   'w': CAST(1 AS DOUBLE)}],
+                 list_filter(arr.a, e -> e.d <= day.day)),
+               (acc, x) -> {
+                 'd': x.d,
+                 'z': CAST('0.2' AS DOUBLE) * x.z
+                      + CAST('0.8' AS DOUBLE) * acc.z,
+                 'w': CAST('0.64' AS DOUBLE) * acc.w}
+             ) AS st
+      FROM day CROSS JOIN stats CROSS JOIN arr
+    )
+    SELECT day, revenue,
+           st.z AS ewma,
+           xbar + CAST('3' AS DOUBLE) * sigma
+             * sqrt(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+                    * (CAST('1' AS DOUBLE) - st.w)) AS ucl,
+           xbar - CAST('3' AS DOUBLE) * sigma
+             * sqrt(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+                    * (CAST('1' AS DOUBLE) - st.w)) AS lcl,
+           (st.z > xbar + CAST('3' AS DOUBLE) * sigma
+              * sqrt(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+                     * (CAST('1' AS DOUBLE) - st.w))
+            OR st.z < xbar - CAST('3' AS DOUBLE) * sigma
+              * sqrt(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+                     * (CAST('1' AS DOUBLE) - st.w))) AS out_of_control
+    FROM folded
+    """,
+    tags=("analytics", "control-chart", "ewma", "spc", "ops"),
+)
+def orders_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily order revenue (lambda = 0.2,
+    L = 3) — the small-persistent-shift detector next to
+    orders_xmr_control_chart's large-shock chart (EWMA pools recent
+    history, so a 0.5-sigma drift that XmR never flags crosses the
+    EWMA limit in a few days). Time-varying limits use the exact
+    variance inflation factor 1 - (1-lambda)^(2t).
+
+    Determinism: the per-day EWMA and the (1-lambda)^(2t) power are
+    BOTH computed by the ordered prefix fold (the kaplan-meier O(D^2)
+    idiom) — the power iterates w *= '0.64' (string-pinned, never
+    libm pow, which is not correctly rounded), the smoother iterates
+    z = '0.2'x + '0.8'z; sigma-hat = MRbar/'1.128' (d2 for n=2) and
+    xbar divide exact decimal sums; sqrt is IEEE-correctly-rounded in
+    both engines (the ordered-fold idiom's one safe transcendental).
+    Scale: one day-grain aggregate over orders is the only
+    corpus-sized stage; the folds run on the calendar-bounded day
+    frame with two 1-row broadcast riders (stats, curve array) —
+    CROSS_OK."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    od = load_table(spark, sf_dir, "orders")
+    day = od.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("rev")
+    )
+    wlag = Window.orderBy("day")
+    mr = day.withColumn(
+        "mrange", F.abs(F.col("rev") - F.lag("rev").over(wlag))
+    )
+    stats = mr.agg(
+        (_dbl(F.sum("rev")) / F.count(F.lit(1))).alias("xbar"),
+        (
+            _dbl(F.sum("mrange"))
+            / F.count("mrange")
+            / F.expr("CAST('1.128' AS DOUBLE)")
+        ).alias("sigma"),
+    )
+    arr = day.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("day").alias("d"),
+                    _dbl(F.col("rev")).alias("z"),
+                    F.lit(0.0).alias("w"),
+                )
+            )
+        ).alias("a")
+    )
+    lam, one_m, sq = (
+        F.expr("CAST('0.2' AS DOUBLE)"),
+        F.expr("CAST('0.8' AS DOUBLE)"),
+        F.expr("CAST('0.64' AS DOUBLE)"),
+    )
+    fold = F.aggregate(
+        F.filter(F.col("a"), lambda e: e["d"] <= F.col("day")),
+        F.struct(
+            F.col("xbar").alias("z"),
+            F.lit(1.0).alias("w"),
+        ),
+        lambda acc, x: F.struct(
+            (lam * x["z"] + one_m * acc["z"]).alias("z"),
+            (sq * acc["w"]).alias("w"),
+        ),
+    )
+    folded = (
+        day.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(arr))
+        .select(
+            "day",
+            _dbl(F.col("rev")).alias("revenue"),
+            "xbar",
+            "sigma",
+            fold.alias("st"),
+        )
+    )
+    frac = F.expr("CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)")
+    half = (
+        F.expr("CAST('3' AS DOUBLE)")
+        * F.col("sigma")
+        * F.sqrt(frac * (F.expr("CAST('1' AS DOUBLE)") - F.col("st.w")))
+    )
+    ucl = F.col("xbar") + half
+    lcl = F.col("xbar") - half
+    return folded.select(
+        "day",
+        "revenue",
+        F.col("st.z").alias("ewma"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((F.col("st.z") > ucl) | (F.col("st.z") < lcl)).alias(
+            "out_of_control"
+        ),
+    )

@@ -71,6 +71,9 @@ CROSS_OK = {
     # queries = the audit sample (bounded by contract at scale)
     "emb_hubness_audit",
     "customer_mahalanobis_outliers",  # 1-row moment rider broadcast cross
+    # two 1-row riders (xbar/sigma stats, curve array) + the KM-idiom
+    # day-frame prefix folds — all broadcast sides are 1-row aggregates
+    "orders_ewma_control_chart",
     "orders_revenue_runs_test",  # 1-row exact-median broadcast rider
     "lineitem_simpson_audit",  # 1-row pooled-moment broadcast rider
     # same audit-sample broadcast contract as emb_hubness_audit

@@ -6706,3 +6706,282 @@ def orders_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_of_control"
         ),
     )
+
+
+@query(
+    "part_reorder_point",
+    oracle="""
+    WITH dem AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ds AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS ss
+      FROM dem GROUP BY 1
+    ),
+    lt AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS g
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ls AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(g) AS BIGINT) AS gs,
+             CAST(SUM(g * g) AS BIGINT) AS gss
+      FROM lt GROUP BY 1
+    ),
+    j AS (
+      SELECT ds.brand, ds.n, ls.m,
+             CAST(ds.s AS DOUBLE) / ds.n AS mean_d,
+             CAST(ds.n * ds.ss - ds.s * ds.s AS DOUBLE)
+               / ds.n / (ds.n - 1) AS var_d,
+             CAST(ls.gs AS DOUBLE) / ls.m AS mean_l,
+             CAST(ls.m * ls.gss - ls.gs * ls.gs AS DOUBLE)
+               / ls.m / (ls.m - 1) AS var_l
+      FROM ds JOIN ls ON ds.brand = ls.brand
+      WHERE ds.n >= 2 AND ls.m >= 2
+    )
+    SELECT brand, n AS n_days, m AS n_shipments,
+           mean_d AS mean_daily_demand, mean_l AS mean_lead_days,
+           CAST('1.645' AS DOUBLE)
+             * sqrt(mean_l * var_d + mean_d * mean_d * var_l)
+             AS safety_stock,
+           mean_d * mean_l
+             + CAST('1.645' AS DOUBLE)
+               * sqrt(mean_l * var_d + mean_d * mean_d * var_l)
+             AS reorder_point
+    FROM j
+    """,
+    tags=("analytics", "supply-chain", "safety-stock", "reorder-point"),
+)
+def part_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder point with safety stock under VARIABLE lead time per
+    brand — the continuous-review (s, Q) policy parameter next to
+    part_newsvendor_stock's single-period rule: ROP = d_bar*L_bar +
+    z*sqrt(L_bar*s_d^2 + d_bar^2*s_L^2) (the standard compound
+    formula; both demand-rate and lead-time variability contribute),
+    z pinned at '1.645' (95% cycle service). Lead time is the
+    order->ship gap (the fixture's only procurement latency; swap the
+    gap expression for commit->receipt on data that has it).
+
+    Determinism: daily-demand and lead-time moments are exact BIGINT
+    sums; means and variances are pinned-order double divisions
+    (var = (n*ss - s*s)/n/(n-1), left-associative in both engines);
+    sqrt is the idiom's safe transcendental; z is string-pinned.
+    Scale: two keyed aggregates over lineitem (one joined to orders,
+    one to part) -> 25-row brand frame; no windows, no riders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    od = load_table(spark, sf_dir, "orders")
+    dem = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    ds = dem.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    lt = (
+        li.join(od, od["o_orderkey"] == li["l_orderkey"])
+        .join(pt, pt["p_partkey"] == li["l_partkey"])
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    ls = lt.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("g").cast("bigint").alias("gs"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("gss"),
+    )
+    j = (
+        ds.join(ls, "brand")
+        .filter((F.col("n") >= 2) & (F.col("m") >= 2))
+        .select(
+            "brand",
+            "n",
+            "m",
+            (F.col("s").cast("double") / F.col("n")).alias("mean_d"),
+            (
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                .cast("double")
+                / F.col("n")
+                / (F.col("n") - 1)
+            ).alias("var_d"),
+            (F.col("gs").cast("double") / F.col("m")).alias("mean_l"),
+            (
+                (F.col("m") * F.col("gss") - F.col("gs") * F.col("gs"))
+                .cast("double")
+                / F.col("m")
+                / (F.col("m") - 1)
+            ).alias("var_l"),
+        )
+    )
+    z = F.expr("CAST('1.645' AS DOUBLE)")
+    safety = z * F.sqrt(
+        F.col("mean_l") * F.col("var_d")
+        + F.col("mean_d") * F.col("mean_d") * F.col("var_l")
+    )
+    return j.select(
+        "brand",
+        F.col("n").alias("n_days"),
+        F.col("m").alias("n_shipments"),
+        F.col("mean_d").alias("mean_daily_demand"),
+        F.col("mean_l").alias("mean_lead_days"),
+        safety.alias("safety_stock"),
+        (F.col("mean_d") * F.col("mean_l") + safety).alias(
+            "reorder_point"
+        ),
+    )
+
+
+@query(
+    "part_abc_xyz_matrix",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS part_key,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    dem AS (
+      SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    var AS (
+      SELECT part_key, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS ss
+      FROM dem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT p.part_key, p.rev, v.n, v.s, v.ss,
+             CAST(SUM(p.rev) OVER (ORDER BY p.rev DESC, p.part_key
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,2)) AS cum,
+             CAST(SUM(p.rev) OVER () AS DECIMAL(38,2)) AS total
+      FROM per_part p JOIN var v ON v.part_key = p.part_key
+      WHERE v.n >= 2
+    ),
+    cls AS (
+      SELECT rev, total,
+             CASE WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(total AS VARCHAR) AS DOUBLE)
+                       <= CAST('0.8' AS DOUBLE) THEN 'A'
+                  WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(total AS VARCHAR) AS DOUBLE)
+                       <= CAST('0.95' AS DOUBLE) THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             CASE WHEN 4 * (n * ss - s * s) <= s * s THEN 'X'
+                  WHEN n * ss - s * s <= s * s THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM ranked
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(MAX(total) AS VARCHAR) AS DOUBLE)
+             AS revenue_share
+    FROM cls GROUP BY 1, 2
+    """,
+    tags=("analytics", "supply-chain", "abc-xyz", "pareto",
+          "classification"),
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC x XYZ inventory classification matrix — the planning grid
+    every MRP system draws before picking policies per SKU: ABC =
+    cumulative revenue Pareto classes at 80%/95% (ordered by revenue
+    desc, part key as the deterministic tiebreak), XYZ = demand
+    variability classes at CV 0.5 / 1.0 — tested EXACTLY in integers:
+    CV <= 0.5 iff 4*(n*ss - s^2) <= s^2 and CV <= 1 iff n*ss - s^2 <=
+    s^2, so the XYZ split never materializes a float. ABC boundaries
+    divide exact decimal cumulative sums cast through VARCHAR (the
+    portable decimal->double rule) by the same-cast total — identical
+    operands in both engines, hence identical classification even AT a
+    boundary. Scale: two part-grain aggregates; the Pareto window runs
+    on the part-dimension frame (bounded by |part|, downstream of the
+    reducing aggregate); 9-cell output."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    def _dbl(c):
+        return c.cast("string").cast("double")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(dec("l_extendedprice", 12, 2))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    dem = li.groupBy(
+        F.col("l_partkey").alias("part_key"),
+        F.to_date("l_shipdate").alias("d"),
+    ).agg(
+        F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("q")
+    )
+    var = dem.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    wcum = Window.orderBy(F.col("rev").desc(), "part_key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.col("rev").desc(), "part_key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        per_part.join(var, "part_key")
+        .filter(F.col("n") >= 2)
+        .select(
+            "rev",
+            "n",
+            "s",
+            "ss",
+            F.sum("rev").over(wcum).cast("decimal(38,2)").alias("cum"),
+            F.sum("rev").over(wall).cast("decimal(38,2)").alias("total"),
+        )
+    )
+    share = _dbl(F.col("cum")) / _dbl(F.col("total"))
+    cv2n = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    s2 = F.col("s") * F.col("s")
+    cls = ranked.select(
+        "rev",
+        "total",
+        F.when(share <= F.expr("CAST('0.8' AS DOUBLE)"), "A")
+        .when(share <= F.expr("CAST('0.95' AS DOUBLE)"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(F.lit(4) * cv2n <= s2, "X")
+        .when(cv2n <= s2, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return cls.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (
+            _dbl(F.sum("rev").cast("decimal(38,2)"))
+            / _dbl(F.max("total"))
+        ).alias("revenue_share"),
+    )

@@ -2897,3 +2897,91 @@ def doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.lit(100.0) * share).alias("n_alloc"),
     )
+
+
+@query(
+    "corpus_chinchilla_plan",
+    oracle="""
+    WITH toks AS (
+      SELECT CAST(SUM(len(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'),
+               t -> t <> ''))) AS BIGINT) AS avail
+      FROM documents
+    ),
+    grid AS (
+      SELECT * FROM (VALUES
+        ('1e18', CAST('1e18' AS DOUBLE)),
+        ('1e20', CAST('1e20' AS DOUBLE)),
+        ('1e22', CAST('1e22' AS DOUBLE)),
+        ('1e24', CAST('1e24' AS DOUBLE))
+      ) AS g(budget, flops)
+    ),
+    plan AS (
+      SELECT g.budget, t.avail,
+             sqrt(g.flops / CAST('120' AS DOUBLE)) AS n_params,
+             CAST('20' AS DOUBLE)
+               * sqrt(g.flops / CAST('120' AS DOUBLE)) AS n_tokens
+      FROM grid g CROSS JOIN toks t
+    )
+    SELECT budget, avail AS corpus_tokens, n_params, n_tokens,
+           n_tokens / CAST(avail AS DOUBLE) AS epochs_needed,
+           (n_tokens / CAST(avail AS DOUBLE) <= CAST('1' AS DOUBLE))
+             AS within_one_epoch
+    FROM plan
+    """,
+    tags=("corpus", "scaling-laws", "chinchilla", "planning"),
+)
+def corpus_chinchilla_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-optimal training plan per FLOP budget (Hoffmann et al.
+    2022, "Chinchilla"): with C = 6*N*D and the compute-optimal ratio
+    D/N = 20, the optimal model size is N = sqrt(C/120) and the token
+    budget D = 20N — the first table a pretraining team draws against
+    a corpus: how many epochs of THIS corpus each budget implies, and
+    where repetition starts (epochs > 1). The corpus token supply is
+    the exact whitespace-token count (the _TOKS idiom).
+
+    Determinism: the budget grid is string-pinned doubles; N = one
+    division + one sqrt (IEEE-correctly-rounded in both engines), D =
+    one pinned multiply, epochs = one division by the exact BIGINT
+    supply — all single ops on identical operands. Scale: ONE
+    corpus-sized tokenize aggregate; the 4-row grid rides a broadcast
+    cross join (1-row supply rider, CROSS_OK)."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = doc.agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("avail")
+    )
+    grid = spark.createDataFrame(
+        [("1e18",), ("1e20",), ("1e22",), ("1e24",)], "budget string"
+    ).select(
+        "budget", F.col("budget").cast("double").alias("flops")
+    )
+    n_params = F.sqrt(F.col("flops") / F.expr("CAST('120' AS DOUBLE)"))
+    n_tokens = F.expr("CAST('20' AS DOUBLE)") * F.sqrt(
+        F.col("flops") / F.expr("CAST('120' AS DOUBLE)")
+    )
+    plan = grid.crossJoin(F.broadcast(toks)).select(
+        "budget",
+        F.col("avail").alias("corpus_tokens"),
+        n_params.alias("n_params"),
+        n_tokens.alias("n_tokens"),
+    )
+    epochs = F.col("n_tokens") / F.col("corpus_tokens").cast("double")
+    return plan.select(
+        "budget",
+        "corpus_tokens",
+        "n_params",
+        "n_tokens",
+        epochs.alias("epochs_needed"),
+        (epochs <= F.expr("CAST('1' AS DOUBLE)")).alias(
+            "within_one_epoch"
+        ),
+    )

@@ -74,6 +74,8 @@ CROSS_OK = {
     # two 1-row riders (xbar/sigma stats, curve array) + the KM-idiom
     # day-frame prefix folds — all broadcast sides are 1-row aggregates
     "orders_ewma_control_chart",
+    # 4-row budget enum grid x 1-row corpus-token-supply rider
+    "corpus_chinchilla_plan",
     "orders_revenue_runs_test",  # 1-row exact-median broadcast rider
     "lineitem_simpson_audit",  # 1-row pooled-moment broadcast rider
     # same audit-sample broadcast contract as emb_hubness_audit

@@ -9,14 +9,18 @@ The Spark-side plumbing here (binaryFile source, schema, mapInPandas batch
 shape, partitioning) is real and tested, and — since r9 — every media leg
 also RUNS end-to-end with zero injected code via pure-Python header-grade
 defaults: image dimensions (PNG IHDR / JPEG SOFn / GIF LSD), filter-0 PNG
-nearest-neighbor resize, WAV metadata (RIFF chunk walk), and animated-GIF
-frame sampling. Pixel/sample-grade work (full JPEG decode, resampling,
-real video) still needs media libraries that are not in this container, so
-each stage keeps its ``codec`` injection seam: the defaults raise
-NotImplementedError only for containers/encodings they cannot read, and
-swapping in Pillow/librosa/pyav in production changes one argument, not
-the dataflow. Stdlib fixture encoders (encode_png / encode_jpeg_header /
-encode_wav / encode_animated_gif) stand in for a binaryFile scan when no
+nearest-neighbor resize, audio metadata (WAV RIFF chunk walk; r10 adds the
+FLAC STREAMINFO bitfield and an MPEG-1 Layer III frame walk with ID3v2
+tag skip), and video structure (animated-GIF frame sampling; r10 adds the
+ISO-BMFF/MP4 box walk — ftyp brand, mvhd duration, tkhd dimensions, mdat
+skipped by size). Pixel/sample-grade work (full JPEG decode, resampling,
+real video frames) still needs media libraries that are not in this
+container, so each stage keeps its ``codec`` injection seam: the defaults
+raise NotImplementedError only for containers/encodings they cannot read,
+and swapping in Pillow/librosa/pyav in production changes one argument,
+not the dataflow. Stdlib fixture encoders (encode_png /
+encode_jpeg_header / encode_wav / encode_animated_gif / encode_mp4 /
+encode_flac_header / encode_mp3) stand in for a binaryFile scan when no
 media files exist.
 """
 

@@ -106,7 +106,9 @@ def _reset_session_state(spark) -> None:
 # this box (r8 quiet-box record, 9.87 s); the r3 number is retained
 # below as history so the total drift stays visible in the source.
 CORE13_BEST_R3_SEC = 8.25   # historical: 13-entry bench, round-3 box state
-CORE13_BEST_SEC = 9.87      # current-protocol quiet-box best (round 8)
+CORE13_BEST_SEC = 9.643     # current-protocol quiet-box best (round 10;
+#                             r8's 9.87 superseded — see BENCH_NOTES.md
+#                             "r10 quiet reading")
 
 # FROZEN BENCH CONTRACT (r7 verdict task 5). The headline set grows as
 # the catalog grows, which makes round-over-round headline totals

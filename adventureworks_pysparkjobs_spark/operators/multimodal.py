@@ -1435,3 +1435,70 @@ def synthesize_mp3(
     return df.select(
         id_col, frames_col, bitrate_col, rate_col, channels_col, id3_col
     ).mapInPandas(run, schema="path string, content binary")
+
+
+RIFF_SUBTYPES: tuple[tuple[str, str], ...] = (
+    ("57415645", "wave"),   # WAVE
+    ("41564920", "avi"),    # 'AVI '
+    ("57454250", "webp"),   # WEBP
+)
+
+
+def riff_subtype_col(content_col: str = "content") -> F.Column:
+    """Second-stage triage for payloads the magic sniffer classified
+    'riff': the container's REAL identity lives in bytes 9-12 (WAVE /
+    'AVI ' / WEBP share the RIFF envelope). One in-codegen CASE over
+    hex(substring), the same zero-UDF contract as media_type_col."""
+    sub = F.hex(F.expr(f"substring({content_col}, 9, 4)"))
+    out = None
+    for sig, name in RIFF_SUBTYPES:
+        cond = sub == sig
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    return out.otherwise("riff-other")
+
+
+def encode_riff_stub(subtype: bytes, filler: int, seed: int = 0) -> bytes:
+    """Minimal RIFF envelope with an arbitrary subtype and
+    deterministic filler — the AVI/WEBP fixture generator (full AVI
+    index / VP8 bitstream are out of scope, same contract as
+    encode_jpeg_header: exactly the byte surface the triage reads)."""
+    import struct
+
+    body = subtype + bytes((i * 13 + seed) % 256 for i in range(filler))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_riff_stubs(
+    df: DataFrame,
+    id_col: str = "path",
+    kind_col: str = "kind",
+    samples_col: str = "n_samples",
+    filler_col: str = "filler",
+) -> DataFrame:
+    """Deterministic mixed-RIFF synthesis via mapInPandas: kind='wave'
+    rows become real PCM WAVs (encode_wav), 'avi'/'webp' rows become
+    envelope stubs — one spec row in, one (path, content) out."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, kind, ns, fl in zip(
+                pdf[id_col], pdf[kind_col], pdf[samples_col],
+                pdf[filler_col],
+            ):
+                seed = zlib.crc32(str(rid).encode()) % 251
+                if kind == "wave":
+                    content = encode_wav(8000, 1, int(ns), seed=seed)
+                elif kind == "avi":
+                    content = encode_riff_stub(b"AVI ", int(fl), seed)
+                else:
+                    content = encode_riff_stub(b"WEBP", int(fl), seed)
+                rows.append({"path": str(rid), "content": content})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, kind_col, samples_col, filler_col
+    ).mapInPandas(run, schema="path string, content binary")

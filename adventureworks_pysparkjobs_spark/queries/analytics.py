@@ -6985,3 +6985,122 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _dbl(F.max("total"))
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "part_ses_forecast",
+    oracle="""
+    WITH dem AS (
+      SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT part_key, d, q,
+             date_diff('day',
+                       LAG(d) OVER (PARTITION BY part_key ORDER BY d),
+                       d) AS iv
+      FROM dem
+    ),
+    arr AS (
+      SELECT part_key,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT)
+               AS span_days,
+             list({'z': CAST(q AS DOUBLE),
+                   'p': CAST(COALESCE(iv, 0) AS DOUBLE)}
+                  ORDER BY d) AS evs
+      FROM ev GROUP BY 1
+    )
+    SELECT part_key, n_events, span_days,
+           list_reduce(
+             list_concat([{'z': evs[1].z, 'p': evs[1].p}], evs[2:]),
+             (acc, x) -> {
+               'z': CAST('0.1' AS DOUBLE) * x.z
+                    + CAST('0.9' AS DOUBLE) * list_reduce(
+                        list_concat([acc.z],
+                          list_transform(
+                            range(1, CAST(x.p AS INTEGER)),
+                            i -> CAST(0 AS DOUBLE))),
+                        (dacc, y) -> CAST('0.9' AS DOUBLE) * dacc),
+               'p': x.p}
+           ).z AS ses_level
+    FROM arr WHERE n_events >= 2
+    """,
+    tags=("analytics", "supply-chain", "ses", "forecast",
+          "zero-filled"),
+)
+def part_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing over the ZERO-FILLED daily demand
+    series per part — the method the smooth quadrant actually calls
+    for (Croston's z/p ratio only approximates SES when demand is
+    near-every-period; true SES decays through the zero days):
+    z <- 0.1*x + 0.9*z applied to EVERY calendar day between first
+    and last demand, where x is that day's demand or zero.
+
+    Computed WITHOUT materializing the day series: a zero day is
+    z <- 0.9*z, so a gap of g days collapses to g-1 iterated decays
+    inside a NESTED fold (inner: g-1 pinned '0.9' multiplications —
+    never pow, which is not correctly rounded; outer: the usual
+    event-ordered fold). Per part the total inner+outer step count is
+    exactly span_days — identical to folding the zero-filled series,
+    at event-list memory. The outer accumulator is a single-field
+    read ('z' reads only acc.z), so the DuckDB struct-fold aliasing
+    hazard (see part_forecast_backtest) cannot arise. Scale: same
+    skeleton as part_croston_forecast — one (part, day) aggregate,
+    one keyed lag window, one part-grain fold; all keyed by part."""
+    from pyspark.sql import Window
+
+    dem = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    w = Window.partitionBy("part_key").orderBy("d")
+    ev = dem.select(
+        "part_key",
+        "d",
+        "q",
+        F.datediff("d", F.lag("d").over(w)).alias("iv"),
+    )
+    arr = ev.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("d"),
+                    F.col("q").cast("double").alias("z"),
+                    F.coalesce(F.col("iv"), F.lit(0))
+                    .cast("double")
+                    .alias("p"),
+                )
+            )
+        ).alias("evs"),
+    )
+    return arr.filter(F.col("n_events") >= 2).select(
+        "part_key",
+        "n_events",
+        "span_days",
+        F.expr(
+            """
+            aggregate(
+              slice(evs, 2, size(evs) - 1),
+              named_struct('z', element_at(evs, 1).z),
+              (acc, x) -> named_struct('z',
+                CAST('0.1' AS DOUBLE) * x.z
+                + CAST('0.9' AS DOUBLE) * aggregate(
+                    filter(sequence(1, CAST(x.p AS INT)),
+                           i -> i < CAST(x.p AS INT)),
+                    acc.z,
+                    (dacc, i) -> CAST('0.9' AS DOUBLE) * dacc))
+            ).z"""
+        ).alias("ses_level"),
+    )

@@ -3140,3 +3140,63 @@ def doc_audio_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "duration_ms",
     )
+
+
+@query(
+    "doc_media_riff_subtypes",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'wave' WHEN 1 THEN 'avi' ELSE 'webp'
+             END AS riff_subtype,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 44 + 2 * (10 + doc_id % 50)
+                  ELSE 62 + doc_id % 100 END AS b
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT riff_subtype,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(b) AS BIGINT) AS total_bytes
+    FROM m GROUP BY 1
+    """,
+    tags=("multimodal", "riff", "triage", "magic-bytes", "roundtrip"),
+)
+def doc_media_riff_subtypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage RIFF triage — the step after doc_media_magic_sniff
+    buckets a payload as 'riff': WAVE, AVI and WebP all share the RIFF
+    envelope, and a crawl pipeline routes them to entirely different
+    decoders, so the envelope bucket must be split by the subtype at
+    bytes 9-12 before any codec dispatch. Synthesize a doc_id-derived
+    mix (real PCM WAVs via encode_wav; AVI/WEBP envelope stubs), split
+    with riff_subtype_col (one in-codegen CASE, zero UDFs), aggregate
+    the per-subtype inventory. Roundtrip-fixture oracle: DuckDB
+    recomputes subtype AND total byte counts (44 + 2*n_samples for
+    PCM-16 mono WAV; 12-byte envelope + filler for the stubs) from
+    doc_id arithmetic — any drift in the fixture encoders' byte layout
+    or the offset-8 substring breaks the match."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 7 == 0).select(
+        did.cast("string").alias("path"),
+        F.when(did % 3 == 0, "wave")
+        .when(did % 3 == 1, "avi")
+        .otherwise("webp")
+        .alias("kind"),
+        (F.lit(10) + did % 50).cast("int").alias("n_samples"),
+        (F.lit(50) + did % 100).cast("int").alias("filler"),
+    )
+    payloads = MM.synthesize_riff_stubs(spec)
+    return (
+        payloads.select(
+            MM.riff_subtype_col("content").alias("riff_subtype"),
+            F.octet_length("content").cast("long").alias("_b"),
+        )
+        .groupBy("riff_subtype")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+            F.sum("_b").cast("bigint").alias("total_bytes"),
+        )
+    )

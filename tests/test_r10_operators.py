@@ -355,3 +355,115 @@ class TestFlacMp3Codecs:
             for r in sniff_media_types(df).collect()
         }
         assert out == {"mp3": 2, "mp4": 1, "flac": 1}
+
+
+def test_duckdb_struct_fold_aliasing_semantics_still_hold():
+    """Regression guard for the r10 oracle-field-ordering workaround.
+    DuckDB 1.0 list_reduce with a struct accumulator is NOT alias-free
+    when a field reads another field the same step writes: the first
+    iteration reads a consistent init snapshot, but from the SECOND
+    iteration on a field observes the same-step-updated value of any
+    field declared before it ('e': acc.e + acc.z with 'z' declared
+    first reads the freshly-written z). Measured sequence over
+    elements [1,5,7,11] with z += x.z, e += acc.z: alias-free would
+    give e = 1, 7, 20; DuckDB gives e = 1, 14, 38 (e_k = e_{k-1} +
+    NEW z_k for k >= 2). part_forecast_backtest's oracle orders its
+    accumulator fields (derived-before-source) to stay outside the
+    hazard. If a DuckDB upgrade makes struct folds alias-free, this
+    test fails — the signal to retire the field-order comments (the
+    safely-ordered oracles themselves are correct either way)."""
+    import duckdb
+
+    def fold(vals):
+        els = ", ".join(
+            f"{{'z': CAST({v} AS DOUBLE), 'e': CAST(0 AS DOUBLE)}}"
+            for v in vals
+        )
+        return duckdb.sql(
+            f"""
+            SELECT list_reduce([{els}],
+              (acc, x) -> {{'z': acc.z + x.z, 'e': acc.e + acc.z}}) AS f
+            """
+        ).fetchone()[0]
+
+    observed = [fold([1, 5, 7, 11][:n])["e"] for n in (2, 3, 4)]
+    alias_free = [1.0, 7.0, 20.0]
+    assert observed == [1.0, 14.0, 38.0], (
+        "DuckDB struct-fold aliasing semantics CHANGED: "
+        f"{observed} (alias-free would be {alias_free}) — revisit the "
+        "field-order workarounds (queries/analytics.py "
+        "part_forecast_backtest oracle, verify SKILL.md r10 notes)"
+    )
+    # safely-ordered twin (derived field declared FIRST): alias-free
+    # values at every length — the construction the oracles rely on
+    safe = duckdb.sql(
+        """
+        SELECT list_reduce(
+          [{'e': CAST(0 AS DOUBLE), 'z': CAST(1 AS DOUBLE)},
+           {'e': CAST(0 AS DOUBLE), 'z': CAST(5 AS DOUBLE)},
+           {'e': CAST(0 AS DOUBLE), 'z': CAST(7 AS DOUBLE)}],
+          (acc, x) -> {'e': acc.e + acc.z, 'z': acc.z + x.z}
+        ) AS f
+        """
+    ).fetchone()[0]
+    assert safe == {"e": 7.0, "z": 13.0}
+
+
+class TestSesForecast:
+    def test_hand_computed_nested_fold_exact(self, spark, tmp_path):
+        import datetime as _dt
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        d0 = _dt.date(1995, 3, 1)
+        rows = [
+            (1, d0, 4.0),
+            (1, d0 + _dt.timedelta(days=3), 6.0),
+            (1, d0 + _dt.timedelta(days=5), 2.0),
+        ]
+        spark.createDataFrame(
+            rows, "l_partkey long, l_shipdate date, l_quantity double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        out = {
+            r["part_key"]: r
+            for r in CATALOG["part_ses_forecast"]
+            .builder(spark, str(tmp_path))
+            .collect()
+        }
+        z = 4.0
+        for q, iv in [(6.0, 3), (2.0, 2)]:
+            dcc = z
+            for _ in range(iv - 1):
+                dcc = 0.9 * dcc
+            z = 0.1 * q + 0.9 * dcc
+        assert out[1]["ses_level"] == z  # bit-exact incl. gap decay
+        assert out[1]["span_days"] == 5
+
+    def test_equals_explicit_zero_filled_series(self, spark, tmp_path):
+        """The nested gap-decay fold must equal SES run day-by-day over
+        the explicit zero-filled series — the definition it collapses."""
+        import datetime as _dt
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        d0 = _dt.date(1995, 3, 1)
+        demands = {0: 7.0, 4: 3.0, 5: 9.0, 11: 1.0}
+        rows = [
+            (1, d0 + _dt.timedelta(days=k), v) for k, v in demands.items()
+        ]
+        spark.createDataFrame(
+            rows, "l_partkey long, l_shipdate date, l_quantity double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        got = (
+            CATALOG["part_ses_forecast"]
+            .builder(spark, str(tmp_path))
+            .collect()[0]["ses_level"]
+        )
+        z = demands[0]
+        for day in range(1, 12):
+            z = 0.1 * demands.get(day, 0.0) + 0.9 * z
+        assert got == z

@@ -1042,6 +1042,7 @@ MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
     ("4F676753", "ogg"),
     ("494433", "mp3"),      # ID3v2-tagged MPEG audio
     ("FFFB", "mp3"),        # bare MPEG-1 L3 frame sync (no protection)
+    ("FFFA", "mp3"),        # MPEG-1 L3 frame sync, CRC-protected
     ("FFF3", "mp3"),        # MPEG-2 LSF frame sync
     ("FFF2", "mp3"),        # MPEG-2 LSF frame sync, protected
 )
@@ -1225,12 +1226,17 @@ _MP3_RATES = (44100, 48000, 32000)
 def parse_mp3_frames(payload: bytes) -> dict:
     """Pure-Python MPEG-1 Layer III frame walk — the lossy-audio twin
     of parse_gif_frames' block walk: skip an optional ID3v2 tag
-    (synchsafe length), parse the first frame header (bitrate, sample
-    rate, channel mode), then hop frame to frame by the computed frame
-    length (144 * bitrate / sample_rate + padding) counting frames —
-    header-only per frame, payload skipped by size. duration_ms is the
-    exact frame count x 1152 samples at the stream's rate. Raises
-    ValueError on malformed/truncated streams of an MPEG audio payload,
+    (synchsafe length; the v2.4 footer flag adds 10 trailing bytes),
+    parse the first frame header (bitrate, sample rate, channel mode),
+    then hop frame to frame by the computed frame length
+    (144 * bitrate / sample_rate + padding) counting frames —
+    header-only per frame, payload skipped by size. A trailing 128-byte
+    ID3v1 ``TAG`` block is a legal stream end (common real-world
+    layout). Every frame's version/layer bits are validated, not just
+    the first's — a mid-stream MPEG-2/Layer switch raises instead of
+    miscounting with the wrong tables. duration_ms is the exact frame
+    count x 1152 samples at the stream's rate. Raises ValueError on
+    malformed/truncated streams of an MPEG audio payload,
     NotImplementedError on other containers."""
     import struct
 
@@ -1242,6 +1248,8 @@ def parse_mp3_frames(payload: bytes) -> dict:
         if any(b & 0x80 for b in ss):
             raise ValueError("malformed MP3: non-synchsafe ID3v2 size")
         i = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+        if payload[5] & 0x10:  # ID3v2.4 footer flag: 10 trailing bytes
+            i += 10
     if i + 4 > len(payload) or payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
         raise NotImplementedError(
             "not an MPEG audio payload; inject a codec for this format"
@@ -1259,8 +1267,20 @@ def parse_mp3_frames(payload: bytes) -> dict:
     n_channels = 1 if (h3 >> 6) & 0x3 == 0x3 else 2
     n_frames = 0
     while i + 4 <= len(payload):
+        if payload[i : i + 3] == b"TAG" and len(payload) - i == 128:
+            i = len(payload)  # trailing ID3v1 tag block: legal stream end
+            break
         if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
             raise ValueError("malformed MP3: lost frame sync")
+        f1 = payload[i + 1]
+        # Version/layer must hold on EVERY frame, not just the first: a
+        # mid-stream switch to MPEG-2 / Layer I-II has a different frame
+        # length and samples-per-frame, so measuring it with the MPEG-1
+        # Layer III tables would miscount silently instead of loudly.
+        if (f1 >> 3) & 0x3 != 0x3 or (f1 >> 1) & 0x3 != 0x1:
+            raise ValueError(
+                "malformed MP3: version/layer change mid-stream"
+            )
         f2 = payload[i + 2]
         fbr, fsr = (f2 >> 4) & 0xF, (f2 >> 2) & 0x3
         if fbr in (0, 15) or fsr == 3:
@@ -1290,12 +1310,16 @@ def encode_mp3(
     n_channels: int = 2,
     id3_bytes: int = 0,
     seed: int = 0,
+    id3_footer: bool = False,
+    id3v1_trailer: bool = False,
 ) -> bytes:
     """Minimal structurally valid MPEG-1 Layer III stream (stdlib only):
-    optional ID3v2 tag + ``n_frames`` frames with correct headers and
-    deterministic filler payloads of the exact computed frame length —
-    the MP3 fixture generator (real entropy-coded granules are out of
-    scope, same contract as encode_jpeg_header)."""
+    optional ID3v2 tag (optionally with the v2.4 footer) + ``n_frames``
+    frames with correct headers and deterministic filler payloads of
+    the exact computed frame length, optionally closed by a 128-byte
+    ID3v1 ``TAG`` trailer — the MP3 fixture generator (real
+    entropy-coded granules are out of scope, same contract as
+    encode_jpeg_header)."""
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     sr_idx = _MP3_RATES.index(sample_rate)
     out = bytearray()
@@ -1307,7 +1331,10 @@ def encode_mp3(
                 (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F,
             )
         )
-        out += b"ID3\x04\x00\x00" + ss + body
+        flags = 0x10 if id3_footer else 0x00
+        out += b"ID3\x04\x00" + bytes((flags,)) + ss + body
+        if id3_footer:
+            out += b"3DI\x04\x00" + bytes((flags,)) + ss
     mode = 0xC0 if n_channels == 1 else 0x00
     flen = 144 * bitrate_kbps * 1000 // sample_rate  # no padding bit
     for f in range(n_frames):
@@ -1316,6 +1343,8 @@ def encode_mp3(
         )
         fill = bytes((j * 31 + f + seed) % 256 for j in range(flen - 4))
         out += hdr + fill
+    if id3v1_trailer:
+        out += b"TAG" + bytes((i * 3 + seed) % 128 for i in range(125))
     return bytes(out)
 
 
@@ -1501,4 +1530,657 @@ def synthesize_riff_stubs(
 
     return df.select(
         id_col, kind_col, samples_col, filler_col
+    ).mapInPandas(run, schema="path string, content binary")
+
+
+def parse_webp_header(payload: bytes) -> dict:
+    """Pure-Python WebP dimension parse — the third stage after the
+    magic sniff ('riff') and the subtype triage ('webp'): real crawls
+    are WebP-heavy, and all three bitstream flavors carry their
+    dimensions in the FIRST chunk, so this is a fixed-offset read per
+    payload, O(1) regardless of size (the mdat-skip contract of
+    parse_mp4_header on images).
+
+    - ``VP8 `` (lossy): 3-byte frame tag, the 9D 01 2A start code,
+      then 14-bit width/height in two 16-bit LE fields (top 2 bits are
+      upscaling hints, masked off per the VP8 spec).
+    - ``VP8L`` (lossless): the 0x2F signature byte, then width-1 and
+      height-1 as two 14-bit fields packed LSB-first into 32 bits.
+    - ``VP8X`` (extended): flags + 3 reserved bytes, then 24-bit LE
+      canvas width-1 / height-1.
+
+    Raises ValueError on malformed/truncated WebP streams,
+    NotImplementedError on non-WebP containers (the injection seam —
+    route RIFF siblings with riff_subtype_col first)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise NotImplementedError(
+            "not a RIFF/WEBP payload; inject a codec for this format"
+        )
+    if len(payload) < 20:
+        raise ValueError("malformed WebP: truncated chunk header")
+    tag = payload[12:16]
+    (csize,) = struct.unpack("<I", payload[16:20])
+    if tag == b"VP8 ":
+        if csize < 10 or len(payload) < 30:
+            raise ValueError("malformed WebP: truncated VP8 bitstream")
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("malformed WebP: bad VP8 start code")
+        w16, h16 = struct.unpack("<HH", payload[26:30])
+        return {
+            "flavor": "vp8",
+            "width": w16 & 0x3FFF,
+            "height": h16 & 0x3FFF,
+        }
+    if tag == b"VP8L":
+        if csize < 5 or len(payload) < 25:
+            raise ValueError("malformed WebP: truncated VP8L bitstream")
+        if payload[20] != 0x2F:
+            raise ValueError("malformed WebP: bad VP8L signature byte")
+        (bits,) = struct.unpack("<I", payload[21:25])
+        return {
+            "flavor": "vp8l",
+            "width": (bits & 0x3FFF) + 1,
+            "height": ((bits >> 14) & 0x3FFF) + 1,
+        }
+    if tag == b"VP8X":
+        if csize != 10:
+            raise ValueError("malformed WebP: VP8X chunk must be 10 bytes")
+        if len(payload) < 30:
+            raise ValueError("malformed WebP: truncated VP8X chunk")
+        return {
+            "flavor": "vp8x",
+            "width": 1 + int.from_bytes(payload[24:27], "little"),
+            "height": 1 + int.from_bytes(payload[27:30], "little"),
+        }
+    raise ValueError(f"malformed WebP: unknown first chunk {tag!r}")
+
+
+def encode_webp(
+    width: int,
+    height: int,
+    flavor: str = "vp8",
+    filler: int = 0,
+    seed: int = 0,
+) -> bytes:
+    """Minimal structurally valid WebP (RIFF/WEBP envelope + a VP8 /
+    VP8L / VP8X first chunk carrying real dimensions + deterministic
+    filler standing in for the coded bitstream, stdlib struct only) —
+    the WebP fixture generator, same contract as encode_jpeg_header:
+    exactly the byte surface the dimension parse reads."""
+    import struct
+
+    if flavor == "vp8":
+        tag = b"VP8 "
+        data = (
+            b"\x00\x00\x00"  # frame tag (keyframe, version 0)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width, height)
+        )
+    elif flavor == "vp8l":
+        tag = b"VP8L"
+        data = b"\x2f" + struct.pack(
+            "<I", (width - 1) | ((height - 1) << 14)
+        )
+    elif flavor == "vp8x":
+        tag = b"VP8X"
+        data = (
+            b"\x00" + b"\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+    else:
+        raise ValueError(f"unknown WebP flavor {flavor!r}")
+    if flavor != "vp8x":  # VP8X's chunk is exactly 10 bytes by spec
+        data += bytes((i * 11 + seed) % 256 for i in range(filler))
+    chunk = tag + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunk += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+WEBP_META_SCHEMA = (
+    "path string, payload_bytes bigint, flavor string, "
+    "width int, height int"
+)
+
+
+def extract_webp_metadata(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = parse_webp_header,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """WebP dimension metadata via mapInPandas — the image sibling of
+    extract_mp3_metadata; a full VP8 decoder injects through the same
+    ``codec(bytes) -> dict`` seam."""
+    import pandas as pd
+
+    out_cols = ["path", "payload_bytes", "flavor", "width", "height"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "flavor": meta.get("flavor"),
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=WEBP_META_SCHEMA
+    )
+
+
+def synthesize_webp(
+    df: DataFrame,
+    id_col: str = "path",
+    width_col: str = "width",
+    height_col: str = "height",
+    flavor_col: str = "flavor",
+    filler_col: str = "filler",
+) -> DataFrame:
+    """Deterministic WebP synthesis via mapInPandas — one
+    (id, width, height, flavor, filler) spec row in, one
+    (path, content) payload out, covering all three bitstream
+    flavors."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "path": str(rid),
+                    "content": encode_webp(
+                        int(w), int(h), str(fv), int(fl),
+                        seed=zlib.crc32(str(rid).encode()) % 251,
+                    ),
+                }
+                for rid, w, h, fv, fl in zip(
+                    pdf[id_col], pdf[width_col], pdf[height_col],
+                    pdf[flavor_col], pdf[filler_col],
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, width_col, height_col, flavor_col, filler_col
+    ).mapInPandas(run, schema="path string, content binary")
+
+
+# ID3v2 text frames the tag parse surfaces (title / artist / album —
+# the columns a music-corpus catalog indexes on).
+_ID3_TEXT_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+
+
+def parse_id3_tags(payload: bytes) -> dict:
+    """Pure-Python ID3v2.3/2.4 frame-level tag parse — the metadata
+    step the MP3 frame walk skips: surface TIT2/TPE1/TALB (title /
+    artist / album) as typed columns. Walks only the tag span (the
+    synchsafe header size bounds it; audio frames after the tag are
+    never touched), honoring per-frame text encodings (0 latin-1,
+    1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8) and the v2.3 (plain
+    big-endian) vs v2.4 (synchsafe) frame-size layouts. Stops at
+    padding. Raises ValueError on malformed tags of an ID3v2 payload,
+    NotImplementedError when no ID3v2 tag is present."""
+    import struct
+
+    if payload[:3] != b"ID3":
+        raise NotImplementedError(
+            "no ID3v2 tag; inject a codec for this format"
+        )
+    if len(payload) < 10:
+        raise ValueError("malformed ID3v2: truncated tag header")
+    major, flags = payload[3], payload[5]
+    if major not in (3, 4):
+        raise ValueError(f"malformed ID3v2: unsupported version 2.{major}")
+    ss = payload[6:10]
+    if any(b & 0x80 for b in ss):
+        raise ValueError("malformed ID3v2: non-synchsafe tag size")
+    end = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    if end > len(payload):
+        raise ValueError("malformed ID3v2: tag size past payload end")
+    i = 10
+    if flags & 0x40:  # extended header: skip by its own size field
+        if i + 4 > end:
+            raise ValueError("malformed ID3v2: truncated extended header")
+        if major == 4:  # v2.4: synchsafe, includes the size field itself
+            eh = payload[i : i + 4]
+            if any(b & 0x80 for b in eh):
+                raise ValueError(
+                    "malformed ID3v2.4: non-synchsafe extended header"
+                )
+            i += (eh[0] << 21) | (eh[1] << 14) | (eh[2] << 7) | eh[3]
+        else:  # v2.3: plain 32-bit size EXCLUDING the size field
+            (esz,) = struct.unpack(">I", payload[i : i + 4])
+            i += 4 + esz
+    meta: dict = {
+        "id3_version": major, "title": None, "artist": None, "album": None,
+    }
+    while i + 10 <= end:
+        fid = payload[i : i + 4]
+        if fid[0] == 0:
+            break  # padding: tag is over
+        fsz = payload[i + 4 : i + 8]
+        if major == 4:
+            if any(b & 0x80 for b in fsz):
+                raise ValueError(
+                    "malformed ID3v2.4: non-synchsafe frame size"
+                )
+            fsize = (fsz[0] << 21) | (fsz[1] << 14) | (fsz[2] << 7) | fsz[3]
+        else:
+            (fsize,) = struct.unpack(">I", fsz)
+        if i + 10 + fsize > end:
+            raise ValueError("malformed ID3v2: frame size past tag end")
+        key = _ID3_TEXT_FRAMES.get(bytes(fid))
+        if key is not None:
+            body = payload[i + 10 : i + 10 + fsize]
+            if not body:
+                raise ValueError("malformed ID3v2: empty text frame")
+            enc, text = body[0], body[1:]
+            if enc == 0:
+                val = text.decode("latin-1")
+            elif enc == 1:
+                val = text.decode("utf-16")  # BOM-led
+            elif enc == 2:
+                val = text.decode("utf-16-be")
+            elif enc == 3:
+                val = text.decode("utf-8")
+            else:
+                raise ValueError(
+                    f"malformed ID3v2: unknown text encoding {enc}"
+                )
+            meta[key] = val.rstrip("\x00")
+        i += 10 + fsize
+    return meta
+
+
+def encode_id3v2(
+    title: str | None = None,
+    artist: str | None = None,
+    album: str | None = None,
+    encoding: int = 0,
+    version: int = 4,
+    padding: int = 0,
+) -> bytes:
+    """Minimal valid ID3v2.3/2.4 tag (stdlib only) carrying TIT2 /
+    TPE1 / TALB text frames in the requested encoding (0 latin-1,
+    1 UTF-16 with BOM, 3 UTF-8 — v2.4 only) — the tag fixture
+    generator; prepend to encode_mp3(...) output for a full tagged
+    stream."""
+    import struct
+
+    assert version in (3, 4)
+    assert encoding in (0, 1) if version == 3 else encoding in (0, 1, 3)
+
+    def synchsafe(n: int) -> bytes:
+        return bytes(
+            ((n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F)
+        )
+
+    frames = bytearray()
+    for fid, val in (
+        (b"TIT2", title), (b"TPE1", artist), (b"TALB", album)
+    ):
+        if val is None:
+            continue
+        if encoding == 0:
+            body = b"\x00" + val.encode("latin-1")
+        elif encoding == 1:
+            body = b"\x01" + val.encode("utf-16")  # emits the BOM
+        else:
+            body = b"\x03" + val.encode("utf-8")
+        fsz = (
+            synchsafe(len(body)) if version == 4
+            else struct.pack(">I", len(body))
+        )
+        frames += fid + fsz + b"\x00\x00" + body
+    frames += b"\x00" * padding
+    return (
+        b"ID3" + bytes((version, 0, 0)) + synchsafe(len(frames))
+        + bytes(frames)
+    )
+
+
+ID3_TAGS_SCHEMA = (
+    "path string, payload_bytes bigint, id3_version int, "
+    "title string, artist string, album string"
+)
+
+
+def extract_id3_tags(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = parse_id3_tags,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """ID3v2 tag metadata via mapInPandas — reads only the tag span at
+    the head of each payload; a full tag library (mutagen) injects
+    through the same ``codec(bytes) -> dict`` seam."""
+    import pandas as pd
+
+    out_cols = [
+        "path", "payload_bytes", "id3_version", "title", "artist", "album",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "id3_version": meta.get("id3_version"),
+                        "title": meta.get("title"),
+                        "artist": meta.get("artist"),
+                        "album": meta.get("album"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=ID3_TAGS_SCHEMA
+    )
+
+
+def synthesize_tagged_mp3(
+    df: DataFrame,
+    id_col: str = "path",
+    title_col: str = "title",
+    artist_col: str = "artist",
+    album_col: str = "album",
+    encoding_col: str = "encoding",
+    version_col: str = "id3_version",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Deterministic ID3v2-tagged MP3 synthesis via mapInPandas: a real
+    tag (encode_id3v2) followed by real MPEG-1 Layer III frames
+    (encode_mp3), so BOTH the tag parse and the frame walk run against
+    the same payload."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, ti, ar, al, enc, ver, nf in zip(
+                pdf[id_col], pdf[title_col], pdf[artist_col],
+                pdf[album_col], pdf[encoding_col], pdf[version_col],
+                pdf[frames_col],
+            ):
+                seed = zlib.crc32(str(rid).encode()) % 251
+                content = encode_id3v2(
+                    str(ti), str(ar), str(al),
+                    encoding=int(enc), version=int(ver),
+                ) + encode_mp3(int(nf), seed=seed)
+                rows.append({"path": str(rid), "content": content})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, title_col, artist_col, album_col, encoding_col,
+        version_col, frames_col,
+    ).mapInPandas(run, schema="path string, content binary")
+
+
+def parse_ogg_header(payload: bytes) -> dict:
+    """Pure-Python Ogg page walk + Opus/Vorbis identification-header
+    parse — completes the audio triad (WAV/FLAC/MP3 + Ogg): hop page
+    to page by the segment-table sum (header-only, O(pages) — page
+    bodies are skipped by computed length; CRC validation needs the
+    body bytes and is left to an injected demuxer), read the first
+    page's identification packet (``OpusHead`` or the ``\\x01vorbis``
+    id header) for channels/rate, and take the stream duration from
+    the LAST page's granule position (Opus granules tick at 48 kHz
+    regardless of input rate, minus the pre-skip; Vorbis granules
+    tick at the stream rate). Requires the BOS flag on the first page
+    and an EOS page to be present — a stream truncated even at a page
+    boundary raises instead of under-reporting duration. Raises
+    ValueError on malformed Ogg streams, NotImplementedError on other
+    containers."""
+    import struct
+
+    if payload[:4] != b"OggS":
+        raise NotImplementedError(
+            "not an Ogg payload; inject a codec for this format"
+        )
+    i = 0
+    n_pages = 0
+    first_packet = b""
+    first_serial = None
+    last_granule = None
+    saw_eos = False
+    while i < len(payload):
+        if payload[i : i + 4] != b"OggS" or i + 27 > len(payload):
+            raise ValueError("malformed Ogg: truncated page header")
+        if payload[i + 4] != 0:
+            raise ValueError(
+                "malformed Ogg: unsupported stream structure version"
+            )
+        htype = payload[i + 5]
+        (granule,) = struct.unpack("<q", payload[i + 6 : i + 14])
+        (serial,) = struct.unpack("<I", payload[i + 14 : i + 18])
+        nsegs = payload[i + 26]
+        if i + 27 + nsegs > len(payload):
+            raise ValueError("malformed Ogg: truncated segment table")
+        segs = payload[i + 27 : i + 27 + nsegs]
+        body_start = i + 27 + nsegs
+        body_len = sum(segs)
+        if body_start + body_len > len(payload):
+            raise ValueError("malformed Ogg: truncated page body")
+        if n_pages == 0:
+            if not (htype & 0x02):
+                raise ValueError("malformed Ogg: first page missing BOS")
+            first_serial = serial
+            first_packet = payload[body_start : body_start + body_len]
+        elif serial == first_serial and granule != -1:
+            last_granule = granule
+        if htype & 0x04 and serial == first_serial:
+            saw_eos = True
+        n_pages += 1
+        i = body_start + body_len
+    if not saw_eos:
+        raise ValueError("malformed Ogg: no EOS page (truncated stream?)")
+    if first_packet[:8] == b"OpusHead":
+        if len(first_packet) < 19:
+            raise ValueError("malformed Ogg: truncated OpusHead")
+        if first_packet[8] != 1:
+            raise ValueError("malformed Ogg: unsupported OpusHead version")
+        n_channels = first_packet[9]
+        (pre_skip,) = struct.unpack("<H", first_packet[10:12])
+        (sample_rate,) = struct.unpack("<I", first_packet[12:16])
+        codec = "opus"
+        duration_ms = (
+            None if last_granule is None
+            else max(last_granule - pre_skip, 0) * 1000 // 48000
+        )
+    elif first_packet[:7] == b"\x01vorbis":
+        if len(first_packet) < 30:
+            raise ValueError("malformed Ogg: truncated Vorbis id header")
+        (version,) = struct.unpack("<I", first_packet[7:11])
+        if version != 0:
+            raise ValueError("malformed Ogg: unsupported Vorbis version")
+        n_channels = first_packet[11]
+        (sample_rate,) = struct.unpack("<I", first_packet[12:16])
+        if sample_rate == 0:
+            raise ValueError("malformed Ogg: zero Vorbis sample rate")
+        pre_skip = 0
+        codec = "vorbis"
+        duration_ms = (
+            None if last_granule is None
+            else last_granule * 1000 // sample_rate
+        )
+    else:
+        raise ValueError(
+            "malformed Ogg: first packet is neither OpusHead nor Vorbis id"
+        )
+    return {
+        "codec": codec,
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "pre_skip": pre_skip,
+        "n_pages": n_pages,
+        "granule": last_granule,
+        "duration_ms": duration_ms,
+    }
+
+
+def encode_ogg(
+    codec: str,
+    n_channels: int,
+    sample_rate: int,
+    granule: int,
+    n_audio_pages: int = 2,
+    pre_skip: int = 312,
+    filler: int = 40,
+    seed: int = 0,
+) -> bytes:
+    """Minimal structurally valid Ogg Opus/Vorbis stream (stdlib only):
+    a BOS page carrying the real identification header, then
+    ``n_audio_pages`` pages of deterministic filler with monotone
+    granule positions ending at ``granule`` on the EOS page — the Ogg
+    fixture generator (real entropy-coded packets are out of scope,
+    same contract as encode_mp3)."""
+    import struct
+
+    def page(htype: int, gran: int, seq: int, body: bytes) -> bytes:
+        segs = b"\xff" * (len(body) // 255) + bytes((len(body) % 255,))
+        return (
+            b"OggS" + bytes((0, htype))
+            + struct.pack("<q", gran)
+            + struct.pack("<I", 0x5047474F)  # serial
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"  # CRC: not validated by the page walk
+            + bytes((len(segs),)) + segs + body
+        )
+
+    if codec == "opus":
+        ident = (
+            b"OpusHead" + bytes((1, n_channels))
+            + struct.pack("<H", pre_skip)
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<h", 0) + b"\x00"
+        )
+    elif codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + struct.pack("<I", 0)
+            + bytes((n_channels,))
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<iii", 0, sample_rate * 2, 0)
+            + b"\xb8\x01"  # blocksizes + framing bit
+        )
+    else:
+        raise ValueError(f"unknown Ogg codec {codec!r}")
+    out = bytearray(page(0x02, 0, 0, ident))
+    for k in range(1, n_audio_pages + 1):
+        body = bytes(
+            (j * 17 + k + seed) % 256 for j in range(filler)
+        )
+        htype = 0x04 if k == n_audio_pages else 0x00
+        gran = granule * k // n_audio_pages
+        out += page(htype, gran, k, body)
+    return bytes(out)
+
+
+OGG_META_SCHEMA = (
+    "path string, payload_bytes bigint, codec string, n_channels int, "
+    "sample_rate int, pre_skip int, n_pages bigint, granule bigint, "
+    "duration_ms bigint"
+)
+
+
+def extract_ogg_metadata(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = parse_ogg_header,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Ogg Opus/Vorbis metadata via mapInPandas — the container-walk
+    sibling of extract_mp3_metadata; a real demuxer (pyogg/ffprobe)
+    injects through the same ``codec(bytes) -> dict`` seam."""
+    import pandas as pd
+
+    out_cols = [
+        "path", "payload_bytes", "codec", "n_channels", "sample_rate",
+        "pre_skip", "n_pages", "granule", "duration_ms",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "codec": meta.get("codec"),
+                        "n_channels": meta.get("n_channels"),
+                        "sample_rate": meta.get("sample_rate"),
+                        "pre_skip": meta.get("pre_skip"),
+                        "n_pages": meta.get("n_pages"),
+                        "granule": meta.get("granule"),
+                        "duration_ms": meta.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=OGG_META_SCHEMA
+    )
+
+
+def synthesize_ogg(
+    df: DataFrame,
+    id_col: str = "path",
+    codec_col: str = "codec",
+    channels_col: str = "n_channels",
+    rate_col: str = "sample_rate",
+    granule_col: str = "granule",
+    pages_col: str = "n_audio_pages",
+    filler_col: str = "filler",
+) -> DataFrame:
+    """Deterministic Ogg Opus/Vorbis synthesis via mapInPandas — one
+    spec row in, one (path, content) page stream out."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                {
+                    "path": str(rid),
+                    "content": encode_ogg(
+                        str(co), int(ch), int(rate), int(gr),
+                        n_audio_pages=int(np_), filler=int(fl),
+                        seed=zlib.crc32(str(rid).encode()) % 251,
+                    ),
+                }
+                for rid, co, ch, rate, gr, np_, fl in zip(
+                    pdf[id_col], pdf[codec_col], pdf[channels_col],
+                    pdf[rate_col], pdf[granule_col], pdf[pages_col],
+                    pdf[filler_col],
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, codec_col, channels_col, rate_col, granule_col,
+        pages_col, filler_col,
     ).mapInPandas(run, schema="path string, content binary")

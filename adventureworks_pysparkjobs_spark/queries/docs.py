@@ -1409,6 +1409,7 @@ def doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN substr(hex(content), 1, 8) = '4F676753' THEN 'ogg'
                WHEN substr(hex(content), 1, 6) = '494433' THEN 'mp3'
                WHEN substr(hex(content), 1, 4) = 'FFFB' THEN 'mp3'
+               WHEN substr(hex(content), 1, 4) = 'FFFA' THEN 'mp3'
                WHEN substr(hex(content), 1, 4) = 'FFF3' THEN 'mp3'
                WHEN substr(hex(content), 1, 4) = 'FFF2' THEN 'mp3'
                WHEN substr(hex(content), 9, 8) = '66747970' THEN 'mp4'
@@ -3199,4 +3200,219 @@ def doc_media_riff_subtypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
             F.sum("_b").cast("bigint").alias("total_bytes"),
         )
+    )
+
+
+@query(
+    "doc_image_webp_dimensions",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x'
+           END AS flavor,
+           CAST(16 + doc_id % 2000 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 3) % 1500 AS INTEGER) AS height,
+           CAST(CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 30 + (doc_id % 64) + (doc_id % 64) % 2
+             WHEN 1 THEN 25 + (doc_id % 64) + ((doc_id % 64) + 1) % 2
+             ELSE 30
+           END AS BIGINT) AS payload_bytes
+    FROM documents
+    WHERE doc_id % 11 = 0
+    """,
+    tags=("multimodal", "image", "webp", "vp8", "roundtrip"),
+)
+def doc_image_webp_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP dimension parse end-to-end with ZERO injected code — the
+    third triage stage after doc_media_magic_sniff ('riff') and
+    doc_media_riff_subtypes ('webp'), and the highest-value remaining
+    container for a real crawl (WebP is everywhere): synthesize
+    structurally valid WebP payloads covering ALL THREE bitstream
+    flavors (lossy VP8 with the 9D 01 2A start code and 14-bit
+    LE dims, lossless VP8L with the 14-bit-packed width-1/height-1
+    word, extended VP8X with 24-bit-minus-one canvas dims — flavor,
+    dims, and coded-bitstream filler all derived from doc_id), then
+    parse the dimensions back out of the BYTES with parse_webp_header
+    via extract_webp_metadata (mapInPandas) — fixed-offset reads, O(1)
+    per payload regardless of size. Roundtrip-fixture oracle: DuckDB
+    recomputes flavor, dims, AND the exact payload byte count
+    (RIFF envelope + chunk header + flavor-specific header + filler +
+    word-alignment pad) from doc_id arithmetic — any drift in the bit
+    packing (LSB-first VP8L fields, 24-bit LE VP8X) or the RIFF
+    padding rule breaks the match."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 11 == 0).select(
+        did.cast("string").alias("path"),
+        (F.lit(16) + did % 2000).cast("int").alias("width"),
+        (F.lit(16) + (did * 3) % 1500).cast("int").alias("height"),
+        F.when(did % 3 == 0, "vp8")
+        .when(did % 3 == 1, "vp8l")
+        .otherwise("vp8x")
+        .alias("flavor"),
+        (did % 64).cast("int").alias("filler"),
+    )
+    parsed = MM.extract_webp_metadata(MM.synthesize_webp(spec))
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "flavor",
+        "width",
+        "height",
+        "payload_bytes",
+    )
+
+
+@query(
+    "doc_audio_id3_tags",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 + doc_id % 2 AS INTEGER) AS id3_version,
+           'Tráck ' || CAST(doc_id AS VARCHAR) AS title,
+           'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+           'Albüm ' || CAST(doc_id % 5 AS VARCHAR) AS album
+    FROM documents
+    WHERE doc_id % 29 = 0
+    """,
+    tags=("multimodal", "audio", "mp3", "id3", "tags", "roundtrip"),
+)
+def doc_audio_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 frame-level tag parse end-to-end with ZERO injected code —
+    the metadata step the MP3 frame walk merely skips: surface
+    title/artist/album as typed catalog columns. Synthesize REAL tagged
+    streams (encode_id3v2 + encode_mp3 — the tag parse and the frame
+    walk exercise the same payload) mixing ID3v2.3 (plain big-endian
+    frame sizes) with ID3v2.4 (synchsafe) and all three fixture text
+    encodings (latin-1 / UTF-16-with-BOM / UTF-8 — the title and album
+    carry non-ASCII characters so the encodings differ at the byte
+    level), then parse the TIT2/TPE1/TALB frames back out of the BYTES
+    with parse_id3_tags via extract_id3_tags (mapInPandas) — the walk
+    is bounded by the tag's synchsafe size, audio frames are never
+    touched. Roundtrip-fixture oracle: DuckDB recomputes version and
+    all three strings from doc_id arithmetic; any bug in the v2.3/v2.4
+    size layouts or the encoding-byte dispatch breaks the match."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 29 == 0).select(
+        did.cast("string").alias("path"),
+        F.concat(F.lit("Tráck "), did.cast("string")).alias("title"),
+        F.concat(F.lit("Artist "), (did % 7).cast("string")).alias(
+            "artist"
+        ),
+        F.concat(F.lit("Albüm "), (did % 5).cast("string")).alias(
+            "album"
+        ),
+        # v2.4 rows (odd doc_id) exercise all three encodings; v2.3
+        # rows (even) only latin-1/UTF-16 — UTF-8 is a v2.4 addition.
+        F.when(
+            did % 2 == 1,
+            F.when(did % 3 == 0, 0).when(did % 3 == 1, 1).otherwise(3),
+        )
+        .otherwise(F.when(did % 3 == 0, 0).otherwise(1))
+        .cast("int")
+        .alias("encoding"),
+        (F.lit(3) + did % 2).cast("int").alias("id3_version"),
+        (F.lit(1) + did % 4).cast("int").alias("n_frames"),
+    )
+    parsed = MM.extract_id3_tags(MM.synthesize_tagged_mp3(spec))
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "id3_version",
+        "title",
+        "artist",
+        "album",
+    )
+
+
+@query(
+    "doc_audio_ogg_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END
+             AS codec,
+           CAST(1 + (doc_id % 5) % 2 AS INTEGER) AS n_channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                  CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 16000 END
+                ELSE
+                  CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 22050 WHEN 1 THEN 44100 ELSE 48000 END
+           END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 312 ELSE 0 END
+                AS INTEGER) AS pre_skip,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_pages,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 312 + 960 * (1 + doc_id % 300)
+                ELSE 1024 * (1 + doc_id % 300)
+           END AS BIGINT) AS granule,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 20 * (1 + doc_id % 300)
+                ELSE (1024 * (1 + doc_id % 300)) * 1000
+                     // (CASE CAST(doc_id % 3 AS INTEGER)
+                         WHEN 0 THEN 22050 WHEN 1 THEN 44100
+                         ELSE 48000 END)
+           END AS BIGINT) AS duration_ms
+    FROM documents
+    WHERE doc_id % 31 = 0
+    """,
+    tags=("multimodal", "audio", "ogg", "opus", "vorbis", "roundtrip"),
+)
+def doc_audio_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Opus/Vorbis page-walk metadata end-to-end with ZERO injected
+    code — completes the audio triad (WAV + FLAC + MP3 + Ogg covers
+    every mainstream crawl audio container): synthesize structurally
+    valid Ogg streams (a BOS page carrying a real OpusHead or Vorbis
+    identification header, filler audio pages with monotone granule
+    positions, an EOS page — codec/channels/rate/granule/page-count
+    all derived from doc_id), then walk the PAGES back out with
+    parse_ogg_header via extract_ogg_metadata (mapInPandas) — page
+    bodies skipped by the segment-table sum, O(pages) not O(bytes).
+    Duration comes from the last granule position: Opus granules tick
+    at 48 kHz minus the pre-skip (so the fixture's 960-sample pages
+    give exactly 20 ms each), Vorbis granules tick at the stream rate.
+    Roundtrip-fixture oracle: DuckDB recomputes every field from
+    doc_id arithmetic; any bug in the page hop, the lacing math, or
+    the id-header layouts breaks the match."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    opus = did % 2 == 0
+    spec = doc.filter(did % 31 == 0).select(
+        did.cast("string").alias("path"),
+        F.when(opus, "opus").otherwise("vorbis").alias("codec"),
+        (F.lit(1) + (did % 5) % 2).cast("int").alias("n_channels"),
+        F.when(
+            opus,
+            F.when(did % 3 == 0, 48000)
+            .when(did % 3 == 1, 44100)
+            .otherwise(16000),
+        )
+        .otherwise(
+            F.when(did % 3 == 0, 22050)
+            .when(did % 3 == 1, 44100)
+            .otherwise(48000)
+        )
+        .cast("int")
+        .alias("sample_rate"),
+        F.when(opus, F.lit(312) + F.lit(960) * (F.lit(1) + did % 300))
+        .otherwise(F.lit(1024) * (F.lit(1) + did % 300))
+        .cast("bigint")
+        .alias("granule"),
+        (F.lit(1) + did % 4).cast("int").alias("n_audio_pages"),
+        (F.lit(20) + did % 100).cast("int").alias("filler"),
+    )
+    parsed = MM.extract_ogg_metadata(MM.synthesize_ogg(spec))
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "codec",
+        "n_channels",
+        "sample_rate",
+        "pre_skip",
+        "n_pages",
+        "granule",
+        "duration_ms",
     )

@@ -1,0 +1,320 @@
+"""Round-11 operator tests: the WebP dimension codec (all three VP8
+bitstream flavors), ID3v2 frame-level tag parse (v2.3/v2.4 layouts,
+text encodings), the Ogg Opus/Vorbis page walk, and the round-11
+hardening of the MP3 frame walk (mid-stream version/layer validation,
+ID3v2.4 footer skip, trailing ID3v1 tolerance, FFFA sniff)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from adventureworks_pysparkjobs_spark.operators.multimodal import (
+    MAGIC_SIGNATURES,
+    encode_id3v2,
+    encode_mp3,
+    encode_ogg,
+    encode_webp,
+    parse_id3_tags,
+    parse_mp3_frames,
+    parse_ogg_header,
+    parse_webp_header,
+)
+
+
+class TestWebpCodec:
+    @pytest.mark.parametrize(
+        "flavor,width,height",
+        [
+            ("vp8", 320, 240),
+            ("vp8", 1, 16383),       # 14-bit field extremes
+            ("vp8l", 16383, 1),
+            ("vp8l", 7, 11),
+            ("vp8x", 16384, 999999),  # beyond 14 bits: only VP8X can
+            ("vp8x", 1, 1),
+        ],
+    )
+    def test_roundtrip(self, flavor, width, height):
+        m = parse_webp_header(encode_webp(width, height, flavor, filler=9))
+        assert m == {"flavor": flavor, "width": width, "height": height}
+
+    def test_vp8_scaling_bits_masked(self):
+        """The top 2 bits of each VP8 dim field are upscaling hints and
+        must be masked off, not folded into the dimension."""
+        p = bytearray(encode_webp(100, 50, "vp8"))
+        p[27] |= 0xC0  # set both scaling bits on the width field
+        m = parse_webp_header(bytes(p))
+        assert (m["width"], m["height"]) == (100, 50)
+
+    def test_header_only_contract(self):
+        """Dimensions identical whatever the coded bitstream holds."""
+        a = encode_webp(64, 32, "vp8", filler=0)
+        b = encode_webp(64, 32, "vp8", filler=4096, seed=9)
+        assert parse_webp_header(a) == parse_webp_header(b)
+
+    def test_riff_word_alignment_pad(self):
+        """Odd-length chunk data gets a pad byte (RIFF spec)."""
+        odd = encode_webp(8, 8, "vp8", filler=1)   # data = 11 bytes
+        even = encode_webp(8, 8, "vp8", filler=2)  # data = 12 bytes
+        assert len(odd) == len(even)  # pad byte absorbs the difference
+
+    def test_off_format_routes_to_seam(self):
+        with pytest.raises(NotImplementedError):
+            parse_webp_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24)
+        with pytest.raises(NotImplementedError):
+            # RIFF but not WEBP (a WAV) must route to the seam too
+            parse_webp_header(b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 20)
+
+    def test_bad_vp8_start_code_raises(self):
+        p = bytearray(encode_webp(10, 10, "vp8"))
+        p[24] ^= 0xFF
+        with pytest.raises(ValueError, match="start code"):
+            parse_webp_header(bytes(p))
+
+    def test_bad_vp8l_signature_raises(self):
+        p = bytearray(encode_webp(10, 10, "vp8l"))
+        p[20] = 0x30
+        with pytest.raises(ValueError, match="signature"):
+            parse_webp_header(bytes(p))
+
+    def test_unknown_first_chunk_raises(self):
+        p = bytearray(encode_webp(10, 10, "vp8"))
+        p[12:16] = b"ALPH"
+        with pytest.raises(ValueError, match="unknown first chunk"):
+            parse_webp_header(bytes(p))
+
+    @pytest.mark.parametrize("flavor", ["vp8", "vp8l", "vp8x"])
+    def test_truncation_sweep(self, flavor):
+        """Every strict prefix raises loudly (ValueError once the RIFF/
+        WEBP identity is established, NotImplementedError before);
+        never IndexError/struct.error, never a wrong answer."""
+        p = encode_webp(123, 45, flavor, filler=7)
+        full = parse_webp_header(p)
+        for cut in range(len(p)):
+            with pytest.raises((ValueError, NotImplementedError)):
+                got = parse_webp_header(p[:cut])
+                # a short VP8/VP8L prefix past the header bytes IS the
+                # full header — only acceptable non-raise outcome
+                assert got == full and cut >= 25
+                raise ValueError("complete-header prefix")
+
+
+class TestId3Tags:
+    @pytest.mark.parametrize(
+        "version,encoding", [(3, 0), (3, 1), (4, 0), (4, 1), (4, 3)]
+    )
+    def test_roundtrip_versions_and_encodings(self, version, encoding):
+        payload = encode_id3v2(
+            "Tráck 9", "Ärtist", "Albüm", encoding=encoding,
+            version=version, padding=17,
+        ) + encode_mp3(2)
+        assert parse_id3_tags(payload) == {
+            "id3_version": version,
+            "title": "Tráck 9",
+            "artist": "Ärtist",
+            "album": "Albüm",
+        }
+
+    def test_utf16be_frame(self):
+        """Encoding byte 2 (UTF-16BE, no BOM) — not emitted by the
+        fixture encoder, so build the frame by hand."""
+        body = b"\x02" + "Tïtle".encode("utf-16-be")
+        frame = b"TIT2" + bytes((0, 0, 0, len(body))) + b"\x00\x00" + body
+        tag = b"ID3\x04\x00\x00" + bytes(
+            (0, 0, len(frame) >> 7, len(frame) & 0x7F)
+        ) + frame
+        assert parse_id3_tags(tag)["title"] == "Tïtle"
+
+    def test_missing_frames_stay_null(self):
+        payload = encode_id3v2(title="Only title", version=4)
+        m = parse_id3_tags(payload)
+        assert m["title"] == "Only title"
+        assert m["artist"] is None and m["album"] is None
+
+    def test_padding_terminates_walk(self):
+        payload = encode_id3v2("T", "A", "B", padding=64)
+        assert parse_id3_tags(payload)["album"] == "B"
+
+    def test_v23_plain_vs_v24_synchsafe_frame_sizes(self):
+        """A >127-byte frame body distinguishes the two size layouts:
+        plain big-endian 0x..80 bytes would be an invalid synchsafe."""
+        long_title = "x" * 200
+        for version in (3, 4):
+            p = encode_id3v2(long_title, version=version)
+            assert parse_id3_tags(p)["title"] == long_title
+
+    def test_extended_header_skipped(self):
+        for version, ehdr in (
+            (3, struct.pack(">I", 6) + b"\x00" * 6),   # size excl. field
+            (4, bytes((0, 0, 0, 6)) + bytes((1, 0))),  # synchsafe incl.
+        ):
+            body = b"\x00Hi"
+            frame = b"TIT2" + (
+                struct.pack(">I", len(body)) if version == 3
+                else bytes((0, 0, 0, len(body)))
+            ) + b"\x00\x00" + body
+            inner = ehdr + frame
+            tag = b"ID3" + bytes((version, 0, 0x40)) + bytes(
+                (0, 0, len(inner) >> 7, len(inner) & 0x7F)
+            ) + inner
+            assert parse_id3_tags(tag)["title"] == "Hi", version
+
+    def test_malformed_raises(self):
+        with pytest.raises(NotImplementedError):
+            parse_id3_tags(b"RIFF" + b"\x00" * 20)
+        with pytest.raises(ValueError, match="truncated tag header"):
+            parse_id3_tags(b"ID3\x04\x00")
+        with pytest.raises(ValueError, match="unsupported version"):
+            parse_id3_tags(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+        with pytest.raises(ValueError, match="past payload end"):
+            parse_id3_tags(b"ID3\x04\x00\x00\x00\x00\x01\x00")
+        # frame size pointing past the tag end
+        bad = b"TIT2" + bytes((0, 0, 7, 0)) + b"\x00\x00" + b"\x00Hi"
+        tag = b"ID3\x04\x00\x00" + bytes((0, 0, 0, len(bad))) + bad
+        with pytest.raises(ValueError, match="past tag end"):
+            parse_id3_tags(tag)
+        # unknown text encoding byte
+        body = b"\x07oops"
+        frame = b"TIT2" + bytes((0, 0, 0, len(body))) + b"\x00\x00" + body
+        tag = b"ID3\x04\x00\x00" + bytes((0, 0, 0, len(frame))) + frame
+        with pytest.raises(ValueError, match="unknown text encoding"):
+            parse_id3_tags(tag)
+
+
+class TestMp3Hardening:
+    def test_fffa_signature_sniffs_as_mp3(self):
+        assert ("FFFA", "mp3") in MAGIC_SIGNATURES
+
+    def test_crc_protected_first_frame_parses(self):
+        """0xFFFA (protection bit 0) is MPEG-1 Layer III too; the CRC
+        lives inside the computed frame length, so the walk is
+        unchanged."""
+        p = bytearray(encode_mp3(3, bitrate_kbps=128, sample_rate=44100))
+        for i in range(0, len(p), 144 * 128 * 1000 // 44100):
+            assert p[i] == 0xFF
+            p[i + 1] = 0xFA
+        m = parse_mp3_frames(bytes(p))
+        assert m["n_frames"] == 3
+
+    def test_mid_stream_version_switch_raises(self):
+        """Frame 2 flips to MPEG-2 Layer II with valid sync and valid
+        bitrate/rate indexes — pre-r11 this was measured with MPEG-1
+        Layer III tables and miscounted silently."""
+        p = bytearray(encode_mp3(3, bitrate_kbps=128, sample_rate=44100))
+        flen = 144 * 128 * 1000 // 44100
+        p[flen + 1] = 0xF4  # sync + MPEG-2 + Layer II + no protection
+        with pytest.raises(ValueError, match="version/layer"):
+            parse_mp3_frames(bytes(p))
+
+    def test_id3v24_footer_skipped(self):
+        p = encode_mp3(5, id3_bytes=33, id3_footer=True)
+        assert parse_mp3_frames(p)["n_frames"] == 5
+
+    def test_trailing_id3v1_tag_tolerated(self):
+        p = encode_mp3(4, id3v1_trailer=True)
+        assert parse_mp3_frames(p)["n_frames"] == 4
+
+    def test_both_tag_layouts_together(self):
+        p = encode_mp3(2, id3_bytes=17, id3_footer=True, id3v1_trailer=True)
+        assert parse_mp3_frames(p)["n_frames"] == 2
+
+    def test_non_tag_trailing_bytes_still_raise(self):
+        p = encode_mp3(2) + b"\x00" * 128
+        with pytest.raises(ValueError, match="lost frame sync"):
+            parse_mp3_frames(p)
+
+    def test_short_tag_like_trailer_still_raises(self):
+        """'TAG' not exactly 128 bytes from the end is NOT an ID3v1
+        block; the walk must not swallow it."""
+        p = encode_mp3(2) + b"TAG" + b"\x00" * 60
+        with pytest.raises(ValueError, match="lost frame sync"):
+            parse_mp3_frames(p)
+
+
+class TestOggCodec:
+    def test_opus_roundtrip(self):
+        gran = 312 + 960 * 50
+        m = parse_ogg_header(
+            encode_ogg("opus", 2, 48000, gran, n_audio_pages=3, filler=70)
+        )
+        assert m == {
+            "codec": "opus",
+            "n_channels": 2,
+            "sample_rate": 48000,
+            "pre_skip": 312,
+            "n_pages": 4,
+            "granule": gran,
+            "duration_ms": 960 * 50 * 1000 // 48000,
+        }
+
+    def test_vorbis_roundtrip(self):
+        m = parse_ogg_header(
+            encode_ogg("vorbis", 1, 44100, 1024 * 200, n_audio_pages=2)
+        )
+        assert (m["codec"], m["sample_rate"]) == ("vorbis", 44100)
+        assert m["pre_skip"] == 0 and m["n_pages"] == 3
+        assert m["duration_ms"] == 1024 * 200 * 1000 // 44100
+
+    def test_pre_skip_clamps_duration_at_zero(self):
+        m = parse_ogg_header(
+            encode_ogg("opus", 1, 48000, 100, n_audio_pages=1, pre_skip=500)
+        )
+        assert m["duration_ms"] == 0
+
+    def test_multi_lacing_body(self):
+        """A >255-byte page body needs multiple lacing values; the
+        segment-table sum must still hop to the next page exactly."""
+        m = parse_ogg_header(
+            encode_ogg("opus", 2, 48000, 960, n_audio_pages=2, filler=700)
+        )
+        assert m["n_pages"] == 3
+
+    def test_body_skip_contract(self):
+        """Metadata identical whatever the audio page bodies hold."""
+        a = encode_ogg("vorbis", 2, 48000, 4096, filler=10, seed=1)
+        b = encode_ogg("vorbis", 2, 48000, 4096, filler=200, seed=9)
+        ma, mb = parse_ogg_header(a), parse_ogg_header(b)
+        ma.pop("duration_ms"), mb.pop("duration_ms")
+        assert {k: v for k, v in ma.items()} == {
+            k: v for k, v in mb.items()
+        }
+
+    def test_missing_eos_raises(self):
+        p = encode_ogg("opus", 1, 48000, 960, n_audio_pages=2, filler=30)
+        # cut the stream at the last page boundary: valid pages, no EOS
+        last_body = 30
+        last_hdr = 27 + 1  # one lacing value for a 30-byte body
+        with pytest.raises(ValueError, match="no EOS"):
+            parse_ogg_header(p[: len(p) - last_body - last_hdr])
+
+    def test_missing_bos_raises(self):
+        p = bytearray(encode_ogg("opus", 1, 48000, 960))
+        p[5] = 0x00  # clear the BOS flag on the first page
+        with pytest.raises(ValueError, match="missing BOS"):
+            parse_ogg_header(bytes(p))
+
+    def test_bad_structure_version_raises(self):
+        p = bytearray(encode_ogg("opus", 1, 48000, 960))
+        p[4] = 0x01
+        with pytest.raises(ValueError, match="structure version"):
+            parse_ogg_header(bytes(p))
+
+    def test_unknown_id_packet_raises(self):
+        p = bytearray(encode_ogg("opus", 1, 48000, 960))
+        p[28:36] = b"FLACHEAD"
+        with pytest.raises(ValueError, match="neither OpusHead"):
+            parse_ogg_header(bytes(p))
+
+    def test_off_format_routes_to_seam(self):
+        with pytest.raises(NotImplementedError):
+            parse_ogg_header(b"fLaC" + b"\x00" * 40)
+
+    def test_truncation_sweep(self):
+        """Every strict prefix raises (page-body cuts, header cuts, and
+        page-boundary cuts — the EOS requirement catches the latter)."""
+        p = encode_ogg("opus", 2, 48000, 2232, n_audio_pages=2, filler=41)
+        assert parse_ogg_header(p)["n_pages"] == 3
+        for cut in range(len(p)):
+            with pytest.raises((ValueError, NotImplementedError)):
+                parse_ogg_header(p[:cut])

@@ -1,11 +1,15 @@
 """Round-11 operator tests: the WebP dimension codec (all three VP8
 bitstream flavors), ID3v2 frame-level tag parse (v2.3/v2.4 layouts,
-text encodings), the Ogg Opus/Vorbis page walk, and the round-11
+text encodings), the Ogg Opus/Vorbis page walk, the round-11
 hardening of the MP3 frame walk (mid-stream version/layer validation,
-ID3v2.4 footer skip, trailing ID3v1 tolerance, FFFA sniff)."""
+ID3v2.4 footer skip, trailing ID3v1 tolerance, FFFA sniff), and the
+MASE extension of the forecast backtest (hand-computed fold
+reference, NULL semantics when the naive forecast is perfect, exact
+lower-median selection)."""
 
 from __future__ import annotations
 
+import datetime
 import struct
 
 import pytest
@@ -318,3 +322,96 @@ class TestOggCodec:
         for cut in range(len(p)):
             with pytest.raises((ValueError, NotImplementedError)):
                 parse_ogg_header(p[:cut])
+
+
+def _backtest_fold(events):
+    """Pure-Python replay of the backtest fold: events = [(q, iv)]
+    ordered; iv[0] unused. Returns (ec, es, en) — Croston abs error,
+    SBA abs error, in-sample one-step naive abs error (the MASE
+    denominator). Same IEEE ops in the same order as both engines."""
+    z, p = float(events[0][0]), float(events[1][1])
+    ec = es = en = 0.0
+    r = 0.0
+    j = 1
+    for q, iv in events[1:]:
+        x_z, x_p = float(q), float(iv)
+        if j >= 2:  # prior state judges the point, never the point itself
+            rate = x_z / x_p
+            ec += abs(rate - z / p)
+            es += abs(rate - 0.95 * (z / p))
+            en += abs(rate - r)
+        z = 0.1 * x_z + 0.9 * z
+        p = 0.1 * x_p + 0.9 * p
+        r = x_z / x_p
+        j += 1
+    return ec, es, en
+
+
+class TestBacktestMase:
+    def _run(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(
+            rows, "l_partkey long, l_shipdate date, l_quantity double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        return {
+            r["demand_class"]: r.asDict()
+            for r in CATALOG["part_forecast_backtest"]
+            .builder(spark, str(tmp_path))
+            .collect()
+        }
+
+    def test_hand_mase_null_semantics_and_lower_median(
+        self, spark, tmp_path
+    ):
+        d = datetime.date(1995, 3, 1)
+
+        def day(k):
+            return d + datetime.timedelta(days=k)
+
+        rows = [
+            # part 1: days 0,3,5,12 qtys 4,6,2,10 -> intermittent
+            (1, day(0), 4.0), (1, day(3), 6.0),
+            (1, day(5), 2.0), (1, day(12), 10.0),
+            # part 2: constant rate (q=5 every 2 days) -> en = 0 ->
+            # MASE undefined (NULL), never a beats-naive count
+            (2, day(0), 5.0), (2, day(2), 5.0),
+            (2, day(4), 5.0), (2, day(6), 5.0),
+            # part 3: days 0,4,6,14 qtys 3,9,1,7 -> intermittent too
+            (3, day(0), 3.0), (3, day(4), 9.0),
+            (3, day(6), 1.0), (3, day(14), 7.0),
+        ]
+        out = self._run(spark, tmp_path, rows)
+        assert set(out) == {"intermittent"}
+        r = out["intermittent"]
+        ec1, es1, en1 = _backtest_fold([(4, 0), (6, 3), (2, 2), (10, 7)])
+        ec3, es3, en3 = _backtest_fold([(3, 0), (9, 4), (1, 2), (7, 8)])
+        assert en1 > 0 and en3 > 0
+        assert r["n_parts"] == 3
+        # part 2 (en = 0) can never beat the perfect naive forecast
+        assert r["n_croston_beats_naive"] == sum(
+            ec < en for ec, en in [(ec1, en1), (ec3, en3)]
+        )
+        assert r["n_sba_beats_naive"] == sum(
+            es < en for es, en in [(es1, en1), (es3, en3)]
+        )
+        # lower median of TWO non-null MASE values selects the smaller
+        # one bit-exactly (selection, not interpolation); part 2's
+        # NULL is excluded from the median population
+        assert r["med_mase_croston"] == min(ec1 / en1, ec3 / en3)
+        assert r["med_mase_sba"] == min(es1 / en1, es3 / en3)
+
+    def test_all_null_quadrant_has_null_medians(self, spark, tmp_path):
+        d = datetime.date(1995, 3, 1)
+        rows = [
+            (1, d + datetime.timedelta(days=2 * k), 5.0) for k in range(4)
+        ]
+        r = self._run(spark, tmp_path, rows)["intermittent"]
+        assert r["n_parts"] == 1
+        assert r["med_mase_croston"] is None
+        assert r["med_mase_sba"] is None
+        assert r["n_croston_beats_naive"] == 0
+        assert r["n_sba_beats_naive"] == 0

@@ -130,6 +130,35 @@ from . import (  # noqa: E402,F401
 # doc_hashed_cosine_topk + emb_semdedup_kmeans_pipeline +
 # emb_centroid_silhouette incoming; attested r1–r9); all eight remain
 # catalog + oracle-gated locally.
+# r11 rotation (sixth wave, verdict r10 task 1 — driver-attest the r10
+# additions that have never carried a driver row): in —
+# part_croston_forecast (SBC-routed intermittent-demand forecast),
+# stream_xmr_control_chart (prequential streaming XmR; its fully
+# independent prefix-window oracle makes it the strongest stream
+# attestation available), emb_pq_distortion_audit (integer-exact PQ
+# retrain), part_forecast_backtest (prequential Croston-vs-SBA with
+# the r11 MASE extension), doc_video_mp4_metadata (ISO-BMFF box walk,
+# the dominant real video container), doc_audio_flac_metadata (FLAC
+# STREAMINFO bitfield), part_abc_xyz_matrix (inventory segmentation),
+# corpus_chinchilla_plan (token-budget planning); out —
+# orders_xmr_control_chart (attested r10; XmR family stays via
+# stream_xmr_control_chart, its prequential stream twin),
+# orders_quantile_ci (attested r10; order-statistic family stays via
+# part_forecast_backtest's value-grain medians + orders_cramers_v_matrix
+# + lineitem_simpson_audit), part_link_prediction (attested r7–r10;
+# graph family stays via part_copurchase_pagerank +
+# part_personalized_pagerank + part_brand_modularity),
+# doc_audio_metadata (attested r10; the WAV walk's family stays via
+# doc_audio_flac_metadata, which runs the SAME extract_audio_metadata
+# stage), doc_video_frames (attested r10; video family stays via
+# doc_video_mp4_metadata), part_newsvendor_stock (attested r10;
+# inventory family stays via part_abc_xyz_matrix +
+# part_croston_forecast), corpus_unimax_mixture (attested r10;
+# corpus-planning family stays via corpus_chinchilla_plan),
+# emb_centroid_silhouette (attested r10; embedding-audit family stays
+# via emb_pq_distortion_audit + emb_semdedup_kmeans_pipeline +
+# emb_pca_top_component); all eight remain catalog + oracle-gated
+# locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "part_copurchase_pagerank",
@@ -140,14 +169,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_semdedup_kmeans_pipeline",
     "stream_funnel_stages",
     "q5_nation_revenue",
-    "orders_xmr_control_chart",
+    "stream_xmr_control_chart",
     "corpus_csv_roundtrip",
     "outer_join_profiles",
     "corpus_bm25_topk",
     "doc_bloom_decontamination",
     "orders_cramers_v_matrix",
-    "orders_quantile_ci",
-    "part_link_prediction",
+    "part_forecast_backtest",
+    "part_croston_forecast",
     "doc_hashed_cosine_topk",
     "doc_dedup_threshold_curve",
     "part_brand_modularity",
@@ -163,16 +192,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_attribution",
     "doc_classifier_conformal",
     "customer_kaplan_meier",
-    "doc_audio_metadata",
+    "doc_audio_flac_metadata",
     "doc_chunks",
     "corpus_source_hellinger",
-    "doc_video_frames",
-    "part_newsvendor_stock",
+    "doc_video_mp4_metadata",
+    "part_abc_xyz_matrix",
     "doc_image_dimensions",
-    "corpus_unimax_mixture",
+    "corpus_chinchilla_plan",
     "part_personalized_pagerank",
     "doc_dup_clusters",
-    "emb_centroid_silhouette",
+    "emb_pq_distortion_audit",
     "emb_pca_top_component",
     "events_conversion_window_curve",
     "stream_tumbling_counts",

@@ -24,14 +24,14 @@ EXPECTED_WINDOW = (
     "emb_semdedup_kmeans_pipeline",
     "stream_funnel_stages",
     "q5_nation_revenue",
-    "orders_xmr_control_chart",
+    "stream_xmr_control_chart",
     "corpus_csv_roundtrip",
     "outer_join_profiles",
     "corpus_bm25_topk",
     "doc_bloom_decontamination",
     "orders_cramers_v_matrix",
-    "orders_quantile_ci",
-    "part_link_prediction",
+    "part_forecast_backtest",
+    "part_croston_forecast",
     "doc_hashed_cosine_topk",
     "doc_dedup_threshold_curve",
     "part_brand_modularity",
@@ -47,16 +47,16 @@ EXPECTED_WINDOW = (
     "events_asof_attribution",
     "doc_classifier_conformal",
     "customer_kaplan_meier",
-    "doc_audio_metadata",
+    "doc_audio_flac_metadata",
     "doc_chunks",
     "corpus_source_hellinger",
-    "doc_video_frames",
-    "part_newsvendor_stock",
+    "doc_video_mp4_metadata",
+    "part_abc_xyz_matrix",
     "doc_image_dimensions",
-    "corpus_unimax_mixture",
+    "corpus_chinchilla_plan",
     "part_personalized_pagerank",
     "doc_dup_clusters",
-    "emb_centroid_silhouette",
+    "emb_pq_distortion_audit",
     "emb_pca_top_component",
     "events_conversion_window_curve",
     "stream_tumbling_counts",
@@ -124,6 +124,24 @@ def test_beyond_window_entries_still_registered():
         "doc_binary_payload",
         "doc_exact_dedup",
         "orders_fiscal_rollup",
+        # r10 out-rotated shape siblings — still catalog + oracle-gated
+        "orders_bloom_prefilter",
+        "top3_parts_per_brand",
+        "events_markov_stationary",
+        "doc_text_profile",
+        "doc_minhash_lsh_pairs",
+        "events_resample_gapfill",
+        "doc_sampling_pipeline",
+        "emb_cosine_topk",
+        # r11 out-rotated shape siblings — still catalog + oracle-gated
+        "orders_xmr_control_chart",
+        "orders_quantile_ci",
+        "part_link_prediction",
+        "doc_audio_metadata",
+        "doc_video_frames",
+        "part_newsvendor_stock",
+        "corpus_unimax_mixture",
+        "emb_centroid_silhouette",
     ):
         assert name in beyond, f"{name} fell out of the catalog"
 

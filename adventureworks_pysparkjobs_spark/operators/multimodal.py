@@ -2184,3 +2184,122 @@ def synthesize_ogg(
         id_col, codec_col, channels_col, rate_col, granule_col,
         pages_col, filler_col,
     ).mapInPandas(run, schema="path string, content binary")
+
+
+def route_media_codec(payload: bytes) -> dict:
+    """One-pass media dispatcher — the production shape of a mixed
+    100 TB crawl triage: sniff the container from the leading bytes
+    (never the extension), route to the matching header-grade parser
+    (WAV chunk walk / FLAC STREAMINFO / Ogg page walk / MP3 frame walk
+    / ISO-BMFF box walk), and normalize to the ONE schema a
+    duration-inventory pipeline needs: {'media_type', 'duration_ms'}.
+    Exactly the codec-seam contract of every extract_* stage — a real
+    demuxer (ffprobe) swaps in with one argument. Raises ValueError on
+    malformed streams of a recognized container (loud, never a wrong
+    duration), NotImplementedError for containers outside the routed
+    set."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        meta, mtype = parse_wav_header(payload), "wav"
+    elif payload[:4] == b"fLaC":
+        meta, mtype = parse_flac_header(payload), "flac"
+    elif payload[:4] == b"OggS":
+        meta, mtype = parse_ogg_header(payload), "ogg"
+    elif payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        meta, mtype = parse_mp3_frames(payload), "mp3"
+    elif payload[4:8] == b"ftyp":
+        meta, mtype = parse_mp4_header(payload), "mp4"
+    else:
+        raise NotImplementedError(
+            "container outside the routed set; inject a codec"
+        )
+    return {"media_type": mtype, "duration_ms": meta.get("duration_ms")}
+
+
+DURATION_SCHEMA = (
+    "path string, media_type string, duration_ms bigint, "
+    "payload_bytes bigint"
+)
+
+
+def extract_media_durations(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = route_media_codec,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Mixed-container duration extraction via mapInPandas — ONE pass
+    over a heterogeneous payload column, routing per row through
+    ``codec`` (route_media_codec by default)."""
+    import pandas as pd
+
+    out_cols = ["path", "media_type", "duration_ms", "payload_bytes"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "media_type": meta.get("media_type"),
+                        "duration_ms": meta.get("duration_ms"),
+                        "payload_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=DURATION_SCHEMA
+    )
+
+
+def synthesize_media_mix(
+    df: DataFrame,
+    id_col: str = "path",
+    kind_col: str = "kind",
+    a_col: str = "a",
+) -> DataFrame:
+    """Deterministic MIXED-container synthesis via mapInPandas — one
+    (id, kind, a) spec row in, one (path, content) payload out, where
+    ``a`` is the kind's size knob: WAV/FLAC sample count, MP3 frame
+    count, Ogg Opus granule position, MP4 mvhd duration units
+    (timescale 1000). The fixture side of route_media_codec."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, kind, a in zip(
+                pdf[id_col], pdf[kind_col], pdf[a_col]
+            ):
+                seed = zlib.crc32(str(rid).encode()) % 251
+                a = int(a)
+                if kind == "wav":
+                    content = encode_wav(8000, 1, a, seed=seed)
+                elif kind == "flac":
+                    content = encode_flac_header(44100, 1, a)
+                elif kind == "mp3":
+                    content = encode_mp3(a, 128, 44100, 2, seed=seed)
+                elif kind == "ogg":
+                    content = encode_ogg(
+                        "opus", 2, 48000, a, n_audio_pages=2,
+                        filler=50, seed=seed,
+                    )
+                elif kind == "mp4":
+                    content = encode_mp4("isom", 1000, a, 64, 32)
+                else:
+                    raise ValueError(f"unknown media kind {kind!r}")
+                rows.append({"path": str(rid), "content": content})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(id_col, kind_col, a_col).mapInPandas(
+        run, schema="path string, content binary"
+    )

@@ -5293,6 +5293,7 @@ def events_conversion_window_curve(
     FROM curve c, arr a
     """,
     tags=("analytics", "survival", "kaplan-meier", "bi"),
+    bench=True,  # frozen headline set v2 (r11)
 )
 def customer_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier product-limit survival curve for the first→second
@@ -6221,6 +6222,7 @@ def orders_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("analytics", "supply-chain", "croston", "sba",
           "intermittent-demand", "forecast"),
+    bench=True,  # frozen headline set v2 (r11)
 )
 def part_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston / SBA intermittent-demand forecast per part — the

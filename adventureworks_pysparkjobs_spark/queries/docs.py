@@ -2549,6 +2549,7 @@ def doc_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rnk <= 3
     """,
     tags=("similarity", "hashing-tf", "cosine", "text-embedding"),
+    bench=True,  # frozen headline set v2 (r11)
 )
 def doc_hashed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text -> hashed vectors -> cosine top-k with ZERO injected code (r8
@@ -2869,6 +2870,7 @@ def doc_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id % 13 = 0
     """,
     tags=("multimodal", "video", "mp4", "iso-bmff", "roundtrip"),
+    bench=True,  # frozen headline set v2 (r11)
 )
 def doc_video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4/ISO-BMFF container metadata end-to-end with ZERO injected
@@ -3415,4 +3417,75 @@ def doc_audio_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pages",
         "granule",
         "duration_ms",
+    )
+
+
+@query(
+    "doc_media_duration_inventory",
+    oracle="""
+    WITH m AS (
+      SELECT CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+               WHEN 3 THEN 'ogg' ELSE 'mp4' END AS media_type,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 125 * (1 + doc_id % 50)
+               WHEN 1 THEN (1000 * (1 + doc_id % 100)) * 1000 // 44100
+               WHEN 2 THEN (1 + doc_id % 200) * 1152 * 1000 // 44100
+               WHEN 3 THEN 20 * (1 + doc_id % 300)
+               ELSE 100 * (1 + doc_id % 600)
+             END AS dur
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(dur) AS BIGINT) AS total_duration_ms
+    FROM m GROUP BY 1
+    """,
+    tags=("multimodal", "triage", "duration", "inventory", "routing"),
+)
+def doc_media_duration_inventory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixed-corpus duration inventory — the planning table a
+    multimodal training run reads FIRST ("how many hours of audio and
+    video do we actually have, by container?"): synthesize a
+    heterogeneous payload column (WAV, FLAC, MP3, Ogg Opus, MP4 — one
+    container per doc by doc_id rule, sizes from doc_id arithmetic),
+    then run ONE mapInPandas pass with route_media_codec — sniff the
+    container from the leading bytes, dispatch to the matching
+    header-grade parser, normalize to (media_type, duration_ms) — and
+    aggregate hours by container. This is the dispatcher the five
+    per-container roundtrip entries compose into: one argument
+    (ffprobe) swaps every parser at once in production. Exact integer
+    durations from five different granule/frame/sample clocks, summed
+    as BIGINTs; the oracle recomputes each clock from doc_id
+    arithmetic, so a routing mistake (e.g. an Ogg payload measured by
+    the MP3 walk) breaks the match loudly."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 3 == 1).select(
+        did.cast("string").alias("path"),
+        F.when(did % 5 == 0, "wav")
+        .when(did % 5 == 1, "flac")
+        .when(did % 5 == 2, "mp3")
+        .when(did % 5 == 3, "ogg")
+        .otherwise("mp4")
+        .alias("kind"),
+        F.when(did % 5 == 0, F.lit(1000) * (F.lit(1) + did % 50))
+        .when(did % 5 == 1, F.lit(1000) * (F.lit(1) + did % 100))
+        .when(did % 5 == 2, F.lit(1) + did % 200)
+        .when(
+            did % 5 == 3,
+            F.lit(312) + F.lit(960) * (F.lit(1) + did % 300),
+        )
+        .otherwise(F.lit(100) * (F.lit(1) + did % 600))
+        .cast("bigint")
+        .alias("a"),
+    )
+    parsed = MM.extract_media_durations(MM.synthesize_media_mix(spec))
+    return parsed.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
     )

@@ -440,6 +440,7 @@ def stream_user_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "stateful", "xmr", "spc", "control-chart",
           "applyInPandasWithState"),
+    bench=True,  # frozen headline set v2 (r11)
 )
 def stream_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth custom stateful streaming operator

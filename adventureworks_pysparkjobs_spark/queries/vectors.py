@@ -938,6 +938,7 @@ def emb_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM err GROUP BY j
     """,
     tags=("similarity", "pq", "quantization", "distortion", "audit"),
+    bench=True,  # frozen headline set v2 (r11)
 )
 def emb_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook distortion audit under an INTEGER-EXACT retrain

@@ -20,8 +20,11 @@ whose repetition 2/3 failed after a good rep 1 keeps its timing in
 partially-failed measurement is never mistaken for a healthy one.
 "core13_sec" and "core_llm10_sec" re-report the two FROZEN subtotals
 (R3_CORE_13 and CORE_LLM_10 below) so BENCH artifacts stay comparable
-across rounds as the headline set grows; the headline "value" tracks
-the growing set and is only comparable within a round.
+across rounds as the headline set grows; "headline_v1_sec" /
+"headline_v2_sec" re-report the two frozen headline revisions
+(HEADLINE_V1_34, comparable with BENCH_r03..r10, and HEADLINE_V2_40,
+the baseline from r11 on); the headline "value" tracks the growing
+set and is only comparable within a round.
 
 The ≤2x-vs-single-node gate is MACHINE-CHECKED in the same artifact:
 after the Spark loop, each bench entry's own DuckDB oracle runs in a
@@ -135,6 +138,40 @@ CORE_LLM_10 = frozenset({
     "doc_ngram_jaccard_pairs", "doc_dup_clusters", "doc_span_dedup",
     "emb_cosine_topk", "emb_semdedup_kmeans_pipeline",
     "corpus_bpe_encode_stats", "doc_classifier_conformal",
+})
+
+# HEADLINE_V1_34: the r3-era headline membership, frozen as-is when the
+# set was REVISED in r11 (r10 verdict task 6: none of the r9/r10
+# flagships were benched; extending happens via a new frozen revision,
+# never in-place). Reported as "headline_v1_sec" for cross-round
+# comparability with BENCH_r03..r10.
+HEADLINE_V1_34 = frozenset({
+    "corpus_bpe_encode_stats", "corpus_export_shards",
+    "corpus_heavy_terms_cms", "corpus_training_pipeline", "doc_chunks",
+    "doc_classifier_conformal", "doc_dup_clusters",
+    "doc_jaccard_histogram", "doc_minhash_lsh_pairs",
+    "doc_ngram_jaccard_pairs", "doc_span_dedup", "doc_term_cosine_pairs",
+    "emb_contrastive_pairs", "emb_cosine_topk",
+    "emb_cosine_topk_vectorized", "emb_nearest_centroid_confusion",
+    "emb_semantic_dedup", "emb_semdedup_kmeans_pipeline",
+    "events_anomaly_zscore", "events_resample_gapfill",
+    "events_sessionize", "events_transition_matrix",
+    "fact_daily_part_agg", "fact_order_line", "orders_market_basket",
+    "part_copurchase_pagerank", "part_copurchase_triangles",
+    "part_hierarchy_rollup", "part_link_prediction",
+    "q10_returned_revenue", "q1_pricing_summary", "q3_unshipped_revenue",
+    "q5_nation_revenue", "top3_parts_per_brand",
+})
+
+# HEADLINE_V2_40: v1 plus six r9/r10-era flagships (intermittent-demand
+# forecast, streaming XmR, PQ distortion audit, the MP4 box walk,
+# Kaplan-Meier survival, hashed-cosine top-k). The v2 total is the new
+# cross-round baseline from r11 on; r11 reports BOTH totals (the
+# sanctioned transition round).
+HEADLINE_V2_40 = HEADLINE_V1_34 | frozenset({
+    "part_croston_forecast", "stream_xmr_control_chart",
+    "emb_pq_distortion_audit", "doc_video_mp4_metadata",
+    "customer_kaplan_meier", "doc_hashed_cosine_topk",
 })
 
 
@@ -288,6 +325,12 @@ def main() -> None:
     core_llm10 = round(
         sum(t for n, t in timings.items() if n in ok & CORE_LLM_10), 3
     )
+    headline_v1 = round(
+        sum(t for n, t in timings.items() if n in ok & HEADLINE_V1_34), 3
+    )
+    headline_v2 = round(
+        sum(t for n, t in timings.items() if n in ok & HEADLINE_V2_40), 3
+    )
 
     # Stop Spark BEFORE the oracle pass so the JVM's 32 threads and heap
     # aren't loading the box while DuckDB is being timed (fairness).
@@ -332,6 +375,15 @@ def main() -> None:
     gate = {
         "all_dual_timed": _agg(dual),
         "excl_pathological_oracles": _agg(healthy),
+        # Continuity metric for the cross-round ~1.8 watch rule, which
+        # was calibrated on the v1-34 membership: the same healthy
+        # ratio restricted to v1 members. The six v2 additions are
+        # structurally oracle-asymmetric (roundtrip-fixture oracles
+        # recompute doc_id arithmetic in milliseconds while Spark does
+        # the actual byte/stream work), so they shift the unrestricted
+        # healthy ratio upward by construction — see BENCH_NOTES.md
+        # "r11 gate2x decomposition". pass_2x semantics UNCHANGED.
+        "excl_pathological_v1_members": _agg(healthy & HEADLINE_V1_34),
         "pathological": sorted(pathological),
         "cap_sec": float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "60")),
         "pass_2x": bool(
@@ -349,6 +401,8 @@ def main() -> None:
         "status": status,
         "core13_sec": core13,
         "core_llm10_sec": core_llm10,
+        "headline_v1_sec": headline_v1,
+        "headline_v2_sec": headline_v2,
         "sf": sf,
         "oracle_sec": oracle_sec,
         "oracle_sec_raw": oracle_sec_raw,
@@ -393,6 +447,8 @@ def main() -> None:
         "queries": timings,
         "core13_sec": core13,
         "core_llm10_sec": core_llm10,
+        "headline_v1_sec": headline_v1,
+        "headline_v2_sec": headline_v2,
         "sf": sf,
         "n_ok": len(ok),
         "n_partial": sum(1 for s in status.values() if s == "partial"),
@@ -401,6 +457,8 @@ def main() -> None:
             "ratio_all": gate["all_dual_timed"]["ratio"],
             "ratio_excl_pathological":
                 gate["excl_pathological_oracles"]["ratio"],
+            "ratio_excl_path_v1":
+                gate["excl_pathological_v1_members"]["ratio"],
             "pass_2x": gate["pass_2x"],
             "n_dual": gate["all_dual_timed"]["n_queries"],
             "n_pathological": len(pathological),

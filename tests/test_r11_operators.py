@@ -415,3 +415,49 @@ class TestBacktestMase:
         assert r["med_mase_sba"] is None
         assert r["n_croston_beats_naive"] == 0
         assert r["n_sba_beats_naive"] == 0
+
+
+class TestMediaRouter:
+    def test_routes_every_container_to_its_clock(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_flac_header,
+            encode_mp4,
+            encode_wav,
+            route_media_codec,
+        )
+
+        cases = [
+            ("wav", encode_wav(8000, 1, 4000), 4000 * 1000 // 8000),
+            ("flac", encode_flac_header(44100, 1, 44100), 1000),
+            ("mp3", encode_mp3(10), 10 * 1152 * 1000 // 44100),
+            ("ogg", encode_ogg("opus", 2, 48000, 312 + 960 * 10), 200),
+            ("mp4", encode_mp4("isom", 1000, 2500, 64, 32), 2500),
+        ]
+        for mtype, payload, dur in cases:
+            m = route_media_codec(payload)
+            assert m == {"media_type": mtype, "duration_ms": dur}, mtype
+
+    def test_bare_sync_mp3_routes_without_id3(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            route_media_codec,
+        )
+
+        assert route_media_codec(encode_mp3(3))["media_type"] == "mp3"
+
+    def test_unrouted_container_hits_the_seam(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            route_media_codec,
+        )
+
+        with pytest.raises(NotImplementedError):
+            route_media_codec(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+    def test_misrouting_is_loud_not_wrong(self):
+        """Every non-matching parser refuses a foreign container at its
+        NotImplementedError seam — the property that makes the router's
+        dispatch verifiable: a wrong branch can never return a wrong
+        duration silently."""
+        payload = encode_ogg("opus", 2, 48000, 960)
+        for parser in (parse_mp3_frames, parse_webp_header, parse_id3_tags):
+            with pytest.raises(NotImplementedError):
+                parser(payload)

@@ -7237,3 +7237,164 @@ def part_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).z"""
         ).alias("ses_level"),
     )
+
+
+@query(
+    "orders_holt_forecast",
+    oracle="""
+    WITH day AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT priority, d,
+             CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS z,
+             CAST(COALESCE(date_diff('day',
+                   LAG(d) OVER (PARTITION BY priority ORDER BY d), d), 0)
+                  AS DOUBLE) AS p
+      FROM day
+    ),
+    arr AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days,
+             list([CAST(date_diff('day', DATE '1970-01-01', d) AS DOUBLE),
+                   z, p] ORDER BY d) AS evs
+      FROM ev GROUP BY 1
+    ),
+    folded AS (
+      SELECT priority, n_days, span_days,
+             list_reduce(
+               list_concat([[evs[1][2], CAST(0 AS DOUBLE)]], evs[2:]),
+               (acc, x) -> list_reduce(
+                 list_concat([acc],
+                   list_transform(range(1, CAST(x[3] AS INTEGER) + 1),
+                                  i -> [CAST(i AS DOUBLE)])),
+                 (a2, y) -> [
+                   CAST('0.2' AS DOUBLE)
+                     * (CASE WHEN y[1] = x[3] THEN x[2]
+                             ELSE CAST(0 AS DOUBLE) END)
+                   + CAST('0.8' AS DOUBLE) * (a2[1] + a2[2]),
+                   CAST('0.1' AS DOUBLE)
+                     * (CAST('0.2' AS DOUBLE)
+                        * ((CASE WHEN y[1] = x[3] THEN x[2]
+                                 ELSE CAST(0 AS DOUBLE) END) - a2[1])
+                        + CAST('0.8' AS DOUBLE) * a2[2])
+                   + CAST('0.9' AS DOUBLE) * a2[2]])
+             ) AS st
+      FROM arr WHERE n_days >= 2
+    )
+    SELECT priority, n_days, span_days,
+           st[1] AS level, st[2] AS trend,
+           st[1] + CAST('7' AS DOUBLE) * st[2] AS forecast_7d
+    FROM folded
+    """,
+    tags=("analytics", "forecast", "holt", "trend", "zero-filled"),
+)
+def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over the
+    ZERO-FILLED daily revenue series per order priority (alpha = 0.2,
+    beta = 0.1) — the trend-aware forecaster that completes the
+    smoothing family (part_ses_forecast handles trendless smooth
+    demand, part_croston_forecast the intermittent quadrants; Holt is
+    what the SBC router would call for a trending smooth series):
+    l' = a*x + (1-a)*(l + b), b' = beta*(l' - l) + (1-beta)*b applied
+    to EVERY calendar day between a priority's first and last order
+    day, x = that day's revenue or zero.
+
+    Computed WITHOUT materializing the day series: each event row
+    carries its lag gap p, and the fold iterates the p-1 zero days
+    plus the event day in one inner pass (the part_ses_forecast
+    gap-collapse idiom, generalized to two state variables). Total
+    fold work per priority is exactly span_days at event-list memory.
+
+    Determinism: the trend update is algebraically rewritten to read
+    ONLY the previous step's state — b' = 0.1*(0.2*(x - l) + 0.8*b)
+    + 0.9*b, since l' - l = 0.2*(x - l) + 0.8*b — and the accumulator
+    is a DOUBLE LIST, not a struct: DuckDB's list_reduce struct
+    accumulators are NOT alias-free (a field reads same-step-updated
+    earlier fields from step 2 on — see part_forecast_backtest and
+    the regression guard in tests/test_r10_operators.py), but
+    list-valued accumulators evaluate every element against the old
+    list (pinned by a guard test alongside the struct one). Both
+    engines run the identical pinned-constant multiply-add chain in
+    event order; day revenue enters as an exact DECIMAL sum cast
+    through VARCHAR (the ordered-fold idiom).
+
+    Scale: one (priority, day) keyed aggregate over orders is the
+    only corpus-sized stage; the lag window and the fold run on the
+    5-row-per-day priority grain, output is dimension-bounded (5
+    rows). No broadcast riders, no cross joins."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    day = od.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("rev"))
+    w = Window.partitionBy("priority").orderBy("d")
+    ev = day.select(
+        "priority",
+        "d",
+        F.col("rev").cast("string").cast("double").alias("z"),
+        F.coalesce(F.datediff("d", F.lag("d").over(w)), F.lit(0))
+        .cast("double")
+        .alias("p"),
+    )
+    arr = ev.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span_days"),
+        F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.datediff("d", F.lit("1970-01-01").cast("date")).cast(
+                        "double"
+                    ),
+                    F.col("z"),
+                    F.col("p"),
+                )
+            )
+        ).alias("evs"),
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(evs, 2, size(evs) - 1),
+          array(element_at(element_at(evs, 1), 2), CAST(0 AS DOUBLE)),
+          (acc, x) -> aggregate(
+            sequence(1, CAST(element_at(x, 3) AS INT)),
+            acc,
+            (a2, i) -> array(
+              CAST('0.2' AS DOUBLE)
+                * IF(i = CAST(element_at(x, 3) AS INT),
+                     element_at(x, 2), CAST(0 AS DOUBLE))
+              + CAST('0.8' AS DOUBLE)
+                * (element_at(a2, 1) + element_at(a2, 2)),
+              CAST('0.1' AS DOUBLE)
+                * (CAST('0.2' AS DOUBLE)
+                   * (IF(i = CAST(element_at(x, 3) AS INT),
+                         element_at(x, 2), CAST(0 AS DOUBLE))
+                      - element_at(a2, 1))
+                   + CAST('0.8' AS DOUBLE) * element_at(a2, 2))
+              + CAST('0.9' AS DOUBLE) * element_at(a2, 2))))
+        """
+    )
+    return (
+        arr.filter(F.col("n_days") >= 2)
+        .select("priority", "n_days", "span_days", fold.alias("st"))
+        .select(
+            "priority",
+            "n_days",
+            "span_days",
+            F.element_at("st", 1).alias("level"),
+            F.element_at("st", 2).alias("trend"),
+            (
+                F.element_at("st", 1)
+                + F.expr("CAST('7' AS DOUBLE)") * F.element_at("st", 2)
+            ).alias("forecast_7d"),
+        )
+    )

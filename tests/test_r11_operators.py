@@ -461,3 +461,104 @@ class TestMediaRouter:
         for parser in (parse_mp3_frames, parse_webp_header, parse_id3_tags):
             with pytest.raises(NotImplementedError):
                 parser(payload)
+
+
+def test_duckdb_list_fold_is_alias_free():
+    """Companion to the struct-fold aliasing guard in
+    test_r10_operators.py: list_reduce with a LIST accumulator
+    evaluates every element expression against the OLD list — the
+    construction orders_holt_forecast's two mutually-dependent state
+    variables rely on. Same probe as the struct guard (z += x,
+    e += old z over [1,5,7,11]): alias-free gives e = 20; the struct
+    hazard gives 38. If this ever fails, the Holt oracle's list
+    accumulator must be re-audited."""
+    import duckdb
+
+    r = duckdb.sql(
+        """
+        SELECT list_reduce(
+          [[CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)],
+           [CAST(5 AS DOUBLE), CAST(0 AS DOUBLE)],
+           [CAST(7 AS DOUBLE), CAST(0 AS DOUBLE)],
+           [CAST(11 AS DOUBLE), CAST(0 AS DOUBLE)]],
+          (acc, x) -> [acc[1] + x[1], acc[2] + acc[1]]) AS f
+        """
+    ).fetchone()[0]
+    assert r == [24.0, 20.0], (
+        f"DuckDB LIST-fold aliasing semantics changed: {r} — re-audit "
+        "orders_holt_forecast's oracle accumulator"
+    )
+
+
+class TestHoltForecast:
+    def test_hand_computed_fold_exact(self, spark, tmp_path):
+        """Three order days with a 3-day gap: the fold must equal the
+        explicit zero-filled Holt recursion, bit for bit."""
+        import datetime as _dt
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        d0 = _dt.date(1995, 3, 1)
+        rows = [
+            ("1-URGENT", d0, 100.0),
+            ("1-URGENT", d0 + _dt.timedelta(days=1), 130.0),
+            ("1-URGENT", d0 + _dt.timedelta(days=4), 40.0),
+        ]
+        df = spark.createDataFrame(
+            [
+                (p, _dt.datetime.combine(d, _dt.time()), v, 1, "x")
+                for p, d, v in rows
+            ],
+            "o_orderpriority string, o_orderdate timestamp, "
+            "o_totalprice double, o_orderkey int, o_orderstatus string",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+        out = {
+            r["priority"]: r.asDict()
+            for r in CATALOG["orders_holt_forecast"]
+            .builder(spark, str(tmp_path))
+            .collect()
+        }
+        # explicit replay: series 100, 130, 0, 0, 40 (days 0..4)
+        a, bt = 0.2, 0.1
+        level, trend = 100.0, 0.0
+        for x in [130.0, 0.0, 0.0, 40.0]:
+            nl = a * x + (1 - a) * (level + trend)
+            nb = bt * (a * (x - level) + (1 - a) * trend) + (1 - bt) * trend
+            level, trend = nl, nb
+        got = out["1-URGENT"]
+        assert got["n_days"] == 3 and got["span_days"] == 4
+        assert got["level"] == pytest.approx(level, abs=0, rel=0)
+        assert got["trend"] == pytest.approx(trend, abs=0, rel=0)
+        assert got["forecast_7d"] == got["level"] + 7.0 * got["trend"]
+
+    def test_trend_positive_on_rising_series(self, spark, tmp_path):
+        import datetime as _dt
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        d0 = _dt.date(1995, 3, 1)
+        df = spark.createDataFrame(
+            [
+                (
+                    "2-HIGH",
+                    _dt.datetime.combine(
+                        d0 + _dt.timedelta(days=i), _dt.time()
+                    ),
+                    100.0 + 10.0 * i,
+                    i,
+                    "x",
+                )
+                for i in range(30)
+            ],
+            "o_orderpriority string, o_orderdate timestamp, "
+            "o_totalprice double, o_orderkey int, o_orderstatus string",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+        row = (
+            CATALOG["orders_holt_forecast"]
+            .builder(spark, str(tmp_path))
+            .collect()[0]
+        )
+        assert row["trend"] > 0
+        assert row["forecast_7d"] > row["level"]

@@ -7398,3 +7398,106 @@ def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast_7d"),
         )
     )
+
+
+@query(
+    "part_eoq_policy",
+    oracle="""
+    WITH dem AS (
+      SELECT l_partkey AS part_key,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+               AS annual_demand
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate < DATE '1996-01-01'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT dem.part_key, p.p_brand AS brand, dem.annual_demand,
+             p.p_retailprice AS unit_price,
+             sqrt(CAST('2' AS DOUBLE)
+                  * CAST(dem.annual_demand AS DOUBLE)
+                  * CAST('100' AS DOUBLE)
+                  / (CAST('0.25' AS DOUBLE) * p.p_retailprice)) AS eoq_qty
+      FROM dem JOIN part p ON p.p_partkey = dem.part_key
+      WHERE dem.annual_demand >= 1
+    )
+    SELECT part_key, brand, annual_demand, unit_price, eoq_qty,
+           CAST(annual_demand AS DOUBLE) / eoq_qty AS orders_per_year,
+           CAST('365' AS DOUBLE)
+             / (CAST(annual_demand AS DOUBLE) / eoq_qty) AS cycle_days,
+           CAST('100' AS DOUBLE)
+             * (CAST(annual_demand AS DOUBLE) / eoq_qty)
+           + CAST('0.25' AS DOUBLE) * unit_price * eoq_qty
+             / CAST('2' AS DOUBLE) AS total_relevant_cost
+    FROM j
+    """,
+    tags=("analytics", "supply-chain", "eoq", "inventory-policy"),
+)
+def part_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per part over 1995 shipped demand —
+    the (Q, R) policy's Q leg next to part_reorder_point's R leg
+    (part_newsvendor_stock covers the single-period case, the
+    ABC x XYZ matrix the review-cadence routing): Q* =
+    sqrt(2*D*S / H) with ordering cost S = 100 and holding cost
+    H = 0.25 * unit retail price, plus the implied orders/year,
+    cycle length, and total relevant cost S*D/Q + H*Q/2 at the
+    optimum.
+
+    Determinism: annual demand is an exact BIGINT (FLOOR before the
+    cast on both sides per the cross-engine truncation rule); every
+    derived column is the same pinned-constant multiply/divide chain
+    in the same order on both engines, and sqrt is the ordered-fold
+    idiom's one safe transcendental (IEEE correctly rounded in both).
+    Scale: one pushed-down year-filtered scan of lineitem into a
+    (part_key) keyed aggregate, then one keyed equi-join with part —
+    both shuffle on the same key; no broadcast riders, no windows,
+    output at surviving-part grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dem = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("annual_demand")
+        )
+        .filter(F.col("annual_demand") >= 1)
+    )
+    two, s_cost, h_rate = (
+        F.expr("CAST('2' AS DOUBLE)"),
+        F.expr("CAST('100' AS DOUBLE)"),
+        F.expr("CAST('0.25' AS DOUBLE)"),
+    )
+    j = dem.join(
+        part, part["p_partkey"] == dem["part_key"], "inner"
+    ).select(
+        "part_key",
+        F.col("p_brand").alias("brand"),
+        "annual_demand",
+        F.col("p_retailprice").alias("unit_price"),
+        F.sqrt(
+            two
+            * F.col("annual_demand").cast("double")
+            * s_cost
+            / (h_rate * F.col("p_retailprice"))
+        ).alias("eoq_qty"),
+    )
+    opy = F.col("annual_demand").cast("double") / F.col("eoq_qty")
+    return j.select(
+        "part_key",
+        "brand",
+        "annual_demand",
+        "unit_price",
+        "eoq_qty",
+        opy.alias("orders_per_year"),
+        (F.expr("CAST('365' AS DOUBLE)") / opy).alias("cycle_days"),
+        (
+            s_cost * opy
+            + h_rate * F.col("unit_price") * F.col("eoq_qty") / two
+        ).alias("total_relevant_cost"),
+    )

@@ -562,3 +562,42 @@ class TestHoltForecast:
         )
         assert row["trend"] > 0
         assert row["forecast_7d"] > row["level"]
+
+
+class TestEoqPolicy:
+    def test_hand_formula_exact(self, spark, tmp_path):
+        import datetime as _dt
+        import math
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        li = spark.createDataFrame(
+            [
+                (1, _dt.date(1995, 6, 1), 10.0),
+                (1, _dt.date(1995, 7, 1), 30.0),
+                (2, _dt.date(1994, 6, 1), 99.0),  # outside the year
+            ],
+            "l_partkey bigint, l_shipdate date, l_quantity double",
+        )
+        pt = spark.createDataFrame(
+            [(1, "Brand#11", 50.0), (2, "Brand#22", 10.0)],
+            "p_partkey bigint, p_brand string, p_retailprice double",
+        )
+        li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+        pt.write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+        rows = (
+            CATALOG["part_eoq_policy"].builder(spark, str(tmp_path)).collect()
+        )
+        assert len(rows) == 1  # part 2's demand is outside 1995
+        r = rows[0].asDict()
+        assert r["annual_demand"] == 40
+        eoq = math.sqrt(2.0 * 40.0 * 100.0 / (0.25 * 50.0))
+        assert r["eoq_qty"] == eoq
+        assert r["orders_per_year"] == 40.0 / eoq
+        assert r["total_relevant_cost"] == pytest.approx(
+            100.0 * 40.0 / eoq + 0.25 * 50.0 * eoq / 2.0, rel=1e-12
+        )
+        # at the EOQ optimum, ordering and holding cost halves are equal
+        assert 100.0 * 40.0 / eoq == pytest.approx(
+            0.25 * 50.0 * eoq / 2.0, rel=1e-12
+        )

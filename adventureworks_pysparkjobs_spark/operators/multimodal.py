@@ -650,6 +650,322 @@ def synthesize_videos_mp4(
     ).mapInPandas(run, schema="path string, content binary")
 
 
+WEBM_META_SCHEMA = (
+    "path string, payload_bytes bigint, doc_type string, "
+    "timecode_scale bigint, duration_ms bigint, n_tracks int, "
+    "width int, height int"
+)
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def _ebml_vint(buf: bytes, i: int, hi: int, keep_marker: bool):
+    """Decode one EBML variable-length integer at buf[i:]; returns
+    (value, next_index, is_all_ones). Element IDs keep the length
+    marker bit (class IDs as written in the spec); data sizes strip
+    it. Raises ValueError on truncation or a 0x00 lead byte (9+ byte
+    vints are outside Matroska's MaxSizeLength=8 contract)."""
+    if i >= hi:
+        raise ValueError("malformed EBML: truncated vint")
+    b0 = buf[i]
+    if b0 == 0:
+        raise ValueError("malformed EBML: vint wider than 8 bytes")
+    n = 9 - b0.bit_length()  # leading zeros + 1
+    if i + n > hi:
+        raise ValueError("malformed EBML: truncated vint body")
+    raw = int.from_bytes(buf[i : i + n], "big")
+    if keep_marker:
+        return raw, i + n, False
+    mask = (1 << (7 * n)) - 1
+    val = raw & mask
+    return val, i + n, val == mask
+
+
+def _encode_ebml_size(v: int) -> bytes:
+    for n in range(1, 9):
+        if v < (1 << (7 * n)) - 1:  # all-ones reserved for unknown
+            return ((1 << (7 * n)) | v).to_bytes(n, "big")
+    raise ValueError(f"EBML size out of range: {v}")
+
+
+def parse_webm_header(payload: bytes) -> dict:
+    """Pure-Python WebM/Matroska (EBML) metadata walk — the other
+    dominant web-video container next to ISO-BMFF (parse_mp4_header;
+    real crawls are MP4+WebM). Decodes the EBML header for DocType,
+    then walks the Segment for Info (TimecodeScale + Duration) and
+    Tracks (TrackEntry count, first video track's PixelWidth/Height),
+    skipping Cluster payload wholesale by its declared size —
+    O(elements) not O(bytes), the same header-only crawl-triage
+    contract as the ISO-BMFF box walk. Unknown-size (all-ones vint)
+    is honored for Segment only (the streaming-mux layout: body runs
+    to end of payload); anywhere else it is malformed here.
+
+    Returns {'doc_type', 'timecode_scale', 'duration_tc',
+    'duration_ms', 'n_tracks', 'width', 'height'}. Raises ValueError
+    on malformed/truncated EBML streams and NotImplementedError on
+    non-EBML containers."""
+    import struct
+
+    if len(payload) < 4 or payload[:4] != _EBML_MAGIC:
+        raise NotImplementedError(
+            "not an EBML payload; inject a video codec for this format"
+        )
+
+    def walk(lo: int, hi: int):
+        """Yield (element_id, body_lo, body_hi, unknown_size)."""
+        i = lo
+        while i < hi:
+            eid, j, _ = _ebml_vint(payload, i, hi, keep_marker=True)
+            size, k, unknown = _ebml_vint(payload, j, hi, keep_marker=False)
+            if unknown:
+                yield eid, k, hi, True
+                return  # unknown size swallows the rest of the scope
+            if k + size > hi:
+                raise ValueError("malformed EBML: element size out of bounds")
+            yield eid, k, k + size, False
+            i = k + size
+
+    def uint(lo: int, hi: int) -> int:
+        if hi - lo > 8:
+            raise ValueError("malformed EBML: oversized uint")
+        return int.from_bytes(payload[lo:hi], "big")
+
+    def fl(lo: int, hi: int) -> float:
+        if hi - lo == 4:
+            return struct.unpack(">f", payload[lo:hi])[0]
+        if hi - lo == 8:
+            return struct.unpack(">d", payload[lo:hi])[0]
+        raise ValueError("malformed EBML: float must be 4 or 8 bytes")
+
+    meta: dict = {
+        "doc_type": None, "timecode_scale": 1_000_000,
+        "duration_tc": None, "duration_ms": None,
+        "n_tracks": 0, "width": None, "height": None,
+    }
+    saw_segment = False
+    for eid, lo, hi, unknown in walk(0, len(payload)):
+        if eid == 0x1A45DFA3:  # EBML header
+            if unknown:
+                raise ValueError("malformed EBML: unknown-size header")
+            for cid, clo, chi, cu in walk(lo, hi):
+                if cu:
+                    raise ValueError("malformed EBML: unknown-size child")
+                if cid == 0x4282:  # DocType
+                    meta["doc_type"] = payload[clo:chi].decode(
+                        "ascii", "replace"
+                    )
+        elif eid == 0x18538067:  # Segment (unknown size allowed)
+            saw_segment = True
+            for cid, clo, chi, cu in walk(lo, hi):
+                if cu:
+                    raise ValueError("malformed EBML: unknown-size child")
+                if cid == 0x1549A966:  # Info
+                    for gid, glo, ghi, gu in walk(clo, chi):
+                        if gu:
+                            raise ValueError(
+                                "malformed EBML: unknown-size child"
+                            )
+                        if gid == 0x2AD7B1:
+                            ts = uint(glo, ghi)
+                            if ts == 0:
+                                raise ValueError(
+                                    "malformed EBML: zero timecode scale"
+                                )
+                            meta["timecode_scale"] = ts
+                        elif gid == 0x4489:
+                            meta["duration_tc"] = fl(glo, ghi)
+                elif cid == 0x1654AE6B:  # Tracks
+                    for gid, glo, ghi, gu in walk(clo, chi):
+                        if gu:
+                            raise ValueError(
+                                "malformed EBML: unknown-size child"
+                            )
+                        if gid != 0xAE:  # TrackEntry
+                            continue
+                        meta["n_tracks"] += 1
+                        for tid, tlo, thi, tu in walk(glo, ghi):
+                            if tu:
+                                raise ValueError(
+                                    "malformed EBML: unknown-size child"
+                                )
+                            if tid == 0xE0:  # Video
+                                w = h = None
+                                for vid, vlo, vhi, _vu in walk(tlo, thi):
+                                    if vid == 0xB0:
+                                        w = uint(vlo, vhi)
+                                    elif vid == 0xBA:
+                                        h = uint(vlo, vhi)
+                                if meta["width"] is None and (w or h):
+                                    meta["width"] = w
+                                    meta["height"] = h
+                # Cluster (0x1F43B675) and anything else: skipped by size
+    if meta["doc_type"] is None or not saw_segment:
+        raise ValueError("malformed EBML: missing DocType or Segment")
+    if meta["duration_tc"] is not None:
+        meta["duration_ms"] = int(
+            meta["duration_tc"] * meta["timecode_scale"] // 1_000_000
+        )
+    return meta
+
+
+def encode_webm(
+    doc_type: str = "webm",
+    timecode_scale: int = 1_000_000,
+    duration_ms: int = 0,
+    width: int = 0,
+    height: int = 0,
+    n_audio_tracks: int = 0,
+    cluster_bytes: int = 16,
+) -> bytes:
+    """Minimal structurally-valid WebM/Matroska fixture encoder (stdlib
+    struct only): EBML header + Segment{Info{TimecodeScale, Duration},
+    Tracks{video TrackEntry [+ audio TrackEntries]}, Cluster filler} —
+    the EBML sibling of encode_mp4. With the default ms-grain
+    TimecodeScale the Duration float carries duration_ms exactly
+    (integers this small are exact in float64). The Cluster carries
+    deterministic filler so the parser's size-skip path is exercised."""
+    import struct
+
+    def el(eid: int, body: bytes) -> bytes:
+        nid = max(1, (eid.bit_length() + 7) // 8)
+        return eid.to_bytes(nid, "big") + _encode_ebml_size(len(body)) + body
+
+    def u(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    header = el(
+        0x1A45DFA3,
+        el(0x4286, u(1))  # EBMLVersion
+        + el(0x42F7, u(1))  # EBMLReadVersion
+        + el(0x42F2, u(4))  # EBMLMaxIDLength
+        + el(0x42F3, u(8))  # EBMLMaxSizeLength
+        + el(0x4282, doc_type.encode("ascii"))  # DocType
+        + el(0x4287, u(4))  # DocTypeVersion
+        + el(0x4285, u(2)),  # DocTypeReadVersion
+    )
+    info = el(
+        0x1549A966,
+        el(0x2AD7B1, u(timecode_scale))
+        + el(0x4489, struct.pack(">d", float(duration_ms))),
+    )
+
+    def track(num: int, ttype: int, av: bytes) -> bytes:
+        return el(
+            0xAE,
+            el(0xD7, u(num))  # TrackNumber
+            + el(0x73C5, u(num))  # TrackUID
+            + el(0x83, u(ttype)),  # TrackType (1 video, 2 audio)
+        ) if not av else el(
+            0xAE,
+            el(0xD7, u(num)) + el(0x73C5, u(num)) + el(0x83, u(ttype)) + av,
+        )
+
+    video = track(
+        1, 1, el(0xE0, el(0xB0, u(width)) + el(0xBA, u(height)))
+    )
+    tracks_body = video
+    for a in range(n_audio_tracks):
+        tracks_body += track(
+            2 + a,
+            2,
+            el(
+                0xE1,
+                el(0xB5, struct.pack(">d", 48000.0)) + el(0x9F, u(2)),
+            ),
+        )
+    tracks = el(0x1654AE6B, tracks_body)
+    cluster = el(
+        0x1F43B675,
+        el(0xE7, u(0))  # Timecode
+        + el(
+            0xEC,  # Void filler — the parser must skip it by size
+            bytes((i * 41 + duration_ms) % 256 for i in range(cluster_bytes)),
+        ),
+    )
+    return header + el(0x18538067, info + tracks + cluster)
+
+
+def synthesize_videos_webm(
+    df: DataFrame,
+    id_col: str = "path",
+    doc_type_col: str = "doc_type",
+    timecode_scale_col: str = "timecode_scale",
+    duration_ms_col: str = "duration_ms",
+    width_col: str = "width",
+    height_col: str = "height",
+    audio_tracks_col: str = "n_audio_tracks",
+) -> DataFrame:
+    """Deterministic WebM/Matroska synthesis via mapInPandas — one spec
+    row in, one (path, content) EBML payload out, standing in for a
+    binaryFile scan of real video (the encode_mp4 sibling)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, dt, ts, dur, w, h, na in zip(
+                pdf[id_col], pdf[doc_type_col], pdf[timecode_scale_col],
+                pdf[duration_ms_col], pdf[width_col], pdf[height_col],
+                pdf[audio_tracks_col],
+            ):
+                rows.append(
+                    {
+                        "path": str(rid),
+                        "content": encode_webm(
+                            str(dt), int(ts), int(dur), int(w), int(h),
+                            n_audio_tracks=int(na),
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return df.select(
+        id_col, doc_type_col, timecode_scale_col, duration_ms_col,
+        width_col, height_col, audio_tracks_col,
+    ).mapInPandas(run, schema="path string, content binary")
+
+
+def extract_webm_metadata(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = parse_webm_header,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """WebM/Matroska metadata via mapInPandas — the EBML sibling of
+    extract_video_metadata; a real demuxer (pyav/ffprobe) injects
+    through the same ``codec(bytes) -> dict`` seam."""
+    import pandas as pd
+
+    out_cols = [
+        "path", "payload_bytes", "doc_type", "timecode_scale",
+        "duration_ms", "n_tracks", "width", "height",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf[path_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = codec(payload)
+                rows.append(
+                    {
+                        "path": path,
+                        "payload_bytes": len(payload),
+                        "doc_type": meta.get("doc_type"),
+                        "timecode_scale": meta.get("timecode_scale"),
+                        "duration_ms": meta.get("duration_ms"),
+                        "n_tracks": meta.get("n_tracks"),
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(path_col, content_col).mapInPandas(
+        run, schema=WEBM_META_SCHEMA
+    )
+
+
 def extract_features(
     df: DataFrame,
     codec: Callable[[bytes], dict] = default_codec,
@@ -1045,6 +1361,7 @@ MAGIC_SIGNATURES: tuple[tuple[str, str], ...] = (
     ("FFFA", "mp3"),        # MPEG-1 L3 frame sync, CRC-protected
     ("FFF3", "mp3"),        # MPEG-2 LSF frame sync
     ("FFF2", "mp3"),        # MPEG-2 LSF frame sync, protected
+    ("1A45DFA3", "webm"),   # EBML (WebM / Matroska)
 )
 
 
@@ -2212,6 +2529,8 @@ def route_media_codec(payload: bytes) -> dict:
         meta, mtype = parse_mp3_frames(payload), "mp3"
     elif payload[4:8] == b"ftyp":
         meta, mtype = parse_mp4_header(payload), "mp4"
+    elif payload[:4] == _EBML_MAGIC:
+        meta, mtype = parse_webm_header(payload), "webm"
     else:
         raise NotImplementedError(
             "container outside the routed set; inject a codec"
@@ -2269,7 +2588,8 @@ def synthesize_media_mix(
     (id, kind, a) spec row in, one (path, content) payload out, where
     ``a`` is the kind's size knob: WAV/FLAC sample count, MP3 frame
     count, Ogg Opus granule position, MP4 mvhd duration units
-    (timescale 1000). The fixture side of route_media_codec."""
+    (timescale 1000), WebM duration ms (ms-grain TimecodeScale). The
+    fixture side of route_media_codec."""
     import zlib
 
     import pandas as pd
@@ -2295,6 +2615,11 @@ def synthesize_media_mix(
                     )
                 elif kind == "mp4":
                     content = encode_mp4("isom", 1000, a, 64, 32)
+                elif kind == "webm":
+                    content = encode_webm(
+                        "webm", 1_000_000, a, 64, 32,
+                        cluster_bytes=16 + seed % 16,
+                    )
                 else:
                     raise ValueError(f"unknown media kind {kind!r}")
                 rows.append({"path": str(rid), "content": content})

@@ -1412,6 +1412,7 @@ def doc_source_lang_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN substr(hex(content), 1, 4) = 'FFFA' THEN 'mp3'
                WHEN substr(hex(content), 1, 4) = 'FFF3' THEN 'mp3'
                WHEN substr(hex(content), 1, 4) = 'FFF2' THEN 'mp3'
+               WHEN substr(hex(content), 1, 8) = '1A45DFA3' THEN 'webm'
                WHEN substr(hex(content), 9, 8) = '66747970' THEN 'mp4'
                ELSE 'unknown' END AS media_type,
              CAST(octet_length(content) AS BIGINT) AS b
@@ -2925,6 +2926,67 @@ def doc_video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_video_webm_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+             AS doc_type,
+           CAST(1000000 AS BIGINT) AS timecode_scale,
+           CAST(40 * (1 + doc_id % 250) AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+           CAST(16 * (1 + doc_id % 80) AS INTEGER) AS width,
+           CAST(16 * (1 + (doc_id * 7) % 45) AS INTEGER) AS height
+    FROM documents
+    WHERE doc_id % 14 = 0
+    """,
+    tags=("multimodal", "video", "webm", "ebml", "roundtrip"),
+)
+def doc_video_webm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska container metadata end-to-end with ZERO injected
+    code — the EBML half of the web-video story next to
+    doc_video_mp4_metadata's ISO-BMFF half (real crawls are MP4+WebM):
+    synthesize structurally valid EBML payloads (EBML header + Segment
+    {Info{TimecodeScale, Duration}, Tracks, Cluster filler}, doc-type/
+    duration/dims/track-count all derived from doc_id), then walk the
+    ELEMENT STRUCTURE back out with parse_webm_header via
+    extract_webm_metadata (mapInPandas) — vint IDs kept with their
+    marker bits, data-size vints stripped, Cluster payload skipped by
+    its declared size, O(elements) not O(bytes). With the ms-grain
+    TimecodeScale the Duration float64 carries duration_ms exactly, so
+    the roundtrip-fixture oracle recomputes every column from doc_id
+    arithmetic; any bug in the vint decode, nesting walk, or float
+    layout breaks the hash. pyav/ffprobe inject through the same codec
+    seam for entropy-coded work."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 14 == 0).select(
+        did.cast("string").alias("path"),
+        F.when(did % 2 == 0, "webm").otherwise("matroska").alias("doc_type"),
+        F.lit(1_000_000).cast("bigint").alias("timecode_scale"),
+        (F.lit(40) * (F.lit(1) + did % 250)).cast("bigint").alias(
+            "duration_ms"
+        ),
+        (F.lit(16) * (F.lit(1) + did % 80)).cast("int").alias("width"),
+        (F.lit(16) * (F.lit(1) + (did * 7) % 45)).cast("int").alias(
+            "height"
+        ),
+        (did % 2).cast("int").alias("n_audio_tracks"),
+    )
+    parsed = MM.extract_webm_metadata(MM.synthesize_videos_webm(spec))
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "doc_type",
+        "timecode_scale",
+        "duration_ms",
+        "n_tracks",
+        "width",
+        "height",
+    )
+
+
+@query(
     "doc_bloom_decontamination",
     oracle="""
     WITH toks AS (
@@ -3424,15 +3486,17 @@ def doc_audio_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_media_duration_inventory",
     oracle="""
     WITH m AS (
-      SELECT CASE CAST(doc_id % 5 AS INTEGER)
+      SELECT CASE CAST(doc_id % 6 AS INTEGER)
                WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
-               WHEN 3 THEN 'ogg' ELSE 'mp4' END AS media_type,
-             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 3 THEN 'ogg' WHEN 4 THEN 'mp4' ELSE 'webm'
+             END AS media_type,
+             CASE CAST(doc_id % 6 AS INTEGER)
                WHEN 0 THEN 125 * (1 + doc_id % 50)
                WHEN 1 THEN (1000 * (1 + doc_id % 100)) * 1000 // 44100
                WHEN 2 THEN (1 + doc_id % 200) * 1152 * 1000 // 44100
                WHEN 3 THEN 20 * (1 + doc_id % 300)
-               ELSE 100 * (1 + doc_id % 600)
+               WHEN 4 THEN 100 * (1 + doc_id % 600)
+               ELSE 40 * (1 + doc_id % 250)
              END AS dur
       FROM documents WHERE doc_id % 3 = 1
     )
@@ -3449,15 +3513,16 @@ def doc_media_duration_inventory(
     """Mixed-corpus duration inventory — the planning table a
     multimodal training run reads FIRST ("how many hours of audio and
     video do we actually have, by container?"): synthesize a
-    heterogeneous payload column (WAV, FLAC, MP3, Ogg Opus, MP4 — one
-    container per doc by doc_id rule, sizes from doc_id arithmetic),
+    heterogeneous payload column (WAV, FLAC, MP3, Ogg Opus, MP4, WebM
+    — one container per doc by doc_id rule, sizes from doc_id
+    arithmetic),
     then run ONE mapInPandas pass with route_media_codec — sniff the
     container from the leading bytes, dispatch to the matching
     header-grade parser, normalize to (media_type, duration_ms) — and
-    aggregate hours by container. This is the dispatcher the five
+    aggregate hours by container. This is the dispatcher the six
     per-container roundtrip entries compose into: one argument
     (ffprobe) swaps every parser at once in production. Exact integer
-    durations from five different granule/frame/sample clocks, summed
+    durations from six different granule/frame/sample clocks, summed
     as BIGINTs; the oracle recomputes each clock from doc_id
     arithmetic, so a routing mistake (e.g. an Ogg payload measured by
     the MP3 walk) breaks the match loudly."""
@@ -3467,20 +3532,22 @@ def doc_media_duration_inventory(
     did = F.col("doc_id")
     spec = doc.filter(did % 3 == 1).select(
         did.cast("string").alias("path"),
-        F.when(did % 5 == 0, "wav")
-        .when(did % 5 == 1, "flac")
-        .when(did % 5 == 2, "mp3")
-        .when(did % 5 == 3, "ogg")
-        .otherwise("mp4")
+        F.when(did % 6 == 0, "wav")
+        .when(did % 6 == 1, "flac")
+        .when(did % 6 == 2, "mp3")
+        .when(did % 6 == 3, "ogg")
+        .when(did % 6 == 4, "mp4")
+        .otherwise("webm")
         .alias("kind"),
-        F.when(did % 5 == 0, F.lit(1000) * (F.lit(1) + did % 50))
-        .when(did % 5 == 1, F.lit(1000) * (F.lit(1) + did % 100))
-        .when(did % 5 == 2, F.lit(1) + did % 200)
+        F.when(did % 6 == 0, F.lit(1000) * (F.lit(1) + did % 50))
+        .when(did % 6 == 1, F.lit(1000) * (F.lit(1) + did % 100))
+        .when(did % 6 == 2, F.lit(1) + did % 200)
         .when(
-            did % 5 == 3,
+            did % 6 == 3,
             F.lit(312) + F.lit(960) * (F.lit(1) + did % 300),
         )
-        .otherwise(F.lit(100) * (F.lit(1) + did % 600))
+        .when(did % 6 == 4, F.lit(100) * (F.lit(1) + did % 600))
+        .otherwise(F.lit(40) * (F.lit(1) + did % 250))
         .cast("bigint")
         .alias("a"),
     )

@@ -601,3 +601,97 @@ class TestEoqPolicy:
         assert 100.0 * 40.0 / eoq == pytest.approx(
             0.25 * 50.0 * eoq / 2.0, rel=1e-12
         )
+
+
+class TestWebmCodec:
+    def test_roundtrip_all_knobs(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_webm, parse_webm_header,
+        )
+
+        m = parse_webm_header(
+            encode_webm("webm", 1_000_000, 12345, 640, 360,
+                        n_audio_tracks=1)
+        )
+        assert m == {
+            "doc_type": "webm", "timecode_scale": 1_000_000,
+            "duration_tc": 12345.0, "duration_ms": 12345,
+            "n_tracks": 2, "width": 640, "height": 360,
+        }
+        m2 = parse_webm_header(encode_webm("matroska", 1_000_000, 40, 16, 16))
+        assert (m2["doc_type"], m2["n_tracks"]) == ("matroska", 1)
+
+    def test_non_ms_timecode_scale(self):
+        """A 100-us TimecodeScale: duration 500 tc units = 50 ms."""
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_webm, parse_webm_header,
+        )
+
+        m = parse_webm_header(encode_webm("webm", 100_000, 500, 32, 32))
+        assert m["timecode_scale"] == 100_000
+        assert m["duration_ms"] == 50
+
+    def test_truncation_sweep_is_loud(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_webm, parse_webm_header,
+        )
+
+        p = encode_webm("webm", 1_000_000, 777, 128, 96, n_audio_tracks=1)
+        for cut in range(4, len(p)):
+            with pytest.raises(ValueError):
+                parse_webm_header(p[:cut])
+
+    def test_unknown_size_segment_streaming_layout(self):
+        """Live-mux WebM writes the Segment with an all-ones (unknown)
+        size; the walk must treat its body as running to end of
+        payload — and refuse unknown size anywhere else."""
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_webm, parse_webm_header,
+        )
+
+        p = encode_webm("webm", 1_000_000, 12345, 640, 360,
+                        n_audio_tracks=1)
+        seg = bytes.fromhex("18538067")
+        i = p.index(seg)
+        n = 9 - p[i + 4].bit_length()
+        unknown = p[: i + 4] + bytes([0xFF]) + p[i + 4 + n :]
+        m = parse_webm_header(unknown)
+        assert m["duration_ms"] == 12345 and m["n_tracks"] == 2
+        # unknown-size Info (a child) must raise instead
+        info = bytes.fromhex("1549A966")
+        j = unknown.index(info)
+        n2 = 9 - unknown[j + 4].bit_length()
+        bad = unknown[: j + 4] + bytes([0xFF]) + unknown[j + 4 + n2 :]
+        with pytest.raises(ValueError):
+            parse_webm_header(bad)
+
+    def test_non_ebml_hits_the_seam(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            parse_webm_header,
+        )
+
+        with pytest.raises(NotImplementedError):
+            parse_webm_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+    def test_router_routes_webm_and_others_refuse_it(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_webm, parse_id3_tags, parse_mp3_frames,
+            parse_mp4_header, parse_webp_header, route_media_codec,
+        )
+
+        p = encode_webm("webm", 1_000_000, 2048, 64, 32)
+        out = route_media_codec(p)
+        assert out == {"media_type": "webm", "duration_ms": 2048}
+        for parser in (
+            parse_mp4_header, parse_mp3_frames, parse_webp_header,
+            parse_id3_tags,
+        ):
+            with pytest.raises(NotImplementedError):
+                parser(p)
+
+    def test_sniff_knows_ebml_magic(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            MAGIC_SIGNATURES,
+        )
+
+        assert ("1A45DFA3", "webm") in MAGIC_SIGNATURES

@@ -1916,3 +1916,233 @@ def pq_retrain_int_exact(
             "improved"
         ),
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    d: int = 8,
+    k_pq: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INTEGER-EXACT IVF-PQ search with asymmetric distance computation
+    — the production ANN composition (FAISS's IndexIVFPQ shape) built
+    from the audited pieces: IVF coarse routing (ivf_topk /
+    ivf_nprobe_curve cover the float path) over RESIDUAL product-
+    quantized codes (pq_retrain_int_exact covers codebook quality),
+    scored by ADC — per query, one small lookup table of
+    (probed cell, subspace, code) -> squared distance, so candidate
+    scoring is m table lookups + adds per candidate instead of a
+    d-dimensional scan.
+
+    Everything lives in the int8 lattice so both engines re-derive it
+    exactly: coarse centroids are the ``n_cells`` smallest-id vectors'
+    int8 quantizations; every vector is assigned to its nearest cell
+    by exact integer squared-L2 (ties to the lower cell index); PQ
+    codebooks per subspace are the RESIDUALS (vector minus its cell
+    centroid — exact BIGINTs) of the ``k_pq`` smallest-id vectors;
+    codes are integer-argmin assignments (ties to the lower code).
+    Queries (``vec_id % query_mod == 0``, corpus members, self
+    excluded) probe their ``n_probe`` nearest cells, compute their
+    residual against EACH probed cell's centroid, and rank candidates
+    by the exact ADC sum with (adc_dist, neighbor_id) tie-breaks.
+
+    Returns one row per (query, rank<=k): (query_id, rank,
+    neighbor_id, cell, adc_dist, exact_dist, hit) where exact_dist is
+    the full-dimension int8 L2 of the returned pair and hit marks
+    membership in the global exact top-k (the brute-force baseline —
+    the audit's cost is bounded by the fixed query sample, the same
+    contract as emb_ann_topk's recall floor).
+
+    Scale: the corpus is scanned once (quantize -> assign -> encode,
+    each a broadcast join against n_cells / m*k_pq rider rows); the
+    candidate join is keyed on cell (1/n_cells of the corpus per
+    probe, the IVF point); the LUT is |queries| * n_probe * m * k_pq
+    rows — constant per query. No all-pairs stage outside the
+    fixed-sample exact baseline."""
+    dim = m * d
+    qz = quantize_int8(_spread(corpus), vec_col=vec_col).select(
+        F.col(id_col),
+        F.transform(F.col("q8"), lambda y: y.cast("long")).alias("q"),
+    )
+    wseed = Window.orderBy(id_col)
+    coarse = (
+        qz.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(wseed) - 1).cast("int").alias("c"),
+            F.col("q").alias("cq"),
+        )
+    )
+
+    def int_l2(a, b) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    wcell = Window.partitionBy(id_col).orderBy("dist2", "c")
+    asg = (
+        qz.crossJoin(F.broadcast(coarse))
+        .select(
+            F.col(id_col),
+            "q",
+            "c",
+            "cq",
+            int_l2(F.col("q"), F.col("cq")).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            "q",
+            F.col("c").alias("cell"),
+            F.zip_with(
+                F.col("q"), F.col("cq"), lambda x, y: x - y
+            ).alias("r"),
+        )
+    )
+    subs_expr = (
+        f"explode(transform(sequence(0, {m - 1}), "
+        f"j -> struct(j AS j, slice({{col}}, j*{d}+1, {d}) AS sv)))"
+    )
+    wpq = Window.orderBy(id_col)
+    seeds = (
+        asg.orderBy(id_col)
+        .limit(k_pq)
+        .select(
+            (F.row_number().over(wpq) - 1).cast("int").alias("code"),
+            F.col("r").alias("sr"),
+        )
+    )
+    ssub = seeds.select(
+        "code", F.expr(subs_expr.format(col="sr")).alias("e")
+    ).select(
+        "code",
+        F.col("e.j").cast("int").alias("j"),
+        F.col("e.sv").alias("csv"),
+    )
+    rsub = asg.select(
+        F.col(id_col), F.expr(subs_expr.format(col="r")).alias("e")
+    ).select(
+        F.col(id_col),
+        F.col("e.j").cast("int").alias("j"),
+        F.col("e.sv").alias("sv"),
+    )
+    wenc = Window.partitionBy(id_col, "j").orderBy("d2", "code")
+    enc = (
+        rsub.join(F.broadcast(ssub), "j")
+        .select(
+            F.col(id_col),
+            "j",
+            "code",
+            int_l2(F.col("sv"), F.col("csv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "j", "code")
+    )
+    # --- query side ---
+    queries = qz.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("dist2", "c")
+    qprobe = (
+        queries.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "qq",
+            "c",
+            "cq",
+            int_l2(F.col("qq"), F.col("cq")).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "query_id",
+            F.col("c").alias("cell"),
+            F.zip_with(
+                F.col("qq"), F.col("cq"), lambda x, y: x - y
+            ).alias("qr"),
+        )
+    )
+    qrsub = qprobe.select(
+        "query_id",
+        "cell",
+        F.expr(subs_expr.format(col="qr")).alias("e"),
+    ).select(
+        "query_id",
+        "cell",
+        F.col("e.j").cast("int").alias("j"),
+        F.col("e.sv").alias("sv"),
+    )
+    lut = qrsub.join(F.broadcast(ssub), "j").select(
+        "query_id",
+        "cell",
+        "j",
+        "code",
+        int_l2(F.col("sv"), F.col("csv")).alias("d2"),
+    )
+    cand = (
+        qprobe.select("query_id", "cell")
+        .join(asg.select(F.col(id_col).alias("neighbor_id"), "cell"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    adc = (
+        cand.join(
+            enc.select(F.col(id_col).alias("neighbor_id"), "j", "code"),
+            "neighbor_id",
+        )
+        .join(lut, ["query_id", "cell", "j", "code"])
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.sum("d2").cast("bigint").alias("adc_dist"))
+    )
+    wtop = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    top = adc.withColumn("rank", F.row_number().over(wtop).cast("int")).filter(
+        F.col("rank") <= k
+    )
+    # --- exact baseline: full-dim int8 L2, global top-k ---
+    pairs = queries.crossJoin(
+        qz.select(F.col(id_col).alias("_nid"), F.col("q").alias("_nq"))
+    ).filter(F.col("_nid") != F.col("query_id"))
+    wex = Window.partitionBy("query_id").orderBy("edist", "_nid")
+    exact = (
+        pairs.select(
+            "query_id",
+            "_nid",
+            int_l2(F.col("qq"), F.col("_nq")).alias("edist"),
+        )
+        .withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "_nid")
+    )
+    qvecs = qz.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("nq")
+    )
+    return (
+        top.join(queries, "query_id")
+        .join(qvecs, "neighbor_id")
+        .join(
+            exact,
+            (top["query_id"] == exact["query_id"])
+            & (top["neighbor_id"] == exact["_nid"]),
+            "left",
+        )
+        .select(
+            top["query_id"],
+            "rank",
+            top["neighbor_id"],
+            F.col("cell").cast("int").alias("cell"),
+            "adc_dist",
+            int_l2(F.col("qq"), F.col("nq")).cast("bigint").alias(
+                "exact_dist"
+            ),
+            exact["_nid"].isNotNull().alias("hit"),
+        )
+    )

@@ -695,3 +695,149 @@ class TestWebmCodec:
         )
 
         assert ("1A45DFA3", "webm") in MAGIC_SIGNATURES
+
+
+class TestIvfPqAdc:
+    def _replay(self, vecs):
+        """Pure-Python IVF-PQ replay: quantize, assign, residual-PQ
+        encode, probe, ADC rank — the cross-engine diagnose idiom."""
+        import math
+
+        def q8(v):
+            sc = max(abs(float(x)) for x in v) / 127.0
+            if sc == 0:
+                return [0] * len(v)
+            return [
+                int(max(-127.0, min(127.0, math.floor(float(x) / sc + 0.5))))
+                for x in v
+            ]
+
+        qz = {i: q8(v) for i, v in vecs.items()}
+        ids = sorted(qz)
+        coarse = {c: qz[ids[c]] for c in range(min(8, len(ids)))}
+
+        def l2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        asg, res = {}, {}
+        for i in ids:
+            cell = min(coarse, key=lambda c: (l2(qz[i], coarse[c]), c))
+            asg[i] = cell
+            res[i] = [x - y for x, y in zip(qz[i], coarse[cell])]
+        seeds = {c2: res[ids[c2]] for c2 in range(min(16, len(ids)))}
+
+        def sub(v, j):
+            return v[j * 8 : j * 8 + 8]
+
+        enc = {
+            i: [
+                min(
+                    seeds,
+                    key=lambda c2: (l2(sub(res[i], j), sub(seeds[c2], j)), c2),
+                )
+                for j in range(8)
+            ]
+            for i in ids
+        }
+        out = {}
+        for qid in [i for i in ids if i % 25 == 0]:
+            probes = sorted(
+                coarse, key=lambda c: (l2(qz[qid], coarse[c]), c)
+            )[:2]
+            scored = []
+            for cell in probes:
+                qr = [x - y for x, y in zip(qz[qid], coarse[cell])]
+                lut = {
+                    (j, c2): l2(sub(qr, j), sub(seeds[c2], j))
+                    for j in range(8)
+                    for c2 in seeds
+                }
+                for nid in ids:
+                    if nid != qid and asg[nid] == cell:
+                        scored.append(
+                            (
+                                sum(
+                                    lut[(j, enc[nid][j])] for j in range(8)
+                                ),
+                                nid,
+                                cell,
+                            )
+                        )
+            scored.sort()
+            exact = sorted(
+                (l2(qz[qid], qz[n]), n) for n in ids if n != qid
+            )[:5]
+            exact_ids = {n for _, n in exact}
+            out[qid] = [
+                {
+                    "rank": r + 1,
+                    "neighbor_id": nid,
+                    "cell": cell,
+                    "adc_dist": dist,
+                    "exact_dist": l2(qz[qid], qz[nid]),
+                    "hit": nid in exact_ids,
+                }
+                for r, (dist, nid, cell) in enumerate(scored[:5])
+            ]
+        return out
+
+    def test_matches_pure_python_replay(self, spark, tmp_path):
+        import random
+
+        from adventureworks_pysparkjobs_spark.operators.similarity import (
+            ivfpq_adc_topk,
+        )
+
+        rng = random.Random(7)
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(64)] for i in range(60)
+        }
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id bigint, embedding array<float>",
+        )
+        # the float32 column is what both engines actually see
+        f32 = {
+            r["vec_id"]: list(r["embedding"]) for r in df.collect()
+        }
+        expected = self._replay(f32)
+        got = {}
+        for r in ivfpq_adc_topk(df).collect():
+            got.setdefault(r["query_id"], []).append(
+                {
+                    "rank": r["rank"],
+                    "neighbor_id": r["neighbor_id"],
+                    "cell": r["cell"],
+                    "adc_dist": r["adc_dist"],
+                    "exact_dist": r["exact_dist"],
+                    "hit": r["hit"],
+                }
+            )
+        for qid in got:
+            got[qid].sort(key=lambda x: x["rank"])
+        assert got == expected
+
+    def test_recall_reasonable_on_real_table(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        rows = (
+            CATALOG["emb_ivfpq_adc_recall"]
+            .builder(spark, "/root/testdata/sf0.001")
+            .collect()
+        )
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert all(len(v) == 5 for v in per_q.values())
+        assert all(
+            sorted(x["rank"] for x in v) == [1, 2, 3, 4, 5]
+            for v in per_q.values()
+        )
+        # Near-uniform synthetic embeddings are PQ's worst case (no
+        # low-dim structure to quantize); the tuned entry config
+        # (n_probe=4/8, m=16 x d=4, 32 codes) measures 0.27 here vs a
+        # 0.85 exact-scoring-in-probed-cells ceiling — the floor
+        # guards the implementation, not the data's geometry.
+        hits = sum(1 for r in rows if r["hit"])
+        assert hits / len(rows) >= 0.15, hits / len(rows)
+        assert all(r["adc_dist"] >= 0 for r in rows)

@@ -96,6 +96,10 @@ CROSS_OK = {
     "doc_quality_threshold_curve",
     # two 6-row enum degree-grid broadcast crosses (bounded fan-out)
     "part_copurchase_rich_club",
+    # 8-row limit-reduced coarse-centroid rider crossed with corpus and
+    # query sample; the exact baseline is the broadcast-query-sample
+    # contract of emb_ann_topk / emb_cosine_topk (bounded audit sample)
+    "emb_ivfpq_adc_recall",
 }
 
 BATCH_QUERIES = sorted(

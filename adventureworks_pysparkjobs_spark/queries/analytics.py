@@ -7501,3 +7501,217 @@ def part_eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + h_rate * F.col("unit_price") * F.col("eoq_qty") / two
         ).alias("total_relevant_cost"),
     )
+
+
+@query(
+    "orders_holt_winters_forecast",
+    oracle="""
+    WITH day AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(38,2)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+ev AS (
+  SELECT priority, d,
+         CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS z,
+         CAST(COALESCE(date_diff('day',
+               LAG(d) OVER (PARTITION BY priority ORDER BY d), d), 0)
+              AS DOUBLE) AS p
+  FROM day
+),
+arr AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(date_diff('day', DATE '1970-01-01', MAX(d)) AS BIGINT)
+           AS last_dayn,
+         CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days,
+         list([CAST(date_diff('day', DATE '1970-01-01', d) AS DOUBLE),
+               z, p] ORDER BY d) AS evs
+  FROM ev GROUP BY 1
+),
+folded AS (
+  SELECT priority, n_days, span_days, last_dayn,
+         list_reduce(
+           list_concat(
+             [list_concat([evs[1][2], CAST(0 AS DOUBLE)],
+                          list_transform(range(0, 7),
+                                         k -> CAST(0 AS DOUBLE)))],
+             evs[2:]),
+           (acc, x) -> list_reduce(
+             list_concat([acc],
+               list_transform(range(1, CAST(x[3] AS INTEGER) + 1),
+                              i -> [CAST(i AS DOUBLE)])),
+             (a2, y) -> list_concat(
+               [
+                 CAST('0.2' AS DOUBLE)
+                   * ((CASE WHEN y[1] = x[3] THEN x[2]
+                            ELSE CAST(0 AS DOUBLE) END)
+                      - a2[3 + ((CAST(x[1] AS INTEGER)
+                                 - CAST(x[3] AS INTEGER)
+                                 + CAST(y[1] AS INTEGER)) % 7)])
+                 + CAST('0.8' AS DOUBLE) * (a2[1] + a2[2]),
+                 CAST('0.1' AS DOUBLE)
+                   * (CAST('0.2' AS DOUBLE)
+                      * ((CASE WHEN y[1] = x[3] THEN x[2]
+                               ELSE CAST(0 AS DOUBLE) END)
+                         - a2[3 + ((CAST(x[1] AS INTEGER)
+                                    - CAST(x[3] AS INTEGER)
+                                    + CAST(y[1] AS INTEGER)) % 7)]
+                         - a2[1])
+                      + CAST('0.8' AS DOUBLE) * a2[2])
+                 + CAST('0.9' AS DOUBLE) * a2[2]
+               ],
+               list_transform(range(0, 7), k ->
+                 CASE WHEN k = ((CAST(x[1] AS INTEGER)
+                                 - CAST(x[3] AS INTEGER)
+                                 + CAST(y[1] AS INTEGER)) % 7)
+                 THEN CAST('0.15' AS DOUBLE)
+                        * ((CASE WHEN y[1] = x[3] THEN x[2]
+                                 ELSE CAST(0 AS DOUBLE) END)
+                           - (CAST('0.2' AS DOUBLE)
+                              * ((CASE WHEN y[1] = x[3] THEN x[2]
+                                       ELSE CAST(0 AS DOUBLE) END)
+                                 - a2[3 + ((CAST(x[1] AS INTEGER)
+                                            - CAST(x[3] AS INTEGER)
+                                            + CAST(y[1] AS INTEGER))
+                                           % 7)])
+                              + CAST('0.8' AS DOUBLE)
+                                * (a2[1] + a2[2])))
+                      + CAST('0.85' AS DOUBLE) * a2[3 + CAST(k AS INTEGER)]
+                 ELSE a2[3 + CAST(k AS INTEGER)] END)))
+         ) AS st
+  FROM arr WHERE n_days >= 2
+),
+grid AS (
+      SELECT priority, n_days, span_days, last_dayn,
+             st[1] AS level, st[2] AS trend,
+             CAST(k AS INTEGER) AS dow,
+             st[3 + CAST(k AS INTEGER)] AS seasonal
+      FROM folded CROSS JOIN (SELECT unnest(range(0, 7)) AS k) g
+    )
+    SELECT priority, n_days, span_days, level, trend, dow, seasonal,
+           CAST(((dow - last_dayn % 7 + 6) % 7) + 1 AS INTEGER)
+             AS horizon_days,
+           level
+           + CAST(((dow - last_dayn % 7 + 6) % 7) + 1 AS DOUBLE) * trend
+           + seasonal AS forecast
+    FROM grid
+    """,
+    tags=("analytics", "forecast", "holt-winters", "seasonal",
+          "zero-filled"),
+)
+def orders_holt_winters_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing over the
+    ZERO-FILLED daily revenue series per order priority (alpha = 0.2,
+    beta = 0.1, gamma = 0.15, weekly season m = 7) — the seasonal
+    capstone of the smoothing family (part_ses_forecast: level only;
+    orders_holt_forecast: level + trend; Croston/SBA: intermittent):
+    l' = a*(x - s_dow) + (1-a)*(l + b); b' = beta*(l' - l) +
+    (1-beta)*b; s_dow' = gamma*(x - l') + (1-gamma)*s_dow, applied to
+    EVERY calendar day in the span (x = revenue or zero), slot = day
+    number mod 7.
+
+    The accumulator is an ALIAS-FREE DOUBLE LIST [l, b, s0..s6] (the
+    orders_holt_forecast construction widened by the 7 seasonal
+    slots; the list-fold guard test pins the alias-free semantics):
+    each step builds a fresh 9-element list where only today's slot
+    updates, and every dependent read (l' inside b' and s') is the
+    identically-inlined previous-state expression on both engines, so
+    the pinned-constant multiply-add chains are bit-identical. The
+    gap-collapse inner fold iterates a lag gap's zero days WITH their
+    own day-of-week slots (a zero Tuesday decays s2, not s_event).
+
+    Output grain is (priority, dow): the final level/trend, each
+    slot's seasonal index, and the forecast for that weekday's NEXT
+    occurrence after the last observed day (horizon_days in 1..7,
+    computed with a nonnegative-modulus identity so both engines'
+    remainder semantics agree). Scale: one (priority, day) keyed
+    aggregate over orders is the only corpus-sized stage; the fold
+    runs on the 5-group event arrays, output is 35 rows."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import dec
+
+    od = load_table(spark, sf_dir, "orders")
+    day = od.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("rev"))
+    w = Window.partitionBy("priority").orderBy("d")
+    ev = day.select(
+        "priority",
+        "d",
+        F.col("rev").cast("string").cast("double").alias("z"),
+        F.coalesce(F.datediff("d", F.lag("d").over(w)), F.lit(0))
+        .cast("double")
+        .alias("p"),
+    )
+    arr = ev.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.datediff(
+            F.max("d"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("last_dayn"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("span_days"),
+        F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.datediff("d", F.lit("1970-01-01").cast("date")).cast(
+                        "double"
+                    ),
+                    F.col("z"),
+                    F.col("p"),
+                )
+            )
+        ).alias("evs"),
+    )
+    fold = F.expr(
+        """
+aggregate(
+  slice(evs, 2, size(evs) - 1),
+  concat(
+    array(element_at(element_at(evs, 1), 2), CAST(0 AS DOUBLE)),
+    array_repeat(CAST(0 AS DOUBLE), 7)),
+  (acc, x) -> aggregate(
+    sequence(1, CAST(element_at(x, 3) AS INT)),
+    acc,
+    (a2, i) -> concat(
+      array((CAST('0.2' AS DOUBLE) * (IF(i = CAST(element_at(x, 3) AS INT), element_at(x, 2), CAST(0 AS DOUBLE)) - element_at(a2, 3 + pmod(CAST(element_at(x, 1) AS INT) - CAST(element_at(x, 3) AS INT) + i, 7))) + CAST('0.8' AS DOUBLE) * (element_at(a2, 1) + element_at(a2, 2))), (CAST('0.1' AS DOUBLE) * (CAST('0.2' AS DOUBLE) * (IF(i = CAST(element_at(x, 3) AS INT), element_at(x, 2), CAST(0 AS DOUBLE)) - element_at(a2, 3 + pmod(CAST(element_at(x, 1) AS INT) - CAST(element_at(x, 3) AS INT) + i, 7)) - element_at(a2, 1)) + CAST('0.8' AS DOUBLE) * element_at(a2, 2)) + CAST('0.9' AS DOUBLE) * element_at(a2, 2))),
+      transform(sequence(0, 6), k ->
+        IF(k = pmod(CAST(element_at(x, 1) AS INT) - CAST(element_at(x, 3) AS INT) + i, 7), (CAST('0.15' AS DOUBLE) * (IF(i = CAST(element_at(x, 3) AS INT), element_at(x, 2), CAST(0 AS DOUBLE)) - (CAST('0.2' AS DOUBLE) * (IF(i = CAST(element_at(x, 3) AS INT), element_at(x, 2), CAST(0 AS DOUBLE)) - element_at(a2, 3 + pmod(CAST(element_at(x, 1) AS INT) - CAST(element_at(x, 3) AS INT) + i, 7))) + CAST('0.8' AS DOUBLE) * (element_at(a2, 1) + element_at(a2, 2)))) + CAST('0.85' AS DOUBLE) * element_at(a2, 3 + k)), element_at(a2, 3 + k))))))"""
+    )
+    grid = (
+        arr.filter(F.col("n_days") >= 2)
+        .select(
+            "priority", "n_days", "span_days", "last_dayn", fold.alias("st")
+        )
+        .select(
+            "priority",
+            "n_days",
+            "span_days",
+            "last_dayn",
+            F.element_at("st", 1).alias("level"),
+            F.element_at("st", 2).alias("trend"),
+            F.posexplode(F.slice("st", 3, 7)).alias("dow0", "seasonal"),
+        )
+    )
+    h = (
+        (F.col("dow0").cast("int") - F.col("last_dayn") % 7 + 6) % 7 + 1
+    ).cast("int")
+    return grid.select(
+        "priority",
+        "n_days",
+        "span_days",
+        "level",
+        "trend",
+        F.col("dow0").cast("int").alias("dow"),
+        "seasonal",
+        h.alias("horizon_days"),
+        (
+            F.col("level")
+            + h.cast("double") * F.col("trend")
+            + F.col("seasonal")
+        ).alias("forecast"),
+    )

@@ -841,3 +841,63 @@ class TestIvfPqAdc:
         hits = sum(1 for r in rows if r["hit"])
         assert hits / len(rows) >= 0.15, hits / len(rows)
         assert all(r["adc_dist"] >= 0 for r in rows)
+
+
+class TestHoltWinters:
+    def test_hand_computed_fold_exact(self, spark, tmp_path):
+        """Four order days with a 3-day gap: the nested fold must equal
+        the explicit zero-filled triple-smoothing recursion bit for
+        bit, including which day-of-week slot each zero day decays."""
+        import datetime as _dt
+
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        d0 = _dt.date(1995, 3, 6)  # a Monday; dayn % 7 gives the slot
+        rows = [
+            ("1-URGENT", d0, 100.0),
+            ("1-URGENT", d0 + _dt.timedelta(days=1), 130.0),
+            ("1-URGENT", d0 + _dt.timedelta(days=4), 40.0),
+            ("1-URGENT", d0 + _dt.timedelta(days=8), 90.0),
+        ]
+        df = spark.createDataFrame(
+            [
+                (p, _dt.datetime.combine(d, _dt.time()), v, 1, "x")
+                for p, d, v in rows
+            ],
+            "o_orderpriority string, o_orderdate timestamp, "
+            "o_totalprice double, o_orderkey int, o_orderstatus string",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+        out = {
+            r["dow"]: r.asDict()
+            for r in CATALOG["orders_holt_winters_forecast"]
+            .builder(spark, str(tmp_path))
+            .collect()
+        }
+        # explicit replay over days 0..8 (values at 0,1,4,8; zero else)
+        a, bt, gm = 0.2, 0.1, 0.15
+        dayn0 = (d0 - _dt.date(1970, 1, 1)).days
+        series = {0: 100.0, 1: 130.0, 4: 40.0, 8: 90.0}
+        level, trend, s = 100.0, 0.0, [0.0] * 7
+        for off in range(1, 9):
+            x = series.get(off, 0.0)
+            dow = (dayn0 + off) % 7
+            nl = a * (x - s[dow]) + (1 - a) * (level + trend)
+            nb = bt * (a * (x - s[dow] - level) + (1 - a) * trend) + (
+                1 - bt
+            ) * trend
+            ns = gm * (x - nl) + (1 - gm) * s[dow]
+            level, trend, s[dow] = nl, nb, ns
+        last = dayn0 + 8
+        for dow in range(7):
+            got = out[dow]
+            assert got["n_days"] == 4 and got["span_days"] == 8
+            assert got["level"] == level
+            assert got["trend"] == trend
+            assert got["seasonal"] == s[dow]
+            h = ((dow - last % 7 + 6) % 7) + 1
+            assert got["horizon_days"] == h
+            assert got["forecast"] == level + float(h) * trend + s[dow]
+        assert sorted(r["horizon_days"] for r in out.values()) == list(
+            range(1, 8)
+        )

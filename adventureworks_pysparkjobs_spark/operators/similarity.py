@@ -1966,9 +1966,19 @@ def ivfpq_adc_topk(
     rows — constant per query. No all-pairs stage outside the
     fixed-sample exact baseline."""
     dim = m * d
-    qz = quantize_int8(_spread(corpus), vec_col=vec_col).select(
-        F.col(id_col),
-        F.transform(F.col("q8"), lambda y: y.cast("long")).alias("q"),
+    # .cache(), not localCheckpoint: global windows run downstream on
+    # the limit-reduced riders and the advisor must still see the
+    # aggregate lineage (the r9 rule); qz feeds the assignment, the
+    # query sample, and the exact baseline — without the cache the
+    # plan re-derives the quantization per consumer (measured 19
+    # FileScans at sf0.01; 3 after).
+    qz = (
+        quantize_int8(_spread(corpus), vec_col=vec_col)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("q8"), lambda y: y.cast("long")).alias("q"),
+        )
+        .cache()
     )
     wseed = Window.orderBy(id_col)
     coarse = (
@@ -2007,6 +2017,8 @@ def ivfpq_adc_topk(
                 F.col("q"), F.col("cq"), lambda x, y: x - y
             ).alias("r"),
         )
+        .cache()  # feeds seeds, the per-subspace encode, and the
+        # cell-keyed candidate join — one assignment pass, three reads
     )
     subs_expr = (
         f"explode(transform(sequence(0, {m - 1}), "
@@ -2021,12 +2033,16 @@ def ivfpq_adc_topk(
             F.col("r").alias("sr"),
         )
     )
-    ssub = seeds.select(
-        "code", F.expr(subs_expr.format(col="sr")).alias("e")
-    ).select(
-        "code",
-        F.col("e.j").cast("int").alias("j"),
-        F.col("e.sv").alias("csv"),
+    ssub = (
+        seeds.select(
+            "code", F.expr(subs_expr.format(col="sr")).alias("e")
+        )
+        .select(
+            "code",
+            F.col("e.j").cast("int").alias("j"),
+            F.col("e.sv").alias("csv"),
+        )
+        .cache()  # m*k_pq codebook rows, read by encode + both LUTs
     )
     rsub = asg.select(
         F.col(id_col), F.expr(subs_expr.format(col="r")).alias("e")

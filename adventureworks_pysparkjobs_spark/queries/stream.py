@@ -455,3 +455,81 @@ def stream_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stateful_xmr_chart
 
     return stateful_xmr_chart(spark, sf_dir)
+
+
+@query(
+    "stream_holt_level_monitor",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ),
+    arr AS (
+      SELECT event_type,
+             list([CAST(epoch_us(ts) AS DOUBLE), CAST(c AS DOUBLE)]
+                  ORDER BY ts, event_id) AS evs
+      FROM v GROUP BY 1
+    ),
+    folded AS (
+      SELECT event_type,
+             list_reduce(
+               list_concat(
+                 [[evs[1][2] / CAST('100' AS DOUBLE),
+                   CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)]],
+                 evs[2:]),
+               (acc, x) -> list_concat(
+                 list_concat(
+                   [CAST('0.2' AS DOUBLE)
+                      * (x[2] / CAST('100' AS DOUBLE))
+                    + CAST('0.8' AS DOUBLE) * (acc[1] + acc[2]),
+                    CAST('0.1' AS DOUBLE)
+                      * (CAST('0.2' AS DOUBLE)
+                         * (x[2] / CAST('100' AS DOUBLE) - acc[1])
+                         + CAST('0.8' AS DOUBLE) * acc[2])
+                    + CAST('0.9' AS DOUBLE) * acc[2],
+                    acc[3] + CAST(1 AS DOUBLE)],
+                   acc[4:]),
+                 [x[1], acc[3] + CAST(1 AS DOUBLE),
+                  x[2] / CAST('100' AS DOUBLE), acc[1] + acc[2]])
+             ) AS st
+      FROM arr
+    ),
+    em AS (
+      SELECT event_type, st,
+             CAST((len(st) - 3) // 4 AS INTEGER) AS n_emit
+      FROM folded
+    )
+    SELECT event_type,
+           CAST(st[4 + 4 * CAST(k AS INTEGER)] AS BIGINT) AS ts_us,
+           CAST(st[5 + 4 * CAST(k AS INTEGER)] AS BIGINT) AS seq,
+           st[6 + 4 * CAST(k AS INTEGER)] AS value,
+           st[7 + 4 * CAST(k AS INTEGER)] AS forecast,
+           st[6 + 4 * CAST(k AS INTEGER)]
+             - st[7 + 4 * CAST(k AS INTEGER)] AS error
+    FROM em, unnest(range(0, n_emit)) AS u(k)
+    """,
+    tags=("streaming", "stateful", "holt", "forecast", "prequential",
+          "applyInPandasWithState"),
+)
+def stream_holt_level_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth custom stateful streaming operator
+    (streaming/events.py:stateful_holt_monitor) WITH a fully
+    independent SQL oracle — the second stream entry after
+    stream_xmr_control_chart whose oracle is a hand-derived
+    formulation rather than a batch-twin wrap: a live prequential Holt
+    level+trend monitor per event_type, emitting each point's
+    one-step-ahead forecast (from the prior state only), the arriving
+    value, and the prequential error. The oracle replays the exact
+    smoother with a GROWING alias-free DOUBLE-LIST accumulator (three
+    state slots + four appended slots per emission, unnested by index
+    arithmetic afterward) — the nonlinear recursion is not
+    prefix-window-expressible, so the emission-accumulating fold is
+    what makes an independent oracle possible at all. Floats compare
+    EXACTLY: both sides run the identical pinned-constant IEEE chain
+    on exact cents-over-100 inputs in (ts, event_id) order, and the
+    two-batch-split test asserts the micro-batch carry reproduces the
+    single fold bit-for-bit."""
+    from ..streaming.events import stateful_holt_monitor
+
+    return stateful_holt_monitor(spark, sf_dir)

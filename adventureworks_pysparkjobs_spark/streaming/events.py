@@ -1183,3 +1183,97 @@ def stateful_xmr_chart(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "append", spark)
+
+
+def stateful_holt_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Sixth applyInPandasWithState showcase: a LIVE prequential Holt
+    level+trend monitor per event_type — the streaming twin of
+    orders_holt_forecast's smoother. Before each point is absorbed the
+    operator emits the ONE-STEP-AHEAD forecast the prior state implied
+    (l + b), the arriving value, and the prequential error — the
+    forecast is always judged on data it has never seen, so the error
+    stream is an honest live accuracy monitor (the same prequential
+    convention as stateful_xmr_chart's limits).
+
+    State per key is O(1): (level double, trend double, n long).
+    Float state is safe here because the update order is pinned — each
+    micro-batch replays its rows in (ts, event_id) order against the
+    carried state, so the emitted doubles equal a single ordered fold
+    over the whole series on ANY micro-batch split. Every update is
+    the identical pinned-constant IEEE chain the DuckDB oracle runs
+    (alpha = 0.2, beta = 0.1; the trend update reads only prior state:
+    b' = 0.1*(0.2*(x - l) + 0.8*b) + 0.9*b), and the DECIMAL->cents
+    cast happens Spark-side before the stateful op, so the value
+    itself enters as exact-int-over-100.
+
+    Returns (event_type, ts_us, seq, value, forecast, error)
+    append-only rows from the second point per key on.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    pts = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            lvl, trd, n = state.get
+        else:
+            lvl, trd, n = 0.0, 0.0, 0
+        cols: dict = {
+            "ts_us": [], "seq": [], "value": [], "forecast": [],
+            "error": [],
+        }
+        frames = [pdf[["ts", "event_id", "cents"]] for pdf in pdfs]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts, c in zip(batch["ts"], batch["cents"]):
+                v = int(c) / 100.0
+                if n == 0:
+                    lvl, trd = v, 0.0
+                else:
+                    fc = lvl + trd
+                    cols["ts_us"].append(
+                        int(pd.Timestamp(ts).value // 1000)
+                    )
+                    cols["seq"].append(n + 1)
+                    cols["value"].append(v)
+                    cols["forecast"].append(fc)
+                    cols["error"].append(v - fc)
+                    nl = 0.2 * v + 0.8 * (lvl + trd)
+                    nb = (
+                        0.1 * (0.2 * (v - lvl) + 0.8 * trd) + 0.9 * trd
+                    )
+                    lvl, trd = nl, nb
+                n += 1
+        if n > 0:
+            state.update((lvl, trd, n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(cols["seq"]),
+                **cols,
+            }
+        )
+
+    out = pts.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, ts_us long, seq long, value double, "
+            "forecast double, error double"
+        ),
+        stateStructType="level double, trend double, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "append", spark)

@@ -712,3 +712,82 @@ def test_stateful_xmr_two_batch_split_equals_prefix_windows(
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stateful_holt_two_batch_split_equals_single_fold(
+    spark, tmp_path
+):
+    """The streaming prequential Holt monitor's rows equal a single
+    ordered pure-Python fold over the whole series even when the
+    input arrives as two time-ordered micro-batches: the cross-batch
+    carry (level, trend, count) lives in GroupState as doubles, and
+    every update is the same pinned-constant IEEE chain. Floats
+    compare EXACTLY."""
+    from pyspark.sql import functions as F
+
+    from adventureworks_pysparkjobs_spark.sources.corpus import load_table
+    from adventureworks_pysparkjobs_spark.streaming.events import (
+        stateful_holt_monitor,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cut = ev.selectExpr(
+        "percentile_approx(CAST(ts AS BIGINT), 0.5) AS c"
+    ).collect()[0]["c"]
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (
+        ev.filter(F.col("ts").cast("bigint") <= cut),
+        ev.filter(F.col("ts").cast("bigint") > cut),
+    )
+    for i, half in enumerate(halves):
+        stage = tmp_path / f"h{i}"
+        half.coalesce(1).write.parquet(str(stage))
+        next(stage.glob("part-*.parquet")).rename(
+            src / f"events-{i:03d}.parquet"
+        )
+
+    streamed = {
+        tuple(r)
+        for r in stateful_holt_monitor(
+            spark, str(src), max_files_per_trigger=1
+        ).collect()
+    }
+
+    # pure-Python single fold over the fully-ordered series
+    import decimal
+
+    rows = sorted(
+        ev.select("event_type", "ts", "event_id", "value").collect(),
+        key=lambda r: (r["event_type"], r["ts"], r["event_id"]),
+    )
+    state: dict = {}
+    expected = set()
+    for r in rows:
+        cents = int(
+            decimal.Decimal(str(r["value"])).quantize(
+                decimal.Decimal("0.01"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+            * 100
+        )
+        v = cents / 100.0
+        lvl, trd, n = state.get(r["event_type"], (0.0, 0.0, 0))
+        if n == 0:
+            lvl, trd = v, 0.0
+        else:
+            fc = lvl + trd
+            import pandas as pd
+
+            ts_us = int(pd.Timestamp(r["ts"]).value // 1000)
+            expected.add(
+                (r["event_type"], ts_us, n + 1, v, fc, v - fc)
+            )
+            nl = 0.2 * v + 0.8 * (lvl + trd)
+            nb = 0.1 * (0.2 * (v - lvl) + 0.8 * trd) + 0.9 * trd
+            lvl, trd = nl, nb
+        state[r["event_type"]] = (lvl, trd, n + 1)
+
+    assert streamed == expected

@@ -650,6 +650,114 @@ def synthesize_videos_mp4(
     ).mapInPandas(run, schema="path string, content binary")
 
 
+def parse_avi_header(payload: bytes) -> dict:
+    """Pure-Python AVI (RIFF) metadata walk — the third video container
+    next to ISO-BMFF and EBML (doc_media_riff_subtypes already triages
+    'AVI ' at the RIFF second stage; this parses it): walk the RIFF
+    chunk list for LIST/hdrl, read the avih main header (56-byte
+    AVIMAINHEADER: frame period in microseconds, total frames, stream
+    count, pixel dims) and SKIP the movi payload by its declared size
+    — O(chunks) not O(bytes), the same header-only contract as the
+    WAV walk sharing this container. duration_ms is exact integer
+    arithmetic: us_per_frame * total_frames // 1000.
+
+    Returns {'us_per_frame', 'total_frames', 'duration_ms',
+    'n_streams', 'width', 'height'}. Raises ValueError on malformed or
+    truncated AVI streams and NotImplementedError on non-AVI
+    payloads."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or (
+        payload[8:12] != b"AVI "
+    ):
+        raise NotImplementedError(
+            "not an AVI payload; inject a video codec for this format"
+        )
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if 8 + riff_size > len(payload):
+        raise ValueError("malformed AVI: RIFF size out of bounds")
+    end = 8 + riff_size
+
+    def chunks(lo: int, hi: int):
+        i = lo
+        while i < hi:
+            if i + 8 > hi:
+                raise ValueError("malformed AVI: truncated chunk header")
+            fourcc = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if i + 8 + size > hi:
+                raise ValueError("malformed AVI: chunk size out of bounds")
+            yield fourcc, i + 8, i + 8 + size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+
+    meta = None
+    for fourcc, lo, hi in chunks(12, end):
+        if fourcc != b"LIST" or payload[lo : lo + 4] != b"hdrl":
+            continue  # movi and everything else skipped by size
+        for cfour, clo, chi in chunks(lo + 4, hi):
+            if cfour != b"avih":
+                continue
+            if chi - clo < 40:
+                raise ValueError("malformed AVI: truncated avih")
+            (uspf, _mbps, _pad, _flags, frames, _init, streams,
+             _buf, w, h) = struct.unpack("<10I", payload[clo : clo + 40])
+            if uspf == 0:
+                raise ValueError("malformed AVI: zero frame period")
+            meta = {
+                "us_per_frame": uspf,
+                "total_frames": frames,
+                "duration_ms": uspf * frames // 1000,
+                "n_streams": streams,
+                "width": w,
+                "height": h,
+            }
+    if meta is None:
+        raise ValueError("malformed AVI: missing LIST/hdrl avih")
+    return meta
+
+
+def encode_avi(
+    us_per_frame: int = 40000,
+    total_frames: int = 0,
+    width: int = 0,
+    height: int = 0,
+    n_streams: int = 1,
+    movi_bytes: int = 16,
+) -> bytes:
+    """Minimal structurally-valid AVI fixture encoder (stdlib struct
+    only): RIFF/AVI + LIST hdrl{avih} + LIST movi{filler} — the RIFF
+    video sibling of encode_wav. The movi filler exercises the
+    parser's skip-by-size path."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<10I",
+            us_per_frame, 0, 0, 0, total_frames, 0, n_streams, 0,
+            width, height,
+        )
+        + b"\x00" * 16,  # dwReserved[4]
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi = chunk(
+        b"LIST",
+        b"movi"
+        + chunk(
+            b"00dc",
+            bytes((i * 29 + total_frames) % 256 for i in range(movi_bytes)),
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 WEBM_META_SCHEMA = (
     "path string, payload_bytes bigint, doc_type string, "
     "timecode_scale bigint, duration_ms bigint, n_tracks int, "
@@ -2517,6 +2625,8 @@ def route_media_codec(payload: bytes) -> dict:
     set."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         meta, mtype = parse_wav_header(payload), "wav"
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        meta, mtype = parse_avi_header(payload), "avi"
     elif payload[:4] == b"fLaC":
         meta, mtype = parse_flac_header(payload), "flac"
     elif payload[:4] == b"OggS":
@@ -2588,7 +2698,8 @@ def synthesize_media_mix(
     (id, kind, a) spec row in, one (path, content) payload out, where
     ``a`` is the kind's size knob: WAV/FLAC sample count, MP3 frame
     count, Ogg Opus granule position, MP4 mvhd duration units
-    (timescale 1000), WebM duration ms (ms-grain TimecodeScale). The
+    (timescale 1000), WebM duration ms (ms-grain TimecodeScale), AVI
+    total frames (40 ms frame period). The
     fixture side of route_media_codec."""
     import zlib
 
@@ -2619,6 +2730,10 @@ def synthesize_media_mix(
                     content = encode_webm(
                         "webm", 1_000_000, a, 64, 32,
                         cluster_bytes=16 + seed % 16,
+                    )
+                elif kind == "avi":
+                    content = encode_avi(
+                        40000, a, 64, 32, movi_bytes=16 + seed % 16
                     )
                 else:
                     raise ValueError(f"unknown media kind {kind!r}")

@@ -1927,6 +1927,7 @@ def ivfpq_adc_topk(
     n_probe: int = 2,
     k: int = 5,
     query_mod: int = 25,
+    rerank_r: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1952,8 +1953,16 @@ def ivfpq_adc_topk(
     residual against EACH probed cell's centroid, and rank candidates
     by the exact ADC sum with (adc_dist, neighbor_id) tie-breaks.
 
+    With ``rerank_r`` set, the production refinement step runs: the
+    ADC shortlist of the R best candidates is RESCORED by exact
+    full-dimension int8 L2 and the final rank comes from that exact
+    distance (adc_rank is kept as evidence of where each survivor sat
+    before refinement) — recall then depends only on the true
+    neighbors REACHING the shortlist, not on PQ distinguishing them.
+
     Returns one row per (query, rank<=k): (query_id, rank,
-    neighbor_id, cell, adc_dist, exact_dist, hit) where exact_dist is
+    neighbor_id, cell, adc_dist[, adc_rank], exact_dist, hit) where
+    exact_dist is
     the full-dimension int8 L2 of the returned pair and hit marks
     membership in the global exact top-k (the brute-force baseline —
     the audit's cost is bounded by the fixed query sample, the same
@@ -2120,9 +2129,39 @@ def ivfpq_adc_topk(
         .agg(F.sum("d2").cast("bigint").alias("adc_dist"))
     )
     wtop = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    top = adc.withColumn("rank", F.row_number().over(wtop).cast("int")).filter(
-        F.col("rank") <= k
-    )
+    if rerank_r is not None:
+        # --- exact re-ranking: ADC shortlist of R, int8-rescored ---
+        qvecs_r = qz.select(
+            F.col(id_col).alias("neighbor_id"), F.col("q").alias("nq")
+        )
+        short = (
+            adc.withColumn(
+                "adc_rank", F.row_number().over(wtop).cast("int")
+            )
+            .filter(F.col("adc_rank") <= rerank_r)
+            .join(queries, "query_id")
+            .join(qvecs_r, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cell",
+                "adc_dist",
+                "adc_rank",
+                int_l2(F.col("qq"), F.col("nq")).cast("bigint").alias(
+                    "exact_dist"
+                ),
+            )
+        )
+        wrr = Window.partitionBy("query_id").orderBy(
+            "exact_dist", "neighbor_id"
+        )
+        top = short.withColumn(
+            "rank", F.row_number().over(wrr).cast("int")
+        ).filter(F.col("rank") <= k)
+    else:
+        top = adc.withColumn(
+            "rank", F.row_number().over(wtop).cast("int")
+        ).filter(F.col("rank") <= k)
     # --- exact baseline: full-dim int8 L2, global top-k ---
     pairs = queries.crossJoin(
         qz.select(F.col(id_col).alias("_nid"), F.col("q").alias("_nq"))
@@ -2138,6 +2177,22 @@ def ivfpq_adc_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "_nid")
     )
+    if rerank_r is not None:
+        return top.join(
+            exact,
+            (top["query_id"] == exact["query_id"])
+            & (top["neighbor_id"] == exact["_nid"]),
+            "left",
+        ).select(
+            top["query_id"],
+            "rank",
+            top["neighbor_id"],
+            F.col("cell").cast("int").alias("cell"),
+            "adc_dist",
+            "adc_rank",
+            "exact_dist",
+            exact["_nid"].isNotNull().alias("hit"),
+        )
     qvecs = qz.select(
         F.col(id_col).alias("neighbor_id"), F.col("q").alias("nq")
     )

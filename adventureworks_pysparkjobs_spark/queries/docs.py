@@ -3486,17 +3486,19 @@ def doc_audio_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_media_duration_inventory",
     oracle="""
     WITH m AS (
-      SELECT CASE CAST(doc_id % 6 AS INTEGER)
+      SELECT CASE CAST(doc_id % 7 AS INTEGER)
                WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
-               WHEN 3 THEN 'ogg' WHEN 4 THEN 'mp4' ELSE 'webm'
+               WHEN 3 THEN 'ogg' WHEN 4 THEN 'mp4' WHEN 5 THEN 'webm'
+               ELSE 'avi'
              END AS media_type,
-             CASE CAST(doc_id % 6 AS INTEGER)
+             CASE CAST(doc_id % 7 AS INTEGER)
                WHEN 0 THEN 125 * (1 + doc_id % 50)
                WHEN 1 THEN (1000 * (1 + doc_id % 100)) * 1000 // 44100
                WHEN 2 THEN (1 + doc_id % 200) * 1152 * 1000 // 44100
                WHEN 3 THEN 20 * (1 + doc_id % 300)
                WHEN 4 THEN 100 * (1 + doc_id % 600)
-               ELSE 40 * (1 + doc_id % 250)
+               WHEN 5 THEN 40 * (1 + doc_id % 250)
+               ELSE 40000 * (1 + doc_id % 400) // 1000
              END AS dur
       FROM documents WHERE doc_id % 3 = 1
     )
@@ -3513,16 +3515,16 @@ def doc_media_duration_inventory(
     """Mixed-corpus duration inventory — the planning table a
     multimodal training run reads FIRST ("how many hours of audio and
     video do we actually have, by container?"): synthesize a
-    heterogeneous payload column (WAV, FLAC, MP3, Ogg Opus, MP4, WebM
-    — one container per doc by doc_id rule, sizes from doc_id
+    heterogeneous payload column (WAV, FLAC, MP3, Ogg Opus, MP4,
+    WebM, AVI — one container per doc by doc_id rule, sizes from doc_id
     arithmetic),
     then run ONE mapInPandas pass with route_media_codec — sniff the
     container from the leading bytes, dispatch to the matching
     header-grade parser, normalize to (media_type, duration_ms) — and
-    aggregate hours by container. This is the dispatcher the six
+    aggregate hours by container. This is the dispatcher the seven
     per-container roundtrip entries compose into: one argument
     (ffprobe) swaps every parser at once in production. Exact integer
-    durations from six different granule/frame/sample clocks, summed
+    durations from seven different granule/frame/sample clocks, summed
     as BIGINTs; the oracle recomputes each clock from doc_id
     arithmetic, so a routing mistake (e.g. an Ogg payload measured by
     the MP3 walk) breaks the match loudly."""
@@ -3532,22 +3534,24 @@ def doc_media_duration_inventory(
     did = F.col("doc_id")
     spec = doc.filter(did % 3 == 1).select(
         did.cast("string").alias("path"),
-        F.when(did % 6 == 0, "wav")
-        .when(did % 6 == 1, "flac")
-        .when(did % 6 == 2, "mp3")
-        .when(did % 6 == 3, "ogg")
-        .when(did % 6 == 4, "mp4")
-        .otherwise("webm")
+        F.when(did % 7 == 0, "wav")
+        .when(did % 7 == 1, "flac")
+        .when(did % 7 == 2, "mp3")
+        .when(did % 7 == 3, "ogg")
+        .when(did % 7 == 4, "mp4")
+        .when(did % 7 == 5, "webm")
+        .otherwise("avi")
         .alias("kind"),
-        F.when(did % 6 == 0, F.lit(1000) * (F.lit(1) + did % 50))
-        .when(did % 6 == 1, F.lit(1000) * (F.lit(1) + did % 100))
-        .when(did % 6 == 2, F.lit(1) + did % 200)
+        F.when(did % 7 == 0, F.lit(1000) * (F.lit(1) + did % 50))
+        .when(did % 7 == 1, F.lit(1000) * (F.lit(1) + did % 100))
+        .when(did % 7 == 2, F.lit(1) + did % 200)
         .when(
-            did % 6 == 3,
+            did % 7 == 3,
             F.lit(312) + F.lit(960) * (F.lit(1) + did % 300),
         )
-        .when(did % 6 == 4, F.lit(100) * (F.lit(1) + did % 600))
-        .otherwise(F.lit(40) * (F.lit(1) + did % 250))
+        .when(did % 7 == 4, F.lit(100) * (F.lit(1) + did % 600))
+        .when(did % 7 == 5, F.lit(40) * (F.lit(1) + did % 250))
+        .otherwise(F.lit(1) + did % 400)
         .cast("bigint")
         .alias("a"),
     )
@@ -3555,4 +3559,106 @@ def doc_media_duration_inventory(
     return parsed.groupBy("media_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
         F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+    )
+
+
+@query(
+    "doc_video_avi_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(1000 * (10 + doc_id % 90) AS BIGINT) AS us_per_frame,
+           CAST(25 * (1 + doc_id % 480) AS BIGINT) AS total_frames,
+           CAST((1000 * (10 + doc_id % 90)) * (25 * (1 + doc_id % 480))
+                // 1000 AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 3 AS INTEGER) AS n_streams,
+           CAST(16 * (1 + doc_id % 60) AS INTEGER) AS width,
+           CAST(16 * (1 + (doc_id * 11) % 34) AS INTEGER) AS height
+    FROM documents
+    WHERE doc_id % 15 = 2
+    """,
+    tags=("multimodal", "video", "avi", "riff", "roundtrip"),
+)
+def doc_video_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI container metadata end-to-end with ZERO injected code — the
+    RIFF video leg completing the container triad next to
+    doc_video_mp4_metadata (ISO-BMFF) and doc_video_webm_metadata
+    (EBML); doc_media_riff_subtypes already TRIAGES 'AVI ' and this
+    entry PARSES it: synthesize structurally valid AVI payloads
+    (RIFF/AVI + LIST hdrl{avih} + LIST movi filler, frame period /
+    frame count / dims / stream count from doc_id), then walk the
+    chunk list back out with parse_avi_header (movi skipped by
+    declared size, O(chunks)). duration_ms is exact integer
+    arithmetic (us_per_frame * total_frames // 1000 — nonneg
+    operands, so Spark div and DuckDB // agree), so the
+    roundtrip-fixture oracle recomputes every column from doc_id
+    arithmetic. ffprobe injects through the same codec seam for
+    entropy-coded work."""
+    from ..operators import multimodal as MM
+
+    doc = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    spec = doc.filter(did % 15 == 2).select(
+        did.cast("string").alias("path"),
+        (F.lit(1000) * (F.lit(10) + did % 90)).cast("bigint").alias(
+            "us_per_frame"
+        ),
+        (F.lit(25) * (F.lit(1) + did % 480)).cast("bigint").alias(
+            "total_frames"
+        ),
+        (F.lit(1) + did % 3).cast("int").alias("n_streams"),
+        (F.lit(16) * (F.lit(1) + did % 60)).cast("int").alias("width"),
+        (F.lit(16) * (F.lit(1) + (did * 11) % 34)).cast("int").alias(
+            "height"
+        ),
+    )
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for rid, uspf, fr, ns, w, h in zip(
+                pdf["path"], pdf["us_per_frame"], pdf["total_frames"],
+                pdf["n_streams"], pdf["width"], pdf["height"],
+            ):
+                rows.append(
+                    {
+                        "path": str(rid),
+                        "content": MM.encode_avi(
+                            int(uspf), int(fr), int(w), int(h), int(ns)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    payloads = spec.mapInPandas(synth, schema="path string, content binary")
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                meta = MM.parse_avi_header(bytes(payload))
+                rows.append({"path": path, **meta})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "us_per_frame", "total_frames",
+                    "duration_ms", "n_streams", "width", "height",
+                ],
+            )
+
+    parsed = payloads.mapInPandas(
+        extract,
+        schema=(
+            "path string, us_per_frame bigint, total_frames bigint, "
+            "duration_ms bigint, n_streams int, width int, height int"
+        ),
+    )
+    return parsed.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "us_per_frame",
+        "total_frames",
+        "duration_ms",
+        "n_streams",
+        "width",
+        "height",
     )

@@ -1113,3 +1113,172 @@ def emb_ivfpq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_adc_topk(
         emb, n_cells=8, m=16, d=4, k_pq=32, n_probe=4, k=5, query_mod=25
     )
+
+
+@query(
+    "emb_ivfpq_rerank_recall",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN sc = 0 THEN
+               list_transform(embedding, x -> CAST(0 AS BIGINT))
+             ELSE
+               list_transform(embedding, x -> CAST(GREATEST(-127.0,
+                 LEAST(127.0, FLOOR(CAST(x AS DOUBLE) / sc + 0.5)))
+                 AS BIGINT))
+             END AS q
+      FROM s
+    ),
+    coarse AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+      FROM (SELECT * FROM qz ORDER BY vec_id LIMIT 8)
+    ),
+    ad AS (
+      SELECT qz.vec_id, qz.q, coarse.c, coarse.cq,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (qz.q[i] - coarse.cq[i]) * (qz.q[i] - coarse.cq[i])))
+               AS BIGINT) AS dist2
+      FROM qz CROSS JOIN coarse
+    ),
+    asg AS (
+      SELECT vec_id, q, c AS cell,
+             list_transform(range(1, 65), i -> q[i] - cq[i]) AS r
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, c) AS rn
+            FROM ad)
+      WHERE rn = 1
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, r AS sr
+      FROM (SELECT * FROM asg ORDER BY vec_id LIMIT 32)
+    ),
+    g AS (SELECT unnest(range(0, 16)) AS j),
+    ssub AS (
+      SELECT code, j, sr[j*4+1 : j*4+4] AS csv FROM seeds CROSS JOIN g
+    ),
+    rsub AS (
+      SELECT vec_id, j, r[j*4+1 : j*4+4] AS sv FROM asg CROSS JOIN g
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT rsub.vec_id, rsub.j, ssub.code,
+               ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.j
+                 ORDER BY CAST(list_sum(list_transform(range(1, 5),
+                   i -> (rsub.sv[i] - ssub.csv[i])
+                        * (rsub.sv[i] - ssub.csv[i]))) AS BIGINT),
+                 ssub.code) AS rn
+        FROM rsub JOIN ssub ON rsub.j = ssub.j)
+      WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id % 25 = 0
+    ),
+    qp AS (
+      SELECT query_id, qq, c, cq,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (qq[i] - cq[i]) * (qq[i] - cq[i]))) AS BIGINT)
+               AS dist2
+      FROM queries CROSS JOIN coarse
+    ),
+    qprobe AS (
+      SELECT query_id, c AS cell,
+             list_transform(range(1, 65), i -> qq[i] - cq[i]) AS qr
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY dist2, c) AS rn
+            FROM qp)
+      WHERE rn <= 4
+    ),
+    qrsub AS (
+      SELECT query_id, cell, j, qr[j*4+1 : j*4+4] AS sv
+      FROM qprobe CROSS JOIN g
+    ),
+    lut AS (
+      SELECT query_id, cell, qrsub.j, ssub.code,
+             CAST(list_sum(list_transform(range(1, 5),
+               i -> (qrsub.sv[i] - ssub.csv[i])
+                    * (qrsub.sv[i] - ssub.csv[i]))) AS BIGINT) AS d2
+      FROM qrsub JOIN ssub ON qrsub.j = ssub.j
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
+      FROM qprobe p JOIN asg a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, c.cell,
+             CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.cell = c.cell
+                AND l.j = e.j AND l.code = e.code
+      GROUP BY 1, 2, 3
+    ),
+short AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist, neighbor_id) AS adc_rank
+        FROM adc) WHERE adc_rank <= 20
+    ),
+    rr AS (
+      SELECT sh.query_id, sh.neighbor_id, sh.cell, sh.adc_dist,
+             CAST(sh.adc_rank AS INTEGER) AS adc_rank,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (q.qq[i] - z.q[i]) * (q.qq[i] - z.q[i])))
+               AS BIGINT) AS exact_dist
+      FROM short sh
+      JOIN queries q ON q.query_id = sh.query_id
+      JOIN qz z ON z.vec_id = sh.neighbor_id
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY exact_dist, neighbor_id) AS rnk
+        FROM rr) WHERE rnk <= 5
+    ),
+    exact AS (
+      SELECT query_id, _nid FROM (
+        SELECT q.query_id, z.vec_id AS _nid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qq[i] - z.q[i]) * (q.qq[i] - z.q[i])))
+                   AS BIGINT), z.vec_id) AS rn
+        FROM queries q CROSS JOIN qz z WHERE z.vec_id <> q.query_id)
+      WHERE rn <= 5
+    )
+    SELECT t.query_id, CAST(t.rnk AS INTEGER) AS rank, t.neighbor_id,
+           CAST(t.cell AS INTEGER) AS cell, t.adc_dist, t.adc_rank,
+           t.exact_dist,
+           e._nid IS NOT NULL AS hit
+    FROM top t
+    LEFT JOIN exact e ON e.query_id = t.query_id
+                     AND e._nid = t.neighbor_id
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "rerank", "recall"),
+)
+def emb_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the production refinement knob on
+    emb_ivfpq_adc_recall: the ADC shortlist of the 20 best candidates
+    per query is RESCORED by exact full-dimension int8 L2 and the
+    final top-5 comes from that exact distance, so recall depends only
+    on true neighbors REACHING the shortlist (IVF routing + coarse ADC
+    ordering), not on the product quantizer distinguishing them at the
+    last ulp. adc_rank is kept per survivor as evidence of where it
+    sat before refinement. Same integer-exact lattice end to end, so
+    the DuckDB oracle re-derives the whole pipeline including the
+    rescoring join and every column is hash-checked; compared against
+    the ADC-only entry this measures the recall recovered per unit of
+    rescoring work (20 exact distances per query vs a full scan).
+    Scale: identical index-side plan to the ADC entry (shared
+    operator; cached frames) plus ONE more keyed join over the
+    query x 20 shortlist — constant per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_adc_topk(
+        emb, n_cells=8, m=16, d=4, k_pq=32, n_probe=4, k=5,
+        query_mod=25, rerank_r=20,
+    )

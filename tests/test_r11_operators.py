@@ -901,3 +901,80 @@ class TestHoltWinters:
         assert sorted(r["horizon_days"] for r in out.values()) == list(
             range(1, 8)
         )
+
+
+class TestAviCodec:
+    def test_roundtrip(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_avi, parse_avi_header,
+        )
+
+        m = parse_avi_header(encode_avi(40000, 250, 640, 480, 2))
+        assert m == {
+            "us_per_frame": 40000, "total_frames": 250,
+            "duration_ms": 10000, "n_streams": 2, "width": 640,
+            "height": 480,
+        }
+
+    def test_truncation_sweep_is_loud(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_avi, parse_avi_header,
+        )
+
+        p = encode_avi(33333, 777, 320, 240, 1, movi_bytes=23)
+        for cut in range(12, len(p)):
+            with pytest.raises(ValueError):
+                parse_avi_header(p[:cut])
+
+    def test_riff_subtypes_route_distinctly(self):
+        """WAVE goes to the WAV walk, 'AVI ' to the AVI walk, and each
+        parser refuses the other subtype at its seam — the property
+        doc_media_riff_subtypes' triage relies on."""
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_avi, encode_wav, parse_avi_header, parse_wav_header,
+            route_media_codec,
+        )
+
+        avi = encode_avi(40000, 100, 64, 32)
+        wav = encode_wav(8000, 1, 4000, seed=3)
+        assert route_media_codec(avi) == {
+            "media_type": "avi", "duration_ms": 4000,
+        }
+        assert route_media_codec(wav)["media_type"] == "wav"
+        with pytest.raises(NotImplementedError):
+            parse_avi_header(wav)
+        with pytest.raises(NotImplementedError):
+            parse_wav_header(avi)
+
+    def test_zero_frame_period_is_loud(self):
+        from adventureworks_pysparkjobs_spark.operators.multimodal import (
+            encode_avi, parse_avi_header,
+        )
+
+        with pytest.raises(ValueError):
+            parse_avi_header(encode_avi(0, 100, 64, 32))
+
+
+class TestIvfPqRerank:
+    def test_rerank_properties_and_recall_recovery(self, spark):
+        from adventureworks_pysparkjobs_spark.queries import CATALOG
+
+        sf = "/root/testdata/sf0.001"
+        adc = CATALOG["emb_ivfpq_adc_recall"].builder(spark, sf).collect()
+        rr = CATALOG["emb_ivfpq_rerank_recall"].builder(spark, sf).collect()
+        per_q: dict = {}
+        for r in rr:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in per_q.items():
+            rows.sort(key=lambda x: x["rank"])
+            assert [x["rank"] for x in rows] == [1, 2, 3, 4, 5]
+            dists = [x["exact_dist"] for x in rows]
+            assert dists == sorted(dists)  # exact-rescored order
+            assert all(1 <= x["adc_rank"] <= 20 for x in rows)
+        # the refinement knob must RECOVER recall: everything the ADC
+        # ordering surfaced in its top-5 that is truly in the exact
+        # top-5 survives rescoring, and shortlist depth 20 adds more
+        hits_adc = sum(1 for r in adc if r["hit"])
+        hits_rr = sum(1 for r in rr if r["hit"])
+        assert hits_rr >= hits_adc
+        assert hits_rr / len(rr) >= 0.4  # measured 0.60 vs 0.27 ADC

@@ -100,6 +100,7 @@ CROSS_OK = {
     # query sample; the exact baseline is the broadcast-query-sample
     # contract of emb_ann_topk / emb_cosine_topk (bounded audit sample)
     "emb_ivfpq_adc_recall",
+    "emb_ivfpq_rerank_recall",  # same contract + constant 20-row/query rescore
 }
 
 BATCH_QUERIES = sorted(

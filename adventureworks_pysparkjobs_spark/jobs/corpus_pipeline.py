@@ -128,8 +128,21 @@ def build_training_corpus(
         )
 
     # 2. exact dedup: survivor id per content digest, semi-join back.
+    # The pre-dedup frame is referenced TWICE here (digest aggregate +
+    # semi-join left side) and the post-dedup frame twice again by the
+    # span step (span aggregate + rewrite join) — uncached, the C4
+    # gate's corpus-wide tokenize/regex work would replay FOUR times
+    # before the first lineage cut. Cache both generations
+    # MEMORY_AND_DISK; they are explicitly unpersisted right after the
+    # span checkpoint materializes, so the extra footprint is bounded
+    # to stages 1-3.
+    kept = kept.cache()
+    _pre_exact = kept
     survivors = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    kept = observe(kept.join(survivors, "doc_id", "left_semi"), "exact_dedup")
+    kept = observe(
+        kept.join(survivors, "doc_id", "left_semi"), "exact_dedup"
+    ).cache()
+    _pre_span = kept
 
     # 3. span dedup rewrites text to the surviving spans only. Documents
     # reduced to nothing (pure boilerplate) fall out via the token floor.
@@ -144,6 +157,8 @@ def build_training_corpus(
         .filter(F.size(TX.tokens("text")) >= 1),
         "span_dedup",
     ).localCheckpoint()
+    _pre_span.unpersist()
+    _pre_exact.unpersist()
 
     # 4. near-dup removal: cluster representatives (min doc_id) survive.
     pairs = minhash_lsh_pairs(kept)
@@ -182,12 +197,17 @@ def build_training_corpus(
     # sources/time instead of following ingestion locality, at the cost
     # of zero extra shuffles. Second lineage cut: the survivor set is
     # final here.
+    # `source` rides through the chunk explode (carry_cols) instead of
+    # re-reading documents.parquet and joining the doc-grain projection
+    # back onto the CHUNK-grain frame — the survivor set already carries
+    # it, so the join (and the corpus's second doc_id/source scan) was
+    # pure waste at 100 TB. Column order is unchanged: carry columns
+    # append after the chunk fields, exactly where the join put them.
     chunks = (
         TX.chunk_documents(
             kept.localCheckpoint(), chunk_tokens=chunk_tokens,
-            overlap=overlap,
+            overlap=overlap, carry_cols=("source",),
         )
-        .join(docs.select("doc_id", "source"), "doc_id")
         .withColumn("_shuffle_ord", shuffle_key("doc_id", shuffle_salt))
     )
     # pack_bucket_expr: default None -> xxhash64 doc buckets; pass a plain

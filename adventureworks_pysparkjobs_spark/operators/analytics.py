@@ -89,15 +89,22 @@ def basket_pairs(
     Every ratio is IEEE division of exact integer counts, in the same
     operand order the SQL oracle uses, so doubles are engine-identical.
     """
+    # items (a full fact-table distinct — one keyed shuffle) feeds FOUR
+    # consumers below (n_baskets, item_counts via ca AND cb, pair_counts);
+    # uncached, each consumer replays the distinct and its fact scan.
+    # Cache it MEMORY_AND_DISK (the shingle_arrays argument: reuse saves
+    # 3 fact re-scans; eviction merely recomputes). item_counts is
+    # item-grain and used twice, so it is cached too. Measured at sf0.1
+    # (cached-plan AQE on): best-of-3 1.62 s -> 1.21 s.
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    ).distinct().cache()
     n_baskets = items.select(
         F.count_distinct("basket").alias("n_baskets")
     )
     item_counts = items.groupBy("item").agg(
         F.count("*").alias("item_n")
-    )
+    ).cache()
     pairs = pair_counts(items, min_pair_count, max_basket_size)
     ca = item_counts.select(
         F.col("item").alias("item_a"), F.col("item_n").alias("n_a")

@@ -131,8 +131,14 @@ def train_bpe_merges(
     collect) and the final ``(word, n, syms)`` vocabulary frame.
     Training stops early when no remaining pair reaches ``min_count``.
     """
+    # localCheckpoint still truncates lineage (one fold per plan, codegen
+    # never sees nested folds), but eager=False folds the checkpoint's
+    # materialization INTO the next iteration's pair-count job instead of
+    # running a separate per-merge materialization job: one job per merge
+    # instead of two, identical merge list (the argmax reads the same
+    # materialized symbolization either way).
     sym = _init_symbols(word_counts(df, text_col, lowercase=lowercase))
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -147,7 +153,7 @@ def train_bpe_merges(
         merges.append((a, b, cnt))
         sym = sym.select(
             "word", "n", _merge_fold(a, b).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, sym
 
 

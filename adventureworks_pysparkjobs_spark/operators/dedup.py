@@ -234,10 +234,16 @@ def sparse_cosine_pairs(
         .filter(F.col("_df") <= max_term_df)
         .select("term")
     )
-    kept = tf.join(kept_terms, "term")
+    # kept is consumed by norms (used TWICE below, as n1 and n2) and by
+    # postings; uncached, the tokenize+count tf aggregate and the df-cap
+    # join replay once per consumer (measured at sf0.1: 6 parquet scans /
+    # ~18 exchanges in one plan). Cache both — the shingle_arrays
+    # argument: the corpus is tokenized exactly once per pipeline, and
+    # norms is doc-grain (two longs per doc).
+    kept = tf.join(kept_terms, "term").cache()
     norms = kept.groupBy("id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
-    )
+    ).cache()
     postings = (
         kept.groupBy("term")
         .agg(

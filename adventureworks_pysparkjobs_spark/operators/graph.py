@@ -52,6 +52,11 @@ def pagerank(
 
     Returns (node, rank_scaled BIGINT, rank DOUBLE = scaled/scale).
     """
+    # Callers pass an EXPENSIVE edge subquery (pair_counts over the fact
+    # table, symmetrized); it is referenced four times below (nodes
+    # twice, outw, e) before the derived checkpoints exist — cut the
+    # lineage once up front so the subquery runs once, not four times.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -138,6 +143,10 @@ def personalized_pagerank(
 
     Returns (node, rank_scaled BIGINT, rank DOUBLE = scaled/scale).
     """
+    # Same lineage cut as pagerank: the caller's edge subquery is
+    # referenced four times (nodes twice, outw, e) before the derived
+    # checkpoints exist.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -231,12 +240,17 @@ def triangle_counts(
     Returns (node, n_triangles BIGINT, degree BIGINT,
     clustering DOUBLE) for nodes in >= 1 triangle.
     """
-    ea = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    # The caller's edge subquery is referenced five times transitively
+    # (deg twice via dx/dy with two stub scans inside, plus the with_deg
+    # join); deg's two join keys (x vs y) need different distributions,
+    # so exchange reuse cannot dedupe them. Cut both lineages once.
+    ea = edges.select(F.col(a).alias("x"), F.col(b).alias("y")).localCheckpoint()
     deg = (
         ea.select(F.col("x").alias("node"))
         .union(ea.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     dx = deg.select(
         F.col("node").alias("x"), F.col("deg").alias("deg_x")
@@ -377,10 +391,19 @@ def path_to_root(
         )
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     roots = t.filter(F.col("settled")).select(F.col("node").alias("anc"))
-    # mark nodes whose anc is already a root as settled
-    for _ in range(max_iterations):
-        t = t.join(
+    # Per iteration: mark nodes whose anc is already a root as settled,
+    # then compose each unsettled node's segment with its ancestor's
+    # (the doubling jump). The convergence count rides the SAME
+    # checkpoint materialization as an Observation — one job per
+    # iteration instead of a separate unsettled-count job + a checkpoint
+    # job (the dedup_clusters pattern). On the final pass the jump is an
+    # identity on all-settled rows, so fusing it costs nothing and the
+    # output rows are unchanged.
+    for it in range(max_iterations):
+        marked = t.join(
             roots.withColumn("_isroot", F.lit(True)),
             "anc",
             "left",
@@ -393,17 +416,15 @@ def path_to_root(
                 "settled"
             ),
         )
-        unsettled = t.filter(~F.col("settled")).limit(1).count()
-        if unsettled == 0:
-            break
-        jump = t.select(
+        jump = marked.select(
             F.col("node").alias("anc"),
             F.col("anc").alias("_anc2"),
             F.col("d").alias("_d2"),
             F.col("s").alias("_s2"),
         )
+        obs = Observation(f"ptr_unsettled_{it}")
         t = (
-            t.join(jump, "anc", "left")
+            marked.join(jump, "anc", "left")
             .select(
                 "node",
                 F.when(F.col("settled"), F.col("anc"))
@@ -417,8 +438,11 @@ def path_to_root(
                 .alias("s"),
                 "settled",
             )
+            .observe(obs, F.count_if(~F.col("settled")).alias("unsettled"))
             .localCheckpoint()
         )
+        if obs.get["unsettled"] == 0:
+            break
     else:
         raise ValueError(
             "path_to_root: chains longer than 2^max_iterations — "
@@ -470,11 +494,25 @@ def link_prediction(
     Returns (item_a, item_b, common_neighbors BIGINT, deg_a BIGINT,
     deg_b BIGINT, jaccard DOUBLE).
     """
-    ea = edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    # The edge list is referenced (transitively) ~9 times below — stubs
+    # twice, the anti-join once, and deg three times with stubs inside it
+    # — and callers pass an EXPENSIVE subquery (pair_counts over the
+    # fact table). Without a lineage cut every reference replays that
+    # whole subtree (measured at sf0.1: 13 parquet scans / ~37 exchanges
+    # in one plan); localCheckpoint evaluates it exactly once, the same
+    # idiom as triangle_counts' oriented-edge frame. deg is node-grain
+    # (two longs per node) and feeds three joins, so it gets its own cut.
+    ea = edges.select(
+        F.col(a_col).alias("x"), F.col(b_col).alias("y")
+    ).localCheckpoint()
     stubs = ea.select(F.col("x").alias("node"), F.col("y").alias("nb")).unionAll(
         ea.select(F.col("y").alias("node"), F.col("x").alias("nb"))
     )
-    deg = stubs.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    deg = (
+        stubs.groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint()
+    )
     witnesses = deg.filter(F.col("deg") <= max_witness_degree).select(
         F.col("node").alias("w")
     )

@@ -292,9 +292,15 @@ def conformal_gate(
         ).cast("int")
         % 2
     )
+    # pos is two narrow columns per positive row, but its INPUT is the
+    # caller's scorer pipeline (tokenize + hash + two keyed aggregates
+    # for the conformal entry); cal feeds kf AND calv and tst feeds
+    # tstv, so uncached the scorer replays three times (measured at
+    # sf0.1: 6 parquet scans / ~17 exchanges in one plan). Cache the
+    # reduced frame once — eviction merely recomputes.
     pos = df.filter(F.col(label_col)).select(
         F.col(score_col).alias("score"), (bucket == 0).alias("_is_cal")
-    )
+    ).cache()
     cal = pos.filter(F.col("_is_cal"))
     tst = pos.filter(~F.col("_is_cal"))
 

@@ -1299,6 +1299,10 @@ def kmeans_assign(
         )
         # Empty-cluster carry-over: keep the previous (s, n) where no
         # member arrived this iteration.
+        # eager=False: lineage still cut per generation (the carry-over
+        # join references state twice), but materialization rides the
+        # next consumer's job instead of a per-iteration driver-blocking
+        # job — the whole Lloyd run schedules as one DAG.
         state = (
             state.join(new_state, ["cid", "pos"], "left")
             .select(
@@ -1307,7 +1311,7 @@ def kmeans_assign(
                 F.coalesce(F.col("s2"), F.col("s")).alias("s"),
                 F.coalesce(F.col("n2"), F.col("n")).alias("n"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return last_assign.select(
         F.col("vid").alias(id_col), "cluster", "dist2"
@@ -1861,11 +1865,25 @@ def pq_retrain_int_exact(
             lambda acc, x: acc + x,
         ).alias("dist2"),
     )
-    wmin = Window.partitionBy(id_col, "j").orderBy("dist2", "c")
+    # Nearest-centroid argmin as a partial-aggregable min(struct) — the
+    # struct orders (dist2, c, ...) so ties break to the lower centroid
+    # index exactly like the former row_number window, but the k_init-fold
+    # candidate fan-out now collapses MAP-SIDE before the exchange
+    # (k x fewer rows shuffled, no sort). sv is constant per (vec, j) and
+    # rides the struct. The assignment feeds BOTH the centroid update and
+    # the error join below; cache it so the broadcast-join + fold subtree
+    # runs once, not twice.
     a = (
-        d2.withColumn("rn", F.row_number().over(wmin))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        d2.groupBy(id_col, "j")
+        .agg(F.min(F.struct("dist2", "c", "sv")).alias("_m"))
+        .select(
+            F.col(id_col),
+            "j",
+            F.col("_m.c").alias("c"),
+            F.col("_m.sv").alias("sv"),
+            F.col("_m.dist2").alias("dist2"),
+        )
+        .cache()
     )
     dims = a.select(
         F.col(id_col),

@@ -218,6 +218,7 @@ def chunk_documents(
     chunk_tokens: int = 64,
     overlap: int = 8,
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the unit of
     work for embedding/training pipelines (context-window packing).
@@ -234,7 +235,11 @@ def chunk_documents(
     so memory per input row stays O(doc length), not O(chunks × doc
     length). Zero shuffles, zero Python.
 
-    Output: (id_col, chunk_id, start_token, chunk_text, n_chunk_tokens).
+    Output: (id_col, chunk_id, start_token, chunk_text, n_chunk_tokens
+    [, *carry_cols]). ``carry_cols`` names per-document columns to carry
+    through the explode unchanged (appended AFTER the chunk fields) —
+    a caller that needs document attributes on chunk rows then pays no
+    doc-grain join back onto the exploded frame.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
@@ -258,9 +263,11 @@ def chunk_documents(
             .alias("n_chunk_tokens"),
         ),
     )
-    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
-        id_col, "_c.*"
-    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(chunks).alias("_c"),
+    ).select(id_col, "_c.*", *carry_cols)
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

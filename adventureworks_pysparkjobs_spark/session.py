@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce/skew-split) the output partitioning
+        # of CACHED plans too (default false for partitioning-stability
+        # compatibility): the dedup family caches its shingle frame and
+        # several operators cache reused reduced frames — without this,
+        # every .cache() materializes at the raw shuffle-partition count
+        # and each downstream stage pays the uncoalesced task overhead
+        # (measured at sf0.1: basket_pairs ran 310 tasks vs 27). At
+        # cluster scale the same flag keeps cached intermediates at the
+        # advisory partition size instead of the static ceiling.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -136,6 +136,12 @@ def build_training_corpus(
     # MEMORY_AND_DISK; they are explicitly unpersisted right after the
     # span checkpoint materializes, so the extra footprint is bounded
     # to stages 1-3.
+    # (Measured and rejected: _spread-ing this frame before the cache.
+    # The front-half singles it would parallelize cost ~1.5 s serialized
+    # at sf0.1, but the spread exchange plus 32-task scheduling on four
+    # downstream map sides cost MORE (best-of-3 4.6 -> 5.6 s); the LSH
+    # phase — the corpus-heavy consumer — already _spreads its own input
+    # inside shingle_arrays.)
     kept = kept.cache()
     _pre_exact = kept
     survivors = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))

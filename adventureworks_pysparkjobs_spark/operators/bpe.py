@@ -54,8 +54,14 @@ def word_counts(
     """The corpus -> (word, n) frequency table: the single corpus-sized
     shuffle of BPE training (uniform word keys; heavy hitters are fine —
     counts are partially aggregated map-side)."""
+    # Spread to full parallelism first (the dedup-family _spread,
+    # conditional): a single parquet split otherwise serializes the
+    # corpus-sized explode into one task; an already-parallel scan
+    # passes through untouched.
+    from .dedup import _spread
+
     w = F.explode(tokens(text_col)).alias("word")
-    out = df.select(w)
+    out = _spread(df).select(w)
     if lowercase:
         out = out.select(F.lower(F.col("word")).alias("word"))
     return out.groupBy("word").agg(F.count(F.lit(1)).alias("n"))

@@ -194,7 +194,13 @@ def hashed_linear_scores(
     keyed agg with map-side partials; one bucket-keyed join; one doc
     keyed agg. Returns (id, n_tokens, logit_scaled, is_positive).
     """
-    toks = df.select(
+    # Spread before the per-token md5 work (the dedup-family _spread,
+    # conditional): a single parquet split otherwise serializes all
+    # hashing into one task (measured 0.7 s single-core at sf0.1); an
+    # already-parallel scan passes through untouched.
+    from .dedup import _spread
+
+    toks = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.filter(

@@ -752,15 +752,22 @@ def hashed_ngram_tf(
     that scales: cosine between hashed-TF docs is a bucket-grain
     equi-join + integer dot (see doc_hashed_cosine_topk), never a dense
     dim-wide array per row. All hashing is md5-based and mirrors
-    byte-for-byte in DuckDB (same idiom as sampling.md5_bucket)."""
+    byte-for-byte in DuckDB (same idiom as sampling.md5_bucket).
+
+    The input is spread to full parallelism before the per-row
+    shingle/md5 work (the dedup-family _spread, conditional: a single
+    parquet split otherwise serializes all hashing into one task —
+    measured at sf0.1 the tf materialization ran 3.5 s on one core vs
+    ~0.3 s spread; an already-parallel scan passes through)."""
     from . import text as TX
+    from .dedup import _spread
 
     bucket = (
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
         % dim
     )
     return (
-        df.select(id_col, F.explode(TX.shingles(text_col, n)).alias("gram"))
+        _spread(df).select(id_col, F.explode(TX.shingles(text_col, n)).alias("gram"))
         .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))

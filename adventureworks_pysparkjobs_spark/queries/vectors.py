@@ -731,8 +731,14 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # norms once per VECTOR, not per pair (the cosine_topk staging):
-    # the pair loop then runs one fold instead of three
-    a = emb.select(
+    # the pair loop then runs one fold instead of three.
+    # The stream side is conditionally _spread: a single-split
+    # embeddings scan otherwise runs the ENTIRE O(n^2) pair fold in one
+    # task (measured 12.4 s single-core of a 13.3 s query at sf0.1); an
+    # already-parallel scan passes through untouched.
+    from ..operators.dedup import _spread
+
+    a = _spread(emb).select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("va"),
         S.norm_fold(F.col("embedding")).alias("na"),

@@ -246,13 +246,13 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay the exact greedy state machine with a recursive CTE — packing
     is deterministic sequential state, verified row-for-row, not a
     Spark-private layout."""
-    # Conditional spread (dedup._spread): the single-split documents
-    # scan otherwise serializes the chunk build into one task
-    # (measured 1.5 s of a 2.2 s query at sf0.1).
-    from ..operators.dedup import _spread
-
+    # (Measured and rejected: _spread-ing the documents scan before the
+    # chunk build. It parallelized a ~1.5 s single-task first run, but
+    # best-of-3 was unchanged and the spread exchange breaks this
+    # entry's pinned one-scan-one-exchange scale shape — the pack
+    # exchange stays the ONLY shuffle.)
     chunks = TX.chunk_documents(
-        _spread(load_table(spark, sf_dir, "documents")),
+        load_table(spark, sf_dir, "documents"),
         chunk_tokens=_CHUNK,
         overlap=_CHUNK_OVERLAP,
     )

@@ -623,9 +623,16 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk: need at least one query term")
-    toks = docs.select(
+    from .dedup import _spread
+
+    # toks feeds FOUR consumers (stats, tot, tf, and dfreq through tf);
+    # uncached the corpus tokenize replays per consumer — and on a
+    # single-split corpus each replay is one task (conditional _spread
+    # parallelizes it; an already-parallel scan passes through). The
+    # shingle_arrays argument: tokenize exactly once per pipeline.
+    toks = _spread(docs).select(
         F.col(id_col), tokens(text_col).alias("_w")
-    )
+    ).cache()
     stats = toks.select(id_col, F.size("_w").cast("long").alias("dl"))
     tot = toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -4,15 +4,24 @@
 Prints a COMPACT summary JSON as the LAST stdout line (the driver
 captures only a bounded stdout tail, so this line must stay well under
 2000 chars) and writes the FULL per-query payload — statuses, oracle
-timings, all ratios, errors — to BENCH_FULL.json next to this script.
-The summary line:
+timings, all ratios, errors, worst5_ratio, guard prose — to
+BENCH_FULL.json next to this script. The summary line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "core13_sec": ..., "sf": ...,
+   "queries": {name: sec (2 decimals), ...}, "core13_sec": ..., "sf": ...,
    "n_ok"/"n_partial"/"n_failed": counts,
    "gate2x": {"ratio_all": r, "ratio_excl_pathological": r,
               "pass_2x": bool, "n_dual": n, "n_pathological": n},
-   "worst5_ratio": {name: spark/duck for the 5 worst healthy entries},
-   "core13_guard": "ok"|"WARN: ...", "full": "BENCH_FULL.json"}
+   "core13_guard": "ok"|"warn", "full": "BENCH_FULL.json"}
+
+r12 summary-line revision (r11 verdict task 2): the r11 driver artifact
+silently shed 27 of 40 per-query timings because the line crossed the
+1900-char cap. The line now keeps EVERY per-query timing by spending
+its chars on the data instead of prose: per-query seconds are rounded
+to 2 decimals IN THE LINE ONLY (BENCH_FULL.json keeps 3),
+"worst5_ratio" and the guard WARN prose moved to BENCH_FULL.json (the
+guard key survives as "ok"/"warn"). Timing methodology, membership and
+all subtotals are UNCHANGED — this is a presentation fix, not a
+measurement change.
 
 The headline "value" sums fully-healthy ("ok") queries only; a query
 whose repetition 2/3 failed after a good rep 1 keeps its timing in
@@ -260,6 +269,31 @@ def _time_oracles(
     return oracle_sec, oracle_sec_raw, oracle_status
 
 
+SUMMARY_LINE_CAP = 1900  # driver stdout-tail budget; pinned by tests
+
+
+def compact_summary_line(summary: dict, core13_names: frozenset) -> str:
+    """Render the one-line summary JSON, guaranteed under the driver's
+    tail-capture cap. Keeps every per-query timing at 2 decimals (full
+    3-decimal values live in BENCH_FULL.json); if a future catalog
+    growth still overflows the cap, falls back to shedding the
+    per-query dict down to the frozen core13 (flagged explicitly so the
+    artifact is never silently partial)."""
+    summary = dict(summary)
+    full_timings = summary["queries"]
+    summary["queries"] = {n: round(v, 2) for n, v in full_timings.items()}
+    line = json.dumps(summary)
+    if len(line) > SUMMARY_LINE_CAP:
+        summary["queries"] = {
+            n: round(full_timings[n], 2)
+            for n in sorted(full_timings)
+            if n in core13_names
+        }
+        summary["queries_truncated_to_core13"] = True
+        line = json.dumps(summary)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -393,6 +427,25 @@ def main() -> None:
         ),
     }
 
+    # Regression guard on the frozen core13 subtotal. WARN (never fail)
+    # when a run exceeds the current-protocol quiet-box best by >20% so
+    # a real plan regression stays visible in every artifact. Baseline
+    # re-pinned in r9 (deliberate protocol change — see CORE13_BEST_SEC
+    # above and BENCH_NOTES.md "r9 guard re-pin").
+    core13_guard = "ok"
+    core13_guard_detail = "ok"
+    if sf == 0.1 and core13 > CORE13_BEST_SEC * 1.2:
+        core13_guard = "warn"
+        core13_guard_detail = (
+            f"WARN: core13 {core13}s > {CORE13_BEST_SEC}s best +20% "
+            f"({round(CORE13_BEST_SEC * 1.2, 2)}s threshold)"
+        )
+        print(f"# {core13_guard_detail}", file=sys.stderr)
+
+    worst5 = dict(sorted(
+        ((n, ratio[n]) for n in healthy),
+        key=lambda kv: kv[1], reverse=True,
+    )[:5])
     payload = {
         "metric": "catalog_headline_wall_clock",
         "value": total,
@@ -410,22 +463,11 @@ def main() -> None:
         "ratio": ratio,
         "ratio_raw": ratio_raw,
         "gate2x": gate,
+        "worst5_ratio": worst5,
+        "core13_guard": core13_guard_detail,
     }
     if errors:
         payload["errors"] = errors
-
-    # Regression guard on the frozen core13 subtotal. WARN (never fail)
-    # when a run exceeds the current-protocol quiet-box best by >20% so
-    # a real plan regression stays visible in every artifact. Baseline
-    # re-pinned in r9 (deliberate protocol change — see CORE13_BEST_SEC
-    # above and BENCH_NOTES.md "r9 guard re-pin").
-    core13_guard = "ok"
-    if sf == 0.1 and core13 > CORE13_BEST_SEC * 1.2:
-        core13_guard = (
-            f"WARN: core13 {core13}s > {CORE13_BEST_SEC}s best +20% "
-            f"({round(CORE13_BEST_SEC * 1.2, 2)}s threshold)"
-        )
-        print(f"# {core13_guard}", file=sys.stderr)
 
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -435,11 +477,10 @@ def main() -> None:
     print(f"# full payload -> {full_path}", file=sys.stderr)
 
     # Compact summary LAST: the driver records a bounded stdout tail
-    # (r5's full payload overflowed it -> BENCH_r05.json parsed:null).
-    worst5 = dict(sorted(
-        ((n, ratio[n]) for n in healthy),
-        key=lambda kv: kv[1], reverse=True,
-    )[:5])
+    # (r5's full payload overflowed it -> BENCH_r05.json parsed:null;
+    # r11's 3-decimal line + worst5 + guard prose crossed 1900 chars and
+    # shed 27/40 per-query timings -> PERF_r11 lost visibility). All 40
+    # timings now always fit: see compact_summary_line.
     summary = {
         "metric": "catalog_headline_wall_clock",
         "value": total,
@@ -463,20 +504,10 @@ def main() -> None:
             "n_dual": gate["all_dual_timed"]["n_queries"],
             "n_pathological": len(pathological),
         },
-        "worst5_ratio": worst5,
         "core13_guard": core13_guard,
         "full": "BENCH_FULL.json",
     }
-    line = json.dumps(summary)
-    if len(line) > 1900:
-        # Never overflow the driver's tail capture: shed the per-query
-        # dict first (it lives in BENCH_FULL.json), keep the headline.
-        summary["queries"] = {
-            n: timings[n] for n in sorted(ok & R3_CORE_13) if n in timings
-        }
-        summary["queries_truncated_to_core13"] = True
-        line = json.dumps(summary)
-    print(line)
+    print(compact_summary_line(summary, R3_CORE_13))
 
 
 if __name__ == "__main__":

@@ -95,3 +95,70 @@ def test_headline_v2_is_exactly_the_bench_flagged_set():
     zero extra bench cost."""
     flagged = {n for n, q in CATALOG.items() if q.bench}
     assert flagged == EXPECTED_HEADLINE_V2
+
+
+def _synthetic_summary(timings):
+    """The summary dict exactly as bench.main() builds it, with
+    worst-case-width numeric fields."""
+    return {
+        "metric": "catalog_headline_wall_clock",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": timings,
+        "core13_sec": 9999.999,
+        "core_llm10_sec": 9999.999,
+        "headline_v1_sec": 9999.999,
+        "headline_v2_sec": 9999.999,
+        "sf": 0.001,
+        "n_ok": 40,
+        "n_partial": 0,
+        "n_failed": 0,
+        "gate2x": {
+            "ratio_all": 999.999,
+            "ratio_excl_pathological": 999.999,
+            "ratio_excl_path_v1": 999.999,
+            "pass_2x": False,
+            "n_dual": 40,
+            "n_pathological": 40,
+        },
+        "core13_guard": "warn",
+        "full": "BENCH_FULL.json",
+    }
+
+
+def test_summary_line_keeps_all_40_queries_under_the_cap():
+    """r11 regression (verdict task 2): the one-line summary crossed the
+    driver's 1900-char stdout-tail cap and silently shed 27/40 per-query
+    timings, so PERF_r11 lost per-query visibility. Pin that the CURRENT
+    bench membership with worst-case-width timings renders under the cap
+    with every query present and no truncation flag."""
+    timings = {n: 100.999 for n in sorted(EXPECTED_HEADLINE_V2)}
+    line = bench.compact_summary_line(
+        _synthetic_summary(timings), bench.R3_CORE_13
+    )
+    assert len(line) <= bench.SUMMARY_LINE_CAP == 1900
+    import json
+
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == EXPECTED_HEADLINE_V2
+    assert "queries_truncated_to_core13" not in parsed
+    # 2-decimal rounding in the line (3-decimal values live in
+    # BENCH_FULL.json)
+    assert parsed["queries"]["q1_pricing_summary"] == 101.0
+
+
+def test_summary_line_overflow_fallback_is_explicit():
+    """If a future catalog grows past the cap anyway, the line must shed
+    to core13 WITH the explicit flag — never silently."""
+    import json
+
+    timings = {f"padded_query_name_{i:04d}_{'x' * 40}": 1.0
+               for i in range(80)}
+    timings.update({n: 1.0 for n in sorted(bench.R3_CORE_13)})
+    line = bench.compact_summary_line(
+        _synthetic_summary(timings), bench.R3_CORE_13
+    )
+    assert len(line) <= bench.SUMMARY_LINE_CAP
+    parsed = json.loads(line)
+    assert parsed["queries_truncated_to_core13"] is True
+    assert set(parsed["queries"]) == bench.R3_CORE_13

@@ -95,7 +95,8 @@ def basket_pairs(
     # Cache it MEMORY_AND_DISK (the shingle_arrays argument: reuse saves
     # 3 fact re-scans; eviction merely recomputes). item_counts is
     # item-grain and used twice, so it is cached too. Measured at sf0.1
-    # (cached-plan AQE on): best-of-3 1.62 s -> 1.21 s.
+    # (cached-plan AQE on): best-of-3 1.62 s -> 1.21 s. (Cache lifetime
+    # is session-scoped by contract — see bm25_topk's note in text.py.)
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct().cache()

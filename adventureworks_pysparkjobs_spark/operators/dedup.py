@@ -85,12 +85,24 @@ def _spread(df: DataFrame) -> DataFrame:
     large *computations*: without this, a single parquet split means one
     task does all the exploding.
 
-    Scale-adaptive: a corpus that already scans with >= parallelism
-    splits (the 100 TB layout) passes through untouched — the spread
-    exchange only pays for itself when the scan is narrower than the
-    cluster, so this never adds a full-corpus shuffle at real scale."""
+    Scale-adaptive: a corpus whose scan already lists >= parallelism
+    input files (the 100 TB layout — each file is at least one task)
+    passes through untouched, so this never adds a full-corpus shuffle
+    at real scale. The probe is ``inputFiles()`` — pure scan metadata.
+    The r11 probe read ``df.rdd.getNumPartitions()``, which under AQE
+    finalizes the adaptive plan and EXECUTES any upstream shuffle
+    stages as real jobs, work the actual query then repeats (latent
+    double-execution for non-scan inputs — ADVICE r11). A frame with
+    upstream exchanges is already at shuffle-partition parallelism, so
+    when its source lists many files the pass-through stays correct;
+    when it lists few (local fixtures) the repartition it gets is the
+    same one the unconditional r2-era spread always applied."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0  # non-file sources: treat as narrow, spread
+    if n_files >= target:
         return df
     return df.repartition(target)
 
@@ -247,7 +259,8 @@ def sparse_cosine_pairs(
     # join replay once per consumer (measured at sf0.1: 6 parquet scans /
     # ~18 exchanges in one plan). Cache both — the shingle_arrays
     # argument: the corpus is tokenized exactly once per pipeline, and
-    # norms is doc-grain (two longs per doc).
+    # norms is doc-grain (two longs per doc). (Cache lifetime is
+    # session-scoped by contract — see bm25_topk's note in text.py.)
     kept = tf.join(kept_terms, "term").cache()
     norms = kept.groupBy("id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")

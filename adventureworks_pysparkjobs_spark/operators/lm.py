@@ -303,7 +303,8 @@ def conformal_gate(
     # for the conformal entry); cal feeds kf AND calv and tst feeds
     # tstv, so uncached the scorer replays three times (measured at
     # sf0.1: 6 parquet scans / ~17 exchanges in one plan). Cache the
-    # reduced frame once — eviction merely recomputes.
+    # reduced frame once — eviction merely recomputes. (Cache lifetime
+    # is session-scoped by contract — see bm25_topk's note in text.py.)
     pos = df.filter(F.col(label_col)).select(
         F.col(score_col).alias("score"), (bucket == 0).alias("_is_cal")
     ).cache()

@@ -18,11 +18,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition an embedding frame to full parallelism before per-row
-    fold-heavy scoring (embedding tables are few parquet splits but large
-    per-row compute)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+# One _spread for the whole engine (ADVICE r11: this module's local
+# copy was still an unconditional repartition while dedup.py's had gone
+# scale-adaptive — same name, different behavior). The conditional
+# version no-ops when the scan already lists >= parallelism input files
+# (the 100 TB layout), so e.g. ivf_topk's bounded-sample fit no longer
+# pays a corpus-wide shuffle at real scale; on few-file local fixtures
+# it degenerates to the same unconditional repartition as before.
+from .dedup import _spread  # noqa: E402  (re-export for call sites below)
 
 
 def dot_fold(a: Column, b: Column) -> Column:
@@ -322,12 +325,23 @@ def pq_train(
     from .sampling import deterministic_sample
 
     assert dim % m == 0, "dim must divide into m subspaces"
-    src = corpus.select(vec_col)
+    src = corpus
     if fit_fraction < 1.0:
-        src = deterministic_sample(corpus, id_col, fit_fraction, salt="pq").select(
-            vec_col
-        )
-    rows = src.limit(max_fit_rows).collect()
+        src = deterministic_sample(corpus, id_col, fit_fraction, salt="pq")
+    # Order-pinned bounded sample (ADVICE r11): a bare limit() takes a
+    # partition-layout-dependent prefix — centroids would differ across
+    # partitionings and an id-sorted layout would bias the fit set.
+    # Ordering by a hash of the id gives a deterministic, unbiased
+    # subsample; orderBy+limit plans as TakeOrderedAndProject (top-K
+    # merge, no global sort materialization).
+    rows = (
+        src.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(max_fit_rows)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty fit sample — nothing to train on")
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     d = dim // m
     rng = np.random.default_rng(seed)
@@ -611,16 +625,33 @@ def _lloyd_fit_driver(
     seed: int,
     max_fit_rows: int = 100_000,
     iters: int = 20,
+    order_col: str = "vec_id",
 ) -> list[list[float]]:
     """Seeded Lloyd's k-means over a driver-collected bounded sample —
     the pq_train fit shape (tiny sample, tiny model, deterministic
     given the seed and sample; the same elementwise distance form as
     pq_train so results are reproducible across BLAS builds). Empty
     clusters keep their previous centroid; the loop early-stops on
-    convergence."""
+    convergence.
+
+    The bounded sample is order-pinned (ADVICE r11): ordering by a hash
+    of ``order_col`` before the limit makes the fit set deterministic
+    across runs/partitionings AND unbiased w.r.t. id-sorted layouts
+    (a bare limit() takes a partition-layout prefix, which at scale can
+    be the first file's worth of ids). TakeOrderedAndProject keeps it a
+    top-K merge, not a global sort."""
     import numpy as np
 
-    rows = src.select(vec_col).limit(max_fit_rows).collect()
+    rows = (
+        src.orderBy(F.xxhash64(F.col(order_col)), F.col(order_col))
+        .limit(max_fit_rows)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "_lloyd_fit_driver: empty fit sample — nothing to cluster"
+        )
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=k, replace=len(x) < k)].copy()
@@ -676,7 +707,8 @@ def ivf_topk(
     if fit_fraction < 1.0:
         fit_src = deterministic_sample(fit_src, id_col, fit_fraction, salt="ivf")
     centroids = _lloyd_fit_driver(
-        fit_src, vec_col, k=n_cells, seed=seed, max_fit_rows=max_fit_rows
+        fit_src, vec_col, k=n_cells, seed=seed, max_fit_rows=max_fit_rows,
+        order_col=id_col,
     )
 
     def nearest_cells(vec: Column, n: int) -> Column:
@@ -1284,86 +1316,155 @@ def kmeans_assign(
     (id, cluster BIGINT = init vector id, dist2 DOUBLE).
     """
     q = F.lit(int(quant)).cast("double")
-    e = (
-        df.select(
-            F.col(id_col).alias("vid"),
-            F.posexplode(F.col(vec_col)).alias("pos", "x"),
-        )
-        .select(
-            "vid",
-            "pos",
-            F.round(F.col("x").cast("double") * q)
-            .cast("bigint")
-            .alias("xi"),
-        )
-        .localCheckpoint()
-    )
-    init_ids = [
-        r["vid"]
-        for r in e.select("vid").distinct().orderBy("vid").limit(k).collect()
-    ]  # k-row bounded collect: the deterministic seed set
-    state = (
-        e.where(F.col("vid").isin(init_ids))
-        .select(
-            F.col("vid").alias("cid"),
-            "pos",
-            F.col("xi").alias("s"),
-            F.lit(1).cast("long").alias("n"),
-        )
-        .localCheckpoint()
-    )
     d19 = "decimal(19,0)"
-    for it in range(iterations):
-        term = (F.col("xi") * F.col("n") - F.col("s")).cast(d19)
-        scored = (
-            e.join(state, "pos")
-            .select("vid", "cid", "n", (term * term).alias("sq"))
-            .groupBy("vid", "cid", "n")
-            .agg(F.sum("sq").alias("d2i"))
-            .select(
-                "vid",
-                "cid",
-                (
-                    F.col("d2i").cast("double")
-                    / (F.col("n").cast("double") * F.col("n").cast("double") * q * q)
-                ).alias("dist2"),
+    id_type = df.schema[id_col].dataType
+    xi_arr = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * q).cast("bigint"),
+    )
+    base = df.select(F.col(id_col).alias("vid"), xi_arr.alias("xi"))
+    nonempty = base.where(F.size("xi") > 0)
+
+    # ---- r12 redesign (guide §8 "decide with small rows"): the k-means
+    # STATE is k x dim exact integers — bounded METADATA, like init_ids
+    # — so it rides the driver between iterations instead of living as
+    # a corpus-sized frame. The r11 shape eagerly checkpointed the
+    # corpus x dim posexplode and per iteration joined it against the
+    # state on pos (a k-fold fan-out: corpus x dim x k rows through an
+    # exchange + two hash aggregates). Now each iteration is:
+    #   assignment: a row-local projection over the UN-exploded vectors
+    #     (fold per centroid over a state literal — zero exchanges),
+    #   state update: one posexplode + map-combined (cluster, pos) sum
+    #     (the only shuffle: k x dim x maps partial rows),
+    #   one bounded collect (k x dim exact ints) to refresh the literal.
+    # Arithmetic is EXPRESSION-IDENTICAL to the r2-r11 formulation (and
+    # to the unrolled-SQL oracle): xi = round(x*q) as bigint, term =
+    # (xi*n - s) in bigint cast DECIMAL(19,0), d2i = null-skipping sum
+    # of term^2 in DECIMAL(38,0), ONE IEEE division, argmin by
+    # struct(dist2, cid) with ties to the smaller centroid id. Exact
+    # integer sums are order-independent, so collecting the state
+    # changes nothing. The general per-(cid, n) grouping semantics of
+    # the joined formulation (scored grouped by vid, cid AND n — only
+    # observable for ragged vector lengths) is preserved by emitting
+    # one candidate per distinct n within a centroid.
+
+    # Deterministic seed set: the k smallest ids' quantized vectors,
+    # with per-pos (s=xi, n=1) state. TakeOrderedAndProject, bounded.
+    state: dict = {}  # cid -> {"s": [bigint per pos], "n": [long per pos]}
+    for r in (
+        nonempty.orderBy("vid").limit(k).select("vid", "xi").collect()
+    ):
+        state[r["vid"]] = {
+            "s": list(r["xi"]), "n": [1] * len(r["xi"])
+        }
+    if not state:  # no non-empty vectors: nothing can be assigned
+        return base.where(F.lit(False)).select(
+            F.col("vid").alias(id_col),
+            F.col("vid").alias("cluster"),
+            F.lit(0.0).alias("dist2"),
+        )
+
+    def _assign_col():
+        """Candidate argmin as one row-local expression over xi."""
+        cands = []
+        for cid in sorted(state):
+            st = state[cid]
+            # group state positions by their n (uniform-n in practice:
+            # one group per centroid; ragged inputs keep the joined
+            # formulation's per-(cid, n) candidate split)
+            by_n: dict = {}
+            for pos, (s_val, n_val) in enumerate(zip(st["s"], st["n"])):
+                by_n.setdefault(n_val, []).append([pos, s_val])
+            for n_val, ps in sorted(by_n.items()):
+                ps_lit = F.lit([[int(p), int(s)] for p, s in ps])
+                n_lit = F.lit(int(n_val)).cast("long")
+                overlap = F.filter(
+                    ps_lit, lambda p: p[0] < F.size(F.col("xi"))
+                )
+
+                def _step(acc, p):
+                    x = F.element_at(
+                        F.col("xi"), (p[0] + 1).cast("int")
+                    )
+                    t = (x * n_lit - p[1]).cast(d19)
+                    sq = t * t
+                    return F.struct(
+                        F.when(sq.isNull(), acc["d2"])
+                        .otherwise(acc["d2"] + sq)
+                        .alias("d2"),
+                        (
+                            acc["nn"]
+                            + F.when(sq.isNull(), 0).otherwise(1)
+                        ).alias("nn"),
+                    )
+
+                folded = F.aggregate(
+                    overlap,
+                    F.struct(
+                        F.lit(0).cast("decimal(38,0)").alias("d2"),
+                        F.lit(0).alias("nn"),
+                    ),
+                    _step,
+                )
+                d2i = F.when(
+                    folded["nn"] == 0,
+                    F.lit(None).cast("decimal(38,0)"),
+                ).otherwise(folded["d2"])
+                dist2 = d2i.cast("double") / (
+                    n_lit.cast("double") * n_lit.cast("double") * q * q
+                )
+                cands.append(
+                    F.struct(
+                        dist2.alias("dist2"),
+                        F.lit(cid).cast(id_type).alias("cid"),
+                        F.size(overlap).alias("cnt"),
+                    )
+                )
+        valid = F.filter(F.array(*cands), lambda c: c["cnt"] > 0)
+        return F.array_min(
+            F.transform(
+                valid, lambda c: F.struct(c["dist2"], c["cid"])
             )
         )
-        assign = scored.groupBy("vid").agg(
-            F.min(F.struct("dist2", "cid")).alias("m")
-        ).select(
-            "vid",
-            F.col("m.cid").alias("cluster"),
-            F.col("m.dist2").alias("dist2"),
-        )
-        last_assign = assign
+
+    for it in range(iterations):
+        assign = base.select(
+            "vid", "xi", _assign_col().alias("m")
+        ).where(F.col("m").isNotNull())
         if it == iterations - 1:
             break  # final assignment needs no further centroid update
-        new_state = (
-            e.join(assign.select("vid", "cluster"), "vid")
-            .groupBy(F.col("cluster").alias("cid"), "pos")
+        # State update: the one shuffle per iteration — map-combined
+        # (cluster, pos) integer sums, k x dim rows after aggregation,
+        # collected exactly (bigint sums are partitioning-independent).
+        new_rows = (
+            assign.select(
+                F.col("m.cid").alias("cid"),
+                F.posexplode("xi").alias("pos", "xiv"),
+            )
+            .groupBy("cid", "pos")
             .agg(
-                F.sum("xi").alias("s2"), F.count("*").cast("long").alias("n2")
+                F.sum("xiv").alias("s2"),
+                F.count("*").cast("long").alias("n2"),
             )
+            .collect()
         )
+        arrived: dict = {}
+        for r in new_rows:
+            arrived.setdefault(r["cid"], {})[r["pos"]] = (
+                int(r["s2"]), int(r["n2"])
+            )
         # Empty-cluster carry-over: keep the previous (s, n) where no
-        # member arrived this iteration.
-        # eager=False: lineage still cut per generation (the carry-over
-        # join references state twice), but materialization rides the
-        # next consumer's job instead of a per-iteration driver-blocking
-        # job — the whole Lloyd run schedules as one DAG.
-        state = (
-            state.join(new_state, ["cid", "pos"], "left")
-            .select(
-                "cid",
-                "pos",
-                F.coalesce(F.col("s2"), F.col("s")).alias("s"),
-                F.coalesce(F.col("n2"), F.col("n")).alias("n"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return last_assign.select(
-        F.col("vid").alias(id_col), "cluster", "dist2"
+        # member arrived this iteration (per position, matching the
+        # joined formulation's left-join coalesce).
+        for cid, st in state.items():
+            got = arrived.get(cid, {})
+            for pos in range(len(st["s"])):
+                if pos in got:
+                    st["s"][pos], st["n"][pos] = got[pos]
+    return assign.select(
+        F.col("vid").alias(id_col),
+        F.col("m.cid").alias("cluster"),
+        F.col("m.dist2").alias("dist2"),
     )
 
 

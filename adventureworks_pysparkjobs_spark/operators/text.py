@@ -630,6 +630,12 @@ def bm25_topk(
     # single-split corpus each replay is one task (conditional _spread
     # parallelizes it; an already-parallel scan passes through). The
     # shingle_arrays argument: tokenize exactly once per pipeline.
+    # Lifetime: the operator returns a lazy frame, so it cannot
+    # unpersist after "the" action — the cache lives until the caller's
+    # session clears it (the engine contract: one query per
+    # action; bench.py clears session state between queries). Spark
+    # evicts MEMORY_AND_DISK blocks under pressure, so a long-lived
+    # session degrades to recompute, never to an OOM.
     toks = _spread(docs).select(
         F.col(id_col), tokens(text_col).alias("_w")
     ).cache()

@@ -5352,10 +5352,6 @@ def customer_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # curve is gap-day-grain (thousands of rows) but its lineage is the
     # full orders window + aggregate; it feeds BOTH the 1-row array
     # rider below and the final cross join, so uncached the whole
-    # upstream replays twice. Cache the reduced frame once.
-    # curve is gap-day-grain (thousands of rows) but its lineage is the
-    # full orders window + aggregate; it feeds BOTH the 1-row array
-    # rider below and the final cross join, so uncached the whole
     # upstream replays twice. Cache the reduced frame once (measured at
     # sf0.1: best-of-3 0.65 s -> 0.32 s with cached-plan AQE on).
     curve = grain.select(
@@ -5367,7 +5363,7 @@ def customer_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n"),
-    ).filter(F.col("d") > 0).cache().cache()
+    ).filter(F.col("d") > 0).cache()
     arr = curve.agg(
         F.array_sort(
             F.collect_list(

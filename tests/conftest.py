@@ -7,15 +7,50 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from adventureworks_pysparkjobs_spark.queries import (  # noqa: E402
+    CATALOG,
+    DRIVER_WINDOW,
+)
 from adventureworks_pysparkjobs_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Default-lane membership for the per-entry catalog sweeps (oracle
+# match, non-vacuity, plan shape): the driver-checked window plus every
+# bench member — exactly the entries whose regressions the external
+# driver would surface (CORRECTNESS_r*/BENCH_r*). The remaining ~270
+# entries keep the same tests under the `slow` marker and are gated in
+# the full lane (-m "slow or not slow") at round close.
+FAST_LANE_ENTRIES = frozenset(DRIVER_WINDOW) | frozenset(
+    n for n, q in CATALOG.items() if q.bench
+)
+
+
+def catalog_entry_params(names):
+    """Parametrize a per-entry sweep: fast-lane entries run by default,
+    the rest carry the `slow` marker."""
+    return [
+        n if n in FAST_LANE_ENTRIES
+        else pytest.param(n, marks=pytest.mark.slow)
+        for n in names
+    ]
+
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="engine-tests", shuffle_partitions=8)
+    # Pin the TEST session to a small master: unit/oracle tests run on
+    # sf0.001-scale data where a local[32] session spends more time
+    # scheduling empty tasks than computing (measured r12:
+    # test_analytics.py 67 s at local[32] vs 34 s at local[8] on the
+    # same box). Engine code never reads this — production sizing stays
+    # in session.get_spark ($SPARK_GRAFT_CPUS); this is test-harness
+    # wall-clock only, overridable for experiments.
+    s = get_spark(
+        app_name="engine-tests",
+        master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"),
+        shuffle_partitions=8,
+    )
     yield s
 
 

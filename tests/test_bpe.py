@@ -4,6 +4,8 @@ greedy non-overlapping replace, ties broken lexicographically)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import given, settings, strategies as st
@@ -58,6 +60,7 @@ def _py_counts(texts: list[str]) -> dict[str, int]:
     return dict(c)
 
 
+@pytest.mark.slow
 def test_train_matches_reference_on_fixture(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     texts = [r["text"] for r in docs.select("text").collect()]
@@ -85,6 +88,7 @@ words_strategy = st.lists(
 
 @settings(max_examples=6, deadline=None)
 @given(docs=st.lists(words_strategy, min_size=1, max_size=4))
+@pytest.mark.slow
 def test_train_matches_reference_on_random_corpora(spark, docs):
     texts = [" ".join(ws) for ws in docs]
     df = spark.createDataFrame(

@@ -25,7 +25,7 @@ import pytest
 
 from adventureworks_pysparkjobs_spark.queries import CATALOG
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, catalog_entry_params
 
 # name -> why an empty result is the CORRECT output on a clean fixture.
 ALLOWED_EMPTY: dict[str, str] = {}
@@ -54,7 +54,8 @@ def test_allowlist_names_exist():
     assert stale == [], f"ALLOWED_EMPTY names not in catalog: {stale}"
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+# Lane split (r11 verdict task 1): see conftest.catalog_entry_params.
+@pytest.mark.parametrize("name", catalog_entry_params(WITH_ORACLE))
 def test_entry_nonvacuous(spark, name):
     if name in ALLOWED_EMPTY:
         pytest.skip(f"declared-empty audit: {ALLOWED_EMPTY[name]}")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from adventureworks_pysparkjobs_spark.jobs.corpus_pipeline import (
@@ -61,6 +63,7 @@ def test_build_training_corpus_invariants(spark):
     out.unpersist()
 
 
+@pytest.mark.slow
 def test_build_training_corpus_deterministic_and_mixable(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     srcs = [r["source"] for r in docs.select("source").distinct().collect()]
@@ -85,6 +88,7 @@ def test_build_training_corpus_deterministic_and_mixable(spark):
     assert 0 < n_docs_out < n_quality
 
 
+@pytest.mark.slow
 def test_build_training_corpus_incremental_seen(spark):
     """A prior snapshot's digest frame makes the pipeline incremental:
     already-ingested content never re-enters, and a full snapshot drains

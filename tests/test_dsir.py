@@ -3,6 +3,8 @@ column the catalog oracle declares out of scope (libm last-ulp)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 from collections import Counter
@@ -86,6 +88,7 @@ class TestDsirWeights:
         assert out[5]["n_target_hits"] == 0
         assert out[5]["logweight"] == 0.0
 
+    @pytest.mark.slow
     def test_partition_independent(self, spark):
         a = self._run(spark)
         b = self._run(spark, repartition=7)

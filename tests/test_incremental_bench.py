@@ -23,6 +23,8 @@ economizes at 100 TB:
 
 from __future__ import annotations
 
+import pytest
+
 import time
 import warnings
 
@@ -82,6 +84,7 @@ def _box_is_quiet() -> bool:
         return True
 
 
+@pytest.mark.slow
 def test_scd2_merge_is_o_batch_not_o_history(spark, tmp_path):
     quiet = _box_is_quiet()
     from adventureworks_pysparkjobs_spark.operators.relational import (
@@ -165,6 +168,7 @@ def test_scd2_merge_is_o_batch_not_o_history(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_dedup_against_is_o_batch_not_o_history(spark, tmp_path):
     quiet = _box_is_quiet()
     from adventureworks_pysparkjobs_spark.operators.dedup import (

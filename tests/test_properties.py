@@ -6,6 +6,8 @@ near-dup output is checked to be a subset of the exact Jaccard output.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import given, settings, strategies as st
@@ -33,6 +35,7 @@ def _ts(sec: int) -> dt.datetime:
 
 @settings(max_examples=8, deadline=None)
 @given(left=rows_strategy, right=rows_strategy, strict=st.booleans())
+@pytest.mark.slow
 def test_asof_join_matches_bruteforce(spark, left, right, strict):
     ldf = spark.createDataFrame(
         [(k, i, _ts(s)) for i, (k, s) in enumerate(left)],
@@ -184,6 +187,7 @@ def test_winnow_fingerprints_property(spark, texts):
         assert got[i] == want, f"text {t!r}"
 
 
+@pytest.mark.slow
 def test_text_profile_equals_composed_operators(spark):
     """The merged single-scan text_profile must agree column-for-column
     with the four standalone operators it fuses (quality_stats,
@@ -283,6 +287,7 @@ def test_chunk_documents_property(spark, texts, chunk_tokens, overlap_seed):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_triangle_counts_match_bruteforce(spark, edges):
     from adventureworks_pysparkjobs_spark.operators.graph import (
         triangle_counts,
@@ -328,6 +333,7 @@ def test_triangle_counts_match_bruteforce(spark, edges):
     ),
     num=st.integers(min_value=0, max_value=99),
 )
+@pytest.mark.slow
 def test_semantic_dedup_matches_bruteforce(spark, vecs, num):
     from adventureworks_pysparkjobs_spark.operators.similarity import (
         semantic_dedup,
@@ -378,6 +384,7 @@ docs_strategy = st.lists(
 
 @settings(max_examples=8, deadline=None)
 @given(texts=docs_strategy)
+@pytest.mark.slow
 def test_jaccard_histogram_matches_bruteforce(spark, texts):
     from adventureworks_pysparkjobs_spark.operators.dedup import (
         jaccard_histogram,
@@ -473,6 +480,7 @@ ks_rows_strategy = st.lists(
 
 @settings(max_examples=8, deadline=None)
 @given(rows=ks_rows_strategy)
+@pytest.mark.slow
 def test_ks_drift_matches_bruteforce(spark, rows):
     from fractions import Fraction
 
@@ -509,6 +517,7 @@ def test_ks_drift_matches_bruteforce(spark, rows):
     ),
     k=st.sampled_from([1.0, 3.0]),
 )
+@pytest.mark.slow
 def test_mad_outliers_matches_bruteforce(spark, vals, k):
     import statistics
 
@@ -543,6 +552,7 @@ def test_mad_outliers_matches_bruteforce(spark, vals, k):
         max_size=40,
     ),
 )
+@pytest.mark.slow
 def test_t_closeness_matches_bruteforce(spark, rows):
     from collections import Counter
     from fractions import Fraction
@@ -591,6 +601,7 @@ def test_t_closeness_matches_bruteforce(spark, rows):
     k=st.sampled_from([2, 5]),
     max_len=st.sampled_from([2, 4]),
 )
+@pytest.mark.slow
 def test_top_paths_matches_bruteforce(spark, rows, k, max_len):
     from collections import Counter, defaultdict
 
@@ -623,6 +634,7 @@ def test_top_paths_matches_bruteforce(spark, rows, k, max_len):
         st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25
     )
 )
+@pytest.mark.slow
 def test_gini_bounds_and_brute_force(spark, amounts):
     """Gini ∈ [0, 1−1/n] and matches the O(n²) mean-absolute-difference
     definition G = Σ|xi−xj| / (2·n·Σx)."""
@@ -661,6 +673,7 @@ def test_gini_bounds_and_brute_force(spark, amounts):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_weighted_median_matches_bruteforce(spark, cells):
     """The operator's lower weighted median equals the brute-force
     smallest value whose at-or-below weight reaches half the total."""
@@ -699,6 +712,7 @@ def test_weighted_median_matches_bruteforce(spark, cells):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_peak_concurrency_matches_bruteforce(spark, intervals):
     """Peak per day equals the brute-force max, over boundary
     timestamps, of |sessions with start ≤ t ≤ end|."""
@@ -731,6 +745,7 @@ def test_peak_concurrency_matches_bruteforce(spark, intervals):
     ),
     scale=st.integers(2, 7),
 )
+@pytest.mark.slow
 def test_ewma_scaling_linearity(spark, counts, scale):
     """EWMA is linear in the counts: replicating every event `scale`
     times scales ewma_scaled exactly by `scale` (integer kernel —
@@ -771,6 +786,7 @@ def test_ewma_scaling_linearity(spark, counts, scale):
         st.integers(-1000, 1000), min_size=3, max_size=30, unique=True
     ),
 )
+@pytest.mark.slow
 def test_spearman_monotone_invariance(spark, xs):
     """Spearman rho is invariant under strictly monotone transforms of
     either axis: rho(x, x) == 1 and rho(x, x^3 + 7) == 1 (ranks are
@@ -816,6 +832,7 @@ def test_grouped_percentiles_monotone_and_bracketed(spark, vals):
     a=st.lists(st.integers(0, 20), min_size=1, max_size=25),
     b=st.lists(st.integers(0, 20), min_size=1, max_size=25),
 )
+@pytest.mark.slow
 def test_mann_whitney_flag_inversion_symmetry(spark, a, b):
     """U1 + U2 = n1*n2 (so the doubled statistics sum to 2*n1*n2) and
     z flips sign exactly when the flag is inverted."""
@@ -850,6 +867,7 @@ def test_mann_whitney_flag_inversion_symmetry(spark, a, b):
     ),
     k=st.integers(2, 4),
 )
+@pytest.mark.slow
 def test_kcore_peel_fixpoint_is_idempotent(spark, edges, k):
     """Once the trajectory stabilizes (two equal consecutive rows),
     every later round is identical, and the stable core (if any) has
@@ -877,6 +895,7 @@ def test_kcore_peel_fixpoint_is_idempotent(spark, edges, k):
 @given(
     ys=st.lists(st.integers(0, 5), min_size=3, max_size=10),
 )
+@pytest.mark.slow
 def test_kendall_tau_negation_antisymmetry(spark, ys):
     """Reversing one series in time negates the concordant/discordant
     classification of every pair, so tau_b(x, reversed_y) == -tau_b(x, y)
@@ -924,6 +943,7 @@ def test_kendall_tau_negation_antisymmetry(spark, ys):
         min_size=1, max_size=40,
     ),
 )
+@pytest.mark.slow
 def test_skyline_idempotent_and_correct_vs_bruteforce(spark, pts):
     """skyline(skyline(X)) == skyline(X), and the window formulation
     matches the O(n^2) dominance definition exactly."""
@@ -960,6 +980,7 @@ def test_skyline_idempotent_and_correct_vs_bruteforce(spark, pts):
         min_size=2, max_size=40,
     ),
 )
+@pytest.mark.slow
 def test_audience_overlap_jaccard_bounds_and_exactness(spark, members):
     """Jaccard from the posting-list formulation matches Python set
     arithmetic exactly for every key pair, and sits in [0, 1]."""

@@ -8,6 +8,8 @@ micro-fixtures and exact python references."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -940,6 +942,7 @@ def test_functional_dependency_audit_hand_values(spark):
     assert r["violation_rate"] == 0.5
 
 
+@pytest.mark.slow
 def test_markov_stationary_two_state_chain(spark):
     from adventureworks_pysparkjobs_spark.operators.analytics import (
         markov_stationary,

@@ -332,6 +332,7 @@ class TestDefaultResizeCodec:
         with _pytest.raises(NotImplementedError):
             default_resize_codec(encode_jpeg_header(8, 8), 2, 2)
 
+    @pytest.mark.slow
     def test_resize_images_runs_with_default_codec(self, spark):
         from adventureworks_pysparkjobs_spark.operators.multimodal import (
             encode_png,

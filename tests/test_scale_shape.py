@@ -11,7 +11,7 @@ from adventureworks_pysparkjobs_spark.plans.inspect import physical_plan
 from adventureworks_pysparkjobs_spark.queries import CATALOG
 from adventureworks_pysparkjobs_spark.sources.corpus import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, catalog_entry_params
 
 # Queries allowed to contain a broadcast nested-loop/cartesian by design
 # (deliberate small-side cross joins).
@@ -108,7 +108,7 @@ BATCH_QUERIES = sorted(
 )
 
 
-@pytest.mark.parametrize("name", BATCH_QUERIES)
+@pytest.mark.parametrize("name", catalog_entry_params(BATCH_QUERIES))
 def test_no_unintended_cartesian(spark, name):
     df = CATALOG[name].builder(spark, SF_SMOKE)
     plan = physical_plan(df)
@@ -459,7 +459,7 @@ def test_feature_correlations_one_scan_one_exchange(spark):
     assert "PushedFilters: []" not in plan
 
 
-@pytest.mark.parametrize("name", BATCH_QUERIES)
+@pytest.mark.parametrize("name", catalog_entry_params(BATCH_QUERIES))
 def test_no_unreduced_single_partition_exchange(spark, name):
     """Advisor sweep, catalog-wide: no query may funnel RAW input
     through an Exchange SinglePartition (the driver-bottleneck class —
@@ -521,7 +521,7 @@ def _table_of(path: str) -> str:
     return base.split(".")[0]
 
 
-@pytest.mark.parametrize("name", BATCH_QUERIES)
+@pytest.mark.parametrize("name", catalog_entry_params(BATCH_QUERIES))
 def test_no_forced_broadcast_of_sf_scaling_side(spark, name):
     from adventureworks_pysparkjobs_spark.plans.inspect import (
         broadcast_hint_audit,
